@@ -1,0 +1,247 @@
+"""Deduplication operators for large text corpora.
+
+Five strategies, all shuffle-conscious:
+
+- exact:          hash-groupBy on a content fingerprint (one shuffle).
+- minhash LSH:    shingle → k minhashes → band buckets → equi-join on
+                  (band, bucket). Only bucket-colliding pairs are compared, so
+                  the join never goes quadratic.
+- simhash:        64-bit sign-of-weighted-bits fingerprint; near-dups have
+                  small Hamming distance.
+- n-gram jaccard: exact similarity on candidate pairs (post-LSH verifier).
+- embedding cosine: near-dup via vector similarity (see similarity.py).
+
+All hashing is md5-based (first 15 hex digits → 60-bit int) so results are
+deterministic and reproducible across engines — important both for the
+correctness oracle and for re-runs of a 100 TB dedup pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash60(c: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string (md5-derived).
+
+    Portable: DuckDB equivalent is ``('0x' || substr(md5(s),1,15))::BIGINT``.
+    For a pure-speed pipeline swap in F.xxhash64 — same uniformity, no
+    cross-engine portability.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(text: Column, n: int = 4) -> Column:
+    """Distinct character n-gram shingles of a string (JVM-side)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+            lambda i: F.substring(text, i, n),
+        )
+    )
+
+
+#: Mersenne prime modulus for the affine rehash family (fits products in i64:
+#: a, h < 2^31 so a*h + b < 2^62 — safe in both Spark and DuckDB BIGINTs).
+MINHASH_P = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    ``h_j(x) = (a_j * x + b_j) mod P``. Fixed LCG seed so the Spark plan and
+    the DuckDB oracle derive identical constants."""
+    x = 0x2545F4914F6CDD1D
+    out = []
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = x % (MINHASH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_rehash(h: Column, a: int, b: int) -> Column:
+    """One member of the universal-hash family: ``(a*h + b) mod P``."""
+    return (F.lit(a).cast("long") * h + F.lit(b)) % MINHASH_P
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: fingerprint -> (keep_id, n_dups) for n>1.
+
+    One hash-partitioned aggregation; at 100 TB this is the cheapest possible
+    plan (map-side partial agg on the 32-char fingerprint, never on the text).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b that collide in at least
+    one band. The join key (band_idx, band_key) is fine-grained, so the
+    shuffle stays balanced; no O(n^2) comparison ever happens.
+
+    Plan shape (scale-critical): shingles are EXPLODED to rows and each
+    shingle is md5-hashed exactly once; the k minhashes are then plain
+    ``min()`` aggregates of cheap affine rehashes in one groupBy. This keeps
+    the whole signature stage inside whole-stage codegen with map-side
+    partial aggregation — the higher-order-function formulation recomputes
+    the md5 pass once per hash (Catalyst does no CSE across lambda
+    functions), which is k× slower.
+    """
+    num_bands = num_hashes // band_size
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_s"),
+    ).select("_id", (hash60(F.col("_s")) % MINHASH_P).alias("_h"))
+    sig = hashed.groupBy("_id").agg(
+        *[
+            F.min(minhash_rehash(F.col("_h"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    )
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * band_size + r}").cast("string")
+                                for r in range(band_size)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Token j contributes +1 to bit position b if bit b of hash(token) is set,
+    else -1; fingerprint bit b is set iff the sum is positive.
+    """
+    token_hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: hash60(t))
+
+    def bit_vote(j: int):
+        # Two-arg lambda (PySpark derives lambda arity from the signature).
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1).cast("long")
+
+        return F.aggregate(token_hashes, F.lit(0).cast("long"), merge)
+
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):  # static unroll: shift amounts must be literals
+        fingerprint = fingerprint + F.when(
+            bit_vote(j) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return fingerprint
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    ``block_col`` bounds the pairwise comparison (at scale, block on a
+    band of the simhash itself so the self-join stays near-linear).
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        simhash(F.col(text_col), bits).alias("sh"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity on (optionally blocked) pairs.
+
+    At scale this runs AFTER LSH candidate generation as the verifier —
+    never as a full cross join. Blocking columns bound the quadratic term.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+        *[F.col(c).alias(f"_blk_{c}") for c in block_cols],
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a._blk_{c}") == F.col(f"b._blk_{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "jaccard",
+        )
+    )

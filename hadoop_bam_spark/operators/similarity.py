@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_expr``: deterministic JVM-side cosine (zip_with + ordered fold,
+  double precision) — identical arithmetic is expressible in DuckDB for the
+  oracle, and it stays inside codegen (no Python).
+- ``knn_bruteforce``: exact top-k for a (small) query set — broadcast the
+  queries, score every corpus row, rank per query. The 100 TB plan: one pass
+  over the corpus, no shuffle of the corpus side, per-query heap via window
+  group limit.
+- ``knn_lsh``: sign-bit LSH bucketing (IVF-flavored): corpus and queries
+  hash to sign-pattern buckets; only same-bucket candidates are scored.
+  Trades recall for a ~2^bits candidate reduction; the bucket join is an
+  equi-join so it scales out cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double precision
+    with a deterministic (sequential) fold."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast); the corpus is scanned once.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def signbit_bucket(vec: Column, dims: Sequence[int]) -> Column:
+    """LSH bucket id from the sign bits of selected dimensions.
+
+    bucket = sum_j (vec[dims[j]] > 0) << j. Element access is 1-based to
+    match SQL array semantics.
+    """
+    bucket = F.lit(0).cast("long")
+    for j, d in enumerate(dims):
+        bucket = bucket + F.when(
+            F.element_at(vec, d + 1).cast("double") > 0.0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dims: Sequence[int] = (0, 8, 16, 24),
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's sign-bit
+    bucket. Equi-join on the bucket id — shuffle-partitionable, no cross
+    join. Recall depends on the hash family; this deterministic variant is
+    the skeleton an IVF/random-hyperplane index plugs into."""
+    from pyspark.sql import Window as W
+
+    cb = corpus.withColumn("_bucket", signbit_bucket(F.col(vec_col), dims))
+    qb = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        signbit_bucket(F.col(vec_col), dims).alias("_bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "_bucket").select(
+        F.col("_qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, blocked to stay sub-quadratic.
+
+    At 100 TB, ``block_col`` is an LSH bucket (see signbit_bucket); here any
+    equality-blocking column works and the same plan shape holds.
+    """
+    sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("_blk"))
+    s = df.select(*sel)
+    a, b = s.alias("a"), s.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") > threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cosine",
+        )
+    )

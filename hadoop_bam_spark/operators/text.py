@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (codegen, no UDFs): language-ID by stopword
+n-gram scoring, quality scoring (length/punct/stopword ratios), token
+counting (whitespace + BPE-ish sub-token regex), and a rolling-hash document
+fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword inventories per language. Real pipelines load
+# frequency tables; the operator shape (score per lang → argmax) is identical.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "le", "shi", "zai", "he"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def subtoken_count(text: Column) -> Column:
+    """BPE-ish sub-token count: alphanumeric runs each count as one token
+    (a cheap, deterministic proxy for a real tokenizer; regex kept RE2-safe
+    so the same expression runs on any engine)."""
+    return F.size(
+        F.filter(F.split(text, r"[^A-Za-z0-9]+"), lambda t: t != "")
+    ).cast("long")
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` (exact match, lowercase)."""
+    toks = tokens(F.lower(text))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_scores(text: Column) -> list[Column]:
+    return [
+        stopword_hits(text, ws).alias(f"score_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax stopword score; ties go to the
+    alphabetically-first language; 'und' when nothing matches."""
+    scores = [(lang, stopword_hits(text, ws)) for lang, ws in LANG_STOPWORDS.items()]
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang, score in sorted(scores, key=lambda kv: kv[0]):
+        better = score > best_score  # strict: alphabetically-first wins ties
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs, low punctuation,
+    reasonable mean token length. Deterministic; rounded by callers."""
+    n_tok = token_count(text)
+    mean_tok_len = F.when(n_tok > 0, F.length(text) / n_tok).otherwise(0.0)
+    len_term = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    tok_term = F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 1.0).otherwise(0.5)
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return (len_term * 0.4 + tok_term * 0.3 + punct_term * 0.3).cast("double")
+
+
+def rolling_fingerprint(text: Column, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the characters: acc = (acc*31 + code) % mod.
+
+    A content-defined fingerprint whose arithmetic is reproducible anywhere
+    (the ordered fold keeps every intermediate < 2^63).
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
+        lambda i: F.ascii(F.substring(text, i, 1)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % mod,
+    )

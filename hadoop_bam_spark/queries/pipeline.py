@@ -1,0 +1,473 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing — over the ``documents`` and ``embeddings``
+tables, each with a DuckDB oracle replicating the exact arithmetic.
+
+Dedup queries seed deterministic duplicates (a UNION ALL of shifted copies)
+so the operators have non-trivial positives to find at every scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_bam_spark.operators import dedup, similarity, text as text_ops
+from hadoop_bam_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Corpus with seeded duplicates: every 25th doc has an exact copy, every 50th
+# a near-copy with a short suffix. Same construction on both engines.
+_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, lang, source
+    FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' extra tail token' AS text,
+           lang, source
+    FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+
+def corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    exact = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail token")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        WITH {_CORPUS_CTE}
+        SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc="Exact dedup: one hash-partitioned groupBy on the md5 fingerprint "
+    "(map-side partial agg; the text itself is never shuffled).",
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(corpus_view(spark, sf_dir))
+
+
+def _shingles_sql(text_expr: str, n: int = 4) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({text_expr}) - {n - 1}, 1)), "
+        f"i -> substr({text_expr}, i, {n})))"
+    )
+
+
+def _hash60_sql(s: str) -> str:
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+_MINHASH_K = 16
+_BAND_SIZE = 4
+_SHINGLE_N = 8
+
+
+# Build the minhash oracle SQL programmatically (identical arithmetic:
+# one base hash per shingle, then k affine rehashes mod the Mersenne prime).
+def _minhash_oracle() -> str:
+    p = dedup.MINHASH_P
+    mh_exprs = ",\n               ".join(
+        f"list_min(list_transform(base, h -> ({a}::BIGINT * h + {b}) % {p})) AS mh{j}"
+        for j, (a, b) in enumerate(dedup.minhash_params(_MINHASH_K))
+    )
+    bands = "\n        UNION ALL\n".join(
+        "        SELECT doc_id, {b} AS band_idx, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"mh{b * _BAND_SIZE + r}::VARCHAR" for r in range(_BAND_SIZE)
+            ),
+        )
+        for b in range(_MINHASH_K // _BAND_SIZE)
+    )
+    return f"""
+        WITH {_CORPUS_CTE},
+        shingled AS (
+            SELECT doc_id,
+                   list_transform({_shingles_sql('text', _SHINGLE_N)},
+                                  s -> {_hash60_sql('s')} % {p}) AS base
+            FROM corpus
+        ),
+        sig AS (
+            SELECT doc_id,
+               {mh_exprs}
+            FROM shingled
+        ),
+        bands AS (
+{bands}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash (k=16 via universal-hash rehashing of one md5 per 8-char "
+    "shingle) + banded LSH (4 bands x 4 rows): candidate near-dup pairs from "
+    "band-bucket collisions. The equi-join on (band, bucket) keeps the "
+    "comparison sub-quadratic at any scale; band width is tuned so unrelated "
+    "docs (median shingle-Jaccard ~0.04 here) almost never collide.",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        corpus_view(spark, sf_dir),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND_SIZE,
+        shingle_n=_SHINGLE_N,
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {_CORPUS_CTE},
+        sigs AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 32), j ->
+                       CASE WHEN list_sum(list_transform(
+                                string_split_regex(trim(text), '\\s+'),
+                                t -> CASE WHEN ({_hash60_sql('t')} >> j) & 1 = 1
+                                     THEN 1 ELSE -1 END)) > 0
+                            THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sh
+            FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+    doc="SimHash (32-bit, per-bit token majority vote) near-dup pairs at "
+    "Hamming distance <= 3. At scale the self-join is blocked on simhash "
+    "bands; the unblocked form here is exact ground truth.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(corpus_view(spark, sf_dir), bits=32, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {_CORPUS_CTE},
+        sh AS (
+            SELECT doc_id, lang, source, {_shingles_sql('text')} AS s FROM corpus
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+    doc="Exact 4-gram Jaccard on (lang, source)-blocked pairs — the verifier "
+    "stage that runs after LSH candidate generation in a full dedup pipeline.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        corpus_view(spark, sf_dir), block_cols=("lang", "source"), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+    round(
+      list_sum(list_transform(range(1, len({a}) + 1),
+                              i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),
+                                      i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(range(1, len({b}) + 1),
+                                        i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))), 6)
+"""
+
+
+_EMB_CORPUS_CTE = """
+emb_corpus AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding, x -> (x::DOUBLE * 1.01)::FLOAT) AS embedding,
+           label
+    FROM embeddings WHERE vec_id % 100 = 0
+)
+"""
+
+
+def emb_corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with seeded near-dups (scaled copies: cosine == 1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+@query(
+    "embedding_cosine_neardup",
+    oracle=f"""
+        WITH {_EMB_CORPUS_CTE}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+        FROM emb_corpus a JOIN emb_corpus b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} > 0.95
+    """,
+    doc="Embedding near-dup pairs: label-blocked pairwise cosine (> 0.95). "
+    "At 100 TB the block key is an LSH bucket; the plan shape is identical.",
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        emb_corpus_view(spark, sf_dir), threshold=0.95, block_col="label"
+    )
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_COSINE_SQL.format(a='q.qvec', b='e.embedding')} AS cosine
+            FROM q CROSS JOIN embeddings e
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="Exact ANN baseline: brute-force cosine top-10 for a broadcast query "
+    "set; one corpus scan, per-query ranked window.",
+    bench=True,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_bruteforce(emb, queries, k=10)
+
+
+@query(
+    "knn_lsh_bucketed",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1]::DOUBLE > 0.0 THEN 1 ELSE 0 END
+                    + CASE WHEN embedding[9]::DOUBLE > 0.0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[17]::DOUBLE > 0.0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[25]::DOUBLE > 0.0 THEN 8 ELSE 0 END)::BIGINT
+                   AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+              FROM bucketed WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_COSINE_SQL.format(a='q.qvec', b='e.embedding')} AS cosine
+            FROM q JOIN bucketed e ON q.bucket = e.bucket
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Approximate ANN: sign-bit LSH buckets (dims 0/8/16/24) restrict "
+    "scoring to the query's bucket — an equi-join, so it shuffles cleanly "
+    "instead of cross-joining.",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_lsh(emb, queries, k=5, dims=(0, 8, 16, 24))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = {
+    lang: "(" + " + ".join(
+        f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t = '{w}'))"
+        for w in ws
+    ) + ")::BIGINT"
+    for lang, ws in text_ops.LANG_STOPWORDS.items()
+}
+
+_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(f"s_{lg}" for lg in sorted(text_ops.LANG_STOPWORDS))
+    + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lg} = greatest("
+        + ", ".join(f"s_{m}" for m in sorted(text_ops.LANG_STOPWORDS))
+        + f") THEN '{lg}'"
+        for lg in sorted(text_ops.LANG_STOPWORDS)
+    )
+    + " END"
+)
+
+
+@query(
+    "lang_id_ngram",
+    oracle=f"""
+        WITH scores AS (
+            SELECT doc_id,
+                   {', '.join(f'{sql} AS s_{lang}' for lang, sql in sorted(_STOPWORD_SQL.items()))}
+            FROM documents
+        )
+        SELECT {_LANG_CASE} AS predicted_lang, count(*) AS n
+        FROM scores GROUP BY 1
+    """,
+    doc="Language-ID heuristic: per-language stopword-hit scores, argmax with "
+    "alphabetical tie-break. Pure column expressions (no UDF).",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(text_ops.lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> ''))::BIGINT AS n_tok,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / len(text) AS punct_ratio
+            FROM documents WHERE len(text) > 0
+        )
+        SELECT doc_id, n_tok,
+               round(least(len(text) / 500.0, 1.0) * 0.4
+                     + (CASE WHEN len(text)::DOUBLE / n_tok BETWEEN 3 AND 10
+                             THEN 1.0 ELSE 0.5 END) * 0.3
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3, 6) AS quality
+        FROM t
+    """,
+    doc="Document quality scoring: length term + mean-token-length term + "
+    "punctuation-ratio term, all JVM-side expressions.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tok"),
+        F.round(text_ops.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@query(
+    "token_counts",
+    oracle="""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> ''))::BIGINT AS ws_tokens,
+               len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                               x -> x <> ''))::BIGINT AS sub_tokens
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish alnum-run sub-tokens.",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != ""))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        text_ops.subtoken_count(F.col("text")).alias("sub_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(0::BIGINT,
+                       list_transform(generate_series(1, greatest(len(text), 1)),
+                                      i -> ascii(substr(text, i, 1))::BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+        FROM documents
+    """,
+    doc="Rolling polynomial fingerprint (acc*31+c mod 2^31-1) over document "
+    "characters — deterministic content addressing for incremental dedup.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               16::BIGINT AS n_bytes,
+               ('0x' || substr(md5(text), 1, 2))::BIGINT AS magic,
+               list_sum(list_transform(generate_series(1, 16),
+                   i -> ('0x' || substr(md5(text), i*2-1, 2))::BIGINT))::BIGINT
+                   % 65536 AS checksum
+        FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: opaque payload bytes flow through "
+    "Arrow into a vectorized mapInPandas metadata extractor (decode itself "
+    "is stubbed — no media libs in this container; the Spark-side schema, "
+    "batching, and UDF signature are the real thing).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.multimodal import attach_binary_payload, extract_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_media_meta(attach_binary_payload(docs))
