@@ -1,0 +1,421 @@
+"""BAM binary format codec — pure Python (no htsjdk/pysam).
+
+Wire format per the public SAM/BAM spec (https://samtools.github.io/hts-specs/).
+Reference behaviors reproduced (semantics, not code):
+
+- header read-once-on-driver (reference util/SAMHeaderReader.java:48-75);
+- record field layout the split guesser validates at fixed offsets
+  (reference BAMSplitGuesser.java:237-339): refID/pos bounds vs n_ref,
+  read-name nul terminator, minimum record size 4*9+1+1+1
+  (BAMSplitGuesser.java:75);
+- split alignment by candidate-validation: a guessed record offset is
+  accepted only if a run of consecutive records decodes cleanly across
+  multiple BGZF blocks (BAMSplitGuesser.java:108-235, BLOCKS_NEEDED=3);
+- records emitted with SAM-text-compatible field values so a BAM scan and a
+  SAM scan of the same data are row-identical (the reference emits the same
+  htsjdk SAMRecord from both paths).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Iterator, Optional
+
+from hadoop_bam_spark.formats import bgzf
+from hadoop_bam_spark.formats.sam import SAMHeader, parse_header
+
+BAM_MAGIC = b"BAM\x01"
+
+SEQ_CODE = "=ACMGRSVTWYHKDBN"
+SEQ_NIBBLE = {c: i for i, c in enumerate(SEQ_CODE)}
+CIGAR_OPS = "MIDNSHP=X"
+CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
+
+#: 4*9 + 1 + 1 + 1: 9 fixed int32 fields + shortest name ("\0") + 1-base
+#: seq+qual (reference BAMSplitGuesser.java:75).
+SHORTEST_RECORD = 4 * 9 + 1 + 1 + 1
+
+#: Consecutive BGZF blocks a guess must decode through to be accepted
+#: (reference BAMSplitGuesser.java:66-69).
+BLOCKS_NEEDED_FOR_GUESS = 3
+
+
+# ---------------------------------------------------------------------------
+# Header
+# ---------------------------------------------------------------------------
+
+def read_header(reader: bgzf.BGZFReader) -> tuple[SAMHeader, list[tuple[str, int]], int]:
+    """Read the BAM preamble -> (header, [(ref_name, ref_len)], end_voffset).
+
+    ``end_voffset`` is the virtual offset of the first alignment record.
+    """
+    magic = reader.read(4)
+    if magic != BAM_MAGIC:
+        raise ValueError(f"not a BAM file (magic {magic!r})")
+    (l_text,) = struct.unpack("<i", reader.read(4))
+    text = reader.read(l_text).split(b"\x00", 1)[0].decode("utf-8", "replace")
+    (n_ref,) = struct.unpack("<i", reader.read(4))
+    refs: list[tuple[str, int]] = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", reader.read(4))
+        name = reader.read(l_name)[:-1].decode("utf-8")
+        (l_ref,) = struct.unpack("<i", reader.read(4))
+        refs.append((name, l_ref))
+    header = parse_header(text.splitlines())
+    # BAM's binary ref dictionary is authoritative even if @SQ lines are absent.
+    if not header.sequences:
+        for i, (name, ln) in enumerate(refs):
+            header.sequences[name] = (i, ln)
+    return header, refs, reader.tell_voffset()
+
+
+def encode_header(header: SAMHeader, refs: list[tuple[str, int]]) -> bytes:
+    text = header.text.encode()
+    out = [BAM_MAGIC, struct.pack("<i", len(text)), text, struct.pack("<i", len(refs))]
+    for name, ln in refs:
+        nb = name.encode() + b"\x00"
+        out += [struct.pack("<i", len(nb)), nb, struct.pack("<i", ln)]
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Record decode
+# ---------------------------------------------------------------------------
+
+def _decode_seq(data: bytes, l_seq: int) -> Optional[str]:
+    if l_seq == 0:
+        return None
+    out = []
+    for i in range(l_seq):
+        b = data[i >> 1]
+        out.append(SEQ_CODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+    return "".join(out)
+
+
+def _decode_tags(buf: bytes) -> dict[str, str]:
+    """Tag block -> {tag: SAM-text value string} (matches the SAM text
+    column the sam.py parser produces, so BAM and SAM scans are comparable)."""
+    tags: dict[str, str] = {}
+    p, n = 0, len(buf)
+    while p + 3 <= n:
+        tag = buf[p : p + 2].decode("latin-1")
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ == "A":
+            tags[tag] = chr(buf[p]); p += 1
+        elif typ in "cC":
+            tags[tag] = str(struct.unpack_from("<b" if typ == "c" else "<B", buf, p)[0]); p += 1
+        elif typ in "sS":
+            tags[tag] = str(struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]); p += 2
+        elif typ in "iI":
+            tags[tag] = str(struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]); p += 4
+        elif typ == "f":
+            v = struct.unpack_from("<f", buf, p)[0]; p += 4
+            tags[tag] = repr(v) if v != int(v) else str(int(v))
+        elif typ in "ZH":
+            end = buf.index(b"\x00", p)
+            tags[tag] = buf[p:end].decode("latin-1")
+            p = end + 1
+        elif typ == "B":
+            sub = chr(buf[p]); (cnt,) = struct.unpack_from("<i", buf, p + 1); p += 5
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            width = struct.calcsize("<" + fmt)
+            vals = struct.unpack_from(f"<{cnt}{fmt}", buf, p)
+            p += cnt * width
+            tags[tag] = sub + "," + ",".join(
+                (repr(v) if v != int(v) else str(int(v))) if sub == "f" else str(v)
+                for v in vals
+            )
+        else:
+            raise ValueError(f"unknown BAM tag type {typ!r}")
+    return tags
+
+
+def decode_record(buf: bytes, refs: list[tuple[str, int]]) -> tuple:
+    """One alignment record body (without leading block_size) -> SAM row tuple
+    (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual, tags).
+    """
+    (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+     next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
+    p = 32
+    qname = buf[p : p + l_read_name - 1].decode("latin-1")
+    p += l_read_name
+    cigar = None
+    if n_cigar:
+        ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
+        p += 4 * n_cigar
+        cigar = "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in ops)
+    seq = _decode_seq(buf[p : p + (l_seq + 1) // 2], l_seq)
+    p += (l_seq + 1) // 2
+    qual_raw = buf[p : p + l_seq]
+    p += l_seq
+    qual = None
+    if l_seq and qual_raw and qual_raw[0] != 0xFF:
+        qual = "".join(chr(q + 33) for q in qual_raw)
+    tags = _decode_tags(buf[p:])
+    rname = refs[ref_id][0] if 0 <= ref_id < len(refs) else None
+    rnext = refs[next_ref][0] if 0 <= next_ref < len(refs) else None
+    return (
+        qname, flag, rname, pos + 1, mapq, cigar, rnext,
+        next_pos + 1 if next_pos >= 0 else 0, tlen, seq, qual, tags,
+    )
+
+
+def iter_records(
+    reader: bgzf.BGZFReader,
+    refs: list[tuple[str, int]],
+    start_voffset: int,
+    end_voffset: Optional[int] = None,
+) -> Iterator[tuple]:
+    """Records whose START virtual offset is in [start, end) — the split
+    ownership rule that makes parallel scans emit each record exactly once
+    (reference BAMRecordReader.java:226-235)."""
+    reader.seek_voffset(start_voffset)
+    while True:
+        at = reader.tell_voffset()
+        if end_voffset is not None and at >= end_voffset:
+            return
+        head = reader.read(4)
+        if len(head) < 4:
+            return
+        (block_size,) = struct.unpack("<i", head)
+        body = reader.read(block_size)
+        if len(body) < block_size:
+            return
+        yield decode_record(body, refs)
+
+
+# ---------------------------------------------------------------------------
+# Record encode
+# ---------------------------------------------------------------------------
+
+def reg2bin(beg: int, end: int) -> int:
+    """Standard BAI bin for [beg, end) 0-based half-open (SAM spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+_CIGAR_CONSUME_REF = set("MDN=X")
+
+
+def cigar_ref_length(cigar: Optional[str]) -> int:
+    if not cigar:
+        return 1
+    total, num = 0, 0
+    for ch in cigar:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            if ch in _CIGAR_CONSUME_REF:
+                total += num
+            num = 0
+    return max(total, 1)
+
+
+def _encode_tag_value(tag: str, v: str) -> bytes:
+    try:
+        iv = int(v)
+        if -2147483648 <= iv <= 2147483647:
+            return tag.encode() + b"i" + struct.pack("<i", iv)
+    except (TypeError, ValueError):
+        pass
+    if "," in v and v[:1] in "cCsSiIf" and v[1:2] == ",":
+        sub = v[0]
+        parts = v[2:].split(",")
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+        vals = [float(x) if sub == "f" else int(x) for x in parts]
+        return (
+            tag.encode() + b"B" + sub.encode()
+            + struct.pack("<i", len(vals))
+            + struct.pack(f"<{len(vals)}{fmt}", *vals)
+        )
+    try:
+        fv = float(v)
+        if "." in v or "e" in v.lower():
+            return tag.encode() + b"f" + struct.pack("<f", fv)
+    except (TypeError, ValueError):
+        pass
+    return tag.encode() + b"Z" + v.encode("latin-1") + b"\x00"
+
+
+def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
+    """Inverse of decode_record; ``row`` in SAM_SCHEMA order."""
+    (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual, tags) = row
+    ref_id = ref_index.get(rname, -1) if rname else -1
+    next_ref = ref_index.get(rnext, -1) if rnext else -1
+    pos0 = (pos or 0) - 1
+    next_pos0 = (pnext or 0) - 1
+    name_b = qname.encode("latin-1") + b"\x00"
+    cigar_b = b""
+    n_cigar = 0
+    if cigar:
+        num = 0
+        ops = []
+        for ch in cigar:
+            if ch.isdigit():
+                num = num * 10 + ord(ch) - 48
+            else:
+                ops.append((num << 4) | CIGAR_CODE[ch])
+                num = 0
+        n_cigar = len(ops)
+        cigar_b = struct.pack(f"<{n_cigar}I", *ops)
+    l_seq = len(seq) if seq else 0
+    seq_b = bytearray((l_seq + 1) // 2)
+    if seq:
+        for i, c in enumerate(seq):
+            nib = SEQ_NIBBLE.get(c.upper(), 15)
+            if i % 2 == 0:
+                seq_b[i >> 1] |= nib << 4
+            else:
+                seq_b[i >> 1] |= nib
+    qual_b = bytes(ord(c) - 33 for c in qual) if qual else b"\xff" * l_seq
+    tags_b = b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
+    bin_ = reg2bin(max(pos0, 0), max(pos0, 0) + cigar_ref_length(cigar)) if ref_id >= 0 else 0
+    body = (
+        struct.pack(
+            "<iiBBHHHiiii",
+            ref_id, pos0, len(name_b), mapq or 0, bin_, n_cigar,
+            int(flag), l_seq, next_ref, next_pos0, int(tlen or 0),
+        )
+        + name_b + cigar_b + bytes(seq_b) + qual_b + tags_b
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam(
+    f: BinaryIO,
+    header: SAMHeader,
+    rows,
+    refs: Optional[list[tuple[str, int]]] = None,
+    write_header: bool = True,
+    write_terminator: bool = True,
+    index_granularity: int = 0,
+) -> list[int]:
+    """Write rows (SAM_SCHEMA order) as BAM. Returns the virtual offsets of
+    every ``index_granularity``-th record (a splitting index, reference
+    SplittingBAMIndexer.java:232-274) when granularity > 0.
+
+    write_header=False + write_terminator=False produces a concatenatable
+    part file (reference KeyIgnoringBAMOutputFormat.java:48-93).
+    """
+    if refs is None:
+        ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
+        refs = [(name, ln) for name, (_, ln) in ordered]
+    ref_index = {name: i for i, (name, _) in enumerate(refs)}
+    w = bgzf.BGZFWriter(f, write_terminator=write_terminator)
+    if write_header:
+        w.write(encode_header(header, refs))
+    offsets: list[int] = []
+    for i, row in enumerate(rows):
+        if index_granularity and i % index_granularity == 0:
+            offsets.append(w.tell_voffset())
+        w.write(encode_record(tuple(row), ref_index))
+    w.close()
+    return offsets
+
+
+# ---------------------------------------------------------------------------
+# Split guessing (arbitrary byte offset -> first record boundary)
+# ---------------------------------------------------------------------------
+
+def _plausible_record_at(buf: bytes, off: int, n_ref: int) -> bool:
+    """Field-bounds validation at fixed offsets, mirroring the checks in
+    reference BAMSplitGuesser.java:237-339."""
+    if off + 4 + SHORTEST_RECORD > len(buf):
+        return False
+    (block_size,) = struct.unpack_from("<i", buf, off)
+    if block_size < SHORTEST_RECORD or block_size > 0x10000000:
+        return False
+    (ref_id, pos, l_read_name, _mapq, _bin, n_cigar, _flag, l_seq,
+     next_ref, next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", buf, off + 4)
+    if not (-1 <= ref_id < n_ref) or not (-1 <= next_ref < n_ref):
+        return False
+    if not (-1 <= pos < (1 << 31) - 1) or not (-1 <= next_pos < (1 << 31) - 1):
+        return False
+    if l_read_name < 1:
+        return False
+    name_end = off + 4 + 32 + l_read_name - 1
+    if name_end >= len(buf) or buf[name_end] != 0:
+        return False
+    fixed = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+    if block_size < fixed:
+        return False
+    return True
+
+
+def guess_next_record_voffset(
+    buf: bytes, base_offset: int, n_ref: int
+) -> Optional[int]:
+    """Virtual offset of the first record starting at or after ``base_offset``
+    (the file offset of ``buf[0]``). The compressed buffer should span at
+    least BLOCKS_NEEDED_FOR_GUESS max-size blocks past the first boundary.
+
+    Two-stage guess, mirroring the reference's planner fallback
+    (BAMInputFormat.java:481-540): snap to a provable BGZF block boundary,
+    decompress a multi-block window, then scan for a clean record run.
+    """
+    block_off = bgzf.guess_next_block_start(buf)
+    if block_off is None:
+        return None
+    payload = bytearray()
+    p = block_off
+    blocks = 0
+    while p < len(buf) and blocks < BLOCKS_NEEDED_FOR_GUESS + 1:
+        try:
+            chunk, bsize = bgzf.decompress_block(buf, p)
+        except ValueError:
+            break
+        payload += chunk
+        p += bsize
+        blocks += 1
+    rec_off = guess_record_start(bytes(payload), n_ref)
+    if rec_off is None:
+        return None
+    if rec_off > 0xFFFF:
+        # Record starts in a later block; recompute its block-local address.
+        q, acc = block_off, 0
+        while True:
+            chunk, bsize = bgzf.decompress_block(buf, q)
+            if rec_off < acc + len(chunk):
+                return bgzf.make_voffset(base_offset + q, rec_off - acc)
+            acc += len(chunk)
+            q += bsize
+    return bgzf.make_voffset(base_offset + block_off, rec_off)
+
+
+def guess_record_start(
+    payload: bytes, n_ref: int, min_records: int = 8
+) -> Optional[int]:
+    """First offset in decompressed ``payload`` that starts a clean run of
+    records: every subsequent block_size link must land either exactly at the
+    payload end or on another plausible record. Returns None if no offset
+    qualifies (caller falls back to the next block / next split)."""
+    for cand in range(0, max(len(payload) - SHORTEST_RECORD - 4, 0) + 1):
+        if not _plausible_record_at(payload, cand, n_ref):
+            continue
+        ok, seen, p = True, 0, cand
+        while p < len(payload):
+            if p + 4 > len(payload) or seen >= min_records:
+                break
+            (bs,) = struct.unpack_from("<i", payload, p)
+            nxt = p + 4 + bs
+            if nxt > len(payload):
+                break  # record spills past buffer — can't disprove; accept run
+            if not _plausible_record_at(payload, p, n_ref):
+                ok = False
+                break
+            seen += 1
+            p = nxt
+        if ok and seen > 0:
+            return cand
+    return None

@@ -1,0 +1,299 @@
+"""BGZF (Blocked GZip Format) codec — pure Python, no htsjdk/pysam.
+
+BGZF is a sequence of independent gzip members (max 64 KiB of uncompressed
+payload each) whose compressed size is recorded in the gzip FEXTRA field
+(subfield id ``BC``). Because every block is self-contained, a byte range of
+a BGZF file can be decompressed independently once it is aligned to a block
+boundary — this is what makes BAM/VCF.bgz splittable in parallel scans.
+
+Reference semantics reproduced here (behavior, not code):
+- block layout + BC subfield parsing: the split guesser's magic/XLEN checks
+  (reference util/BGZFSplitGuesser.java:64-168);
+- virtual offsets ``(compressedOffset << 16) | intraBlockOffset``
+  (reference FileVirtualSplit.java:73-78);
+- split alignment = "scan forward for the first provable block start",
+  proven by decompressing the candidate block and checking the next header
+  follows immediately (reference util/BGZFSplitGuesser.java:88-150);
+- terminator-less part files + a 28-byte EOF block appended at merge time
+  (reference BAMRecordWriter.java:128-140, util/SAMFileMerger.java:70-103).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator, Optional
+
+#: Max uncompressed payload per block (format constant, 0xff00 used by htslib
+#: to leave headroom for incompressible data; 0xffff is the hard cap).
+MAX_BLOCK_PAYLOAD = 0xFF00
+
+#: The canonical 28-byte BGZF EOF marker block (empty payload).
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+_HEADER = struct.Struct("<4BI2B2H")  # magic(4) mtime xfl os xlen
+_BC_SUBFIELD = struct.Struct("<2sH")  # 'BC' + slen
+_MAGIC = b"\x1f\x8b\x08\x04"
+
+
+def make_voffset(coffset: int, uoffset: int) -> int:
+    """Virtual offset: compressed block start << 16 | intra-block offset."""
+    return (coffset << 16) | (uoffset & 0xFFFF)
+
+
+def split_voffset(voffset: int) -> tuple[int, int]:
+    return voffset >> 16, voffset & 0xFFFF
+
+
+def compress_block(payload: bytes, level: int = 6) -> bytes:
+    """One complete BGZF block for <= 64 KiB of payload."""
+    if len(payload) > 0xFFFF:
+        raise ValueError(f"BGZF block payload {len(payload)} > 65535")
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    deflated = co.compress(payload) + co.flush()
+    bsize = len(deflated) + 25 + 1  # header(12) + BC(6) + crc(4) + isize(4)
+    header = _MAGIC + struct.pack(
+        "<IBBH", 0, 0, 0xFF, 6
+    ) + _BC_SUBFIELD.pack(b"BC", 2) + struct.pack("<H", bsize - 1)
+    footer = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload))
+    return header + deflated + footer
+
+
+def block_size_at(buf: bytes, off: int = 0) -> Optional[int]:
+    """Total compressed size of the block starting at ``buf[off]``, or None
+    if the bytes there are not a valid BGZF block header."""
+    if len(buf) - off < 18:
+        return None
+    if buf[off : off + 4] != _MAGIC:
+        return None
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    if len(buf) - off < 12 + xlen:
+        return None
+    # Walk the FEXTRA subfields looking for BC.
+    p, end = off + 12, off + 12 + xlen
+    while p + 4 <= end:
+        si1, si2, slen = buf[p], buf[p + 1], struct.unpack_from("<H", buf, p + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            if p + 6 > end:
+                return None
+            return struct.unpack_from("<H", buf, p + 4)[0] + 1
+        p += 4 + slen
+    return None
+
+
+def decompress_block(buf: bytes, off: int = 0) -> tuple[bytes, int]:
+    """Decompress the block at ``buf[off]`` -> (payload, total_block_size).
+
+    Raises ValueError on malformed data (used by the guesser to reject
+    false-positive magic hits).
+    """
+    bsize = block_size_at(buf, off)
+    if bsize is None or off + bsize > len(buf):
+        raise ValueError("not a complete BGZF block")
+    xlen = struct.unpack_from("<H", buf, off + 10)[0]
+    data_start = off + 12 + xlen
+    crc, isize = struct.unpack_from("<II", buf, off + bsize - 8)
+    payload = zlib.decompress(buf[data_start : off + bsize - 8], -15)
+    if len(payload) != isize or (zlib.crc32(payload) & 0xFFFFFFFF) != crc:
+        raise ValueError("BGZF block CRC/ISIZE mismatch")
+    return payload, bsize
+
+
+def is_bgzf(head: bytes) -> bool:
+    """Sniff whether a gzip stream is BGZF (the reference's enhanced-gzip
+    dispatch, util/BGZFEnhancedGzipCodec.java:41-75)."""
+    return block_size_at(head) is not None
+
+
+def guess_next_block_start(buf: bytes, start: int = 0) -> Optional[int]:
+    """First provable BGZF block boundary at or after ``start`` in ``buf``.
+
+    A candidate (magic match) is accepted only if its block decompresses
+    cleanly AND is followed either by another valid block header or by the
+    end of the buffer — the same two-block proof the reference uses
+    (util/BGZFSplitGuesser.java:88-150). Returns None if no boundary is
+    provable in the buffer.
+    """
+    pos = buf.find(_MAGIC, start)
+    while pos != -1:
+        try:
+            _, bsize = decompress_block(buf, pos)
+            nxt = pos + bsize
+            if nxt == len(buf) or block_size_at(buf, nxt) is not None:
+                return pos
+        except ValueError:
+            pass
+        pos = buf.find(_MAGIC, pos + 1)
+    return None
+
+
+#: Worst-case bytes needed to prove a boundary: two max-size blocks.
+MAX_GUESS_BYTES = 2 * 0x10000
+
+
+def iter_blocks(
+    f: BinaryIO, coffset: int = 0, end_coffset: Optional[int] = None
+) -> Iterator[tuple[int, bytes]]:
+    """Yield (compressed_offset, payload) for blocks starting in
+    [coffset, end_coffset). Reads sequentially; empty (EOF) blocks yield
+    empty payloads and are skipped by callers that care."""
+    f.seek(coffset)
+    while end_coffset is None or coffset < end_coffset:
+        header = f.read(18)
+        if len(header) < 18:
+            return
+        bsize = block_size_at(header)
+        if bsize is None:
+            raise ValueError(f"bad BGZF block header at {coffset}")
+        rest = f.read(bsize - 18)
+        payload, _ = decompress_block(header + rest)
+        yield coffset, payload
+        coffset += bsize
+
+
+class BGZFReader:
+    """Random-access reader addressed by virtual offsets."""
+
+    def __init__(self, f: BinaryIO):
+        self._f = f
+        self._block_coffset = -1
+        self._block: bytes = b""
+        self._next_coffset = 0
+        self._uoffset = 0
+
+    def seek_voffset(self, voffset: int) -> None:
+        coffset, uoffset = split_voffset(voffset)
+        if coffset != self._block_coffset:
+            self._load_block(coffset)
+        self._uoffset = uoffset
+
+    def tell_voffset(self) -> int:
+        # At end-of-block, the canonical position is the start of the next.
+        if self._block_coffset < 0:
+            return make_voffset(self._next_coffset, 0)
+        if self._uoffset >= len(self._block):
+            return make_voffset(self._next_coffset, 0)
+        return make_voffset(self._block_coffset, self._uoffset)
+
+    def _load_block(self, coffset: int) -> bool:
+        self._f.seek(coffset)
+        header = self._f.read(18)
+        if len(header) < 18:
+            self._block_coffset = -1
+            self._block = b""
+            self._next_coffset = coffset
+            return False
+        bsize = block_size_at(header)
+        if bsize is None:
+            raise ValueError(f"bad BGZF block header at {coffset}")
+        payload, _ = decompress_block(header + self._f.read(bsize - 18))
+        self._block_coffset = coffset
+        self._block = payload
+        self._next_coffset = coffset + bsize
+        self._uoffset = 0
+        return True
+
+    def read(self, n: int) -> bytes:
+        """Read exactly n bytes (fewer only at EOF), spanning blocks."""
+        out = bytearray()
+        while n > 0:
+            if self._block_coffset < 0 or self._uoffset >= len(self._block):
+                if not self._load_block(self._next_coffset):
+                    break
+                # skip empty (EOF-marker) blocks
+                if not self._block:
+                    continue
+            take = min(n, len(self._block) - self._uoffset)
+            out += self._block[self._uoffset : self._uoffset + take]
+            self._uoffset += take
+            n -= take
+        return bytes(out)
+
+
+class BGZFWriter:
+    """Streaming BGZF writer.
+
+    ``write_terminator=False`` produces a headerless, terminator-less part
+    that can be byte-concatenated with sibling parts and finished with a
+    single EOF block — the reference's sharded-writer contract
+    (BAMRecordWriter.java:128-140).
+    """
+
+    def __init__(self, f: BinaryIO, level: int = 6, write_terminator: bool = True):
+        self._f = f
+        self._level = level
+        self._terminate = write_terminator
+        self._buf = bytearray()
+        self._coffset = 0  # compressed bytes written so far
+        self.closed = False
+
+    def tell_voffset(self) -> int:
+        return make_voffset(self._coffset, len(self._buf))
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= MAX_BLOCK_PAYLOAD:
+            self._flush_block(MAX_BLOCK_PAYLOAD)
+
+    def _flush_block(self, n: int) -> None:
+        block = compress_block(bytes(self._buf[:n]), self._level)
+        self._f.write(block)
+        self._coffset += len(block)
+        del self._buf[:n]
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if self._buf:
+            self._flush_block(len(self._buf))
+        if self._terminate:
+            self._f.write(BGZF_EOF)
+            self._coffset += len(BGZF_EOF)
+        self.closed = True
+
+
+@dataclass(frozen=True)
+class BGZFSplit:
+    """A planned byte range aligned to block boundaries (driver-side)."""
+
+    path: str
+    start_coffset: int
+    end_coffset: int  # exclusive
+
+
+def align_splits(
+    path: str,
+    file_size: int,
+    target_split_bytes: int,
+    read_range_fn,
+) -> list[BGZFSplit]:
+    """Plan block-aligned splits for one BGZF file.
+
+    ``read_range_fn(path, start, length) -> bytes`` abstracts the filesystem.
+    Raw byte ranges of ~target size are snapped forward to the first provable
+    block boundary (reference BGZFSplitFileInputFormat.getSplits +
+    BGZFSplitGuesser). Ranges that contain no boundary merge into their
+    successor by construction.
+    """
+    if file_size <= 0:
+        return []
+    boundaries = [0]
+    raw = target_split_bytes
+    pos = raw
+    while pos < file_size:
+        buf = read_range_fn(path, pos, min(MAX_GUESS_BYTES, file_size - pos))
+        found = guess_next_block_start(buf)
+        if found is not None and pos + found < file_size:
+            b = pos + found
+            if b > boundaries[-1]:
+                boundaries.append(b)
+        pos += raw
+    boundaries.append(file_size)
+    return [
+        BGZFSplit(path, boundaries[i], boundaries[i + 1])
+        for i in range(len(boundaries) - 1)
+        if boundaries[i] < boundaries[i + 1]
+    ]

@@ -1,0 +1,75 @@
+"""Splitting index sidecar (``.sbi``-style) for BGZF record formats.
+
+Semantics from the reference's splitting-bai (SplittingBAMIndex.java:41-90,
+SplittingBAMIndexer.java:64-274, merge logic SAMFileMerger.java:105-149):
+the virtual offset of every G-th record plus a terminating entry encoding
+the file length, enabling O(1) split alignment (floor/ceiling lookup)
+without any heuristic guessing. Our container format differs (magic +
+explicit granularity header) but the lookup and merge semantics match.
+"""
+
+from __future__ import annotations
+
+import bisect
+import struct
+from typing import BinaryIO
+
+MAGIC = b"SBI\x01"
+DEFAULT_GRANULARITY = 4096  # reference SplittingBAMIndexer.java:70
+
+
+class SplittingIndex:
+    """Sorted virtual offsets of every G-th record + file length sentinel."""
+
+    def __init__(self, granularity: int, voffsets: list[int], file_length: int):
+        self.granularity = granularity
+        self.voffsets = voffsets
+        self.file_length = file_length
+
+    def next_record(self, file_offset: int) -> int | None:
+        """First indexed record voffset at or after raw ``file_offset``
+        (ceiling — reference SplittingBAMIndex.nextAlignment)."""
+        i = bisect.bisect_left(self.voffsets, file_offset << 16)
+        return self.voffsets[i] if i < len(self.voffsets) else None
+
+    def prev_record(self, file_offset: int) -> int | None:
+        """Last indexed record voffset at or before ``file_offset`` (floor)."""
+        i = bisect.bisect_right(self.voffsets, file_offset << 16) - 1
+        return self.voffsets[i] if i >= 0 else None
+
+    def write(self, f: BinaryIO) -> None:
+        f.write(MAGIC)
+        f.write(struct.pack(">qq", self.granularity, len(self.voffsets)))
+        for v in self.voffsets:
+            f.write(struct.pack(">q", v))
+        f.write(struct.pack(">q", self.file_length << 16))
+
+    @classmethod
+    def read(cls, f: BinaryIO) -> "SplittingIndex":
+        if f.read(4) != MAGIC:
+            raise ValueError("bad splitting-index magic")
+        granularity, n = struct.unpack(">qq", f.read(16))
+        vals = struct.unpack(f">{n + 1}q", f.read(8 * (n + 1)))
+        return cls(granularity, list(vals[:-1]), vals[-1] >> 16)
+
+    @classmethod
+    def merge(
+        cls,
+        parts: list[tuple[list[int], int]],
+        header_length: int,
+        granularity: int = DEFAULT_GRANULARITY,
+    ) -> "SplittingIndex":
+        """Merge per-part index offsets into one file-level index by shifting
+        each part's compressed offsets by the bytes written before it
+        (reference SAMFileMerger.mergeSplittingBaiFiles offset arithmetic,
+        SAMFileMerger.java:145-149).
+
+        ``parts`` = [(voffsets_within_part, part_compressed_length), ...].
+        """
+        merged: list[int] = []
+        base = header_length
+        for voffsets, part_len in parts:
+            for v in voffsets:
+                merged.append(((v >> 16) + base) << 16 | (v & 0xFFFF))
+            base += part_len
+        return cls(granularity, merged, base)

@@ -1,0 +1,200 @@
+"""Distributed sinks: executors write headerless part files, the driver
+byte-concatenates them behind a fresh header and appends the format
+terminator — the reference's sharded-writer + merger contract
+(KeyIgnoringBAMOutputFormat.java:48-93, util/SAMFileMerger.java:46-149,
+util/VCFFileMerger.java:45-135, util/SAMOutputPreparer.java:61-128).
+
+Why this shape scales: each task writes its shard sequentially with no
+coordination; the merge is a driver-side byte copy (or FileSystem.concat
+where the DFS supports it) because BGZF streams are concatenatable when
+writers suppress the EOF terminator (BAMRecordWriter.java:128-140).
+
+BAM sinks also build the ``.sbi`` splitting index inline during the write
+(one voffset every G records, reference SplittingBAMIndexer piggyback mode
+SplittingBAMIndexer.java:232-274) and merge the per-part indexes by offset
+shifting (SAMFileMerger.mergeSplittingBaiFiles, SAMFileMerger.java:105-149)
+— so files we write are re-readable with index-aligned splits, no guessing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from hadoop_bam_spark.formats import bam, bgzf
+from hadoop_bam_spark.formats.sam import SAMHeader, format_sam_line
+from hadoop_bam_spark.formats.splitting_index import DEFAULT_GRANULARITY, SplittingIndex
+from hadoop_bam_spark.formats.vcf import VCFHeader, format_vcf_line
+
+SAM_COLS = [
+    "qname", "flag", "rname", "pos", "mapq", "cigar",
+    "rnext", "pnext", "tlen", "seq", "qual", "tags",
+]
+VCF_COLS = [
+    "contig", "start", "end", "id", "ref", "alts",
+    "qual", "filters", "info", "genotypes",
+]
+
+
+def _collect_parts(df: DataFrame, cols: list[str], parts_dir: str, write_part):
+    """Run ``write_part(idx, rows_iter) -> result`` on every partition and
+    return results ordered by partition index."""
+    os.makedirs(parts_dir, exist_ok=True)
+    rdd = df.select(*cols).rdd
+    results = rdd.mapPartitionsWithIndex(
+        lambda idx, it: iter([write_part(idx, it)])
+    ).collect()
+    return sorted(results)
+
+
+def write_bam(
+    df: DataFrame,
+    path: str,
+    header: SAMHeader,
+    refs: Optional[list[tuple[str, int]]] = None,
+    index_granularity: int = DEFAULT_GRANULARITY,
+) -> None:
+    """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index."""
+    if refs is None:
+        ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
+        refs = [(name, ln) for name, (_, ln) in ordered]
+    parts_dir = path + ".__parts__"
+
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        with open(part_path, "wb") as f:
+            offsets = bam.write_bam(
+                f, header, (tuple(r) for r in rows), refs=refs,
+                write_header=False, write_terminator=False,
+                index_granularity=index_granularity,
+            )
+        return (idx, part_path, os.path.getsize(part_path), offsets)
+
+    parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    with open(path, "wb") as out:
+        w = bgzf.BGZFWriter(out, write_terminator=False)
+        w.write(bam.encode_header(header, refs))
+        w.close()
+        header_len = out.tell()
+        for _, part_path, _, _ in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(bgzf.BGZF_EOF)
+    sbi = SplittingIndex.merge(
+        [(offs, size) for _, _, size, offs in parts], header_len, index_granularity
+    )
+    with open(path + ".sbi", "wb") as f:
+        sbi.write(f)
+    shutil.rmtree(parts_dir)
+
+
+def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
+                      line_fn, compress: bool) -> None:
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        with open(part_path, "wb") as f:
+            if compress:
+                w = bgzf.BGZFWriter(f, write_terminator=False)
+                for r in rows:
+                    w.write((line_fn(r) + "\n").encode())
+                w.close()
+            else:
+                for r in rows:
+                    f.write((line_fn(r) + "\n").encode())
+        return (idx, part_path)
+
+    parts = _collect_parts(df, cols, parts_dir, write_part)
+    with open(path, "wb") as out:
+        if compress:
+            w = bgzf.BGZFWriter(out, write_terminator=False)
+            w.write(header_text.encode())
+            w.close()
+        else:
+            out.write(header_text.encode())
+        for _, part_path in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        if compress:
+            out.write(bgzf.BGZF_EOF)
+    shutil.rmtree(parts_dir)
+
+
+def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
+    _write_text_parts(
+        df, SAM_COLS, path, path + ".__parts__", header.text,
+        lambda r: format_sam_line(tuple(r)), compress=False,
+    )
+
+
+def write_vcf(
+    df: DataFrame, path: str, header: VCFHeader, compress: Optional[bool] = None
+) -> None:
+    """Write a VCF_SCHEMA DataFrame as one valid VCF (.vcf or BGZF .vcf.bgz —
+    default by extension, reference KeyIgnoringVCFOutputFormat.java:93-114)."""
+    if compress is None:
+        compress = path.endswith((".gz", ".bgz"))
+    samples = header.samples
+
+    def line(r):
+        return format_vcf_line(tuple(r), samples)
+
+    _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
+
+
+def _synthesize_name(r) -> str:
+    """Illumina id from metadata when name is absent
+    (reference FastqOutputFormat.java:92-115)."""
+    if r.name:
+        return r.name
+    return (
+        f"{r.instrument or ''}:{r.run_number or ''}:{r.lane or ''}:"
+        f"{r.tile or ''}:{r.xpos or ''}:{r.ypos or ''}"
+        f"/{r.read or 1}"
+    )
+
+
+FASTQ_COLS = [
+    "name", "sequence", "quality", "instrument", "run_number", "flowcell_id",
+    "lane", "tile", "xpos", "ypos", "read", "filter_passed", "control_number",
+    "index_sequence",
+]
+
+
+def write_fastq(df: DataFrame, path: str) -> None:
+    def line(r):
+        return f"@{_synthesize_name(r)}\n{r.sequence}\n+\n{r.quality}"
+
+    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False)
+
+
+_P33_TO_P64 = bytes(
+    max(64, min(126, q + 31)) if 33 <= q <= 95 else q for q in range(256)
+)
+
+
+def write_qseq(df: DataFrame, path: str) -> None:
+    """Inverse of the qseq source: N->'.', Sanger->Illumina quality
+    (reference QseqOutputFormat.java:98-157)."""
+
+    def line(r):
+        qual = (r.quality or "").encode("latin-1").translate(_P33_TO_P64).decode("latin-1")
+        return "\t".join(
+            [
+                r.instrument or "",
+                str(r.run_number or 0),
+                str(r.lane or 0),
+                str(r.tile or 0),
+                str(r.xpos or 0),
+                str(r.ypos or 0),
+                r.index_sequence or "0",
+                str(r.read or 1),
+                (r.sequence or "").replace("N", "."),
+                qual,
+                "1" if r.filter_passed else "0",
+            ]
+        )
+
+    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False)

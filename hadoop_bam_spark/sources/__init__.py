@@ -1,0 +1,58 @@
+"""Python DataSource V2 sources: ``spark.read.format("bam"|"sam"|...)``.
+
+Planning (driver): list files, align byte-range splits to record boundaries
+via sidecar index or heuristic guesser — the Spark-native equivalent of the
+reference's ``getSplits`` planners (BAMInputFormat.java:227-271).
+Execution (executors): each InputPartition re-opens its file and iterates
+records in its virtual-offset span (BAMRecordReader.java:122-235).
+
+Register with :func:`register_all`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every engine data source on this session."""
+    from hadoop_bam_spark.sources.bam_source import BAMDataSource
+    from hadoop_bam_spark.sources.sam_source import SAMDataSource
+    from hadoop_bam_spark.sources.vcf_source import VCFDataSource
+    from hadoop_bam_spark.sources.fastq_source import FastqDataSource
+    from hadoop_bam_spark.sources.qseq_source import QseqDataSource
+    from hadoop_bam_spark.sources.fasta_source import FastaDataSource
+
+    for ds in (
+        BAMDataSource,
+        SAMDataSource,
+        VCFDataSource,
+        FastqDataSource,
+        QseqDataSource,
+        FastaDataSource,
+    ):
+        spark.dataSource.register(ds)
+
+
+def local_path(path: str) -> str:
+    """Strip a file:// scheme; these sources address the shared filesystem
+    (local in tests, a mounted DFS/object store in production — swap the
+    open() calls for fsspec to target S3/HDFS without touching planning)."""
+    if path.startswith("file://"):
+        return path[7:]
+    return path
+
+
+def list_format_files(path: str, *exts: str) -> list[str]:
+    """A path is one file or a directory of files with the given suffixes
+    (index sidecars are skipped — reference BAMInputFormat.java:201-209)."""
+    import os
+
+    p = local_path(path)
+    if os.path.isdir(p):
+        return sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(exts) and not f.startswith("_") and not f.startswith(".")
+        )
+    return [p]

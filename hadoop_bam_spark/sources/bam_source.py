@@ -1,0 +1,189 @@
+"""``spark.read.format("bam")`` — splittable parallel BAM scan.
+
+Split planning reproduces the reference's fallback chain
+(BAMInputFormat.java:255-269): sidecar splitting index when present
+(``<file>.sbi``), else heuristic record-boundary guessing
+(BAMSplitGuesser semantics; see formats/bam.py). Interval predicates
+(``option("intervals", "chr1:100-200,chr2:...")`` — the reference's ``-L``
+conf, util/IntervalUtil.java:27-53) are applied with a cheap fixed-field
+pre-check before full record decode; rname equality filters pushed by
+Catalyst prune at planning time when the contig is absent from the header.
+
+Options:
+  path            file or directory of .bam files
+  split_size      target compressed bytes per partition (default 32 MiB)
+  intervals       "contig:start-stop,..." residual+pushdown intervals
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+
+from hadoop_bam_spark.formats import bam, bgzf
+from hadoop_bam_spark.formats.sam import SAM_SCHEMA
+from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+from hadoop_bam_spark.sources import list_format_files
+
+DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
+
+
+def parse_intervals(spec: str) -> list[tuple[str, int, int]]:
+    """'contig:start-stop,...' -> [(contig, start, stop)] 1-based inclusive
+    (reference util/IntervalUtil.java:27-61). A bare 'contig' means the
+    whole sequence."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" in part:
+            contig, rng = part.rsplit(":", 1)
+            start_s, _, stop_s = rng.partition("-")
+            out.append((contig, int(start_s), int(stop_s) if stop_s else 1 << 40))
+        else:
+            out.append((part, 1, 1 << 40))
+    return out
+
+
+@dataclass
+class BAMPartition(InputPartition):
+    path: str
+    vstart: int
+    vend: int
+
+
+@dataclass
+class EmptyPartition(InputPartition):
+    """Sentinel when planning prunes everything — Spark expects at least one
+    partition object (read(None) is called otherwise)."""
+
+
+class BAMDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "bam"
+
+    def schema(self):
+        return SAM_SCHEMA
+
+    def reader(self, schema) -> "BAMReader":
+        return BAMReader(self.options)
+
+
+class BAMReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("bam source requires a path")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self._intervals = (
+            parse_intervals(options["intervals"]) if options.get("intervals") else None
+        )
+        self._rname_eq: Optional[set] = None
+        # header/refs per file, read once on the driver
+        # (reference util/SAMHeaderReader.java:48-75)
+        self._files: list[tuple[str, list[tuple[str, int]], int, int]] = []
+        for f in list_format_files(self._path, ".bam"):
+            with open(f, "rb") as fh:
+                r = bgzf.BGZFReader(fh)
+                _, refs, first_voffset = bam.read_header(r)
+                size = os.path.getsize(f)
+            self._files.append((f, refs, first_voffset, size))
+
+    def pushFilters(self, filters):
+        """Consume rname EqualTo for planning-time pruning; everything is
+        returned as unsupported so Catalyst re-applies it (safe residual)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("rname",):
+                self._rname_eq = {f.value}
+        return filters
+
+    def partitions(self) -> list[BAMPartition]:
+        parts: list[BAMPartition] = []
+        for path, refs, first_voffset, size in self._files:
+            contigs = {name for name, _ in refs}
+            if self._rname_eq is not None and not (self._rname_eq & contigs):
+                continue  # pushed contig not in this file's dictionary
+            if self._intervals is not None and not any(
+                c in contigs for c, _, _ in self._intervals
+            ):
+                continue
+            parts.extend(self._plan_file(path, refs, first_voffset, size))
+        return parts or [EmptyPartition()]
+
+    def _plan_file(self, path, refs, first_voffset, size) -> list[BAMPartition]:
+        end_voffset = bgzf.make_voffset(size, 0)
+        boundaries = [first_voffset]
+        sbi = None
+        if os.path.exists(path + ".sbi"):
+            with open(path + ".sbi", "rb") as fh:
+                sbi = SplittingIndex.read(fh)
+        raw = self._split_size
+        pos = (first_voffset >> 16) + raw
+        with open(path, "rb") as fh:
+            while pos < size:
+                if sbi is not None:
+                    v = sbi.next_record(pos)
+                else:
+                    fh.seek(pos)
+                    window = fh.read(
+                        (bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000
+                    )
+                    v = bam.guess_next_record_voffset(window, pos, len(refs))
+                if v is not None and boundaries[-1] < v < end_voffset:
+                    boundaries.append(v)
+                pos += raw
+        boundaries.append(end_voffset)
+        return [
+            BAMPartition(path, boundaries[i], boundaries[i + 1])
+            for i in range(len(boundaries) - 1)
+            if boundaries[i] < boundaries[i + 1]
+        ]
+
+    def read(self, partition) -> Iterator[tuple]:
+        if not isinstance(partition, BAMPartition):
+            return
+        refs = next(r for p, r, _, _ in self._files if p == partition.path)
+        intervals = self._intervals
+        ref_ids: Optional[set] = None
+        if intervals is not None:
+            name_to_id = {name: i for i, (name, _) in enumerate(refs)}
+            ref_ids = {name_to_id[c] for c, _, _ in intervals if c in name_to_id}
+        with open(partition.path, "rb") as fh:
+            reader = bgzf.BGZFReader(fh)
+            reader.seek_voffset(partition.vstart)
+            while True:
+                at = reader.tell_voffset()
+                if at >= partition.vend:
+                    return
+                head = reader.read(4)
+                if len(head) < 4:
+                    return
+                (block_size,) = struct.unpack("<i", head)
+                body = reader.read(block_size)
+                if len(body) < block_size:
+                    return
+                if ref_ids is not None:
+                    # fixed-field pre-check: skip full decode for records on
+                    # other contigs (analog of index-driven iteration,
+                    # reference BAMRecordReader.java:170-175)
+                    (ref_id,) = struct.unpack_from("<i", body, 0)
+                    if ref_id not in ref_ids:
+                        continue
+                row = bam.decode_record(body, refs)
+                if intervals is not None and not _overlaps(row, intervals):
+                    continue
+                yield row
+
+
+def _overlaps(row: tuple, intervals: list[tuple[str, int, int]]) -> bool:
+    rname, pos, cigar = row[2], row[3], row[5]
+    if rname is None:
+        return False
+    end = pos + bam.cigar_ref_length(cigar) - 1
+    return any(c == rname and pos <= stop and start <= end for c, start, stop in intervals)

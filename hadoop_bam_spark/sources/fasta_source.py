@@ -1,0 +1,113 @@
+"""``spark.read.format("fasta")`` — reference-sequence scan.
+
+One row per sequence line with (contig, 1-based position of the line's
+first base, seq) — the reference's ReferenceFragment model
+(ReferenceFragment.java:36-41, FastaInputFormat.java:334-372).
+
+Planning: with a ``.fai`` faidx sidecar, one split per contig computed from
+the index (better than the reference's full-file driver scan for '>' bytes,
+FastaInputFormat.java:62-154 — noted in SURVEY.md §2.1); without one, a
+single whole-file split per file.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from hadoop_bam_spark.sources import list_format_files
+
+FASTA_SCHEMA = T.StructType(
+    [
+        T.StructField("contig", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("seq", T.StringType(), False),
+    ]
+)
+
+
+@dataclass
+class FastaPartition(InputPartition):
+    path: str
+    offset: int  # byte offset of the contig's first sequence line (-1: whole file)
+    contig: Optional[str]
+
+
+def read_fai(path: str) -> list[tuple[str, int, int, int, int]]:
+    """faidx rows: (name, length, offset, linebases, linewidth)."""
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) >= 5:
+                out.append((f[0], int(f[1]), int(f[2]), int(f[3]), int(f[4])))
+    return out
+
+
+def iter_contig_lines(path: str, offset: int, contig: str) -> Iterator[tuple]:
+    pos = 1
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        for raw in fh:
+            line = raw.decode().strip()
+            if line.startswith(">"):
+                return
+            if line:
+                yield (contig, pos, line)
+                pos += len(line)
+
+
+def iter_whole_file(path: str) -> Iterator[tuple]:
+    contig, pos = None, 1
+    with open(path) as fh:
+        for raw in fh:
+            line = raw.strip()
+            if line.startswith(">"):
+                contig = line[1:].split()[0]
+                pos = 1
+            elif line and contig is not None:
+                yield (contig, pos, line)
+                pos += len(line)
+
+
+class FastaDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def schema(self):
+        return FASTA_SCHEMA
+
+    def reader(self, schema) -> "FastaReader":
+        return FastaReader(self.options)
+
+
+class FastaReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("fasta source requires a path")
+        self._files = list_format_files(path, ".fa", ".fasta", ".fna")
+
+    def partitions(self):
+        parts: list[FastaPartition] = []
+        for f in self._files:
+            fai = f + ".fai"
+            if os.path.exists(fai):
+                parts.extend(
+                    FastaPartition(f, offset, name)
+                    for name, _len, offset, _lb, _lw in read_fai(fai)
+                )
+            else:
+                parts.append(FastaPartition(f, -1, None))
+        return parts
+
+    def read(self, partition: FastaPartition) -> Iterator[tuple]:
+        if partition.offset >= 0 and partition.contig is not None:
+            yield from iter_contig_lines(partition.path, partition.offset, partition.contig)
+        else:
+            yield from iter_whole_file(partition.path)

@@ -1,0 +1,158 @@
+"""``spark.read.format("fastq")`` — splittable FASTQ scan.
+
+Split realignment reproduces the reference heuristic
+(FastqInputFormat.java:156-198): at an arbitrary byte offset, the record
+start is the first line L starting with '@' whose L+2 line starts with '+'
+(this disambiguates '@' appearing as a quality character). Illumina
+read-id metadata is parsed per the Casava 1.8 pattern
+(FastqInputFormat.java:93,349-381); trailing '/N' sets the read number.
+
+Schema mirrors SequencedFragment's 2 required + 11 metadata fields
+(reference SequencedFragment.java:35-63).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from hadoop_bam_spark.sources.sam_source import plan_text_splits
+
+FASTQ_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("sequence", T.StringType(), False),
+        T.StructField("quality", T.StringType(), False),
+        T.StructField("instrument", T.StringType(), True),
+        T.StructField("run_number", T.IntegerType(), True),
+        T.StructField("flowcell_id", T.StringType(), True),
+        T.StructField("lane", T.IntegerType(), True),
+        T.StructField("tile", T.IntegerType(), True),
+        T.StructField("xpos", T.IntegerType(), True),
+        T.StructField("ypos", T.IntegerType(), True),
+        T.StructField("read", T.IntegerType(), True),
+        T.StructField("filter_passed", T.BooleanType(), True),
+        T.StructField("control_number", T.IntegerType(), True),
+        T.StructField("index_sequence", T.StringType(), True),
+    ]
+)
+
+# Casava 1.8: @instrument:run:flowcell:lane:tile:x:y read:filtered:control:index
+_CASAVA_RE = re.compile(
+    r"^([^:]+):(\d+):([^:]+):(\d+):(\d+):(\d+):(\d+)\s+([1-9]):([YN]):(\d+):(\w*)\s*$"
+)
+# Older style: trailing /N read number (FastqInputFormat.java:349-360)
+_SLASH_RE = re.compile(r"/([0-9])\s*$")
+
+
+def parse_read_name(name: str) -> tuple:
+    """-> (instrument, run, flowcell, lane, tile, x, y, read, filtered,
+    control, index) with None for unavailable fields."""
+    m = _CASAVA_RE.match(name)
+    if m:
+        return (
+            m.group(1), int(m.group(2)), m.group(3), int(m.group(4)),
+            int(m.group(5)), int(m.group(6)), int(m.group(7)),
+            int(m.group(8)), m.group(9) == "N", int(m.group(10)),
+            m.group(11) or None,
+        )
+    sm = _SLASH_RE.search(name)
+    read = int(sm.group(1)) if sm else None
+    return (None, None, None, None, None, None, None, read, None, None, None)
+
+
+def fastq_record(name_line: str, seq: str, qual: str) -> tuple:
+    name = name_line[1:].strip()
+    (instr, run, fc, lane, tile, x, y, read, filt, ctrl, idx) = parse_read_name(name)
+    return (name, seq, qual, instr, run, fc, lane, tile, x, y, read, filt, ctrl, idx)
+
+
+def iter_fastq_records(path: str, start: int, end: int) -> Iterator[tuple]:
+    """Records whose FIRST line starts in [start, end); the reader realigns
+    to the first provable record boundary at or after ``start``."""
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        if start > 0:
+            fh.readline()  # partial line belongs to the previous split
+        # Buffer up to 5 line starts and find i: lines[i][0]=='@' and
+        # lines[i+2][0]=='+' (the reference's two-line proof).
+        probe: list[tuple[int, bytes]] = []
+        while len(probe) < 6:
+            at = fh.tell()
+            line = fh.readline()
+            if not line:
+                break
+            probe.append((at, line))
+        first = None
+        for i in range(len(probe)):
+            if probe[i][1][:1] == b"@" and i + 2 < len(probe) and probe[i + 2][1][:1] == b"+":
+                first = i
+                break
+        if first is None:
+            return
+        queue = [l for _, l in probe[first:]]
+        rec_start = probe[first][0]
+        while True:
+            while len(queue) < 4:
+                line = fh.readline()
+                if not line:
+                    return
+                queue.append(line)
+            if rec_start > end:  # boundary-start records belong to the
+                return           # EARLIER split (see sam_source.iter_lines)
+            name_l, seq_l, plus_l, qual_l = queue[:4]
+            del queue[:4]
+            if name_l[:1] != b"@" or plus_l[:1] != b"+":
+                raise ValueError(f"malformed FASTQ record near byte {rec_start}")
+            yield fastq_record(
+                name_l.decode().rstrip("\r\n"),
+                seq_l.decode().strip(),
+                qual_l.decode().rstrip("\r\n"),
+            )
+            rec_start = fh.tell() - sum(len(l) for l in queue)
+
+
+@dataclass
+class FastqPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class FastqDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fastq"
+
+    def schema(self):
+        return FASTQ_SCHEMA
+
+    def reader(self, schema) -> "FastqReader":
+        return FastqReader(self.options)
+
+
+class FastqReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("fastq source requires a path")
+        self._path = path
+        self._split_size = int(options.get("split_size", 32 * 1024 * 1024))
+        self._filter_failed = options.get("filter_failed_qc", "false").lower() == "true"
+
+    def partitions(self):
+        return [
+            FastqPartition(p.path, p.start, p.end)
+            for p in plan_text_splits(self._path, self._split_size, (".fastq", ".fq"))
+        ]
+
+    def read(self, partition: FastqPartition) -> Iterator[tuple]:
+        for rec in iter_fastq_records(partition.path, partition.start, partition.end):
+            # QC-fail drop (reference FastqInputFormat.java:313-316)
+            if self._filter_failed and rec[11] is False:
+                continue
+            yield rec

