@@ -10,5 +10,6 @@ from hadoop_bam_spark.queries.registry import REGISTRY, QuerySpec, query
 from hadoop_bam_spark.queries import relational  # noqa: E402,F401
 from hadoop_bam_spark.queries import genomics  # noqa: E402,F401
 from hadoop_bam_spark.queries import pipeline  # noqa: E402,F401
+from hadoop_bam_spark.queries import formats_gate  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,303 @@
+"""Format-layer queries inside the correctness gate.
+
+Each query derives records from the synthetic tables, writes them through a
+REAL sink (distributed part files + driver merge), reads them back through
+the REAL source (split planning + codecs), and aggregates. The DuckDB
+oracle aggregates the derived view directly — so a mismatch anywhere in
+encode -> part merge -> split planning -> decode fails the value hash.
+
+This is the engine-level analog of the reference round-trip suites
+(TestBAMOutputFormat.java:92-237, TestVCFRoundTrip.java:103-113), executed
+on every driver round rather than only in unit tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_bam_spark.queries.genomics import READS_CTE, reads_view
+from hadoop_bam_spark.queries.registry import query
+
+#: Small split size so the read-back side exercises multi-split planning
+#: even at sf0.001.
+_SPLIT = 256 * 1024
+
+
+def _workdir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf, tag) scratch dir, recreated on every call."""
+    d = os.path.join(
+        tempfile.gettempdir(), f"hbs_gate_{tag}_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _sam_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reads_view projected onto the SAM schema (deterministic derivation)."""
+    reads = reads_view(spark, sf_dir)
+    rname = F.when(F.col("ref_idx") < 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("chr"), (F.col("ref_idx") + 1).cast("string"))
+    )
+    return reads.select(
+        F.col("qname"),
+        F.col("flag").cast("int").alias("flag"),
+        rname.alias("rname"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("mapq").cast("int").alias("mapq"),
+        F.when(
+            F.col("ref_idx") >= 0,
+            F.concat(F.col("read_len").cast("string"), F.lit("M")),
+        ).alias("cigar"),
+        F.lit(None).cast("string").alias("rnext"),
+        F.lit(0).cast("int").alias("pnext"),
+        F.lit(0).cast("int").alias("tlen"),
+        F.lit(None).cast("string").alias("seq"),
+        F.lit(None).cast("string").alias("qual"),
+        F.create_map(
+            F.lit("NM"), (F.col("l_orderkey") % 5).cast("string")
+        ).alias("tags"),
+    )
+
+
+_BAM_ORACLE = f"""
+    WITH {READS_CTE}
+    SELECT CASE WHEN ref_idx < 0 THEN NULL
+                ELSE 'chr' || (ref_idx + 1)::VARCHAR END AS rname,
+           count(*) AS n,
+           sum(pos) AS sum_pos,
+           sum(flag) AS sum_flag,
+           sum(mapq) AS sum_mapq,
+           sum(l_orderkey % 5) AS sum_nm
+    FROM reads
+    GROUP BY 1
+"""
+
+
+def _sam_header():
+    from hadoop_bam_spark.formats.sam import SAMHeader
+
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for i in range(4):
+        hdr.lines.append(f"@SQ\tSN:chr{i + 1}\tLN:1050000")
+        hdr.sequences[f"chr{i + 1}"] = (i, 1050000)
+    return hdr
+
+
+def _agg_back(back: DataFrame) -> DataFrame:
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum("flag").alias("sum_flag"),
+        F.sum("mapq").alias("sum_mapq"),
+        F.sum(F.element_at("tags", "NM").cast("long")).alias("sum_nm"),
+    )
+
+
+@query(
+    "bam_file_roundtrip",
+    oracle=_BAM_ORACLE,
+    doc="End-to-end BAM I/O inside the gate: derive reads, write a real BAM "
+    "(distributed headerless BGZF parts + driver merge + .sbi index), read "
+    "it back with spark.read.format('bam') using index-aligned small splits, "
+    "aggregate. Oracle aggregates the derivation directly.",
+)
+def bam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "bam")
+    path = os.path.join(d, "reads.bam")
+    sinks.write_bam(_sam_df(spark, sf_dir), path, _sam_header(), index_granularity=1024)
+    back = spark.read.format("bam").option("split_size", str(_SPLIT)).load(path)
+    return _agg_back(back)
+
+
+@query(
+    "sam_file_roundtrip",
+    oracle=_BAM_ORACLE,
+    doc="Same gate check through the SAM text sink/source (line codec + "
+    "byte-range split ownership).",
+)
+def sam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "sam")
+    path = os.path.join(d, "reads.sam")
+    sinks.write_sam(_sam_df(spark, sf_dir), path, _sam_header())
+    back = spark.read.format("sam").option("split_size", str(_SPLIT)).load(path)
+    return _agg_back(back)
+
+
+_FASTQ_ORACLE = """
+    SELECT (event_id % 8 + 1)::BIGINT AS lane,
+           count(*) AS n,
+           sum(event_id * 17 % 20000) AS sum_x,
+           sum(len(md5(event_id::VARCHAR))) AS sum_seq_len
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query(
+    "fastq_file_roundtrip",
+    oracle=_FASTQ_ORACLE,
+    doc="End-to-end FASTQ I/O inside the gate: synthesize Casava-1.8 reads "
+    "from events, write via the fastq sink, read back with the 4-line "
+    "boundary-heuristic source at small splits, aggregate per lane.",
+)
+def fastq_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.queries.relational import load_events
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    ev = load_events(spark, sf_dir)
+    name = F.concat(
+        F.lit("SIM01:1:FCX:"),
+        (F.col("event_id") % 8 + 1).cast("string"),
+        F.lit(":1:"),
+        ((F.col("event_id") * 17) % 20000).cast("string"),
+        F.lit(":"),
+        ((F.col("event_id") * 23) % 20000).cast("string"),
+        F.lit(" 1:N:0:ACGT"),
+    )
+    seq = F.upper(F.translate(F.md5(F.col("event_id").cast("string")),
+                              "0123456789abcdef", "ACGTACGTACGTACGT"))
+    df = ev.select(
+        name.alias("name"),
+        seq.alias("sequence"),
+        F.repeat(F.lit("I"), 32).alias("quality"),
+        F.lit(None).cast("string").alias("instrument"),
+        F.lit(None).cast("int").alias("run_number"),
+        F.lit(None).cast("string").alias("flowcell_id"),
+        F.lit(None).cast("int").alias("lane"),
+        F.lit(None).cast("int").alias("tile"),
+        F.lit(None).cast("int").alias("xpos"),
+        F.lit(None).cast("int").alias("ypos"),
+        F.lit(None).cast("int").alias("read"),
+        F.lit(None).cast("boolean").alias("filter_passed"),
+        F.lit(None).cast("int").alias("control_number"),
+        F.lit(None).cast("string").alias("index_sequence"),
+    )
+    d = _workdir(sf_dir, "fastq")
+    path = os.path.join(d, "reads.fastq")
+    sinks.write_fastq(df, path)
+    back = spark.read.format("fastq").option("split_size", str(_SPLIT)).load(path)
+    return back.groupBy(F.col("lane").cast("long").alias("lane")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xpos").alias("sum_x"),
+        F.sum(F.length("sequence")).alias("sum_seq_len"),
+    )
+
+
+_VCF_ORACLE = """
+    WITH v AS (
+        SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,
+               (n_nationkey * 1000 + 1)::BIGINT AS start,
+               n_name AS vid,
+               (n_nationkey % 100)::DOUBLE + 0.25 AS qual,
+               n_regionkey AS depth
+        FROM nation
+    )
+    SELECT contig, count(*) AS n, sum(start) AS sum_start,
+           round(sum(qual), 6) AS sum_qual, sum(depth) AS sum_dp
+    FROM v GROUP BY contig
+"""
+
+
+def _variants_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return nation.select(
+        (F.col("n_nationkey") % 4 + 1).cast("string").alias("contig"),
+        (F.col("n_nationkey") * 1000 + 1).cast("long").alias("start"),
+        (F.col("n_nationkey") * 1000 + 1).cast("long").alias("end"),
+        F.col("n_name").alias("id"),
+        F.lit("A").alias("ref"),
+        F.array(F.lit("T")).alias("alts"),
+        ((F.col("n_nationkey") % 100).cast("double") + 0.25).alias("qual"),
+        F.array(F.lit("PASS")).alias("filters"),
+        F.create_map(
+            F.lit("DP"), F.col("n_regionkey").cast("string")
+        ).alias("info"),
+        F.array(
+            F.struct(
+                F.lit("S1").alias("sample"),
+                F.lit("0/1").alias("gt"),
+                F.create_map(F.lit("GT"), F.lit("0/1")).alias("fields"),
+            )
+        ).alias("genotypes"),
+    )
+
+
+def _vcf_header():
+    from hadoop_bam_spark.formats.vcf import VCFHeader
+
+    return VCFHeader(
+        lines=["##fileformat=VCFv4.2"]
+        + [
+            '##FILTER=<ID=PASS,Description="pass">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">',
+        ]
+        + [f"##contig=<ID={i + 1},length=10000000>" for i in range(4)],
+        samples=["S1"],
+    )
+
+
+@query(
+    "bcf_file_roundtrip",
+    oracle=_VCF_ORACLE,
+    doc="End-to-end binary-VCF I/O inside the gate: derive variants, encode "
+    "BCF2 typed records into headerless BGZF parts + driver merge, read back "
+    "with spark.read.format('bcf') at small block-aligned splits realigned "
+    "by the BCF split guesser, aggregate typed INFO per contig.",
+)
+def bcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "bcf")
+    path = os.path.join(d, "v.bcf")
+    sinks.write_bcf(_variants_df(spark, sf_dir), path, _vcf_header())
+    back = spark.read.format("bcf").option("split_size", "4096").load(path)
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.round(F.sum("qual"), 6).alias("sum_qual"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )
+
+
+@query(
+    "vcf_file_roundtrip",
+    oracle=_VCF_ORACLE,
+    doc="End-to-end VCF I/O inside the gate: derive variants with INFO map "
+    "and genotypes, write BGZF-compressed via the vcf sink, read back with "
+    "block-aligned splits, aggregate typed INFO values per contig.",
+)
+def vcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "vcf")
+    path = os.path.join(d, "v.vcf.bgz")
+    sinks.write_vcf(_variants_df(spark, sf_dir), path, _vcf_header())
+    back = spark.read.format("vcf").option("split_size", "4096").load(path)
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.round(F.sum("qual"), 6).alias("sum_qual"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )

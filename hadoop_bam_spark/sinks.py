@@ -144,6 +144,37 @@ def write_vcf(
     _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
 
 
+def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:
+    """Write a VCF_SCHEMA DataFrame as one valid BGZF-compressed BCF2 file:
+    headerless BGZF parts on executors, driver concat behind the header
+    block, BGZF terminator appended last (reference BCFRecordWriter close
+    semantics, BCFRecordWriter.java:165-193)."""
+    from hadoop_bam_spark.formats import bcf as bcfmod
+
+    bhdr = bcfmod.parse_bcf_header_text(header.text)
+    parts_dir = path + ".__parts__"
+
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        with open(part_path, "wb") as f:
+            w = bgzf.BGZFWriter(f, write_terminator=False)
+            for r in rows:
+                w.write(bcfmod.encode_record(tuple(r), bhdr))
+            w.close()
+        return (idx, part_path)
+
+    parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
+    with open(path, "wb") as out:
+        w = bgzf.BGZFWriter(out, write_terminator=False)
+        w.write(bcfmod.encode_header(bhdr))
+        w.close()
+        for _, part_path in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(bgzf.BGZF_EOF)
+    shutil.rmtree(parts_dir)
+
+
 def _synthesize_name(r) -> str:
     """Illumina id from metadata when name is absent
     (reference FastqOutputFormat.java:92-115)."""

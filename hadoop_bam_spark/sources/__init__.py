@@ -19,6 +19,7 @@ def register_all(spark: SparkSession) -> None:
     from hadoop_bam_spark.sources.bam_source import BAMDataSource
     from hadoop_bam_spark.sources.sam_source import SAMDataSource
     from hadoop_bam_spark.sources.vcf_source import VCFDataSource
+    from hadoop_bam_spark.sources.bcf_source import BCFDataSource
     from hadoop_bam_spark.sources.fastq_source import FastqDataSource
     from hadoop_bam_spark.sources.qseq_source import QseqDataSource
     from hadoop_bam_spark.sources.fasta_source import FastaDataSource
@@ -27,6 +28,7 @@ def register_all(spark: SparkSession) -> None:
         BAMDataSource,
         SAMDataSource,
         VCFDataSource,
+        BCFDataSource,
         FastqDataSource,
         QseqDataSource,
         FastaDataSource,
@@ -44,10 +46,13 @@ def local_path(path: str) -> str:
 
 
 def list_format_files(path: str, *exts: str) -> list[str]:
-    """A path is one file or a directory of files with the given suffixes
-    (index sidecars are skipped — reference BAMInputFormat.java:201-209)."""
+    """A path is one file, a comma-joined list, or a directory of files with
+    the given suffixes (index sidecars are skipped — reference
+    BAMInputFormat.java:201-209)."""
     import os
 
+    if "," in path:
+        return [f for p in path.split(",") for f in list_format_files(p, *exts)]
     p = local_path(path)
     if os.path.isdir(p):
         return sorted(

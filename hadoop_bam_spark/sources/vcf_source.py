@@ -139,7 +139,23 @@ class VCFReader(DataSourceReader):
         self._intervals = (
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
-        self._files = list_format_files(path, *VCF_EXTS)
+        # per-file VCF-vs-BCF dispatch by extension + content sniff — the
+        # reference's multi-format VCF scan (VCFInputFormat.getFormat,
+        # VCFInputFormat.java:170-197)
+        from hadoop_bam_spark.sources.bcf_source import BCFReader, sniff_bcf
+
+        all_files = list_format_files(path, *(VCF_EXTS + (".bcf",)))
+        bcf_files = [f for f in all_files if sniff_bcf(f) is not None]
+        self._files = [f for f in all_files if f not in set(bcf_files)]
+        self._bcf: Optional[BCFReader] = None
+        if bcf_files:
+            self._bcf = BCFReader(
+                {
+                    "path": ",".join(bcf_files),
+                    "split_size": str(self._split_size),
+                    **({"intervals": options["intervals"]} if options.get("intervals") else {}),
+                }
+            )
         # header (and samples) read once on the driver per file
         self._samples = {f: read_vcf_header(f).samples for f in self._files}
 
@@ -153,9 +169,19 @@ class VCFReader(DataSourceReader):
                 parts.extend(plan_bgzf_splits(f, self._split_size))
             else:  # non-BGZF gzip: not splittable
                 parts.append(WholeGzipPartition(f))
+        if self._bcf is not None:
+            parts.extend(self._bcf.partitions())
         return parts
 
     def read(self, partition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources.bcf_source import (
+            BCFBgzfPartition,
+            BCFPlainPartition,
+        )
+
+        if isinstance(partition, (BCFPlainPartition, BCFBgzfPartition)):
+            yield from self._bcf.read(partition)
+            return
         if isinstance(partition, TextRangePartition):
             lines = iter_lines(partition)
             samples = self._samples[partition.path]

@@ -1,0 +1,13 @@
+"""Structured Streaming layer.
+
+The reference is batch-only (SURVEY.md §2.9) — this module is part of the
+beyond-reference pipeline surface: streaming ingest of the same formats and
+stateful/windowed processing of event streams, expressed with watermarks +
+windowed aggregation and ``applyInPandasWithState`` for custom state.
+"""
+
+from hadoop_bam_spark.streaming.events import (  # noqa: F401
+    hourly_rollup_stream,
+    read_events_stream,
+    sessionize_stream,
+)

@@ -1,0 +1,77 @@
+"""Streaming FASTQ ingest: ``spark.readStream.format("fastq_stream")``.
+
+Tails a landing directory for new ``.fastq`` files — the sequencer-output
+ingest pattern the reference can't express (it is batch MapReduce only;
+SURVEY.md §2.9 flags this as the natural streaming extension). Offsets are
+the sorted list of files already processed, so restarts are exactly-once
+per file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from hadoop_bam_spark.sources import local_path
+from hadoop_bam_spark.sources.fastq_source import FASTQ_SCHEMA, iter_fastq_records
+
+
+class FastqStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fastq_stream"
+
+    def schema(self):
+        return FASTQ_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "FastqStreamReader":
+        return FastqStreamReader(self.options)
+
+
+class FastqStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("fastq_stream source requires a path (directory)")
+        self._dir = local_path(path)
+
+    def _list(self) -> list[str]:
+        if not os.path.isdir(self._dir):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self._dir)
+            if f.endswith((".fastq", ".fq")) and not f.startswith(".")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = set(start.get("processed", []))
+        new = [f for f in self._list() if f not in seen]
+        # materialized list, not a generator: the prefetch cache pickles it
+        rows = [
+            rec
+            for name in new
+            for rec in iter_fastq_records(
+                os.path.join(self._dir, name),
+                0,
+                os.path.getsize(os.path.join(self._dir, name)),
+            )
+        ]
+        return iter(rows), {"processed": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Deterministic replay for recovery: the files in end but not start."""
+        seen = set(start.get("processed", []))
+        target = [f for f in end.get("processed", []) if f not in seen]
+        for name in target:
+            full = os.path.join(self._dir, name)
+            if os.path.exists(full):
+                yield from iter_fastq_records(full, 0, os.path.getsize(full))
+
+    def commit(self, end: dict) -> None:
+        pass

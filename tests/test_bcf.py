@@ -1,0 +1,134 @@
+"""BCF2 codec + source tests against the reference golden files
+(/root/reference/src/test/resources/test.uncompressed.bcf, test.bgzf.bcf —
+same records as test.vcf; reference test analog TestBCFRecordReader)."""
+
+import io
+import os
+
+import pytest
+
+from hadoop_bam_spark.formats import bcf, bgzf
+from hadoop_bam_spark.formats.vcf import parse_vcf_line, read_vcf_header
+from hadoop_bam_spark.sources import bcf_source
+
+RES = "/root/reference/src/test/resources"
+PLAIN = os.path.join(RES, "test.uncompressed.bcf")
+BGZF = os.path.join(RES, "test.bgzf.bcf")
+TEXT = os.path.join(RES, "test.vcf")
+
+
+def _decode_all(path=PLAIN):
+    raw = open(path, "rb").read()
+    hdr, off = bcf.read_bcf_header(io.BytesIO(raw))
+    rows = []
+    while off < len(raw):
+        row, off = bcf.decode_record(raw, off, hdr)
+        rows.append(row)
+    return hdr, rows
+
+
+class TestBCFCodec:
+    def test_header_dictionaries(self):
+        hdr, _ = _decode_all()
+        assert hdr.vcf.samples == ["NA00001", "NA00002", "NA00003"]
+        assert hdr.contigs == ["20"]
+        assert hdr.strings[0] == "PASS"
+        assert {"NS", "DP", "GT", "GQ", "HQ"} <= set(hdr.strings)
+
+    def test_golden_matches_text_vcf(self):
+        """BCF decode == text VCF parse, field for field (qual approx —
+        float32 vs decimal text)."""
+        _, rows = _decode_all()
+        vh = read_vcf_header(TEXT)
+        trows = [
+            t
+            for line in open(TEXT)
+            if (t := parse_vcf_line(line, vh.samples)) is not None
+        ]
+        assert len(rows) == len(trows) == 5
+        for b, t in zip(rows, trows):
+            assert b[0] == t[0] and b[1] == t[1]  # contig, pos
+            assert b[3] == t[3] and b[4] == t[4] and b[5] == t[5]
+            if t[6] is None:
+                assert b[6] is None
+            else:
+                assert b[6] == pytest.approx(t[6], abs=1e-4)
+            assert b[7] == t[7]  # filters
+            assert b[8] == t[8]  # info map
+            assert b[9] == t[9]  # genotypes incl. GT phasing
+
+    def test_encode_roundtrip(self):
+        hdr, rows = _decode_all()
+        blob = b"".join(bcf.encode_record(r, hdr) for r in rows)
+        off, back = 0, []
+        while off < len(blob):
+            row, off = bcf.decode_record(blob, off, hdr)
+            back.append(row)
+        assert back == rows
+
+    def test_header_encode_roundtrip(self):
+        hdr, _ = _decode_all()
+        blob = bcf.encode_header(hdr)
+        h2, consumed = bcf.read_bcf_header(io.BytesIO(blob))
+        assert consumed == len(blob)
+        assert h2.strings == hdr.strings
+        assert h2.contigs == hdr.contigs
+        assert h2.vcf.samples == hdr.vcf.samples
+
+    def test_guesser_every_offset(self):
+        """From every byte offset in the record region, the guesser must
+        land on a true record boundary (reference TestBCFSplitGuesser
+        strategy)."""
+        raw = open(PLAIN, "rb").read()
+        hdr, hend = bcf.read_bcf_header(io.BytesIO(raw))
+        bounds = []
+        off = hend
+        while off < len(raw):
+            bounds.append(off)
+            _, off = bcf.decode_record(raw, off, hdr)
+        for probe in range(hend, len(raw)):
+            got = bcf.guess_next_record_offset(raw[probe:], hdr)
+            expect = next((b - probe for b in bounds if b >= probe), None)
+            if got is not None:
+                assert probe + got in bounds
+
+
+class TestBCFSource:
+    @pytest.mark.parametrize("path,kind", [(PLAIN, "plain"), (BGZF, "bgzf")])
+    def test_sniff(self, path, kind):
+        assert bcf_source.sniff_bcf(path) == kind
+        assert bcf_source.sniff_bcf(TEXT) is None
+
+    @pytest.mark.parametrize("path", [PLAIN, BGZF])
+    @pytest.mark.parametrize("split", [64, 300, 1 << 20])
+    def test_split_invariance(self, path, split):
+        kind = bcf_source.sniff_bcf(path)
+        hdr, hend = bcf_source.read_header(path, kind)
+        size = os.path.getsize(path)
+        if kind == "plain":
+            bounds = list(range(0, size, split)) + [size]
+            got = [
+                r
+                for i in range(len(bounds) - 1)
+                for r in bcf_source._iter_plain(
+                    bcf_source.BCFPlainPartition(path, bounds[i], bounds[i + 1]),
+                    hdr,
+                    hend,
+                )
+            ]
+        else:
+            def rr(p, s, n):
+                with open(p, "rb") as fh:
+                    fh.seek(s)
+                    return fh.read(n)
+
+            got = [
+                r
+                for s in bgzf.align_splits(path, size, split, rr)
+                for r in bcf_source._iter_bgzf(
+                    bcf_source.BCFBgzfPartition(path, s.start_coffset, s.end_coffset),
+                    hdr,
+                    hend,
+                )
+            ]
+        assert [r[1] for r in got] == [14370, 17330, 1110696, 1230237, 1234567]
