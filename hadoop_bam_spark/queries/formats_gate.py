@@ -70,10 +70,10 @@ _BAM_ORACLE = f"""
     SELECT CASE WHEN ref_idx < 0 THEN NULL
                 ELSE 'chr' || (ref_idx + 1)::VARCHAR END AS rname,
            count(*) AS n,
-           sum(pos) AS sum_pos,
-           sum(flag) AS sum_flag,
-           sum(mapq) AS sum_mapq,
-           sum(l_orderkey % 5) AS sum_nm
+           sum(pos)::BIGINT AS sum_pos,
+           sum(flag)::BIGINT AS sum_flag,
+           sum(mapq)::BIGINT AS sum_mapq,
+           sum(l_orderkey % 5)::BIGINT AS sum_nm
     FROM reads
     GROUP BY 1
 """
@@ -141,8 +141,8 @@ def sam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FASTQ_ORACLE = """
     SELECT (event_id % 8 + 1)::BIGINT AS lane,
            count(*) AS n,
-           sum(event_id * 17 % 20000) AS sum_x,
-           sum(len(md5(event_id::VARCHAR))) AS sum_seq_len
+           sum(event_id * 17 % 20000)::BIGINT AS sum_x,
+           sum(len(md5(event_id::VARCHAR)))::BIGINT AS sum_seq_len
     FROM events
     GROUP BY 1
 """
@@ -209,8 +209,8 @@ _VCF_ORACLE = """
                n_regionkey AS depth
         FROM nation
     )
-    SELECT contig, count(*) AS n, sum(start) AS sum_start,
-           round(sum(qual), 6) AS sum_qual, sum(depth) AS sum_dp
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           round(sum(qual), 6) AS sum_qual, sum(depth)::BIGINT AS sum_dp
     FROM v GROUP BY contig
 """
 

@@ -158,7 +158,7 @@ def coordinate_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INTERVAL_ORACLE = f"""
     WITH {READS_CTE}, {REGIONS_CTE}
-    SELECT r.region_id, count(*) AS n_reads, sum(reads.mapq) AS sum_mapq
+    SELECT r.region_id, count(*) AS n_reads, sum(reads.mapq)::BIGINT AS sum_mapq
     FROM reads, regions r
     WHERE reads.ref_idx >= 0
       AND reads.ref_idx = r.contig_idx
@@ -228,12 +228,12 @@ def interval_join_binned_pairs(reads: DataFrame, regions: DataFrame) -> DataFram
     oracle=f"""
         WITH {READS_CTE}
         SELECT count(*) AS total,
-               sum(CASE WHEN flag & 1 <> 0 THEN 1 ELSE 0 END) AS paired,
-               sum(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END) AS mapped,
-               sum(CASE WHEN flag & 16 <> 0 THEN 1 ELSE 0 END) AS reverse_strand,
-               sum(CASE WHEN flag & 64 <> 0 THEN 1 ELSE 0 END) AS first_in_pair,
-               sum(CASE WHEN flag & 128 <> 0 THEN 1 ELSE 0 END) AS second_in_pair,
-               sum(CASE WHEN flag & 4 = 0 THEN mapq ELSE 0 END) AS sum_mapq_mapped
+               sum(CASE WHEN flag & 1 <> 0 THEN 1 ELSE 0 END)::BIGINT AS paired,
+               sum(CASE WHEN flag & 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS mapped,
+               sum(CASE WHEN flag & 16 <> 0 THEN 1 ELSE 0 END)::BIGINT AS reverse_strand,
+               sum(CASE WHEN flag & 64 <> 0 THEN 1 ELSE 0 END)::BIGINT AS first_in_pair,
+               sum(CASE WHEN flag & 128 <> 0 THEN 1 ELSE 0 END)::BIGINT AS second_in_pair,
+               sum(CASE WHEN flag & 4 = 0 THEN mapq ELSE 0 END)::BIGINT AS sum_mapq_mapped
         FROM reads
     """,
     doc="samtools-flagstat-style conditional counts over SAM bitflags "
@@ -409,7 +409,7 @@ def base_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {READS_CTE}
         SELECT CASE WHEN ref_idx < 0 THEN NULL
                     ELSE 'chr' || (ref_idx + 1)::VARCHAR END AS rname,
-               count(*) AS n, sum(pos) AS sum_pos, sum(flag) AS sum_flag
+               count(*) AS n, sum(pos)::BIGINT AS sum_pos, sum(flag)::BIGINT AS sum_flag
         FROM reads
         GROUP BY 1
     """,
@@ -451,7 +451,7 @@ def sam_line_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "info_typed_access",
     oracle="""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
                count(*) AS n
         FROM events
         GROUP BY event_type

@@ -512,7 +512,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sessions AS (
             SELECT user_id, ts_us,
                    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
             FROM gaps
         )
         SELECT user_id, session_id, count(*) AS n_events,

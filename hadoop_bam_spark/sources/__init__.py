@@ -15,7 +15,13 @@ from pyspark.sql import SparkSession
 
 
 def register_all(spark: SparkSession) -> None:
-    """Register every engine data source on this session."""
+    """Register every engine data source on this session.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` on: sources here
+    implement ``pushFilters`` and Spark refuses to plan them when the conf is
+    false. The conf is runtime-settable, so this covers externally-built
+    sessions too (not just hadoop_bam_spark.session ones)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     from hadoop_bam_spark.sources.bam_source import BAMDataSource
     from hadoop_bam_spark.sources.sam_source import SAMDataSource
     from hadoop_bam_spark.sources.vcf_source import VCFDataSource
