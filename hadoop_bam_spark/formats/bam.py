@@ -22,7 +22,12 @@ import struct
 from typing import BinaryIO, Iterator, Optional
 
 from hadoop_bam_spark.formats import bgzf
-from hadoop_bam_spark.formats.sam import SAMHeader, parse_header
+from hadoop_bam_spark.formats.sam import (
+    SAMHeader,
+    TAG_PREFIX_TYPES,
+    parse_header,
+    tag_value_repr,
+)
 
 BAM_MAGIC = b"BAM\x01"
 
@@ -94,27 +99,30 @@ def _decode_seq(data: bytes, l_seq: int) -> Optional[str]:
 
 def _decode_tags(buf: bytes) -> dict[str, str]:
     """Tag block -> {tag: SAM-text value string} (matches the SAM text
-    column the sam.py parser produces, so BAM and SAM scans are comparable)."""
+    column the sam.py parser produces, so BAM and SAM scans are comparable).
+    Values that would re-encode under a different type carry a 'TYPE:' prefix
+    (see tag_value_repr) so tag types are preserved round-trip."""
     tags: dict[str, str] = {}
     p, n = 0, len(buf)
     while p + 3 <= n:
         tag = buf[p : p + 2].decode("latin-1")
         typ = chr(buf[p + 2])
         p += 3
+        sub = None
         if typ == "A":
-            tags[tag] = chr(buf[p]); p += 1
+            s = chr(buf[p]); p += 1
         elif typ in "cC":
-            tags[tag] = str(struct.unpack_from("<b" if typ == "c" else "<B", buf, p)[0]); p += 1
+            s = str(struct.unpack_from("<b" if typ == "c" else "<B", buf, p)[0]); p += 1
         elif typ in "sS":
-            tags[tag] = str(struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]); p += 2
+            s = str(struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]); p += 2
         elif typ in "iI":
-            tags[tag] = str(struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]); p += 4
+            s = str(struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]); p += 4
         elif typ == "f":
             v = struct.unpack_from("<f", buf, p)[0]; p += 4
-            tags[tag] = repr(v) if v != int(v) else str(int(v))
+            s = repr(v) if v != int(v) else str(int(v))
         elif typ in "ZH":
             end = buf.index(b"\x00", p)
-            tags[tag] = buf[p:end].decode("latin-1")
+            s = buf[p:end].decode("latin-1")
             p = end + 1
         elif typ == "B":
             sub = chr(buf[p]); (cnt,) = struct.unpack_from("<i", buf, p + 1); p += 5
@@ -122,12 +130,13 @@ def _decode_tags(buf: bytes) -> dict[str, str]:
             width = struct.calcsize("<" + fmt)
             vals = struct.unpack_from(f"<{cnt}{fmt}", buf, p)
             p += cnt * width
-            tags[tag] = sub + "," + ",".join(
+            s = sub + "," + ",".join(
                 (repr(v) if v != int(v) else str(int(v))) if sub == "f" else str(v)
                 for v in vals
             )
         else:
             raise ValueError(f"unknown BAM tag type {typ!r}")
+        tags[tag] = tag_value_repr(typ, s, sub)
     return tags
 
 
@@ -222,7 +231,22 @@ def cigar_ref_length(cigar: Optional[str]) -> int:
     return max(total, 1)
 
 
+_INT_TAG_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
+
+
 def _encode_tag_value(tag: str, v: str) -> bytes:
+    # Explicit "TYPE:value" representation (written by tag_value_repr) is
+    # authoritative — this is what preserves A/H/f/Z types round-trip.
+    if len(v) >= 2 and v[1] == ":" and v[0] in TAG_PREFIX_TYPES:
+        typ, val = v[0], v[2:]
+        if typ == "A":
+            return tag.encode() + b"A" + val[:1].encode("latin-1")
+        if typ in _INT_TAG_FMT:
+            return tag.encode() + typ.encode() + struct.pack(_INT_TAG_FMT[typ], int(val))
+        if typ == "f":
+            return tag.encode() + b"f" + struct.pack("<f", float(val))
+        # Z and H share the null-terminated string layout
+        return tag.encode() + typ.encode() + val.encode("latin-1") + b"\x00"
     try:
         iv = int(v)
         if -2147483648 <= iv <= 2147483647:
@@ -368,6 +392,12 @@ def guess_next_record_voffset(
     if block_off is None:
         return None
     payload = bytearray()
+    # (compressed offset, cumulative payload start) per decompressed block —
+    # the map from a payload offset back to its owning block. Comparing
+    # rec_off against 0xFFFF is WRONG here: blocks hold <= 0xFF00-byte
+    # payloads, so an offset in [block_len, 0xFFFF] would silently produce a
+    # voffset pointing past its block's payload (a misaligned scan).
+    block_map: list[tuple[int, int]] = []
     p = block_off
     blocks = 0
     while p < len(buf) and blocks < BLOCKS_NEEDED_FOR_GUESS + 1:
@@ -375,22 +405,17 @@ def guess_next_record_voffset(
             chunk, bsize = bgzf.decompress_block(buf, p)
         except ValueError:
             break
+        block_map.append((p, len(payload)))
         payload += chunk
         p += bsize
         blocks += 1
     rec_off = guess_record_start(bytes(payload), n_ref)
     if rec_off is None:
         return None
-    if rec_off > 0xFFFF:
-        # Record starts in a later block; recompute its block-local address.
-        q, acc = block_off, 0
-        while True:
-            chunk, bsize = bgzf.decompress_block(buf, q)
-            if rec_off < acc + len(chunk):
-                return bgzf.make_voffset(base_offset + q, rec_off - acc)
-            acc += len(chunk)
-            q += bsize
-    return bgzf.make_voffset(base_offset + block_off, rec_off)
+    for q, pstart in reversed(block_map):
+        if rec_off >= pstart:
+            return bgzf.make_voffset(base_offset + q, rec_off - pstart)
+    return None
 
 
 def guess_record_start(
@@ -398,8 +423,13 @@ def guess_record_start(
 ) -> Optional[int]:
     """First offset in decompressed ``payload`` that starts a clean run of
     records: every subsequent block_size link must land either exactly at the
-    payload end or on another plausible record. Returns None if no offset
-    qualifies (caller falls back to the next block / next split)."""
+    payload end or on another record that FULLY DECODES (cigar op codes, tag
+    block, field bounds — the reference's BAMSplitGuesser decodes candidates
+    through the codec for the same reason, BAMSplitGuesser.java:108-235;
+    fixed-offset plausibility alone admits ~0.05% false positives that later
+    crash or corrupt the scan). Returns None if no offset qualifies (caller
+    falls back to the next block / next split)."""
+    dummy_refs = [("", 0)] * max(n_ref, 0)
     for cand in range(0, max(len(payload) - SHORTEST_RECORD - 4, 0) + 1):
         if not _plausible_record_at(payload, cand, n_ref):
             continue
@@ -412,6 +442,11 @@ def guess_record_start(
             if nxt > len(payload):
                 break  # record spills past buffer — can't disprove; accept run
             if not _plausible_record_at(payload, p, n_ref):
+                ok = False
+                break
+            try:
+                decode_record(payload[p + 4 : nxt], dummy_refs)
+            except Exception:
                 ok = False
                 break
             seen += 1

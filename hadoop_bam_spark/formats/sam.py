@@ -115,6 +115,69 @@ def read_header(path: str, open_fn=open) -> SAMHeader:
 
 
 # ---------------------------------------------------------------------------
+# Typed tag value representation (shared with the BAM binary codec)
+# ---------------------------------------------------------------------------
+
+#: Types usable in an explicit "TYPE:value" tag map value.
+TAG_PREFIX_TYPES = "AcCsSiIfZH"
+
+
+def guess_tag_encoding(v: str) -> tuple[str, Optional[str]]:
+    """The (kind, array_subtype) the bare tag encoder picks for a plain value
+    string: 'prefix' (explicit TYPE:), 'int', 'array', 'float', or 'z'."""
+    if len(v) >= 2 and v[1] == ":" and v[0] in TAG_PREFIX_TYPES:
+        return "prefix", v[0]
+    try:
+        int(v)
+        return "int", None
+    except (TypeError, ValueError):
+        pass
+    if len(v) >= 2 and v[0] in "cCsSiIf" and v[1] == ",":
+        return "array", v[0]
+    try:
+        float(v)
+        if "." in v or "e" in v.lower():
+            return "float", None
+    except (TypeError, ValueError):
+        pass
+    return "z", None
+
+
+def tag_value_repr(typ: str, s: str, array_sub: Optional[str] = None) -> str:
+    """Canonical map-value string for a decoded tag: plain when the bare
+    encoder would reproduce the same wire type, else 'TYPE:'-prefixed so
+    A-chars, hex arrays, integral floats, and numeric-looking Z strings
+    round-trip byte-for-byte (int widths normalize to 'i', as SAM text does;
+    the reference preserves htsjdk tag types exactly)."""
+    kind, sub = guess_tag_encoding(s)
+    if typ in "cCsSiI":
+        ok = kind == "int"
+    elif typ == "f":
+        ok = kind == "float"
+    elif typ == "Z":
+        ok = kind == "z"
+    elif typ == "B":
+        ok = kind == "array" and sub == array_sub
+    else:  # A, H never survive a bare guess
+        ok = False
+    return s if ok else f"{typ}:{s}"
+
+
+def format_tag(tag: str, v: str) -> str:
+    """Map value string -> SAM text TAG:TYPE:VALUE field."""
+    kind, sub = guess_tag_encoding(v)
+    if kind == "prefix":
+        return f"{tag}:{v[0]}:{v[2:]}"
+    if kind == "int":
+        return f"{tag}:i:{v}"
+    if kind == "array":
+        return f"{tag}:B:{v}"
+    if kind == "float":
+        return f"{tag}:f:{v}"
+    return f"{tag}:Z:{v}"
+
+
+# ---------------------------------------------------------------------------
 # Python row codec (executor-side for the DataSource; tests)
 # ---------------------------------------------------------------------------
 
@@ -135,7 +198,9 @@ def parse_sam_line(line: str) -> Optional[tuple]:
     for tag in f[11:]:
         parts = tag.split(":", 2)
         if len(parts) == 3:
-            tags[parts[0]] = parts[2]
+            typ, val = parts[1], parts[2]
+            sub = val[0] if typ == "B" and len(val) >= 2 and val[1] == "," else None
+            tags[parts[0]] = tag_value_repr(typ, val, sub)
     return (
         f[0],
         int(f[1]),
@@ -184,17 +249,8 @@ def format_sam_line(row) -> str:
         qual if qual is not None else "*",
     ]
     for k, v in (tags or {}).items():
-        vtype = "i" if _is_int(v) else "Z"
-        fields.append(f"{k}:{vtype}:{v}")
+        fields.append(format_tag(k, v))
     return "\t".join(fields)
-
-
-def _is_int(v: str) -> bool:
-    try:
-        int(v)
-        return True
-    except (TypeError, ValueError):
-        return False
 
 
 # ---------------------------------------------------------------------------

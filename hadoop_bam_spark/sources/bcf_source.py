@@ -104,9 +104,18 @@ class _BgzfByteFeed:
     def drop(self, n: int) -> None:
         del self.buf[:n]
         self.base += n
-        self.block_starts = [
-            (p, c) for p, c in self.block_starts if p >= self.base
-        ] or self.block_starts[-1:]
+        # Keep the FLOOR entry (last block starting at or before the new
+        # front) in addition to later blocks: block_of(base) must see the
+        # containing block, not the next one, or the end-of-split ownership
+        # check fires one block early and silently drops records.
+        floor = None
+        keep = []
+        for p, c in self.block_starts:
+            if p <= self.base:
+                floor = (p, c)
+            else:
+                keep.append((p, c))
+        self.block_starts = ([floor] if floor is not None else []) + keep
 
     def close(self):
         self._fh.close()

@@ -120,34 +120,50 @@ def _sessionize(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         last_us = t
         n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(60 * 60 * 1000)  # close idle sessions
+    # Close idle sessions on EVENT-time, not wall-clock: a processing-time
+    # timeout makes trigger(availableNow) schedule empty micro-batches forever
+    # waiting for the wall clock, so a drain run never terminates. The
+    # event-time timeout fires as the watermark (data-driven) passes
+    # last_event + gap, and availableNow terminates once input is exhausted.
+    close_at_ms = last_us // 1000 + _GAP_US // 1000
+    state.setTimeoutTimestamp(max(close_at_ms, state.getCurrentWatermarkMs() + 1))
     if out:
         yield pd.DataFrame(
             out, columns=[f.name for f in _SESSION_SCHEMA.fields]
         )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """30-minute-gap sessionization as a custom stateful streaming operator.
 
     State per user = (start, last, count): O(active users), independent of
     stream length — the property that makes this viable on an unbounded
     100 TB/day event stream where the batch self-join formulation is not.
+    Idle sessions are closed by an event-time timeout against the watermark.
     """
-    return events.select("user_id", "ts_us").groupBy("user_id").applyInPandasWithState(
-        _sessionize,
-        outputStructType=_SESSION_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events.withWatermark("event_time", watermark)
+        .select("user_id", "ts_us", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: float = 300.0,
 ) -> DataFrame:
     """Drain the stream with availableNow into a memory sink and return the
-    materialized result (batch/stream parity harness)."""
+    materialized result (batch/stream parity harness). Bounded: raises if the
+    drain does not terminate within ``timeout_sec`` instead of hanging."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -155,5 +171,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow drain of {query_name!r} still running after "
+                f"{timeout_sec}s (non-terminating trigger?)"
+            )
+    finally:
+        q.stop()
     return stream_df.sparkSession.table(query_name)

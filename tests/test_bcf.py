@@ -132,3 +132,37 @@ class TestBCFSource:
                 )
             ]
         assert [r[1] for r in got] == [14370, 17330, 1110696, 1230237, 1234567]
+
+    @pytest.mark.parametrize("split", [4096, 16384, 70000])
+    def test_multiblock_bgzf_no_record_loss(self, tmp_path, split):
+        """Regression: _BgzfByteFeed.drop used to discard the floor
+        block-start entry once later blocks were buffered, so block_of(base)
+        returned the NEXT block's coffset and the end-of-split ownership
+        check dropped records silently (e.g. 4,990/10,000 at split=4096).
+        A multi-block file with small splits must return every record."""
+        hdr, rows = _decode_all()
+        blob = b"".join(bcf.encode_record(r, hdr) for r in rows) * 2000
+        path = str(tmp_path / "big.bcf")
+        with open(path, "wb") as fh:
+            w = bgzf.BGZFWriter(fh)
+            w.write(bcf.encode_header(hdr))
+            w.write(blob)
+            w.close()
+        hdr2, hend = bcf_source.read_header(path, "bgzf")
+        size = os.path.getsize(path)
+
+        def rr(p, s, n):
+            with open(p, "rb") as fh:
+                fh.seek(s)
+                return fh.read(n)
+
+        got = [
+            r
+            for s in bgzf.align_splits(path, size, split, rr)
+            for r in bcf_source._iter_bgzf(
+                bcf_source.BCFBgzfPartition(path, s.start_coffset, s.end_coffset),
+                hdr2,
+                hend,
+            )
+        ]
+        assert len(got) == 10000

@@ -138,6 +138,73 @@ class TestBAMCodec:
         enc = bam.encode_record(row, {})
         assert bam.decode_record(enc[4:], []) == row
 
+    def test_guesser_no_false_positives_replicated(self, golden_bam):
+        """Regression: on a BAM built by replicating the golden records, the
+        plausibility-chain guesser used to return offsets that are NOT true
+        record starts (~0.05% of boundary guesses), crashing or corrupting
+        the partition scan. Every guess must now land on a true start."""
+        _, header, refs, _, recs = golden_bam
+        buf = io.BytesIO()
+        bam.write_bam(buf, header, recs * 8, refs=refs)
+        raw = buf.getvalue()
+        r = bgzf.BGZFReader(io.BytesIO(raw))
+        _, _, start = bam.read_header(r)
+        true_offsets = set()
+        r.seek_voffset(start)
+        while True:
+            at = r.tell_voffset()
+            head = r.read(4)
+            if len(head) < 4:
+                break
+            (bs,) = struct.unpack("<i", head)
+            if len(r.read(bs)) < bs:
+                break
+            true_offsets.add(at)
+        bad = []
+        for off in range(0, len(raw) - 1000, 4093):
+            win = raw[off : off + (bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000]
+            g = bam.guess_next_record_voffset(win, off, len(refs))
+            if g is not None and g not in true_offsets:
+                bad.append((off, g))
+        assert bad == []
+
+    def test_tag_types_preserved_roundtrip(self):
+        """A-chars, H hex strings, integral floats, and numeric Z strings keep
+        their wire type through decode -> map-value string -> encode (the
+        reference preserves htsjdk tag types byte-for-byte)."""
+        wire = b"".join(
+            [
+                b"XAAc",                                  # A 'c'
+                b"XHH" + b"1AFF\x00",                     # H hex string
+                b"XFf" + struct.pack("<f", 3.0),          # f with integral value
+                b"XZZ" + b"123\x00",                      # Z that looks numeric
+                b"XTZ" + b"A:decoy\x00",                  # Z that looks like a prefix
+                b"XIi" + struct.pack("<i", 5),            # plain int
+                b"XSs" + struct.pack("<h", -7),           # small int widens to i
+                b"XGf" + struct.pack("<f", 3.5),          # fractional float
+                b"XBBc" + struct.pack("<i", 2) + struct.pack("<2b", 1, -2),
+            ]
+        )
+        tags = bam._decode_tags(wire)
+        assert tags == {
+            "XA": "A:c",
+            "XH": "H:1AFF",
+            "XF": "f:3",
+            "XZ": "Z:123",
+            "XT": "Z:A:decoy",
+            "XI": "5",
+            "XS": "-7",
+            "XG": "3.5",
+            "XB": "c,1,-2",
+        }
+        re_wire = b"".join(bam._encode_tag_value(k, v) for k, v in tags.items())
+        again = bam._decode_tags(re_wire)
+        assert again == tags
+        # types survive on the wire (XS widens to i like SAM text; rest exact)
+        assert b"XAAc" in re_wire and b"XHH1AFF\x00" in re_wire
+        assert b"XFf" + struct.pack("<f", 3.0) in re_wire
+        assert b"XZZ123\x00" in re_wire and b"XTZA:decoy\x00" in re_wire
+
 
 class TestSplittingIndex:
     def test_roundtrip_and_lookup(self):
