@@ -179,17 +179,74 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     block_col: str | None = None,
+    band_join: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    ``block_col`` bounds the pairwise comparison (at scale, block on a
-    band of the simhash itself so the self-join stays near-linear).
+    With ``band_join`` (the default, and the only 100 TB-safe mode) the
+    simhash is split into ``max_hamming + 1`` bit-bands and candidate pairs
+    come from an equi-join on (band index, band value). By pigeonhole, two
+    hashes within Hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` bands, so they agree EXACTLY on at least one band —
+    recall is exact, results identical to the all-pairs form, but the plan
+    is a shuffled hash join (near-linear) instead of an O(n²) cartesian.
+
+    ``block_col`` adds an extra external blocking key (both modes);
+    ``band_join=False`` degrades to the naive self-join — only for tiny
+    inputs or ground-truth checks.
     """
     sig = df.select(
         F.col(id_col).alias("_id"),
         simhash(F.col(text_col), bits).alias("sh"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
+    extra_keys = [F.col("a._blk") == F.col("b._blk")] if block_col else []
+    if band_join:
+        n_bands = max_hamming + 1
+        width = bits // n_bands
+        # Last band absorbs the remainder so every bit lands in some band.
+        offs = [i * width for i in range(n_bands)]
+        masks = [
+            (1 << (bits - offs[i] if i == n_bands - 1 else width)) - 1
+            for i in range(n_bands)
+        ]
+        bands = sig.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sh"), o).bitwiseAND(
+                            F.lit(m).cast("long")
+                        )
+                        for o, m in zip(offs, masks)
+                    ]
+                )
+            ).alias("_band", "_key"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = a.join(
+            b,
+            [
+                F.col("a._band") == F.col("b._band"),
+                F.col("a._key") == F.col("b._key"),
+                F.col("a._id") < F.col("b._id"),
+                *extra_keys,
+            ],
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        # A pair agreeing on k bands surfaces k times — keep one.
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+        return (
+            cand.withColumn(
+                "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        )
     a, b = sig.alias("a"), sig.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if block_col:

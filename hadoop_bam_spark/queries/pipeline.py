@@ -167,8 +167,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
     doc="SimHash (32-bit, per-bit token majority vote) near-dup pairs at "
-    "Hamming distance <= 3. At scale the self-join is blocked on simhash "
-    "bands; the unblocked form here is exact ground truth.",
+    "Hamming distance <= 3, via the banded equi-join (max_hamming+1 bands, "
+    "pigeonhole-exact recall — identical results to the all-pairs oracle, "
+    "near-linear plan).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(corpus_view(spark, sf_dir), bits=32, max_hamming=3)
