@@ -120,6 +120,96 @@ def bam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_back(back)
 
 
+_BAM_INTERVAL_ORACLE = f"""
+    WITH {READS_CTE}
+    SELECT 'chr' || (ref_idx + 1)::VARCHAR AS rname,
+           count(*) AS n,
+           sum(pos)::BIGINT AS sum_pos,
+           sum(l_orderkey % 5)::BIGINT AS sum_nm
+    FROM reads
+    WHERE ref_idx = 1 AND pos <= 400000 AND stop >= 100001
+    GROUP BY 1
+"""
+
+
+@query(
+    "bam_interval_pushdown",
+    oracle=_BAM_INTERVAL_ORACLE,
+    doc="Index-driven bounded traversal: write a coordinate-sorted BAM with "
+    "a .bai binning index, read it back with an interval option so planning "
+    "maps the interval through the index to chunk spans, drops "
+    "non-overlapping splits, and iterates only the surviving chunks "
+    "(reference BAMInputFormat.filterByInterval + createIndexIterator). "
+    "Oracle filters the derivation by the same overlap predicate.",
+)
+def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "bam_iv")
+    path = os.path.join(d, "sorted.bam")
+    sorted_df = _sam_df(spark, sf_dir).orderBy(
+        F.col("rname").asc_nulls_last(), "pos", "qname"
+    )
+    sinks.write_bam(sorted_df, path, _sam_header(), index_granularity=1024,
+                    index_bai=True)
+    back = (
+        spark.read.format("bam")
+        .option("split_size", str(_SPLIT))
+        .option("intervals", "chr2:100001-400000")
+        .load(path)
+    )
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.element_at("tags", "NM").cast("long")).alias("sum_nm"),
+    )
+
+
+_BAM_UNMAPPED_ORACLE = f"""
+    WITH {READS_CTE}
+    SELECT count(*) AS n,
+           sum(flag)::BIGINT AS sum_flag,
+           sum(l_orderkey % 5)::BIGINT AS sum_nm
+    FROM reads
+    WHERE ref_idx < 0
+"""
+
+
+@query(
+    "bam_unmapped_traversal",
+    oracle=_BAM_UNMAPPED_ORACLE,
+    doc="Unplaced-unmapped traversal: option('unmapped','true') with no "
+    "intervals returns only refID==-1 records, planned from the index's "
+    "last linear bin to EOF instead of a full scan (reference "
+    "BAMInputFormat.java:586-641, queryUnmapped semantics).",
+)
+def bam_unmapped_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "bam_unm")
+    path = os.path.join(d, "sorted.bam")
+    sorted_df = _sam_df(spark, sf_dir).orderBy(
+        F.col("rname").asc_nulls_last(), "pos", "qname"
+    )
+    sinks.write_bam(sorted_df, path, _sam_header(), index_granularity=1024,
+                    index_bai=True)
+    back = (
+        spark.read.format("bam")
+        .option("split_size", str(_SPLIT))
+        .option("unmapped", "true")
+        .load(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("flag").alias("sum_flag"),
+        F.sum(F.element_at("tags", "NM").cast("long")).alias("sum_nm"),
+    )
+
+
 @query(
     "sam_file_roundtrip",
     oracle=_BAM_ORACLE,

@@ -56,8 +56,13 @@ def write_bam(
     header: SAMHeader,
     refs: Optional[list[tuple[str, int]]] = None,
     index_granularity: int = DEFAULT_GRANULARITY,
+    index_bai: bool = False,
 ) -> None:
-    """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index."""
+    """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index.
+
+    ``index_bai=True`` additionally builds a ``.bai`` binning index with one
+    sequential post-merge pass (meaningful when ``df`` is coordinate-sorted)
+    so interval reads plan index-driven splits (formats/bai.py)."""
     if refs is None:
         ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
         refs = [(name, ln) for name, (_, ln) in ordered]
@@ -88,6 +93,11 @@ def write_bam(
     )
     with open(path + ".sbi", "wb") as f:
         sbi.write(f)
+    if index_bai:
+        from hadoop_bam_spark.formats.bai import build_bai
+
+        with open(path + ".bai", "wb") as f:
+            build_bai(path).write(f)
     shutil.rmtree(parts_dir)
 
 

@@ -5,14 +5,23 @@ Split planning reproduces the reference's fallback chain
 (``<file>.sbi``), else heuristic record-boundary guessing
 (BAMSplitGuesser semantics; see formats/bam.py). Interval predicates
 (``option("intervals", "chr1:100-200,chr2:...")`` — the reference's ``-L``
-conf, util/IntervalUtil.java:27-53) are applied with a cheap fixed-field
-pre-check before full record decode; rname equality filters pushed by
-Catalyst prune at planning time when the contig is absent from the header.
+conf, util/IntervalUtil.java:27-53) use the BAI index when ``<file>.bai``
+exists: intervals → merged chunk voffset spans → splits without overlap are
+dropped at plan time and survivors iterate only their chunk spans (the
+reference's filterByInterval + createIndexIterator,
+BAMInputFormat.java:542-644, BAMRecordReader.java:170-175). Without an
+index the scan degrades to contig-dictionary pruning plus a fixed-field
+pre-check before full record decode. ``option("unmapped", "true")`` adds
+the unplaced-unmapped traversal (splits after the index's last linear bin,
+refID==-1 filter — BAMInputFormat.java:586-641); with no intervals it
+returns ONLY unmapped records, matching the reference's bounded-traversal
+contract.
 
 Options:
   path            file or directory of .bam files
   split_size      target compressed bytes per partition (default 32 MiB)
-  intervals       "contig:start-stop,..." residual+pushdown intervals
+  intervals       "contig:start-stop,..." index-pushdown + residual intervals
+  unmapped        "true" to (also) traverse unplaced-unmapped records
 """
 
 from __future__ import annotations
@@ -55,6 +64,13 @@ class BAMPartition(InputPartition):
     path: str
     vstart: int
     vend: int
+    #: index-derived voffset chunk spans clamped to this split (None = scan
+    #: the whole [vstart, vend) range). The read-time analog of htsjdk's
+    #: createIndexIterator chunk pointers (reference BAMRecordReader.java:170-175).
+    chunks: Optional[tuple] = None
+    #: unplaced-unmapped traversal: scan [vstart, vend) keeping only
+    #: refID==-1 records (reference queryUnmapped, BAMRecordReader.java:176-178).
+    unmapped_only: bool = False
 
 
 @dataclass
@@ -84,6 +100,7 @@ class BAMReader(DataSourceReader):
         self._intervals = (
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
+        self._unmapped = str(options.get("unmapped", "false")).lower() == "true"
         self._rname_eq: Optional[set] = None
         # header/refs per file, read once on the driver
         # (reference util/SAMHeaderReader.java:48-75)
@@ -105,15 +122,67 @@ class BAMReader(DataSourceReader):
 
     def partitions(self) -> list[BAMPartition]:
         parts: list[BAMPartition] = []
+        plans: dict[str, list[BAMPartition]] = {}
+
+        def plan(path, refs, first_voffset, size):
+            if path not in plans:
+                plans[path] = self._plan_file(path, refs, first_voffset, size)
+            return plans[path]
+
+        bounded = self._intervals is not None or self._unmapped
         for path, refs, first_voffset, size in self._files:
             contigs = {name for name, _ in refs}
-            if self._rname_eq is not None and not (self._rname_eq & contigs):
-                continue  # pushed contig not in this file's dictionary
-            if self._intervals is not None and not any(
+            if not bounded:
+                if self._rname_eq is not None and not (self._rname_eq & contigs):
+                    continue  # pushed contig not in this file's dictionary
+                parts.extend(plan(path, refs, first_voffset, size))
+                continue
+            idx = None
+            if os.path.exists(path + ".bai"):
+                from hadoop_bam_spark.formats.bai import read_bai
+
+                idx = read_bai(path + ".bai")
+            if self._intervals is not None and any(
                 c in contigs for c, _, _ in self._intervals
             ):
-                continue
-            parts.extend(self._plan_file(path, refs, first_voffset, size))
+                if idx is not None:
+                    # Index-driven bounded traversal: intervals -> merged
+                    # chunk spans -> drop splits with no overlap, clamp the
+                    # chunk list into each survivor (reference
+                    # BAMInputFormat.filterByInterval, BAMInputFormat.java:542-644).
+                    span = idx.span_for_intervals(refs, self._intervals)
+                    for p in plan(path, refs, first_voffset, size):
+                        cl = tuple(
+                            (max(cb, p.vstart), min(ce, p.vend))
+                            for cb, ce in span
+                            if cb < p.vend and ce > p.vstart
+                        )
+                        if cl:
+                            parts.append(
+                                BAMPartition(path, p.vstart, p.vend, chunks=cl)
+                            )
+                else:
+                    # No index: full scan, residual overlap filter at read
+                    # time (the reference instead raises; we degrade gracefully).
+                    parts.extend(plan(path, refs, first_voffset, size))
+            if self._unmapped:
+                vstart = None
+                if idx is not None:
+                    if idx.n_no_coor == 0:
+                        continue  # indexed and provably no unplaced reads
+                    vstart = idx.start_of_last_linear_bin()
+                if vstart is None:
+                    vstart = first_voffset
+                for p in plan(path, refs, first_voffset, size):
+                    if p.vend > vstart:
+                        parts.append(
+                            BAMPartition(
+                                path,
+                                max(p.vstart, vstart),
+                                p.vend,
+                                unmapped_only=True,
+                            )
+                        )
         return parts or [EmptyPartition()]
 
     def _plan_file(self, path, refs, first_voffset, size) -> list[BAMPartition]:
@@ -145,6 +214,21 @@ class BAMReader(DataSourceReader):
             if boundaries[i] < boundaries[i + 1]
         ]
 
+    @staticmethod
+    def _iter_bodies(reader, vend: int) -> Iterator[bytes]:
+        """Raw record bodies from the reader's position up to voffset vend."""
+        while True:
+            if reader.tell_voffset() >= vend:
+                return
+            head = reader.read(4)
+            if len(head) < 4:
+                return
+            (block_size,) = struct.unpack("<i", head)
+            body = reader.read(block_size)
+            if len(body) < block_size:
+                return
+            yield body
+
     def read(self, partition) -> Iterator[tuple]:
         if not isinstance(partition, BAMPartition):
             return
@@ -156,29 +240,32 @@ class BAMReader(DataSourceReader):
             ref_ids = {name_to_id[c] for c, _, _ in intervals if c in name_to_id}
         with open(partition.path, "rb") as fh:
             reader = bgzf.BGZFReader(fh)
-            reader.seek_voffset(partition.vstart)
-            while True:
-                at = reader.tell_voffset()
-                if at >= partition.vend:
-                    return
-                head = reader.read(4)
-                if len(head) < 4:
-                    return
-                (block_size,) = struct.unpack("<i", head)
-                body = reader.read(block_size)
-                if len(body) < block_size:
-                    return
-                if ref_ids is not None:
-                    # fixed-field pre-check: skip full decode for records on
-                    # other contigs (analog of index-driven iteration,
-                    # reference BAMRecordReader.java:170-175)
+            if partition.unmapped_only:
+                # queryUnmapped semantics: only unplaced (refID==-1) records
+                # (reference BAMRecordReader.java:176-178).
+                reader.seek_voffset(partition.vstart)
+                for body in self._iter_bodies(reader, partition.vend):
                     (ref_id,) = struct.unpack_from("<i", body, 0)
-                    if ref_id not in ref_ids:
+                    if ref_id == -1:
+                        yield bam.decode_record(body, refs)
+                return
+            # Chunk-driven iteration when the planner attached index spans,
+            # else the whole split range.
+            spans = partition.chunks or ((partition.vstart, partition.vend),)
+            for vbeg, vend in spans:
+                reader.seek_voffset(vbeg)
+                for body in self._iter_bodies(reader, vend):
+                    if ref_ids is not None:
+                        # fixed-field pre-check: skip full decode for records
+                        # on other contigs (analog of index-driven iteration,
+                        # reference BAMRecordReader.java:170-175)
+                        (ref_id,) = struct.unpack_from("<i", body, 0)
+                        if ref_id not in ref_ids:
+                            continue
+                    row = bam.decode_record(body, refs)
+                    if intervals is not None and not _overlaps(row, intervals):
                         continue
-                row = bam.decode_record(body, refs)
-                if intervals is not None and not _overlaps(row, intervals):
-                    continue
-                yield row
+                    yield row
 
 
 def _overlaps(row: tuple, intervals: list[tuple[str, int, int]]) -> bool:
