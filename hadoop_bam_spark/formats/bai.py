@@ -61,6 +61,23 @@ def merge_chunks(chunks: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return out
 
 
+def ref_chunks(r: "RefIndex", beg0: int, end0: int) -> list[tuple[int, int]]:
+    """Merged chunk spans of one reference that may hold records overlapping
+    [beg0, end0), pruned by the linear index. Shared by BAI and tabix —
+    the two formats differ only in header/meta, not binning."""
+    min_off = 0
+    if r.linear:
+        win = min(beg0 >> LINEAR_SHIFT, len(r.linear) - 1)
+        min_off = r.linear[win]
+    cand = [
+        (b, e)
+        for bin_ in reg2bins(beg0, end0)
+        for b, e in r.bins.get(bin_, ())
+        if e > min_off
+    ]
+    return merge_chunks(cand)
+
+
 @dataclass
 class RefIndex:
     bins: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
@@ -136,18 +153,7 @@ class BAIIndex:
         (htsjdk BAMIndexContent / getSpanOverlapping semantics)."""
         if not (0 <= ref_id < len(self.refs)):
             return []
-        r = self.refs[ref_id]
-        min_off = 0
-        if r.linear:
-            win = min(beg0 >> LINEAR_SHIFT, len(r.linear) - 1)
-            min_off = r.linear[win]
-        cand = [
-            (b, e)
-            for bin_ in reg2bins(beg0, end0)
-            for b, e in r.bins.get(bin_, ())
-            if e > min_off
-        ]
-        return merge_chunks(cand)
+        return ref_chunks(self.refs[ref_id], beg0, end0)
 
     def span_for_intervals(
         self,

@@ -369,6 +369,51 @@ def bcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VCF_INTERVAL_ORACLE = """
+    WITH v AS (
+        SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,
+               (n_nationkey * 1000 + 1)::BIGINT AS start,
+               n_regionkey AS depth
+        FROM nation
+    )
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum(depth)::BIGINT AS sum_dp
+    FROM v
+    WHERE contig = '2' AND start BETWEEN 5000 AND 20000
+    GROUP BY contig
+"""
+
+
+@query(
+    "vcf_interval_pushdown",
+    oracle=_VCF_INTERVAL_ORACLE,
+    doc="Tabix bounded traversal: write a coordinate-sorted .vcf.bgz with a "
+    ".tbi index, read back with an interval option so planning prunes BGZF "
+    "splits via the index chunk spans (reference VCFInputFormat.java:388-472) "
+    "and the reader residual-filters rows. Oracle filters the derivation.",
+)
+def vcf_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "vcf_iv")
+    path = os.path.join(d, "sorted.vcf.bgz")
+    sorted_df = _variants_df(spark, sf_dir).orderBy("contig", "start")
+    sinks.write_vcf(sorted_df, path, _vcf_header(), index_tbi=True)
+    back = (
+        spark.read.format("vcf")
+        .option("split_size", "4096")
+        .option("intervals", "2:5000-20000")
+        .load(path)
+    )
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )
+
+
 @query(
     "vcf_file_roundtrip",
     oracle=_VCF_ORACLE,

@@ -140,10 +140,15 @@ def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
 
 
 def write_vcf(
-    df: DataFrame, path: str, header: VCFHeader, compress: Optional[bool] = None
+    df: DataFrame, path: str, header: VCFHeader, compress: Optional[bool] = None,
+    index_tbi: bool = False,
 ) -> None:
     """Write a VCF_SCHEMA DataFrame as one valid VCF (.vcf or BGZF .vcf.bgz —
-    default by extension, reference KeyIgnoringVCFOutputFormat.java:93-114)."""
+    default by extension, reference KeyIgnoringVCFOutputFormat.java:93-114).
+
+    ``index_tbi=True`` (BGZF output only) builds a ``.tbi`` tabix index with
+    one post-merge pass (meaningful when ``df`` is coordinate-sorted) so
+    interval reads prune splits at plan time (formats/tabix.py)."""
     if compress is None:
         compress = path.endswith((".gz", ".bgz"))
     samples = header.samples
@@ -152,6 +157,12 @@ def write_vcf(
         return format_vcf_line(tuple(r), samples)
 
     _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
+    if index_tbi:
+        if not compress:
+            raise ValueError("tabix index requires BGZF-compressed output")
+        from hadoop_bam_spark.formats.tabix import build_tabix, write_tabix
+
+        write_tabix(build_tabix(path), path + ".tbi")
 
 
 def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:

@@ -166,19 +166,54 @@ class VCFReader(DataSourceReader):
             if kind == "plain":
                 parts.extend(plan_text_splits(f, self._split_size, ()))
             elif kind == "bgzf":
-                parts.extend(plan_bgzf_splits(f, self._split_size))
+                splits = plan_bgzf_splits(f, self._split_size)
+                if self._intervals is not None and os.path.exists(f + ".tbi"):
+                    splits = self._filter_splits_by_tabix(f, splits)
+                parts.extend(splits)
             else:  # non-BGZF gzip: not splittable
                 parts.append(WholeGzipPartition(f))
         if self._bcf is not None:
             parts.extend(self._bcf.partitions())
+        if not parts:
+            from hadoop_bam_spark.sources.bam_source import EmptyPartition
+
+            return [EmptyPartition()]
         return parts
 
+    def _filter_splits_by_tabix(self, path, splits):
+        """Drop BGZF splits whose block range cannot contain a record
+        overlapping any interval, per the .tbi chunk spans — the
+        reference's tabix split filtering (VCFInputFormat.java:388-472).
+        The kept splits still row-filter (residual), so over-keeping is
+        only a perf cost; block ranges are widened by one block to cover
+        boundary-line ownership."""
+        from hadoop_bam_spark.formats.tabix import read_tabix
+
+        span = read_tabix(path + ".tbi").span_for_intervals(self._intervals)
+        if not span:
+            return []
+        # chunk voffsets -> compressed block ranges [cbeg, cend_exclusive)
+        ranges = [
+            (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
+        ]
+        kept = []
+        for s in splits:
+            # right edge inclusive: a line starting exactly at end_coffset
+            # can be owned by this split (bonus-line rule in
+            # iter_bgzf_owned_lines), so keep the split for chunks there too
+            if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges):
+                kept.append(s)
+        return kept
+
     def read(self, partition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources.bam_source import EmptyPartition
         from hadoop_bam_spark.sources.bcf_source import (
             BCFBgzfPartition,
             BCFPlainPartition,
         )
 
+        if isinstance(partition, EmptyPartition):
+            return
         if isinstance(partition, (BCFPlainPartition, BCFBgzfPartition)):
             yield from self._bcf.read(partition)
             return
