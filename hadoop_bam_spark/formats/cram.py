@@ -205,6 +205,18 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
     order = data[0]
     # compressed size u32, raw size u32 (little-endian)
     (n_out,) = struct.unpack_from("<I", data, 5)
+    if raw_size is not None and n_out != raw_size:
+        raise ValueError(
+            f"rANS raw size mismatch: block header says {raw_size}, "
+            f"stream embeds {n_out}"
+        )
+    try:
+        return _rans_decode_body(data, order, n_out)
+    except IndexError:
+        raise ValueError("truncated rANS block") from None
+
+
+def _rans_decode_body(data: bytes, order: int, n_out: int) -> bytes:
     p = 9
     out = bytearray(n_out)
     if order == 0:
@@ -273,6 +285,8 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
             out[i] = sym
             i += 1
             s = f_[sym] * (s >> _RANS_TF_SHIFT) + f - c_[sym]
+            # renormalize only while input remains: the final symbols of a
+            # well-formed stream leave the state below LOW with no bytes left
             while s < _RANS_LOW and p < len(data):
                 s = (s << 8) | data[p]
                 p += 1

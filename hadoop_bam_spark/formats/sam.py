@@ -22,6 +22,7 @@ Two layers:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -121,25 +122,27 @@ def read_header(path: str, open_fn=open) -> SAMHeader:
 #: Types usable in an explicit "TYPE:value" tag map value.
 TAG_PREFIX_TYPES = "AcCsSiIfZH"
 
+#: Strict SAM integer / float (spec regexes; Python int()/float() are looser —
+#: they accept underscores and surrounding whitespace).
+_SAM_INT_RE = re.compile(r"^[-+]?[0-9]+$")
+_SAM_FLOAT_RE = re.compile(
+    r"^[-+]?(?:(?:[0-9]+\.[0-9]*|\.[0-9]+)(?:[eE][-+]?[0-9]+)?"
+    r"|[0-9]+[eE][-+]?[0-9]+)$"
+)
+
 
 def guess_tag_encoding(v: str) -> tuple[str, Optional[str]]:
     """The (kind, array_subtype) the bare tag encoder picks for a plain value
     string: 'prefix' (explicit TYPE:), 'int', 'array', 'float', or 'z'."""
     if len(v) >= 2 and v[1] == ":" and v[0] in TAG_PREFIX_TYPES:
         return "prefix", v[0]
-    try:
-        int(v)
+    # strict SAM integer (int() would also accept '1_0', ' 5 ', ...)
+    if _SAM_INT_RE.match(v):
         return "int", None
-    except (TypeError, ValueError):
-        pass
     if len(v) >= 2 and v[0] in "cCsSiIf" and v[1] == ",":
         return "array", v[0]
-    try:
-        float(v)
-        if "." in v or "e" in v.lower():
-            return "float", None
-    except (TypeError, ValueError):
-        pass
+    if _SAM_FLOAT_RE.match(v):
+        return "float", None
     return "z", None
 
 

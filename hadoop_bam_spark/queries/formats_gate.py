@@ -290,6 +290,111 @@ def fastq_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSEQ_ORACLE = """
+    SELECT (event_id % 8 + 1)::BIGINT AS lane,
+           count(*) AS n,
+           sum(event_id * 17 % 20000)::BIGINT AS sum_x,
+           sum(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           sum(len(md5(event_id::VARCHAR)))::BIGINT AS sum_seq_len
+    FROM events
+    GROUP BY 1
+"""
+
+
+@query(
+    "qseq_file_roundtrip",
+    oracle=_QSEQ_ORACLE,
+    doc="End-to-end QSEQ I/O inside the gate: synthesize fragments from "
+    "events, write 11-column qseq lines via the sink (Sanger->Illumina "
+    "quality, N->'.'), read back with format('qseq') at small splits "
+    "(Illumina->Sanger recode, '.'->N), aggregate per lane incl. the "
+    "QC-filter flag (reference QseqInputFormat.java:344-426).",
+)
+def qseq_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.queries.relational import load_events
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    ev = load_events(spark, sf_dir)
+    seq = F.upper(F.translate(F.md5(F.col("event_id").cast("string")),
+                              "0123456789abcdef", "ACGTACGTACGTACGT"))
+    df = ev.select(
+        F.lit(None).cast("string").alias("name"),
+        seq.alias("sequence"),
+        F.repeat(F.lit("I"), 32).alias("quality"),
+        F.lit("SIM01").alias("instrument"),
+        F.lit(1).cast("int").alias("run_number"),
+        F.lit(None).cast("string").alias("flowcell_id"),
+        (F.col("event_id") % 8 + 1).cast("int").alias("lane"),
+        F.lit(1).cast("int").alias("tile"),
+        ((F.col("event_id") * 17) % 20000).cast("int").alias("xpos"),
+        ((F.col("event_id") * 23) % 20000).cast("int").alias("ypos"),
+        F.lit(1).cast("int").alias("read"),
+        (F.col("event_id") % 50 != 0).alias("filter_passed"),
+        F.lit(None).cast("int").alias("control_number"),
+        F.lit("ACGT").alias("index_sequence"),
+    )
+    d = _workdir(sf_dir, "qseq")
+    path = os.path.join(d, "reads.qseq")
+    sinks.write_qseq(df, path)
+    back = spark.read.format("qseq").option("split_size", str(_SPLIT)).load(path)
+    return back.groupBy(F.col("lane").cast("long").alias("lane")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xpos").alias("sum_x"),
+        F.sum(F.col("filter_passed").cast("long")).alias("n_pass"),
+        F.sum(F.length("sequence")).alias("sum_seq_len"),
+    )
+
+
+_FASTA_ORACLE = """
+    WITH f AS (
+        SELECT 'chr' || (n_nationkey % 2 + 1)::VARCHAR AS contig,
+               (row_number() OVER (PARTITION BY n_nationkey % 2
+                                   ORDER BY n_nationkey) - 1) * 32 + 1 AS pos
+        FROM nation
+    )
+    SELECT contig, count(*) AS n, sum(pos)::BIGINT AS sum_pos,
+           count(*) * 32 AS total_bases
+    FROM f GROUP BY contig
+"""
+
+
+@query(
+    "fasta_scan",
+    oracle=_FASTA_ORACLE,
+    doc="End-to-end FASTA I/O inside the gate: derive fixed-width reference "
+    "lines from nation, write via the fasta sink (per-contig sections, "
+    "driver concat, .fai sidecar), read back with format('fasta') planning "
+    "one split per contig from the faidx, aggregate per contig "
+    "(reference ReferenceFragment.java:36-41, FastaInputFormat.java:334-372).",
+)
+def fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    w = Window.partitionBy(F.col("n_nationkey") % 2).orderBy("n_nationkey")
+    df = nation.select(
+        F.concat(F.lit("chr"), (F.col("n_nationkey") % 2 + 1).cast("string")).alias("contig"),
+        ((F.row_number().over(w) - 1) * 32 + 1).cast("long").alias("pos"),
+        F.upper(F.translate(F.md5(F.col("n_nationkey").cast("string")),
+                            "0123456789abcdef", "ACGTACGTACGTACGT")).alias("seq"),
+    )
+    d = _workdir(sf_dir, "fasta")
+    path = os.path.join(d, "ref.fa")
+    sinks.write_fasta(df, path, index_fai=True)
+    back = spark.read.format("fasta").load(path)
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.length("seq")).alias("total_bases"),
+    )
+
+
 _VCF_ORACLE = """
     WITH v AS (
         SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,

@@ -151,6 +151,9 @@ def write_vcf(
     interval reads prune splits at plan time (formats/tabix.py)."""
     if compress is None:
         compress = path.endswith((".gz", ".bgz"))
+    if index_tbi and not compress:
+        # fail fast, before any part is written
+        raise ValueError("tabix index requires BGZF-compressed output")
     samples = header.samples
 
     def line(r):
@@ -158,8 +161,6 @@ def write_vcf(
 
     _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
     if index_tbi:
-        if not compress:
-            raise ValueError("tabix index requires BGZF-compressed output")
         from hadoop_bam_spark.formats.tabix import build_tabix, write_tabix
 
         write_tabix(build_tabix(path), path + ".tbi")
@@ -225,6 +226,65 @@ def write_fastq(df: DataFrame, path: str) -> None:
 _P33_TO_P64 = bytes(
     max(64, min(126, q + 31)) if 33 <= q <= 95 else q for q in range(256)
 )
+
+
+def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
+    """Write a FASTA_SCHEMA DataFrame (contig, pos, seq) as one FASTA file.
+
+    Hash-repartitioning on contig puts every line of a contig in exactly one
+    part, so each executor emits self-contained ``>name`` sections and the
+    driver merge is a plain concatenation (section order across parts is
+    arbitrary — FASTA imposes none). ``index_fai=True`` adds a faidx sidecar
+    so the fasta source plans one split per contig (requires the fixed line
+    width faidx assumes; reference model ReferenceFragment.java:36-41)."""
+    parts_dir = path + ".__parts__"
+    prepared = df.repartition("contig").sortWithinPartitions("contig", "pos")
+
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        with open(part_path, "wb") as f:
+            cur = None
+            for r in rows:
+                if r.contig != cur:
+                    f.write(f">{r.contig}\n".encode())
+                    cur = r.contig
+                f.write((r.seq + "\n").encode())
+        return (idx, part_path)
+
+    parts = _collect_parts(prepared, ["contig", "pos", "seq"], parts_dir, write_part)
+    with open(path, "wb") as out:
+        for _, part_path in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+    shutil.rmtree(parts_dir)
+    if index_fai:
+        build_fai(path, path + ".fai")
+
+
+def build_fai(path: str, fai_path: str) -> None:
+    """samtools-faidx layout: name, length, offset, linebases, linewidth."""
+    rows = []
+    with open(path, "rb") as fh:
+        name, length, offset, linebases, linewidth = None, 0, 0, 0, 0
+        pos = 0
+        for raw in fh:
+            if raw.startswith(b">"):
+                if name is not None:
+                    rows.append((name, length, offset, linebases, linewidth))
+                name = raw[1:].split()[0].decode()
+                length, linebases, linewidth = 0, 0, 0
+                offset = pos + len(raw)
+            elif name is not None and raw.strip():
+                bases = len(raw.strip())
+                if linebases == 0:
+                    linebases, linewidth = bases, len(raw)
+                length += bases
+            pos += len(raw)
+        if name is not None:
+            rows.append((name, length, offset, linebases, linewidth))
+    with open(fai_path, "w") as out:
+        for r in rows:
+            out.write("\t".join(str(x) for x in r) + "\n")
 
 
 def write_qseq(df: DataFrame, path: str) -> None:
