@@ -23,6 +23,8 @@ from typing import BinaryIO, Iterator, Optional
 
 from hadoop_bam_spark.formats import bgzf
 from hadoop_bam_spark.formats.sam import (
+    _SAM_FLOAT_RE,
+    _SAM_INT_RE,
     SAMHeader,
     TAG_PREFIX_TYPES,
     parse_header,
@@ -247,12 +249,10 @@ def _encode_tag_value(tag: str, v: str) -> bytes:
             return tag.encode() + b"f" + struct.pack("<f", float(val))
         # Z and H share the null-terminated string layout
         return tag.encode() + typ.encode() + val.encode("latin-1") + b"\x00"
-    try:
+    if _SAM_INT_RE.match(v):
         iv = int(v)
         if -2147483648 <= iv <= 2147483647:
             return tag.encode() + b"i" + struct.pack("<i", iv)
-    except (TypeError, ValueError):
-        pass
     if "," in v and v[:1] in "cCsSiIf" and v[1:2] == ",":
         sub = v[0]
         parts = v[2:].split(",")
@@ -263,12 +263,8 @@ def _encode_tag_value(tag: str, v: str) -> bytes:
             + struct.pack("<i", len(vals))
             + struct.pack(f"<{len(vals)}{fmt}", *vals)
         )
-    try:
-        fv = float(v)
-        if "." in v or "e" in v.lower():
-            return tag.encode() + b"f" + struct.pack("<f", fv)
-    except (TypeError, ValueError):
-        pass
+    if _SAM_FLOAT_RE.match(v):
+        return tag.encode() + b"f" + struct.pack("<f", float(v))
     return tag.encode() + b"Z" + v.encode("latin-1") + b"\x00"
 
 

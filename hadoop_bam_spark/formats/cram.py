@@ -202,6 +202,10 @@ def _rans_read_freqs(data, p):
 
 
 def rans_decode(data: bytes, raw_size: int) -> bytes:
+    if not data:
+        if raw_size:
+            raise ValueError("truncated rANS block")
+        return b""
     order = data[0]
     # compressed size u32, raw size u32 (little-endian)
     (n_out,) = struct.unpack_from("<I", data, 5)
@@ -456,3 +460,1078 @@ def iter_container_offsets(path: str, open_fn=open) -> Iterator[tuple[int, "Cont
             pos += hdr.header_size + hdr.length
             if size is not None and pos >= size:
                 return
+
+
+# ---------------------------------------------------------------------------
+# Core bit stream + encodings (CRAM spec §12; decode side supports EXTERNAL,
+# HUFFMAN, BETA, GAMMA, SUBEXP, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP — the set
+# cramtools/htslib/htsjdk emit)
+# ---------------------------------------------------------------------------
+
+E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN = 0, 1, 2, 3
+E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA, E_SUBEXP = 4, 5, 6, 7
+E_GOLOMB_RICE, E_GAMMA = 8, 9
+
+
+class CoreBits:
+    """MSB-first bit reader over the slice's core block."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        p = self.pos
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class ExtCursor:
+    """Sequential read cursor over one external block's bytes."""
+
+    __slots__ = ("data", "p")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.p = 0
+
+    def byte(self) -> int:
+        v = self.data[self.p]
+        self.p += 1
+        return v
+
+    def take(self, n: int) -> bytes:
+        v = self.data[self.p : self.p + n]
+        self.p += n
+        return v
+
+    def itf8(self) -> int:
+        v, self.p = read_itf8(self.data, self.p)
+        return v
+
+    def until(self, stop: int) -> bytes:
+        q = self.data.index(stop, self.p)
+        v = self.data[self.p : q]
+        self.p = q + 1
+        return v
+
+
+def _s32(v: int) -> int:
+    return v - (1 << 32) if v > 0x7FFFFFFF else v
+
+
+def _parse_encoding(params: bytes):
+    """(codec_id, raw_params) from a 'codec itf8, len itf8, bytes' triple."""
+    codec, p = read_itf8(params, 0)
+    plen, p = read_itf8(params, p)
+    return codec, params[p : p + plen], params[p + plen :]
+
+
+def _huffman_table(params: bytes):
+    """Canonical-code table {(nbits, code): symbol} + zero-bit fast path."""
+    n, p = read_itf8(params, 0)
+    syms = []
+    for _ in range(n):
+        v, p = read_itf8(params, p)
+        syms.append(_s32(v))
+    n2, p = read_itf8(params, p)
+    lens = []
+    for _ in range(n2):
+        v, p = read_itf8(params, p)
+        lens.append(v)
+    if n == 1 and lens[0] == 0:
+        return None, syms[0]  # constant series, zero bits consumed
+    order = sorted(range(n), key=lambda i: (lens[i], i))  # stable by alphabet
+    table = {}
+    code, prev = 0, lens[order[0]]
+    for i in order:
+        code <<= lens[i] - prev
+        prev = lens[i]
+        table[(lens[i], code)] = syms[i]
+        code += 1
+    return table, None
+
+
+def make_int_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
+    """-> () -> int for an integer data series."""
+    if codec == E_EXTERNAL:
+        cid, _ = read_itf8(params, 0)
+        cur = ext[cid]
+        return lambda: _s32(cur.itf8())
+    if codec == E_HUFFMAN:
+        table, const = _huffman_table(params)
+        if table is None:
+            return lambda: const
+        def huff():
+            nbits, code = 0, 0
+            while True:
+                code = (code << 1) | core.read_bit()
+                nbits += 1
+                sym = table.get((nbits, code))
+                if sym is not None:
+                    return sym
+        return huff
+    if codec == E_BETA:
+        offset, p = read_itf8(params, 0)
+        nbits, _ = read_itf8(params, p)
+        return lambda: core.read_bits(nbits) - offset
+    if codec == E_GAMMA:
+        offset, _ = read_itf8(params, 0)
+        def gamma():
+            nz = 0
+            while core.read_bit() == 0:
+                nz += 1
+            v = 1
+            for _ in range(nz):
+                v = (v << 1) | core.read_bit()
+            return v - offset
+        return gamma
+    if codec == E_SUBEXP:
+        offset, p = read_itf8(params, 0)
+        k, _ = read_itf8(params, p)
+        def subexp():
+            i = 0
+            while core.read_bit():
+                i += 1
+            if i == 0:
+                n = core.read_bits(k)
+            else:
+                b = i + k - 1
+                n = (1 << b) | core.read_bits(b)
+            return n - offset
+        return subexp
+    raise ValueError(f"unsupported integer encoding {codec}")
+
+
+def make_byte_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
+    """-> () -> int (one byte) for a byte data series (FC/BS/BA/QS)."""
+    if codec == E_EXTERNAL:
+        cid, _ = read_itf8(params, 0)
+        cur = ext[cid]
+        return cur.byte
+    if codec == E_HUFFMAN:
+        table, const = _huffman_table(params)
+        if table is None:
+            return lambda: const
+        def huff():
+            nbits, code = 0, 0
+            while True:
+                code = (code << 1) | core.read_bit()
+                nbits += 1
+                sym = table.get((nbits, code))
+                if sym is not None:
+                    return sym
+        return huff
+    if codec == E_BETA:
+        offset, p = read_itf8(params, 0)
+        nbits, _ = read_itf8(params, p)
+        return lambda: core.read_bits(nbits) - offset
+    raise ValueError(f"unsupported byte encoding {codec}")
+
+
+def make_bytes_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
+    """-> (n_hint) -> bytes for byte-array series (RN/IN/SC/BB/QQ, tags).
+
+    BYTE_ARRAY_LEN ignores n_hint (its own length stream rules);
+    BYTE_ARRAY_STOP reads to its stop byte."""
+    if codec == E_BYTE_ARRAY_STOP:
+        stop = params[0]
+        cid, _ = read_itf8(params, 1)
+        cur = ext[cid]
+        return lambda n_hint=None: cur.until(stop)
+    if codec == E_BYTE_ARRAY_LEN:
+        len_codec, len_params, rest = _parse_encoding(params)
+        val_codec, val_params, _ = _parse_encoding(rest)
+        length = make_int_decoder(len_codec, len_params, ext, core)
+        if val_codec == E_EXTERNAL:
+            cid, _ = read_itf8(val_params, 0)
+            cur = ext[cid]
+            return lambda n_hint=None: cur.take(length())
+        one = make_byte_decoder(val_codec, val_params, ext, core)
+        return lambda n_hint=None: bytes(one() for _ in range(length()))
+    if codec == E_EXTERNAL:
+        # fixed-length run read directly from the block (needs n_hint)
+        cid, _ = read_itf8(params, 0)
+        cur = ext[cid]
+        return lambda n_hint: cur.take(n_hint)
+    raise ValueError(f"unsupported byte-array encoding {codec}")
+
+
+# ---------------------------------------------------------------------------
+# Compression header / slice header
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CompressionHeader:
+    read_names_included: bool = True
+    ap_delta: bool = False
+    reference_required: bool = True
+    substitution_matrix: bytes = b"\x1b\x1b\x1b\x1b\x1b"
+    tag_lines: list = field(default_factory=list)  # [[(tag, type), ...], ...]
+    data_series: dict = field(default_factory=dict)  # key -> (codec, params)
+    tag_encodings: dict = field(default_factory=dict)  # (tag, type) -> (codec, params)
+
+    @classmethod
+    def parse(cls, data: bytes) -> "CompressionHeader":
+        h = cls()
+        p = 0
+        _size, p = read_itf8(data, p)
+        n, p = read_itf8(data, p)
+        for _ in range(n):
+            key = data[p : p + 2].decode("latin-1")
+            p += 2
+            if key == "RN":
+                h.read_names_included = bool(data[p]); p += 1
+            elif key == "AP":
+                h.ap_delta = bool(data[p]); p += 1
+            elif key == "RR":
+                h.reference_required = bool(data[p]); p += 1
+            elif key == "SM":
+                h.substitution_matrix = data[p : p + 5]; p += 5
+            elif key == "TD":
+                ln, p = read_itf8(data, p)
+                blob = data[p : p + ln]; p += ln
+                lines = blob.split(b"\x00")
+                if blob.endswith(b"\x00"):
+                    lines = lines[:-1]
+                h.tag_lines = [
+                    [
+                        (line[i : i + 2].decode("latin-1"), chr(line[i + 2]))
+                        for i in range(0, len(line), 3)
+                    ]
+                    for line in lines
+                ]
+            else:  # unknown single-byte boolean keys (MI/UI/PI in old writers)
+                p += 1
+        _size, p = read_itf8(data, p)
+        n, p = read_itf8(data, p)
+        for _ in range(n):
+            key = data[p : p + 2].decode("latin-1")
+            p += 2
+            codec, p = read_itf8(data, p)
+            plen, p = read_itf8(data, p)
+            h.data_series[key] = (codec, data[p : p + plen])
+            p += plen
+        _size, p = read_itf8(data, p)
+        n, p = read_itf8(data, p)
+        for _ in range(n):
+            kv, p = read_itf8(data, p)
+            tag = chr((kv >> 16) & 0xFF) + chr((kv >> 8) & 0xFF)
+            typ = chr(kv & 0xFF)
+            codec, p = read_itf8(data, p)
+            plen, p = read_itf8(data, p)
+            h.tag_encodings[(tag, typ)] = (codec, data[p : p + plen])
+            p += plen
+        return h
+
+
+@dataclass
+class SliceHeader:
+    ref_seq_id: int
+    start: int
+    span: int
+    n_records: int
+    counter: int
+    n_blocks: int
+    content_ids: list[int]
+    embedded_ref_id: int
+    md5: bytes
+
+    @classmethod
+    def parse(cls, data: bytes, major: int) -> "SliceHeader":
+        p = 0
+        ref, p = read_itf8_signed(data, p)
+        start, p = read_itf8(data, p)
+        span, p = read_itf8(data, p)
+        nrec, p = read_itf8(data, p)
+        if major >= 3:
+            counter, p = read_ltf8(data, p)
+        else:
+            counter, p = read_itf8(data, p)
+        nblk, p = read_itf8(data, p)
+        nids, p = read_itf8(data, p)
+        ids = []
+        for _ in range(nids):
+            v, p = read_itf8(data, p)
+            ids.append(v)
+        embed, p = read_itf8_signed(data, p)
+        md5 = data[p : p + 16]
+        return cls(ref, start, span, nrec, counter, nblk, ids, embed, md5)
+
+
+# ---------------------------------------------------------------------------
+# Reference window lookup (faidx-backed; needed when RR=true)
+# ---------------------------------------------------------------------------
+
+class FastaRef:
+    """Random-access windows into a FASTA: uses the .fai when present, else
+    one in-memory scan (fine for test refs; production paths carry a .fai)."""
+
+    def __init__(self, path: str, open_fn=open):
+        self._path = path
+        self._open = open_fn
+        self._index: dict[str, tuple[int, int, int, int]] = {}
+        fai = path + ".fai"
+        import os
+
+        if os.path.exists(fai):
+            with open_fn(fai, "rt") as fh:
+                for line in fh:
+                    f = line.rstrip("\n").split("\t")
+                    if len(f) >= 5:
+                        self._index[f[0]] = (int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+        else:
+            with open_fn(path, "rb") as fh:
+                name, off, nbases, width, length = None, 0, 0, 0, 0
+                pos = 0
+                for raw in fh:
+                    if raw.startswith(b">"):
+                        if name is not None:
+                            self._index[name] = (length, off, nbases, width)
+                        name = raw[1:].split()[0].decode()
+                        off = pos + len(raw)
+                        nbases, width, length = 0, 0, 0
+                    elif name is not None and raw.strip():
+                        if nbases == 0:
+                            nbases, width = len(raw.strip()), len(raw)
+                        length += len(raw.strip())
+                    pos += len(raw)
+                if name is not None:
+                    self._index[name] = (length, off, nbases, width)
+
+    def window(self, name: str, start: int, end: int) -> bytes:
+        """Uppercase bases for [start, end] 1-based inclusive."""
+        length, off, linebases, linewidth = self._index[name]
+        end = min(end, length)
+        if start > end:
+            return b""
+        first = off + (start - 1) // linebases * linewidth + (start - 1) % linebases
+        need = end - start + 1
+        out = bytearray()
+        with self._open(self._path, "rb") as fh:
+            fh.seek(first)
+            # read enough raw bytes to cover `need` bases plus line breaks
+            raw = fh.read(need + need // max(linebases, 1) * (linewidth - linebases) + linewidth)
+        for b in raw:
+            if b not in (0x0A, 0x0D):
+                out.append(b)
+                if len(out) == need:
+                    break
+        return bytes(out).upper()
+
+
+# ---------------------------------------------------------------------------
+# Record decode
+# ---------------------------------------------------------------------------
+
+CF_QUAL_STORED = 0x1
+CF_DETACHED = 0x2
+CF_MATE_DOWNSTREAM = 0x4
+CF_NO_SEQ = 0x8
+
+_SUB_ALTS = {b: "ACGTN".replace(b, "") for b in "ACGTN"}
+
+
+def _substitute(matrix: bytes, ref_base: str, code: int) -> str:
+    """BS code -> base: each matrix byte packs, per alternative base in
+    ACGTN-minus-ref order, its 2-bit substitution code (spec §10.5)."""
+    r = "ACGTN".find(ref_base)
+    if r < 0:
+        r = 4
+    byte = matrix[r]
+    alts = _SUB_ALTS["ACGTN"[r]]
+    for j in range(4):
+        if (byte >> (6 - 2 * j)) & 3 == code:
+            return alts[j]
+    return "N"
+
+
+def _decode_tag_value(typ: str, buf: bytes) -> tuple[str, Optional[str]]:
+    """BAM-layout value bytes -> (SAM value string, B-array subtype)."""
+    if typ == "A":
+        return chr(buf[0]), None
+    if typ in "cCsSiI":
+        fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}[typ]
+        return str(struct.unpack_from(fmt, buf, 0)[0]), None
+    if typ == "f":
+        v = struct.unpack_from("<f", buf, 0)[0]
+        return (repr(v) if v != int(v) else str(int(v))), None
+    if typ in "ZH":
+        return buf.rstrip(b"\x00").decode("latin-1"), None
+    if typ == "B":
+        sub = chr(buf[0])
+        (cnt,) = struct.unpack_from("<i", buf, 1)
+        fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+        vals = struct.unpack_from(f"<{cnt}{fmt}", buf, 5)
+        s = sub + "," + ",".join(
+            (repr(v) if v != int(v) else str(int(v))) if sub == "f" else str(v)
+            for v in vals
+        )
+        return s, sub
+    raise ValueError(f"unknown tag type {typ!r}")
+
+
+def _parse_rgs(header_text: str) -> list[str]:
+    rgs = []
+    for line in header_text.splitlines():
+        if line.startswith("@RG"):
+            for f in line.split("\t")[1:]:
+                if f.startswith("ID:"):
+                    rgs.append(f[3:])
+    return rgs
+
+
+class ContainerDecoder:
+    """Decode every record of one container body into SAM-schema tuples.
+
+    Mirrors the reference read path (CRAMRecordReader.java:33-56 delegates
+    to htsjdk's container reader); implemented here directly from the CRAM
+    2.x/3.0 spec so executors need no JVM."""
+
+    def __init__(self, major: int, refs: list[tuple[str, int]],
+                 ref_fasta: Optional[FastaRef] = None,
+                 read_groups: Optional[list[str]] = None):
+        self.major = major
+        self.refs = refs
+        self.ref_fasta = ref_fasta
+        self.read_groups = read_groups or []
+
+    def decode(self, body, hdr: ContainerHeader) -> list[tuple]:
+        comp_block, _ = Block.parse(body, 0, self.major)
+        if comp_block.content_type != CT_COMPRESSION_HEADER:
+            raise ValueError("container does not start with a compression header")
+        comp = CompressionHeader.parse(comp_block.data)
+        rows: list[tuple] = []
+        for lm in hdr.landmarks:
+            rows.extend(self._decode_slice(body, lm, comp, hdr))
+        return rows
+
+    # -- slice ---------------------------------------------------------------
+
+    def _decode_slice(self, body, landmark: int, comp: CompressionHeader,
+                      chdr: ContainerHeader) -> list[tuple]:
+        sh_block, p = Block.parse(body, landmark, self.major)
+        if sh_block.content_type != CT_SLICE_HEADER:
+            raise ValueError("expected slice header block at landmark")
+        sh = SliceHeader.parse(sh_block.data, self.major)
+        core_data = b""
+        ext: dict[int, ExtCursor] = {}
+        embedded_ref = None
+        for _ in range(sh.n_blocks):
+            blk, p = Block.parse(body, p, self.major)
+            if blk.content_type == CT_CORE:
+                core_data = blk.data
+            else:
+                ext[blk.content_id] = ExtCursor(blk.data)
+                if blk.content_id == sh.embedded_ref_id:
+                    embedded_ref = blk.data
+        core = CoreBits(core_data)
+
+        dec_int: dict[str, callable] = {}
+        dec_byte: dict[str, callable] = {}
+        dec_bytes: dict[str, callable] = {}
+
+        def I(key):  # noqa: E743 - terse decoder accessors keep decode readable
+            d = dec_int.get(key)
+            if d is None:
+                codec, params = comp.data_series[key]
+                d = dec_int[key] = make_int_decoder(codec, params, ext, core)
+            return d()
+
+        def BYTE(key):
+            d = dec_byte.get(key)
+            if d is None:
+                codec, params = comp.data_series[key]
+                d = dec_byte[key] = make_byte_decoder(codec, params, ext, core)
+            return d()
+
+        def ARR(key, n_hint=None):
+            d = dec_bytes.get(key)
+            if d is None:
+                codec, params = comp.data_series[key]
+                d = dec_bytes[key] = make_bytes_decoder(codec, params, ext, core)
+            return d(n_hint)
+
+        tag_decoders: dict[tuple[str, str], callable] = {}
+
+        def TAGVAL(tag, typ):
+            d = tag_decoders.get((tag, typ))
+            if d is None:
+                codec, params = comp.tag_encodings[(tag, typ)]
+                d = tag_decoders[(tag, typ)] = make_bytes_decoder(codec, params, ext, core)
+            return d(None)
+
+        # reference window for this slice (single-ref slices only)
+        ref_window, ref_woff = None, 0
+        def ref_bases(ref_id: int, start: int, n: int) -> str:
+            nonlocal ref_window, ref_woff
+            if n <= 0:
+                return ""
+            if embedded_ref is not None:
+                return embedded_ref[start - sh.start : start - sh.start + n].decode("latin-1").upper()
+            if ref_window is not None and ref_id == sh.ref_seq_id:
+                return ref_window[start - ref_woff : start - ref_woff + n]
+            if self.ref_fasta is None:
+                if comp.reference_required:
+                    raise ValueError(
+                        "CRAM slice requires a reference; pass option('reference', <fasta>)"
+                    )
+                return "N" * n
+            name = self.refs[ref_id][0]
+            if ref_id == sh.ref_seq_id and sh.ref_seq_id >= 0:
+                ref_window = self.ref_fasta.window(name, sh.start, sh.start + sh.span - 1).decode("latin-1")
+                ref_woff = sh.start
+                return ref_window[start - ref_woff : start - ref_woff + n]
+            return self.ref_fasta.window(name, start, start + n - 1).decode("latin-1")
+
+        records = []
+        last_pos = sh.start
+        multiref = sh.ref_seq_id == -2
+        for i in range(sh.n_records):
+            bf = I("BF")
+            cf = I("CF")
+            ref_id = _s32(I("RI")) if multiref else sh.ref_seq_id
+            rl = I("RL")
+            if comp.ap_delta:
+                pos = last_pos + I("AP")
+                last_pos = pos
+            else:
+                pos = I("AP")
+            rg = _s32(I("RG"))
+            if comp.read_names_included:
+                qname = ARR("RN").decode("latin-1")
+            else:
+                qname = f"r{sh.counter + i}"
+            flag = bf
+            rnext_id, pnext, tlen, nf = -1, 0, 0, None
+            if cf & CF_DETACHED:
+                mf = I("MF")
+                if not comp.read_names_included:
+                    qname = ARR("RN").decode("latin-1")
+                rnext_id = _s32(I("NS"))
+                pnext = I("NP")
+                tlen = _s32(I("TS"))
+                flag |= (0x20 if mf & 1 else 0) | (0x8 if mf & 2 else 0)
+            elif cf & CF_MATE_DOWNSTREAM:
+                nf = I("NF")
+            tags: dict[str, str] = {}
+            tl = I("TL")
+            for tag, typ in (comp.tag_lines[tl] if comp.tag_lines else ()):
+                s, sub = _decode_tag_value(typ, TAGVAL(tag, typ))
+                from hadoop_bam_spark.formats.sam import tag_value_repr
+
+                tags[tag] = tag_value_repr(typ, s, sub)
+            if rg >= 0 and rg < len(self.read_groups) and "RG" not in tags:
+                tags["RG"] = self.read_groups[rg]
+
+            mapq = 0
+            cigar = None
+            seq: Optional[str] = None
+            qual_raw: Optional[bytearray] = None
+            if not flag & 0x4:  # mapped: feature-based reconstruction
+                fn = I("FN")
+                feats = []
+                fpos = 0
+                for _ in range(fn):
+                    fc = chr(BYTE("FC"))
+                    fpos += I("FP")
+                    if fc == "X":
+                        feats.append((fpos, fc, BYTE("BS")))
+                    elif fc == "D":
+                        feats.append((fpos, fc, I("DL")))
+                    elif fc == "I":
+                        feats.append((fpos, fc, ARR("IN")))
+                    elif fc == "i":
+                        feats.append((fpos, fc, bytes([BYTE("BA")])))
+                    elif fc == "S":
+                        feats.append((fpos, fc, ARR("SC")))
+                    elif fc == "H":
+                        feats.append((fpos, fc, I("HC")))
+                    elif fc == "P":
+                        feats.append((fpos, fc, I("PD")))
+                    elif fc == "N":
+                        feats.append((fpos, fc, I("RS")))
+                    elif fc == "B":
+                        base = BYTE("BA")
+                        q = BYTE("QS")
+                        feats.append((fpos, fc, (base, q)))
+                    elif fc == "b":
+                        feats.append((fpos, fc, ARR("BB")))
+                    elif fc == "q":
+                        feats.append((fpos, fc, ARR("QQ", 0)))
+                    elif fc == "Q":
+                        feats.append((fpos, fc, BYTE("QS")))
+                    else:
+                        raise ValueError(f"unknown feature code {fc!r}")
+                mapq = I("MQ")
+                qual_raw = bytearray([0xFF]) * rl if rl else bytearray()
+                seq_parts: list[str] = []
+                cig: list[tuple[int, str]] = []
+                read_pos, ref_pos = 1, pos
+
+                def add_op(n, op):
+                    if n <= 0:
+                        return
+                    if cig and cig[-1][1] == op:
+                        cig[-1] = (cig[-1][0] + n, op)
+                    else:
+                        cig.append((n, op))
+
+                noseq = bool(cf & CF_NO_SEQ)  # '*' sequence: never touch the ref
+
+                def fill_match(upto):
+                    nonlocal read_pos, ref_pos
+                    n = upto - read_pos
+                    if n > 0:
+                        seq_parts.append("N" * n if noseq else ref_bases(ref_id, ref_pos, n))
+                        add_op(n, "M")
+                        read_pos += n
+                        ref_pos += n
+
+                for fpos, fc, val in feats:
+                    fill_match(fpos)
+                    if fc == "X":
+                        rb = "N" if noseq else (ref_bases(ref_id, ref_pos, 1) or "N")
+                        seq_parts.append(_substitute(comp.substitution_matrix, rb, val))
+                        add_op(1, "M")
+                        read_pos += 1
+                        ref_pos += 1
+                    elif fc == "D":
+                        add_op(val, "D")
+                        ref_pos += val
+                    elif fc in "Ii":
+                        b = val.decode("latin-1")
+                        seq_parts.append(b)
+                        add_op(len(b), "I")
+                        read_pos += len(b)
+                    elif fc == "S":
+                        b = val.decode("latin-1")
+                        seq_parts.append(b)
+                        add_op(len(b), "S")
+                        read_pos += len(b)
+                    elif fc == "H":
+                        add_op(val, "H")
+                    elif fc == "P":
+                        add_op(val, "P")
+                    elif fc == "N":
+                        add_op(val, "N")
+                    elif fc == "B":
+                        base, q = val
+                        seq_parts.append(chr(base))
+                        qual_raw[fpos - 1] = q
+                        add_op(1, "M")
+                        read_pos += 1
+                        ref_pos += 1
+                    elif fc == "b":
+                        b = val.decode("latin-1")
+                        seq_parts.append(b)
+                        add_op(len(b), "M")
+                        read_pos += len(b)
+                        ref_pos += len(b)
+                    elif fc == "Q":
+                        qual_raw[fpos - 1] = val
+                fill_match(rl + 1)
+                if cf & CF_QUAL_STORED:
+                    qual_raw = bytearray(
+                        ARR("QS", rl) if "QS" in comp.data_series and self._qs_is_array(comp) else bytes(BYTE("QS") for _ in range(rl))
+                    )
+                seq = None if cf & CF_NO_SEQ else ("".join(seq_parts) or None)
+                cigar = "".join(f"{n}{op}" for n, op in cig) or None
+            else:  # unmapped: verbatim bases
+                if not cf & CF_NO_SEQ:
+                    seq = bytes(BYTE("BA") for _ in range(rl)).decode("latin-1") or None
+                if cf & CF_QUAL_STORED:
+                    qual_raw = bytearray(bytes(BYTE("QS") for _ in range(rl)))
+            qual = None
+            if qual_raw is not None and rl and qual_raw[0] != 0xFF:
+                qual = "".join(chr(q + 33) for q in qual_raw)
+            rname = self.refs[ref_id][0] if 0 <= ref_id < len(self.refs) else None
+            records.append([
+                qname, flag, rname, pos if rname else pos, mapq, cigar,
+                self.refs[rnext_id][0] if 0 <= rnext_id < len(self.refs) else None,
+                pnext, tlen, seq, qual, tags, nf,
+            ])
+
+        self._resolve_mates(records)
+        return [tuple(r[:12]) for r in records]
+
+    @staticmethod
+    def _qs_is_array(comp: CompressionHeader) -> bool:
+        """QS stored via a byte-array codec (writer fast path) vs per-byte."""
+        codec, _ = comp.data_series["QS"]
+        return codec in (E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP)
+
+    def _resolve_mates(self, records: list[list]) -> None:
+        """Link CF_MATE_DOWNSTREAM records (spec §10.3: NF = distance to the
+        next fragment; pairwise template resolution as in the reference's
+        htsjdk decode path)."""
+        from hadoop_bam_spark.formats.bam import cigar_ref_length
+
+        for i, rec in enumerate(records):
+            nf = rec[12]
+            if nf is None:
+                continue
+            j = i + nf + 1
+            if j >= len(records):
+                continue
+            mate = records[j]
+            rec[6], rec[7] = mate[2], mate[3]  # rnext, pnext
+            mate[6], mate[7] = rec[2], rec[3]
+            rec[1] |= (0x20 if mate[1] & 0x10 else 0) | (0x8 if mate[1] & 0x4 else 0)
+            mate[1] |= (0x20 if rec[1] & 0x10 else 0) | (0x8 if rec[1] & 0x4 else 0)
+            if rec[2] is not None and rec[2] == mate[2]:
+                end_i = rec[3] + cigar_ref_length(rec[5]) - 1
+                end_j = mate[3] + cigar_ref_length(mate[5]) - 1
+                tlen = max(end_i, end_j) - min(rec[3], mate[3]) + 1
+                if rec[3] <= mate[3]:
+                    rec[8], mate[8] = tlen, -tlen
+                else:
+                    rec[8], mate[8] = -tlen, tlen
+
+
+# ---------------------------------------------------------------------------
+# Writer (CRAM 3.0, conservative subset: multiref single-slice containers,
+# absolute positions, detached mates, names preserved, RR=false — sequences
+# verbatim via 'b'/BA so no reference is needed, the same shape htslib
+# produces under no_ref. Reference writer contract: CRAMRecordWriter.java:74-121.)
+# ---------------------------------------------------------------------------
+
+_WRITER_FILE_ID = b"hadoop_bam_spark/cram".ljust(20, b"\x00")[:20]
+
+#: fixed content ids for the standard data series (tag blocks use the
+#: spec's packed 3-byte ids, which start at 0x410000 — no collision)
+_SERIES_IDS = {
+    k: i + 1
+    for i, k in enumerate(
+        ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
+         "TL", "FN", "FC", "FP", "DL", "BA", "QS", "IN", "SC", "HC", "PD",
+         "RS", "BB", "BS", "MQ"]
+    )
+}
+_INT_SERIES = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
+               "TL", "FN", "FP", "DL", "HC", "PD", "RS", "MQ"}
+_BYTE_SERIES = {"FC", "BA", "QS", "BS"}
+_ARRAY_SERIES = {"RN", "IN", "SC", "BB"}
+
+_CIGAR_CONSUME_READ = set("MIS=X")
+
+
+def _cigar_ops(cigar: str) -> list[tuple[int, str]]:
+    ops, num = [], 0
+    for ch in cigar:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            ops.append((num, ch))
+            num = 0
+    return ops
+
+
+def cigar_query_length(cigar: Optional[str]) -> int:
+    if not cigar:
+        return 0
+    return sum(n for n, op in _cigar_ops(cigar) if op in _CIGAR_CONSUME_READ)
+
+
+def write_file_definition(fh: BinaryIO, major: int = 3, minor: int = 0) -> None:
+    fh.write(CRAM_MAGIC + bytes([major, minor]) + _WRITER_FILE_ID)
+
+
+def encode_header_container(header_text: str, major: int = 3) -> bytes:
+    """SAM-header container (first container of the file, spec §7)."""
+    payload = struct.pack("<i", len(header_text)) + header_text.encode()
+    block = Block(M_RAW, CT_FILE_HEADER, 0, payload).serialize(major)
+    hdr = ContainerHeader(
+        length=len(block), ref_seq_id=0, start=0, span=0, n_records=0,
+        record_counter=0, n_bases=0, n_blocks=1, landmarks=[0], header_size=0,
+    )
+    return hdr.serialize(major) + block
+
+
+class CRAMWriter:
+    """Stream SAM-schema tuples into CRAM 3.0 containers.
+
+    ``bare=True`` omits the file definition / SAM-header container / EOF so
+    executors can emit concatenatable shard bodies, merged by the driver
+    behind one header + EOF (reference CRAMRecordWriter.java:74-121 with
+    writeHeader=false + util/SAMFileMerger.java:92-103).
+
+    Faithfulness bounds (documented, matching the htslib no_ref shape):
+    '='/'X' cigar ops re-emerge as 'M'; a mapped record with a '*' cigar
+    decodes as '<RL>M'; mapping quality of unmapped records decodes as 0
+    (the spec gives unmapped records no MQ slot).
+    """
+
+    def __init__(self, fh: BinaryIO, refs: list[tuple[str, int]],
+                 header_text: Optional[str] = None,
+                 records_per_container: int = 10000,
+                 bare: bool = False, record_counter: int = 0):
+        self._fh = fh
+        self._refs = refs
+        self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
+        self._per_container = records_per_container
+        self._counter = record_counter
+        self._buf: list[tuple] = []
+        self._closed = False
+        if not bare:
+            write_file_definition(fh)
+            fh.write(encode_header_container(header_text or ""))
+
+    def write(self, row: tuple) -> None:
+        self._buf.append(row)
+        if len(self._buf) >= self._per_container:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._buf:
+            self._fh.write(encode_container(self._buf, self._ref_index, self._counter))
+            self._counter += len(self._buf)
+            self._buf = []
+
+    def close(self, write_eof: bool = True) -> None:
+        if self._closed:
+            return
+        self.flush()
+        if write_eof:
+            self._fh.write(EOF_CONTAINER_V3)
+        self._closed = True
+
+
+def encode_container(rows: list[tuple], ref_index: dict[str, int],
+                     record_counter: int, major: int = 3) -> bytes:
+    """One multiref single-slice container from SAM-schema tuples."""
+    from hadoop_bam_spark.formats.bam import _encode_tag_value
+
+    ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
+    bytestreams: dict[str, bytearray] = {k: bytearray() for k in _BYTE_SERIES}
+    arrays: dict[str, bytearray] = {k: bytearray() for k in _ARRAY_SERIES}
+    tag_blocks: dict[tuple[str, str], bytearray] = {}
+    tag_lines: list[tuple] = []
+    line_index: dict[tuple, int] = {}
+    n_bases = 0
+
+    def put_int(key, v):
+        ints[key] += write_itf8(v)
+
+    for row in rows:
+        (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,
+         seq, qual, tags) = row
+        flag = int(flag)
+        ref_id = ref_index.get(rname, -1) if rname else -1
+        rl = len(seq) if seq else cigar_query_length(cigar)
+        if seq and cigar and not flag & 0x4:
+            qlen = cigar_query_length(cigar)
+            if qlen != len(seq):
+                raise ValueError(
+                    f"cigar {cigar!r} query length {qlen} != seq length {len(seq)}"
+                )
+        n_bases += rl
+        cf = CF_DETACHED
+        if qual is not None:
+            cf |= CF_QUAL_STORED
+        if seq is None:
+            cf |= CF_NO_SEQ
+        put_int("BF", flag)
+        put_int("CF", cf)
+        put_int("RI", ref_id)
+        put_int("RL", rl)
+        put_int("AP", pos or 0)
+        put_int("RG", -1)
+        arrays["RN"] += (qname or "").encode("latin-1") + b"\x00"
+        put_int("MF", (1 if flag & 0x20 else 0) | (2 if flag & 0x8 else 0))
+        put_int("NS", ref_index.get(rnext, -1) if rnext else -1)
+        put_int("NP", pnext or 0)
+        put_int("TS", tlen or 0)
+        # tag line
+        encoded_tags = []
+        for tag, v in (tags or {}).items():
+            wire = _encode_tag_value(tag, v)
+            encoded_tags.append((tag, chr(wire[2]), wire[3:]))
+        line_key = tuple((t, ty) for t, ty, _ in encoded_tags)
+        tl = line_index.get(line_key)
+        if tl is None:
+            tl = line_index[line_key] = len(tag_lines)
+            tag_lines.append(line_key)
+        put_int("TL", tl)
+        for tag, ty, val in encoded_tags:
+            blk = tag_blocks.setdefault((tag, ty), bytearray())
+            blk += write_itf8(len(val)) + val
+        if not flag & 0x4:  # mapped: features from the cigar
+            feats = []
+            read_pos = 1
+            if cigar:
+                for n, op in _cigar_ops(cigar):
+                    if op in "M=X":
+                        if seq is not None:
+                            feats.append((read_pos, "b", seq[read_pos - 1 : read_pos - 1 + n]))
+                        read_pos += n
+                    elif op == "I":
+                        b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
+                        feats.append((read_pos, "I", b))
+                        read_pos += n
+                    elif op == "S":
+                        b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
+                        feats.append((read_pos, "S", b))
+                        read_pos += n
+                    elif op == "D":
+                        feats.append((read_pos, "D", n))
+                    elif op == "N":
+                        feats.append((read_pos, "N", n))
+                    elif op == "H":
+                        feats.append((read_pos, "H", n))
+                    elif op == "P":
+                        feats.append((read_pos, "P", n))
+                    else:
+                        raise ValueError(f"unsupported cigar op {op!r}")
+            elif seq is not None:
+                feats.append((1, "b", seq))
+            put_int("FN", len(feats))
+            prev = 0
+            for fpos, fc, val in feats:
+                bytestreams["FC"].append(ord(fc))
+                put_int("FP", fpos - prev)
+                prev = fpos
+                if fc in "bIS":
+                    arrays["BB" if fc == "b" else ("IN" if fc == "I" else "SC")] += (
+                        val.encode("latin-1") + b"\x00"
+                    )
+                elif fc == "D":
+                    put_int("DL", val)
+                elif fc == "N":
+                    put_int("RS", val)
+                elif fc == "H":
+                    put_int("HC", val)
+                elif fc == "P":
+                    put_int("PD", val)
+            put_int("MQ", mapq or 0)
+            if qual is not None:
+                bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+        else:  # unmapped
+            if seq is not None:
+                bytestreams["BA"] += seq.encode("latin-1")
+            if qual is not None:
+                bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+
+    # --- compression header -------------------------------------------------
+    td = b"".join(
+        b"".join(t.encode("latin-1") + ty.encode("latin-1") for t, ty in line) + b"\x00"
+        for line in tag_lines
+    )
+    pres = bytearray()
+    pres += b"RN" + b"\x01"
+    pres += b"AP" + b"\x00"
+    pres += b"RR" + b"\x00"
+    pres += b"SM" + b"\x1b\x1b\x1b\x1b\x1b"
+    pres += b"TD" + write_itf8(len(td)) + td
+    pres_map = write_itf8(5) + pres  # n entries then entries; prefix size below
+
+    def encoding_external(cid: int) -> bytes:
+        params = write_itf8(cid)
+        return write_itf8(E_EXTERNAL) + write_itf8(len(params)) + params
+
+    def encoding_stop(stop: int, cid: int) -> bytes:
+        params = bytes([stop]) + write_itf8(cid)
+        return write_itf8(E_BYTE_ARRAY_STOP) + write_itf8(len(params)) + params
+
+    ds = bytearray()
+    n_ds = 0
+    for key in _SERIES_IDS:
+        cid = _SERIES_IDS[key]
+        if key in _ARRAY_SERIES:
+            enc = encoding_stop(0x00, cid)
+        else:
+            enc = encoding_external(cid)
+        ds += key.encode("latin-1") + enc
+        n_ds += 1
+    ds_map = write_itf8(n_ds) + ds
+
+    tg = bytearray()
+    for (tag, ty) in sorted(tag_blocks):
+        kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
+        nested = encoding_external(kv) + encoding_external(kv)
+        params = nested
+        tg += write_itf8(kv) + write_itf8(E_BYTE_ARRAY_LEN) + write_itf8(len(params)) + params
+    tg_map = write_itf8(len(tag_blocks)) + tg
+
+    comp_data = (
+        write_itf8(len(pres_map)) + pres_map
+        + write_itf8(len(ds_map)) + ds_map
+        + write_itf8(len(tg_map)) + tg_map
+    )
+    comp_block = Block(M_GZIP, CT_COMPRESSION_HEADER, 0, bytes(comp_data)).serialize(major)
+
+    # --- blocks -------------------------------------------------------------
+    ext_blocks: list[tuple[int, bytes]] = []
+    for key, cid in _SERIES_IDS.items():
+        data = ints.get(key) or bytestreams.get(key) or arrays.get(key) or b""
+        ext_blocks.append((cid, bytes(data)))
+    for (tag, ty) in sorted(tag_blocks):
+        kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
+        ext_blocks.append((kv, bytes(tag_blocks[(tag, ty)])))
+
+    core_block = Block(M_RAW, CT_CORE, 0, b"").serialize(major)
+    ext_serialized = [
+        Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data).serialize(major)
+        for cid, data in ext_blocks
+    ]
+
+    slice_hdr = bytearray()
+    slice_hdr += write_itf8(0xFFFFFFFE)  # ref -2: multiref
+    slice_hdr += write_itf8(0)  # start
+    slice_hdr += write_itf8(0)  # span
+    slice_hdr += write_itf8(len(rows))
+    slice_hdr += write_ltf8(record_counter)
+    slice_hdr += write_itf8(1 + len(ext_serialized))  # core + external
+    slice_hdr += write_itf8(len(ext_blocks))
+    for cid, _ in ext_blocks:
+        slice_hdr += write_itf8(cid)
+    slice_hdr += write_itf8(0xFFFFFFFF)  # no embedded reference
+    slice_hdr += bytes(16)  # md5 unset (multiref slices skip the check)
+    slice_block = Block(M_RAW, CT_SLICE_HEADER, 0, bytes(slice_hdr)).serialize(major)
+
+    body = comp_block + slice_block + core_block + b"".join(ext_serialized)
+    chdr = ContainerHeader(
+        length=len(body), ref_seq_id=-2, start=0, span=0, n_records=len(rows),
+        record_counter=record_counter, n_bases=n_bases,
+        n_blocks=2 + 1 + len(ext_serialized), landmarks=[len(comp_block)],
+        header_size=0,
+    )
+    return chdr.serialize(major) + body
+
+
+# ---------------------------------------------------------------------------
+# File-level helpers (driver planning + tests)
+# ---------------------------------------------------------------------------
+
+def read_cram_file_header(path: str, open_fn=open):
+    """-> (major, header_text, refs, read_groups, first_container_offset)."""
+    from hadoop_bam_spark.formats.sam import parse_header
+
+    with open_fn(path, "rb") as fh:
+        major, _ = read_file_definition(fh)
+        text, pos = read_sam_header_text(fh, major)
+    hdr = parse_header(text.splitlines(True))
+    ordered = sorted(hdr.sequences.items(), key=lambda kv: kv[1][0])
+    refs = [(name, ln) for name, (_, ln) in ordered]
+    return major, text, refs, _parse_rgs(text), pos
+
+
+def decode_file(path: str, reference: Optional[str] = None,
+                open_fn=open) -> Iterator[tuple]:
+    """All records of a CRAM file (test/convenience path)."""
+    major, _text, refs, rgs, _pos = read_cram_file_header(path, open_fn)
+    ref_fasta = FastaRef(reference, open_fn) if reference else None
+    dec = ContainerDecoder(major, refs, ref_fasta=ref_fasta, read_groups=rgs)
+    with open_fn(path, "rb") as fh:
+        data = fh.read()
+    for off, chdr in iter_container_offsets(path, open_fn):
+        body = data[off + chdr.header_size : off + chdr.header_size + chdr.length]
+        yield from dec.decode(body, chdr)

@@ -211,6 +211,29 @@ def bam_unmapped_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cram_file_roundtrip",
+    oracle=_BAM_ORACLE,
+    doc="End-to-end CRAM I/O inside the gate: derive reads, write a real "
+    "CRAM 3.0 file (distributed bare-container parts + driver merge behind "
+    "file definition/header/EOF), read it back with format('cram') planning "
+    "container-boundary splits, aggregate. Oracle aggregates the derivation "
+    "directly (reference CRAMInputFormat/CRAMRecordWriter contract).",
+)
+def cram_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "cram")
+    path = os.path.join(d, "reads.cram")
+    sinks.write_cram(
+        _sam_df(spark, sf_dir), path, _sam_header(), records_per_container=500
+    )
+    back = spark.read.format("cram").option("split_size", str(_SPLIT)).load(path)
+    return _agg_back(back)
+
+
+@query(
     "sam_file_roundtrip",
     oracle=_BAM_ORACLE,
     doc="Same gate check through the SAM text sink/source (line codec + "

@@ -101,6 +101,51 @@ def write_bam(
     shutil.rmtree(parts_dir)
 
 
+def write_cram(
+    df: DataFrame,
+    path: str,
+    header: SAMHeader,
+    refs: Optional[list[tuple[str, int]]] = None,
+    records_per_container: int = 10000,
+) -> None:
+    """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
+
+    Executors emit bare container shards (no file definition / header /
+    EOF); the driver concatenates them behind one file definition + SAM
+    header container and appends the fixed EOF container — the reference's
+    sharded CRAM write + merge contract (CRAMRecordWriter.java:74-121 with
+    writeHeader=false, util/SAMFileMerger.java:92-103). Containers are
+    multiref with verbatim sequences (RR=false), so reading the output
+    needs no reference FASTA."""
+    from hadoop_bam_spark.formats import cram
+
+    if refs is None:
+        ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
+        refs = [(name, ln) for name, (_, ln) in ordered]
+    parts_dir = path + ".__parts__"
+
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        with open(part_path, "wb") as f:
+            w = cram.CRAMWriter(
+                f, refs, bare=True, records_per_container=records_per_container
+            )
+            for r in rows:
+                w.write(tuple(r))
+            w.close(write_eof=False)
+        return (idx, part_path)
+
+    parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    with open(path, "wb") as out:
+        cram.write_file_definition(out)
+        out.write(cram.encode_header_container(header.text))
+        for _, part_path in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(cram.EOF_CONTAINER_V3)
+    shutil.rmtree(parts_dir)
+
+
 def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
                       line_fn, compress: bool) -> None:
     def write_part(idx: int, rows):

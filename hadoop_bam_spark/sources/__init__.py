@@ -23,6 +23,7 @@ def register_all(spark: SparkSession) -> None:
     sessions too (not just hadoop_bam_spark.session ones)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     from hadoop_bam_spark.sources.bam_source import BAMDataSource
+    from hadoop_bam_spark.sources.cram_source import CRAMDataSource
     from hadoop_bam_spark.sources.sam_source import SAMDataSource
     from hadoop_bam_spark.sources.vcf_source import VCFDataSource
     from hadoop_bam_spark.sources.bcf_source import BCFDataSource
@@ -32,6 +33,7 @@ def register_all(spark: SparkSession) -> None:
 
     for ds in (
         BAMDataSource,
+        CRAMDataSource,
         SAMDataSource,
         VCFDataSource,
         BCFDataSource,

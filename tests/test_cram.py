@@ -1,0 +1,197 @@
+"""CRAM codec + source/sink tests.
+
+Parity targets: the reference's TestCRAMInputFormat (record count + split
+alignment on container boundaries against src/test/resources/test.cram with
+auxf.fa) and TestCRAMOutputFormat (write -> read-back round trip).
+"""
+
+import io
+import os
+
+import pytest
+
+from hadoop_bam_spark.formats import cram
+
+REF_CRAM = "/root/reference/src/test/resources/test.cram"
+REF_FASTA = "/root/reference/src/test/resources/auxf.fa"
+
+has_ref_fixtures = os.path.exists(REF_CRAM) and os.path.exists(REF_FASTA)
+
+
+# ---------------------------------------------------------------------------
+# varints
+# ---------------------------------------------------------------------------
+
+def test_itf8_ltf8_roundtrip():
+    for v in [0, 1, 127, 128, 16383, 16384, 1 << 20, 1 << 27, (1 << 28) - 1,
+              0x7FFFFFFF, 0xFFFFFFFF]:
+        enc = cram.write_itf8(v)
+        dec, p = cram.read_itf8(enc, 0)
+        assert (dec, p) == (v & 0xFFFFFFFF, len(enc))
+    for v in [0, 127, 128, 1 << 14, 1 << 30, 1 << 40, (1 << 62)]:
+        enc = cram.write_ltf8(v)
+        dec, p = cram.read_ltf8(enc, 0)
+        assert (dec, p) == (v, len(enc))
+
+
+def test_rans_truncation_raises():
+    with pytest.raises(ValueError):
+        cram.rans_decode(b"", 10)
+    # valid-looking header but empty stream body
+    with pytest.raises(ValueError):
+        cram.rans_decode(bytes([0]) + (100).to_bytes(4, "little")
+                         + (50).to_bytes(4, "little") + b"\x01", 50)
+
+
+# ---------------------------------------------------------------------------
+# reference file decode (cramtools-written v2.1, reference-compressed)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not has_ref_fixtures, reason="reference fixtures absent")
+def test_decode_reference_test_cram():
+    rows = list(cram.decode_file(REF_CRAM, reference=REF_FASTA))
+    # TestCRAMInputFormat.testReader: record count parity (2 records)
+    assert len(rows) == 2
+    fred, jim = rows
+    assert fred[0] == "Fred" and jim[0] == "Jim"
+    assert fred[1] == 16 and jim[1] == 16
+    assert (fred[2], fred[3], fred[5]) == ("Sheila", 1, "10M")
+    assert (jim[2], jim[3], jim[5]) == ("Sheila", 11, "10M")
+    # sequences reconstructed from auxf.fa via the substitution-free path
+    assert fred[9] == "GCTAGCTCAG"
+    assert jim[9] == "AAAAAAAAAA"
+    # read group resolved from the header @RG line
+    assert fred[11]["RG"] == "ID" and jim[11]["RG"] == "ID"
+    # typed tags survive with wire types (spot checks across types)
+    assert fred[11]["I2"] == "127" and fred[11]["iB"] == "-2147483648"
+    assert fred[11]["A!"] == "A:!" and fred[11]["Z0"] == "space space"
+    assert jim[11]["BI"] == "i,0,2147483647,-2147483648,-1"
+
+
+@pytest.mark.skipif(not has_ref_fixtures, reason="reference fixtures absent")
+def test_container_boundaries_match_reference_expectations():
+    # TestCRAMInputFormat.checkSplits: containers at 1069 and 3403 (EOF),
+    # so any split planning aligns to [1069, 3403).
+    offsets = [off for off, _ in cram.iter_container_offsets(REF_CRAM)]
+    assert offsets == [1069]
+    with open(REF_CRAM, "rb") as fh:
+        data = fh.read()
+    assert len(data) == 3433
+    # the EOF container occupies [3403, 3433)
+    hdr = cram.ContainerHeader.parse(data, 3403, 2)
+    assert hdr.ref_seq_id == -1 and hdr.n_records == 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FASTA), reason="fixture absent")
+def test_fasta_ref_windows():
+    ref = cram.FastaRef(REF_FASTA)
+    assert ref.window("Sheila", 1, 10) == b"GCTAGCTCAG"
+    assert ref.window("Sheila", 11, 20) == b"AAAAAAAAAA"
+    assert ref.window("Sheila", 19, 25) == b"AA"  # clamped to contig end
+
+
+# ---------------------------------------------------------------------------
+# writer round trip (codec level)
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    ("r1", 0, "chr1", 10, 60, "5M2I3M", None, 0, 0, "ACGTTTTACG", "IIIIIIIIII",
+     {"NM": "1", "XX": "f:1"}),
+    ("r2", 16, "chr1", 30, 42, "4S6M", "chr2", 99, -55, "GGGGACGTAC",
+     "ABCDEFGHIJ", {"ZZ": "hello"}),
+    ("r3", 4, "chr1", 50, 0, None, None, 0, 0, "ACGTN", "IIIII", {}),
+    ("r4", 77, None, 0, 0, None, None, 0, 0, None, None, {"BC": "c,1,-2"}),
+    ("r5", 0, "chr2", 7, 1, "3M2D4M1H", None, 0, 0, "ACGTTTT", None, {}),
+    ("r6", 0, "chr2", 100, 9, "10M", None, 0, 0, None, None, {}),
+    ("r7", 0, "chr2", 200, 30, "2M100N3M2P5M", None, 0, 0, "ACGTTACGTA", None, {}),
+]
+
+REFS = [("chr1", 1000), ("chr2", 2000)]
+HEADER = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n@SQ\tSN:chr2\tLN:2000\n"
+
+
+def _write_rows(rows, per_container=3):
+    buf = io.BytesIO()
+    w = cram.CRAMWriter(buf, REFS, header_text=HEADER,
+                        records_per_container=per_container)
+    for r in rows:
+        w.write(r)
+    w.close()
+    return buf.getvalue()
+
+
+def test_writer_roundtrip(tmp_path):
+    p = str(tmp_path / "t.cram")
+    with open(p, "wb") as f:
+        f.write(_write_rows(ROWS))
+    assert list(cram.decode_file(p)) == ROWS
+
+
+def test_writer_multi_container_boundaries(tmp_path):
+    p = str(tmp_path / "t.cram")
+    with open(p, "wb") as f:
+        f.write(_write_rows(ROWS, per_container=2))
+    offsets = [off for off, _ in cram.iter_container_offsets(p)]
+    assert len(offsets) == 4  # ceil(7/2) containers
+    assert list(cram.decode_file(p)) == ROWS
+
+
+def test_writer_header_text_roundtrip(tmp_path):
+    p = str(tmp_path / "t.cram")
+    with open(p, "wb") as f:
+        f.write(_write_rows(ROWS))
+    major, text, refs, _rgs, _pos = cram.read_cram_file_header(p)
+    assert major == 3
+    assert text == HEADER
+    assert refs == REFS
+
+
+def test_cigar_query_length():
+    assert cram.cigar_query_length("5M2I3M") == 10
+    assert cram.cigar_query_length("4S6M1H") == 10
+    assert cram.cigar_query_length("3M2D4M") == 7
+    assert cram.cigar_query_length(None) == 0
+
+
+def test_writer_rejects_cigar_seq_mismatch():
+    buf = io.BytesIO()
+    w = cram.CRAMWriter(buf, REFS, header_text=HEADER)
+    with pytest.raises(ValueError):
+        w.write(("bad", 0, "chr1", 1, 0, "5M", None, 0, 0, "ACG", None, {}))
+        w.close()
+
+
+# ---------------------------------------------------------------------------
+# Spark source/sink round trip
+# ---------------------------------------------------------------------------
+
+def test_spark_cram_roundtrip(spark, tmp_path):
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:1000", "@SQ\tSN:chr2\tLN:2000"]
+    hdr.sequences = {"chr1": (0, 1000), "chr2": (1, 2000)}
+    df = spark.createDataFrame(ROWS, SAM_SCHEMA).repartition(3)
+    path = str(tmp_path / "reads.cram")
+    sinks.write_cram(df, path, hdr, records_per_container=2)
+    back = spark.read.format("cram").option("split_size", "64").load(path)
+    assert back.rdd.getNumPartitions() > 1  # container-aligned multi-split
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(ROWS)
+
+
+@pytest.mark.skipif(not has_ref_fixtures, reason="reference fixtures absent")
+def test_spark_reads_reference_cram(spark):
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    back = (
+        spark.read.format("cram")
+        .option("reference", REF_FASTA)
+        .load(REF_CRAM)
+    )
+    rows = sorted((r.qname, r.pos, r.seq) for r in back.collect())
+    assert rows == [("Fred", 1, "GCTAGCTCAG"), ("Jim", 11, "AAAAAAAAAA")]
