@@ -44,6 +44,45 @@ def register_all(spark: SparkSession) -> None:
         spark.dataSource.register(ds)
 
 
+#: Rows per Arrow batch handed to Spark. Large enough to amortize the
+#: Python->JVM transfer, small enough to keep per-batch memory modest.
+ARROW_BATCH_ROWS = 4096
+
+_ARROW_SCHEMA_CACHE: dict = {}
+
+
+def arrow_batches(rows, spark_schema, batch_rows: int = ARROW_BATCH_ROWS):
+    """Pack a tuple iterator into ``pyarrow.RecordBatch``es.
+
+    Python DataSource readers that yield Arrow batches move data to the JVM
+    via Arrow IPC instead of per-row pickling — the hottest path of every
+    source at scale (SURVEY.md §4: 'Arrow record batches mandatory'). Rows
+    must match ``spark_schema`` positionally; nested structs may be tuples,
+    maps dicts (pyarrow converts both)."""
+    import pyarrow as pa
+
+    key = id(spark_schema)
+    cached = _ARROW_SCHEMA_CACHE.get(key)
+    if cached is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        cached = _ARROW_SCHEMA_CACHE[key] = to_arrow_schema(spark_schema)
+    types = [f.type for f in cached]
+
+    def make(buf):
+        arrays = [pa.array(list(c), type=t) for c, t in zip(zip(*buf), types)]
+        return pa.RecordBatch.from_arrays(arrays, schema=cached)
+
+    buf = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield make(buf)
+            buf = []
+    if buf:
+        yield make(buf)
+
+
 def local_path(path: str) -> str:
     """Strip a file:// scheme; these sources address the shared filesystem
     (local in tests, a mounted DFS/object store in production — swap the

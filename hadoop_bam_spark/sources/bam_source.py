@@ -229,7 +229,12 @@ class BAMReader(DataSourceReader):
                 return
             yield body
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+
+    def _rows(self, partition) -> Iterator[tuple]:
         if not isinstance(partition, BAMPartition):
             return
         refs = next(r for p, r, _, _ in self._files if p == partition.path)

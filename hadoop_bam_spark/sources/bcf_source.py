@@ -234,7 +234,13 @@ class BCFReader(DataSourceReader):
                     parts.append(BCFBgzfPartition(f, s.start_coffset, s.end_coffset))
         return parts
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition):
+        from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), VCF_SCHEMA)
+
+    def _rows(self, partition) -> Iterator[tuple]:
         if isinstance(partition, BCFPlainPartition):
             kind, hdr, header_end = self._files[partition.path]
             rows = _iter_plain(partition, hdr, header_end)

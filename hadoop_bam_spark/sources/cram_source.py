@@ -83,7 +83,12 @@ class CRAMReader(DataSourceReader):
             )
         return parts or [CRAMPartition("", 0, 0)]
 
-    def read(self, partition: CRAMPartition) -> Iterator[tuple]:
+    def read(self, partition: CRAMPartition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+
+    def _rows(self, partition: CRAMPartition) -> Iterator[tuple]:
         if not partition.path:
             return
         major, refs, rgs = next(

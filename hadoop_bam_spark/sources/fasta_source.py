@@ -106,7 +106,12 @@ class FastaReader(DataSourceReader):
                 parts.append(FastaPartition(f, -1, None))
         return parts
 
-    def read(self, partition: FastaPartition) -> Iterator[tuple]:
+    def read(self, partition: FastaPartition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), FASTA_SCHEMA)
+
+    def _rows(self, partition: FastaPartition) -> Iterator[tuple]:
         if partition.offset >= 0 and partition.contig is not None:
             yield from iter_contig_lines(partition.path, partition.offset, partition.contig)
         else:

@@ -150,7 +150,12 @@ class FastqReader(DataSourceReader):
             for p in plan_text_splits(self._path, self._split_size, (".fastq", ".fq"))
         ]
 
-    def read(self, partition: FastqPartition) -> Iterator[tuple]:
+    def read(self, partition: FastqPartition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
+
+    def _rows(self, partition: FastqPartition) -> Iterator[tuple]:
         for rec in iter_fastq_records(partition.path, partition.start, partition.end):
             # QC-fail drop (reference FastqInputFormat.java:313-316)
             if self._filter_failed and rec[11] is False:

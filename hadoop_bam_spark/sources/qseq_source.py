@@ -64,7 +64,12 @@ class QseqReader(DataSourceReader):
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".qseq", ".txt"))
 
-    def read(self, partition: TextRangePartition) -> Iterator[tuple]:
+    def read(self, partition: TextRangePartition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
+
+    def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
         for line in iter_lines(partition):
             if not line:
                 continue

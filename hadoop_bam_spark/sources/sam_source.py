@@ -83,7 +83,12 @@ class SAMReader(DataSourceReader):
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".sam",))
 
-    def read(self, partition: TextRangePartition) -> Iterator[tuple]:
+    def read(self, partition: TextRangePartition):
+        from hadoop_bam_spark.sources import arrow_batches
+
+        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+
+    def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
         for line in iter_lines(partition):
             if not line or line.startswith("@"):
                 continue

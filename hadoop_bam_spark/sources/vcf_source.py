@@ -205,17 +205,21 @@ class VCFReader(DataSourceReader):
                 kept.append(s)
         return kept
 
-    def read(self, partition) -> Iterator[tuple]:
-        from hadoop_bam_spark.sources.bam_source import EmptyPartition
+    def read(self, partition):
+        from hadoop_bam_spark.sources import arrow_batches
         from hadoop_bam_spark.sources.bcf_source import (
             BCFBgzfPartition,
             BCFPlainPartition,
         )
 
-        if isinstance(partition, EmptyPartition):
-            return
         if isinstance(partition, (BCFPlainPartition, BCFBgzfPartition)):
-            yield from self._bcf.read(partition)
+            return self._bcf.read(partition)  # already Arrow batches
+        return arrow_batches(self._rows(partition), VCF_SCHEMA)
+
+    def _rows(self, partition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources.bam_source import EmptyPartition
+
+        if isinstance(partition, EmptyPartition):
             return
         if isinstance(partition, TextRangePartition):
             lines = iter_lines(partition)
