@@ -234,6 +234,36 @@ def cram_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anysam_scan",
+    oracle=_BAM_ORACLE,
+    doc="Multi-format dispatch inside the gate: the derived reads are split "
+    "three ways and written as one BAM, one SAM, and one CRAM (the CRAM "
+    "deliberately misnamed .sam) into one directory; format('sam_any') "
+    "sniffs each file's magic, plans per-format splits, and unions them "
+    "(reference AnySAMInputFormat.java:126-156, SAMFormat.java:38-62). "
+    "Aggregate equals the whole derivation.",
+)
+def anysam_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "anysam")
+    df = _sam_df(spark, sf_dir)
+    key = F.abs(F.xxhash64("qname")) % 3
+    sinks.write_any_sam(df.where(key == 0), os.path.join(d, "a.bam"), _sam_header())
+    sinks.write_any_sam(df.where(key == 1), os.path.join(d, "b.sam"), _sam_header())
+    # misnamed on purpose: content sniff must beat the extension
+    sinks.write_any_sam(
+        df.where(key == 2), os.path.join(d, "misnamed.sam.x"), _sam_header(),
+        format="cram",
+    )
+    os.rename(os.path.join(d, "misnamed.sam.x"), os.path.join(d, "misnamed.sam"))
+    back = spark.read.format("sam_any").option("split_size", str(_SPLIT)).load(d)
+    return _agg_back(back)
+
+
+@query(
     "sam_file_roundtrip",
     oracle=_BAM_ORACLE,
     doc="Same gate check through the SAM text sink/source (line codec + "

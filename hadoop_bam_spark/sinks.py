@@ -146,6 +146,36 @@ def write_cram(
     shutil.rmtree(parts_dir)
 
 
+def write_any_sam(
+    df: DataFrame,
+    path: str,
+    header: SAMHeader,
+    refs: Optional[list[tuple[str, int]]] = None,
+    format: Optional[str] = None,
+) -> None:
+    """Dispatch a SAM_SCHEMA write to the BAM / SAM / CRAM sink by explicit
+    ``format`` or by the path's extension — the reference's any-SAM output
+    dispatch (KeyIgnoringAnySAMOutputFormat.java:93-127, which picks the
+    writer from the configured SAMFormat / output path)."""
+    fmt = (format or "").lower()
+    if not fmt:
+        lower = path.lower()
+        for ext in ("bam", "sam", "cram"):
+            if lower.endswith("." + ext):
+                fmt = ext
+                break
+    if fmt == "bam":
+        write_bam(df, path, header, refs=refs)
+    elif fmt == "cram":
+        write_cram(df, path, header, refs=refs)
+    elif fmt == "sam":
+        write_sam(df, path, header)
+    else:
+        raise ValueError(
+            f"cannot infer SAM output format for {path!r}; pass format="
+        )
+
+
 def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
                       line_fn, compress: bool) -> None:
     def write_part(idx: int, rows):

@@ -22,6 +22,7 @@ def register_all(spark: SparkSession) -> None:
     false. The conf is runtime-settable, so this covers externally-built
     sessions too (not just hadoop_bam_spark.session ones)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    from hadoop_bam_spark.sources.anysam_source import AnySAMDataSource
     from hadoop_bam_spark.sources.bam_source import BAMDataSource
     from hadoop_bam_spark.sources.cram_source import CRAMDataSource
     from hadoop_bam_spark.sources.sam_source import SAMDataSource
@@ -32,6 +33,7 @@ def register_all(spark: SparkSession) -> None:
     from hadoop_bam_spark.sources.fasta_source import FastaDataSource
 
     for ds in (
+        AnySAMDataSource,
         BAMDataSource,
         CRAMDataSource,
         SAMDataSource,
