@@ -46,6 +46,34 @@ def register_all(spark: SparkSession) -> None:
         spark.dataSource.register(ds)
 
 
+#: Malformed-record policies (the reference's htsjdk ValidationStringency,
+#: applied in VCFRecordReader.java:77-92,180-196: STRICT raises, LENIENT
+#: warns and skips, SILENT skips). FAILFAST/PERMISSIVE accepted as aliases.
+STRINGENCIES = ("strict", "lenient", "silent")
+
+
+def stringency_option(options) -> str:
+    s = str(options.get("stringency", "strict")).lower()
+    s = {"failfast": "strict", "permissive": "lenient"}.get(s, s)
+    if s not in STRINGENCIES:
+        raise ValueError(
+            f"stringency must be one of {STRINGENCIES} (or FAILFAST/PERMISSIVE)"
+        )
+    return s
+
+
+def apply_stringency(stringency: str, exc: Exception, context: str) -> None:
+    """Re-raise, warn, or swallow a malformed-record error per policy."""
+    if stringency == "strict":
+        raise exc
+    if stringency == "lenient":
+        import logging
+
+        logging.getLogger("hadoop_bam_spark").warning(
+            "skipping malformed record (%s): %s", context, exc
+        )
+
+
 #: Rows per Arrow batch handed to Spark. Large enough to amortize the
 #: Python->JVM transfer, small enough to keep per-batch memory modest.
 ARROW_BATCH_ROWS = 4096

@@ -9,6 +9,10 @@ read-id metadata is parsed per the Casava 1.8 pattern
 
 Schema mirrors SequencedFragment's 2 required + 11 metadata fields
 (reference SequencedFragment.java:35-63).
+
+Malformed records: ``option("stringency", "strict"|"lenient"|"silent")``
+(default strict); non-strict modes drop one line and re-prove the record
+boundary, so one bad record costs at most itself.
 """
 
 from __future__ import annotations
@@ -71,7 +75,8 @@ def fastq_record(name_line: str, seq: str, qual: str) -> tuple:
     return (name, seq, qual, instr, run, fc, lane, tile, x, y, read, filt, ctrl, idx)
 
 
-def iter_fastq_records(path: str, start: int, end: int) -> Iterator[tuple]:
+def iter_fastq_records(path: str, start: int, end: int,
+                       stringency: str = "strict") -> Iterator[tuple]:
     """Records whose FIRST line starts in [start, end); the reader realigns
     to the first provable record boundary at or after ``start``."""
     with open(path, "rb") as fh:
@@ -107,7 +112,17 @@ def iter_fastq_records(path: str, start: int, end: int) -> Iterator[tuple]:
             name_l, seq_l, plus_l, qual_l = queue[:4]
             del queue[:4]
             if name_l[:1] != b"@" or plus_l[:1] != b"+":
-                raise ValueError(f"malformed FASTQ record near byte {rec_start}")
+                from hadoop_bam_spark.sources import apply_stringency
+
+                apply_stringency(
+                    stringency,
+                    ValueError(f"malformed FASTQ record near byte {rec_start}"),
+                    "fastq",
+                )
+                # resync: drop one line, retry the proof at the next line
+                queue[:0] = [seq_l, plus_l, qual_l]
+                rec_start += len(name_l)
+                continue
             yield fastq_record(
                 name_l.decode().rstrip("\r\n"),
                 seq_l.decode().strip(),
@@ -143,6 +158,9 @@ class FastqReader(DataSourceReader):
         self._path = path
         self._split_size = int(options.get("split_size", 32 * 1024 * 1024))
         self._filter_failed = options.get("filter_failed_qc", "false").lower() == "true"
+        from hadoop_bam_spark.sources import stringency_option
+
+        self._stringency = stringency_option(options)
 
     def partitions(self):
         return [
@@ -156,7 +174,8 @@ class FastqReader(DataSourceReader):
         return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
 
     def _rows(self, partition: FastqPartition) -> Iterator[tuple]:
-        for rec in iter_fastq_records(partition.path, partition.start, partition.end):
+        for rec in iter_fastq_records(partition.path, partition.start, partition.end,
+                                      self._stringency):
             # QC-fail drop (reference FastqInputFormat.java:313-316)
             if self._filter_failed and rec[11] is False:
                 continue

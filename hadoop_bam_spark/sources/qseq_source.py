@@ -60,6 +60,9 @@ class QseqReader(DataSourceReader):
         # input quality encoding: illumina (default, recode) or sanger
         self._recode = options.get("base_quality_encoding", "illumina") == "illumina"
         self._filter_failed = options.get("filter_failed_qc", "false").lower() == "true"
+        from hadoop_bam_spark.sources import stringency_option
+
+        self._stringency = stringency_option(options)
 
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".qseq", ".txt"))
@@ -70,10 +73,16 @@ class QseqReader(DataSourceReader):
         return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
 
     def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources import apply_stringency
+
         for line in iter_lines(partition):
             if not line:
                 continue
-            rec = parse_qseq_line(line, self._recode)
+            try:
+                rec = parse_qseq_line(line, self._recode)
+            except ValueError as e:
+                apply_stringency(self._stringency, e, "qseq")
+                continue
             if self._filter_failed and rec[11] is False:
                 continue
             yield rec

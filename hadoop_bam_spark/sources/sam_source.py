@@ -5,6 +5,9 @@ splits) replaces the reference's header re-injection machinery
 (SAMRecordReader.java:67-147,183-330) — with a typed schema there is no
 header to re-inject, and '@' header lines are dropped at the scan
 (SAMInputFormat.java:39-56 semantics).
+
+Malformed lines: ``option("stringency", "strict"|"lenient"|"silent")``
+(default strict), as in the reference's ValidationStringency readers.
 """
 
 from __future__ import annotations
@@ -79,6 +82,9 @@ class SAMReader(DataSourceReader):
             raise ValueError("sam source requires a path")
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._path = path
+        from hadoop_bam_spark.sources import stringency_option
+
+        self._stringency = stringency_option(options)
 
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".sam",))
@@ -89,7 +95,12 @@ class SAMReader(DataSourceReader):
         return arrow_batches(self._rows(partition), SAM_SCHEMA)
 
     def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources import apply_stringency
+
         for line in iter_lines(partition):
             if not line or line.startswith("@"):
                 continue
-            yield parse_sam_line(line)
+            try:
+                yield parse_sam_line(line)
+            except ValueError as e:
+                apply_stringency(self._stringency, e, "sam")

@@ -9,6 +9,10 @@ util/BGZFEnhancedGzipCodec.java:41-75).
 
 Interval filtering: ``option("intervals", "20:1-70000")`` applies the
 overlap residual per row (reference VCFRecordReader.java:213-219).
+
+Malformed rows: ``option("stringency", "strict"|"lenient"|"silent")``
+(default strict; FAILFAST/PERMISSIVE aliases) — the reference's
+ValidationStringency handling (VCFRecordReader.java:77-92,180-196).
 """
 
 from __future__ import annotations
@@ -139,6 +143,9 @@ class VCFReader(DataSourceReader):
         self._intervals = (
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
+        from hadoop_bam_spark.sources import stringency_option
+
+        self._stringency = stringency_option(options)
         # per-file VCF-vs-BCF dispatch by extension + content sniff — the
         # reference's multi-format VCF scan (VCFInputFormat.getFormat,
         # VCFInputFormat.java:170-197)
@@ -235,11 +242,18 @@ class VCFReader(DataSourceReader):
                 l.rstrip("\n")
                 for l in gzip.open(partition.path, "rt", encoding="utf-8")
             )
+        from hadoop_bam_spark.sources import apply_stringency
+
         intervals = self._intervals
         for line in lines:
             if not line or line.startswith("#"):
                 continue
-            row = parse_vcf_line(line, samples)
+            try:
+                row = parse_vcf_line(line, samples)
+            except ValueError as e:
+                # malformed-row policy (reference VCFRecordReader.java:180-196)
+                apply_stringency(self._stringency, e, "vcf")
+                continue
             if intervals is not None:
                 contig, start, end = row[0], row[1], row[2]
                 if not any(
