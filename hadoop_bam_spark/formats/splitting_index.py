@@ -52,6 +52,31 @@ class SplittingIndex:
         vals = struct.unpack(f">{n + 1}q", f.read(8 * (n + 1)))
         return cls(granularity, list(vals[:-1]), vals[-1] >> 16)
 
+    def write_reference_layout(self, f: BinaryIO) -> None:
+        """Reference-compatible ``.splitting-bai``: a bare ascending sequence
+        of big-endian i64 virtual offsets, terminated by fileLength<<16
+        (SplittingBAMIndex.readIndex / SplittingBAMIndexer output,
+        SplittingBAMIndex.java:53-73). Indexes we write this way are usable
+        by Hadoop-BAM/htsjdk and vice versa."""
+        for v in self.voffsets:
+            f.write(struct.pack(">q", v))
+        f.write(struct.pack(">q", self.file_length << 16))
+
+    @classmethod
+    def read_reference_layout(
+        cls, f: BinaryIO, granularity: int = DEFAULT_GRANULARITY
+    ) -> "SplittingIndex":
+        """Read the reference's headerless big-endian-i64 layout. The layout
+        carries no granularity; callers get the declared default (lookup
+        semantics don't depend on it)."""
+        data = f.read()
+        if len(data) < 8 or len(data) % 8:
+            raise ValueError("invalid splitting-bai: not a multiple of 8 bytes")
+        vals = list(struct.unpack(f">{len(data) // 8}q", data))
+        if any(a > b for a, b in zip(vals, vals[1:])):
+            raise ValueError("invalid splitting-bai: offsets not in order")
+        return cls(granularity, vals[:-1], vals[-1] >> 16)
+
     @classmethod
     def merge(
         cls,

@@ -57,12 +57,16 @@ def write_bam(
     refs: Optional[list[tuple[str, int]]] = None,
     index_granularity: int = DEFAULT_GRANULARITY,
     index_bai: bool = False,
+    index_splitting_bai: bool = False,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index.
 
     ``index_bai=True`` additionally builds a ``.bai`` binning index with one
     sequential post-merge pass (meaningful when ``df`` is coordinate-sorted)
-    so interval reads plan index-driven splits (formats/bai.py)."""
+    so interval reads plan index-driven splits (formats/bai.py).
+    ``index_splitting_bai=True`` also emits the reference's
+    ``.splitting-bai`` layout (big-endian i64 voffsets) so Hadoop-BAM /
+    htsjdk can plan splits on our output."""
     if refs is None:
         ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
         refs = [(name, ln) for name, (_, ln) in ordered]
@@ -93,6 +97,9 @@ def write_bam(
     )
     with open(path + ".sbi", "wb") as f:
         sbi.write(f)
+    if index_splitting_bai:
+        with open(path + ".splitting-bai", "wb") as f:
+            sbi.write_reference_layout(f)
     if index_bai:
         from hadoop_bam_spark.formats.bai import build_bai
 

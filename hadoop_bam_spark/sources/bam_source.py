@@ -192,6 +192,11 @@ class BAMReader(DataSourceReader):
         if os.path.exists(path + ".sbi"):
             with open(path + ".sbi", "rb") as fh:
                 sbi = SplittingIndex.read(fh)
+        elif os.path.exists(path + ".splitting-bai"):
+            # reference Hadoop-BAM/htsjdk sidecar layout
+            # (SplittingBAMIndex.java:53-73)
+            with open(path + ".splitting-bai", "rb") as fh:
+                sbi = SplittingIndex.read_reference_layout(fh)
         raw = self._split_size
         pos = (first_voffset >> 16) + raw
         with open(path, "rb") as fh:

@@ -229,3 +229,54 @@ class TestSplittingIndex:
 
 def make(coffset, uoffset):
     return bgzf.make_voffset(coffset, uoffset)
+
+
+def test_reference_splitting_bai_layout_roundtrip(tmp_path):
+    import io
+    from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+    idx = SplittingIndex(1024, [100 << 16 | 5, 5000 << 16, 90000 << 16 | 77], 123456)
+    buf = io.BytesIO()
+    idx.write_reference_layout(buf)
+    assert len(buf.getvalue()) == 8 * 4  # bare big-endian i64s, no header
+    buf.seek(0)
+    back = SplittingIndex.read_reference_layout(buf)
+    assert back.voffsets == idx.voffsets
+    assert back.file_length == idx.file_length
+
+
+def test_reference_splitting_bai_plans_identical_splits(spark, tmp_path, monkeypatch):
+    import os
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats import bam
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+    from hadoop_bam_spark.sources.bam_source import BAMReader
+
+    register_all(spark)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:100000"]
+    hdr.sequences = {"chr1": (0, 100000)}
+    rows = [
+        (f"r{i}", 0, "chr1", i * 10 + 1, 30, "8M", None, 0, 0,
+         "ACGTACGT", "IIIIIIII", {})
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, SAM_SCHEMA).coalesce(1)
+    path = str(tmp_path / "x.bam")
+    sinks.write_bam(df, path, hdr, index_granularity=64,
+                    index_splitting_bai=True)
+
+    opts = {"path": path, "split_size": "4096"}
+    parts_sbi = BAMReader(opts).partitions()
+    os.remove(path + ".sbi")  # force the .splitting-bai fallback
+    # planning must not fall back to the heuristic guesser
+    monkeypatch.setattr(
+        bam, "guess_next_record_voffset",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("guesser used")),
+    )
+    parts_ref = BAMReader(opts).partitions()
+    assert [(p.vstart, p.vend) for p in parts_ref] == [
+        (p.vstart, p.vend) for p in parts_sbi
+    ]
+    assert len(parts_ref) > 1
