@@ -95,11 +95,11 @@ class AnySAMReader(DataSourceReader):
         return parts or [EmptyPartition()]
 
     def read(self, partition):
-        from hadoop_bam_spark.sources.bam_source import BAMPartition
+        from hadoop_bam_spark.sources.bam_source import BAMPartition, RawBAMPartition
         from hadoop_bam_spark.sources.cram_source import CRAMPartition
         from hadoop_bam_spark.sources.sam_source import TextRangePartition
 
-        if isinstance(partition, BAMPartition):
+        if isinstance(partition, (BAMPartition, RawBAMPartition)):
             return self._bam.read(partition)
         if isinstance(partition, TextRangePartition):
             return self._sam.read(partition)

@@ -74,6 +74,21 @@ class BAMPartition(InputPartition):
 
 
 @dataclass
+class RawBAMPartition(InputPartition):
+    """Unaligned compressed byte range; the EXECUTOR realigns both edges to
+    record boundaries with the split guesser on first read. Planning with no
+    index therefore costs the driver zero data reads (only headers), where
+    the reference runs the guesser at plan time on the driver
+    (BAMInputFormat.addProbabilisticSplits). Both neighbors compute the same
+    deterministic alignment for a shared edge, so each record is owned by
+    exactly one partition."""
+
+    path: str
+    start: int  # raw compressed byte offset
+    end: int
+
+
+@dataclass
 class EmptyPartition(InputPartition):
     """Sentinel when planning prunes everything — Spark expects at least one
     partition object (read(None) is called otherwise)."""
@@ -120,9 +135,18 @@ class BAMReader(DataSourceReader):
                 self._rname_eq = {f.value}
         return filters
 
-    def partitions(self) -> list[BAMPartition]:
-        parts: list[BAMPartition] = []
-        plans: dict[str, list[BAMPartition]] = {}
+    @staticmethod
+    def _bounds(p) -> tuple[int, int]:
+        """Virtual-offset view of a planned partition's range (raw byte
+        ranges map to block-boundary voffsets; exact for span clamping
+        because voffset order is dominated by the compressed offset)."""
+        if isinstance(p, RawBAMPartition):
+            return p.start << 16, p.end << 16
+        return p.vstart, p.vend
+
+    def partitions(self) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        plans: dict[str, list] = {}
 
         def plan(path, refs, first_voffset, size):
             if path not in plans:
@@ -152,15 +176,14 @@ class BAMReader(DataSourceReader):
                     # BAMInputFormat.filterByInterval, BAMInputFormat.java:542-644).
                     span = idx.span_for_intervals(refs, self._intervals)
                     for p in plan(path, refs, first_voffset, size):
+                        b0, b1 = self._bounds(p)
                         cl = tuple(
-                            (max(cb, p.vstart), min(ce, p.vend))
+                            (max(cb, b0), min(ce, b1))
                             for cb, ce in span
-                            if cb < p.vend and ce > p.vstart
+                            if cb < b1 and ce > b0
                         )
                         if cl:
-                            parts.append(
-                                BAMPartition(path, p.vstart, p.vend, chunks=cl)
-                            )
+                            parts.append(BAMPartition(path, b0, b1, chunks=cl))
                 else:
                     # No index: full scan, residual overlap filter at read
                     # time (the reference instead raises; we degrade gracefully).
@@ -174,20 +197,21 @@ class BAMReader(DataSourceReader):
                 if vstart is None:
                     vstart = first_voffset
                 for p in plan(path, refs, first_voffset, size):
-                    if p.vend > vstart:
+                    b0, b1 = self._bounds(p)
+                    if b1 > vstart:
                         parts.append(
                             BAMPartition(
-                                path,
-                                max(p.vstart, vstart),
-                                p.vend,
-                                unmapped_only=True,
+                                path, max(b0, vstart), b1, unmapped_only=True
                             )
                         )
         return parts or [EmptyPartition()]
 
-    def _plan_file(self, path, refs, first_voffset, size) -> list[BAMPartition]:
+    def _plan_file(self, path, refs, first_voffset, size) -> list[InputPartition]:
+        """Index-aligned voffset splits when a splitting index exists (cheap
+        driver-side lookups, zero data reads); otherwise raw byte ranges that
+        executors realign on first read (RawBAMPartition) — at 100 TB the
+        driver must not run the guesser per split."""
         end_voffset = bgzf.make_voffset(size, 0)
-        boundaries = [first_voffset]
         sbi = None
         if os.path.exists(path + ".sbi"):
             with open(path + ".sbi", "rb") as fh:
@@ -198,26 +222,45 @@ class BAMReader(DataSourceReader):
             with open(path + ".splitting-bai", "rb") as fh:
                 sbi = SplittingIndex.read_reference_layout(fh)
         raw = self._split_size
-        pos = (first_voffset >> 16) + raw
-        with open(path, "rb") as fh:
+        if sbi is None:
+            start = first_voffset >> 16
+            bounds = [start]
+            pos = start + raw
             while pos < size:
-                if sbi is not None:
-                    v = sbi.next_record(pos)
-                else:
-                    fh.seek(pos)
-                    window = fh.read(
-                        (bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000
-                    )
-                    v = bam.guess_next_record_voffset(window, pos, len(refs))
-                if v is not None and boundaries[-1] < v < end_voffset:
-                    boundaries.append(v)
+                bounds.append(pos)
                 pos += raw
+            bounds.append(size)
+            return [
+                RawBAMPartition(path, bounds[i], bounds[i + 1])
+                for i in range(len(bounds) - 1)
+            ]
+        boundaries = [first_voffset]
+        pos = (first_voffset >> 16) + raw
+        while pos < size:
+            v = sbi.next_record(pos)
+            if v is not None and boundaries[-1] < v < end_voffset:
+                boundaries.append(v)
+            pos += raw
         boundaries.append(end_voffset)
         return [
             BAMPartition(path, boundaries[i], boundaries[i + 1])
             for i in range(len(boundaries) - 1)
             if boundaries[i] < boundaries[i + 1]
         ]
+
+    def _realign(self, fh, offset: int, n_ref: int, first_voffset: int,
+                 size: int) -> Optional[int]:
+        """First record voffset at or after raw ``offset`` (executor-side
+        guesser run; deterministic, so both sides of a shared edge agree —
+        the reference's record reader does the same at split start,
+        BAMRecordReader.java:122-175)."""
+        if offset <= first_voffset >> 16:
+            return first_voffset
+        if offset >= size:
+            return None
+        fh.seek(offset)
+        window = fh.read((bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000)
+        return bam.guess_next_record_voffset(window, offset, n_ref)
 
     @staticmethod
     def _iter_bodies(reader, vend: int) -> Iterator[bytes]:
@@ -240,42 +283,65 @@ class BAMReader(DataSourceReader):
         return arrow_batches(self._rows(partition), SAM_SCHEMA)
 
     def _rows(self, partition) -> Iterator[tuple]:
-        if not isinstance(partition, BAMPartition):
+        if not isinstance(partition, (BAMPartition, RawBAMPartition)):
             return
-        refs = next(r for p, r, _, _ in self._files if p == partition.path)
+        refs, first_voffset, size = next(
+            (r, fv, sz) for p, r, fv, sz in self._files if p == partition.path
+        )
         intervals = self._intervals
         ref_ids: Optional[set] = None
         if intervals is not None:
             name_to_id = {name: i for i, (name, _) in enumerate(refs)}
             ref_ids = {name_to_id[c] for c, _, _ in intervals if c in name_to_id}
+        if isinstance(partition, RawBAMPartition):
+            # executor-side realignment of both edges (deterministic; the
+            # neighbor computes the same right edge)
+            with open(partition.path, "rb") as fh:
+                vbeg = self._realign(fh, partition.start, len(refs),
+                                     first_voffset, size)
+                if vbeg is None:
+                    return
+                vend = self._realign(fh, partition.end, len(refs),
+                                     first_voffset, size)
+                if vend is None:
+                    vend = bgzf.make_voffset(size, 0)
+                partition = BAMPartition(partition.path, vbeg, vend)
+                reader = bgzf.BGZFReader(fh)
+                yield from self._span_rows(reader, partition, refs, ref_ids,
+                                           intervals)
+            return
         with open(partition.path, "rb") as fh:
             reader = bgzf.BGZFReader(fh)
-            if partition.unmapped_only:
-                # queryUnmapped semantics: only unplaced (refID==-1) records
-                # (reference BAMRecordReader.java:176-178).
-                reader.seek_voffset(partition.vstart)
-                for body in self._iter_bodies(reader, partition.vend):
+            yield from self._span_rows(reader, partition, refs, ref_ids, intervals)
+
+    def _span_rows(self, reader, partition: BAMPartition, refs, ref_ids,
+                   intervals) -> Iterator[tuple]:
+        if partition.unmapped_only:
+            # queryUnmapped semantics: only unplaced (refID==-1) records
+            # (reference BAMRecordReader.java:176-178).
+            reader.seek_voffset(partition.vstart)
+            for body in self._iter_bodies(reader, partition.vend):
+                (ref_id,) = struct.unpack_from("<i", body, 0)
+                if ref_id == -1:
+                    yield bam.decode_record(body, refs)
+            return
+        # Chunk-driven iteration when the planner attached index spans,
+        # else the whole split range.
+        spans = partition.chunks or ((partition.vstart, partition.vend),)
+        for vbeg, vend in spans:
+            reader.seek_voffset(vbeg)
+            for body in self._iter_bodies(reader, vend):
+                if ref_ids is not None:
+                    # fixed-field pre-check: skip full decode for records
+                    # on other contigs (analog of index-driven iteration,
+                    # reference BAMRecordReader.java:170-175)
                     (ref_id,) = struct.unpack_from("<i", body, 0)
-                    if ref_id == -1:
-                        yield bam.decode_record(body, refs)
-                return
-            # Chunk-driven iteration when the planner attached index spans,
-            # else the whole split range.
-            spans = partition.chunks or ((partition.vstart, partition.vend),)
-            for vbeg, vend in spans:
-                reader.seek_voffset(vbeg)
-                for body in self._iter_bodies(reader, vend):
-                    if ref_ids is not None:
-                        # fixed-field pre-check: skip full decode for records
-                        # on other contigs (analog of index-driven iteration,
-                        # reference BAMRecordReader.java:170-175)
-                        (ref_id,) = struct.unpack_from("<i", body, 0)
-                        if ref_id not in ref_ids:
-                            continue
-                    row = bam.decode_record(body, refs)
-                    if intervals is not None and not _overlaps(row, intervals):
+                    if ref_id not in ref_ids:
                         continue
-                    yield row
+                row = bam.decode_record(body, refs)
+                if intervals is not None and not _overlaps(row, intervals):
+                    continue
+                yield row
 
 
 def _overlaps(row: tuple, intervals: list[tuple[str, int, int]]) -> bool:

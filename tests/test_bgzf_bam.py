@@ -280,3 +280,52 @@ def test_reference_splitting_bai_plans_identical_splits(spark, tmp_path, monkeyp
         (p.vstart, p.vend) for p in parts_sbi
     ]
     assert len(parts_ref) > 1
+
+
+def test_executor_side_realignment_no_driver_guessing(spark, tmp_path, monkeypatch):
+    """No index: planning emits raw byte ranges with ZERO driver-side data
+    reads (guesser monkeypatched to fail on the driver); executors realign
+    edges and the record set matches index-aligned planning exactly."""
+    import os
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats import bam
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+    from hadoop_bam_spark.sources.bam_source import BAMReader, RawBAMPartition
+
+    register_all(spark)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:100000"]
+    hdr.sequences = {"chr1": (0, 100000)}
+    rows = [
+        (f"r{i}", 0, "chr1", i * 10 + 1, 30, "8M", None, 0, 0,
+         "ACGTACGT", "IIIIIIII", {})
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, SAM_SCHEMA).coalesce(1)
+    path = str(tmp_path / "x.bam")
+    sinks.write_bam(df, path, hdr, index_granularity=64)
+
+    with_index = sorted(
+        r.qname for r in
+        spark.read.format("bam").option("split_size", "4096").load(path).collect()
+    )
+    os.remove(path + ".sbi")
+
+    # driver-side planning must not touch record data
+    monkeypatch.setattr(
+        bam, "guess_next_record_voffset",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver guessed")),
+    )
+    reader = BAMReader({"path": path, "split_size": "4096"})
+    parts = reader.partitions()
+    assert len(parts) > 2
+    assert all(isinstance(p, RawBAMPartition) for p in parts)
+    monkeypatch.undo()
+
+    # executors (separate processes) realign and produce the same records
+    raw = sorted(
+        r.qname for r in
+        spark.read.format("bam").option("split_size", "4096").load(path).collect()
+    )
+    assert raw == with_index == sorted(q for q, *_ in rows)
