@@ -209,7 +209,9 @@ def build_bai(path: str, open_fn=open) -> BAIIndex:
                 break
             end_v = reader.tell_voffset()
             ref_id, pos0 = struct.unpack_from("<ii", body, 0)
-            (flag,) = struct.unpack_from("<H", body, 12)
+            # flag lives at offset 14 (refID i32, pos i32, l_read_name u8,
+            # mapq u8, bin u16, n_cigar_op u16, then flag u16)
+            (flag,) = struct.unpack_from("<H", body, 14)
             if ref_id < 0 or pos0 < 0:
                 n_no_coor += 1
                 continue
@@ -248,3 +250,129 @@ def build_bai(path: str, open_fn=open) -> BAIIndex:
 def read_bai(path: str, open_fn=open) -> BAIIndex:
     with open_fn(path, "rb") as fh:
         return BAIIndex.read(fh)
+
+
+# ---------------------------------------------------------------------------
+# Distributed index build: per-part stats accumulated DURING the executor
+# write (part-local voffsets), merged driver-side with offset shifting —
+# replaces a post-merge sequential re-read of the whole output, which at
+# 100 TB would double the write path through one process. The same
+# shift-and-merge idea the .sbi merge uses (SAMFileMerger.java:105-149).
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _PartRef:
+    bins: dict = field(default_factory=dict)       # bin -> [(beg_v, end_v)]
+    linear: dict = field(default_factory=dict)     # window -> min voffset
+    off_beg: int = -1
+    off_end: int = -1
+    n_mapped: int = 0
+    n_unmapped: int = 0
+
+
+class PartIndexStats:
+    """Binning-index accumulation for ONE part file, keyed by reference id
+    (BAM) or contig name (tabix). Voffsets are part-local; ``shifted``
+    rebases them onto the merged file."""
+
+    def __init__(self):
+        self.refs: dict = {}
+        self.order: list = []  # keys in first-appearance order (tabix names)
+        self.n_no_coor = 0
+
+    def add(self, key, pos0: int, end0: int, mapped: bool, at: int, end_v: int):
+        r = self.refs.get(key)
+        if r is None:
+            r = self.refs[key] = _PartRef()
+            self.order.append(key)
+        if mapped:
+            r.n_mapped += 1
+        else:
+            r.n_unmapped += 1
+        bin_ = reg2bin(pos0, end0)
+        bl = r.bins.setdefault(bin_, [])
+        if bl and (at <= bl[-1][1] or (at >> 16) <= (bl[-1][1] >> 16)):
+            bl[-1] = (bl[-1][0], max(bl[-1][1], end_v))
+        else:
+            bl.append((at, end_v))
+        if r.off_beg < 0:
+            r.off_beg = at
+        r.off_end = max(r.off_end, end_v)
+        first_win, last_win = pos0 >> LINEAR_SHIFT, max(pos0, end0 - 1) >> LINEAR_SHIFT
+        for w in range(first_win, last_win + 1):
+            prev = r.linear.get(w)
+            if prev is None or at < prev:
+                r.linear[w] = at
+
+    def add_sam_row(self, row: tuple, ref_index: dict, at: int, end_v: int):
+        """Accumulate one SAM_SCHEMA row being written at [at, end_v)."""
+        rname, pos, flag, cigar = row[2], row[3], row[1], row[5]
+        ref_id = ref_index.get(rname, -1) if rname else -1
+        pos0 = pos - 1
+        if ref_id < 0 or pos0 < 0:
+            self.n_no_coor += 1
+            return
+        mapped = not flag & 0x4
+        ref_len = cigar_ref_length(cigar) if mapped else 1
+        self.add(ref_id, pos0, pos0 + ref_len, mapped, at, end_v)
+
+
+def _shift_v(v: int, base: int) -> int:
+    return ((v >> 16) + base) << 16 | (v & 0xFFFF)
+
+
+def merge_part_stats(
+    parts: list[tuple["PartIndexStats", int]],
+    header_len: int,
+    keys: list,
+) -> dict:
+    """Merge ordered (stats, part_compressed_length) into file-level
+    RefIndex objects. ``keys`` fixes the reference order (BAM: range(n_ref);
+    tabix callers pass names in first-appearance order). Returns
+    {key: RefIndex} plus ('__n_no_coor__': int)."""
+    merged: dict = {k: RefIndex(linear=[]) for k in keys}
+    n_no_coor = 0
+    base = header_len
+    for stats, part_len in parts:
+        n_no_coor += stats.n_no_coor
+        for key, pr in stats.refs.items():
+            r = merged[key]
+            for bin_, chunks in pr.bins.items():
+                bl = r.bins.setdefault(bin_, [])
+                for b, e in chunks:
+                    b, e = _shift_v(b, base), _shift_v(e, base)
+                    if bl and (b <= bl[-1][1] or (b >> 16) <= (bl[-1][1] >> 16)):
+                        bl[-1] = (bl[-1][0], max(bl[-1][1], e))
+                    else:
+                        bl.append((b, e))
+            for w, off in pr.linear.items():
+                off = _shift_v(off, base)
+                if len(r.linear) <= w:
+                    r.linear.extend([0] * (w + 1 - len(r.linear)))
+                if r.linear[w] == 0 or off < r.linear[w]:
+                    r.linear[w] = off
+            if pr.off_beg >= 0:
+                sb = _shift_v(pr.off_beg, base)
+                if r.off_beg < 0 or sb < r.off_beg:
+                    r.off_beg = sb
+                r.off_end = max(r.off_end, _shift_v(pr.off_end, base))
+            r.n_mapped = max(r.n_mapped, 0) + pr.n_mapped
+            r.n_unmapped = max(r.n_unmapped, 0) + pr.n_unmapped
+        base += part_len
+    merged["__n_no_coor__"] = n_no_coor
+    return merged
+
+
+def bai_from_part_stats(
+    parts: list[tuple["PartIndexStats", int]], header_len: int, n_refs: int
+) -> BAIIndex:
+    merged = merge_part_stats(parts, header_len, list(range(n_refs)))
+    n_no_coor = merged.pop("__n_no_coor__")
+    refs = []
+    for i in range(n_refs):
+        r = merged[i]
+        if r.off_beg < 0:  # no records on this reference
+            r.n_mapped = -1
+            r.n_unmapped = -1
+        refs.append(r)
+    return BAIIndex(refs, n_no_coor)

@@ -74,13 +74,18 @@ def write_bam(
 
     def write_part(idx: int, rows):
         part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        stats = None
+        if index_bai:
+            from hadoop_bam_spark.formats.bai import PartIndexStats
+
+            stats = PartIndexStats()
         with open(part_path, "wb") as f:
             offsets = bam.write_bam(
                 f, header, (tuple(r) for r in rows), refs=refs,
                 write_header=False, write_terminator=False,
-                index_granularity=index_granularity,
+                index_granularity=index_granularity, stats_out=stats,
             )
-        return (idx, part_path, os.path.getsize(part_path), offsets)
+        return (idx, part_path, os.path.getsize(part_path), offsets, stats)
 
     parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
     with open(path, "wb") as out:
@@ -88,12 +93,12 @@ def write_bam(
         w.write(bam.encode_header(header, refs))
         w.close()
         header_len = out.tell()
-        for _, part_path, _, _ in parts:
+        for _, part_path, _, _, _ in parts:
             with open(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
     sbi = SplittingIndex.merge(
-        [(offs, size) for _, _, size, offs in parts], header_len, index_granularity
+        [(offs, size) for _, _, size, offs, _ in parts], header_len, index_granularity
     )
     with open(path + ".sbi", "wb") as f:
         sbi.write(f)
@@ -101,10 +106,15 @@ def write_bam(
         with open(path + ".splitting-bai", "wb") as f:
             sbi.write_reference_layout(f)
     if index_bai:
-        from hadoop_bam_spark.formats.bai import build_bai
+        # merge the per-part stats accumulated during the executor writes —
+        # no post-merge re-read of the output (formats/bai.py)
+        from hadoop_bam_spark.formats.bai import bai_from_part_stats
 
+        bai = bai_from_part_stats(
+            [(stats, size) for _, _, size, _, stats in parts], header_len, len(refs)
+        )
         with open(path + ".bai", "wb") as f:
-            build_bai(path).write(f)
+            bai.write(f)
     shutil.rmtree(parts_dir)
 
 
@@ -238,14 +248,66 @@ def write_vcf(
         raise ValueError("tabix index requires BGZF-compressed output")
     samples = header.samples
 
+    if index_tbi:
+        _write_vcf_parts_indexed(df, path, header.text, samples)
+        return
+
     def line(r):
         return format_vcf_line(tuple(r), samples)
 
     _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
-    if index_tbi:
-        from hadoop_bam_spark.formats.tabix import build_tabix, write_tabix
 
-        write_tabix(build_tabix(path), path + ".tbi")
+
+def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
+                             samples: list[str]) -> None:
+    """BGZF VCF write with the .tbi built from per-part stats accumulated in
+    the executors (part-local voffsets, driver offset-shift merge) — no
+    post-merge re-read of the output (formats/bai.py merge machinery)."""
+    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    from hadoop_bam_spark.formats.tabix import FMT_VCF, TabixIndex, write_tabix
+
+    parts_dir = path + ".__parts__"
+
+    def write_part(idx: int, rows):
+        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        stats = PartIndexStats()
+        with open(part_path, "wb") as f:
+            w = bgzf.BGZFWriter(f, write_terminator=False)
+            for r in rows:
+                at = w.tell_voffset()
+                w.write((format_vcf_line(tuple(r), samples) + "\n").encode())
+                beg0 = int(r[1]) - 1
+                end0 = beg0 + max(len(r[4] or "N"), 1)  # pos + len(ref)
+                stats.add(r[0], beg0, end0, True, at, w.tell_voffset())
+            w.close()
+        return (idx, part_path, os.path.getsize(part_path), stats)
+
+    parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
+    with open(path, "wb") as out:
+        w = bgzf.BGZFWriter(out, write_terminator=False)
+        w.write(header_text.encode())
+        w.close()
+        header_len = out.tell()
+        for _, part_path, _, _ in parts:
+            with open(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(bgzf.BGZF_EOF)
+    shutil.rmtree(parts_dir)
+    names: list[str] = []
+    seen = set()
+    for _, _, _, st in parts:
+        for k in st.order:
+            if k not in seen:
+                seen.add(k)
+                names.append(k)
+    merged = merge_part_stats(
+        [(st, size) for _, _, size, st in parts], header_len, names
+    )
+    merged.pop("__n_no_coor__")
+    idx = TabixIndex(
+        names, [merged[n] for n in names], FMT_VCF, 1, 2, 0, ord("#"), 0, 0
+    )
+    write_tabix(idx, path + ".tbi")
 
 
 def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:

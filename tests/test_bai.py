@@ -172,3 +172,78 @@ class TestBAMSourceIntervalPushdown:
         full = self._read(spark, path).rdd.getNumPartitions()
         unm = self._read(spark, path, unmapped="true").rdd.getNumPartitions()
         assert unm < full
+
+
+def test_distributed_bai_equals_post_merge_build(spark, tmp_path):
+    """write_bam(index_bai=True) now merges per-part executor stats; the
+    result must answer interval queries identically to the sequential
+    post-merge builder (build_bai) on the same multi-part file."""
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.bai import build_bai, read_bai
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:coordinate", "@SQ\tSN:chr1\tLN:2000000",
+                 "@SQ\tSN:chr2\tLN:2000000"]
+    hdr.sequences = {"chr1": (0, 2000000), "chr2": (1, 2000000)}
+    rows = []
+    for i in range(4000):
+        contig = "chr1" if i < 2500 else "chr2"
+        pos = (i % 2500) * 500 + 1
+        rows.append((f"r{i}", 0, contig, pos, 30, "100M", None, 0, 0, None, None, {}))
+    rows += [(f"u{i}", 5, "chr2", 1249001, 0, None, None, 0, 0, None, None, {})
+             for i in range(7)]  # placed unmapped
+    rows += [(f"n{i}", 77, None, 0, 0, None, None, 0, 0, None, None, {})
+             for i in range(9)]  # unplaced
+    df = (
+        spark.createDataFrame(rows, SAM_SCHEMA)
+        .orderBy("rname", "pos")  # multi-part ordered write
+    )
+    path = str(tmp_path / "d.bam")
+    sinks.write_bam(df, path, hdr, index_granularity=256, index_bai=True)
+
+    dist = read_bai(path + ".bai")
+    seq = build_bai(path)
+
+    refs = [("chr1", 2000000), ("chr2", 2000000)]
+    assert dist.n_no_coor == seq.n_no_coor == 9
+    for r_d, r_s in zip(dist.refs, seq.refs):
+        assert r_d.n_mapped == r_s.n_mapped
+        assert r_d.n_unmapped == r_s.n_unmapped
+        assert r_d.linear == r_s.linear
+        assert r_d.off_beg == r_s.off_beg
+    assert dist.start_of_last_linear_bin() == seq.start_of_last_linear_bin()
+    for iv in [[("chr1", 1, 10000)], [("chr2", 600000, 700000)],
+               [("chr1", 1999000, 2000000), ("chr2", 1, 50)]]:
+        assert dist.span_for_intervals(refs, iv) == seq.span_for_intervals(refs, iv)
+
+
+def test_distributed_tbi_equals_post_merge_build(spark, tmp_path):
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.tabix import build_tabix, read_tabix
+    from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
+
+    hdr = VCFHeader(
+        lines=["##fileformat=VCFv4.2"]
+        + [f"##contig=<ID=c{i},length=5000000>" for i in (1, 2)],
+        samples=[],
+    )
+    rows = []
+    for i in range(3000):
+        contig = "c1" if i < 2000 else "c2"
+        start = (i % 2000) * 700 + 1
+        rows.append((contig, start, start, None, "ACG", ["T"], 9.0, ["PASS"],
+                     {"DP": "3"}, []))
+    df = spark.createDataFrame(rows, VCF_SCHEMA).orderBy("contig", "start")
+    path = str(tmp_path / "d.vcf.bgz")
+    sinks.write_vcf(df, path, hdr, index_tbi=True)
+
+    dist = read_tabix(path + ".tbi")
+    seq = build_tabix(path)
+    assert dist.names == seq.names
+    for r_d, r_s in zip(dist.refs, seq.refs):
+        assert r_d.n_mapped == r_s.n_mapped
+        assert r_d.linear == r_s.linear
+    for iv in [[("c1", 1, 5000)], [("c2", 300000, 400000)],
+               [("c1", 1399000, 1400000), ("c2", 1, 800)]]:
+        assert dist.span_for_intervals(iv) == seq.span_for_intervals(iv)
