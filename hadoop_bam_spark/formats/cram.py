@@ -445,9 +445,13 @@ def iter_container_offsets(path: str, open_fn=open) -> Iterator[tuple[int, "Cont
     with open_fn(path, "rb") as fh:
         major, _ = read_file_definition(fh)
         _, pos = read_sam_header_text(fh, major)
+        import io as io_module
         import os
 
-        size = os.fstat(fh.fileno()).st_size if hasattr(fh, "fileno") else None
+        try:
+            size = os.fstat(fh.fileno()).st_size
+        except (AttributeError, OSError, ValueError, io_module.UnsupportedOperation):
+            size = None
         while True:
             fh.seek(pos)
             head = fh.read(64)

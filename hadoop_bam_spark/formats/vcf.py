@@ -109,11 +109,13 @@ def read_vcf_header(path: str, open_fn=None) -> VCFHeader:
 def _sniff_open(path: str):
     import gzip
 
-    with open(path, "rb") as probe:
+    from hadoop_bam_spark import fs
+
+    with fs.open_file(path, "rb") as probe:
         magic = probe.read(2)
     if magic == b"\x1f\x8b":
-        return gzip.open(path, "rt")
-    return open(path, "rt")
+        return gzip.open(fs.open_file(path, "rb"), "rt")
+    return fs.open_file(path, "rt")
 
 
 def parse_vcf_line(line: str, samples: list[str]) -> Optional[tuple]:

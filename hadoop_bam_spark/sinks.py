@@ -24,6 +24,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
+from hadoop_bam_spark import fs
+
 from hadoop_bam_spark.formats import bam, bgzf
 from hadoop_bam_spark.formats.sam import SAMHeader, format_sam_line
 from hadoop_bam_spark.formats.splitting_index import DEFAULT_GRANULARITY, SplittingIndex
@@ -42,7 +44,7 @@ VCF_COLS = [
 def _collect_parts(df: DataFrame, cols: list[str], parts_dir: str, write_part):
     """Run ``write_part(idx, rows_iter) -> result`` on every partition and
     return results ordered by partition index."""
-    os.makedirs(parts_dir, exist_ok=True)
+    fs.makedirs(parts_dir)
     rdd = df.select(*cols).rdd
     results = rdd.mapPartitionsWithIndex(
         lambda idx, it: iter([write_part(idx, it)])
@@ -61,9 +63,10 @@ def write_bam(
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index.
 
-    ``index_bai=True`` additionally builds a ``.bai`` binning index with one
-    sequential post-merge pass (meaningful when ``df`` is coordinate-sorted)
-    so interval reads plan index-driven splits (formats/bai.py).
+    ``index_bai=True`` additionally builds a ``.bai`` binning index from
+    per-part stats accumulated during the executor writes (no post-merge
+    re-read; meaningful when ``df`` is coordinate-sorted) so interval reads
+    plan index-driven splits (formats/bai.py).
     ``index_splitting_bai=True`` also emits the reference's
     ``.splitting-bai`` layout (big-endian i64 voffsets) so Hadoop-BAM /
     htsjdk can plan splits on our output."""
@@ -73,37 +76,37 @@ def write_bam(
     parts_dir = path + ".__parts__"
 
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
         stats = None
         if index_bai:
             from hadoop_bam_spark.formats.bai import PartIndexStats
 
             stats = PartIndexStats()
-        with open(part_path, "wb") as f:
+        with fs.open_file(part_path, "wb") as f:
             offsets = bam.write_bam(
                 f, header, (tuple(r) for r in rows), refs=refs,
                 write_header=False, write_terminator=False,
                 index_granularity=index_granularity, stats_out=stats,
             )
-        return (idx, part_path, os.path.getsize(part_path), offsets, stats)
+        return (idx, part_path, fs.file_size(part_path), offsets, stats)
 
     parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bam.encode_header(header, refs))
         w.close()
         header_len = out.tell()
         for _, part_path, _, _, _ in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
     sbi = SplittingIndex.merge(
         [(offs, size) for _, _, size, offs, _ in parts], header_len, index_granularity
     )
-    with open(path + ".sbi", "wb") as f:
+    with fs.open_file(path + ".sbi", "wb") as f:
         sbi.write(f)
     if index_splitting_bai:
-        with open(path + ".splitting-bai", "wb") as f:
+        with fs.open_file(path + ".splitting-bai", "wb") as f:
             sbi.write_reference_layout(f)
     if index_bai:
         # merge the per-part stats accumulated during the executor writes —
@@ -113,9 +116,9 @@ def write_bam(
         bai = bai_from_part_stats(
             [(stats, size) for _, _, size, _, stats in parts], header_len, len(refs)
         )
-        with open(path + ".bai", "wb") as f:
+        with fs.open_file(path + ".bai", "wb") as f:
             bai.write(f)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
 
 
 def write_cram(
@@ -142,8 +145,8 @@ def write_cram(
     parts_dir = path + ".__parts__"
 
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
-        with open(part_path, "wb") as f:
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        with fs.open_file(part_path, "wb") as f:
             w = cram.CRAMWriter(
                 f, refs, bare=True, records_per_container=records_per_container
             )
@@ -153,14 +156,14 @@ def write_cram(
         return (idx, part_path)
 
     parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         cram.write_file_definition(out)
         out.write(cram.encode_header_container(header.text))
         for _, part_path in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(cram.EOF_CONTAINER_V3)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
 
 
 def write_any_sam(
@@ -196,8 +199,8 @@ def write_any_sam(
 def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
                       line_fn, compress: bool) -> None:
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
-        with open(part_path, "wb") as f:
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        with fs.open_file(part_path, "wb") as f:
             if compress:
                 w = bgzf.BGZFWriter(f, write_terminator=False)
                 for r in rows:
@@ -209,7 +212,7 @@ def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
         return (idx, part_path)
 
     parts = _collect_parts(df, cols, parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         if compress:
             w = bgzf.BGZFWriter(out, write_terminator=False)
             w.write(header_text.encode())
@@ -217,11 +220,11 @@ def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
         else:
             out.write(header_text.encode())
         for _, part_path in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         if compress:
             out.write(bgzf.BGZF_EOF)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
 
 
 def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
@@ -269,9 +272,9 @@ def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
     parts_dir = path + ".__parts__"
 
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
         stats = PartIndexStats()
-        with open(part_path, "wb") as f:
+        with fs.open_file(part_path, "wb") as f:
             w = bgzf.BGZFWriter(f, write_terminator=False)
             for r in rows:
                 at = w.tell_voffset()
@@ -280,19 +283,19 @@ def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
                 end0 = beg0 + max(len(r[4] or "N"), 1)  # pos + len(ref)
                 stats.add(r[0], beg0, end0, True, at, w.tell_voffset())
             w.close()
-        return (idx, part_path, os.path.getsize(part_path), stats)
+        return (idx, part_path, fs.file_size(part_path), stats)
 
     parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(header_text.encode())
         w.close()
         header_len = out.tell()
         for _, part_path, _, _ in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
     names: list[str] = []
     seen = set()
     for _, _, _, st in parts:
@@ -321,8 +324,8 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:
     parts_dir = path + ".__parts__"
 
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
-        with open(part_path, "wb") as f:
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        with fs.open_file(part_path, "wb") as f:
             w = bgzf.BGZFWriter(f, write_terminator=False)
             for r in rows:
                 w.write(bcfmod.encode_record(tuple(r), bhdr))
@@ -330,15 +333,15 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:
         return (idx, part_path)
 
     parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bcfmod.encode_header(bhdr))
         w.close()
         for _, part_path in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
 
 
 def _synthesize_name(r) -> str:
@@ -385,8 +388,8 @@ def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
     prepared = df.repartition("contig").sortWithinPartitions("contig", "pos")
 
     def write_part(idx: int, rows):
-        part_path = os.path.join(parts_dir, f"part-{idx:05d}")
-        with open(part_path, "wb") as f:
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        with fs.open_file(part_path, "wb") as f:
             cur = None
             for r in rows:
                 if r.contig != cur:
@@ -396,11 +399,11 @@ def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
         return (idx, part_path)
 
     parts = _collect_parts(prepared, ["contig", "pos", "seq"], parts_dir, write_part)
-    with open(path, "wb") as out:
+    with fs.open_file(path, "wb") as out:
         for _, part_path in parts:
-            with open(part_path, "rb") as f:
+            with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
-    shutil.rmtree(parts_dir)
+    fs.remove_tree(parts_dir)
     if index_fai:
         build_fai(path, path + ".fai")
 
@@ -408,7 +411,7 @@ def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
 def build_fai(path: str, fai_path: str) -> None:
     """samtools-faidx layout: name, length, offset, linebases, linewidth."""
     rows = []
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         name, length, offset, linebases, linewidth = None, 0, 0, 0, 0
         pos = 0
         for raw in fh:
@@ -426,7 +429,7 @@ def build_fai(path: str, fai_path: str) -> None:
             pos += len(raw)
         if name is not None:
             rows.append((name, length, offset, linebases, linewidth))
-    with open(fai_path, "w") as out:
+    with fs.open_file(fai_path, "w") as out:
         for r in rows:
             out.write("\t".join(str(x) for x in r) + "\n")
 

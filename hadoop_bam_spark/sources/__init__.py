@@ -114,9 +114,8 @@ def arrow_batches(rows, spark_schema, batch_rows: int = ARROW_BATCH_ROWS):
 
 
 def local_path(path: str) -> str:
-    """Strip a file:// scheme; these sources address the shared filesystem
-    (local in tests, a mounted DFS/object store in production — swap the
-    open() calls for fsspec to target S3/HDFS without touching planning)."""
+    """Strip a file:// scheme (see hadoop_bam_spark.fs for the filesystem
+    seam — schemed paths route through fsspec when installed)."""
     if path.startswith("file://"):
         return path[7:]
     return path
@@ -125,16 +124,17 @@ def local_path(path: str) -> str:
 def list_format_files(path: str, *exts: str) -> list[str]:
     """A path is one file, a comma-joined list, or a directory of files with
     the given suffixes (index sidecars are skipped — reference
-    BAMInputFormat.java:201-209)."""
-    import os
+    BAMInputFormat.java:201-209). Directory listing goes through the
+    filesystem seam, so s3://... directories work when fsspec is present."""
+    from hadoop_bam_spark import fs
 
     if "," in path:
         return [f for p in path.split(",") for f in list_format_files(p, *exts)]
     p = local_path(path)
-    if os.path.isdir(p):
+    if fs.is_dir(p):
         return sorted(
-            os.path.join(p, f)
-            for f in os.listdir(p)
+            fs.join(p, f)
+            for f in fs.listdir(p)
             if f.endswith(exts) and not f.startswith("_") and not f.startswith(".")
         )
     return [p]

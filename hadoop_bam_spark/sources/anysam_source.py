@@ -25,10 +25,12 @@ from hadoop_bam_spark.sources import list_format_files
 ANYSAM_EXTS = (".bam", ".sam", ".cram")
 
 
-def sniff_sam_format(path: str, open_fn=open) -> str:
+def sniff_sam_format(path: str, open_fn=None) -> str:
     """'bam' | 'cram' | 'sam' from file content (SAMFormat.java:38-62:
     CRAM magic, else gzip-wrapped 'BAM\\1', else SAM text)."""
-    with open_fn(path, "rb") as fh:
+    from hadoop_bam_spark import fs
+
+    with (open_fn or fs.open_file)(path, "rb") as fh:
         head = fh.read(4096)
     if head[:4] == b"CRAM":
         return "cram"

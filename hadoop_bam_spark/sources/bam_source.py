@@ -33,6 +33,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats import bam, bgzf
 from hadoop_bam_spark.formats.sam import SAM_SCHEMA
 from hadoop_bam_spark.formats.splitting_index import SplittingIndex
@@ -121,10 +122,10 @@ class BAMReader(DataSourceReader):
         # (reference util/SAMHeaderReader.java:48-75)
         self._files: list[tuple[str, list[tuple[str, int]], int, int]] = []
         for f in list_format_files(self._path, ".bam"):
-            with open(f, "rb") as fh:
+            with fs.open_file(f, "rb") as fh:
                 r = bgzf.BGZFReader(fh)
                 _, refs, first_voffset = bam.read_header(r)
-                size = os.path.getsize(f)
+            size = fs.file_size(f)
             self._files.append((f, refs, first_voffset, size))
 
     def pushFilters(self, filters):
@@ -162,10 +163,10 @@ class BAMReader(DataSourceReader):
                 parts.extend(plan(path, refs, first_voffset, size))
                 continue
             idx = None
-            if os.path.exists(path + ".bai"):
+            if fs.exists(path + ".bai"):
                 from hadoop_bam_spark.formats.bai import read_bai
 
-                idx = read_bai(path + ".bai")
+                idx = read_bai(path + ".bai", open_fn=fs.open_file)
             if self._intervals is not None and any(
                 c in contigs for c, _, _ in self._intervals
             ):
@@ -213,13 +214,13 @@ class BAMReader(DataSourceReader):
         driver must not run the guesser per split."""
         end_voffset = bgzf.make_voffset(size, 0)
         sbi = None
-        if os.path.exists(path + ".sbi"):
-            with open(path + ".sbi", "rb") as fh:
+        if fs.exists(path + ".sbi"):
+            with fs.open_file(path + ".sbi", "rb") as fh:
                 sbi = SplittingIndex.read(fh)
-        elif os.path.exists(path + ".splitting-bai"):
+        elif fs.exists(path + ".splitting-bai"):
             # reference Hadoop-BAM/htsjdk sidecar layout
             # (SplittingBAMIndex.java:53-73)
-            with open(path + ".splitting-bai", "rb") as fh:
+            with fs.open_file(path + ".splitting-bai", "rb") as fh:
                 sbi = SplittingIndex.read_reference_layout(fh)
         raw = self._split_size
         if sbi is None:
@@ -296,7 +297,7 @@ class BAMReader(DataSourceReader):
         if isinstance(partition, RawBAMPartition):
             # executor-side realignment of both edges (deterministic; the
             # neighbor computes the same right edge)
-            with open(partition.path, "rb") as fh:
+            with fs.open_file(partition.path, "rb") as fh:
                 vbeg = self._realign(fh, partition.start, len(refs),
                                      first_voffset, size)
                 if vbeg is None:
@@ -310,7 +311,7 @@ class BAMReader(DataSourceReader):
                 yield from self._span_rows(reader, partition, refs, ref_ids,
                                            intervals)
             return
-        with open(partition.path, "rb") as fh:
+        with fs.open_file(partition.path, "rb") as fh:
             reader = bgzf.BGZFReader(fh)
             yield from self._span_rows(reader, partition, refs, ref_ids, intervals)
 

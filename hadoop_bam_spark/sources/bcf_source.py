@@ -18,6 +18,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats import bcf, bgzf
 from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
 from hadoop_bam_spark.sources import list_format_files
@@ -34,7 +35,7 @@ _GUESS_WINDOW = 8 * 0x10000
 def sniff_bcf(path: str) -> Optional[str]:
     """'bgzf' | 'plain' when the file is BCF2 (possibly BGZF-wrapped),
     else None — content sniff as in VCFFormat.java:59-82."""
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         head = fh.read(0x10000 + 18)
     if head[:4] == bcf.BCF_MAGIC:
         return "plain"
@@ -64,9 +65,9 @@ def read_header(path: str, kind: str) -> tuple[bcf.BCFHeader, int]:
     header_end is a byte offset (plain) or the uncompressed length of the
     header prefix (bgzf)."""
     if kind == "plain":
-        with open(path, "rb") as fh:
+        with fs.open_file(path, "rb") as fh:
             return bcf.read_bcf_header(fh)
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         return bcf.read_bcf_header(bgzf.BGZFReader(fh))
 
 
@@ -75,7 +76,7 @@ class _BgzfByteFeed:
     which block each buffered byte came from (for split-ownership checks)."""
 
     def __init__(self, path: str, start_coffset: int):
-        self._fh = open(path, "rb")
+        self._fh = fs.open_file(path, "rb")
         self._it = bgzf.iter_blocks(self._fh, start_coffset)
         self.buf = bytearray()
         self.base = 0  # bytes dropped from the front so far
@@ -124,8 +125,8 @@ class _BgzfByteFeed:
 def _iter_plain(
     partition: BCFPlainPartition, hdr: bcf.BCFHeader, header_end: int
 ) -> Iterator[tuple]:
-    size = os.path.getsize(partition.path)
-    with open(partition.path, "rb") as fh:
+    size = fs.file_size(partition.path)
+    with fs.open_file(partition.path, "rb") as fh:
         if partition.start <= header_end:
             start = header_end
         else:
@@ -144,7 +145,7 @@ def _iter_plain(
         l_shared, l_indiv = struct.unpack_from("<II", buf, off)
         need = off + 8 + l_shared + l_indiv
         if need > len(buf):  # record straddles our overshoot window: extend
-            with open(partition.path, "rb") as fh:
+            with fs.open_file(partition.path, "rb") as fh:
                 fh.seek(start)
                 buf = fh.read(need + _GUESS_WINDOW)
         row, off = bcf.decode_record(buf, off, hdr)
@@ -217,7 +218,7 @@ class BCFReader(DataSourceReader):
     def partitions(self):
         parts: list[InputPartition] = []
         for f, (kind, _, _) in self._files.items():
-            size = os.path.getsize(f)
+            size = fs.file_size(f)
             if kind == "plain":
                 bounds = list(range(0, size, self._split_size)) + [size]
                 parts.extend(
@@ -226,7 +227,7 @@ class BCFReader(DataSourceReader):
                 )
             else:
                 def read_range(p, start, length):
-                    with open(p, "rb") as fh:
+                    with fs.open_file(p, "rb") as fh:
                         fh.seek(start)
                         return fh.read(length)
 

@@ -23,6 +23,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats import cram
 from hadoop_bam_spark.formats.sam import SAM_SCHEMA
 from hadoop_bam_spark.sources import list_format_files
@@ -60,13 +61,17 @@ class CRAMReader(DataSourceReader):
         # (reference CRAMInputFormat.getSplits, CRAMInputFormat.java:31-80)
         self._files: list[tuple[str, int, list[tuple[str, int]], list[str]]] = []
         for f in list_format_files(self._path, ".cram"):
-            major, _text, refs, rgs, _pos = cram.read_cram_file_header(f)
+            major, _text, refs, rgs, _pos = cram.read_cram_file_header(
+                f, open_fn=fs.open_file
+            )
             self._files.append((f, major, refs, rgs))
 
     def partitions(self) -> list[CRAMPartition]:
         parts: list[CRAMPartition] = []
         for path, _major, _refs, _rgs in self._files:
-            offsets = [off for off, _hdr in cram.iter_container_offsets(path)]
+            offsets = [
+                off for off, _hdr in cram.iter_container_offsets(path, open_fn=fs.open_file)
+            ]
             if not offsets:
                 continue
             # greedy container grouping to ~split_size compressed bytes
@@ -94,9 +99,10 @@ class CRAMReader(DataSourceReader):
         major, refs, rgs = next(
             (m, r, g) for p, m, r, g in self._files if p == partition.path
         )
-        ref_fasta = cram.FastaRef(self._reference) if self._reference else None
+        ref_fasta = (cram.FastaRef(self._reference, open_fn=fs.open_file)
+                     if self._reference else None)
         dec = cram.ContainerDecoder(major, refs, ref_fasta=ref_fasta, read_groups=rgs)
-        with open(partition.path, "rb") as fh:
+        with fs.open_file(partition.path, "rb") as fh:
             pos = partition.start
             while pos < partition.end:
                 fh.seek(pos)

@@ -19,6 +19,7 @@ from typing import Iterator, Optional
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.sources import list_format_files
 
 FASTA_SCHEMA = T.StructType(
@@ -40,7 +41,7 @@ class FastaPartition(InputPartition):
 def read_fai(path: str) -> list[tuple[str, int, int, int, int]]:
     """faidx rows: (name, length, offset, linebases, linewidth)."""
     out = []
-    with open(path) as fh:
+    with fs.open_file(path, "rt") as fh:
         for line in fh:
             f = line.rstrip("\n").split("\t")
             if len(f) >= 5:
@@ -50,7 +51,7 @@ def read_fai(path: str) -> list[tuple[str, int, int, int, int]]:
 
 def iter_contig_lines(path: str, offset: int, contig: str) -> Iterator[tuple]:
     pos = 1
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         fh.seek(offset)
         for raw in fh:
             line = raw.decode().strip()
@@ -63,7 +64,7 @@ def iter_contig_lines(path: str, offset: int, contig: str) -> Iterator[tuple]:
 
 def iter_whole_file(path: str) -> Iterator[tuple]:
     contig, pos = None, 1
-    with open(path) as fh:
+    with fs.open_file(path, "rt") as fh:
         for raw in fh:
             line = raw.strip()
             if line.startswith(">"):
@@ -97,7 +98,7 @@ class FastaReader(DataSourceReader):
         parts: list[FastaPartition] = []
         for f in self._files:
             fai = f + ".fai"
-            if os.path.exists(fai):
+            if fs.exists(fai):
                 parts.extend(
                     FastaPartition(f, offset, name)
                     for name, _len, offset, _lb, _lw in read_fai(fai)

@@ -24,6 +24,7 @@ from typing import Iterator, Optional
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.sources.sam_source import plan_text_splits
 
 FASTQ_SCHEMA = T.StructType(
@@ -79,7 +80,7 @@ def iter_fastq_records(path: str, start: int, end: int,
                        stringency: str = "strict") -> Iterator[tuple]:
     """Records whose FIRST line starts in [start, end); the reader realigns
     to the first provable record boundary at or after ``start``."""
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         fh.seek(start)
         if start > 0:
             fh.readline()  # partial line belongs to the previous split

@@ -18,6 +18,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats.sam import SAM_SCHEMA, parse_sam_line
 from hadoop_bam_spark.sources import list_format_files
 
@@ -34,7 +35,7 @@ class TextRangePartition(InputPartition):
 def plan_text_splits(path: str, split_size: int, exts: tuple[str, ...]) -> list[TextRangePartition]:
     parts = []
     for f in list_format_files(path, *exts):
-        size = os.path.getsize(f)
+        size = fs.file_size(f)
         if size == 0:
             continue
         n = max(1, (size + split_size - 1) // split_size)
@@ -52,7 +53,7 @@ def iter_lines(partition: TextRangePartition) -> Iterator[str]:
     (possibly partial) line, so the previous split reads one line past its
     end; a line starting exactly ON a boundary belongs to the EARLIER split.
     """
-    with open(partition.path, "rb") as fh:
+    with fs.open_file(partition.path, "rb") as fh:
         fh.seek(partition.start)
         if partition.start > 0:
             fh.readline()  # owned by the previous split

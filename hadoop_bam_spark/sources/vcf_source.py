@@ -24,6 +24,7 @@ from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats import bgzf
 from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
 from hadoop_bam_spark.sources import list_format_files
@@ -60,7 +61,7 @@ def iter_bgzf_owned_lines(
     block boundary it additionally owns the first line of the boundary
     block (the next split can't see backwards to claim it)."""
     skip_first = start_coffset > 0
-    with open(path, "rb") as fh:
+    with fs.open_file(path, "rb") as fh:
         pending = b""
         pending_start: Optional[int] = None  # block of pending's first byte
         pending_at_block_start = False  # pending began at uoffset 0
@@ -102,10 +103,10 @@ def iter_bgzf_owned_lines(
 
 
 def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
-    size = os.path.getsize(path)
+    size = fs.file_size(path)
 
     def read_range(p, start, length):
-        with open(p, "rb") as fh:
+        with fs.open_file(p, "rb") as fh:
             fh.seek(start)
             return fh.read(length)
 
@@ -115,8 +116,8 @@ def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
 
 def sniff_vcf_compression(path: str) -> str:
     """'plain' | 'bgzf' | 'gzip' (content sniff beats extension)."""
-    with open(path, "rb") as fh:
-        head = fh.read(bgzf.MAX_GUESS_BYTES if os.path.getsize(path) < 1 << 16 else 4096)
+    with fs.open_file(path, "rb") as fh:
+        head = fh.read(bgzf.MAX_GUESS_BYTES if fs.file_size(path) < 1 << 16 else 4096)
     if head[:2] == b"\x1f\x8b":
         return "bgzf" if bgzf.is_bgzf(head) else "gzip"
     return "plain"
@@ -174,7 +175,7 @@ class VCFReader(DataSourceReader):
                 parts.extend(plan_text_splits(f, self._split_size, ()))
             elif kind == "bgzf":
                 splits = plan_bgzf_splits(f, self._split_size)
-                if self._intervals is not None and os.path.exists(f + ".tbi"):
+                if self._intervals is not None and fs.exists(f + ".tbi"):
                     splits = self._filter_splits_by_tabix(f, splits)
                 parts.extend(splits)
             else:  # non-BGZF gzip: not splittable
@@ -196,7 +197,9 @@ class VCFReader(DataSourceReader):
         boundary-line ownership."""
         from hadoop_bam_spark.formats.tabix import read_tabix
 
-        span = read_tabix(path + ".tbi").span_for_intervals(self._intervals)
+        span = read_tabix(path + ".tbi", open_fn=fs.open_file).span_for_intervals(
+            self._intervals
+        )
         if not span:
             return []
         # chunk voffsets -> compressed block ranges [cbeg, cend_exclusive)
@@ -240,7 +243,7 @@ class VCFReader(DataSourceReader):
             samples = self._samples[partition.path]
             lines = (
                 l.rstrip("\n")
-                for l in gzip.open(partition.path, "rt", encoding="utf-8")
+                for l in gzip.open(fs.open_file(partition.path, "rb"), "rt", encoding="utf-8")
             )
         from hadoop_bam_spark.sources import apply_stringency
 
