@@ -297,3 +297,105 @@ def align_splits(
         for i in range(len(boundaries) - 1)
         if boundaries[i] < boundaries[i + 1]
     ]
+
+
+# ---------------------------------------------------------------------------
+# .bgzfi block index (reference util/BGZFBlockIndexer.java:92-178 writes the
+# big-endian 6-byte offset of every G-th block, terminated by the file
+# length; util/BGZFBlockIndex.java reads it and adds offset 0). With the
+# sidecar present, split alignment is a pure lookup — no data reads.
+# ---------------------------------------------------------------------------
+
+class BGZFBlockIndex:
+    """Sorted block-start offsets (subset, every G-th) + file length."""
+
+    def __init__(self, offsets: list[int], file_size: int):
+        # the offset after the final block == file_size: not a block start
+        self.offsets = sorted({o for o in offsets if 0 <= o < file_size} | {0})
+        self.file_size = file_size
+
+    def next_block(self, pos: int) -> Optional[int]:
+        """First indexed block offset strictly after ``pos``
+        (BGZFBlockIndex.nextBlock)."""
+        import bisect
+
+        i = bisect.bisect_right(self.offsets, pos)
+        return self.offsets[i] if i < len(self.offsets) else None
+
+    def prev_block(self, pos: int) -> Optional[int]:
+        import bisect
+
+        i = bisect.bisect_right(self.offsets, pos) - 1
+        return self.offsets[i] if i >= 0 else None
+
+    def write(self, fh: BinaryIO) -> None:
+        """Reference layout: entries except offset 0, then file length."""
+        for off in self.offsets:
+            if off != 0:
+                fh.write(off.to_bytes(6, "big"))
+        fh.write(self.file_size.to_bytes(6, "big"))
+
+    @classmethod
+    def read(cls, fh: BinaryIO) -> "BGZFBlockIndex":
+        data = fh.read()
+        if len(data) < 6 or len(data) % 6:
+            raise ValueError("invalid .bgzfi: not a multiple of 6 bytes")
+        vals = [
+            int.from_bytes(data[i : i + 6], "big") for i in range(0, len(data), 6)
+        ]
+        if any(a > b for a, b in zip(vals, vals[1:])):
+            raise ValueError("invalid .bgzfi: offsets not in order")
+        return cls(vals[:-1], vals[-1])
+
+
+def build_bgzfi(path: str, granularity: int = 1024, open_fn=None) -> BGZFBlockIndex:
+    """One header-skipping pass over a BGZF file -> BGZFBlockIndex (the
+    offline analog of the reference's BGZFBlockIndexer main)."""
+    if open_fn is None:
+        from hadoop_bam_spark import fs
+
+        open_fn = fs.open_file
+    offsets = []
+    pos = 0
+    n = 0
+    with open_fn(path, "rb") as fh:
+        buf = b""
+        buf_at = 0
+        while True:
+            if pos - buf_at + 64 > len(buf):
+                fh.seek(pos)
+                buf = fh.read(1 << 20)
+                buf_at = pos
+                if len(buf) < 18:
+                    break
+            bs = block_size_at(buf, pos - buf_at)
+            if bs is None:
+                raise ValueError(f"not a BGZF block at offset {pos}")
+            n += 1
+            pos += bs
+            if n % granularity == 0:
+                offsets.append(pos)  # offset AFTER every G-th block
+    return BGZFBlockIndex(offsets, pos)
+
+
+def align_splits_indexed(
+    path: str, index: BGZFBlockIndex, target_split_bytes: int
+) -> list[BGZFSplit]:
+    """Block-aligned splits from a .bgzfi — pure lookups, zero data reads
+    (reference BGZFSplitFileInputFormat with the sidecar present)."""
+    file_size = index.file_size
+    if file_size <= 0:
+        return []
+    boundaries = [0]
+    pos = target_split_bytes
+    while pos < file_size:
+        b = index.next_block(pos - 1)
+        if b is not None and boundaries[-1] < b < file_size:
+            boundaries.append(b)
+        pos += target_split_bytes
+    boundaries.append(file_size)
+    return [
+        BGZFSplit(path, boundaries[i], boundaries[i + 1])
+        for i in range(len(boundaries) - 1)
+        if boundaries[i] < boundaries[i + 1]
+    ]

@@ -223,6 +223,34 @@ class BAMReader(DataSourceReader):
             with fs.open_file(path + ".splitting-bai", "rb") as fh:
                 sbi = SplittingIndex.read_reference_layout(fh)
         raw = self._split_size
+        if sbi is None and fs.exists(path + ".bai"):
+            # BAI-based split calculation (reference BAMInputFormat.java:
+            # 333-477): linear-index entries are real record voffsets, so
+            # raw edges snap to the first entry at-or-after each boundary —
+            # driver-side lookups only, no guessing.
+            import bisect
+
+            from hadoop_bam_spark.formats.bai import read_bai
+
+            idx = read_bai(path + ".bai", open_fn=fs.open_file)
+            lin = sorted(
+                {v for r in idx.refs for v in r.linear if v > 0}
+            )
+            if lin:
+                end_v = bgzf.make_voffset(size, 0)
+                boundaries = [first_voffset]
+                pos = (first_voffset >> 16) + raw
+                while pos < size:
+                    i = bisect.bisect_left(lin, pos << 16)
+                    if i < len(lin) and boundaries[-1] < lin[i] < end_v:
+                        boundaries.append(lin[i])
+                    pos += raw
+                boundaries.append(end_v)
+                return [
+                    BAMPartition(path, boundaries[i], boundaries[i + 1])
+                    for i in range(len(boundaries) - 1)
+                    if boundaries[i] < boundaries[i + 1]
+                ]
         if sbi is None:
             start = first_voffset >> 16
             bounds = [start]

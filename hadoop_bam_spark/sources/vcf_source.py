@@ -103,6 +103,15 @@ def iter_bgzf_owned_lines(
 
 
 def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
+    if fs.exists(path + ".bgzfi"):
+        # sidecar block index: pure-lookup split alignment, zero data reads
+        # (reference util/BGZFBlockIndex.java + BGZFSplitFileInputFormat)
+        with fs.open_file(path + ".bgzfi", "rb") as fh:
+            idx = bgzf.BGZFBlockIndex.read(fh)
+        splits = bgzf.align_splits_indexed(path, idx, split_size)
+        return [
+            BGZFTextPartition(s.path, s.start_coffset, s.end_coffset) for s in splits
+        ]
     size = fs.file_size(path)
 
     def read_range(p, start, length):
