@@ -142,9 +142,17 @@ def _decode_tags(buf: bytes) -> dict[str, str]:
     return tags
 
 
-def decode_record(buf: bytes, refs: list[tuple[str, int]]) -> tuple:
+def decode_record(
+    buf: bytes, refs: list[tuple[str, int]], wanted: Optional[frozenset] = None
+) -> tuple:
     """One alignment record body (without leading block_size) -> SAM row tuple
     (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual, tags).
+
+    ``wanted`` (None = all) skips building the expensive variable-block
+    fields — cigar/seq/qual strings and the tag parse — when the projection
+    doesn't need them; skipped fields come back None. The Spark-side analog
+    of the reference's lazy decode (LazyBAMRecordFactory.java:53-111), driven
+    here by the source's pruned schema instead of first-touch.
     """
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
@@ -153,17 +161,21 @@ def decode_record(buf: bytes, refs: list[tuple[str, int]]) -> tuple:
     p += l_read_name
     cigar = None
     if n_cigar:
-        ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
+        if wanted is None or "cigar" in wanted:
+            ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
+            cigar = "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in ops)
         p += 4 * n_cigar
-        cigar = "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in ops)
-    seq = _decode_seq(buf[p : p + (l_seq + 1) // 2], l_seq)
+    seq = None
+    if wanted is None or "seq" in wanted:
+        seq = _decode_seq(buf[p : p + (l_seq + 1) // 2], l_seq)
     p += (l_seq + 1) // 2
-    qual_raw = buf[p : p + l_seq]
-    p += l_seq
     qual = None
-    if l_seq and qual_raw and qual_raw[0] != 0xFF:
-        qual = "".join(chr(q + 33) for q in qual_raw)
-    tags = _decode_tags(buf[p:])
+    if wanted is None or "qual" in wanted:
+        qual_raw = buf[p : p + l_seq]
+        if l_seq and qual_raw and qual_raw[0] != 0xFF:
+            qual = "".join(chr(q + 33) for q in qual_raw)
+    p += l_seq
+    tags = _decode_tags(buf[p:]) if wanted is None or "tags" in wanted else None
     rname = refs[ref_id][0] if 0 <= ref_id < len(refs) else None
     rnext = refs[next_ref][0] if 0 <= next_ref < len(refs) else None
     return (

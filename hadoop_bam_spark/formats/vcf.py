@@ -118,8 +118,16 @@ def _sniff_open(path: str):
     return fs.open_file(path, "rt")
 
 
-def parse_vcf_line(line: str, samples: list[str]) -> Optional[tuple]:
-    """One data line -> tuple matching VCF_SCHEMA (None for header lines)."""
+def parse_vcf_line(
+    line: str, samples: list[str], wanted: Optional[frozenset] = None
+) -> Optional[tuple]:
+    """One data line -> tuple matching VCF_SCHEMA (None for header lines).
+
+    ``wanted`` (None = all) skips the INFO-map and per-sample genotype
+    parses when the projection doesn't need them — the engine's analog of
+    the reference's lazy genotype decode
+    (LazyParsingGenotypesContext.java:28-33). INFO is still parsed when
+    ``end`` is requested (END key drives the end coordinate)."""
     if not line or line.startswith("#"):
         return None
     f = line.rstrip("\r\n").split("\t")
@@ -127,8 +135,9 @@ def parse_vcf_line(line: str, samples: list[str]) -> Optional[tuple]:
         raise ValueError(f"VCF line has {len(f)} fields, expected >= 8")
     contig, pos_s, vid, ref, alt, qual_s, filt, info_s = f[:8]
     pos = int(pos_s)
-    info: dict[str, str] = {}
-    if info_s != ".":
+    need_info = wanted is None or "info" in wanted or "end" in wanted
+    info: Optional[dict[str, str]] = {} if need_info else None
+    if need_info and info_s != ".":
         for item in info_s.split(";"):
             if not item:
                 continue
@@ -137,9 +146,11 @@ def parse_vcf_line(line: str, samples: list[str]) -> Optional[tuple]:
                 info[k] = v
             else:
                 info[item] = "true"
-    end = int(info["END"]) if "END" in info else pos + len(ref) - 1
+    end = None
+    if need_info:
+        end = int(info["END"]) if "END" in info else pos + len(ref) - 1
     genotypes = None
-    if len(f) > 9 and samples:
+    if (wanted is None or "genotypes" in wanted) and len(f) > 9 and samples:
         fmt_keys = f[8].split(":")
         genotypes = []
         for sample, col in zip(samples, f[9:]):

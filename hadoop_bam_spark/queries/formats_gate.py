@@ -120,6 +120,48 @@ def bam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_back(back)
 
 
+_BAM_PROJECTION_ORACLE = f"""
+    WITH {READS_CTE}
+    SELECT CASE WHEN ref_idx < 0 THEN NULL
+                ELSE 'chr' || (ref_idx + 1)::VARCHAR END AS rname,
+           count(*) AS n,
+           sum(pos)::BIGINT AS sum_pos,
+           sum(flag)::BIGINT AS sum_flag
+    FROM reads
+    GROUP BY 1
+"""
+
+
+@query(
+    "bam_lazy_projection",
+    oracle=_BAM_PROJECTION_ORACLE,
+    doc="Source-side projection (SURVEY §2.3): read the BAM back with "
+    "option('columns', 'flag,rname,pos') so the source prunes its declared "
+    "schema and skips decoding cigar/seq/qual/tags entirely — the Spark "
+    "analog of the reference's lazy decode "
+    "(LazyBAMRecordFactory.java:53-111). Oracle aggregates the derivation.",
+)
+def bam_lazy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _workdir(sf_dir, "bamproj")
+    path = os.path.join(d, "reads.bam")
+    sinks.write_bam(_sam_df(spark, sf_dir), path, _sam_header(), index_granularity=1024)
+    back = (
+        spark.read.format("bam")
+        .option("split_size", str(_SPLIT))
+        .option("columns", "flag,rname,pos")
+        .load(path)
+    )
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum("flag").alias("sum_flag"),
+    )
+
+
 _BAM_INTERVAL_ORACLE = f"""
     WITH {READS_CTE}
     SELECT 'chr' || (ref_idx + 1)::VARCHAR AS rname,

@@ -74,6 +74,37 @@ def apply_stringency(stringency: str, exc: Exception, context: str) -> None:
         )
 
 
+def pruned_schema(full_schema, options):
+    """Resolve ``option("columns", "a,b,c")`` -> (schema, keep_indices).
+
+    The engine's projection operator (SURVEY §2.3): the reference defers
+    field decode until touched (LazyBAMRecordFactory.java:53-111,
+    LazyParsingGenotypesContext.java:28-33); here the source narrows its
+    declared schema so unrequested columns are never decoded, built, or
+    shipped through Arrow at all. Column order follows the full schema, not
+    the option string. Returns (full_schema, None) when the option is absent.
+    """
+    spec = options.get("columns")
+    if not spec:
+        return full_schema, None
+    wanted = {c.strip() for c in spec.split(",") if c.strip()}
+    names = [f.name for f in full_schema.fields]
+    unknown = sorted(wanted - set(names))
+    if unknown:
+        raise ValueError(f"unknown columns {unknown}; available: {names}")
+    from pyspark.sql.types import StructType
+
+    keep = [i for i, n in enumerate(names) if n in wanted]
+    return StructType([full_schema.fields[i] for i in keep]), keep
+
+
+def project_rows(rows, keep):
+    """Prune full-width row tuples down to the kept schema positions."""
+    if keep is None:
+        return rows
+    return (tuple(row[i] for i in keep) for row in rows)
+
+
 #: Rows per Arrow batch handed to Spark. Large enough to amortize the
 #: Python->JVM transfer, small enough to keep per-batch memory modest.
 ARROW_BATCH_ROWS = 4096
@@ -91,7 +122,8 @@ def arrow_batches(rows, spark_schema, batch_rows: int = ARROW_BATCH_ROWS):
     maps dicts (pyarrow converts both)."""
     import pyarrow as pa
 
-    key = id(spark_schema)
+    # keyed by content, not id(): pruned schemas are per-reader instances
+    key = spark_schema.json()
     cached = _ARROW_SCHEMA_CACHE.get(key)
     if cached is None:
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -50,7 +50,9 @@ class AnySAMDataSource(DataSource):
         return "sam_any"
 
     def schema(self):
-        return SAM_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(SAM_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "AnySAMReader":
         return AnySAMReader(self.options)

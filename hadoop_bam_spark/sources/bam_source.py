@@ -101,7 +101,9 @@ class BAMDataSource(DataSource):
         return "bam"
 
     def schema(self):
-        return SAM_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(SAM_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "BAMReader":
         return BAMReader(self.options)
@@ -117,6 +119,18 @@ class BAMReader(DataSourceReader):
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
         self._unmapped = str(options.get("unmapped", "false")).lower() == "true"
+        from hadoop_bam_spark.sources import pruned_schema
+
+        self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
+        #: fields to actually decode: the projection, plus cigar when an
+        #: interval residual needs reference-length arithmetic (lazy decode,
+        #: reference LazyBAMRecordFactory.java:53-111)
+        self._wanted: Optional[frozenset] = None
+        if self._keep is not None:
+            names = {SAM_SCHEMA.fields[i].name for i in self._keep}
+            if self._intervals is not None:
+                names.add("cigar")
+            self._wanted = frozenset(names)
         self._rname_eq: Optional[set] = None
         # header/refs per file, read once on the driver
         # (reference util/SAMHeaderReader.java:48-75)
@@ -307,9 +321,11 @@ class BAMReader(DataSourceReader):
             yield body
 
     def read(self, partition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition) -> Iterator[tuple]:
         if not isinstance(partition, (BAMPartition, RawBAMPartition)):
@@ -352,7 +368,7 @@ class BAMReader(DataSourceReader):
             for body in self._iter_bodies(reader, partition.vend):
                 (ref_id,) = struct.unpack_from("<i", body, 0)
                 if ref_id == -1:
-                    yield bam.decode_record(body, refs)
+                    yield bam.decode_record(body, refs, self._wanted)
             return
         # Chunk-driven iteration when the planner attached index spans,
         # else the whole split range.
@@ -367,7 +383,7 @@ class BAMReader(DataSourceReader):
                     (ref_id,) = struct.unpack_from("<i", body, 0)
                     if ref_id not in ref_ids:
                         continue
-                row = bam.decode_record(body, refs)
+                row = bam.decode_record(body, refs, self._wanted)
                 if intervals is not None and not _overlaps(row, intervals):
                     continue
                 yield row

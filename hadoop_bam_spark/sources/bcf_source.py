@@ -192,7 +192,9 @@ class BCFDataSource(DataSource):
         return "bcf"
 
     def schema(self):
-        return VCF_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(VCF_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "BCFReader":
         return BCFReader(self.options)
@@ -203,6 +205,9 @@ class BCFReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("bcf source requires a path")
+        from hadoop_bam_spark.sources import pruned_schema
+
+        self._schema, self._keep = pruned_schema(VCF_SCHEMA, options)
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._intervals = (
             parse_intervals(options["intervals"]) if options.get("intervals") else None
@@ -236,10 +241,11 @@ class BCFReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), VCF_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition) -> Iterator[tuple]:
         if isinstance(partition, BCFPlainPartition):

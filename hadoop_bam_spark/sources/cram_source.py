@@ -44,7 +44,9 @@ class CRAMDataSource(DataSource):
         return "cram"
 
     def schema(self):
-        return SAM_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(SAM_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "CRAMReader":
         return CRAMReader(self.options)
@@ -55,6 +57,9 @@ class CRAMReader(DataSourceReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("cram source requires a path")
+        from hadoop_bam_spark.sources import pruned_schema
+
+        self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._reference = options.get("reference")
         # driver-side: header + container-boundary walk per file
@@ -89,9 +94,11 @@ class CRAMReader(DataSourceReader):
         return parts or [CRAMPartition("", 0, 0)]
 
     def read(self, partition: CRAMPartition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition: CRAMPartition) -> Iterator[tuple]:
         if not partition.path:

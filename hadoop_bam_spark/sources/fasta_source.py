@@ -81,7 +81,9 @@ class FastaDataSource(DataSource):
         return "fasta"
 
     def schema(self):
-        return FASTA_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(FASTA_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "FastaReader":
         return FastaReader(self.options)
@@ -92,6 +94,9 @@ class FastaReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("fasta source requires a path")
+        from hadoop_bam_spark.sources import pruned_schema
+
+        self._schema, self._keep = pruned_schema(FASTA_SCHEMA, options)
         self._files = list_format_files(path, ".fa", ".fasta", ".fna")
 
     def partitions(self):
@@ -108,9 +113,11 @@ class FastaReader(DataSourceReader):
         return parts
 
     def read(self, partition: FastaPartition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), FASTA_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition: FastaPartition) -> Iterator[tuple]:
         if partition.offset >= 0 and partition.contig is not None:

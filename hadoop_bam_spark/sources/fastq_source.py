@@ -145,7 +145,9 @@ class FastqDataSource(DataSource):
         return "fastq"
 
     def schema(self):
-        return FASTQ_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(FASTQ_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "FastqReader":
         return FastqReader(self.options)
@@ -159,9 +161,10 @@ class FastqReader(DataSourceReader):
         self._path = path
         self._split_size = int(options.get("split_size", 32 * 1024 * 1024))
         self._filter_failed = options.get("filter_failed_qc", "false").lower() == "true"
-        from hadoop_bam_spark.sources import stringency_option
+        from hadoop_bam_spark.sources import pruned_schema, stringency_option
 
         self._stringency = stringency_option(options)
+        self._schema, self._keep = pruned_schema(FASTQ_SCHEMA, options)
 
     def partitions(self):
         return [
@@ -170,9 +173,11 @@ class FastqReader(DataSourceReader):
         ]
 
     def read(self, partition: FastqPartition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition: FastqPartition) -> Iterator[tuple]:
         for rec in iter_fastq_records(partition.path, partition.start, partition.end,

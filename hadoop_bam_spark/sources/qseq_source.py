@@ -44,7 +44,9 @@ class QseqDataSource(DataSource):
         return "qseq"
 
     def schema(self):
-        return FASTQ_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(FASTQ_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "QseqReader":
         return QseqReader(self.options)
@@ -60,17 +62,20 @@ class QseqReader(DataSourceReader):
         # input quality encoding: illumina (default, recode) or sanger
         self._recode = options.get("base_quality_encoding", "illumina") == "illumina"
         self._filter_failed = options.get("filter_failed_qc", "false").lower() == "true"
-        from hadoop_bam_spark.sources import stringency_option
+        from hadoop_bam_spark.sources import pruned_schema, stringency_option
 
         self._stringency = stringency_option(options)
+        self._schema, self._keep = pruned_schema(FASTQ_SCHEMA, options)
 
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".qseq", ".txt"))
 
     def read(self, partition: TextRangePartition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), FASTQ_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
         from hadoop_bam_spark.sources import apply_stringency

@@ -70,7 +70,9 @@ class SAMDataSource(DataSource):
         return "sam"
 
     def schema(self):
-        return SAM_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(SAM_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "SAMReader":
         return SAMReader(self.options)
@@ -83,17 +85,20 @@ class SAMReader(DataSourceReader):
             raise ValueError("sam source requires a path")
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._path = path
-        from hadoop_bam_spark.sources import stringency_option
+        from hadoop_bam_spark.sources import pruned_schema, stringency_option
 
         self._stringency = stringency_option(options)
+        self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
 
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".sam",))
 
     def read(self, partition: TextRangePartition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(self._rows(partition), SAM_SCHEMA)
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
         from hadoop_bam_spark.sources import apply_stringency

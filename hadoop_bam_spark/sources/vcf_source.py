@@ -138,7 +138,9 @@ class VCFDataSource(DataSource):
         return "vcf"
 
     def schema(self):
-        return VCF_SCHEMA
+        from hadoop_bam_spark.sources import pruned_schema
+
+        return pruned_schema(VCF_SCHEMA, self.options)[0]
 
     def reader(self, schema) -> "VCFReader":
         return VCFReader(self.options)
@@ -153,9 +155,19 @@ class VCFReader(DataSourceReader):
         self._intervals = (
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
-        from hadoop_bam_spark.sources import stringency_option
+        from hadoop_bam_spark.sources import pruned_schema, stringency_option
 
         self._stringency = stringency_option(options)
+        self._schema, self._keep = pruned_schema(VCF_SCHEMA, options)
+        #: fields to actually parse: the projection, plus end for the
+        #: interval residual (lazy genotype/INFO decode — reference
+        #: LazyParsingGenotypesContext.java:28-33)
+        self._wanted: Optional[frozenset] = None
+        if self._keep is not None:
+            names = {VCF_SCHEMA.fields[i].name for i in self._keep}
+            if self._intervals is not None:
+                names.add("end")
+            self._wanted = frozenset(names)
         # per-file VCF-vs-BCF dispatch by extension + content sniff — the
         # reference's multi-format VCF scan (VCFInputFormat.getFormat,
         # VCFInputFormat.java:170-197)
@@ -171,6 +183,7 @@ class VCFReader(DataSourceReader):
                     "path": ",".join(bcf_files),
                     "split_size": str(self._split_size),
                     **({"intervals": options["intervals"]} if options.get("intervals") else {}),
+                    **({"columns": options["columns"]} if options.get("columns") else {}),
                 }
             )
         # header (and samples) read once on the driver per file
@@ -232,8 +245,12 @@ class VCFReader(DataSourceReader):
         )
 
         if isinstance(partition, (BCFPlainPartition, BCFBgzfPartition)):
-            return self._bcf.read(partition)  # already Arrow batches
-        return arrow_batches(self._rows(partition), VCF_SCHEMA)
+            return self._bcf.read(partition)  # already Arrow batches + pruned
+        from hadoop_bam_spark.sources import project_rows
+
+        return arrow_batches(
+            project_rows(self._rows(partition), self._keep), self._schema
+        )
 
     def _rows(self, partition) -> Iterator[tuple]:
         from hadoop_bam_spark.sources.bam_source import EmptyPartition
@@ -261,7 +278,7 @@ class VCFReader(DataSourceReader):
             if not line or line.startswith("#"):
                 continue
             try:
-                row = parse_vcf_line(line, samples)
+                row = parse_vcf_line(line, samples, self._wanted)
             except ValueError as e:
                 # malformed-row policy (reference VCFRecordReader.java:180-196)
                 apply_stringency(self._stringency, e, "vcf")
