@@ -90,7 +90,9 @@ _SHINGLE_N = 8
 
 # Build the minhash oracle SQL programmatically (identical arithmetic:
 # one base hash per shingle, then k affine rehashes mod the Mersenne prime).
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` — shared by the pair query
+    and the downstream clustering oracles."""
     p = dedup.MINHASH_P
     mh_exprs = ",\n               ".join(
         f"list_min(list_transform(base, h -> ({a}::BIGINT * h + {b}) % {p})) AS mh{j}"
@@ -105,8 +107,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(_MINHASH_K // _BAND_SIZE)
     )
-    return f"""
-        WITH {_CORPUS_CTE},
+    return f"""{_CORPUS_CTE},
         shingled AS (
             SELECT doc_id,
                    list_transform({_shingles_sql('text', _SHINGLE_N)},
@@ -120,11 +121,19 @@ def _minhash_oracle() -> str:
         ),
         bands AS (
 {bands}
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_pair_ctes()}
+        SELECT id_a, id_b FROM pairs
     """
 
 
@@ -472,3 +481,85 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return extract_media_meta(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution (pairs -> components -> canonical corpus)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        )
+        SELECT node AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+    doc="Transitive near-dup clustering: minhash-LSH pairs -> connected "
+    "components via iterative min-label propagation (join+groupBy rounds, "
+    "localCheckpoint lineage truncation). cluster_id = min doc_id in the "
+    "component. Oracle computes the same components with a recursive CTE.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.cluster import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(
+        corpus_view(spark, sf_dir),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND_SIZE,
+        shingle_n=_SHINGLE_N,
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=f"""
+        WITH RECURSIVE {_minhash_pair_ctes()},
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+        ),
+        members AS (
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.lang, count(*) AS n_docs, sum(len(c.text))::BIGINT AS total_chars
+        FROM corpus c
+        WHERE c.doc_id NOT IN (
+            SELECT doc_id FROM members WHERE doc_id != cluster_id
+        )
+        GROUP BY c.lang
+    """,
+    doc="End-to-end corpus dedup: keep only each cluster's canonical (min-id) "
+    "document, drop the rest via a broadcast anti-join, then summarize the "
+    "surviving corpus per language. The full pipeline a 100 TB curation run "
+    "executes: pair generation, component resolution, canonical filter.",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.cluster import dedup_canonical
+
+    corpus = corpus_view(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, num_hashes=_MINHASH_K, band_size=_BAND_SIZE, shingle_n=_SHINGLE_N
+    )
+    kept = dedup_canonical(corpus, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

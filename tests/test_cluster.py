@@ -1,0 +1,45 @@
+"""Connected-components cluster resolution (operators/cluster.py)."""
+
+from pyspark.sql import functions as F
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (transitive only), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    from hadoop_bam_spark.operators.cluster import connected_components
+
+    got = {
+        (r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_components_long_chain_converges(spark):
+    # path graph of 40 nodes: worst case for label propagation diameter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    from hadoop_bam_spark.operators.cluster import connected_components
+
+    rows = connected_components(pairs, max_iterations=50).collect()
+    assert len(rows) == 41
+    assert {r.cluster_id for r in rows} == {0}
+
+
+def test_dedup_canonical_keeps_min_id(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 4)], ["id_a", "id_b"])
+    from hadoop_bam_spark.operators.cluster import dedup_canonical
+
+    kept = sorted(r.doc_id for r in dedup_canonical(docs, pairs).collect())
+    # clusters {0,3,5} -> keep 0; {1,4} -> keep 1; singletons 2 stay
+    assert kept == [0, 1, 2]
