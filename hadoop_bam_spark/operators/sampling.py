@@ -1,0 +1,95 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling a 100 TB corpus must be (a) a single scan with no shuffle, (b)
+reproducible across runs, retries, and engines — a task that is retried
+must emit the SAME sample or downstream dedup/statistics silently skew.
+Spark's ``df.sample`` is seeded per-partition, so repartitioning changes
+the sample; these operators hash stable ids instead: membership is a pure
+function of the row, independent of partitioning, cluster size, or
+execution order.
+
+``hash60`` (md5-derived) is the same hash family the dedup operators use,
+so samples are portable across engines (the DuckDB oracles replicate them
+bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from hadoop_bam_spark.operators.dedup import hash60
+
+#: Denominator for rate arithmetic: rates are quantized to basis points so
+#: membership tests are exact integer comparisons (no float thresholds).
+RATE_DENOM = 10_000
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Stable bucket in [0, RATE_DENOM) from a row id and a salt.
+
+    The salt decorrelates independent samples drawn from the same corpus
+    (two 10% samples with different salts overlap ~1%, not 100%).
+    """
+    return hash60(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))) % RATE_DENOM
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose id-hash bucket
+    falls below ``rate``. One narrow filter — pushed to the scan, no
+    shuffle, reproducible under retries and repartitioning."""
+    threshold = int(round(rate * RATE_DENOM))
+    return df.filter(_bucket(F.col(id_col), salt) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing primitive
+    (e.g. downsample English to 10%, keep low-resource languages at 100%).
+
+    The per-stratum threshold is a small CASE expression, so the whole
+    operator is still one narrow scan-side filter; no join, no shuffle.
+    """
+    threshold = F.lit(int(round(default_rate * RATE_DENOM)))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == value, F.lit(int(round(rate * RATE_DENOM)))
+        ).otherwise(threshold)
+    return df.filter(_bucket(F.col(id_col), salt) < threshold)
+
+
+def top_n_per_stratum(
+    df: DataFrame,
+    n: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly-n uniform-without-replacement sample per stratum.
+
+    Deterministic reservoir equivalent: rank rows inside each stratum by
+    their id-hash (a random-but-stable permutation) and keep the first n.
+    One shuffle on the stratum key; with heavy strata the rank window is
+    the standard skew point — at 100 TB pre-filter with ``hash_sample`` at
+    a few×(n/stratum_size) first so the window sees a bounded candidate
+    set rather than the full stratum."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

@@ -84,6 +84,82 @@ def quality_score(text: Column) -> Column:
     return (len_term * 0.4 + tok_term * 0.3 + punct_term * 0.3).cast("double")
 
 
+def token_heavy_hitters(
+    df, text_col: str = "text", k: int = 50, min_len: int = 1
+):
+    """Top-k tokens across the corpus by exact count.
+
+    Explode -> one hash-partitioned count (map-side partial agg collapses
+    each partition's counts before the shuffle, so the shuffle volume is
+    bounded by distinct-tokens-per-partition, not corpus size) -> global
+    top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    full sort). Ties break on the token string so results are deterministic.
+    For a sketch-bounded variant at extreme cardinality, pre-filter with a
+    first-pass ``hash_sample`` and re-count survivors exactly.
+    """
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    ).filter(F.length("token") >= min_len)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def tf_idf_top_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = 3,
+    min_token_len: int = 4,
+):
+    """Top TF-IDF terms per document.
+
+    Shape: one explode -> per-(doc, token) tf counts -> token document
+    frequencies (second aggregate over the same pre-shuffled data) ->
+    broadcast the (small) df table back -> per-doc window top-n. The df
+    table is vocabulary-sized, so the join back is a broadcast, and the
+    expensive explode runs exactly once. Scores are rounded to 6 places so
+    the arithmetic is reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    n_docs = df.count()
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.length("token") >= min_token_len)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = pairs.join(F.broadcast(doc_freq), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def rolling_fingerprint(text: Column, mod: int = 2147483647) -> Column:
     """Polynomial rolling hash over the characters: acc = (acc*31 + code) % mod.
 

@@ -563,3 +563,176 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUCKET = "('0x' || substr(md5('sample' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+        SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        FROM documents
+        WHERE {_SAMPLE_BUCKET} <
+              CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END
+        GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling (downsample en to 25%, keep zh "
+    "at 100%, default 50%): membership is a pure hash of the doc id, so the "
+    "sample is reproducible under retries, repartitioning, and engine swaps "
+    "— one narrow scan-side filter, no shuffle, no RNG state.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"en": 0.25, "zh": 1.0}, stratum_col="lang", default_rate=0.5
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+@query(
+    "sample_topn_stratum",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY {_SAMPLE_BUCKET.replace('% 10000', '% 1152921504606846976')}, doc_id) AS rk
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        FROM ranked WHERE rk <= 20 GROUP BY lang
+    """,
+    doc="Exactly-n-per-stratum sample: rank rows inside each stratum by a "
+    "stable id-hash permutation, keep the first 20 — a deterministic "
+    "reservoir. One shuffle on the stratum key.",
+)
+def sample_topn_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.sampling import top_n_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = top_n_per_stratum(docs, 20, stratum_col="lang")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+        WITH toks AS (
+            SELECT t.token FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+        )
+        SELECT token, count(*) AS n
+        FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    doc="Exact corpus-level heavy hitters: explode tokens, one "
+    "hash-partitioned count with map-side partial aggregation, global "
+    "top-50 as TakeOrderedAndProject (per-partition heaps, no full sort).",
+    bench=True,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.token_heavy_hitters(docs, k=50)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+        WITH pairs AS (
+            SELECT doc_id, t.token, count(*) AS tf
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+            WHERE len(t.token) >= 4
+            GROUP BY doc_id, t.token
+        ),
+        docfreq AS (
+            SELECT token, count(*) AS df FROM pairs GROUP BY token
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT p.doc_id, p.token,
+                   round(p.tf * ln(n.n_docs::DOUBLE / d.df), 6) AS tfidf
+            FROM pairs p JOIN docfreq d USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms: one explode pass feeds both the "
+    "tf counts and the (vocabulary-sized, broadcast) document frequencies; "
+    "per-doc ranking is a window over the scored pairs.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.tf_idf_top_terms(docs, top_terms=3, min_token_len=4)
+
+
+@query(
+    "knn_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COSINE_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, qvec, centroid_id FROM (
+                SELECT q.query_id, q.qvec, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COSINE_SQL.format(a='q.qvec', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM q CROSS JOIN cent c
+            ) WHERE rk <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_COSINE_SQL.format(a='p.qvec', b='a.embedding')} AS cosine
+            FROM probes p JOIN assigned a USING (centroid_id)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF approximate ANN: 16 deterministic centroids own inverted "
+    "lists (per-vector max_by assignment, no corpus shuffle); each query "
+    "probes its 4 nearest lists and scores only those — ~4/16 of the "
+    "corpus per query. The list layout kmeans_refine plugs into.",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)

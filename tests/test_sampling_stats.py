@@ -1,0 +1,130 @@
+"""Sampling, corpus statistics, and IVF ANN operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_partition_invariant(self, docs):
+        from hadoop_bam_spark.operators.sampling import hash_sample
+
+        a = {r.doc_id for r in hash_sample(docs, 0.3).select("doc_id").collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(docs.repartition(7), 0.3).select("doc_id").collect()
+        }
+        assert a == b and 0 < len(a) < docs.count()
+
+    def test_hash_sample_salt_decorrelates(self, docs):
+        from hadoop_bam_spark.operators.sampling import hash_sample
+
+        a = {r.doc_id for r in hash_sample(docs, 0.5, salt="s1").collect()}
+        b = {r.doc_id for r in hash_sample(docs, 0.5, salt="s2").collect()}
+        assert a != b
+        # overlap should be ~rate^2, far from either identical or disjoint
+        assert 0 < len(a & b) < min(len(a), len(b))
+
+    def test_stratified_rates(self, docs):
+        from hadoop_bam_spark.operators.sampling import stratified_sample
+
+        kept = stratified_sample(
+            docs, {"en": 0.0, "zh": 1.0}, stratum_col="lang", default_rate=0.5
+        )
+        got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert "en" not in got
+        assert got["zh"] == full["zh"]
+        for lang in ("de", "es", "fr"):
+            assert 0 < got[lang] < full[lang]
+
+    def test_top_n_per_stratum_exact_n(self, docs):
+        from hadoop_bam_spark.operators.sampling import top_n_per_stratum
+
+        kept = top_n_per_stratum(docs, 10, stratum_col="lang")
+        counts = kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        assert all(r.n == 10 for r in counts)
+        # deterministic across calls
+        a = sorted(r.doc_id for r in kept.collect())
+        b = sorted(r.doc_id for r in top_n_per_stratum(docs, 10, stratum_col="lang").collect())
+        assert a == b
+
+    def test_no_shuffle_in_hash_sample_plan(self, docs):
+        from hadoop_bam_spark.operators.sampling import hash_sample
+
+        plan = hash_sample(docs, 0.3)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestCorpusStats:
+    def test_heavy_hitters_ordering(self, docs):
+        from hadoop_bam_spark.operators.text import token_heavy_hitters
+
+        rows = token_heavy_hitters(docs, k=10).collect()
+        assert len(rows) == 10
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_tfidf_rare_term_beats_common(self, spark):
+        from hadoop_bam_spark.operators.text import tf_idf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (1, "common common common unique1"),
+                (2, "common common filler fill"),
+                (3, "common filler other text"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = tf_idf_top_terms(df, top_terms=1, min_token_len=4).collect()
+        top = {r.doc_id: r.token for r in rows}
+        # 'common' appears in every doc -> idf 0; doc 1's top term is unique1
+        assert top[1] == "unique1"
+
+
+class TestIVF:
+    def test_ivf_matches_bruteforce_when_probing_all(self, emb):
+        from hadoop_bam_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = knn_bruteforce(emb, queries, k=5)
+        ivf_all = knn_ivf(emb, queries, k=5, n_centroids=8, n_probe=8)
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, ivf_all.collect())
+        )
+
+    def test_ivf_partial_probe_subset(self, emb):
+        from hadoop_bam_spark.operators.similarity import knn_ivf
+
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=2)
+        rows = got.collect()
+        assert {r.query_id for r in rows} == {0, 1, 2}
+        assert all(1 <= r.rank <= 5 for r in rows)
+
+    def test_kmeans_refine_improves_or_keeps_shape(self, emb):
+        from hadoop_bam_spark.operators.similarity import kmeans_refine
+
+        centroids = (
+            emb.orderBy("vec_id")
+            .limit(4)
+            .select(F.col("vec_id").alias("centroid_id"), "embedding")
+        )
+        refined = kmeans_refine(emb.limit(200), centroids, iterations=2)
+        rows = refined.collect()
+        assert len(rows) == 4
+        dim = len(emb.first().embedding)
+        assert all(len(r.embedding) == dim for r in rows)
