@@ -43,7 +43,16 @@ VCF_COLS = [
 
 def _collect_parts(df: DataFrame, cols: list[str], parts_dir: str, write_part):
     """Run ``write_part(idx, rows_iter) -> result`` on every partition and
-    return results ordered by partition index."""
+    return results ordered by partition index.
+
+    Transfer format, measured: an Arrow ``mapInArrow`` variant (batches +
+    per-type pylist conversion for the map/struct columns the encoders
+    need as dicts/tuples) was benchmarked against this Row path on a 600k
+    record BAM write and lost — 1.6 s vs 0.6 s warm — because pyarrow's
+    map-column ``to_pylist`` + dict rebuild costs more than Spark's batched
+    Row pickling. The per-record cost of a bespoke binary writer is the
+    encoder itself (struct.pack per record), not the JVM->Python transfer,
+    so Rows stay."""
     fs.makedirs(parts_dir)
     rdd = df.select(*cols).rdd
     results = rdd.mapPartitionsWithIndex(
