@@ -508,6 +508,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components via iterative min-label propagation (join+groupBy rounds, "
     "localCheckpoint lineage truncation). cluster_id = min doc_id in the "
     "component. Oracle computes the same components with a recursive CTE.",
+    bench=True,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.cluster import connected_components
@@ -678,6 +679,7 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-document top-3 TF-IDF terms: one explode pass feeds both the "
     "tf counts and the (vocabulary-sized, broadcast) document frequencies; "
     "per-doc ranking is a window over the scored pairs.",
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -729,6 +731,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lists (per-vector max_by assignment, no corpus shuffle); each query "
     "probes its 4 nearest lists and scores only those — ~4/16 of the "
     "corpus per query. The list layout kmeans_refine plugs into.",
+    bench=True,
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
