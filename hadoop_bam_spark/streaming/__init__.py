@@ -6,6 +6,11 @@ stateful/windowed processing of event streams, expressed with watermarks +
 windowed aggregation and ``applyInPandasWithState`` for custom state.
 """
 
+from hadoop_bam_spark.streaming.documents import (  # noqa: F401
+    dedup_exact_stream,
+    quality_filter_stream,
+    read_documents_stream,
+)
 from hadoop_bam_spark.streaming.events import (  # noqa: F401
     hourly_rollup_stream,
     read_events_stream,
