@@ -23,12 +23,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized parquet
-    reader rejects; read the raw int64 nanos (legacy conf) and expose ``ts_us``
-    (microseconds) alongside. Integer division keeps full precision."""
+    """Load events.parquet and expose ``ts_us`` (epoch microseconds).
+
+    The synthetic table has shipped with two ``ts`` physical types across
+    driver revisions: TIMESTAMP(NANOS) (read as int64 nanos via the legacy
+    conf) and TIMESTAMP(MICROS) (read natively as timestamp_ntz). Branch on
+    the loaded type so both work; integer paths keep full precision."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS LONG)"))
+    ts_type = ev.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        ts_us = F.expr("CAST(ts DIV 1000 AS LONG)")
+    else:  # timestamp / timestamp_ntz
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.withColumn("ts_us", ts_us)
 
 
 # --------------------------------------------------------------------------

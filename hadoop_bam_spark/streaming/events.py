@@ -24,31 +24,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (legacy parquet NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events parquet (one file per micro-batch so
-    availableNow replays deterministically)."""
+    availableNow replays deterministically).
+
+    The stream source needs a declared schema; probe the batch footer once so
+    both ``ts`` physical types the driver has shipped (int64 TIMESTAMP(NANOS)
+    under the legacy conf, and native TIMESTAMP(MICROS)) stream correctly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    batch_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
+    stream = (
+        spark.readStream.schema(_events_schema(batch_ts))
         .option("maxFilesPerTrigger", 1)
         # the file stream source requires a directory: stream the sf dir
         # with a glob pinned to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts_us", F.expr("CAST(ts DIV 1000 AS LONG)"))
-        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    if batch_ts.typeName() in ("long", "integer"):
+        ts_us = F.expr("CAST(ts DIV 1000 AS LONG)")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return stream.withColumn("ts_us", ts_us).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 
 

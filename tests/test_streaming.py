@@ -20,10 +20,10 @@ class TestEventsStreaming:
         stream = hourly_rollup_stream(read_events_stream(spark, SF))
         got = run_available_now(stream, "t_rollup", "complete")
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = (
-            spark.read.parquet(os.path.join(SF, "events.parquet"))
-            .withColumn("event_time", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        from hadoop_bam_spark.queries.relational import load_events
+
+        ev = load_events(spark, SF).withColumn(
+            "event_time", F.timestamp_micros(F.col("ts_us"))
         )
         want = (
             ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
