@@ -6,17 +6,23 @@ real dedup pipeline must then group transitively-linked documents into one
 cluster and keep a single canonical member (A~B and B~C must collapse to
 one cluster even if A~C was never emitted as a pair).
 
-The component algorithm is iterative min-label propagation expressed as
-DataFrame joins: each node adopts the smallest label among itself and its
-neighbors until a fixpoint. Iterations are O(component diameter), which for
-duplicate clusters is tiny (duplicates of one source document form a
-near-clique). Each round is one equi-join + one groupBy — both
-hash-partitioned on node id, no skew beyond the natural cluster sizes — and
-the per-round result is ``localCheckpoint``-ed so the plan does not grow
-with the iteration count (the standard Spark pattern for iterative graph
-algorithms; for adversarial long-chain graphs swap in the
-large-star/small-star contraction, which converges in O(log n) rounds with
-the same join-shaped rounds).
+Two physical strategies behind one operator, picked by edge count (the
+same adaptive shape as Spark's broadcast-join threshold):
+
+- small edge lists (the common case — LSH banding emits only
+  near-duplicate pairs, a sliver of the corpus) resolve on the driver with
+  a union-find in one pass over the materialized edges;
+- large edge lists run iterative min-label propagation expressed as
+  DataFrame joins: each node adopts the smallest label among itself and
+  its neighbors until a fixpoint. Iterations are O(component diameter),
+  tiny for duplicate clusters (duplicates of one source document form a
+  near-clique). Each round is one equi-join + one groupBy — both
+  hash-partitioned on node id, no skew beyond the natural cluster sizes —
+  and the per-round result is ``localCheckpoint``-ed so the plan does not
+  grow with the iteration count (the standard Spark pattern for iterative
+  graph algorithms; for adversarial long-chain graphs swap in the
+  large-star/small-star contraction, which converges in O(log n) rounds
+  with the same join-shaped rounds).
 """
 
 from __future__ import annotations
@@ -25,43 +31,121 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Edge count below which the driver resolves components directly.  The
+#: same shape as Spark's broadcast-join threshold: the candidate-pair list a
+#: dedup pipeline feeds in is orders of magnitude smaller than the corpus
+#: (LSH banding emits only near-duplicates), so at 2M edges the list is a
+#: few tens of MB — a driver union-find finishes in milliseconds where the
+#: iterative join path pays several shuffle rounds of scheduling latency.
+#: Above the threshold the fully-distributed path runs instead.
+LOCAL_EDGE_THRESHOLD = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    strategy: str = "auto",
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(id_a, id_b) edge list -> (doc_id, cluster_id) membership.
 
     ``cluster_id`` is the minimum node id in the component, so output is
     deterministic. Only nodes that appear in at least one edge are returned
-    (singletons are by definition not duplicates). Converges when a full
-    round changes no label; the monotone non-increasing label sum makes the
-    check one cheap aggregate per round.
+    (singletons are by definition not duplicates).
+
+    ``strategy``:
+
+    - ``"auto"`` (default): count the materialized edge list once; resolve on
+      the driver when it is under ``local_edge_threshold`` edges, otherwise
+      run the distributed label-propagation rounds. Candidate pairs are the
+      *output of a blocking/LSH stage* — tiny relative to the corpus — so the
+      local path is the common case, exactly as small dimension tables take
+      the broadcast path of a join; the distributed path keeps the operator
+      correct when a pathological corpus emits billions of pairs.
+    - ``"distributed"``: always iterate (min-label propagation, one join +
+      groupBy per round, converging when a full round changes no label — the
+      monotone non-increasing label sum makes the check one aggregate).
+    - ``"local"``: always resolve on the driver (union-find).
     """
-    edges = pairs.select(
+    if strategy not in ("auto", "distributed", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # Materialize the DIRECTED edges before anything else: every downstream
+    # plan references the (possibly expensive — LSH, simhash) pair generator
+    # more than once, and a checkpoint guarantees one upstream execution
+    # rather than relying on exchange reuse.
+    directed = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
 
+    if strategy == "auto":
+        strategy = (
+            "local" if directed.count() <= local_edge_threshold else "distributed"
+        )
+    if strategy == "local":
+        return _components_local(directed)
+    return _components_distributed(directed, max_iterations)
+
+
+def _components_local(directed: DataFrame) -> DataFrame:
+    """Driver-side union-find over a materialized (small) edge list."""
+    spark = directed.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in directed.toLocalIterator():
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:  # union by min so cluster_id = component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    import pandas as pd
+
+    # Arrow-backed creation (a pandas frame) is ~2x faster than the
+    # pickle/parallelize path a plain list of tuples takes.
+    rows = pd.DataFrame(
+        ((node, find(node)) for node in parent), columns=["doc_id", "cluster_id"]
+    ).astype("int64")
+    return spark.createDataFrame(rows)
+
+
+def _components_distributed(directed: DataFrame, max_iterations: int) -> DataFrame:
+    """Iterative min-label propagation (join + groupBy per round)."""
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    # Seed each node with its 1-hop minimum (self included) — one round of
+    # propagation folded into initialization.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         neighbor = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
+        # Lazy checkpoint: the convergence aggregate below is the action that
+        # materializes it, so each round costs ONE Spark job, not two.
         labels = (
             labels.union(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

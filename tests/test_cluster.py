@@ -33,6 +33,29 @@ def test_components_long_chain_converges(spark):
     assert {r.cluster_id for r in rows} == {0}
 
 
+def test_components_strategies_agree(spark):
+    # same graph through the driver union-find and the distributed rounds
+    import random
+
+    rng = random.Random(7)
+    edges = {(rng.randrange(200), rng.randrange(200)) for _ in range(150)}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["id_a", "id_b"]
+    )
+    from hadoop_bam_spark.operators.cluster import connected_components
+
+    local = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, strategy="local").collect()
+    }
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, strategy="distributed").collect()
+    }
+    assert local == dist
+    assert len(local) > 0
+
+
 def test_dedup_canonical_keeps_min_id(spark):
     docs = spark.createDataFrame(
         [(i, f"text{i}") for i in range(6)], ["doc_id", "text"]
