@@ -148,56 +148,68 @@ def knn_ivf(
     ``kmeans_refine`` below — every downstream step (assign, probe, score)
     is unchanged.
 
-    Plan shape at 100 TB: centroids are broadcast twice (corpus
-    assignment, query probing); the only corpus-sized operations are one
-    narrow scoring pass per (row × n_centroids) and one shuffle for the
-    per-query top-k window. Assignment itself is a groupBy-free max(struct)
-    per row — no corpus shuffle. The probe join is an equi-join on
-    centroid_id, so each query scores ~(n_probe / n_centroids) of the
-    corpus.
+    Plan shape at 100 TB: the centroid table is tiny BY CONSTRUCTION
+    (n_centroids rows), so it is packed into a single-row array-of-structs
+    (one collect_list over n_centroids rows) and broadcast. Assignment and
+    probe selection are then pure per-row expressions — array_max /
+    sort_array over the broadcast array — so the corpus is NEVER shuffled
+    and never blown up by a per-centroid crossJoin row multiply. The probe
+    join is a broadcast equi-join on centroid_id (each query scores
+    ~n_probe/n_centroids of the corpus); the only shuffle left is the
+    per-query top-k window over the candidate set.
     """
     from pyspark.sql import Window as W
 
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    centroids = (
+    cent_arr_df = (
         corpus.orderBy(F.col(id_col))
         .limit(n_centroids)
         .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+            F.struct(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            ).alias("_c")
         )
+        .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
     )
-    # nearest centroid per corpus vector: max over (cosine, -centroid_id)
-    # structs — lexicographic struct ordering gives highest cosine with
-    # deterministic low-id tie-break, no aggregation shuffle
-    scored_c = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.struct(
-            F.round(cosine_expr(F.col(vec_col), F.col("_cvec")), 6).alias("cos"),
-            (-F.col("centroid_id")).alias("neg_id"),
-        ).alias("_sc"),
-        F.col("centroid_id"),
-    )
-    # group on the scalar id only (grouping on the array column would hash
-    # the full vector per row); the vector is constant within a group
-    assigned = scored_c.groupBy(id_col).agg(
-        F.max_by("centroid_id", F.col("_sc")).alias("centroid_id"),
-        F.first(F.col(vec_col)).alias(vec_col),
+
+    def _centroid_scores(vec):
+        # (cosine, -cid) structs: lexicographic struct ordering gives
+        # highest cosine with deterministic low-id tie-break
+        return F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(cosine_expr(vec, c["cvec"]), 6).alias("cos"),
+                (-c["cid"]).alias("neg_id"),
+            ),
+        )
+
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent_arr_df))
+        .withColumn(
+            "centroid_id", -F.array_max(_centroid_scores(F.col(vec_col)))["neg_id"]
+        )
+        .drop("_cents")
     )
     q = queries.select(
         F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
-    qw = W.partitionBy("_qid").orderBy(F.desc("_qcos"), F.asc("centroid_id"))
     probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_qcos", F.round(cosine_expr(F.col("_qvec"), F.col("_cvec")), 6)
+        q.crossJoin(F.broadcast(cent_arr_df))
+        .select(
+            "_qid",
+            "_qvec",
+            F.explode(
+                F.slice(
+                    F.sort_array(_centroid_scores(F.col("_qvec")), asc=False),
+                    1,
+                    n_probe,
+                )
+            ).alias("_p"),
         )
-        .withColumn("_pr", F.row_number().over(qw))
-        .filter(F.col("_pr") <= n_probe)
-        .select("_qid", "_qvec", "centroid_id")
+        .select("_qid", "_qvec", (-F.col("_p.neg_id")).alias("centroid_id"))
     )
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col("_qid").alias("query_id"),
@@ -233,26 +245,33 @@ def kmeans_refine(
     truncated per round so plans stay bounded.
     """
     for _ in range(iterations):
-        c = centroids.select(
-            F.col("centroid_id"), F.col(vec_col).alias("_cvec")
-        )
+        # Pack the (tiny) centroid table into one broadcast array-of-structs
+        # row; assignment is then a per-row array_max — the corpus is never
+        # shuffled or row-multiplied (same shape as knn_ivf above).
+        c_arr = centroids.select(
+            F.struct(
+                F.col("centroid_id").cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            ).alias("_c")
+        ).agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
         assigned = (
-            corpus.crossJoin(F.broadcast(c))
+            corpus.crossJoin(F.broadcast(c_arr))
             .select(
                 F.col(id_col),
                 F.col(vec_col),
-                F.struct(
-                    F.round(cosine_expr(F.col(vec_col), F.col("_cvec")), 6).alias(
-                        "cos"
-                    ),
-                    (-F.col("centroid_id")).alias("neg_id"),
-                ).alias("_sc"),
-                F.col("centroid_id"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max_by("centroid_id", F.col("_sc")).alias("centroid_id"),
-                F.first(F.col(vec_col)).alias(vec_col),
+                (
+                    -F.array_max(
+                        F.transform(
+                            F.col("_cents"),
+                            lambda c: F.struct(
+                                F.round(
+                                    cosine_expr(F.col(vec_col), c["cvec"]), 6
+                                ).alias("cos"),
+                                (-c["cid"]).alias("neg_id"),
+                            ),
+                        )
+                    )["neg_id"]
+                ).alias("centroid_id"),
             )
         )
         centroids = (
