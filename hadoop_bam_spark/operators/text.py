@@ -160,6 +160,95 @@ def tf_idf_top_terms(
     )
 
 
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles (lowercased, space-joined strings).
+
+    Pure array expressions — one pass, no explode until the caller wants
+    rows. Documents shorter than ``n`` tokens yield their full token string
+    as the single shingle.
+    """
+    toks = tokens(F.lower(text))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def benchmark_overlap(
+    corpus,
+    benchmark,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Decontamination: corpus documents sharing >=1 token n-gram with a
+    benchmark/eval set, with the count of distinct shared n-grams.
+
+    The standard training-data hygiene pass (flag training documents that
+    leak evaluation data). Plan shape at 100 TB: the benchmark side is an
+    eval suite — thousands of documents, not billions — so its distinct
+    n-gram set is BROADCAST; the corpus is exploded to (doc, gram-hash)
+    once and aggregated per document after the broadcast semi-join. One
+    corpus-sized explode, one groupBy on doc_id; nothing quadratic. If the
+    benchmark ever outgrows broadcast, drop the hint and the same plan
+    becomes a shuffled equi-join on the gram hash.
+    """
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism, hash60
+
+    corpus = ensure_parallelism(corpus)
+    bench_grams = (
+        benchmark.select(
+            F.explode(token_shingles(F.col(text_col), n)).alias("_gram")
+        )
+        .select(hash60(F.col("_gram")).alias("_gh"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("_gram"),
+    ).select("doc_id", hash60(F.col("_gram")).alias("_gh"))
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "_gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_gh").alias("n_shared"))
+    )
+
+
+def repetition_scores(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Within-document repetition metrics (Gopher-style quality rules):
+
+    - ``n_tokens``     total whitespace tokens
+    - ``n_distinct``   distinct tokens
+    - ``dup_ratio``    fraction of tokens that are repeats of an earlier one
+    - ``top_share``    share taken by the single most frequent token
+
+    One explode -> per-(doc, token) counts -> per-doc rollup; both
+    aggregations hash-partition on the document key with map-side partial
+    aggregation, so the shuffle volume is distinct-tokens, not corpus size.
+    """
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    per_token = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_token.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+    )
+
+
 def rolling_fingerprint(text: Column, mod: int = 2147483647) -> Column:
     """Polynomial rolling hash over the characters: acc = (acc*31 + code) % mod.
 

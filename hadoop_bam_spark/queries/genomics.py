@@ -472,3 +472,48 @@ def info_typed_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate marking (the classic coordinate-sorted window workload)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mark_duplicates",
+    oracle=f"""
+        WITH {READS_CTE},
+        ranked AS (
+            SELECT ref_idx, pos, flag & 16 AS strand, mapq, qname,
+                   row_number() OVER (
+                       PARTITION BY ref_idx, pos, flag & 16
+                       ORDER BY mapq DESC, qname ASC) AS rk
+            FROM reads WHERE flag & 4 = 0
+        )
+        SELECT ref_idx,
+               count(*) AS n_reads,
+               sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+               count(DISTINCT pos) AS n_sites
+        FROM ranked GROUP BY ref_idx
+    """,
+    doc="Duplicate marking (Picard MarkDuplicates semantics on the model "
+    "the reference's coordinate sort exists to serve, "
+    "BAMRecordReader.java:80-120): reads sharing (ref, pos, strand) are "
+    "duplicates; the highest-quality read survives, deterministic qname "
+    "tie-break. One window over the natural high-cardinality key — "
+    "hash-partitioned, no skew beyond real pileups, scales with AQE skew "
+    "handling.",
+)
+def mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    reads = reads_view(spark, sf_dir).filter(F.col("flag").bitwiseAND(4) == 0)
+    strand = F.col("flag").bitwiseAND(16)
+    w = W.partitionBy("ref_idx", "pos", strand).orderBy(
+        F.desc("mapq"), F.asc("qname")
+    )
+    ranked = reads.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("ref_idx").agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_dup"),
+        F.count_distinct("pos").alias("n_sites"),
+    )

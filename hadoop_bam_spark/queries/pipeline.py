@@ -739,3 +739,69 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination & repetition quality
+# ---------------------------------------------------------------------------
+
+@query(
+    "decontaminate_benchmark",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   ))) AS gram
+            FROM toks
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+            FROM grams
+        ),
+        bench AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, gh FROM hashed WHERE doc_id % 97 != 0)
+        SELECT c.doc_id, count(DISTINCT c.gh) AS n_shared
+        FROM corp c JOIN bench b USING (gh)
+        GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "token 3-gram with a (deterministically chosen) eval set. Eval-side "
+    "gram set is broadcast; corpus is exploded once and aggregated per "
+    "document — the standard training-data hygiene pass.",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return text_ops.benchmark_overlap(corpus, bench, n=3)
+
+
+@query(
+    "repetition_scores",
+    oracle="""
+        WITH per AS (
+            SELECT doc_id, t.token, count(*) AS c
+            FROM documents,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(token)
+            GROUP BY doc_id, t.token
+        )
+        SELECT doc_id,
+               sum(c)::BIGINT AS n_tokens,
+               count(*) AS n_distinct,
+               round((sum(c) - count(*)) / sum(c), 6) AS dup_ratio,
+               round(max(c) / sum(c), 6) AS top_share
+        FROM per GROUP BY doc_id
+    """,
+    doc="Gopher-style within-document repetition metrics: duplicate-token "
+    "ratio and most-frequent-token share. Two hash aggregations keyed on "
+    "the document, map-side partial agg bounds the shuffle by distinct "
+    "tokens.",
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.repetition_scores(_t(spark, sf_dir, "documents"))
