@@ -1,0 +1,92 @@
+"""CLI utilities (tools/index.py) — parity with the reference's standalone
+mains (SplittingBAMIndexer/BGZFBlockIndexer/GetSortedBAMHeader/
+SplittingBAMIndex.main, SURVEY.md §3.3)."""
+
+import os
+
+import pytest
+
+from hadoop_bam_spark.tools.index import main
+
+RES = "/root/reference/src/test/resources"
+BAM = f"{RES}/test.bam"
+VCF_BGZ = f"{RES}/test.vcf.bgz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(BAM), reason="reference fixtures absent"
+)
+
+
+def test_sbi_build_and_stats(tmp_path, capsys):
+    out = str(tmp_path / "t.sbi")
+    assert main(["sbi", BAM, "-o", out, "-g", "2"]) == 0
+    assert os.path.getsize(out) > 0
+    assert main(["stats", out]) == 0
+    text = capsys.readouterr().out
+    assert "granularity 2" in text
+
+    # the index must plan the same records the guesser finds: spot-check
+    # that every recorded voffset decodes a record
+    from hadoop_bam_spark.formats import bam as bam_codec
+    from hadoop_bam_spark.formats import bgzf
+    from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+    with open(out, "rb") as fh:
+        idx = SplittingIndex.read(fh)
+    with open(BAM, "rb") as fh:
+        reader = bgzf.BGZFReader(fh)
+        _, refs, _ = bam_codec.read_header(reader)
+        for v in idx.voffsets:
+            recs = list(bam_codec.iter_records(reader, refs, v))
+            assert recs  # a record starts exactly here
+
+
+def test_sbi_reference_layout(tmp_path):
+    out = str(tmp_path / "t.splitting-bai")
+    assert main(["sbi", BAM, "-o", out, "--reference-layout", "-g", "3"]) == 0
+    from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+    with open(out, "rb") as fh:
+        idx = SplittingIndex.read_reference_layout(fh, granularity=3)
+    assert idx.voffsets
+    assert idx.file_length == os.path.getsize(BAM)
+
+
+def test_bai_matches_library_builder(tmp_path):
+    out = str(tmp_path / "t.bai")
+    assert main(["bai", BAM, "-o", out]) == 0
+    from hadoop_bam_spark.formats.bai import build_bai, read_bai
+
+    direct = build_bai(BAM)
+    via_cli = read_bai(out)
+    assert len(via_cli.refs) == len(direct.refs)
+    for a, b in zip(via_cli.refs, direct.refs):
+        assert a.bins == b.bins and a.linear == b.linear
+
+
+def test_tbi_and_bgzfi(tmp_path, capsys):
+    tbi = str(tmp_path / "t.tbi")
+    assert main(["tbi", VCF_BGZ, "-o", tbi]) == 0
+    assert main(["stats", tbi]) == 0
+
+    bgzfi = str(tmp_path / "t.bgzfi")
+    assert main(["bgzfi", VCF_BGZ, "-o", bgzfi, "-g", "1"]) == 0
+    assert main(["stats", bgzfi]) == 0
+    assert "offsets" in capsys.readouterr().out
+
+
+def test_sorted_header_stamps_coordinate(tmp_path):
+    out = str(tmp_path / "hdr.bam")
+    assert main(["sorted-header", BAM, out]) == 0
+    from hadoop_bam_spark.formats import bam as bam_codec
+    from hadoop_bam_spark.formats import bgzf
+
+    with open(out, "rb") as fh:
+        reader = bgzf.BGZFReader(fh)
+        header, refs, _ = bam_codec.read_header(reader)
+    assert "SO:coordinate" in header.text
+
+
+def test_guess_finds_first_record(capsys):
+    assert main(["guess", BAM, "0"]) == 0
+    assert "-> record at" in capsys.readouterr().out
