@@ -1,0 +1,47 @@
+"""Repo-wide physical-plan audit: no registered query may plan an
+un-broadcast CartesianProduct. BroadcastNestedLoopJoin is allowed only for
+queries that deliberately broadcast a tiny side (interval regions, query
+vectors, the single-row centroid array); everything else must be an
+equi-join / aggregate shape that scales out.
+
+This is the guardrail form of the per-operator ``.explain`` reviews: a new
+query that accidentally goes quadratic fails CI instead of surfacing as a
+100x slowdown at scale.
+"""
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: Queries whose plan intentionally contains a BroadcastNestedLoopJoin
+#: (a small broadcast side × range/array predicate — the documented design).
+BNLJ_ALLOWED = {
+    "interval_join_broadcast",  # broadcast regions x range predicate
+    "knn_bruteforce",           # broadcast query vectors
+    "knn_lsh_bucketed",         # broadcast query vectors
+    "knn_ivf",                  # single-row broadcast centroid array
+    "embedding_cosine_neardup", # broadcast blocked self-join
+}
+
+
+def _registry():
+    from hadoop_bam_spark.queries import REGISTRY
+
+    return REGISTRY
+
+
+@pytest.mark.parametrize("name", list(_registry()))
+def test_no_cartesian_product(spark, name):
+    spec = _registry()[name]
+    plan = (
+        spec.fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin but is not in the "
+            "allowlist — broadcast it deliberately or use an equi-join"
+        )
