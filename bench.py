@@ -2,7 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is run once to warm the JVM/parse paths, then timed (best of 2).
+Each query is run once to warm the JVM/parse paths, then timed (best of 3 —
+the min of three runs is robust to GC/scheduler noise that a single rep or
+best-of-2 lets through).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)

@@ -502,6 +502,7 @@ def info_typed_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-break. One window over the natural high-cardinality key — "
     "hash-partitioned, no skew beyond real pileups, scales with AQE skew "
     "handling.",
+    bench=True,
 )
 def mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

@@ -774,6 +774,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token 3-gram with a (deterministically chosen) eval set. Eval-side "
     "gram set is broadcast; corpus is exploded once and aggregated per "
     "document — the standard training-data hygiene pass.",
+    bench=True,
 )
 def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
