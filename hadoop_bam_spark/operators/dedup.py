@@ -318,6 +318,45 @@ def simhash_pairs(
     )
 
 
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on PRE-GENERATED candidate pairs — the verifier
+    stage of the standard dedup pipeline (LSH recalls candidates, exact
+    Jaccard confirms them).
+
+    Scale shape: the corpus shingle table is computed once; the candidate
+    pair list (tiny relative to the corpus — it is LSH output) is joined to
+    it twice on the document id, both ordinary hash equi-joins. Nothing is
+    quadratic regardless of block-key cardinality, which is what makes this
+    the 100 TB-safe form — ``jaccard_pairs`` below bounds its quadratic
+    term only as well as its blocking columns do.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    cand = pairs.select("id_a", "id_b")
+    joined = (
+        cand.join(sh.select(F.col("_id"), F.col("sh").alias("_sa")), cand.id_a == F.col("_id"))
+        .drop("_id")
+        .join(sh.select(F.col("_id"), F.col("sh").alias("_sb")), cand.id_b == F.col("_id"))
+        .drop("_id")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
+    return (
+        joined.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

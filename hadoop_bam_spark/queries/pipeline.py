@@ -187,25 +187,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-        WITH {_CORPUS_CTE},
+        WITH {_minhash_pair_ctes()},
         sh AS (
-            SELECT doc_id, lang, source, {_shingles_sql('text')} AS s FROM corpus
+            SELECT doc_id, {_shingles_sql('text')} AS s FROM corpus
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        SELECT p.id_a, p.id_b,
                round(len(list_intersect(a.s, b.s))::DOUBLE
                      / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.id_a
+        JOIN sh b ON b.doc_id = p.id_b
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
     """,
-    doc="Exact 4-gram Jaccard on (lang, source)-blocked pairs — the verifier "
-    "stage that runs after LSH candidate generation in a full dedup pipeline.",
+    doc="Exact 4-gram Jaccard VERIFIER over minhash-LSH candidate pairs — "
+    "the two-stage pipeline as deployed at scale: LSH recalls candidates "
+    "(never quadratic), two hash joins attach shingle sets, exact Jaccard "
+    "confirms. No block-key-cardinality dependence.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(
-        corpus_view(spark, sf_dir), block_cols=("lang", "source"), threshold=0.5
+    corpus = corpus_view(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        corpus,
+        num_hashes=_MINHASH_K,
+        band_size=_BAND_SIZE,
+        shingle_n=_SHINGLE_N,
     )
+    return dedup.jaccard_verify(corpus, pairs, shingle_n=4, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -248,22 +256,41 @@ def emb_corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(copies)
 
 
+#: Sign-bit LSH dims for the near-dup blocking bucket: 8 bits -> 256 buckets.
+_NEARDUP_DIMS = (0, 4, 8, 12, 16, 20, 24, 28)
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}]::DOUBLE > 0.0 THEN {1 << j} ELSE 0 END)"
+    for j, d in enumerate(_NEARDUP_DIMS)
+)
+
+
 @query(
     "embedding_cosine_neardup",
     oracle=f"""
-        WITH {_EMB_CORPUS_CTE}
+        WITH {_EMB_CORPUS_CTE},
+        bucketed AS (
+            SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM emb_corpus
+        )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
-        FROM emb_corpus a JOIN emb_corpus b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} > 0.95
     """,
-    doc="Embedding near-dup pairs: label-blocked pairwise cosine (> 0.95). "
-    "At 100 TB the block key is an LSH bucket; the plan shape is identical.",
+    doc="Embedding near-dup pairs blocked by a sign-bit LSH bucket (256 "
+    "random-hyperplane-style buckets): scaled near-duplicates preserve "
+    "sign patterns so they always collide, and the bucket cardinality "
+    "grows with the hash width, not the data — the standalone-scale-safe "
+    "form of cosine near-dup (equi-join on bucket, pairwise cosine only "
+    "within buckets).",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = emb_corpus_view(spark, sf_dir).withColumn(
+        "_bucket", similarity.signbit_bucket(F.col("embedding"), _NEARDUP_DIMS)
+    )
     return similarity.cosine_neardup_pairs(
-        emb_corpus_view(spark, sf_dir), threshold=0.95, block_col="label"
+        emb, threshold=0.95, block_col="_bucket"
     )
 
 
