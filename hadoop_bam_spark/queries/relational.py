@@ -546,3 +546,56 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of (temporal) join
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_asof_join",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        ),
+        c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts_us AS view_ts FROM ev WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us, v.view_ts,
+               c.ts_us - v.view_ts AS lag_us
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts_us >= v.view_ts
+    """,
+    doc="As-of join: each click matched to the user's most recent prior "
+    "view. Spark lacks a native ASOF; this is the union-trick plan — tag "
+    "sides, one keyed window ordered by (time, side), last(ignorenulls) "
+    "carry-forward — ONE shuffle, zero row multiplication, no range-join "
+    "explosion (operators/asof.py). Oracle is DuckDB's native ASOF LEFT "
+    "JOIN.",
+    bench=True,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("view_ts")
+    )
+    j = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts_us",
+        right_time="view_ts",
+        right_cols=[],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("view_ts_right").alias("view_ts"),
+        (F.col("ts_us") - F.col("view_ts_right")).alias("lag_us"),
+    )

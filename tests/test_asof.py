@@ -1,0 +1,64 @@
+"""As-of join operator semantics (operators/asof.py)."""
+
+from pyspark.sql import functions as F
+
+from hadoop_bam_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 5, 300.0)],
+        ["k", "rt", "v"],
+    )
+    return left, right
+
+
+def test_backward_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    got = {
+        r.tag: (r.rt_right, r.v_right)
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert got["a"] == (8, 100.0)    # 8 <= 10 < 15
+    assert got["b"] == (15, 200.0)   # latest <= 20
+    assert got["c"] == (5, 300.0)    # equal timestamps match
+    assert got["d"] == (None, None)  # key 3 has no right rows
+
+
+def test_forward_earliest_at_or_after(spark):
+    left, right = _frames(spark)
+    got = {
+        r.tag: r.rt_right
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction="forward"
+        ).collect()
+    }
+    assert got["a"] == 15   # earliest >= 10
+    assert got["b"] is None  # nothing after 20
+    assert got["c"] == 5     # equality matches forward too
+
+
+def test_plan_is_single_window_no_join(spark):
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, "k", "t", "rt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union trick: a window, a union — and NO join operator of any kind
+    assert "Window" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_composite_key(spark):
+    left = spark.createDataFrame([(1, "x", 10)], ["k1", "k2", "t"])
+    right = spark.createDataFrame(
+        [(1, "x", 9, 1.0), (1, "y", 9, 2.0)], ["k1", "k2", "rt", "v"]
+    )
+    rows = asof_join(left, right, ["k1", "k2"], "t", "rt").collect()
+    assert len(rows) == 1 and rows[0].v_right == 1.0
