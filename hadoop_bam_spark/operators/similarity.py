@@ -330,3 +330,43 @@ def cosine_neardup_pairs(
             "cosine",
         )
     )
+
+
+def quantize_int8_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization + reconstruction error.
+
+    The ingredient of SQ/PQ-compressed ANN indexes: each vector gets a scale
+    ``127 / max|x|``, components quantize by truncation toward zero (CAST in
+    Spark, trunc() in DuckDB — identical semantics, unlike round(), whose
+    half-way rule differs across engines). Reported per group: vector count,
+    mean squared reconstruction error, worst absolute component error.
+
+    Everything is array expressions inside one aggregation pass — at 100 TB
+    this is a single corpus scan with a (group-cardinality)-sized shuffle.
+    """
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.lit(127.0) / F.greatest(absmax, F.lit(1e-30))
+    recon = F.transform(
+        x,
+        lambda v: (v.cast("double") * scale).cast("int").cast("double") / scale,
+    )
+    diffs = F.zip_with(x, recon, lambda a, b: a.cast("double") - b)
+    sq_err = F.aggregate(
+        diffs, F.lit(0.0), lambda acc, d: acc + d * d
+    ) / F.size(x)
+    max_err = F.array_max(F.transform(diffs, lambda d: F.abs(d)))
+    per_vec = df.select(
+        F.col(group_col),
+        sq_err.alias("_mse"),
+        max_err.alias("_maxe"),
+    )
+    return per_vec.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("_mse"), 9).alias("avg_mse"),
+        F.round(F.max("_maxe"), 9).alias("max_abs_err"),
+    )

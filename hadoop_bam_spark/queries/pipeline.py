@@ -833,3 +833,38 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_quantize_error",
+    oracle="""
+        WITH per AS (
+            SELECT label,
+                   list_transform(embedding, v -> v::DOUBLE) AS x,
+                   127.0 / greatest(
+                       list_max(list_transform(embedding, v -> abs(v::DOUBLE))),
+                       1e-30) AS scale
+            FROM embeddings
+        ),
+        err AS (
+            SELECT label,
+                   list_sum(list_transform(range(1, len(x) + 1),
+                       i -> pow(x[i] - trunc(x[i] * scale)::DOUBLE / scale, 2)))
+                       / len(x) AS mse,
+                   list_max(list_transform(range(1, len(x) + 1),
+                       i -> abs(x[i] - trunc(x[i] * scale)::DOUBLE / scale))) AS maxe
+            FROM per
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(mse), 9) AS avg_mse,
+               round(max(maxe), 9) AS max_abs_err
+        FROM err GROUP BY label
+    """,
+    doc="Int8 scalar-quantization reconstruction error per label: symmetric "
+    "per-vector scale, truncation-toward-zero quantize (identical CAST/"
+    "trunc semantics on both engines), MSE + worst component error. One "
+    "corpus pass, group-cardinality shuffle — the SQ ingredient of a "
+    "compressed ANN index.",
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8_error(_t(spark, sf_dir, "embeddings"))
