@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -137,16 +137,17 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid-owned lists, score each query only against its ``n_probe``
     nearest lists.
 
-    The centroid set here is a deterministic draw (the ``n_centroids``
+    The default centroid set is a deterministic draw (the ``n_centroids``
     lowest-id corpus vectors) so results are reproducible and
-    oracle-checkable; a production index refines the same set with
-    ``kmeans_refine`` below — every downstream step (assign, probe, score)
-    is unchanged.
+    oracle-checkable; pass ``centroids`` (centroid_id, vec_col) — e.g. the
+    output of ``kmeans_refine`` below — to index against a fitted set;
+    every downstream step (assign, probe, score) is unchanged.
 
     Plan shape at 100 TB: the centroid table is tiny BY CONSTRUCTION
     (n_centroids rows), so it is packed into a single-row array-of-structs
@@ -163,10 +164,15 @@ def knn_ivf(
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
+    cent_src = (
+        centroids.select(
+            F.col("centroid_id").alias(id_col), F.col(vec_col)
+        )
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    )
     cent_arr_df = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
+        cent_src.select(
             F.struct(
                 F.col(id_col).cast("long").alias("cid"),
                 F.col(vec_col).alias("cvec"),
@@ -274,12 +280,17 @@ def kmeans_refine(
                 ).alias("centroid_id"),
             )
         )
+        # Means are rounded to 6 decimals BEFORE the float cast: double
+        # addition is order-sensitive and Spark's partial aggregation order
+        # is nondeterministic, so unrounded means can differ in the last
+        # ulps run-to-run (and vs. a SQL oracle). Rounding at 1e-6 absorbs
+        # that while leaving the clustering geometry untouched.
         centroids = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col(vec_col)).alias("_d", "_x")
             )
             .groupBy("centroid_id", "_d")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(F.round(F.avg("_x"), 6).alias("_m"))
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(

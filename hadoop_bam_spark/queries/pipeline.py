@@ -868,3 +868,113 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8_error(_t(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle() -> str:
+    """cent0 -> (assign -> mean) x2 -> IVF probe/score — the full fitted-
+    index oracle. Means round to 6 decimals before the FLOAT cast, matching
+    kmeans_refine (double summation order differs between engines)."""
+    cos = _COSINE_SQL
+    assign = """
+        {out} AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {c} DESC, c.centroid_id ASC) AS rk
+                FROM embeddings e CROSS JOIN {cent} c
+            ) WHERE rk = 1
+        )"""
+    mean = """
+        {out} AS (
+            SELECT centroid_id, list(m ORDER BY d) AS cvec
+            FROM (
+                SELECT a.centroid_id, t.i AS d,
+                       round(avg(a.embedding[t.i]::DOUBLE), 6)::FLOAT AS m
+                FROM {assign} a,
+                     unnest(range(1, len(a.embedding) + 1)) AS t(i)
+                GROUP BY a.centroid_id, t.i
+            ) GROUP BY centroid_id
+        )"""
+    steps = ",".join(
+        [
+            """
+        cent0 AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        )""",
+            assign.format(
+                out="assign0",
+                cent="cent0",
+                c=cos.format(a="e.embedding", b="c.cvec"),
+            ),
+            mean.format(out="cent1", assign="assign0"),
+            assign.format(
+                out="assign1",
+                cent="cent1",
+                c=cos.format(a="e.embedding", b="c.cvec"),
+            ),
+            mean.format(out="cent2", assign="assign1"),
+        ]
+    )
+    return f"""
+        WITH {steps},
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM embeddings e CROSS JOIN cent2 c
+            ) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, qvec, centroid_id FROM (
+                SELECT q.query_id, q.qvec, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {cos.format(a='q.qvec', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM q CROSS JOIN cent2 c
+            ) WHERE rk <= 4
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {cos.format(a='p.qvec', b='a.embedding')} AS cosine
+            FROM probes p JOIN assigned a USING (centroid_id)
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query(
+    "knn_ivf_kmeans",
+    oracle=_kmeans_oracle(),
+    doc="IVF ANN over a k-means-FITTED centroid set: two Lloyd iterations "
+    "(broadcast-array assignment with no corpus shuffle, per-dimension "
+    "mean recompute as one aggregation per round), then the same "
+    "assign/probe/score pipeline as knn_ivf. The oracle replays both "
+    "iterations in SQL — iterative model fitting, hash-verified.",
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    cent0 = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    refined = similarity.kmeans_refine(emb, cent0, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_ivf(
+        emb, queries, k=5, n_probe=4, centroids=refined
+    )

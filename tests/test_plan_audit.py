@@ -20,6 +20,7 @@ BNLJ_ALLOWED = {
     "knn_bruteforce",           # broadcast query vectors
     "knn_lsh_bucketed",         # broadcast query vectors
     "knn_ivf",                  # single-row broadcast centroid array
+    "knn_ivf_kmeans",           # same, with kmeans-fitted centroids
     "embedding_cosine_neardup", # broadcast blocked self-join
 }
 
