@@ -599,3 +599,28 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts_right").alias("view_ts"),
         (F.col("ts_us") - F.col("view_ts_right")).alias("lag_us"),
     )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    doc="Exact linear-interpolation percentiles per event type (Spark "
+    "percentile() == DuckDB quantile_cont, both the textbook definition). "
+    "At 100 TB swap in percentile_approx for a mergeable sketch; the exact "
+    "form stays oracle-verifiable.",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
