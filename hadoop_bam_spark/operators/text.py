@@ -264,3 +264,13 @@ def rolling_fingerprint(text: Column, mod: int = 2147483647) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % mod,
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical cleaning pass: strip ASCII control characters, collapse
+    whitespace runs to single spaces, trim. Pure regexp expressions with
+    identical semantics in any RE2/PCRE-class engine, so cleaned
+    fingerprints are comparable across systems."""
+    no_ctrl = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
+    return F.trim(collapsed)

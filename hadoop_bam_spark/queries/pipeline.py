@@ -978,3 +978,32 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(
         emb, queries, k=5, n_probe=4, centroids=refined
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS norm_md5,
+               len(trim(regexp_replace(
+                   regexp_replace(text,
+                       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                   '\\s+', ' ', 'g')))::BIGINT AS norm_len
+        FROM documents
+    """,
+    doc="Canonical text cleaning: control-char strip + whitespace collapse "
+    "+ trim, fingerprinted with md5 — the normalization pass that runs "
+    "before exact dedup so formatting variants collapse. Pure regexp "
+    "column expressions, one narrow pass.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = text_ops.normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
