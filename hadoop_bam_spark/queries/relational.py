@@ -624,3 +624,66 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        ),
+        v AS (SELECT user_id, min(ts_us) AS v FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts_us) AS c FROM ev e
+              JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts_us >= v.v
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts_us) AS p FROM ev e
+              JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts_us >= c.c
+              GROUP BY e.user_id)
+        SELECT (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+               (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased
+    """,
+    doc="Ordered conversion funnel (first view -> first click at-or-after "
+    "it -> first purchase at-or-after that), computed in ONE shuffle: "
+    "collect each user's (ts, type) events sorted, then pure array "
+    "expressions walk the stages — no self-joins, no per-stage passes. "
+    "The oracle states the same semantics relationally.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_type"))
+        ).alias("seq")
+    )
+
+    def first_at_or_after(seq, etype, lower):
+        hit = F.element_at(
+            F.filter(
+                seq,
+                lambda s: (s["event_type"] == etype)
+                & (s["ts_us"] >= F.coalesce(lower, F.lit(None).cast("long"))),
+            ),
+            1,
+        )
+        return hit["ts_us"]
+
+    staged = per_user.select(
+        F.element_at(
+            F.filter(F.col("seq"), lambda s: s["event_type"] == "view"), 1
+        )["ts_us"].alias("v"),
+        F.col("seq"),
+    )
+    staged = staged.withColumn(
+        "c", first_at_or_after(F.col("seq"), "click", F.col("v"))
+    ).withColumn("p", first_at_or_after(F.col("seq"), "purchase", F.col("c")))
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked"),
+        F.count("p").alias("n_purchased"),
+    )
