@@ -132,7 +132,9 @@ def tf_idf_top_terms(
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
-    n_docs = df.count()
+    # Corpus size as a broadcast single-row aggregate (not a driver-side
+    # count()): the whole query stays one lazy plan, no eager job.
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     pairs = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -145,12 +147,16 @@ def tf_idf_top_terms(
     doc_freq = pairs.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = pairs.join(F.broadcast(doc_freq), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        pairs.join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
