@@ -54,8 +54,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Cast the literal to the COLUMN's timestamp flavor (ntz vs ltz varies
+    # by testdata revision): a mismatched literal makes Catalyst cast the
+    # column instead, and a cast-wrapped attribute cannot push to parquet.
+    ship_t = li.schema["l_shipdate"].dataType
     return li.filter(
-        (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") < F.lit("1997-01-01").cast(ship_t))
         & (F.col("l_discount") > 0.05)
     ).select("l_orderkey", "l_extendedprice")
 

@@ -32,6 +32,24 @@ def _registry():
     return REGISTRY
 
 
+@pytest.mark.parametrize("name", ["scan_filter_project", "q1_pricing_summary"])
+def test_parquet_filter_pushdown(spark, name):
+    """Filter predicates must reach the parquet scan (a literal whose
+    timestamp flavor mismatches the column silently blocks this)."""
+    import re
+
+    plan = (
+        _registry()[name]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"PushedFilters: \[(?!\])", plan), (
+        f"{name}: no filters pushed to the parquet scan"
+    )
+
+
 @pytest.mark.parametrize("name", list(_registry()))
 def test_no_cartesian_product(spark, name):
     spec = _registry()[name]
