@@ -1,2 +1,3 @@
-"""Operator library: interval joins, coordinate sort, dedup, similarity,
-text analysis, multimodal plumbing."""
+"""Operator library: interval joins, as-of joins, coordinate sort, dedup,
+cluster resolution, similarity search, skew tools, sampling, text analysis,
+multimodal plumbing."""
