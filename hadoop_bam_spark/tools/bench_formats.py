@@ -1,0 +1,195 @@
+"""Format-layer throughput micro-bench: write + scan MB/s for the binary
+genomics formats at a bench-realistic size.
+
+Usage: python -m hadoop_bam_spark.tools.bench_formats [n_reads] [workdir]
+Prints one JSON object per format: output bytes, write seconds, scan
+seconds, write/scan MB/s (scan = spark.read.format(...).count() over the
+merged file with default splits).
+
+This measures the engine's own I/O path (distributed part writes + driver
+merge + index-aligned splittable scans) at single-node parallelism — the
+number to hold against the reference's single-node htsjdk throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _seq_expr():
+    """Per-read pseudo-random 100 bp sequence (md5-derived, deterministic):
+    realistic per-record entropy so BGZF compression ratios are honest."""
+    hexes = F.concat(
+        *[F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i)))) for i in range(4)]
+    )
+    return F.substring(
+        F.translate(hexes, "0123456789abcdef", "ACGTACGTACGTACGT"), 1, 100
+    )
+
+
+def _qual_expr():
+    hexes = F.concat(
+        *[F.md5(F.concat(F.lit(str(i)), F.col("id").cast("string"))) for i in range(4)]
+    )
+    return F.substring(
+        F.translate(hexes, "0123456789abcdef", "!#%')+-/13579;=?"), 1, 100
+    )
+
+
+def _reads_df(spark, n: int):
+    seq = _seq_expr()
+    qual = _qual_expr()
+    return spark.range(n).select(
+        F.concat(F.lit("r"), F.col("id").cast("string")).alias("qname"),
+        (F.col("id") % 2 * 16).cast("int").alias("flag"),
+        F.concat(F.lit("chr"), (F.col("id") % 4 + 1).cast("string")).alias(
+            "rname"
+        ),
+        (F.col("id") % 1_000_000 + 1).cast("int").alias("pos"),
+        F.lit(60).cast("int").alias("mapq"),
+        F.lit("100M").alias("cigar"),
+        F.lit(None).cast("string").alias("rnext"),
+        F.lit(0).cast("int").alias("pnext"),
+        F.lit(0).cast("int").alias("tlen"),
+        seq.alias("seq"),
+        qual.alias("qual"),
+        F.create_map(
+            F.lit("NM"), (F.col("id") % 5).cast("string")
+        ).alias("tags"),
+    )
+
+
+def _variants_df(spark, n: int):
+    return spark.range(n).select(
+        F.concat(F.lit("chr"), (F.col("id") % 4 + 1).cast("string")).alias(
+            "contig"
+        ),
+        (F.col("id") % 1_000_000 + 1).cast("long").alias("start"),
+        (F.col("id") % 1_000_000 + 1).cast("long").alias("end"),
+        F.concat(F.lit("rs"), F.col("id").cast("string")).alias("id"),
+        F.lit("A").alias("ref"),
+        F.array(F.lit("G")).alias("alts"),
+        F.lit(30.0).alias("qual"),
+        F.array(F.lit("PASS")).alias("filters"),
+        F.create_map(F.lit("DP"), (F.col("id") % 100).cast("string")).alias(
+            "info"
+        ),
+        F.array(
+            F.struct(
+                F.lit("s1").alias("sample"),
+                F.lit("0/1").alias("gt"),
+                F.create_map(F.lit("GT"), F.lit("0/1")).alias("fields"),
+            )
+        ).alias("genotypes"),
+    )
+
+
+def _fastq_df(spark, n: int):
+    return spark.range(n).select(
+        F.concat(F.lit("read"), F.col("id").cast("string")).alias("name"),
+        _seq_expr().alias("sequence"),
+        _qual_expr().alias("quality"),
+        F.lit(None).cast("string").alias("instrument"),
+        F.lit(None).cast("long").alias("run_number"),
+        F.lit(None).cast("string").alias("flowcell_id"),
+        F.lit(None).cast("long").alias("lane"),
+        F.lit(None).cast("long").alias("tile"),
+        F.lit(None).cast("long").alias("xpos"),
+        F.lit(None).cast("long").alias("ypos"),
+        F.lit(None).cast("long").alias("read"),
+        F.lit(True).alias("filter_passed"),
+        F.lit(None).cast("long").alias("control_number"),
+        F.lit(None).cast("string").alias("index_sequence"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    workdir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="hbs_fmt_bench_")
+    )
+    os.makedirs(workdir, exist_ok=True)
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAMHeader
+    from hadoop_bam_spark.formats.vcf import VCFHeader
+    from hadoop_bam_spark.session import get_spark
+    from hadoop_bam_spark.sources import register_all
+
+    spark = get_spark("bench_formats")
+    register_all(spark)
+
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for i in range(4):
+        hdr.lines.append(f"@SQ\tSN:chr{i + 1}\tLN:1050000")
+        hdr.sequences[f"chr{i + 1}"] = (i, 1050000)
+    refs = [(f"chr{i + 1}", 1050000) for i in range(4)]
+
+    vhdr = VCFHeader()
+    vhdr.lines = ["##fileformat=VCFv4.2"] + [
+        f"##contig=<ID=chr{i + 1},length=1050000>" for i in range(4)
+    ]
+    vhdr.samples = ["s1"]
+    vhdr.contigs = {f"chr{i + 1}": i for i in range(4)}
+
+    reads = _reads_df(spark, n).repartition(16).cache()
+    reads.count()
+    variants = _variants_df(spark, n).repartition(16).cache()
+    variants.count()
+    fastq = _fastq_df(spark, n).repartition(16).cache()
+    fastq.count()
+
+    jobs = [
+        ("bam", reads, lambda df, p: sinks.write_bam(df, p, hdr, refs=refs)),
+        ("cram", reads, lambda df, p: sinks.write_cram(df, p, hdr, refs=refs)),
+        ("sam", reads, lambda df, p: sinks.write_sam(df, p, hdr)),
+        ("vcf.bgz", variants, lambda df, p: sinks.write_vcf(df, p, vhdr)),
+        ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p)),
+    ]
+    results = {}
+    for fmt, df, write in jobs:
+        path = os.path.join(workdir, f"bench.{fmt}")
+        t0 = time.time()
+        write(df, path)
+        w_sec = time.time() - t0
+        size = os.path.getsize(path)
+        reader_fmt = fmt.split(".")[0] if fmt != "vcf.bgz" else "vcf"
+        t0 = time.time()
+        # 2 MB splits: a bench-sized file parallelizes the way a 100 GB one
+        # would with default 32 MB splits
+        cnt = (
+            spark.read.format(reader_fmt)
+            .option("split_size", "2000000")
+            .load(path)
+            .count()
+        )
+        s_sec = time.time() - t0
+        mb = size / 1e6
+        results[fmt] = {
+            "rows": cnt,
+            "mb": round(mb, 3),
+            "write_sec": round(w_sec, 2),
+            "scan_sec": round(s_sec, 2),
+            "write_mb_s": round(mb / w_sec, 1),
+            "scan_mb_s": round(mb / s_sec, 1),
+            "write_krec_s": round(cnt / w_sec / 1000, 1),
+            "scan_krec_s": round(cnt / s_sec / 1000, 1),
+        }
+        assert cnt == n, f"{fmt}: wrote {n}, read back {cnt}"
+    print(json.dumps({"n_reads": n, "formats": results}))
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Format throughput tool: runs end-to-end at a tiny size and reports
+consistent counts for every format."""
+
+import json
+import subprocess
+import sys
+
+
+def test_bench_formats_smoke(tmp_path):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "hadoop_bam_spark.tools.bench_formats",
+            "3000",
+            str(tmp_path / "w"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["n_reads"] == 3000
+    for fmt in ("bam", "cram", "sam", "vcf.bgz", "fastq"):
+        stats = payload["formats"][fmt]
+        assert stats["rows"] == 3000
+        assert stats["mb"] > 0 and stats["scan_krec_s"] > 0
