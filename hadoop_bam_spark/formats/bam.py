@@ -89,14 +89,20 @@ def encode_header(header: SAMHeader, refs: list[tuple[str, int]]) -> bytes:
 # Record decode
 # ---------------------------------------------------------------------------
 
+#: byte -> its two decoded bases; one table lookup per BYTE instead of two
+#: shift/mask lookups per BASE (the decode hot loop).
+_SEQ_PAIR = [SEQ_CODE[b >> 4] + SEQ_CODE[b & 0xF] for b in range(256)]
+
+#: phred+33 re-encode as a bytes.translate table (C-speed, no Python loop).
+_QUAL33 = bytes(min(q + 33, 255) for q in range(256))
+
+
 def _decode_seq(data: bytes, l_seq: int) -> Optional[str]:
     if l_seq == 0:
         return None
-    out = []
-    for i in range(l_seq):
-        b = data[i >> 1]
-        out.append(SEQ_CODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-    return "".join(out)
+    pairs = _SEQ_PAIR
+    s = "".join([pairs[b] for b in data])
+    return s if len(s) == l_seq else s[:l_seq]
 
 
 def _decode_tags(buf: bytes) -> dict[str, str]:
@@ -173,7 +179,7 @@ def decode_record(
     if wanted is None or "qual" in wanted:
         qual_raw = buf[p : p + l_seq]
         if l_seq and qual_raw and qual_raw[0] != 0xFF:
-            qual = "".join(chr(q + 33) for q in qual_raw)
+            qual = qual_raw.translate(_QUAL33).decode("latin-1")
     p += l_seq
     tags = _decode_tags(buf[p:]) if wanted is None or "tags" in wanted else None
     rname = refs[ref_id][0] if 0 <= ref_id < len(refs) else None
