@@ -18,6 +18,7 @@ Reference behaviors reproduced (semantics, not code):
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import BinaryIO, Iterator, Optional
 
@@ -92,6 +93,17 @@ def encode_header(header: SAMHeader, refs: list[tuple[str, int]]) -> bytes:
 #: byte -> its two decoded bases; one table lookup per BYTE instead of two
 #: shift/mask lookups per BASE (the decode hot loop).
 _SEQ_PAIR = [SEQ_CODE[b >> 4] + SEQ_CODE[b & 0xF] for b in range(256)]
+
+#: encode fast path: base char (either case) -> its nibble as a hex digit,
+#: so str.translate + bytes.fromhex packs the sequence without a Python loop
+_SEQ_TO_HEX = str.maketrans(
+    {c: format(i, "x") for i, c in enumerate(SEQ_CODE)}
+    | {c.lower(): format(i, "x") for i, c in enumerate(SEQ_CODE) if c.isalpha()}
+)
+_SEQ_KNOWN = re.compile(f"[{SEQ_CODE}{SEQ_CODE.lower()}]*\\Z")
+
+#: phred+33 text -> raw scores via bytes.translate
+_QUAL_SUB33 = bytes(max(q - 33, 0) for q in range(256))
 
 #: phred+33 re-encode as a bytes.translate table (C-speed, no Python loop).
 _QUAL33 = bytes(min(q + 33, 255) for q in range(256))
@@ -308,15 +320,23 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
         n_cigar = len(ops)
         cigar_b = struct.pack(f"<{n_cigar}I", *ops)
     l_seq = len(seq) if seq else 0
-    seq_b = bytearray((l_seq + 1) // 2)
     if seq:
-        for i, c in enumerate(seq):
-            nib = SEQ_NIBBLE.get(c.upper(), 15)
-            if i % 2 == 0:
-                seq_b[i >> 1] |= nib << 4
-            else:
-                seq_b[i >> 1] |= nib
-    qual_b = bytes(ord(c) - 33 for c in qual) if qual else b"\xff" * l_seq
+        if _SEQ_KNOWN.match(seq):
+            # base -> nibble-as-hex-digit, then fromhex packs two bases per
+            # byte high-nibble-first — exactly BAM's layout, all C-speed
+            h = seq.translate(_SEQ_TO_HEX)
+            seq_b = bytes.fromhex(h + "0" if l_seq % 2 else h)
+        else:  # unusual base codes: per-char fallback
+            seq_b = bytearray((l_seq + 1) // 2)
+            for i, c in enumerate(seq):
+                nib = SEQ_NIBBLE.get(c.upper(), 15)
+                seq_b[i >> 1] |= nib << 4 if i % 2 == 0 else nib
+            seq_b = bytes(seq_b)
+    else:
+        seq_b = b""
+    qual_b = (
+        qual.encode("latin-1").translate(_QUAL_SUB33) if qual else b"\xff" * l_seq
+    )
     tags_b = b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
     bin_ = reg2bin(max(pos0, 0), max(pos0, 0) + cigar_ref_length(cigar)) if ref_id >= 0 else 0
     body = (
