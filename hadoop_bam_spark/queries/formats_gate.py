@@ -38,6 +38,28 @@ def _workdir(sf_dir: str, tag: str) -> str:
     return d
 
 
+#: (sf_dir, tag) -> workdir for artifacts already written THIS session.
+#: Gate queries sharing an artifact (e.g. the four bam_* rows) write it once
+#: and read it many times — the driver's correctness sweep runs every
+#: registered query in one session, and repeated distributed writes of the
+#: same derived file were the dominant gate cost (bam_file_roundtrip alone
+#: was ~10 s/query at sf0.01). Process-fresh: a new session rebuilds.
+_ARTIFACTS: dict = {}
+
+
+def _artifact(sf_dir: str, tag: str, build) -> str:
+    """Return the workdir for (sf_dir, tag), running ``build(workdir)``
+    exactly once per session."""
+    key = (sf_dir, tag)
+    d = _ARTIFACTS.get(key)
+    if d is not None and os.path.isdir(d):
+        return d
+    d = _workdir(sf_dir, tag)
+    build(d)
+    _ARTIFACTS[key] = d
+    return d
+
+
 def _sam_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reads_view projected onto the SAM schema (deterministic derivation)."""
     reads = reads_view(spark, sf_dir)
@@ -90,6 +112,16 @@ def _sam_header():
     return hdr
 
 
+def _write_sorted_bam(spark: SparkSession, sf_dir: str, d: str) -> None:
+    from hadoop_bam_spark import sinks
+
+    sorted_df = _sam_df(spark, sf_dir).orderBy(
+        F.col("rname").asc_nulls_last(), "pos", "qname"
+    )
+    sinks.write_bam(sorted_df, os.path.join(d, "sorted.bam"), _sam_header(),
+                    index_granularity=1024, index_bai=True)
+
+
 def _agg_back(back: DataFrame) -> DataFrame:
     return back.groupBy("rname").agg(
         F.count(F.lit(1)).alias("n"),
@@ -113,9 +145,10 @@ def bam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "bam")
+    d = _artifact(sf_dir, "bam", lambda d: sinks.write_bam(
+        _sam_df(spark, sf_dir), os.path.join(d, "reads.bam"), _sam_header(),
+        index_granularity=1024))
     path = os.path.join(d, "reads.bam")
-    sinks.write_bam(_sam_df(spark, sf_dir), path, _sam_header(), index_granularity=1024)
     back = spark.read.format("bam").option("split_size", str(_SPLIT)).load(path)
     return _agg_back(back)
 
@@ -146,9 +179,11 @@ def bam_lazy_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "bamproj")
+    # shares the "bam" artifact with bam_file_roundtrip (one write, two reads)
+    d = _artifact(sf_dir, "bam", lambda d: sinks.write_bam(
+        _sam_df(spark, sf_dir), os.path.join(d, "reads.bam"), _sam_header(),
+        index_granularity=1024))
     path = os.path.join(d, "reads.bam")
-    sinks.write_bam(_sam_df(spark, sf_dir), path, _sam_header(), index_granularity=1024)
     back = (
         spark.read.format("bam")
         .option("split_size", str(_SPLIT))
@@ -189,13 +224,8 @@ def bam_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "bam_iv")
+    d = _artifact(sf_dir, "bam_sorted", lambda d: _write_sorted_bam(spark, sf_dir, d))
     path = os.path.join(d, "sorted.bam")
-    sorted_df = _sam_df(spark, sf_dir).orderBy(
-        F.col("rname").asc_nulls_last(), "pos", "qname"
-    )
-    sinks.write_bam(sorted_df, path, _sam_header(), index_granularity=1024,
-                    index_bai=True)
     back = (
         spark.read.format("bam")
         .option("split_size", str(_SPLIT))
@@ -232,13 +262,9 @@ def bam_unmapped_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "bam_unm")
+    # shares the sorted+.bai artifact with bam_interval_pushdown
+    d = _artifact(sf_dir, "bam_sorted", lambda d: _write_sorted_bam(spark, sf_dir, d))
     path = os.path.join(d, "sorted.bam")
-    sorted_df = _sam_df(spark, sf_dir).orderBy(
-        F.col("rname").asc_nulls_last(), "pos", "qname"
-    )
-    sinks.write_bam(sorted_df, path, _sam_header(), index_granularity=1024,
-                    index_bai=True)
     back = (
         spark.read.format("bam")
         .option("split_size", str(_SPLIT))
@@ -266,11 +292,10 @@ def cram_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "cram")
+    d = _artifact(sf_dir, "cram", lambda d: sinks.write_cram(
+        _sam_df(spark, sf_dir), os.path.join(d, "reads.cram"), _sam_header(),
+        records_per_container=500))
     path = os.path.join(d, "reads.cram")
-    sinks.write_cram(
-        _sam_df(spark, sf_dir), path, _sam_header(), records_per_container=500
-    )
     back = spark.read.format("cram").option("split_size", str(_SPLIT)).load(path)
     return _agg_back(back)
 
@@ -290,17 +315,20 @@ def anysam_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "anysam")
-    df = _sam_df(spark, sf_dir)
-    key = F.abs(F.xxhash64("qname")) % 3
-    sinks.write_any_sam(df.where(key == 0), os.path.join(d, "a.bam"), _sam_header())
-    sinks.write_any_sam(df.where(key == 1), os.path.join(d, "b.sam"), _sam_header())
-    # misnamed on purpose: content sniff must beat the extension
-    sinks.write_any_sam(
-        df.where(key == 2), os.path.join(d, "misnamed.sam.x"), _sam_header(),
-        format="cram",
-    )
-    os.rename(os.path.join(d, "misnamed.sam.x"), os.path.join(d, "misnamed.sam"))
+
+    def build(d):
+        df = _sam_df(spark, sf_dir)
+        key = F.abs(F.xxhash64("qname")) % 3
+        sinks.write_any_sam(df.where(key == 0), os.path.join(d, "a.bam"), _sam_header())
+        sinks.write_any_sam(df.where(key == 1), os.path.join(d, "b.sam"), _sam_header())
+        # misnamed on purpose: content sniff must beat the extension
+        sinks.write_any_sam(
+            df.where(key == 2), os.path.join(d, "misnamed.sam.x"), _sam_header(),
+            format="cram",
+        )
+        os.rename(os.path.join(d, "misnamed.sam.x"), os.path.join(d, "misnamed.sam"))
+
+    d = _artifact(sf_dir, "anysam", build)
     back = spark.read.format("sam_any").option("split_size", str(_SPLIT)).load(d)
     return _agg_back(back)
 
@@ -316,9 +344,9 @@ def sam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "sam")
+    d = _artifact(sf_dir, "sam", lambda d: sinks.write_sam(
+        _sam_df(spark, sf_dir), os.path.join(d, "reads.sam"), _sam_header()))
     path = os.path.join(d, "reads.sam")
-    sinks.write_sam(_sam_df(spark, sf_dir), path, _sam_header())
     back = spark.read.format("sam").option("split_size", str(_SPLIT)).load(path)
     return _agg_back(back)
 
@@ -374,9 +402,9 @@ def fastq_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("control_number"),
         F.lit(None).cast("string").alias("index_sequence"),
     )
-    d = _workdir(sf_dir, "fastq")
+    d = _artifact(sf_dir, "fastq",
+                  lambda d: sinks.write_fastq(df, os.path.join(d, "reads.fastq")))
     path = os.path.join(d, "reads.fastq")
-    sinks.write_fastq(df, path)
     back = spark.read.format("fastq").option("split_size", str(_SPLIT)).load(path)
     return back.groupBy(F.col("lane").cast("long").alias("lane")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -430,9 +458,9 @@ def qseq_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("control_number"),
         F.lit("ACGT").alias("index_sequence"),
     )
-    d = _workdir(sf_dir, "qseq")
+    d = _artifact(sf_dir, "qseq",
+                  lambda d: sinks.write_qseq(df, os.path.join(d, "reads.qseq")))
     path = os.path.join(d, "reads.qseq")
-    sinks.write_qseq(df, path)
     back = spark.read.format("qseq").option("split_size", str(_SPLIT)).load(path)
     return back.groupBy(F.col("lane").cast("long").alias("lane")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -479,9 +507,9 @@ def fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.translate(F.md5(F.col("n_nationkey").cast("string")),
                             "0123456789abcdef", "ACGTACGTACGTACGT")).alias("seq"),
     )
-    d = _workdir(sf_dir, "fasta")
+    d = _artifact(sf_dir, "fasta", lambda d: sinks.write_fasta(
+        df, os.path.join(d, "ref.fa"), index_fai=True))
     path = os.path.join(d, "ref.fa")
-    sinks.write_fasta(df, path, index_fai=True)
     back = spark.read.format("fasta").load(path)
     return back.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n"),
@@ -557,9 +585,9 @@ def bcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "bcf")
+    d = _artifact(sf_dir, "bcf", lambda d: sinks.write_bcf(
+        _variants_df(spark, sf_dir), os.path.join(d, "v.bcf"), _vcf_header()))
     path = os.path.join(d, "v.bcf")
-    sinks.write_bcf(_variants_df(spark, sf_dir), path, _vcf_header())
     back = spark.read.format("bcf").option("split_size", "4096").load(path)
     return back.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n"),
@@ -597,10 +625,10 @@ def vcf_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "vcf_iv")
+    d = _artifact(sf_dir, "vcf_iv", lambda d: sinks.write_vcf(
+        _variants_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "sorted.vcf.bgz"), _vcf_header(), index_tbi=True))
     path = os.path.join(d, "sorted.vcf.bgz")
-    sorted_df = _variants_df(spark, sf_dir).orderBy("contig", "start")
-    sinks.write_vcf(sorted_df, path, _vcf_header(), index_tbi=True)
     back = (
         spark.read.format("vcf")
         .option("split_size", "4096")
@@ -626,9 +654,9 @@ def vcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.sources import register_all
 
     register_all(spark)
-    d = _workdir(sf_dir, "vcf")
+    d = _artifact(sf_dir, "vcf", lambda d: sinks.write_vcf(
+        _variants_df(spark, sf_dir), os.path.join(d, "v.vcf.bgz"), _vcf_header()))
     path = os.path.join(d, "v.vcf.bgz")
-    sinks.write_vcf(_variants_df(spark, sf_dir), path, _vcf_header())
     back = spark.read.format("vcf").option("split_size", "4096").load(path)
     return back.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n"),

@@ -112,6 +112,18 @@ ARROW_BATCH_ROWS = 4096
 _ARROW_SCHEMA_CACHE: dict = {}
 
 
+def arrow_schema(spark_schema):
+    """Cached ``pyarrow.Schema`` for a Spark schema (keyed by content, not
+    id(): pruned schemas are per-reader instances)."""
+    key = spark_schema.json()
+    cached = _ARROW_SCHEMA_CACHE.get(key)
+    if cached is None:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        cached = _ARROW_SCHEMA_CACHE[key] = to_arrow_schema(spark_schema)
+    return cached
+
+
 def arrow_batches(rows, spark_schema, batch_rows: int = ARROW_BATCH_ROWS):
     """Pack a tuple iterator into ``pyarrow.RecordBatch``es.
 
@@ -122,13 +134,7 @@ def arrow_batches(rows, spark_schema, batch_rows: int = ARROW_BATCH_ROWS):
     maps dicts (pyarrow converts both)."""
     import pyarrow as pa
 
-    # keyed by content, not id(): pruned schemas are per-reader instances
-    key = spark_schema.json()
-    cached = _ARROW_SCHEMA_CACHE.get(key)
-    if cached is None:
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        cached = _ARROW_SCHEMA_CACHE[key] = to_arrow_schema(spark_schema)
+    cached = arrow_schema(spark_schema)
     types = [f.type for f in cached]
 
     def make(buf):

@@ -27,9 +27,8 @@ Options:
 from __future__ import annotations
 
 import os
-import struct
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
 
@@ -121,16 +120,11 @@ class BAMReader(DataSourceReader):
         self._unmapped = str(options.get("unmapped", "false")).lower() == "true"
         from hadoop_bam_spark.sources import pruned_schema
 
+        # Projection: the columnar decoder builds ONLY the pruned schema's
+        # columns (the Spark-side analog of the reference's lazy decode,
+        # LazyBAMRecordFactory.java:53-111); interval residuals evaluate on
+        # cigar OPS arrays without ever building cigar strings.
         self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
-        #: fields to actually decode: the projection, plus cigar when an
-        #: interval residual needs reference-length arithmetic (lazy decode,
-        #: reference LazyBAMRecordFactory.java:53-111)
-        self._wanted: Optional[frozenset] = None
-        if self._keep is not None:
-            names = {SAM_SCHEMA.fields[i].name for i in self._keep}
-            if self._intervals is not None:
-                names.add("cigar")
-            self._wanted = frozenset(names)
         self._rname_eq: Optional[set] = None
         # header/refs per file, read once on the driver
         # (reference util/SAMHeaderReader.java:48-75)
@@ -305,43 +299,35 @@ class BAMReader(DataSourceReader):
         window = fh.read((bam.BLOCKS_NEEDED_FOR_GUESS + 2) * 0x10000)
         return bam.guess_next_record_voffset(window, offset, n_ref)
 
-    @staticmethod
-    def _iter_bodies(reader, vend: int) -> Iterator[bytes]:
-        """Raw record bodies from the reader's position up to voffset vend."""
-        while True:
-            if reader.tell_voffset() >= vend:
-                return
-            head = reader.read(4)
-            if len(head) < 4:
-                return
-            (block_size,) = struct.unpack("<i", head)
-            body = reader.read(block_size)
-            if len(body) < block_size:
-                return
-            yield body
+    #: record bodies per columnar decode batch (one Arrow batch out).
+    BATCH_RECORDS = 8192
 
     def read(self, partition):
-        from hadoop_bam_spark.sources import arrow_batches, project_rows
-
-        return arrow_batches(
-            project_rows(self._rows(partition), self._keep), self._schema
-        )
-
-    def _rows(self, partition) -> Iterator[tuple]:
+        """Columnar scan: bodies are batched and vector-decoded straight
+        into Arrow RecordBatches (formats/bam_vec.py) — no per-record
+        Python tuples on the hot path."""
         if not isinstance(partition, (BAMPartition, RawBAMPartition)):
             return
+        from hadoop_bam_spark.formats import bam_vec
+
         refs, first_voffset, size = next(
             (r, fv, sz) for p, r, fv, sz in self._files if p == partition.path
         )
-        intervals = self._intervals
-        ref_ids: Optional[set] = None
-        if intervals is not None:
+        intervals_by_rid = None
+        if self._intervals is not None:
             name_to_id = {name: i for i, (name, _) in enumerate(refs)}
-            ref_ids = {name_to_id[c] for c, _, _ in intervals if c in name_to_id}
-        if isinstance(partition, RawBAMPartition):
-            # executor-side realignment of both edges (deterministic; the
-            # neighbor computes the same right edge)
-            with fs.open_file(partition.path, "rb") as fh:
+            intervals_by_rid = [
+                (name_to_id[c], start, stop)
+                for c, start, stop in self._intervals
+                if c in name_to_id
+            ]
+        decoder = bam_vec.BAMBatchDecoder(
+            refs, fields=[f.name for f in self._schema.fields]
+        )
+        with fs.open_file(partition.path, "rb") as fh:
+            if isinstance(partition, RawBAMPartition):
+                # executor-side realignment of both edges (deterministic;
+                # the neighbor computes the same right edge)
                 vbeg = self._realign(fh, partition.start, len(refs),
                                      first_voffset, size)
                 if vbeg is None:
@@ -351,47 +337,35 @@ class BAMReader(DataSourceReader):
                 if vend is None:
                     vend = bgzf.make_voffset(size, 0)
                 partition = BAMPartition(partition.path, vbeg, vend)
-                reader = bgzf.BGZFReader(fh)
-                yield from self._span_rows(reader, partition, refs, ref_ids,
-                                           intervals)
-            return
-        with fs.open_file(partition.path, "rb") as fh:
-            reader = bgzf.BGZFReader(fh)
-            yield from self._span_rows(reader, partition, refs, ref_ids, intervals)
+            if partition.unmapped_only:
+                # queryUnmapped semantics: only unplaced (refID==-1)
+                # records (reference BAMRecordReader.java:176-178).
+                spans = ((partition.vstart, partition.vend),)
+                flt = dict(unmapped_only=True)
+            else:
+                spans = partition.chunks or ((partition.vstart, partition.vend),)
+                flt = dict(intervals_by_rid=intervals_by_rid)
+            for vbeg, vend in spans:
+                for span_buf, starts, lens in bam_vec.iter_body_batches(
+                    fh, vbeg, vend, self.BATCH_RECORDS
+                ):
+                    rb = self._make_batch(decoder, span_buf, starts, lens, flt)
+                    if rb is not None:
+                        yield rb
 
-    def _span_rows(self, reader, partition: BAMPartition, refs, ref_ids,
-                   intervals) -> Iterator[tuple]:
-        if partition.unmapped_only:
-            # queryUnmapped semantics: only unplaced (refID==-1) records
-            # (reference BAMRecordReader.java:176-178).
-            reader.seek_voffset(partition.vstart)
-            for body in self._iter_bodies(reader, partition.vend):
-                (ref_id,) = struct.unpack_from("<i", body, 0)
-                if ref_id == -1:
-                    yield bam.decode_record(body, refs, self._wanted)
-            return
-        # Chunk-driven iteration when the planner attached index spans,
-        # else the whole split range.
-        spans = partition.chunks or ((partition.vstart, partition.vend),)
-        for vbeg, vend in spans:
-            reader.seek_voffset(vbeg)
-            for body in self._iter_bodies(reader, vend):
-                if ref_ids is not None:
-                    # fixed-field pre-check: skip full decode for records
-                    # on other contigs (analog of index-driven iteration,
-                    # reference BAMRecordReader.java:170-175)
-                    (ref_id,) = struct.unpack_from("<i", body, 0)
-                    if ref_id not in ref_ids:
-                        continue
-                row = bam.decode_record(body, refs, self._wanted)
-                if intervals is not None and not _overlaps(row, intervals):
-                    continue
-                yield row
+    def _make_batch(self, decoder, span_buf, starts, lens, flt):
+        import pyarrow as pa
 
+        from hadoop_bam_spark.sources import arrow_schema
 
-def _overlaps(row: tuple, intervals: list[tuple[str, int, int]]) -> bool:
-    rname, pos, cigar = row[2], row[3], row[5]
-    if rname is None:
-        return False
-    end = pos + bam.cigar_ref_length(cigar) - 1
-    return any(c == rname and pos <= stop and start <= end for c, start, stop in intervals)
+        cols = decoder.decode_span(span_buf, starts, lens, **flt)
+        if cols is None:
+            return None
+        schema = arrow_schema(self._schema)
+        arrays = []
+        for field in schema:
+            a = cols[field.name]
+            if a.type != field.type:
+                a = a.cast(field.type)
+            arrays.append(a)
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)

@@ -164,22 +164,32 @@ def main() -> None:
         w_sec = time.time() - t0
         size = os.path.getsize(path)
         reader_fmt = fmt.split(".")[0] if fmt != "vcf.bgz" else "vcf"
-        t0 = time.time()
-        # 2 MB splits: a bench-sized file parallelizes the way a 100 GB one
-        # would with default 32 MB splits
-        cnt = (
-            spark.read.format(reader_fmt)
-            .option("split_size", "2000000")
-            .load(path)
-            .count()
-        )
-        s_sec = time.time() - t0
+
+        def scan():
+            # 2 MB splits: a bench-sized file parallelizes the way a 100 GB
+            # one would with default 32 MB splits
+            t0 = time.time()
+            c = (
+                spark.read.format(reader_fmt)
+                .option("split_size", "2000000")
+                .load(path)
+                .count()
+            )
+            return c, time.time() - t0
+
+        # First scan pays one-time Python-worker imports (numpy/pyarrow,
+        # several seconds across workers) — a fixed cost, not throughput.
+        # Report the warm number (what a long-running job sees) and keep
+        # the cold one for transparency.
+        cnt, cold_sec = scan()
+        cnt, s_sec = scan()
         mb = size / 1e6
         results[fmt] = {
             "rows": cnt,
             "mb": round(mb, 3),
             "write_sec": round(w_sec, 2),
             "scan_sec": round(s_sec, 2),
+            "scan_cold_sec": round(cold_sec, 2),
             "write_mb_s": round(mb / w_sec, 1),
             "scan_mb_s": round(mb / s_sec, 1),
             "write_krec_s": round(cnt / w_sec / 1000, 1),
