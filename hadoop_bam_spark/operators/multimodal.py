@@ -1,11 +1,12 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns.
 
-The Spark-side machinery is real — binary columns travel through Arrow to
-vectorized Python batches via ``mapInPandas``, with typed metadata structs —
-but actual media decoding is STUBBED (the image/audio libraries are not in
-this container): ``decode_image_batch`` computes deterministic fake features
-from the bytes so the pipeline is testable end-to-end, and raises
-``NotImplementedError`` when a real decode is requested.
+Binary payloads travel through Arrow to vectorized Python batches via
+``mapInPandas`` with typed metadata structs. Container-header decoding is
+REAL and pure-stdlib — :func:`parse_media_header` reads PNG IHDR dims, JPEG
+SOFn dims, GIF screen-descriptor dims, BMP dims, and WAV fmt/data-chunk
+duration straight from the public container specs. Only pixel/sample-level
+decoding (which genuinely needs PIL/opencv/ffmpeg, absent in this
+container) remains stubbed behind ``NotImplementedError``.
 
 At 100 TB: binary payloads stay in parquet (never shuffled unless needed),
 metadata extraction is a narrow mapInPandas over the scan, and feature
@@ -15,7 +16,8 @@ columns are written back columnar. Batch size is controlled by
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+from typing import Iterator, Optional
 
 import pandas as pd
 
@@ -58,6 +60,172 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real container-header parsers (pure stdlib, public format specs)
+# ---------------------------------------------------------------------------
+
+MEDIA_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+#: JPEG start-of-frame markers that carry dimensions (SOF0..SOF15 minus
+#: DHT/JPG/DAC which share the 0xC0 nibble but aren't frames).
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_media_header(b: bytes):
+    """(format, width, height, duration_ms) from container header bytes.
+
+    Pure-stdlib parsers for the public container specs:
+    - PNG: 8-byte signature, IHDR width/height big-endian at offsets 16/20;
+    - JPEG: segment walk to the first SOFn marker (height, width follow the
+      3-byte segment header + precision byte);
+    - GIF: 'GIF87a'/'GIF89a' + little-endian logical screen w/h;
+    - BMP: 'BM' + BITMAPINFOHEADER signed dims at offsets 18/22;
+    - WAV: RIFF/WAVE chunk walk — fmt byte_rate + data size -> duration.
+
+    Raises ``ValueError`` on a recognized-but-truncated container and
+    ``NotImplementedError`` for genuinely unknown magics (the only stub
+    left: pixel/sample decode of formats beyond these).
+    """
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        if b[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack_from(">II", b, 16)
+        return "png", w, h, None
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        p = 2
+        while p + 4 <= len(b):
+            if b[p] != 0xFF:
+                raise ValueError("JPEG segment desync")
+            marker = b[p + 1]
+            if marker in _JPEG_SOF:
+                if p + 9 > len(b):
+                    raise ValueError("truncated JPEG SOF")
+                h, w = struct.unpack_from(">HH", b, p + 5)
+                return "jpeg", w, h, None
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seglen,) = struct.unpack_from(">H", b, p + 2)
+            p += 2 + seglen
+        raise ValueError("JPEG without SOF dimensions")
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", b, 6)
+        return "gif", w, h, None
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", b, 18)
+        return "bmp", w, abs(h), None
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        p = 12
+        byte_rate = None
+        data_size = None
+        while p + 8 <= len(b):
+            cid = b[p : p + 4]
+            (csize,) = struct.unpack_from("<I", b, p + 4)
+            if cid == b"fmt " and p + 24 <= len(b):
+                (byte_rate,) = struct.unpack_from("<I", b, p + 16)
+            elif cid == b"data":
+                data_size = csize
+            p += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return "wav", None, None, data_size * 1000 // byte_rate
+        raise ValueError("WAV without fmt/data chunks")
+    raise NotImplementedError(
+        f"unknown media container (magic {b[:8]!r}); only PNG/JPEG/GIF/BMP/"
+        "WAV headers are parsed without external media libraries"
+    )
+
+
+def decode_media_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    on_unknown: str = "null",
+) -> DataFrame:
+    """Vectorized REAL header decode over binary payloads via mapInPandas.
+
+    ``on_unknown='null'`` maps unparseable payloads to a null row (the
+    100 TB-friendly default — one bad object must not kill a stage);
+    ``'error'`` re-raises, for strict pipelines.
+    """
+    if on_unknown not in ("null", "error"):
+        raise ValueError("on_unknown must be 'null' or 'error'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "format": [], "width": [], "height": [],
+                   "duration_ms": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    fmt, w, h, dur = parse_media_header(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if on_unknown == "error":
+                        raise
+                    fmt = w = h = dur = None
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, MEDIA_DIMS_SCHEMA)
+
+
+def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID media containers derived from doc_id — PNG, JPEG,
+    GIF, and WAV built byte-for-byte to their public specs (dims
+    (id*7)%509+1 x (id*13)%509+1; WAV duration (id%1000)+1 ms at 16 kB/s).
+    Gives the real parsers true containers to decode without shipping media
+    files, and gives the SQL oracle a closed-form expectation."""
+
+    @F.pandas_udf(T.BinaryType())
+    def build(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w = i * 7 % 509 + 1
+            h = i * 13 % 509 + 1
+            kind = i % 4
+            if kind == 0:  # PNG: signature + IHDR + empty IDAT + IEND
+                ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+                out.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+                    + struct.pack(">I", 0) + b"IDAT" + b"\x00" * 4
+                    + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4
+                )
+            elif kind == 1:  # JPEG: SOI + APP0(JFIF) + SOF0 + EOI
+                app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+                sof = (b"\x08" + struct.pack(">HH", h, w)
+                       + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+                out.append(
+                    b"\xff\xd8"
+                    + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+                    + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                    + b"\xff\xd9"
+                )
+            elif kind == 2:  # GIF89a: screen descriptor + trailer
+                out.append(
+                    b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+                )
+            else:  # WAV: PCM mono 8 kHz 16-bit -> byte_rate 16000
+                data_size = (i % 1000 + 1) * 16  # -> (i % 1000 + 1) ms
+                out.append(
+                    b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+                )
+        return pd.Series(out)
+
+    return df.withColumn("payload", build(F.col(id_col)))
 
 
 def decode_image_batch(payloads: pd.Series, fake: bool = True) -> pd.DataFrame:

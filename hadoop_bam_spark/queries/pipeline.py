@@ -499,15 +499,46 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     """,
     doc="Multimodal binary-column plumbing: opaque payload bytes flow through "
-    "Arrow into a vectorized mapInPandas metadata extractor (decode itself "
-    "is stubbed — no media libs in this container; the Spark-side schema, "
-    "batching, and UDF signature are the real thing).",
+    "Arrow into a vectorized mapInPandas metadata extractor (the Spark-side "
+    "schema, batching, and UDF signature; header decode proper is "
+    "multimodal_decode).",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.multimodal import attach_binary_payload, extract_media_meta
 
     docs = _t(spark, sf_dir, "documents")
     return extract_media_meta(attach_binary_payload(docs))
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE (doc_id * 7 % 509 + 1)::INT END AS width,
+               CASE WHEN doc_id % 4 = 3 THEN NULL
+                    ELSE (doc_id * 13 % 509 + 1)::INT END AS height,
+               CASE WHEN doc_id % 4 = 3 THEN (doc_id % 1000 + 1)::BIGINT
+                    ELSE NULL END AS duration_ms
+        FROM documents
+    """,
+    doc="REAL multimodal header decode: synthesize spec-valid PNG/JPEG/GIF/"
+    "WAV containers per document (dims and duration are closed-form in "
+    "doc_id), then parse them back with the pure-stdlib header parsers "
+    "(PNG IHDR, JPEG SOFn walk, GIF screen descriptor, WAV fmt/data "
+    "chunks) inside a vectorized mapInPandas. The oracle recomputes the "
+    "closed forms — a parser bug anywhere breaks the value hash.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.multimodal import (
+        decode_media_meta,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_meta(synthesize_media_payloads(docs))
 
 
 # ---------------------------------------------------------------------------
