@@ -102,8 +102,13 @@ _SEQ_TO_HEX = str.maketrans(
 )
 _SEQ_KNOWN = re.compile(f"[{SEQ_CODE}{SEQ_CODE.lower()}]*\\Z")
 
-#: phred+33 text -> raw scores via bytes.translate
+#: phred+33 text -> raw scores via bytes.translate. Chars below '!' would
+#: clamp to 0 silently — encode_record validates the string first (below)
+#: so malformed quals fail loudly instead of round-tripping as phred 0.
 _QUAL_SUB33 = bytes(max(q - 33, 0) for q in range(256))
+
+#: Legal SAM qual text: printable phred+33, '!' (0) .. '~' (93).
+_QUAL_VALID = re.compile(r"[!-~]*\Z")
 
 #: phred+33 re-encode as a bytes.translate table (C-speed, no Python loop).
 _QUAL33 = bytes(min(q + 33, 255) for q in range(256))
@@ -334,9 +339,15 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
             seq_b = bytes(seq_b)
     else:
         seq_b = b""
-    qual_b = (
-        qual.encode("latin-1").translate(_QUAL_SUB33) if qual else b"\xff" * l_seq
-    )
+    if qual:
+        if not _QUAL_VALID.match(qual):
+            raise ValueError(
+                f"invalid qual string for {qname!r}: chars must be in "
+                "'!'..'~' (phred+33)"
+            )
+        qual_b = qual.encode("latin-1").translate(_QUAL_SUB33)
+    else:
+        qual_b = b"\xff" * l_seq
     tags_b = b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
     bin_ = reg2bin(max(pos0, 0), max(pos0, 0) + cigar_ref_length(cigar)) if ref_id >= 0 else 0
     body = (

@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 #: same shape as Spark's broadcast-join threshold: the candidate-pair list a
 #: dedup pipeline feeds in is orders of magnitude smaller than the corpus
 #: (LSH banding emits only near-duplicates), so at 2M edges the list is a
-#: few tens of MB — a driver union-find finishes in milliseconds where the
-#: iterative join path pays several shuffle rounds of scheduling latency.
+#: few tens of MB — a driver union-find takes seconds at the ceiling where
+#: the iterative join path pays several shuffle rounds of scheduling latency.
 #: Above the threshold the fully-distributed path runs instead.
 LOCAL_EDGE_THRESHOLD = 2_000_000
 
@@ -57,9 +57,10 @@ def connected_components(
 
     ``strategy``:
 
-    - ``"auto"`` (default): count the materialized edge list once; resolve on
-      the driver when it is under ``local_edge_threshold`` edges, otherwise
-      run the distributed label-propagation rounds. Candidate pairs are the
+    - ``"auto"`` (default): fetch up to ``local_edge_threshold + 1`` edges in
+      one job; when the list fits, resolve those edges on the driver
+      directly, otherwise run the distributed label-propagation rounds.
+      Candidate pairs are the
       *output of a blocking/LSH stage* — tiny relative to the corpus — so the
       local path is the common case, exactly as small dimension tables take
       the broadcast path of a join; the distributed path keeps the operator
@@ -80,17 +81,23 @@ def connected_components(
     ).localCheckpoint()
 
     if strategy == "auto":
-        strategy = (
-            "local" if directed.count() <= local_edge_threshold else "distributed"
-        )
+        # One job decides AND fetches: pulling threshold+1 edges both answers
+        # "is it small?" and, when yes, hands the local path its input — no
+        # separate count() job.
+        head = directed.limit(local_edge_threshold + 1).collect()
+        if len(head) <= local_edge_threshold:
+            return _components_local(directed.sparkSession, head)
+        return _components_distributed(directed, max_iterations)
     if strategy == "local":
-        return _components_local(directed)
+        return _components_local(directed.sparkSession, directed.toLocalIterator())
     return _components_distributed(directed, max_iterations)
 
 
-def _components_local(directed: DataFrame) -> DataFrame:
-    """Driver-side union-find over a materialized (small) edge list."""
-    spark = directed.sparkSession
+def _components_local(spark, edges) -> DataFrame:
+    """Driver-side union-find over a materialized (small) edge list.
+
+    ~Seconds of driver CPU at the 2M-edge ceiling — still far cheaper than
+    the several shuffle rounds the distributed path schedules."""
     parent: dict = {}
 
     def find(x):
@@ -101,7 +108,12 @@ def _components_local(directed: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in directed.toLocalIterator():
+    for src, dst in edges:
+        if src is None or dst is None:
+            raise ValueError(
+                "connected_components: null id in the edge list "
+                f"(src={src!r}, dst={dst!r}) — filter or fix the pair generator"
+            )
         if src not in parent:
             parent[src] = src
         if dst not in parent:

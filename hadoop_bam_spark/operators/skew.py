@@ -34,9 +34,21 @@ def salted_join(
     ``monotonically_increasing_id`` — stable within a job); ``build`` is
     replicated ``salt`` times. Output columns match
     ``probe.join(build, on, how)``.
+
+    Only probe-preserving joins are supported: with ``right``/``full`` an
+    unmatched build row would survive once per replica (``salt`` copies),
+    and coalesced key columns would diverge from the plain join.
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-preserving joins only {sorted(allowed)}; "
+            f"got {how!r} — a right/full join would duplicate unmatched build "
+            "rows once per salt replica"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     p = probe.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")

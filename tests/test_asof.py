@@ -62,3 +62,36 @@ def test_composite_key(spark):
     )
     rows = asof_join(left, right, ["k1", "k2"], "t", "rt").collect()
     assert len(rows) == 1 and rows[0].v_right == 1.0
+
+
+def test_null_right_attribute_comes_from_matched_row(spark):
+    """When the matched (most recent) right row has a NULL attribute, the
+    output must carry that row's null — not stitch the attribute from an
+    older right row (a row that never existed)."""
+    left = spark.createDataFrame([(1, 20, "a")], ["k", "t", "tag"])
+    right = spark.createDataFrame(
+        [(1, 5, 111.0, "old"), (1, 10, None, "new")],
+        ["k", "rt", "v", "label"],
+    )
+    row = asof_join(left, right, "k", "t", "rt").collect()[0]
+    assert row.rt_right == 10          # matched the newer row...
+    assert row.label_right == "new"
+    assert row.v_right is None         # ...including its null, not 111.0
+
+
+def test_timestamp_subsecond_precision_and_type(spark):
+    """Timestamp time columns keep sub-second ordering (unix_micros key) and
+    the matched right_time column keeps its original timestamp type."""
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0, 100_000)   # .1s
+    t1 = datetime(2026, 1, 1, 0, 0, 0, 400_000)   # .4s
+    t2 = datetime(2026, 1, 1, 0, 0, 0, 700_000)   # .7s
+    left = spark.createDataFrame([(1, t1)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, t0, "early"), (1, t2, "late")], ["k", "rt", "v"]
+    )
+    row = asof_join(left, right, "k", "t", "rt").collect()[0]
+    # whole-second truncation would see all three at :00 and pick "late"
+    assert row.v_right == "early"
+    assert row.rt_right == t0          # original timestamp value, not a long

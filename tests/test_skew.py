@@ -38,3 +38,16 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n_salts > 1  # the single hot key occupies multiple salt buckets
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, 10)], ["k", "pid"])
+    build = spark.createDataFrame([(1, "x")], ["k", "tag"])
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_join(probe, build, "k", salt=4, how=how)
+    # semi/anti remain accepted
+    assert salted_join(probe, build, "k", salt=4, how="left_semi").count() == 1
+    assert salted_join(probe, build, "k", salt=4, how="left_anti").count() == 0
