@@ -777,11 +777,20 @@ class SliceHeader:
 
 class FastaRef:
     """Random-access windows into a FASTA: uses the .fai when present, else
-    one in-memory scan (fine for test refs; production paths carry a .fai)."""
+    one in-memory scan (fine for test refs; production paths carry a .fai).
+
+    Base lookups go through a small chunk cache (64 x 64 KiB LRU) so the
+    per-record window calls of multiref decode/encode paths cost a dict hit,
+    not an open+seek — the same role htsjdk's CRAMReferenceSource caching
+    plays for the reference codec."""
+
+    _CHUNK = 64 * 1024
+    _MAX_CHUNKS = 64
 
     def __init__(self, path: str, open_fn=open):
         self._path = path
         self._open = open_fn
+        self._chunks: dict[int, bytes] = {}  # file-chunk index -> raw bytes
         self._index: dict[str, tuple[int, int, int, int]] = {}
         fai = path + ".fai"
         import os
@@ -811,6 +820,27 @@ class FastaRef:
                 if name is not None:
                     self._index[name] = (length, off, nbases, width)
 
+    def _read_range(self, first: int, n: int) -> bytes:
+        """Raw file bytes [first, first+n) via the chunk cache."""
+        out = bytearray()
+        chunk = self._CHUNK
+        ci = first // chunk
+        while len(out) < n:
+            data = self._chunks.get(ci)
+            if data is None:
+                if len(self._chunks) >= self._MAX_CHUNKS:
+                    self._chunks.pop(next(iter(self._chunks)))
+                with self._open(self._path, "rb") as fh:
+                    fh.seek(ci * chunk)
+                    data = fh.read(chunk)
+                self._chunks[ci] = data
+            lo = first + len(out) - ci * chunk
+            out += data[lo : lo + n - len(out)]
+            if len(data) < chunk:  # EOF chunk
+                break
+            ci += 1
+        return bytes(out)
+
     def window(self, name: str, start: int, end: int) -> bytes:
         """Uppercase bases for [start, end] 1-based inclusive."""
         length, off, linebases, linewidth = self._index[name]
@@ -819,11 +849,12 @@ class FastaRef:
             return b""
         first = off + (start - 1) // linebases * linewidth + (start - 1) % linebases
         need = end - start + 1
+        # read enough raw bytes to cover `need` bases plus line breaks
+        raw = self._read_range(
+            first,
+            need + need // max(linebases, 1) * (linewidth - linebases) + linewidth,
+        )
         out = bytearray()
-        with self._open(self._path, "rb") as fh:
-            fh.seek(first)
-            # read enough raw bytes to cover `need` bases plus line breaks
-            raw = fh.read(need + need // max(linebases, 1) * (linewidth - linebases) + linewidth)
         for b in raw:
             if b not in (0x0A, 0x0D):
                 out.append(b)
@@ -1277,10 +1308,13 @@ class CRAMWriter:
     def __init__(self, fh: BinaryIO, refs: list[tuple[str, int]],
                  header_text: Optional[str] = None,
                  records_per_container: int = 10000,
-                 bare: bool = False, record_counter: int = 0):
+                 bare: bool = False, record_counter: int = 0,
+                 ref_fasta: Optional[FastaRef] = None):
         self._fh = fh
         self._refs = refs
         self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
+        self._ref_names = [name for name, _ in refs]
+        self._ref_fasta = ref_fasta
         self._per_container = records_per_container
         self._counter = record_counter
         self._buf: list[tuple] = []
@@ -1296,7 +1330,10 @@ class CRAMWriter:
 
     def flush(self) -> None:
         if self._buf:
-            self._fh.write(encode_container(self._buf, self._ref_index, self._counter))
+            self._fh.write(encode_container(
+                self._buf, self._ref_index, self._counter,
+                ref_fasta=self._ref_fasta, ref_names=self._ref_names,
+            ))
             self._counter += len(self._buf)
             self._buf = []
 
@@ -1309,9 +1346,30 @@ class CRAMWriter:
         self._closed = True
 
 
+#: substitution code for (ref_base, read_base) under the fixed matrix
+#: 0x1b per ref row: code j == index of the read base in ACGTN-minus-ref.
+def _sub_code(ref_base: str, read_base: str):
+    r = "ACGTN".find(ref_base)
+    if r < 0:
+        r = 4
+    j = _SUB_ALTS["ACGTN"[r]].find(read_base)
+    return j if j >= 0 else None
+
+
 def encode_container(rows: list[tuple], ref_index: dict[str, int],
-                     record_counter: int, major: int = 3) -> bytes:
-    """One multiref single-slice container from SAM-schema tuples."""
+                     record_counter: int, major: int = 3,
+                     ref_fasta: Optional[FastaRef] = None,
+                     ref_names: Optional[list[str]] = None) -> bytes:
+    """One multiref single-slice container from SAM-schema tuples.
+
+    With ``ref_fasta`` (+ ``ref_names``, id -> contig name), mapped M/=/X
+    stretches are reference-compressed (RR=true): matching bases are
+    implicit, mismatches become 'X' substitution codes against the fixed
+    matrix, and only bases the matrix cannot express fall back to verbatim
+    single-base 'b' features — the same reference-based encode htsjdk
+    defaults to (CRAMRecordWriter.java:74-121). Without it, sequences go
+    verbatim (RR=false, the htslib no_ref shape).
+    """
     from hadoop_bam_spark.formats.bam import _encode_tag_value
 
     ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
@@ -1324,6 +1382,24 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
 
     def put_int(key, v):
         ints[key] += write_itf8(v)
+
+    def match_features(feats, read_pos, ref_id, ref_pos, bases):
+        """Emit features for an M/=/X stretch against the reference."""
+        name = ref_names[ref_id] if ref_names and 0 <= ref_id < len(ref_names) else None
+        refseq = ""
+        if name is not None:
+            refseq = ref_fasta.window(
+                name, ref_pos, ref_pos + len(bases) - 1
+            ).decode("latin-1")
+        for i, rb in enumerate(bases):
+            fb = refseq[i] if i < len(refseq) else ""
+            if rb == fb:
+                continue  # implicit match — the whole point of RR=true
+            code = _sub_code(fb, rb) if fb else None
+            if code is not None:
+                feats.append((read_pos + i, "X", code))
+            else:  # base the matrix can't express (or past contig end)
+                feats.append((read_pos + i, "b", rb))
 
     for row in rows:
         (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,
@@ -1369,14 +1445,24 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             blk = tag_blocks.setdefault((tag, ty), bytearray())
             blk += write_itf8(len(val)) + val
         if not flag & 0x4:  # mapped: features from the cigar
+            # reference-compress only when the record actually has a place
+            # on the reference
+            by_ref = ref_fasta is not None and ref_id >= 0 and (pos or 0) >= 1
             feats = []
             read_pos = 1
+            ref_pos = pos or 1
             if cigar:
                 for n, op in _cigar_ops(cigar):
                     if op in "M=X":
                         if seq is not None:
-                            feats.append((read_pos, "b", seq[read_pos - 1 : read_pos - 1 + n]))
+                            bases = seq[read_pos - 1 : read_pos - 1 + n]
+                            if by_ref:
+                                match_features(feats, read_pos, ref_id,
+                                               ref_pos, bases)
+                            else:
+                                feats.append((read_pos, "b", bases))
                         read_pos += n
+                        ref_pos += n
                     elif op == "I":
                         b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
                         feats.append((read_pos, "I", b))
@@ -1387,8 +1473,10 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         read_pos += n
                     elif op == "D":
                         feats.append((read_pos, "D", n))
+                        ref_pos += n
                     elif op == "N":
                         feats.append((read_pos, "N", n))
+                        ref_pos += n
                     elif op == "H":
                         feats.append((read_pos, "H", n))
                     elif op == "P":
@@ -1396,7 +1484,10 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                     else:
                         raise ValueError(f"unsupported cigar op {op!r}")
             elif seq is not None:
-                feats.append((1, "b", seq))
+                if by_ref:
+                    match_features(feats, 1, ref_id, ref_pos, seq)
+                else:
+                    feats.append((1, "b", seq))
             put_int("FN", len(feats))
             prev = 0
             for fpos, fc, val in feats:
@@ -1407,6 +1498,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                     arrays["BB" if fc == "b" else ("IN" if fc == "I" else "SC")] += (
                         val.encode("latin-1") + b"\x00"
                     )
+                elif fc == "X":
+                    bytestreams["BS"].append(val)
                 elif fc == "D":
                     put_int("DL", val)
                 elif fc == "N":
@@ -1432,7 +1525,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     pres = bytearray()
     pres += b"RN" + b"\x01"
     pres += b"AP" + b"\x00"
-    pres += b"RR" + b"\x00"
+    pres += b"RR" + (b"\x01" if ref_fasta is not None else b"\x00")
     pres += b"SM" + b"\x1b\x1b\x1b\x1b\x1b"
     pres += b"TD" + write_itf8(len(td)) + td
     pres_map = write_itf8(5) + pres  # n entries then entries; prefix size below

@@ -136,6 +136,7 @@ def write_cram(
     header: SAMHeader,
     refs: Optional[list[tuple[str, int]]] = None,
     records_per_container: int = 10000,
+    reference: Optional[str] = None,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
 
@@ -143,9 +144,13 @@ def write_cram(
     EOF); the driver concatenates them behind one file definition + SAM
     header container and appends the fixed EOF container — the reference's
     sharded CRAM write + merge contract (CRAMRecordWriter.java:74-121 with
-    writeHeader=false, util/SAMFileMerger.java:92-103). Containers are
-    multiref with verbatim sequences (RR=false), so reading the output
-    needs no reference FASTA."""
+    writeHeader=false, util/SAMFileMerger.java:92-103).
+
+    ``reference``: path to a FASTA (visible to every executor). When given,
+    containers are reference-compressed (RR=true, htsjdk's default — only
+    mismatching bases are stored) and reading the output requires the same
+    reference. Without it, sequences go verbatim (RR=false, htslib's
+    ``no_ref`` shape) and no FASTA is needed to read."""
     from hadoop_bam_spark.formats import cram
 
     if refs is None:
@@ -154,10 +159,14 @@ def write_cram(
     parts_dir = path + ".__parts__"
 
     def write_part(idx: int, rows):
+        ref_fasta = (
+            cram.FastaRef(reference, open_fn=fs.open_file) if reference else None
+        )
         part_path = fs.join(parts_dir, f"part-{idx:05d}")
         with fs.open_file(part_path, "wb") as f:
             w = cram.CRAMWriter(
-                f, refs, bare=True, records_per_container=records_per_container
+                f, refs, bare=True, records_per_container=records_per_container,
+                ref_fasta=ref_fasta,
             )
             for r in rows:
                 w.write(tuple(r))

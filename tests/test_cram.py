@@ -195,3 +195,130 @@ def test_spark_reads_reference_cram(spark):
     )
     rows = sorted((r.qname, r.pos, r.seq) for r in back.collect())
     assert rows == [("Fred", 1, "GCTAGCTCAG"), ("Jim", 11, "AAAAAAAAAA")]
+
+
+# ---------------------------------------------------------------------------
+# Reference-based write (RR=true)
+# ---------------------------------------------------------------------------
+
+def _mk_fasta(tmp_path):
+    """Deterministic 2-contig FASTA with a .fai."""
+    import hashlib
+
+    def bases(seed, n):
+        out = []
+        i = 0
+        while len(out) < n:
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            out.extend("ACGT"[int(c, 16) % 4] for c in h)
+            i += 1
+        return "".join(out[:n])
+
+    p = tmp_path / "ref.fa"
+    c1, c2 = bases("chr1", 1000), bases("chr2", 2000)
+    with open(p, "w") as f:
+        for name, seq in (("chr1", c1), ("chr2", c2)):
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), 60):
+                f.write(seq[i : i + 60] + "\n")
+    return str(p), {"chr1": c1, "chr2": c2}
+
+
+def _ref_rows(contigs):
+    """Rows whose seqs mostly MATCH the reference (plus edits)."""
+    c1, c2 = contigs["chr1"], contigs["chr2"]
+
+    def w(contig, start, n):
+        return contigs[contig][start - 1 : start - 1 + n]
+
+    rows = [
+        # perfect match
+        ("m1", 0, "chr1", 11, 60, "20M", None, 0, 0, w("chr1", 11, 20),
+         "I" * 20, {}),
+        # one substitution mid-read
+        ("m2", 0, "chr1", 101, 60, "20M", None, 0, 0,
+         w("chr1", 101, 9) + ("A" if w("chr1", 110, 1) != "A" else "C")
+         + w("chr1", 111, 10), "J" * 20, {"NM": "1"}),
+        # insertion + deletion + soft clip
+        ("m3", 0, "chr2", 51, 50, "5M2I5M3D5M4S", None, 0, 0,
+         w("chr2", 51, 5) + "TT" + w("chr2", 56, 5) + w("chr2", 64, 5) + "GGGG",
+         None, {}),
+        # unmapped record keeps verbatim bases
+        ("u1", 4, None, 0, 0, None, None, 0, 0, "ACGTNACGT", "IIIIIIIII", {}),
+        # mapped with N in the read over a real ref base (substitutable)
+        ("m4", 16, "chr2", 301, 30, "10M", None, 0, 0,
+         w("chr2", 301, 4) + "N" + w("chr2", 306, 5), None, {}),
+    ]
+    return rows
+
+
+def test_reference_write_roundtrip_and_shrinks(tmp_path):
+    fasta, contigs = _mk_fasta(tmp_path)
+    rows = _ref_rows(contigs)
+
+    def write(ref):
+        buf = io.BytesIO()
+        w = cram.CRAMWriter(
+            buf, REFS, header_text=HEADER, records_per_container=3,
+            ref_fasta=cram.FastaRef(fasta) if ref else None,
+        )
+        for r in rows:
+            w.write(r)
+        w.close()
+        return buf.getvalue()
+
+    verbatim = write(ref=False)
+    refbased = write(ref=True)
+    p = str(tmp_path / "rr.cram")
+    with open(p, "wb") as f:
+        f.write(refbased)
+    # decoding WITHOUT the reference must refuse (RR=true)
+    with pytest.raises(ValueError, match="requires a reference"):
+        list(cram.decode_file(p))
+    assert list(cram.decode_file(p, reference=fasta)) == rows
+    # matching bases are implicit -> the encoded bases shrink. Compare the
+    # uncompressed BB/BA payload proxy: total file size after identical
+    # framing should not grow, and typically shrinks.
+    assert len(refbased) <= len(verbatim)
+
+
+def test_reference_write_mismatch_only_storage(tmp_path):
+    """A fully-matching read stores ZERO feature bytes (FN=0)."""
+    fasta, contigs = _mk_fasta(tmp_path)
+    seq = contigs["chr1"][:30]
+    rows = [("p", 0, "chr1", 1, 60, "30M", None, 0, 0, seq, None, {})]
+    body = cram.encode_container(
+        rows, {"chr1": 0, "chr2": 1}, 0,
+        ref_fasta=cram.FastaRef(fasta), ref_names=["chr1", "chr2"],
+    )
+    # decode back through the container decoder
+    from hadoop_bam_spark.formats.cram import ContainerDecoder, ContainerHeader
+
+    hdr = ContainerHeader.parse(body, 0, 3)
+    dec = ContainerDecoder(3, REFS, ref_fasta=cram.FastaRef(fasta))
+    got = dec.decode(body[hdr.header_size : hdr.header_size + hdr.length], hdr)
+    assert got == rows
+
+
+def test_spark_reference_cram_roundtrip(spark, tmp_path):
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    fasta, contigs = _mk_fasta(tmp_path)
+    rows = _ref_rows(contigs)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:1000", "@SQ\tSN:chr2\tLN:2000"]
+    hdr.sequences = {"chr1": (0, 1000), "chr2": (1, 2000)}
+    df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(2)
+    path = str(tmp_path / "rr.cram")
+    sinks.write_cram(df, path, hdr, records_per_container=2, reference=fasta)
+    back = (
+        spark.read.format("cram")
+        .option("split_size", "64")
+        .option("reference", fasta)
+        .load(path)
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
