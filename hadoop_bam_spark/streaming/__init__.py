@@ -12,6 +12,8 @@ from hadoop_bam_spark.streaming.documents import (  # noqa: F401
     read_documents_stream,
 )
 from hadoop_bam_spark.streaming.events import (  # noqa: F401
+    asof_join_stream,
+    funnel_stream,
     hourly_rollup_stream,
     read_events_stream,
     sessionize_stream,

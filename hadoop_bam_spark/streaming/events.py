@@ -170,6 +170,150 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
     )
 
 
+_ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("view_ts", T.LongType()),
+        T.StructField("lag_us", T.LongType()),
+    ]
+)
+
+_ASOF_STATE_SCHEMA = T.StructType([T.StructField("last_view_us", T.LongType())])
+
+
+def _asof_match(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Streaming as-of: each click emits the user's most recent view at or
+    before it. State = ONE long per user (latest view timestamp) — the
+    streaming port of the batch union-trick asof (operators/asof.py), with
+    the same tie rule: a view at the click's exact instant matches.
+
+    Within a micro-batch events process in event-time order; across batches
+    ordering is watermark-bounded exactly like any stateful operator. A view
+    arriving after its click's batch cannot retro-match (append semantics).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:  # no timeout configured; defensive
+        return
+    rows = []
+    for pdf in pdfs:
+        rows.extend(
+            zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist(),
+                pdf["event_id"].tolist())
+        )
+    if not rows:
+        return
+    # views sort before clicks at the same instant (side 0 < 1), matching
+    # the batch operator's equal-timestamp rule
+    rows.sort(key=lambda r: (r[0], 0 if r[1] == "view" else 1))
+    last_view = state.get[0] if state.exists else None
+    out = []
+    for ts, etype, eid in rows:
+        if etype == "view":
+            if last_view is None or ts > last_view:
+                last_view = ts
+        elif etype == "click":
+            out.append([
+                eid, user_id, ts, last_view,
+                ts - last_view if last_view is not None else None,
+            ])
+    state.update((last_view,))
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in _ASOF_OUT_SCHEMA.fields])
+
+
+def asof_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Click->most-recent-view as-of join as a custom stateful operator.
+
+    State per user is a single timestamp: O(active users), stream-length
+    independent — where the batch formulation re-sorts history per run.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .select("event_id", "user_id", "ts_us", "event_type", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_match,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("p", T.LongType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = _FUNNEL_OUT_SCHEMA
+
+
+def _funnel_stages(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Ordered-funnel stage tracker: first view, first click at-or-after it,
+    first purchase at-or-after that. Emits the user's updated stage row
+    whenever a batch advances any stage (a changelog; consumers take the
+    latest row per user). Same semantics as the batch events_funnel."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        return
+    rows = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts_us"].tolist(), pdf["event_type"].tolist()))
+    if not rows:
+        return
+    rows.sort()
+    existed = state.exists
+    if existed:
+        _, v, c, p = state.get
+    else:
+        v = c = p = None
+    before = (v, c, p)
+    for ts, etype in rows:
+        if etype == "view":
+            if v is None:
+                v = ts
+        elif etype == "click":
+            if v is not None and c is None and ts >= v:
+                c = ts
+        elif etype == "purchase":
+            if c is not None and p is None and ts >= c:
+                p = ts
+    state.update((user_id, v, c, p))
+    if (v, c, p) != before or not existed:
+        yield pd.DataFrame(
+            [[user_id, v, c, p]],
+            columns=[f.name for f in _FUNNEL_OUT_SCHEMA.fields],
+        )
+
+
+def funnel_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Conversion-funnel stages as a custom stateful operator.
+
+    State per user = three timestamps; each batch appends the user's updated
+    stage row. Aggregate latest-per-user downstream for the funnel counts —
+    the streaming changelog shape of the batch single-shuffle funnel.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .select("user_id", "ts_us", "event_type", "event_time")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_stages,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

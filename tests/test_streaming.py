@@ -48,6 +48,61 @@ class TestEventsStreaming:
             assert r.n_events >= 1
 
 
+    def test_asof_join_matches_batch(self, spark):
+        """Streaming as-of (stateful, one timestamp per user) must equal the
+        batch union-trick asof row-for-row on an availableNow drain."""
+        from hadoop_bam_spark.queries.relational import events_asof_join
+        from hadoop_bam_spark.streaming import asof_join_stream, read_events_stream
+        from hadoop_bam_spark.streaming.events import run_available_now
+
+        got = run_available_now(
+            asof_join_stream(read_events_stream(spark, SF)), "t_asof", "append"
+        )
+        want = events_asof_join(spark, SF)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_funnel_matches_batch(self, spark):
+        """Latest-per-user streaming funnel stages aggregate to the batch
+        funnel counts."""
+        from hadoop_bam_spark.queries.relational import events_funnel
+        from hadoop_bam_spark.streaming import funnel_stream, read_events_stream
+        from hadoop_bam_spark.streaming.events import run_available_now
+
+        stages = run_available_now(
+            funnel_stream(read_events_stream(spark, SF)), "t_funnel", "append"
+        )
+        # changelog -> latest row per user (highest stage completion wins)
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(
+                F.col("p").asc_nulls_first(),
+                F.col("c").asc_nulls_first(),
+                F.col("v").asc_nulls_first(),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        latest = (
+            stages.withColumn("v", F.last("v", ignorenulls=True).over(w))
+            .withColumn("c", F.last("c", ignorenulls=True).over(w))
+            .withColumn("p", F.last("p", ignorenulls=True).over(w))
+            .dropDuplicates(["user_id"])
+        )
+        got = latest.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("v").alias("n_viewed"),
+            F.count("c").alias("n_clicked"),
+            F.count("p").alias("n_purchased"),
+        ).collect()[0]
+        want = events_funnel(spark, SF).collect()[0]
+        assert (got.n_users, got.n_viewed, got.n_clicked, got.n_purchased) == (
+            want.n_users, want.n_viewed, want.n_clicked, want.n_purchased,
+        )
+
+
 class TestFastqStreaming:
     def test_directory_tail(self, spark, tmp_path):
         from hadoop_bam_spark.streaming.fastq_stream import FastqStreamDataSource
