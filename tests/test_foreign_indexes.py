@@ -1,0 +1,220 @@
+"""Foreign-provenance index parity.
+
+Engine-built indexes are validated self-consistently elsewhere
+(tests/test_bai.py, tests/test_tabix.py). These tests pin the OTHER
+provenance direction: indexes and files written by htslib/htsjdk (shipped
+in the reference tree's test resources) must drive our planner to exactly
+the same records a brute-force scan+filter finds, and our own rebuilt
+index over the same file must plan result-identical queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+RES = "/root/reference/src/test/resources"
+HISEQ_BGZ = os.path.join(RES, "HiSeq.10000.vcf.bgz")
+HISEQ_TBI = HISEQ_BGZ + ".tbi"
+TEST_BAM = os.path.join(RES, "test.bam")
+
+needs_hiseq = pytest.mark.skipif(
+    not (os.path.exists(HISEQ_BGZ) and os.path.exists(HISEQ_TBI)),
+    reason="reference fixtures absent",
+)
+needs_bam = pytest.mark.skipif(
+    not os.path.exists(TEST_BAM), reason="reference fixtures absent"
+)
+
+
+@needs_hiseq
+class TestHtslibTabix:
+    """HiSeq.10000.vcf.bgz.tbi was written by htslib's tabix."""
+
+    def test_htslib_tbi_parses(self):
+        from hadoop_bam_spark.formats import tabix
+
+        idx = tabix.read_tabix(HISEQ_TBI)
+        assert idx.names  # contig dictionary present
+        # every chunk voffset must be sane (coffset within the file)
+        size = os.path.getsize(HISEQ_BGZ)
+        for ref in idx.refs:
+            for chunks in ref.bins.values():
+                for beg, end in chunks:
+                    assert 0 <= (beg >> 16) <= size
+                    assert 0 <= (end >> 16) <= size
+
+    def _records(self, spark, **opts):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        r = spark.read.format("vcf").option("split_size", "65536")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(HISEQ_BGZ)
+
+    @pytest.mark.parametrize(
+        "interval",
+        ["chr1:1-100000", "chr1:800000-900000", "chr1:240000000-250000000"],
+    )
+    def test_htslib_index_plans_match_full_scan(self, spark, interval):
+        """Interval pushdown driven by the HTSLIB-written index must equal
+        brute-force scan + filter (same overlap predicate)."""
+        from pyspark.sql import functions as F
+
+        contig, rng = interval.split(":")
+        lo, hi = (int(x) for x in rng.split("-"))
+        got = {
+            (r.contig, r.start, r.id)
+            for r in self._records(spark, intervals=interval).collect()
+        }
+        full = self._records(spark)
+        want = {
+            (r.contig, r.start, r.id)
+            for r in full.filter(
+                (F.col("contig") == contig)
+                & (F.col("start") <= hi)
+                & (F.col("end") >= lo)
+            ).collect()
+        }
+        assert got == want
+
+    def test_rebuilt_index_plans_same_results(self, spark, tmp_path):
+        """Our own tabix build over the htslib-compressed file must plan the
+        same query results as the htslib-written index."""
+        import shutil
+
+        from hadoop_bam_spark.formats import tabix
+
+        # copy the data file; give it OUR index instead of htslib's
+        p = str(tmp_path / "hiseq.vcf.bgz")
+        shutil.copyfile(HISEQ_BGZ, p)
+        tabix.write_tabix(tabix.build_tabix(p), p + ".tbi")
+
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+
+        def q(path):
+            return {
+                (r.contig, r.start, r.id)
+                for r in spark.read.format("vcf")
+                .option("split_size", "65536")
+                .option("intervals", "chr1:700000-1000000")
+                .load(path)
+                .collect()
+            }
+
+        assert q(p) == q(HISEQ_BGZ)
+
+    def test_chunk_spans_cover_same_blocks(self):
+        """Both provenances' chunk plans for one interval must cover the
+        records region: our span may differ in merge granularity but the
+        union of spans must overlap wherever htslib's does."""
+        import shutil
+        import tempfile
+
+        from hadoop_bam_spark.formats import tabix
+
+        ours_dir = tempfile.mkdtemp()
+        p = os.path.join(ours_dir, "h.vcf.bgz")
+        shutil.copyfile(HISEQ_BGZ, p)
+        ours = tabix.build_tabix(p)
+        theirs = tabix.read_tabix(HISEQ_TBI)
+        for lo, hi in [(1, 100000), (500000, 600000)]:
+            a = theirs.chunks_for("chr1", lo, hi)
+            b = ours.chunks_for("chr1", lo, hi)
+            if not a:
+                continue
+            # every htslib chunk must intersect our planned span envelope
+            b_lo = min(x for x, _ in b)
+            b_hi = max(y for _, y in b)
+            for cb, ce in a:
+                assert ce >= b_lo and cb <= b_hi
+
+
+@needs_bam
+class TestHtsjdkBamBai:
+    """test.bam was written by htsjdk; build a .bai over it with the offline
+    builder and verify index-driven traversal (no engine-written BAM in the
+    loop)."""
+
+    @pytest.fixture(scope="class")
+    def htsjdk_bam_with_bai(self, tmp_path_factory):
+        import shutil
+
+        from hadoop_bam_spark.formats.bai import build_bai
+
+        d = tmp_path_factory.mktemp("foreign")
+        p = str(d / "test.bam")
+        shutil.copyfile(TEST_BAM, p)
+        idx = build_bai(p)
+        with open(p + ".bai", "wb") as fh:
+            idx.write(fh)
+        return p
+
+    def test_interval_traversal_matches_filter(self, spark, htsjdk_bam_with_bai):
+        from pyspark.sql import functions as F
+
+        from hadoop_bam_spark.formats.bam import cigar_ref_length
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        p = htsjdk_bam_with_bai
+        full = spark.read.format("bam").load(p).collect()
+        assert full  # fixture has records
+        contig = next(r.rname for r in full if r.rname)
+        lo, hi = 1, 50
+        got = {
+            (r.qname, r.flag, r.pos)
+            for r in spark.read.format("bam")
+            .option("intervals", f"{contig}:{lo}-{hi}")
+            .load(p)
+            .collect()
+        }
+        want = {
+            (r.qname, r.flag, r.pos)
+            for r in full
+            if r.rname == contig
+            and r.pos <= hi
+            and r.pos + cigar_ref_length(r.cigar) - 1 >= lo
+        }
+        assert got == want
+
+    def test_unmapped_traversal(self, spark, htsjdk_bam_with_bai):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        p = htsjdk_bam_with_bai
+        full = spark.read.format("bam").load(p).collect()
+        got = {
+            (r.qname, r.flag)
+            for r in spark.read.format("bam")
+            .option("unmapped", "true")
+            .load(p)
+            .collect()
+        }
+        want = {(r.qname, r.flag) for r in full if r.rname is None}
+        assert got == want
+
+    def test_bai_split_calc_on_htsjdk_file(self, htsjdk_bam_with_bai):
+        """BAI-based split planning (no .sbi present) over an htsjdk-written
+        BAM: split boundaries must be real record voffsets from the linear
+        index, and the planned partitions must tile [header_end, EOF)."""
+        from hadoop_bam_spark.sources.bam_source import BAMPartition, BAMReader
+
+        p = htsjdk_bam_with_bai
+        r = BAMReader({"path": p, "split_size": "1024"})
+        parts = [x for x in r.partitions() if isinstance(x, BAMPartition)]
+        assert parts, "expected BAI-driven voffset partitions"
+        for a, b in zip(parts, parts[1:]):
+            assert a.vend == b.vstart  # contiguous tiling
+        # read every partition; row-count must equal the whole-file count
+        n = 0
+        for part in parts:
+            for rb in r.read(part):
+                n += rb.num_rows
+        r2 = BAMReader({"path": p})
+        m = sum(rb.num_rows for part in r2.partitions() for rb in r2.read(part))
+        assert n == m
