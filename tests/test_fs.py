@@ -54,7 +54,15 @@ def test_bam_codec_roundtrip_on_memory_fs():
     reader = BAMReader({"path": path, "split_size": "2048"})
     parts = reader.partitions()
     assert len(parts) >= 1
-    got = [row for p in parts for row in reader._rows(p)]
+    got = []
+    for p in parts:
+        for rb in reader.read(p):
+            for rec in rb.to_pylist():
+                got.append(
+                    (rec["qname"], rec["flag"], rec["rname"], rec["pos"],
+                     rec["mapq"], rec["cigar"], rec["rnext"], rec["pnext"],
+                     rec["tlen"], rec["seq"], rec["qual"], dict(rec["tags"] or {}))
+                )
     assert got == rows
 
 
