@@ -2,9 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is run once to warm the JVM/parse paths, then timed (best of 3 —
-the min of three runs is robust to GC/scheduler noise that a single rep or
-best-of-2 lets through).
+Each query is run once to warm the JVM/parse paths, then timed (best of 5 —
+the min is robust to the 1.1-1.3x uniform GC/scheduler noise this box shows;
+r3's drift analysis in VERDICT.md motivated widening from best-of-3).
 """
 
 from __future__ import annotations
@@ -31,14 +31,16 @@ def main() -> None:
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(3):
+    # Interleave reps round-robin: a transient host-load spike then degrades
+    # one rep of every query instead of all reps of one query, so per-query
+    # min stays meaningful on a noisy box.
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(5):
+        for name in names:
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            best[name] = min(best[name], time.time() - t0)
+    timings = {n: round(v, 3) for n, v in best.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
