@@ -1,0 +1,139 @@
+"""Scale-up generator: tile a driver-generated sf directory K-fold into a
+larger, schema-identical benchmark directory (e.g. sf0.1 x10 -> "sf1").
+
+Usage:
+    python -m hadoop_bam_spark.tools.make_scale SRC_DIR DST_DIR [K]
+
+Key design points (all deterministic, seedless):
+
+- Referential integrity is preserved: every replica shifts each surrogate
+  key by ``replica * (max_key + 1)`` consistently across fact and dim
+  tables, so joins at the scaled SF hit exactly K times the rows with the
+  same per-key fan-out as the source.
+- ``region``/``nation`` stay fixed (TPC-H semantics: dims that do not
+  scale with SF).
+- ``documents.text`` gets a per-replica word-level suffix (every
+  whitespace token gains ``~{r}``), which changes *every* shingle. Without
+  this, tiling would make each document a near-duplicate of its K-1
+  clones and the dedup workload would be quadratically heavier than a real
+  corpus at that SF; with it, the duplicate-cluster structure of the
+  source replicates K times but stays disjoint across replicas.
+- ``embeddings.embedding`` gets per-(vector, dim, replica) hash noise of
+  amplitude +-0.15 per element (vectors are unit-ish, 64-dim), pushing
+  cross-replica cosine to ~0.8 — below near-dup thresholds — while
+  keeping within-replica geometry identical.
+- ``events.user_id`` shifts per replica so session/funnel cardinalities
+  scale in users, not in events-per-user.
+
+Runs entirely in DuckDB (vectorized, out-of-core) so generating the ~10x
+directory takes seconds and no Spark session is needed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# (table, [key columns to shift]); region/nation copied verbatim.
+_SHIFTED_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_VERBATIM = ["region", "nation"]
+
+# Key spaces shared across tables: shift amounts must agree between the
+# dim and every fact referencing it.
+_KEY_SPACE: dict[str, tuple[str, str]] = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+
+def make_scale(src: str, dst: str, k: int = 10) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count() or 8}")
+
+    # One stride per key space, from the owning table's max.
+    stride: dict[tuple[str, str], int] = {}
+    for space in set(_KEY_SPACE.values()):
+        table, col = space
+        (mx,) = con.execute(
+            f"select max({col}) from '{src}/{table}.parquet'"
+        ).fetchone()
+        stride[space] = int(mx) + 1
+
+    for t in _VERBATIM:
+        con.execute(
+            f"COPY (select * from '{src}/{t}.parquet') TO '{dst}/{t}.parquet'"
+            " (FORMAT parquet, COMPRESSION snappy)"
+        )
+
+    for t, keys in _SHIFTED_KEYS.items():
+        cols = [
+            c[0]
+            for c in con.execute(
+                f"describe select * from '{src}/{t}.parquet'"
+            ).fetchall()
+        ]
+        parts = []
+        for r in range(k):
+            sel = []
+            for c in cols:
+                if c in keys:
+                    sel.append(f"{c} + {r * stride[_KEY_SPACE[c]]} as {c}")
+                elif t == "documents" and c == "text" and r > 0:
+                    # suffix every token -> all shingles differ per replica
+                    sel.append(
+                        rf"regexp_replace(text, '(\S+)', '\1~{r}', 'g') as text"
+                    )
+                elif t == "documents" and c == "n_chars" and r > 0:
+                    sel.append(
+                        rf"length(regexp_replace(text, '(\S+)', '\1~{r}', 'g'))"
+                        " as n_chars"
+                    )
+                elif t == "embeddings" and c == "embedding" and r > 0:
+                    # per-(vec,dim,replica) hash noise, +-0.15/element:
+                    # cross-replica cosine ~0.8, within-replica geometry kept
+                    sel.append(
+                        "list_transform(list_zip(embedding, range(len(embedding))),"
+                        f" p -> CAST(p[1] + ((hash(vec_id * 1000003 + p[2] * 7919 + {r})"
+                        " % 1000) / 1000.0 - 0.5) * 0.3 AS FLOAT)) as embedding"
+                    )
+                else:
+                    sel.append(c)
+            parts.append(
+                f"select {', '.join(sel)} from '{src}/{t}.parquet'"
+            )
+        union = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({union}) TO '{dst}/{t}.parquet'"
+            " (FORMAT parquet, COMPRESSION snappy)"
+        )
+        (n,) = con.execute(f"select count(*) from '{dst}/{t}.parquet'").fetchone()
+        print(f"{t}: {n} rows", flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    make_scale(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
