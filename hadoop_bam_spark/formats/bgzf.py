@@ -228,10 +228,35 @@ class BGZFWriter:
         self._terminate = write_terminator
         self._buf = bytearray()
         self._coffset = 0  # compressed bytes written so far
+        self._u_flushed = 0  # uncompressed bytes already flushed to blocks
+        #: compressed start offset of each flushed block; all mid-stream
+        #: blocks carry exactly MAX_BLOCK_PAYLOAD uncompressed bytes, so
+        #: uncompressed position u lives in block u // MAX_BLOCK_PAYLOAD —
+        #: which lets batch writers recover any record's virtual offset
+        #: AFTER a bulk write instead of calling tell per record.
+        self.block_coffsets: list = []
         self.closed = False
 
     def tell_voffset(self) -> int:
         return make_voffset(self._coffset, len(self._buf))
+
+    @property
+    def u_total(self) -> int:
+        """Total uncompressed bytes written so far (flushed + buffered)."""
+        return self._u_flushed + len(self._buf)
+
+    def voffset_of_u(self, u: int) -> int:
+        """Virtual offset of uncompressed stream position ``u``.
+
+        Valid for any u <= u_total. Positions inside already-flushed blocks
+        resolve via the block table; buffered-tail positions resolve against
+        the current compressed offset — both match what ``tell_voffset``
+        returned at the moment position u was the write cursor."""
+        if u >= self._u_flushed:
+            return make_voffset(self._coffset, u - self._u_flushed)
+        return make_voffset(
+            self.block_coffsets[u // MAX_BLOCK_PAYLOAD], u % MAX_BLOCK_PAYLOAD
+        )
 
     def write(self, data: bytes) -> None:
         self._buf += data
@@ -240,8 +265,10 @@ class BGZFWriter:
 
     def _flush_block(self, n: int) -> None:
         block = compress_block(bytes(self._buf[:n]), self._level)
+        self.block_coffsets.append(self._coffset)
         self._f.write(block)
         self._coffset += len(block)
+        self._u_flushed += n
         del self._buf[:n]
 
     def close(self) -> None:

@@ -41,6 +41,36 @@ VCF_COLS = [
 ]
 
 
+def _collect_parts_arrow(pre: DataFrame, parts_dir: str, write_part_batches):
+    """Arrow-batch variant of :func:`_collect_parts` for sinks with a
+    columnar encoder: ``write_part_batches(idx, arrow_batches) -> result``
+    runs per partition via ``mapInArrow`` (no Row materialization at all),
+    with the result shipped back as one pickled binary cell.
+
+    This supersedes the historical note below for the BAM path: the earlier
+    Arrow attempt lost because it still ran the per-record encoder over
+    ``to_pylist`` rows; with the tags map pre-split into key/value list
+    columns (JVM-side) and a vectorized batch encoder (formats/bam_venc.py)
+    the Arrow transfer is strictly a win."""
+    import pickle
+
+    import pyarrow as pa
+
+    fs.makedirs(parts_dir)
+
+    def fn(batches):
+        from pyspark import TaskContext
+
+        idx = TaskContext.get().partitionId()
+        res = write_part_batches(idx, batches)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pickle.dumps(res)], pa.binary())], ["res"]
+        )
+
+    out = pre.mapInArrow(fn, "res binary").collect()
+    return sorted(pickle.loads(bytes(r["res"])) for r in out)
+
+
 def _collect_parts(df: DataFrame, cols: list[str], parts_dir: str, write_part):
     """Run ``write_part(idx, rows_iter) -> result`` on every partition and
     return results ordered by partition index.
@@ -84,22 +114,63 @@ def write_bam(
         refs = [(name, ln) for name, (_, ln) in ordered]
     parts_dir = path + ".__parts__"
 
-    def write_part(idx: int, rows):
+    def write_part_batches(idx: int, batches):
+        """Columnar part write: Arrow batches -> bam_venc blobs -> BGZF.
+
+        Record voffsets (splitting-index granularity anchors, BAI chunk
+        spans) are recovered analytically AFTER each bulk write via the
+        writer's block table (BGZFWriter.voffset_of_u) instead of a tell
+        per record — the per-record cost is gone from the hot path."""
+        import numpy as np
+
+        from hadoop_bam_spark.formats.bam_venc import BAMBatchEncoder
+
         part_path = fs.join(parts_dir, f"part-{idx:05d}")
         stats = None
         if index_bai:
             from hadoop_bam_spark.formats.bai import PartIndexStats
 
             stats = PartIndexStats()
+        enc = BAMBatchEncoder(refs)
+        offsets: list[int] = []
+        nrec = 0
         with fs.open_file(part_path, "wb") as f:
-            offsets = bam.write_bam(
-                f, header, (tuple(r) for r in rows), refs=refs,
-                write_header=False, write_terminator=False,
-                index_granularity=index_granularity, stats_out=stats,
-            )
+            w = bgzf.BGZFWriter(f, write_terminator=False)
+            for batch in batches:
+                blob, rec_lens, (rid, pos0, end0, mapped) = enc.encode_batch(batch)
+                if not len(rec_lens):
+                    continue
+                u0 = w.u_total
+                w.write(blob)
+                u_starts = u0 + np.concatenate(
+                    [[0], np.cumsum(rec_lens[:-1])]
+                )
+                if index_granularity:
+                    first = (-nrec) % index_granularity
+                    for i in range(first, len(rec_lens), index_granularity):
+                        offsets.append(w.voffset_of_u(int(u_starts[i])))
+                if stats is not None:
+                    u_ends = u_starts + rec_lens
+                    for i in range(len(rec_lens)):
+                        if rid[i] < 0 or pos0[i] < 0:
+                            stats.n_no_coor += 1
+                            continue
+                        stats.add(
+                            int(rid[i]), int(pos0[i]), int(end0[i]),
+                            bool(mapped[i]),
+                            w.voffset_of_u(int(u_starts[i])),
+                            w.voffset_of_u(int(u_ends[i])),
+                        )
+                nrec += len(rec_lens)
+            w.close()
         return (idx, part_path, fs.file_size(part_path), offsets, stats)
 
-    parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    pre = df.selectExpr(
+        *SAM_COLS[:-1],
+        "map_keys(tags) as tag_keys",
+        "map_values(tags) as tag_vals",
+    )
+    parts = _collect_parts_arrow(pre, parts_dir, write_part_batches)
     with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bam.encode_header(header, refs))

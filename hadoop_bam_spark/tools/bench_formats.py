@@ -159,6 +159,16 @@ def main() -> None:
     results = {}
     for fmt, df, write in jobs:
         path = os.path.join(workdir, f"bench.{fmt}")
+        # Writes get the same warm/cold split as scans: the first write's
+        # Python workers pay one-time numpy/pyarrow imports and allocator
+        # page-fault warmup; report the steady-state (second) number.
+        t0 = time.time()
+        write(df, path)
+        w_cold_sec = time.time() - t0
+        os.remove(path)
+        for leftover in (path + ".sbi", path + ".tbi", path + ".bai"):
+            if os.path.exists(leftover):
+                os.remove(leftover)
         t0 = time.time()
         write(df, path)
         w_sec = time.time() - t0
@@ -188,6 +198,7 @@ def main() -> None:
             "rows": cnt,
             "mb": round(mb, 3),
             "write_sec": round(w_sec, 2),
+            "write_cold_sec": round(w_cold_sec, 2),
             "scan_sec": round(s_sec, 2),
             "scan_cold_sec": round(cold_sec, 2),
             "write_mb_s": round(mb / w_sec, 1),

@@ -1,0 +1,136 @@
+"""Vectorized BAM encode (formats/bam_venc.py): byte-parity with the scalar
+codec, BGZF analytic voffset recovery, and sink-level index equivalence."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hadoop_bam_spark.formats import bam, bgzf
+from hadoop_bam_spark.formats.bam_venc import BAMBatchEncoder, reg2bin_vec
+
+REFS = [("chr1", 100000), ("chr2", 50000)]
+REF_INDEX = {n: i for i, (n, _) in enumerate(REFS)}
+
+EDGE_ROWS = [
+    ("r1", 0, "chr1", 10, 30, "4M", None, 0, 0, "ACGT", "IIII", {"NM": "i:1"}),
+    ("r2", 4, None, 0, 0, None, None, 0, 0, "ACG", None, {}),
+    ("r3", 16, "chr2", 99, 60, "2M1I2D3M", "chr1", 5, -42, "ACGTACGT",
+     "!!!!!!~~", {"MD": "Z:abc", "AS": "i:-7", "XX": "f:1.5"}),
+    ("r4", 0, "chr1", 1, 255, "1S2M", "chr2", 1, 0, "NNT", "III",
+     {"BB": "B:c,1,-2,3"}),
+    ("r5", 0, "chr1", 20000, 30, "100M", None, 0, 0, None, None,
+     {"ZZ": "Z:hello world"}),
+    ("r6", 0, "chr2", 49999, 30, "5H", None, 0, 0, "acgtn", "IIIII", {}),
+    ("r7", 0, "chr1", 16385, 30, "20000M", None, 0, 0, "AC", "II", {}),
+]
+
+
+def rows_to_batch(rows):
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols[0]), pa.array(cols[1], pa.int32()),
+            pa.array(cols[2]), pa.array(cols[3], pa.int32()),
+            pa.array(cols[4], pa.int32()), pa.array(cols[5]),
+            pa.array(cols[6]), pa.array(cols[7], pa.int32()),
+            pa.array(cols[8], pa.int32()), pa.array(cols[9]),
+            pa.array(cols[10]),
+            pa.array([list(t.keys()) for t in cols[11]],
+                     pa.list_(pa.string())),
+            pa.array([list(t.values()) for t in cols[11]],
+                     pa.list_(pa.string())),
+        ],
+        names=["qname", "flag", "rname", "pos", "mapq", "cigar", "rnext",
+               "pnext", "tlen", "seq", "qual", "tag_keys", "tag_vals"],
+    )
+
+
+def test_edge_rows_byte_parity():
+    exp = b"".join(bam.encode_record(tuple(r), REF_INDEX) for r in EDGE_ROWS)
+    blob, lens, _ = BAMBatchEncoder(REFS).encode_batch(rows_to_batch(EDGE_ROWS))
+    assert blob == exp
+    assert int(lens.sum()) == len(exp)
+
+
+def test_sliced_batch_parity():
+    """Arrow slices carry a nonzero offset — the buffer math must respect it."""
+    batch = rows_to_batch(EDGE_ROWS)
+    enc = BAMBatchEncoder(REFS)
+    whole = enc.encode_batch(batch)[0]
+    sliced = b"".join(
+        enc.encode_batch(batch.slice(i, 2))[0] for i in range(0, 7, 2)
+    )
+    assert sliced == whole
+
+
+def test_stats_arrays_match_add_sam_row():
+    from hadoop_bam_spark.formats.bai import PartIndexStats
+
+    blob, lens, (rid, pos0, end0, mapped) = BAMBatchEncoder(REFS).encode_batch(
+        rows_to_batch(EDGE_ROWS)
+    )
+    # reference accumulation through the scalar API
+    exp = PartIndexStats()
+    got = PartIndexStats()
+    at = 0
+    for i, row in enumerate(EDGE_ROWS):
+        end_v = at + int(lens[i])
+        exp.add_sam_row(tuple(row), REF_INDEX, at, end_v)
+        if rid[i] < 0 or pos0[i] < 0:
+            got.n_no_coor += 1
+        else:
+            got.add(int(rid[i]), int(pos0[i]), int(end0[i]),
+                    bool(mapped[i]), at, end_v)
+        at = end_v
+    assert got.n_no_coor == exp.n_no_coor
+    assert set(got.refs) == set(exp.refs)
+    for k in exp.refs:
+        assert got.refs[k].bins == exp.refs[k].bins
+        assert got.refs[k].linear == exp.refs[k].linear
+        assert got.refs[k].n_mapped == exp.refs[k].n_mapped
+
+
+def test_reg2bin_vec_matches_scalar():
+    rng = np.random.default_rng(7)
+    beg = rng.integers(0, 1 << 28, 500)
+    ln = rng.integers(1, 1 << 20, 500)
+    end = beg + ln
+    vec = reg2bin_vec(beg.astype(np.int64), end.astype(np.int64))
+    for b, e, v in zip(beg.tolist(), end.tolist(), vec.tolist()):
+        assert bam.reg2bin(b, e) == v
+
+
+def test_qual_validation_raises():
+    rows = [("q", 0, "chr1", 1, 30, "4M", None, 0, 0, "ACGT", "II\x1fI", {})]
+    with pytest.raises(ValueError, match="qual"):
+        BAMBatchEncoder(REFS).encode_batch(rows_to_batch(rows))
+    rows = [("q", 0, "chr1", 1, 30, "4M", None, 0, 0, "ACGT", "III", {})]
+    with pytest.raises(ValueError, match="length"):
+        BAMBatchEncoder(REFS).encode_batch(rows_to_batch(rows))
+
+
+def test_voffset_of_u_matches_tell():
+    """Analytic voffset recovery == what tell_voffset said at write time,
+    across block boundaries (multi-block payload)."""
+    payload = bytes(range(256)) * 40  # 10240 bytes per write
+    buf = io.BytesIO()
+    w = bgzf.BGZFWriter(buf, write_terminator=False)
+    tells = []
+    us = []
+    for i in range(30):  # 307200 bytes > 4 blocks
+        tells.append(w.tell_voffset())
+        us.append(w.u_total)
+        w.write(payload)
+    # before close: all positions (flushed + buffered tail) must agree
+    for u, t in zip(us, tells):
+        assert w.voffset_of_u(u) == t
+    w.close()
+    for u, t in zip(us, tells):
+        assert w.voffset_of_u(u) == t
+    # the recovered voffsets must parse back through a reader
+    data = buf.getvalue() + bgzf.BGZF_EOF
+    r = bgzf.BGZFReader(io.BytesIO(data))
+    r.seek_voffset(w.voffset_of_u(us[17]))
+    assert r.read(4) == payload[:4]
