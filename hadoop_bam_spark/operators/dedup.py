@@ -392,3 +392,70 @@ def jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_split: str = "\n",
+) -> DataFrame:
+    """Paragraph-level global exact dedup (the C4/RefinedWeb line-dedup
+    pass): split each document into paragraphs, keep only the globally
+    FIRST occurrence of every distinct paragraph (ordered by (doc, position)),
+    and reassemble the surviving text per document.
+
+    Returns (id_col, n_para, n_dropped, clean_md5) where clean_md5
+    fingerprints the newline-joined surviving paragraphs in original order.
+
+    Plan shape at 100 TB: the explode is pipeline-local (no shuffle); the
+    keeper election is ONE groupBy on the 32-char paragraph fingerprint
+    carrying only (fingerprint, min struct(doc,pos)) — paragraph text never
+    shuffles with it; the winner join is an equi-join on the fingerprint
+    (co-partitioned with the agg, so AQE reuses the exchange); reassembly
+    is one groupBy on the doc id. Three shuffles total, all on keys, none
+    quadratic.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), para_split)).alias("pos", "para"),
+    ).withColumn("para", F.trim(F.col("para")))
+    paras = paras.filter(F.col("para") != "").withColumn(
+        "fp", F.md5(F.col("para"))
+    )
+    keepers = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("k")
+    )
+    marked = paras.join(keepers, "fp").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("k.d")) & (F.col("pos") == F.col("k.p")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_para"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct(F.col("pos"), F.col("para")),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_para").cast("long").alias("n_para"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            "clean_md5",
+        )
+    )

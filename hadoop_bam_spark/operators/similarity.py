@@ -381,3 +381,89 @@ def quantize_int8_error(
         F.round(F.avg("_mse"), 9).alias("avg_mse"),
         F.round(F.max("_maxe"), 9).alias("max_abs_err"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster by nearest centroid,
+    then inside each cluster drop every vector whose cosine to a LOWER-id
+    clustermate reaches ``threshold`` (the lowest id of each semantic
+    group survives).
+
+    Returns one row per centroid: (centroid_id, n_vectors, n_dropped,
+    min_kept_id).
+
+    Plan shape at 100 TB: centroid assignment is the knn_ivf broadcast
+    pattern — the centroid set packs into ONE array-of-structs row and
+    assignment is a per-row array_max, so the corpus is never shuffled for
+    it. The pairwise stage is an equi-join ON centroid_id (never
+    all-pairs); cluster sizes are bounded by the centroid count growing
+    with the corpus (n_centroids ~ sqrt(N) in production), keeping each
+    bucket's pair count flat.
+    """
+    from hadoop_bam_spark.operators.dedup import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    cent_src = (
+        centroids.select(F.col("centroid_id").alias(id_col), F.col(vec_col))
+        if centroids is not None
+        else corpus.orderBy(F.col(id_col)).limit(n_centroids)
+    )
+    cent_arr_df = (
+        cent_src.select(
+            F.struct(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            ).alias("_c")
+        )
+        .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
+    )
+    scores = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(cosine_expr(F.col(vec_col), c["cvec"]), 6).alias("cos"),
+            (-c["cid"]).alias("neg_id"),
+        ),
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent_arr_df))
+        .withColumn("centroid_id", -F.array_max(scores)["neg_id"])
+        .drop("_cents")
+    )
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select("centroid_id", F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.select("centroid_id", id_col)
+        .join(dropped, ["centroid_id", id_col], "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("_dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.min(F.when(F.col("_dropped").isNull(), F.col(id_col))).alias(
+                "min_kept_id"
+            ),
+        )
+    )

@@ -280,3 +280,33 @@ def normalize_text(text: Column) -> Column:
     no_ctrl = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     collapsed = F.regexp_replace(no_ctrl, r"\s+", " ")
     return F.trim(collapsed)
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+#: Patterns chosen to parse identically under Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class, in PII_PATTERNS order."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace every PII match with its class placeholder (all classes,
+    all occurrences). Pure Catalyst regexp_replace chain — no UDF."""
+    out = text
+    for pat, repl in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out

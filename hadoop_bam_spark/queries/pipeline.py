@@ -1038,3 +1038,206 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: paragraph dedup, PII scrub, sequence packing, semdedup
+# ---------------------------------------------------------------------------
+
+# Documents carry no newlines, so the paragraph pass segments them first:
+# a newline after every 10th word — same regexp on both engines (no
+# backreferences in the PATTERN, so Java regex and RE2 agree; only the
+# replacement syntax differs: $1 vs \1).
+_PARA_SEG_SPARK = (r"((\S+\s+){10})", "$1\n")
+
+
+@query(
+    "dedup_paragraph",
+    oracle=r"""
+        WITH
+""" + _CORPUS_CTE.strip().rstrip() + r""",
+        segmented AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(text, '((\S+\s+){10})',
+                                               '\1' || chr(10), 'g'),
+                                chr(10)) AS ps
+            FROM corpus
+        ),
+        paras0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ps)),
+                          i -> struct_pack(pos := i, para := trim(ps[i])))) AS s
+            FROM segmented
+        ),
+        paras AS (
+            SELECT doc_id, s.pos AS pos, s.para AS para, md5(s.para) AS fp
+            FROM paras0 WHERE s.para <> ''
+        ),
+        marked AS (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, pos) AS rn
+            FROM paras
+        )
+        SELECT doc_id, count(*) AS n_para,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               md5(coalesce(
+                   string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                              ORDER BY pos), '')) AS clean_md5
+        FROM marked GROUP BY 1
+    """,
+    doc="Paragraph-level global exact dedup (the C4/RefinedWeb line-dedup "
+    "pass): keep only the globally first occurrence of each distinct "
+    "paragraph, reassemble per doc. Keeper election is one groupBy on the "
+    "paragraph fingerprint (text never shuffles with it); winner join is "
+    "an equi-join on the fingerprint; reassembly one groupBy on doc_id.",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus_view(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", *_PARA_SEG_SPARK)
+    )
+    return dedup.paragraph_dedup(docs)
+
+
+_PII_SEED_SQL = (
+    "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id"
+    " || '@example.org from 10.0.' || (doc_id % 200) || '.7 ssn"
+    " 123-45-6789' ELSE text END"
+)
+
+
+def _pii_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.org from 10.0."),
+                F.col("doc_id") % 200,
+                F.lit(".7 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _pii_scrub_sql(col: str) -> str:
+    out = col
+    for pat, repl in text_ops.PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+        WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents)
+        SELECT doc_id,
+               {', '.join(
+                   f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+                   for name, (pat, _) in text_ops.PII_PATTERNS.items())},
+               md5({_pii_scrub_sql('text')}) AS scrub_md5
+        FROM seeded
+    """,
+    doc="PII scrubbing: count + replace emails / IPv4 addresses / SSN-shaped "
+    "ids with class placeholders. Pure Catalyst regexp expressions (one "
+    "narrow pass, no UDF); patterns restricted to the Java-regex/RE2 "
+    "common dialect so engines agree.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded = _pii_seeded(spark, sf_dir)
+    return seeded.select(
+        "doc_id",
+        *text_ops.pii_counts(F.col("text")),
+        F.md5(text_ops.pii_scrub(F.col("text"))).alias("scrub_md5"),
+    )
+
+
+_TOKENS_SQL = (
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))::BIGINT"
+)
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents
+        ),
+        binned AS (
+            SELECT doc_id, n_tokens,
+                   floor((sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+                         / {_PACK_BUDGET})::BIGINT AS bin
+            FROM toks
+        )
+        SELECT bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+               min(doc_id) AS first_id, max(doc_id) AS last_id,
+               round(sum(n_tokens) / {_PACK_BUDGET}.0, 4) AS fill_ratio
+        FROM binned GROUP BY 1
+    """,
+    doc="Sequence packing: contiguous-fill assignment of documents to fixed "
+    "token-budget training bins (bin = floor(exclusive running total / "
+    "budget)). The oracle-checkable form uses one global window for a "
+    "deterministic corpus-wide layout; operators/packing.py documents the "
+    "per-range-partition form used at scale (pass by=...).",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(toks, budget=_PACK_BUDGET)
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+        WITH {_EMB_CORPUS_CTE.strip()},
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM emb_corpus ORDER BY vec_id LIMIT 16
+        ),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {_COSINE_SQL.format(a='e.embedding', b='c.cvec')} AS cos
+            FROM emb_corpus e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid AS centroid_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cos DESC, cid) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT a.centroid_id, a.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+            WHERE {_COSINE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.95
+        )
+        SELECT a.centroid_id, count(*) AS n_vectors,
+               sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dropped,
+               min(CASE WHEN d.vec_id IS NULL THEN a.vec_id END)
+                   AS min_kept_id
+        FROM assigned a LEFT JOIN dropped d
+          ON a.centroid_id = d.centroid_id AND a.vec_id = d.vec_id
+        GROUP BY 1
+    """,
+    doc="SemDeDup-style semantic dedup: broadcast-centroid assignment (the "
+    "knn_ivf pattern — corpus never shuffled for it), then within-cluster "
+    "cosine pruning via an equi-join on centroid_id (never all-pairs); "
+    "the lowest id of each semantic group survives.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        emb_corpus_view(spark, sf_dir), n_centroids=16, threshold=0.95
+    )

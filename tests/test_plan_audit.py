@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "knn_ivf_kmeans",           # same, with kmeans-fitted centroids
     "embedding_cosine_neardup", # broadcast blocked self-join
     "tfidf_top_terms",          # single-row broadcast corpus-size aggregate
+    "semantic_dedup",           # single-row broadcast centroid array (knn_ivf pattern)
 }
 
 
