@@ -473,6 +473,17 @@ def iter_container_offsets(path: str, open_fn=open) -> Iterator[tuple[int, "Cont
 # ---------------------------------------------------------------------------
 
 E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN = 0, 1, 2, 3
+
+#: raw phred byte -> phred+33 text char (exact chr(q + 33) semantics,
+#: including codepoints past 255 for out-of-range stored values)
+_PHRED33_STR = str.maketrans({q: chr(q + 33) for q in range(256)})
+
+#: data series consumed as itf8 INTEGERS by the slice decoder (I());
+#: everything else (BA/QS/FC/BS bytes, RN/IN/SC/BB/QQ byte arrays) carries
+#: raw bytes and must never be bulk-itf8-decoded.
+_INT_SERIES = frozenset(
+    "BF CF RI RL AP RG MF NS NP TS NF TL FN DL HC PD RS MQ".split()
+)
 E_BYTE_ARRAY_LEN, E_BYTE_ARRAY_STOP, E_BETA, E_SUBEXP = 4, 5, 6, 7
 E_GOLOMB_RICE, E_GAMMA = 8, 9
 
@@ -532,6 +543,59 @@ def _s32(v: int) -> int:
     return v - (1 << 32) if v > 0x7FFFFFFF else v
 
 
+def _decode_itf8_block(data: bytes) -> list:
+    """Decode EVERY itf8 value in a block in one tight loop, signed.
+
+    Used when an external block is exclusively owned by one integer data
+    series: its values are then a dense sequential run, so one pass with
+    local-variable state replaces four layers of per-value calls
+    (I() -> decoder lambda -> ExtCursor.itf8 -> read_itf8) in the record
+    hot loop. Bit layout identical to read_itf8 + _s32."""
+    out = []
+    app = out.append
+    p, n = 0, len(data)
+    while p < n:
+        b0 = data[p]
+        if b0 < 0x80:
+            v = b0
+            p += 1
+        elif b0 < 0xC0:
+            v = ((b0 & 0x7F) << 8) | data[p + 1]
+            p += 2
+        elif b0 < 0xE0:
+            v = ((b0 & 0x3F) << 16) | (data[p + 1] << 8) | data[p + 2]
+            p += 3
+        elif b0 < 0xF0:
+            v = (((b0 & 0x1F) << 24) | (data[p + 1] << 16)
+                 | (data[p + 2] << 8) | data[p + 3])
+            p += 4
+        else:
+            v = (((b0 & 0x0F) << 28) | (data[p + 1] << 20)
+                 | (data[p + 2] << 12) | (data[p + 3] << 4)
+                 | (data[p + 4] & 0x0F))
+            p += 5
+        app(v - 4294967296 if v > 0x7FFFFFFF else v)
+    return out
+
+
+def _encoding_cids(codec: int, params: bytes) -> list:
+    """External block content-ids referenced by one encoding (recursing
+    into BYTE_ARRAY_LEN's nested len/val encodings)."""
+    if codec == E_EXTERNAL:
+        cid, _ = read_itf8(params, 0)
+        return [cid]
+    if codec == E_BYTE_ARRAY_STOP:
+        cid, _ = read_itf8(params, 1)
+        return [cid]
+    if codec == E_BYTE_ARRAY_LEN:
+        len_codec, len_params, rest = _parse_encoding(params)
+        val_codec, val_params, _ = _parse_encoding(rest)
+        return _encoding_cids(len_codec, len_params) + _encoding_cids(
+            val_codec, val_params
+        )
+    return []
+
+
 def _parse_encoding(params: bytes):
     """(codec_id, raw_params) from a 'codec itf8, len itf8, bytes' triple."""
     codec, p = read_itf8(params, 0)
@@ -564,11 +628,21 @@ def _huffman_table(params: bytes):
     return table, None
 
 
-def make_int_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
-    """-> () -> int for an integer data series."""
+def make_int_decoder(codec: int, params: bytes, ext: dict, core: CoreBits,
+                     bulk_cids=frozenset()):
+    """-> () -> int for an integer data series.
+
+    ``bulk_cids``: content-ids whose external block is exclusively owned by
+    one integer series — those decode the ENTIRE block once
+    (_decode_itf8_block) and serve values through a C-speed list iterator
+    instead of per-value cursor calls."""
     if codec == E_EXTERNAL:
         cid, _ = read_itf8(params, 0)
         cur = ext[cid]
+        if cid in bulk_cids and cur.p == 0:
+            values = _decode_itf8_block(cur.data)
+            cur.p = len(cur.data)
+            return iter(values).__next__
         return lambda: _s32(cur.itf8())
     if codec == E_HUFFMAN:
         table, const = _huffman_table(params)
@@ -641,7 +715,8 @@ def make_byte_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
     raise ValueError(f"unsupported byte encoding {codec}")
 
 
-def make_bytes_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
+def make_bytes_decoder(codec: int, params: bytes, ext: dict, core: CoreBits,
+                       bulk_cids=frozenset()):
     """-> (n_hint) -> bytes for byte-array series (RN/IN/SC/BB/QQ, tags).
 
     BYTE_ARRAY_LEN ignores n_hint (its own length stream rules);
@@ -654,7 +729,7 @@ def make_bytes_decoder(codec: int, params: bytes, ext: dict, core: CoreBits):
     if codec == E_BYTE_ARRAY_LEN:
         len_codec, len_params, rest = _parse_encoding(params)
         val_codec, val_params, _ = _parse_encoding(rest)
-        length = make_int_decoder(len_codec, len_params, ext, core)
+        length = make_int_decoder(len_codec, len_params, ext, core, bulk_cids)
         if val_codec == E_EXTERNAL:
             cid, _ = read_itf8(val_params, 0)
             cur = ext[cid]
@@ -970,6 +1045,28 @@ class ContainerDecoder:
                     embedded_ref = blk.data
         core = CoreBits(core_data)
 
+        # Blocks exclusively owned by ONE integer-series encoding can be
+        # bulk-decoded (all itf8 values in one pass); shared blocks keep
+        # the interleaved per-value cursor path.
+        cid_users: dict[int, int] = {}
+        int_cids: set = set()
+        for key, (codec, params) in comp.data_series.items():
+            for cid in _encoding_cids(codec, params):
+                cid_users[cid] = cid_users.get(cid, 0) + 1
+            if codec == E_EXTERNAL and key in _INT_SERIES:
+                int_cids.update(_encoding_cids(codec, params))
+            elif codec == E_BYTE_ARRAY_LEN:
+                # the LENGTH sub-stream is itf8 ints (the value stream is not)
+                len_codec, len_params, _ = _parse_encoding(params)
+                if len_codec == E_EXTERNAL:
+                    int_cids.update(_encoding_cids(len_codec, len_params))
+        for codec, params in comp.tag_encodings.values():
+            for cid in _encoding_cids(codec, params):
+                cid_users[cid] = cid_users.get(cid, 0) + 1
+        bulk_cids = frozenset(
+            c for c in int_cids if cid_users.get(c) == 1 and c in ext
+        )
+
         dec_int: dict[str, callable] = {}
         dec_byte: dict[str, callable] = {}
         dec_bytes: dict[str, callable] = {}
@@ -978,7 +1075,8 @@ class ContainerDecoder:
             d = dec_int.get(key)
             if d is None:
                 codec, params = comp.data_series[key]
-                d = dec_int[key] = make_int_decoder(codec, params, ext, core)
+                d = dec_int[key] = make_int_decoder(codec, params, ext, core,
+                                                    bulk_cids)
             return d()
 
         def BYTE(key):
@@ -992,8 +1090,28 @@ class ContainerDecoder:
             d = dec_bytes.get(key)
             if d is None:
                 codec, params = comp.data_series[key]
-                d = dec_bytes[key] = make_bytes_decoder(codec, params, ext, core)
+                d = dec_bytes[key] = make_bytes_decoder(codec, params, ext,
+                                                        core, bulk_cids)
             return d(n_hint)
+
+        run_readers: dict[str, callable] = {}
+
+        def RUN(key, n):
+            """Bulk n-byte read of a byte series — one slice for EXTERNAL
+            codecs instead of n per-byte calls (the seq/qual hot path);
+            bit-codec series fall back to the per-byte decoder. Cursor
+            state is shared with BYTE(), so mixing them is safe."""
+            r = run_readers.get(key)
+            if r is None:
+                codec, params = comp.data_series[key]
+                if codec == E_EXTERNAL:
+                    cid, _ = read_itf8(params, 0)
+                    r = ext[cid].take
+                else:
+                    one = make_byte_decoder(codec, params, ext, core)
+                    r = lambda n: bytes(one() for _ in range(n))  # noqa: E731
+                run_readers[key] = r
+            return r(n)
 
         tag_decoders: dict[tuple[str, str], callable] = {}
 
@@ -1030,17 +1148,35 @@ class ContainerDecoder:
         records = []
         last_pos = sh.start
         multiref = sh.ref_seq_id == -2
+
+        # Hot-series decoders bound to locals once: every record reads
+        # these, so the I() dict-dispatch overhead is paid here instead of
+        # per record.
+        def _bind(key):
+            if key not in comp.data_series or sh.n_records == 0:
+                return None
+            codec, params = comp.data_series[key]
+            d = dec_int.get(key)
+            if d is None:
+                d = dec_int[key] = make_int_decoder(codec, params, ext, core,
+                                                    bulk_cids)
+            return d
+
+        d_bf, d_cf, d_rl, d_ap, d_rg, d_tl = (
+            _bind("BF"), _bind("CF"), _bind("RL"), _bind("AP"),
+            _bind("RG"), _bind("TL"),
+        )
         for i in range(sh.n_records):
-            bf = I("BF")
-            cf = I("CF")
+            bf = d_bf()
+            cf = d_cf()
             ref_id = _s32(I("RI")) if multiref else sh.ref_seq_id
-            rl = I("RL")
+            rl = d_rl()
             if comp.ap_delta:
-                pos = last_pos + I("AP")
+                pos = last_pos + d_ap()
                 last_pos = pos
             else:
-                pos = I("AP")
-            rg = _s32(I("RG"))
+                pos = d_ap()
+            rg = _s32(d_rg())
             if comp.read_names_included:
                 qname = ARR("RN").decode("latin-1")
             else:
@@ -1058,7 +1194,7 @@ class ContainerDecoder:
             elif cf & CF_MATE_DOWNSTREAM:
                 nf = I("NF")
             tags: dict[str, str] = {}
-            tl = I("TL")
+            tl = d_tl()
             for tag, typ in (comp.tag_lines[tl] if comp.tag_lines else ()):
                 s, sub = _decode_tag_value(typ, TAGVAL(tag, typ))
                 from hadoop_bam_spark.formats.sam import tag_value_repr
@@ -1176,18 +1312,18 @@ class ContainerDecoder:
                 fill_match(rl + 1)
                 if cf & CF_QUAL_STORED:
                     qual_raw = bytearray(
-                        ARR("QS", rl) if "QS" in comp.data_series and self._qs_is_array(comp) else bytes(BYTE("QS") for _ in range(rl))
+                        ARR("QS", rl) if "QS" in comp.data_series and self._qs_is_array(comp) else RUN("QS", rl)
                     )
                 seq = None if cf & CF_NO_SEQ else ("".join(seq_parts) or None)
                 cigar = "".join(f"{n}{op}" for n, op in cig) or None
             else:  # unmapped: verbatim bases
                 if not cf & CF_NO_SEQ:
-                    seq = bytes(BYTE("BA") for _ in range(rl)).decode("latin-1") or None
+                    seq = RUN("BA", rl).decode("latin-1") or None
                 if cf & CF_QUAL_STORED:
-                    qual_raw = bytearray(bytes(BYTE("QS") for _ in range(rl)))
+                    qual_raw = bytearray(RUN("QS", rl))
             qual = None
             if qual_raw is not None and rl and qual_raw[0] != 0xFF:
-                qual = "".join(chr(q + 33) for q in qual_raw)
+                qual = bytes(qual_raw).decode("latin-1").translate(_PHRED33_STR)
             rname = self.refs[ref_id][0] if 0 <= ref_id < len(self.refs) else None
             records.append([
                 qname, flag, rname, pos if rname else pos, mapq, cigar,
