@@ -166,7 +166,10 @@ class VCFReader(DataSourceReader):
         if self._keep is not None:
             names = {VCF_SCHEMA.fields[i].name for i in self._keep}
             if self._intervals is not None:
-                names.add("end")
+                # the residual filter reads (contig, start, end); the scalar
+                # parser always produces contig/start but the vectorized one
+                # only builds wanted columns
+                names.update(("contig", "start", "end"))
             self._wanted = frozenset(names)
         # per-file VCF-vs-BCF dispatch by extension + content sniff — the
         # reference's multi-format VCF scan (VCFInputFormat.getFormat,
@@ -238,7 +241,7 @@ class VCFReader(DataSourceReader):
         return kept
 
     def read(self, partition):
-        from hadoop_bam_spark.sources import arrow_batches
+        from hadoop_bam_spark.sources.bam_source import EmptyPartition
         from hadoop_bam_spark.sources.bcf_source import (
             BCFBgzfPartition,
             BCFPlainPartition,
@@ -246,37 +249,64 @@ class VCFReader(DataSourceReader):
 
         if isinstance(partition, (BCFPlainPartition, BCFBgzfPartition)):
             return self._bcf.read(partition)  # already Arrow batches + pruned
-        from hadoop_bam_spark.sources import project_rows
-
-        return arrow_batches(
-            project_rows(self._rows(partition), self._keep), self._schema
-        )
-
-    def _rows(self, partition) -> Iterator[tuple]:
-        from hadoop_bam_spark.sources.bam_source import EmptyPartition
-
         if isinstance(partition, EmptyPartition):
-            return
+            return iter(())
         if isinstance(partition, TextRangePartition):
             lines = iter_lines(partition)
-            samples = self._samples[partition.path]
         elif isinstance(partition, BGZFTextPartition):
             lines = iter_bgzf_owned_lines(
                 partition.path, partition.start_coffset, partition.end_coffset
             )
-            samples = self._samples[partition.path]
         else:
-            samples = self._samples[partition.path]
             lines = (
                 l.rstrip("\n")
                 for l in gzip.open(fs.open_file(partition.path, "rb"), "rt", encoding="utf-8")
             )
-        from hadoop_bam_spark.sources import apply_stringency
+        return self._batches(lines, self._samples[partition.path])
 
-        intervals = self._intervals
+    def _batches(self, lines, samples):
+        """Chunk data lines and decode columnar (formats.vcf_vec); any chunk
+        the vectorized parser rejects re-parses per-line with the scalar
+        path, which applies ValidationStringency exactly as before."""
+        from hadoop_bam_spark.formats import vcf_vec
+        from hadoop_bam_spark.sources import arrow_schema
+
+        target = arrow_schema(self._schema)
+        buf: list[str] = []
         for line in lines:
             if not line or line.startswith("#"):
                 continue
+            buf.append(line)
+            if len(buf) >= vcf_vec.VEC_CHUNK_LINES:
+                yield from self._chunk_batches(buf, samples, target)
+                buf = []
+        if buf:
+            yield from self._chunk_batches(buf, samples, target)
+
+    def _chunk_batches(self, chunk, samples, target):
+        from hadoop_bam_spark.formats import vcf_vec
+
+        arrays = vcf_vec.parse_vcf_chunk(chunk, samples, self._wanted)
+        if arrays:
+            mask = (
+                vcf_vec.interval_mask(arrays, self._intervals, len(chunk))
+                if self._intervals is not None
+                else None
+            )
+            yield vcf_vec.chunk_to_batch(arrays, target, mask)
+            return
+        yield from self._scalar_chunk(chunk, samples)
+
+    def _scalar_chunk(self, chunk, samples):
+        from hadoop_bam_spark.sources import (
+            apply_stringency,
+            arrow_batches,
+            project_rows,
+        )
+
+        intervals = self._intervals
+        rows = []
+        for line in chunk:
             try:
                 row = parse_vcf_line(line, samples, self._wanted)
             except ValueError as e:
@@ -290,4 +320,5 @@ class VCFReader(DataSourceReader):
                     for c, s, stop in intervals
                 ):
                     continue
-            yield row
+            rows.append(row)
+        yield from arrow_batches(project_rows(iter(rows), self._keep), self._schema)
