@@ -1,0 +1,191 @@
+"""Vectorized SAM alignment-line decode: text chunk -> Arrow arrays.
+
+Columnar twin of :func:`hadoop_bam_spark.formats.sam.parse_sam_line`
+(semantics per reference SAMRecordReader.java:67-147), same design as
+``vcf_vec``: kernels per column, not Python per record.
+
+SAM lines are ragged (11 mandatory fields + 0..n tags), which rules out a
+CSV reader — instead ONE ``split_pattern`` over the whole line array gives
+a list column whose first 11 child slots per row are the mandatory fields
+(gathered by offset+i ``take``) and whose tail is the tag section. Tags
+are flattened with the repeat/cumsum ramp, split once on ':' (max 2), and
+the canonical map-value representation (``tag_value_repr``: keep the bare
+value when the bare encoder would guess the same wire type, else prefix
+"TYPE:") is computed with two anchored-regex matches + boolean masks over
+the flat arrays.
+
+A chunk with any row under 11 fields or a non-integer numeric field
+returns None and the caller re-parses it with the scalar path (per-line
+ValidationStringency, identical behavior to the reference's reader).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from hadoop_bam_spark.formats.sam import SAM_SCHEMA  # noqa: F401  (parity anchor)
+
+#: data lines per vectorized chunk
+VEC_CHUNK_LINES = 16384
+
+# anchored spec regexes, same as sam._SAM_INT_RE / _SAM_FLOAT_RE
+_INT_RE = r"^[-+]?[0-9]+$"
+_FLOAT_RE = (
+    r"^[-+]?(?:(?:[0-9]+\.[0-9]*|\.[0-9]+)(?:[eE][-+]?[0-9]+)?"
+    r"|[0-9]+[eE][-+]?[0-9]+)$"
+)
+_PREFIX_RE = r"^[AcCsSiIfZH]:"
+_ARRAY_RE = r"^[cCsSiIf],"
+
+_COLUMNS = (
+    "qname", "flag", "rname", "pos", "mapq", "cigar",
+    "rnext", "pnext", "tlen", "seq", "qual", "tags",
+)
+
+
+def _star_null(col: pa.Array) -> pa.Array:
+    return pc.if_else(pc.equal(col, "*"), pa.scalar(None, pa.string()), col)
+
+
+def _int_cast(col: pa.Array, typ: pa.DataType, star_null: bool = False) -> pa.Array:
+    if star_null:
+        col = _star_null(col)
+    return pc.cast(col, typ)
+
+
+def _canonical_tag_values(typ: pa.Array, val: pa.Array) -> pa.Array:
+    """Vectorized sam.tag_value_repr: bare value when the bare encoder's
+    guess reproduces the wire type, else 'TYPE:value'."""
+    is_prefix = pc.match_substring_regex(val, _PREFIX_RE)
+    is_arrayish = pc.match_substring_regex(val, _ARRAY_RE)
+    is_int = pc.match_substring_regex(val, _INT_RE)
+    is_float = pc.match_substring_regex(val, _FLOAT_RE)
+    # guess precedence: prefix > int > array > float > z (sam.guess_tag_encoding)
+    k_int = pc.and_(pc.invert(is_prefix), is_int)
+    k_array = pc.and_(pc.and_(pc.invert(is_prefix), pc.invert(is_int)), is_arrayish)
+    k_float = pc.and_(
+        pc.and_(pc.invert(is_prefix), pc.invert(is_int)),
+        pc.and_(pc.invert(is_arrayish), is_float),
+    )
+    k_z = pc.and_(
+        pc.and_(pc.invert(is_prefix), pc.invert(is_int)),
+        pc.and_(pc.invert(is_arrayish), pc.invert(is_float)),
+    )
+    t_int = pc.is_in(typ, value_set=pa.array(list("cCsSiI")))
+    ok = pc.or_(
+        pc.or_(
+            pc.and_(t_int, k_int),
+            pc.and_(pc.equal(typ, "f"), k_float),
+        ),
+        pc.or_(
+            pc.and_(pc.equal(typ, "Z"), k_z),
+            pc.and_(pc.equal(typ, "B"), k_array),
+        ),
+    )
+    return pc.if_else(ok, val, pc.binary_join_element_wise(typ, val, ":"))
+
+
+def _tags_array(values: pa.Array, off: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Tag fields (child slots 11.. of each row) -> map<string,string>."""
+    n = len(lens)
+    ntags = lens - 11
+    ramp_total = int(ntags.sum())
+    if ramp_total == 0:
+        return pa.MapArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int64), pa.int32()),
+            pa.array([], pa.string()),
+            pa.array([], pa.string()),
+        )
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(ntags[:-1], out=starts[1:])
+    ramp = np.arange(ramp_total, dtype=np.int64) - np.repeat(starts, ntags)
+    flat_idx = (off[:-1] + 11).repeat(ntags) + ramp
+    flat = values.take(pa.array(flat_idx, pa.int64()))
+    parent = np.repeat(np.arange(n, dtype=np.int64), ntags)
+
+    kv = pc.split_pattern(flat, ":", max_splits=2)
+    kvv = kv.values
+    kvo = kv.offsets.to_numpy().astype(np.int64)
+    kvl = np.diff(kvo)
+    # only TAG:TYPE:VALUE (3 parts) carries a value; others dropped silently
+    # (scalar parser parity, sam.parse_sam_line:201-206)
+    keep = kvl == 3
+    if not keep.all():
+        keep_idx = np.nonzero(keep)[0]
+        parent = parent[keep]
+        kvo_keep = kvo[:-1][keep_idx]
+    else:
+        kvo_keep = kvo[:-1]
+    keys = kvv.take(pa.array(kvo_keep, pa.int64()))
+    typs = kvv.take(pa.array(kvo_keep + 1, pa.int64()))
+    vals = kvv.take(pa.array(kvo_keep + 2, pa.int64()))
+    canon = _canonical_tag_values(typs, vals)
+
+    counts = np.bincount(parent, minlength=n)
+    moff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=moff[1:])
+    return pa.MapArray.from_arrays(pa.array(moff, pa.int32()), keys, canon)
+
+
+def parse_sam_chunk(
+    lines: Sequence[str], wanted: Optional[frozenset] = None
+) -> Optional[dict]:
+    """Data lines -> {column_name: pyarrow.Array}; None -> scalar fallback.
+
+    ``wanted=None`` builds all columns; otherwise only the named ones (the
+    source's projection pruning — unneeded tag/seq work never happens)."""
+    if not lines:
+        return {}
+    arr = pa.array(list(lines), pa.string())
+    split = pc.split_pattern(arr, "\t")
+    values = split.values
+    off = split.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(off)
+    if (lens < 11).any():
+        return None
+
+    def slot(i: int) -> pa.Array:
+        return values.take(pa.array(off[:-1] + i, pa.int64()))
+
+    def want(name: str) -> bool:
+        return wanted is None or name in wanted
+
+    out: dict[str, pa.Array] = {}
+    try:
+        if want("qname"):
+            out["qname"] = slot(0)
+        if want("flag"):
+            out["flag"] = _int_cast(slot(1), pa.int32())
+        rname = None
+        if want("rname") or want("rnext"):
+            rname = _star_null(slot(2))
+            if want("rname"):
+                out["rname"] = rname
+        if want("pos"):
+            out["pos"] = _int_cast(slot(3), pa.int32())
+        if want("mapq"):
+            out["mapq"] = _int_cast(slot(4), pa.int32())
+        if want("cigar"):
+            out["cigar"] = _star_null(slot(5))
+        if want("rnext"):
+            raw = slot(6)
+            out["rnext"] = pc.if_else(
+                pc.equal(raw, "="), rname, _star_null(raw)
+            )
+        if want("pnext"):
+            out["pnext"] = _int_cast(slot(7), pa.int32(), star_null=True)
+        if want("tlen"):
+            out["tlen"] = _int_cast(slot(8), pa.int32(), star_null=True)
+        if want("seq"):
+            out["seq"] = _star_null(slot(9))
+        if want("qual"):
+            out["qual"] = _star_null(slot(10))
+        if want("tags"):
+            out["tags"] = _tags_array(values, off, lens)
+    except (pa.ArrowInvalid, ValueError):
+        return None
+    return out

@@ -89,24 +89,51 @@ class SAMReader(DataSourceReader):
 
         self._stringency = stringency_option(options)
         self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
+        self._wanted = (
+            frozenset(SAM_SCHEMA.fields[i].name for i in self._keep)
+            if self._keep is not None
+            else None
+        )
 
     def partitions(self):
         return plan_text_splits(self._path, self._split_size, (".sam",))
 
     def read(self, partition: TextRangePartition):
-        from hadoop_bam_spark.sources import arrow_batches, project_rows
+        """Chunked columnar decode (formats.sam_vec); chunks the vectorized
+        parser rejects re-parse per-line with the scalar path, which applies
+        ValidationStringency exactly as before."""
+        from hadoop_bam_spark.formats import sam_vec
+        from hadoop_bam_spark.sources import arrow_schema
 
-        return arrow_batches(
-            project_rows(self._rows(partition), self._keep), self._schema
-        )
-
-    def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
-        from hadoop_bam_spark.sources import apply_stringency
-
+        target = arrow_schema(self._schema)
+        buf: list[str] = []
         for line in iter_lines(partition):
             if not line or line.startswith("@"):
                 continue
+            buf.append(line)
+            if len(buf) >= sam_vec.VEC_CHUNK_LINES:
+                yield from self._chunk_batches(buf, target)
+                buf = []
+        if buf:
+            yield from self._chunk_batches(buf, target)
+
+    def _chunk_batches(self, chunk, target):
+        from hadoop_bam_spark.formats import sam_vec, vcf_vec
+
+        arrays = sam_vec.parse_sam_chunk(chunk, self._wanted)
+        if arrays:
+            yield vcf_vec.chunk_to_batch(arrays, target)
+            return
+        from hadoop_bam_spark.sources import (
+            apply_stringency,
+            arrow_batches,
+            project_rows,
+        )
+
+        rows = []
+        for line in chunk:
             try:
-                yield parse_sam_line(line)
+                rows.append(parse_sam_line(line))
             except ValueError as e:
                 apply_stringency(self._stringency, e, "sam")
+        yield from arrow_batches(project_rows(iter(rows), self._keep), self._schema)
