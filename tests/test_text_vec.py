@@ -1,0 +1,175 @@
+"""Vectorized-vs-scalar parity for the columnar text decoders.
+
+``formats.sam_vec`` / ``formats.vcf_vec`` must produce exactly the rows the
+scalar parsers do on ANY input they accept — hypothesis generates adversarial
+field values (dots, stars, '=' RNEXT, flag-vs-value tags, multi-allele ALTs,
+truncated genotype columns) and the test asserts element equality; inputs the
+vectorized parsers reject (None) must make the scalar parser raise too, or be
+structurally ragged.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_bam_spark.formats import sam_vec, vcf_vec
+from hadoop_bam_spark.formats.sam import parse_sam_line
+from hadoop_bam_spark.formats.vcf import parse_vcf_line
+
+# --- strategies -----------------------------------------------------------
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=1,
+    max_size=8,
+)
+_tag_val = st.one_of(
+    st.integers(-1000, 1000).map(str),
+    st.sampled_from(["A:Q", "Z:5", "i:7", "f:1.5", "H:1AFF", "B:c,1,2", "abc",
+                     "1.0", "1e3", "s,1,2", ".", "", "x:y:z"]),
+    _name,
+)
+_sam_tag = st.tuples(
+    st.sampled_from(["NM", "MD", "XA", "BC", "FZ", "Xf"]),
+    st.sampled_from("AcCsSiIfZHB"),
+    _tag_val,
+).map(lambda t: f"{t[0]}:{t[1]}:{t[2]}")
+
+
+@st.composite
+def sam_lines(draw):
+    n = draw(st.integers(1, 30))
+    out = []
+    for i in range(n):
+        seq = draw(st.sampled_from(["*", "ACGT", "NNNN", "ACGTACGTAC"]))
+        tags = draw(st.lists(_sam_tag, max_size=4))
+        cols = [
+            draw(_name),
+            str(draw(st.integers(0, 4095))),
+            draw(st.sampled_from(["*", "chr1", "chr2", "ref|x"])),
+            str(draw(st.integers(0, 10_000))),
+            str(draw(st.integers(0, 255))),
+            draw(st.sampled_from(["*", "4M", "2M1I1M", "10S"])),
+            draw(st.sampled_from(["*", "=", "chr1", "chr3"])),
+            draw(st.sampled_from(["*", "0", "123"])),
+            draw(st.sampled_from(["*", "0", "-45", "99"])),
+            seq,
+            "*" if seq == "*" else "I" * len(seq),
+        ] + tags
+        out.append("\t".join(cols))
+    return out
+
+
+@st.composite
+def vcf_lines(draw, samples):
+    n = draw(st.integers(1, 30))
+    out = []
+    for i in range(n):
+        info = draw(
+            st.sampled_from(
+                [".", "DP=3", "DB", "DP=5;DB;AF=0.5", "END=777", "X=;Y=2", ";DP=1;"]
+            )
+        )
+        fmt = draw(st.sampled_from(["GT", "GT:DP", "GT:DP:GQ"]))
+        def sample_col():
+            return draw(
+                st.sampled_from(
+                    ["0/1", "./.", ".", "1|1:4", "0/0:1:2", "0/1:.:9", ""]
+                )
+            )
+        cols = [
+            draw(st.sampled_from(["chr1", "chr2", "20", "X"])),
+            str(draw(st.integers(1, 1_000_000))),
+            draw(st.sampled_from([".", "rs1", "id;x"])),
+            draw(st.sampled_from(["A", "ACGT", "N"])),
+            draw(st.sampled_from([".", "T", "T,G", "<DEL>"])),
+            draw(st.sampled_from([".", "0", "50", "12.75", "1e2"])),
+            draw(st.sampled_from([".", "PASS", "q10", "q10;s50"])),
+            info,
+        ]
+        if samples:
+            cols.append(fmt)
+            cols.extend(sample_col() for _ in samples)
+        out.append("\t".join(cols))
+    return out
+
+
+# --- SAM ------------------------------------------------------------------
+
+
+class TestSAMVecParity:
+    @given(sam_lines())
+    @settings(max_examples=60, deadline=None)
+    def test_matches_scalar(self, lines):
+        arrays = sam_vec.parse_sam_chunk(lines)
+        rows = [parse_sam_line(l) for l in lines]
+        assert arrays is not None
+        names = ["qname", "flag", "rname", "pos", "mapq", "cigar",
+                 "rnext", "pnext", "tlen", "seq", "qual", "tags"]
+        for ci, nm in enumerate(names):
+            got = arrays[nm].to_pylist()
+            for r, exp_row in enumerate(rows):
+                exp = exp_row[ci]
+                g = dict(got[r]) if nm == "tags" and got[r] is not None else got[r]
+                assert g == exp, (nm, r, lines[r])
+
+    def test_rejects_are_scalar_errors_too(self):
+        for bad in (["a\tb\tc"], ["q\tNOTINT\t*\t1\t0\t*\t*\t0\t0\t*\t*"]):
+            assert sam_vec.parse_sam_chunk(bad) is None
+            try:
+                [parse_sam_line(l) for l in bad]
+                raised = False
+            except ValueError:
+                raised = True
+            assert raised
+
+    def test_projection_builds_only_wanted(self):
+        arrays = sam_vec.parse_sam_chunk(
+            ["q\t0\t*\t1\t0\t*\t*\t0\t0\t*\t*\tNM:i:3"],
+            frozenset(["qname", "tags"]),
+        )
+        assert sorted(arrays) == ["qname", "tags"]
+        assert dict(arrays["tags"].to_pylist()[0]) == {"NM": "3"}
+
+
+# --- VCF ------------------------------------------------------------------
+
+
+class TestVCFVecParity:
+    @given(st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_matches_scalar(self, data):
+        samples = data.draw(st.sampled_from([[], ["S1"], ["S1", "S2", "S3"]]))
+        lines = data.draw(vcf_lines(samples))
+        arrays = vcf_vec.parse_vcf_chunk(lines, samples)
+        rows = [parse_vcf_line(l, samples) for l in lines]
+        assert arrays is not None
+        names = ["contig", "start", "end", "id", "ref", "alts",
+                 "qual", "filters", "info", "genotypes"]
+        for ci, nm in enumerate(names):
+            got = arrays[nm].to_pylist()
+            for r, exp_row in enumerate(rows):
+                exp, g = exp_row[ci], got[r]
+                if nm == "info" and g is not None:
+                    g = dict(g)
+                if nm == "genotypes" and g is not None:
+                    g = [(e["sample"], e["gt"], dict(e["fields"])) for e in g]
+                    exp = [(s, gt, dict(f)) for s, gt, f in exp]
+                assert g == exp, (nm, r, lines[r])
+
+    def test_rejects_are_scalar_errors_too(self):
+        for bad, samp in ((["chr1\t5"], []), (["c\tNOTINT\t.\tA\tT\t.\t.\t."], [])):
+            assert vcf_vec.parse_vcf_chunk(bad, samp) is None
+            try:
+                [parse_vcf_line(l, samp) for l in bad]
+                raised = False
+            except ValueError:
+                raised = True
+            assert raised
+
+    def test_interval_mask(self):
+        lines = ["chr1\t100\t.\tAC\tT\t.\t.\t.",  # [100,101]
+                 "chr1\t300\t.\tA\tT\t.\t.\tEND=400",
+                 "chr2\t100\t.\tA\tT\t.\t.\t."]
+        arrays = vcf_vec.parse_vcf_chunk(lines, [])
+        mask = vcf_vec.interval_mask(arrays, [("chr1", 101, 350)], 3)
+        assert list(mask) == [True, True, False]
