@@ -78,8 +78,17 @@ def fastq_record(name_line: str, seq: str, qual: str) -> tuple:
 
 def iter_fastq_records(path: str, start: int, end: int,
                        stringency: str = "strict") -> Iterator[tuple]:
-    """Records whose FIRST line starts in [start, end); the reader realigns
-    to the first provable record boundary at or after ``start``."""
+    """Fully parsed records (scalar name-metadata parse); see
+    :func:`iter_fastq_raw` for the boundary rules."""
+    for name, seq, qual in iter_fastq_raw(path, start, end, stringency):
+        yield fastq_record(name, seq, qual)
+
+
+def iter_fastq_raw(path: str, start: int, end: int,
+                   stringency: str = "strict") -> Iterator[tuple]:
+    """(name_line, sequence, quality) of records whose FIRST line starts in
+    [start, end); the reader realigns to the first provable record boundary
+    at or after ``start``."""
     with fs.open_file(path, "rb") as fh:
         fh.seek(start)
         if start > 0:
@@ -124,12 +133,91 @@ def iter_fastq_records(path: str, start: int, end: int,
                 queue[:0] = [seq_l, plus_l, qual_l]
                 rec_start += len(name_l)
                 continue
-            yield fastq_record(
+            yield (
                 name_l.decode().rstrip("\r\n"),
                 seq_l.decode().strip(),
                 qual_l.decode().rstrip("\r\n"),
             )
             rec_start = fh.tell() - sum(len(l) for l in queue)
+
+
+#: records per vectorized metadata-parse chunk
+VEC_CHUNK_RECORDS = 16384
+
+# RE2 form of _CASAVA_RE / _SLASH_RE for pyarrow extract_regex
+_CASAVA_RE2 = (
+    r"^(?P<instrument>[^:]+):(?P<run>\d+):(?P<fc>[^:]+):(?P<lane>\d+):"
+    r"(?P<tile>\d+):(?P<x>\d+):(?P<y>\d+)\s+(?P<read>[1-9]):(?P<filt>[YN]):"
+    r"(?P<ctrl>\d+):(?P<idx>\w*)\s*$"
+)
+_SLASH_RE2 = r"/(?P<r>[0-9])\s*$"
+
+
+def parse_fastq_chunk(records: list, wanted=None):
+    """(name_line, seq, qual) triples -> {column: pyarrow.Array}.
+
+    One ``extract_regex`` over the chunk replaces the per-record Casava
+    parse (reference FastqInputFormat.java:349-381 semantics); None on the
+    rare cast failure (e.g. a run number overflowing int32) -> caller falls
+    back to the scalar path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def want(nm):
+        return wanted is None or nm in wanted
+
+    raw_names = pa.array([r[0] for r in records], pa.string())
+    # drop the leading '@' and surrounding whitespace (fastq_record parity)
+    name = pc.utf8_trim_whitespace(pc.utf8_slice_codeunits(raw_names, 1))
+    out = {"name": name}
+    if want("sequence"):
+        out["sequence"] = pa.array([r[1] for r in records], pa.string())
+    if want("quality"):
+        out["quality"] = pa.array([r[2] for r in records], pa.string())
+    meta_wanted = [
+        nm for nm in ("instrument", "run_number", "flowcell_id", "lane",
+                      "tile", "xpos", "ypos", "read", "filter_passed",
+                      "control_number", "index_sequence")
+        if want(nm)
+    ]
+    if not meta_wanted:
+        return out
+    try:
+        cas = pc.extract_regex(name, _CASAVA_RE2)
+
+        def grp(g):
+            return pc.struct_field(cas, g)
+
+        def igrp(g):
+            return pc.cast(grp(g), pa.int32())
+
+        cols = {
+            "instrument": lambda: grp("instrument"),
+            "run_number": lambda: igrp("run"),
+            "flowcell_id": lambda: grp("fc"),
+            "lane": lambda: igrp("lane"),
+            "tile": lambda: igrp("tile"),
+            "xpos": lambda: igrp("x"),
+            "ypos": lambda: igrp("y"),
+            "filter_passed": lambda: pc.equal(grp("filt"), "N"),
+            "control_number": lambda: igrp("ctrl"),
+            "index_sequence": lambda: pc.if_else(
+                pc.equal(grp("idx"), ""), pa.scalar(None, pa.string()), grp("idx")
+            ),
+        }
+        for nm in meta_wanted:
+            if nm == "read":
+                # Casava read number, else older-style trailing /N
+                slash = pc.struct_field(pc.extract_regex(name, _SLASH_RE2), "r")
+                out["read"] = pc.cast(
+                    pc.if_else(pc.is_valid(grp("read")), grp("read"), slash),
+                    pa.int32(),
+                )
+            else:
+                out[nm] = cols[nm]()
+    except (pa.ArrowInvalid, ValueError):
+        return None
+    return out
 
 
 @dataclass
@@ -173,16 +261,50 @@ class FastqReader(DataSourceReader):
         ]
 
     def read(self, partition: FastqPartition):
+        from hadoop_bam_spark.sources import arrow_schema
+
+        wanted = self._wanted
+        if self._filter_failed and wanted is not None:
+            wanted = wanted | {"filter_passed"}
+        target = arrow_schema(self._schema)
+        buf: list[tuple] = []
+        for rec in iter_fastq_raw(partition.path, partition.start, partition.end,
+                                  self._stringency):
+            buf.append(rec)
+            if len(buf) >= VEC_CHUNK_RECORDS:
+                yield from self._chunk_batches(buf, wanted, target)
+                buf = []
+        if buf:
+            yield from self._chunk_batches(buf, wanted, target)
+
+    @property
+    def _wanted(self):
+        if self._keep is None:
+            return None
+        return frozenset(FASTQ_SCHEMA.fields[i].name for i in self._keep)
+
+    def _chunk_batches(self, chunk, wanted, target):
+        import pyarrow as pa
+
+        from hadoop_bam_spark.formats.vcf_vec import chunk_to_batch
+
+        arrays = parse_fastq_chunk(chunk, wanted)
+        if arrays is not None:
+            mask = None
+            if self._filter_failed:
+                # QC-fail drop (reference FastqInputFormat.java:313-316)
+                import pyarrow.compute as pc
+
+                mask = pc.fill_null(
+                    pc.not_equal(arrays["filter_passed"], False), True
+                ).to_numpy(zero_copy_only=False)
+            yield chunk_to_batch(arrays, target, mask)
+            return
         from hadoop_bam_spark.sources import arrow_batches, project_rows
 
-        return arrow_batches(
-            project_rows(self._rows(partition), self._keep), self._schema
+        rows = (
+            rec
+            for rec in (fastq_record(*t) for t in chunk)
+            if not (self._filter_failed and rec[11] is False)
         )
-
-    def _rows(self, partition: FastqPartition) -> Iterator[tuple]:
-        for rec in iter_fastq_records(partition.path, partition.start, partition.end,
-                                      self._stringency):
-            # QC-fail drop (reference FastqInputFormat.java:313-316)
-            if self._filter_failed and rec[11] is False:
-                continue
-            yield rec
+        yield from arrow_batches(project_rows(rows, self._keep), self._schema)

@@ -38,6 +38,95 @@ def parse_qseq_line(line: str, recode_quality: bool) -> tuple:
     )
 
 
+#: lines per vectorized chunk
+VEC_CHUNK_LINES = 16384
+
+
+def _np_lut():
+    import numpy as np
+
+    return np.frombuffer(_P64_TO_P33, dtype=np.uint8)
+
+
+def _translate_quality(col):
+    """Phred+64 -> Phred+33 on the column's UTF-8 data buffer via one numpy
+    LUT pass. Bytes >= 0x80 map to themselves in the table, so multi-byte
+    UTF-8 sequences pass through untouched (same as the scalar latin-1
+    translate, which only rewrites 33..126)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if col.offset != 0:
+        col = col.take(pa.array(range(len(col)), pa.int64()))  # rebase
+    validity, offsets, data = col.buffers()
+    raw = np.frombuffer(data, dtype=np.uint8, count=data.size)
+    out = _np_lut()[raw]
+    return pa.StringArray.from_buffers(
+        len(col), offsets, pa.py_buffer(out.tobytes()), validity, col.null_count
+    )
+
+
+def parse_qseq_chunk(lines: list, recode_quality: bool, wanted=None):
+    """QSEQ lines -> {column: pyarrow.Array}; None -> scalar fallback.
+
+    Columnar twin of parse_qseq_line (QseqInputFormat.java:344-426
+    semantics): '.'->'N' no-call normalization, quality recode, read-name
+    synthesis — each one kernel over the chunk."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(lines), pa.string())
+    split = pc.split_pattern(arr, "\t")
+    values = split.values
+    off = split.offsets.to_numpy().astype(np.int64)
+    if (np.diff(off) != 11).any():
+        return None
+
+    def slot(i):
+        return values.take(pa.array(off[:-1] + i, pa.int64()))
+
+    def want(nm):
+        return wanted is None or nm in wanted
+
+    out = {}
+    try:
+        instr, run, lane, tile, x, y = (slot(i) for i in range(6))
+        if want("name"):
+            out["name"] = pc.binary_join_element_wise(
+                instr, run, lane, tile, x, y, ":"
+            )
+        if want("sequence"):
+            out["sequence"] = pc.replace_substring(slot(8), ".", "N")
+        if want("quality"):
+            q = slot(9)
+            out["quality"] = _translate_quality(q) if recode_quality else q
+        if want("instrument"):
+            out["instrument"] = instr
+        for nm, col in (("run_number", run), ("lane", lane), ("tile", tile),
+                        ("xpos", x), ("ypos", y)):
+            if want(nm):
+                out[nm] = pc.cast(col, pa.int32())
+        if want("read"):
+            out["read"] = pc.cast(slot(7), pa.int32())
+        if want("filter_passed"):
+            out["filter_passed"] = pc.equal(slot(10), "1")
+        if want("flowcell_id"):
+            out["flowcell_id"] = pa.nulls(len(lines), pa.string())
+        if want("control_number"):
+            out["control_number"] = pa.nulls(len(lines), pa.int32())
+        if want("index_sequence"):
+            idx = slot(6)
+            out["index_sequence"] = pc.if_else(
+                pc.is_in(idx, value_set=pa.array(["", "0"])),
+                pa.scalar(None, pa.string()),
+                idx,
+            )
+    except (pa.ArrowInvalid, ValueError):
+        return None
+    return out
+
+
 class QseqDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -71,18 +160,50 @@ class QseqReader(DataSourceReader):
         return plan_text_splits(self._path, self._split_size, (".qseq", ".txt"))
 
     def read(self, partition: TextRangePartition):
-        from hadoop_bam_spark.sources import arrow_batches, project_rows
+        from hadoop_bam_spark.sources import arrow_schema
 
-        return arrow_batches(
-            project_rows(self._rows(partition), self._keep), self._schema
-        )
-
-    def _rows(self, partition: TextRangePartition) -> Iterator[tuple]:
-        from hadoop_bam_spark.sources import apply_stringency
-
+        wanted = None
+        if self._keep is not None:
+            wanted = frozenset(FASTQ_SCHEMA.fields[i].name for i in self._keep)
+            if self._filter_failed:
+                wanted = wanted | {"filter_passed"}
+        target = arrow_schema(self._schema)
+        buf: list[str] = []
         for line in iter_lines(partition):
             if not line:
                 continue
+            buf.append(line)
+            if len(buf) >= VEC_CHUNK_LINES:
+                yield from self._chunk_batches(buf, wanted, target)
+                buf = []
+        if buf:
+            yield from self._chunk_batches(buf, wanted, target)
+
+    def _chunk_batches(self, chunk, wanted, target):
+        from hadoop_bam_spark.formats.vcf_vec import chunk_to_batch
+
+        arrays = parse_qseq_chunk(chunk, self._recode, wanted)
+        if arrays is not None:
+            mask = None
+            if self._filter_failed:
+                import pyarrow.compute as pc
+
+                mask = pc.equal(
+                    arrays["filter_passed"], True
+                ).to_numpy(zero_copy_only=False)
+            yield chunk_to_batch(arrays, target, mask)
+            return
+        yield from self._scalar_chunk(chunk)
+
+    def _scalar_chunk(self, chunk):
+        from hadoop_bam_spark.sources import (
+            apply_stringency,
+            arrow_batches,
+            project_rows,
+        )
+
+        rows = []
+        for line in chunk:
             try:
                 rec = parse_qseq_line(line, self._recode)
             except ValueError as e:
@@ -90,4 +211,5 @@ class QseqReader(DataSourceReader):
                 continue
             if self._filter_failed and rec[11] is False:
                 continue
-            yield rec
+            rows.append(rec)
+        yield from arrow_batches(project_rows(iter(rows), self._keep), self._schema)
