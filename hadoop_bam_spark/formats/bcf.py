@@ -198,11 +198,274 @@ def _gt_string(vals) -> Optional[str]:
     return "".join(out) or None
 
 
+#: GT raw-value tuples recur constantly (a cohort has a handful of genotype
+#: combinations) — memoize the formatted string per trimmed tuple
+_GT_CACHE: dict = {}
+
+
+def _gt_cached(t: tuple) -> Optional[str]:
+    got = _GT_CACHE.get(t, 0)
+    if got != 0:
+        return got
+    if len(_GT_CACHE) > 4096:
+        _GT_CACHE.clear()
+    got = _GT_CACHE[t] = _gt_string(t[0] if len(t) == 1 else list(t) or None)
+    return got
+
+
+def _scalar_int(buf: bytes, p: int, upk=struct.unpack_from) -> tuple[int, int]:
+    """Inline typed scalar int -> (value, next). Same contract as
+    _read_typed_int_scalar without the descriptor-helper call."""
+    desc = buf[p]
+    p += 1
+    typ = desc & 0x0F
+    count = desc >> 4
+    if count == 15:
+        count, p = _scalar_int(buf, p)
+    if count != 1:
+        raise ValueError(f"expected scalar typed int at {p}, got type={typ} n={count}")
+    if typ == 1:
+        v = buf[p]
+        return (v - 256 if v > 127 else v), p + 1
+    if typ == 2:
+        return upk("<h", buf, p)[0], p + 2
+    if typ == 3:
+        return upk("<i", buf, p)[0], p + 4
+    raise ValueError(f"expected scalar typed int at {p}, got type={typ} n={count}")
+
+
+def _read_str(buf: bytes, p: int):
+    """Inline typed char vector -> (str|None, next); falls back to the
+    generic reader for non-char types."""
+    desc = buf[p]
+    p += 1
+    typ = desc & 0x0F
+    count = desc >> 4
+    if count == 15:
+        count, p = _scalar_int(buf, p)
+    if typ != 7:
+        return _read_vector(buf, p, typ, count)
+    if count == 0:
+        return None, p
+    s = buf[p : p + count].decode("utf-8", "replace")
+    return (s or None), p + count
+
+
 def decode_record(buf: bytes, off: int, hdr: BCFHeader):
     """Decode one BCF record at ``off`` -> (VCF_SCHEMA tuple, next_offset).
 
-    Parity: BCFRecordReader.java:126-173 (it delegates to htsjdk's
-    BCF2Codec; we decode per the spec directly).
+    Fast path: descriptor parsing and the FORMAT per-sample loops are
+    inlined with ONE bulk struct.unpack per (format key x all samples)
+    instead of a typed-value reader call per sample — the same hot-loop
+    treatment the CRAM decoder got. Semantics are identical to
+    :func:`decode_record_ref` (property-tested) and to the reference's
+    BCFRecordReader.java:126-173.
+    """
+    upk = struct.unpack_from
+    strings = hdr.strings
+    l_shared, l_indiv = upk("<II", buf, off)
+    shared_end = off + 8 + l_shared
+    rec_end = shared_end + l_indiv
+    chrom, pos, rlen = upk("<iii", buf, off + 8)
+    qual_bits, n_allele_info, n_fmt_sample = upk("<III", buf, off + 20)
+    p = off + 32
+    n_info = n_allele_info & 0xFFFF
+    n_allele = n_allele_info >> 16
+    n_sample = n_fmt_sample & 0xFFFFFF
+    n_fmt = n_fmt_sample >> 24
+
+    qual = None
+    if qual_bits != _FLOAT_MISSING_BITS:
+        qual = upk("<f", buf, off + 20)[0]
+
+    vid, p = _read_str(buf, p)
+    alleles = []
+    for _ in range(n_allele):
+        a, p = _read_str(buf, p)
+        alleles.append(a)
+
+    # FILTER: typed int vector of dictionary indexes
+    desc = buf[p]
+    p += 1
+    ftyp = desc & 0x0F
+    fcount = desc >> 4
+    if fcount == 15:
+        fcount, p = _scalar_int(buf, p)
+    if ftyp == 0 or fcount == 0:
+        filters = None
+    elif ftyp in _INT_FMT:
+        vals = upk("<%d%s" % (fcount, _INT_FMT[ftyp]), buf, p)
+        p += fcount * _INT_SIZE[ftyp]
+        eov = _INT_EOV[ftyp]
+        miss = _INT_MISSING[ftyp]
+        fv = []
+        for v in vals:
+            if v == eov:
+                break
+            fv.append(None if v == miss else v)
+        filters = [strings[i] for i in fv] if fv else None
+    else:
+        filt_vals, p = _read_vector(buf, p, ftyp, fcount)
+        if filt_vals is None:
+            filters = None
+        else:
+            if not isinstance(filt_vals, list):
+                filt_vals = [filt_vals]
+            filters = [strings[i] for i in filt_vals]
+
+    info: dict[str, str] = {}
+    end = pos + rlen  # 1-based inclusive end (pos is 0-based)
+    for _ in range(n_info):
+        key_idx, p = _scalar_int(buf, p)
+        key = strings[key_idx]
+        desc = buf[p]
+        p += 1
+        typ = desc & 0x0F
+        count = desc >> 4
+        if count == 15:
+            count, p = _scalar_int(buf, p)
+        if typ == 0:
+            info[key] = "true"  # flag
+        elif typ == 7:
+            s = buf[p : p + count].decode("utf-8", "replace") if count else ""
+            p += count
+            info[key] = s if s else "."
+        elif count == 1 and typ in (1, 2, 3):
+            if typ == 1:
+                v = buf[p]
+                v = v - 256 if v > 127 else v
+                p += 1
+            elif typ == 2:
+                v = upk("<h", buf, p)[0]
+                p += 2
+            else:
+                v = upk("<i", buf, p)[0]
+                p += 4
+            info[key] = "." if v == _INT_MISSING[typ] or v == _INT_EOV[typ] else str(v)
+        elif count == 1 and typ == 5:
+            bits = upk("<I", buf, p)[0]
+            p += 4
+            if bits == _FLOAT_EOV_BITS or bits == _FLOAT_MISSING_BITS:
+                info[key] = "."
+            else:
+                info[key] = "%g" % upk("<f", buf, p - 4)[0]
+        else:
+            val, p = _read_vector(buf, p, typ, count)
+            info[key] = _fmt_value(val)
+
+    genotypes = None
+    if n_fmt and n_sample:
+        p2 = shared_end
+        per_sample: list[dict] = [dict() for _ in range(n_sample)]
+        for _ in range(n_fmt):
+            key_idx, p2 = _scalar_int(buf, p2)
+            key = strings[key_idx]
+            desc = buf[p2]
+            p2 += 1
+            typ = desc & 0x0F
+            count = desc >> 4
+            if count == 15:
+                count, p2 = _scalar_int(buf, p2)
+            if typ == 0 or count == 0:
+                continue
+            if typ in (1, 2, 3):
+                total = n_sample * count
+                vals = upk("<%d%s" % (total, _INT_FMT[typ]), buf, p2)
+                p2 += total * _INT_SIZE[typ]
+                eov = _INT_EOV[typ]
+                miss = _INT_MISSING[typ]
+                if key == "GT":
+                    for s in range(n_sample):
+                        sub = vals[s * count : (s + 1) * count]
+                        if eov in sub or miss in sub:
+                            t = []
+                            for v in sub:
+                                if v == eov:
+                                    break
+                                t.append(None if v == miss else v)
+                            sub = tuple(t)
+                        gt = _GT_CACHE.get(sub, 0)
+                        if gt == 0:
+                            gt = _gt_cached(sub)
+                        if gt is not None:
+                            per_sample[s][key] = gt
+                elif count == 1:
+                    for s in range(n_sample):
+                        v = vals[s]
+                        if v != eov and v != miss:
+                            per_sample[s][key] = str(v)
+                else:
+                    for s in range(n_sample):
+                        t = []
+                        for v in vals[s * count : (s + 1) * count]:
+                            if v == eov:
+                                break
+                            t.append(None if v == miss else v)
+                        if len(t) == 1:
+                            if t[0] is not None:
+                                per_sample[s][key] = str(t[0])
+                        elif t:
+                            per_sample[s][key] = ",".join(
+                                "." if x is None else str(x) for x in t
+                            )
+            elif typ == 7:
+                base = p2
+                for s in range(n_sample):
+                    v = buf[base + s * count : base + (s + 1) * count].decode(
+                        "utf-8", "replace"
+                    )
+                    if v:
+                        per_sample[s][key] = v
+                p2 = base + n_sample * count
+            elif typ == 5:
+                total = n_sample * count
+                bits = upk("<%dI" % total, buf, p2)
+                flts = upk("<%df" % total, buf, p2)
+                p2 += 4 * total
+                for s in range(n_sample):
+                    t = []
+                    for i in range(s * count, (s + 1) * count):
+                        b = bits[i]
+                        if b == _FLOAT_EOV_BITS:
+                            break
+                        t.append(None if b == _FLOAT_MISSING_BITS else flts[i])
+                    if len(t) == 1:
+                        if t[0] is not None:
+                            per_sample[s][key] = "%g" % t[0]
+                    elif t:
+                        per_sample[s][key] = ",".join(
+                            "." if x is None else "%g" % x for x in t
+                        )
+            else:
+                for s in range(n_sample):
+                    val, p2 = _read_vector(buf, p2, typ, count)
+                    if val is not None:
+                        per_sample[s][key] = _fmt_value(val)
+        samples = hdr.vcf.samples or [f"S{i}" for i in range(n_sample)]
+        genotypes = [
+            (samples[s], per_sample[s].get("GT"), per_sample[s])
+            for s in range(n_sample)
+        ]
+
+    row = (
+        hdr.contigs[chrom],
+        pos + 1,
+        end,
+        vid,
+        alleles[0] if alleles else None,
+        alleles[1:] or None,
+        qual,
+        filters,
+        info,
+        genotypes,
+    )
+    return row, rec_end
+
+
+def decode_record_ref(buf: bytes, off: int, hdr: BCFHeader):
+    """Reference (pre-optimization) decode, kept as the parity oracle for
+    tests — one typed-value reader call per value, structured exactly like
+    the spec text.
     """
     l_shared, l_indiv = struct.unpack_from("<II", buf, off)
     shared_end = off + 8 + l_shared

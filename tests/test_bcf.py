@@ -166,3 +166,83 @@ class TestBCFSource:
             )
         ]
         assert len(got) == 10000
+
+
+class TestFastDecodeParity:
+    """The inlined/bulk-unpack decode_record must match decode_record_ref
+    (the spec-structured implementation) byte-for-byte on every fixture and
+    on adversarial synthetic records."""
+
+    def test_fixture_parity(self):
+        hdr, rows = _decode_all()
+        blob = b"".join(bcf.encode_record(r, hdr) for r in rows)
+        off = off2 = 0
+        while off < len(blob):
+            r1, off = bcf.decode_record(blob, off, hdr)
+            r2, off2 = bcf.decode_record_ref(blob, off2, hdr)
+            assert off == off2 and r1 == r2
+
+    def test_synthetic_parity(self):
+        import random
+
+        hdr_text = "\n".join([
+            "##fileformat=VCFv4.2",
+            '##contig=<ID=c1,length=1000>',
+            '##FILTER=<ID=PASS,Description="d">',
+            '##FILTER=<ID=q10,Description="d">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##INFO=<ID=AF,Number=A,Type=Float,Description="d">',
+            '##INFO=<ID=DB,Number=0,Type=Flag,Description="d">',
+            '##INFO=<ID=XS,Number=1,Type=String,Description="d">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="d">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="d">',
+            '##FORMAT=<ID=AF,Number=2,Type=Float,Description="d">',
+            '##FORMAT=<ID=FC,Number=1,Type=String,Description="d">',
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB",
+        ]) + "\n"
+        hdr = bcf.parse_bcf_header_text(hdr_text)
+        rng = random.Random(42)
+        rows = []
+        for i in range(500):
+            fm = {}
+            if rng.random() < 0.7:
+                fm["GT"] = rng.choice(["0/0", "0|1", "1/.", "./.", "1", "."])
+                if fm["GT"] == ".":
+                    del fm["GT"]
+            if rng.random() < 0.5:
+                fm["DP"] = str(rng.randrange(300))
+            if rng.random() < 0.3:
+                fm["PL"] = ",".join(str(rng.randrange(99)) for _ in range(3))
+            if rng.random() < 0.3:
+                fm["AF"] = "0.5,0.25"
+            if rng.random() < 0.2:
+                fm["FC"] = "xy"
+            gts = [("A", fm.get("GT"), dict(fm)), ("B", fm.get("GT"), dict(fm))]
+            info = {}
+            if rng.random() < 0.5:
+                info["DP"] = str(rng.randrange(100000))
+            if rng.random() < 0.3:
+                info["AF"] = "0.125"
+            if rng.random() < 0.2:
+                info["DB"] = "true"
+            if rng.random() < 0.2:
+                info["XS"] = "s" * rng.randrange(1, 30)
+            rows.append((
+                "c1", 1 + i, 1 + i,
+                None if rng.random() < 0.5 else f"id{i}",
+                "ACGT"[: 1 + rng.randrange(3)],
+                None if rng.random() < 0.1 else ["T", "G"][: 1 + rng.randrange(2)],
+                None if rng.random() < 0.3 else float(rng.randrange(999)) / 4,
+                None if rng.random() < 0.2 else ["PASS"],
+                info, gts,
+            ))
+        blob = b"".join(bcf.encode_record(r, hdr) for r in rows)
+        off = off2 = 0
+        n = 0
+        while off < len(blob):
+            r1, off = bcf.decode_record(blob, off, hdr)
+            r2, off2 = bcf.decode_record_ref(blob, off2, hdr)
+            assert off == off2 and r1 == r2, n
+            n += 1
+        assert n == len(rows)
