@@ -3,8 +3,9 @@
 Binary payloads travel through Arrow to vectorized Python batches via
 ``mapInPandas`` with typed metadata structs. Container-header decoding is
 REAL and pure-stdlib — :func:`parse_media_header` reads PNG IHDR dims, JPEG
-SOFn dims, GIF screen-descriptor dims, BMP dims, and WAV fmt/data-chunk
-duration straight from the public container specs. Only pixel/sample-level
+SOFn dims, GIF screen-descriptor dims, BMP dims, WAV fmt/data-chunk
+duration, MP4 (ISO-BMFF) mvhd duration, and AVI avih dims+duration straight
+from the public container specs. Only pixel/sample-level
 decoding (which genuinely needs PIL/opencv/ffmpeg, absent in this
 container) remains stubbed behind ``NotImplementedError``.
 
@@ -139,9 +140,58 @@ def parse_media_header(b: bytes):
         if byte_rate and data_size is not None:
             return "wav", None, None, data_size * 1000 // byte_rate
         raise ValueError("WAV without fmt/data chunks")
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # AVI main header: LIST/hdrl -> avih (56-byte AVIMAINHEADER):
+        # dwMicroSecPerFrame@0, dwTotalFrames@16, dwWidth@32, dwHeight@36
+        p = 12
+        while p + 8 <= len(b):
+            cid = b[p : p + 4]
+            (csize,) = struct.unpack_from("<I", b, p + 4)
+            if cid == b"LIST":
+                p += 12  # descend past the list type fourcc
+                continue
+            if cid == b"avih":
+                if p + 8 + 40 > len(b):
+                    raise ValueError("truncated AVI avih header")
+                usec_pf, = struct.unpack_from("<I", b, p + 8)
+                frames, = struct.unpack_from("<I", b, p + 24)
+                w, h = struct.unpack_from("<II", b, p + 40)
+                return "avi", w, h, frames * usec_pf // 1000
+            p += 8 + csize + (csize & 1)
+        raise ValueError("AVI without avih header")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # ISO BMFF (MP4/MOV): walk top-level boxes to moov, then to mvhd;
+        # duration = mvhd duration / timescale (v0 32-bit, v1 64-bit)
+        p = 0
+        while p + 8 <= len(b):
+            (size,) = struct.unpack_from(">I", b, p)
+            box = b[p + 4 : p + 8]
+            if size < 8:
+                raise ValueError("bad ISO-BMFF box size")
+            if box == b"moov":
+                q = p + 8
+                end = min(p + size, len(b))
+                while q + 8 <= end:
+                    (s2,) = struct.unpack_from(">I", b, q)
+                    if b[q + 4 : q + 8] == b"mvhd":
+                        ver = b[q + 8]
+                        if ver == 1:
+                            (ts,) = struct.unpack_from(">I", b, q + 28)
+                            (dur,) = struct.unpack_from(">Q", b, q + 32)
+                        else:
+                            ts, dur = struct.unpack_from(">II", b, q + 20)
+                        if not ts:
+                            raise ValueError("MP4 mvhd timescale 0")
+                        return "mp4", None, None, dur * 1000 // ts
+                    if s2 < 8:
+                        raise ValueError("bad ISO-BMFF box size")
+                    q += s2
+                raise ValueError("MP4 moov without mvhd")
+            p += size
+        raise ValueError("MP4 without moov box")
     raise NotImplementedError(
         f"unknown media container (magic {b[:8]!r}); only PNG/JPEG/GIF/BMP/"
-        "WAV headers are parsed without external media libraries"
+        "WAV/AVI/MP4 headers are parsed without external media libraries"
     )
 
 
@@ -181,10 +231,10 @@ def decode_media_meta(
 
 def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic VALID media containers derived from doc_id — PNG, JPEG,
-    GIF, and WAV built byte-for-byte to their public specs (dims
-    (id*7)%509+1 x (id*13)%509+1; WAV duration (id%1000)+1 ms at 16 kB/s).
-    Gives the real parsers true containers to decode without shipping media
-    files, and gives the SQL oracle a closed-form expectation."""
+    GIF, WAV, MP4, and AVI built byte-for-byte to their public specs (dims
+    (id*7)%509+1 x (id*13)%509+1; durations (id%1000)+1 ms). Gives the real
+    parsers true containers to decode without shipping media files, and
+    gives the SQL oracle a closed-form expectation."""
 
     @F.pandas_udf(T.BinaryType())
     def build(ids: pd.Series) -> pd.Series:
@@ -193,7 +243,7 @@ def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
             i = int(i)
             w = i * 7 % 509 + 1
             h = i * 13 % 509 + 1
-            kind = i % 4
+            kind = i % 6
             if kind == 0:  # PNG: signature + IHDR + empty IDAT + IEND
                 ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
                 out.append(
@@ -216,12 +266,34 @@ def synthesize_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFram
                 out.append(
                     b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
                 )
-            else:  # WAV: PCM mono 8 kHz 16-bit -> byte_rate 16000
+            elif kind == 3:  # WAV: PCM mono 8 kHz 16-bit -> byte_rate 16000
                 data_size = (i % 1000 + 1) * 16  # -> (i % 1000 + 1) ms
                 out.append(
                     b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
                     + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
                     + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+                )
+            elif kind == 4:  # MP4: ftyp + moov/mvhd v0, timescale 1000
+                dur = i % 1000 + 1  # ms == mvhd units at timescale 1000
+                mvhd = (
+                    struct.pack(">I", 108) + b"mvhd" + b"\x00" * 4  # v0+flags
+                    + struct.pack(">II", 0, 0)            # ctime/mtime
+                    + struct.pack(">II", 1000, dur)       # timescale/duration
+                    + b"\x00" * 80                        # rate..next_track
+                )
+                out.append(
+                    struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+                    + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+                )
+            else:  # AVI: LIST/hdrl with avih; 1000 us/frame, 1 frame == 1 ms
+                frames = i % 1000 + 1
+                avih = struct.pack(
+                    "<IIIIIIIIII", 1000, 0, 0, 0, frames, 0, 1, 0, w, h
+                ) + b"\x00" * 16
+                hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                out.append(
+                    b"RIFF" + struct.pack("<I", 4 + 8 + len(hdrl)) + b"AVI "
+                    + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
                 )
         return pd.Series(out)
 

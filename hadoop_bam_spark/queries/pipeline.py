@@ -514,22 +514,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
         SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                               WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
-               CASE WHEN doc_id % 4 = 3 THEN NULL
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                               WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                               WHEN 4 THEN 'mp4' ELSE 'avi' END AS format,
+               CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
                     ELSE (doc_id * 7 % 509 + 1)::INT END AS width,
-               CASE WHEN doc_id % 4 = 3 THEN NULL
+               CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
                     ELSE (doc_id * 13 % 509 + 1)::INT END AS height,
-               CASE WHEN doc_id % 4 = 3 THEN (doc_id % 1000 + 1)::BIGINT
+               CASE WHEN doc_id % 6 IN (3, 4, 5) THEN (doc_id % 1000 + 1)::BIGINT
                     ELSE NULL END AS duration_ms
         FROM documents
     """,
-    doc="REAL multimodal header decode: synthesize spec-valid PNG/JPEG/GIF/"
-    "WAV containers per document (dims and duration are closed-form in "
-    "doc_id), then parse them back with the pure-stdlib header parsers "
-    "(PNG IHDR, JPEG SOFn walk, GIF screen descriptor, WAV fmt/data "
-    "chunks) inside a vectorized mapInPandas. The oracle recomputes the "
-    "closed forms — a parser bug anywhere breaks the value hash.",
+    doc="REAL multimodal header decode across image/audio/video: synthesize "
+    "spec-valid PNG/JPEG/GIF/WAV/MP4/AVI containers per document (dims and "
+    "durations are closed-form in doc_id), then parse them back with the "
+    "pure-stdlib header parsers (PNG IHDR, JPEG SOFn walk, GIF screen "
+    "descriptor, WAV fmt/data chunks, ISO-BMFF moov/mvhd, AVI avih) inside "
+    "a vectorized mapInPandas. The oracle recomputes the closed forms — a "
+    "parser bug anywhere breaks the value hash.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.multimodal import (

@@ -116,12 +116,14 @@ def test_multimodal_decode_query(spark):
     assert len(rows) == 50
     for r in rows:
         i = r.doc_id
-        kind = i % 4
-        if kind == 3:
-            assert r.format == "wav" and r.duration_ms == i % 1000 + 1
+        kind = i % 6
+        assert r.format == ["png", "jpeg", "gif", "wav", "mp4", "avi"][kind]
+        if kind in (3, 4):  # audio/video without dims
             assert r.width is None and r.height is None
         else:
-            assert r.format == ["png", "jpeg", "gif"][kind]
             assert r.width == i * 7 % 509 + 1
             assert r.height == i * 13 % 509 + 1
+        if kind in (3, 4, 5):
+            assert r.duration_ms == i % 1000 + 1
+        else:
             assert r.duration_ms is None
