@@ -131,6 +131,90 @@ def _tags_array(values: pa.Array, off: np.ndarray, lens: np.ndarray) -> pa.Array
     return pa.MapArray.from_arrays(pa.array(moff, pa.int32()), keys, canon)
 
 
+def _tag_fields(m: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Map column -> (flat 'TAG:TYPE:VALUE' strings, per-row joined string).
+
+    Vectorized inverse of sam.format_tag: the bare-encoder guess (prefix >
+    int > array > float > z) picks the wire TYPE for each flat map value."""
+    keys = m.keys
+    vals = m.items
+    is_prefix = pc.match_substring_regex(vals, _PREFIX_RE)
+    is_int = pc.match_substring_regex(vals, _INT_RE)
+    is_arrayish = pc.match_substring_regex(vals, _ARRAY_RE)
+    is_float = pc.match_substring_regex(vals, _FLOAT_RE)
+    np_ = pc.invert(is_prefix)
+    t_int = pc.and_(np_, is_int)
+    rest = pc.and_(np_, pc.invert(is_int))
+    t_array = pc.and_(rest, is_arrayish)
+    rest2 = pc.and_(rest, pc.invert(is_arrayish))
+    t_float = pc.and_(rest2, is_float)
+    code = pc.if_else(
+        t_int, pa.scalar("i"),
+        pc.if_else(t_array, pa.scalar("B"),
+                   pc.if_else(t_float, pa.scalar("f"), pa.scalar("Z"))),
+    )
+    plain = pc.binary_join_element_wise(keys, code, vals, ":")
+    pfx = pc.binary_join_element_wise(
+        keys,
+        pc.utf8_slice_codeunits(vals, 0, 1),
+        pc.utf8_slice_codeunits(vals, 2, 2**30),
+        ":",
+    )
+    fields = pc.if_else(is_prefix, pfx, plain)
+    per_row = pc.binary_join(
+        pa.ListArray.from_arrays(m.offsets, fields), pa.scalar("\t")
+    )
+    return fields, per_row
+
+
+def format_sam_chunk(batch) -> bytes:
+    """SAM_SCHEMA RecordBatch -> newline-joined alignment lines (bytes).
+
+    Columnar inverse of sam.format_sam_line: '*'/'0' null fills, the
+    '='-for-same-RNEXT contraction, and bare-tag canonical encode all run
+    as kernels; the final per-row and whole-chunk joins are two
+    binary_join calls."""
+    col = {n: batch.column(i).combine_chunks() if isinstance(batch.column(i), pa.ChunkedArray) else batch.column(i)
+           for i, n in enumerate(batch.schema.names)}
+    star = pa.scalar("*")
+    rname = col["rname"]
+    rnext = col["rnext"]
+    same = pc.fill_null(pc.and_(pc.equal(rnext, rname), pc.is_valid(rnext)), False)
+    rnext_s = pc.if_else(same, pa.scalar("="), pc.fill_null(rnext, star))
+    line = pc.binary_join_element_wise(
+        col["qname"],
+        pc.cast(col["flag"], pa.string()),
+        pc.fill_null(rname, star),
+        pc.cast(col["pos"], pa.string()),
+        pc.cast(col["mapq"], pa.string()),
+        pc.fill_null(col["cigar"], star),
+        rnext_s,
+        pc.fill_null(pc.cast(col["pnext"], pa.string()), "0"),
+        pc.fill_null(pc.cast(col["tlen"], pa.string()), "0"),
+        pc.fill_null(col["seq"], star),
+        pc.fill_null(col["qual"], star),
+        "\t",
+    )
+    tags = col["tags"]
+    if tags.offset:
+        tags = tags.take(pa.array(np.arange(len(tags)), pa.int64()))
+    t_off = tags.offsets.to_numpy().astype(np.int64)
+    ntags_np = np.diff(t_off)
+    null_np = pc.is_null(tags).to_numpy(zero_copy_only=False)
+    ntags_np = np.where(null_np, 0, ntags_np)
+    ntags = pa.array(ntags_np, pa.int64())
+    if pc.any(pc.greater(ntags, 0)).as_py():
+        _, per_row = _tag_fields(tags)
+        with_tags = pc.binary_join_element_wise(line, per_row, "\t")
+        line = pc.if_else(pc.greater(ntags, 0), with_tags, line)
+    n = len(line)
+    blob = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), line),
+        pa.scalar("\n"),
+    )[0].as_py()
+    return (blob + "\n").encode("utf-8", "surrogateescape") if n else b""
+
+
 def parse_sam_chunk(
     lines: Sequence[str], wanted: Optional[frozenset] = None
 ) -> Optional[dict]:

@@ -286,7 +286,30 @@ def write_any_sam(
 
 
 def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
-                      line_fn, compress: bool) -> None:
+                      line_fn, compress: bool, chunk_fn=None) -> None:
+    """``chunk_fn`` (RecordBatch -> newline-terminated bytes) switches the
+    partition write to the vectorized Arrow path (no Row materialization);
+    ``line_fn`` stays as the per-row formatter otherwise."""
+    if chunk_fn is not None:
+        def write_part_batches(idx: int, batches):
+            part_path = fs.join(parts_dir, f"part-{idx:05d}")
+            with fs.open_file(part_path, "wb") as f:
+                if compress:
+                    w = bgzf.BGZFWriter(f, write_terminator=False)
+                    for b in batches:
+                        w.write(chunk_fn(b))
+                    w.close()
+                else:
+                    for b in batches:
+                        f.write(chunk_fn(b))
+            return (idx, part_path)
+
+        parts = _collect_parts_arrow(
+            df.select(*cols), parts_dir, write_part_batches
+        )
+        _merge_text_parts(path, parts_dir, parts, header_text, compress)
+        return
+
     def write_part(idx: int, rows):
         part_path = fs.join(parts_dir, f"part-{idx:05d}")
         with fs.open_file(part_path, "wb") as f:
@@ -301,6 +324,11 @@ def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
         return (idx, part_path)
 
     parts = _collect_parts(df, cols, parts_dir, write_part)
+    _merge_text_parts(path, parts_dir, parts, header_text, compress)
+
+
+def _merge_text_parts(path, parts_dir, parts, header_text: str,
+                      compress: bool) -> None:
     with fs.open_file(path, "wb") as out:
         if compress:
             w = bgzf.BGZFWriter(out, write_terminator=False)
@@ -317,9 +345,12 @@ def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
 
 
 def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
+    from hadoop_bam_spark.formats import sam_vec
+
     _write_text_parts(
         df, SAM_COLS, path, path + ".__parts__", header.text,
         lambda r: format_sam_line(tuple(r)), compress=False,
+        chunk_fn=sam_vec.format_sam_chunk,
     )
 
 
