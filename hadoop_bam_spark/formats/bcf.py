@@ -50,6 +50,25 @@ class BCFHeader:
     contigs: list[str] = field(default_factory=list)
     n_samples: int = 0
 
+    @property
+    def string_index(self) -> dict:
+        """name -> dictionary index, built once (encode hot path)."""
+        got = self.__dict__.get("_sidx")
+        if got is None or len(got) != len(self.strings):
+            got = self.__dict__["_sidx"] = {
+                s: i for i, s in enumerate(self.strings)
+            }
+        return got
+
+    @property
+    def contig_index(self) -> dict:
+        got = self.__dict__.get("_cidx")
+        if got is None or len(got) != len(self.contigs):
+            got = self.__dict__["_cidx"] = {
+                c: i for i, c in enumerate(self.contigs)
+            }
+        return got
+
 
 def _parse_idx(line: str) -> Optional[int]:
     if "<" not in line:
@@ -561,6 +580,20 @@ def _enc_typed_int_scalar(v: int) -> bytes:
     return bytes([0x13]) + struct.pack("<i", v)
 
 
+#: dictionary indexes (INFO/FORMAT/FILTER keys) recur every record —
+#: pre-encoded typed scalars for the small domain
+_ENC_IDX_CACHE: dict = {}
+
+
+def _enc_idx(v: int) -> bytes:
+    got = _ENC_IDX_CACHE.get(v)
+    if got is None:
+        if len(_ENC_IDX_CACHE) > 4096:
+            _ENC_IDX_CACHE.clear()
+        got = _ENC_IDX_CACHE[v] = _enc_typed_int_scalar(v)
+    return got
+
+
 def _enc_descriptor(typ: int, count: int) -> bytes:
     if count < 15:
         return bytes([(count << 4) | typ])
@@ -583,26 +616,46 @@ def _enc_int_vector(vals: list[Optional[int]]) -> bytes:
         typ, fmt, missing = 2, "h", _INT16_MISSING
     else:
         typ, fmt, missing = 3, "i", _INT32_MISSING
-    out = _enc_descriptor(typ, len(vals))
-    for v in vals:
-        out += struct.pack("<" + fmt, missing if v is None else v)
-    return out
+    return _enc_descriptor(typ, len(vals)) + struct.pack(
+        "<%d%s" % (len(vals), fmt),
+        *(missing if v is None else v for v in vals),
+    )
 
 
 def _enc_float_vector(vals: list[Optional[float]]) -> bytes:
-    out = _enc_descriptor(5, len(vals))
-    for v in vals:
-        out += (
-            struct.pack("<I", _FLOAT_MISSING_BITS)
-            if v is None
-            else struct.pack("<f", v)
-        )
-    return out
+    if None in vals:
+        out = _enc_descriptor(5, len(vals))
+        for v in vals:
+            out += (
+                struct.pack("<I", _FLOAT_MISSING_BITS)
+                if v is None
+                else struct.pack("<f", v)
+            )
+        return out
+    return _enc_descriptor(5, len(vals)) + struct.pack(
+        "<%df" % len(vals), *vals
+    )
+
+
+_ENC_INFO_CACHE: dict = {}
 
 
 def _enc_info_value(text: str) -> bytes:
     """VCF text value -> best-fitting typed encoding (reference analog:
-    VariantContextCodec typed INFO encode, VariantContextCodec.java:267-335)."""
+    VariantContextCodec typed INFO encode, VariantContextCodec.java:267-335).
+
+    Memoized: INFO values (small ints, allele frequencies, flags) recur
+    constantly across a cohort's records."""
+    got = _ENC_INFO_CACHE.get(text)
+    if got is not None:
+        return got
+    if len(_ENC_INFO_CACHE) > 65536:
+        _ENC_INFO_CACHE.clear()
+    _ENC_INFO_CACHE[text] = got = _enc_info_value_raw(text)
+    return got
+
+
+def _enc_info_value_raw(text: str) -> bytes:
     if text == "true":  # flag
         return b"\x00"
     parts = text.split(",")
@@ -617,20 +670,30 @@ def _enc_info_value(text: str) -> bytes:
     return _enc_string(text)
 
 
+_ENC_GT_CACHE: dict = {}
+
+
 def _enc_gt(gt: Optional[str]) -> list[Optional[int]]:
+    got = _ENC_GT_CACHE.get(gt)
+    if got is not None:
+        return got
     if not gt:
-        return [0]
-    out: list[Optional[int]] = []
-    allele = ""
-    phased = False
-    for ch in gt + "/":
-        if ch in "/|":
-            a = -1 if allele in ("", ".") else int(allele)
-            out.append(((a + 1) << 1) | (1 if phased else 0))
-            phased = ch == "|"
-            allele = ""
-        else:
-            allele += ch
+        out: list[Optional[int]] = [0]
+    else:
+        out = []
+        allele = ""
+        phased = False
+        for ch in gt + "/":
+            if ch in "/|":
+                a = -1 if allele in ("", ".") else int(allele)
+                out.append(((a + 1) << 1) | (1 if phased else 0))
+                phased = ch == "|"
+                allele = ""
+            else:
+                allele += ch
+    if len(_ENC_GT_CACHE) > 4096:
+        _ENC_GT_CACHE.clear()
+    _ENC_GT_CACHE[gt] = out
     return out
 
 
@@ -638,7 +701,7 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
     """VCF_SCHEMA tuple -> one BCF2 record (inverse of decode_record;
     writer parity: BCFRecordWriter.java:108-129)."""
     (contig, start, end, vid, ref, alts, qual, filters, info, genotypes) = row
-    sidx = {s: i for i, s in enumerate(hdr.strings)}
+    sidx = hdr.string_index
     alleles = [ref] + list(alts or [])
 
     shared = bytearray()
@@ -651,7 +714,7 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
         shared += _enc_int_vector([sidx[f] for f in filters])
     info = info or {}
     for k, v in info.items():
-        shared += _enc_typed_int_scalar(sidx[k])
+        shared += _enc_idx(sidx[k])
         shared += _enc_info_value(v)
 
     indiv = bytearray()
@@ -668,17 +731,19 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
         n_fmt = len(keys)
         by_sample = [g[2] or {} for g in genotypes]
         for k in keys:
-            indiv += _enc_typed_int_scalar(sidx[k])
+            indiv += _enc_idx(sidx[k])
             if k == "GT":
                 vecs = [_enc_gt(fm.get("GT")) for fm in by_sample]
                 width = max(len(v) for v in vecs)
                 flat: list[Optional[int]] = []
-                lo, hi = 0, 0
                 for v in vecs:
-                    padded = v + [None] * (width - len(v))
-                    flat.extend(padded)
-                    lo = min([lo] + [x for x in v if x is not None])
-                    hi = max([hi] + [x for x in v if x is not None])
+                    flat.extend(v)
+                    if len(v) < width:
+                        flat.extend([None] * (width - len(v)))
+                nn = [x for x in flat if x is not None]
+                lo = min(nn, default=0)
+                hi = max(nn, default=0)
+                lo, hi = min(lo, 0), max(hi, 0)
                 typ, fmt, eov = (
                     (1, "b", _INT8_EOV)
                     if -120 <= lo and hi <= 127
@@ -687,8 +752,10 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
                     else (3, "i", _INT32_EOV)
                 )
                 indiv += _enc_descriptor(typ, width)
-                for x in flat:
-                    indiv += struct.pack("<" + fmt, eov if x is None else x)
+                indiv += struct.pack(
+                    "<%d%s" % (len(flat), fmt),
+                    *(eov if x is None else x for x in flat),
+                )
             else:
                 vals = [fm.get(k) for fm in by_sample]
                 cells = [
@@ -734,7 +801,7 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
     n_sample = len(genotypes) if genotypes else 0
     fixed = struct.pack(
         "<iiiIII",
-        hdr.contigs.index(contig),
+        hdr.contig_index[contig],
         start - 1,
         end - (start - 1),
         _FLOAT_MISSING_BITS
@@ -762,10 +829,10 @@ def _enc_int_vector_grouped(vals: list, width: int) -> bytes:
         typ, fmt, eov, miss = 2, "h", _INT16_EOV, _INT16_MISSING
     else:
         typ, fmt, eov, miss = 3, "i", _INT32_EOV, _INT32_MISSING
-    out = bytearray(_enc_descriptor(typ, width))
-    for v in vals:
-        out += struct.pack("<" + fmt, eov if v is None else miss if v == "MISSING" else v)
-    return bytes(out)
+    return _enc_descriptor(typ, width) + struct.pack(
+        "<%d%s" % (len(vals), fmt),
+        *(eov if v is None else miss if v == "MISSING" else v for v in vals),
+    )
 
 
 def encode_header(hdr: BCFHeader) -> bytes:
