@@ -335,6 +335,149 @@ def chunk_to_batch(
     return batch
 
 
+def _join_or_dot(col: pa.Array, sep: str) -> pa.Array:
+    """list<string> -> sep-joined string; null/EMPTY lists -> '.' (the
+    scalar formatter's `",".join(x) if x else "."`)."""
+    if col.type != pa.list_(pa.string()):
+        # binary_join has no kernel for non-nullable-element lists (the
+        # shape Spark's Arrow bridge produces)
+        col = col.cast(pa.list_(pa.string()))
+    joined = pc.binary_join(col, pa.scalar(sep))
+    lens = pc.fill_null(pc.list_value_length(col), 0)
+    return pc.if_else(
+        pc.equal(lens, 0), pa.scalar("."), pc.fill_null(joined, ".")
+    )
+
+
+def _qual_strings(qual: pa.Array) -> pa.Array:
+    """float64 -> VCF QUAL text: '.' for null, integer-valued quals without
+    the '.0' (str(int(q))), shortest round-trip decimal otherwise. The
+    non-integer rendering comes from Arrow's shortest-repr cast, which may
+    differ in exponent STYLE from Python repr for extreme magnitudes but
+    always parses back to the identical double."""
+    is_int = pc.and_(
+        pc.is_valid(qual),
+        pc.and_(
+            pc.equal(qual, pc.floor(qual)),
+            pc.and_(pc.greater(qual, -(2.0 ** 62)), pc.less(qual, 2.0 ** 62)),
+        ),
+    )
+    as_int = pc.cast(
+        pc.if_else(is_int, qual, pa.scalar(0.0)), pa.int64()
+    )
+    int_s = pc.cast(as_int, pa.string())
+    float_s = pc.cast(qual, pa.string())
+    return pc.fill_null(
+        pc.if_else(pc.fill_null(is_int, False), int_s, float_s), "."
+    )
+
+
+def _info_strings(info: pa.Array) -> pa.Array:
+    """map<string,string> -> 'k=v;flag;...' per row ('.' for null/empty;
+    value 'true' means flag, key only — the scalar formatter's rule)."""
+    if info.offset != 0:
+        info = info.take(pa.array(np.arange(len(info)), pa.int64()))
+    keys = info.keys
+    vals = info.items
+    fields = pc.if_else(
+        pc.equal(vals, "true"),
+        keys,
+        pc.binary_join_element_wise(keys, vals, "="),
+    )
+    per_row = pc.binary_join(
+        pa.ListArray.from_arrays(info.offsets, fields), pa.scalar(";")
+    )
+    off = info.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(off)
+    null_np = pc.is_null(info).to_numpy(zero_copy_only=False)
+    empty = pa.array((lens == 0) | null_np)
+    return pc.if_else(empty, pa.scalar("."), pc.fill_null(per_row, "."))
+
+
+def format_vcf_chunk(batch, samples) -> Optional[bytes]:
+    """VCF_SCHEMA RecordBatch -> data lines (bytes), or None when the chunk
+    needs the scalar formatter.
+
+    Site-level columns always vectorize. Genotypes vectorize on the UNIFORM
+    shape (every genotype map in the chunk has the same key sequence — the
+    normal cohort-VCF case): per-key value arrays are stride gathers from
+    the flat map items, FORMAT is one constant, per-sample columns are one
+    joined kernel each. Ragged/missing-key chunks return None and take the
+    per-row path, whose output is byte-identical semantics-wise."""
+    col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    vid = pc.fill_null(col["id"], ".")
+    vid = pc.if_else(pc.equal(vid, ""), pa.scalar("."), vid)
+    line = pc.binary_join_element_wise(
+        col["contig"],
+        pc.cast(col["start"], pa.string()),
+        vid,
+        col["ref"],
+        _join_or_dot(col["alts"], ","),
+        _qual_strings(col["qual"]),
+        _join_or_dot(col["filters"], ";"),
+        _info_strings(col["info"]),
+        "\t",
+    )
+    if samples:
+        g = col["genotypes"]
+        if g.null_count:
+            return None
+        if g.offset != 0:
+            g = g.take(pa.array(np.arange(n), pa.int64()))
+        ns = len(samples)
+        g_off = g.offsets.to_numpy().astype(np.int64)
+        if (np.diff(g_off) != ns).any():
+            return None
+        fm = g.values.field("fields")
+        if fm.null_count or fm.offset != 0:
+            return None
+        ent_off = fm.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(ent_off)
+        nv = n * ns
+        if not len(counts) or counts[0] == 0 or (counts != counts[0]).any():
+            return None
+        nk = int(counts[0])
+        keys = fm.keys
+        vals = fm.items
+        if vals.null_count:
+            return None
+        pattern = keys[:nk].to_pylist()
+        if len(set(pattern)) != nk:
+            return None
+        tiled = pa.array(pattern * nv, pa.string())
+        if not pc.all(pc.equal(keys, tiled)).as_py():
+            return None
+        order = list(range(nk))
+        if "GT" in pattern and pattern.index("GT") != 0:
+            gi = pattern.index("GT")
+            order = [gi] + [i for i in range(nk) if i != gi]
+        fmt_str = ":".join(pattern[i] for i in order)
+        base = np.arange(nv, dtype=np.int64) * nk
+        slot_arrays = [
+            vals.take(pa.array(base + s, pa.int64())) for s in order
+        ]
+        per_vg = (
+            slot_arrays[0]
+            if nk == 1
+            else pc.binary_join_element_wise(*slot_arrays, ":")
+        )
+        sample_cols = [
+            per_vg.take(pa.array(np.arange(n, dtype=np.int64) * ns + j, pa.int64()))
+            for j in range(ns)
+        ]
+        line = pc.binary_join_element_wise(
+            line, pa.scalar(fmt_str), *sample_cols, "\t"
+        )
+    blob = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), line),
+        pa.scalar("\n"),
+    )[0].as_py()
+    return (blob + "\n").encode("utf-8", "surrogateescape")
+
+
 def interval_mask(
     arrays: dict, intervals, n: int
 ) -> Optional[np.ndarray]:

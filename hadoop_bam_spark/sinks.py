@@ -378,7 +378,36 @@ def write_vcf(
     def line(r):
         return format_vcf_line(tuple(r), samples)
 
-    _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line, compress)
+    def chunk(b):
+        from hadoop_bam_spark.formats import vcf_vec
+
+        out = vcf_vec.format_vcf_chunk(b, samples)
+        if out is None:  # ragged genotype shapes -> per-row formatter
+            out = "".join(
+                format_vcf_line(r, samples) + "\n" for r in _vcf_batch_rows(b)
+            ).encode("utf-8", "surrogateescape")
+        return out
+
+    _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line,
+                      compress, chunk_fn=chunk)
+
+
+def _vcf_batch_rows(batch):
+    """Arrow batch -> VCF_SCHEMA tuples for the scalar formatter (fallback
+    path only)."""
+    cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+    for t in zip(*cols):
+        (contig, start, end, vid, ref, alts, qual, filters, info, gts) = t
+        yield (
+            contig, start, end, vid, ref, alts, qual, filters,
+            dict(info) if info is not None else None,
+            [
+                (g["sample"], g["gt"], dict(g["fields"]) if g["fields"] is not None else {})
+                for g in gts
+            ]
+            if gts is not None
+            else None,
+        )
 
 
 def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
@@ -483,11 +512,63 @@ FASTQ_COLS = [
 ]
 
 
+def _opt_str(col, zero_empty: bool = True):
+    """int/str column -> string with the scalar writers' `x or ''` falsy
+    rule (null AND 0/'' -> '')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(pc.cast(col, pa.string()), "")
+    if zero_empty:
+        s = pc.if_else(pc.equal(s, "0"), pa.scalar(""), s)
+    return s
+
+
+def _fastq_chunk(batch) -> bytes:
+    """FASTQ_SCHEMA RecordBatch -> 4-line records (vectorized write path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+    synth = pc.binary_join_element_wise(
+        _opt_str(col["instrument"], zero_empty=False),
+        _opt_str(col["run_number"]),
+        _opt_str(col["lane"]),
+        _opt_str(col["tile"]),
+        _opt_str(col["xpos"]),
+        _opt_str(col["ypos"]),
+        ":",
+    )
+    read_s = pc.fill_null(pc.cast(col["read"], pa.string()), "1")
+    read_s = pc.if_else(pc.equal(read_s, "0"), pa.scalar("1"), read_s)
+    synth = pc.binary_join_element_wise(synth, read_s, "/")
+    name = pc.fill_null(col["name"], "")
+    name = pc.if_else(pc.equal(name, ""), synth, name)
+    rec = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(pa.scalar("@"), name, ""),
+        pc.fill_null(col["sequence"], ""),
+        pa.scalar("+"),
+        pc.fill_null(col["quality"], ""),
+        "\n",
+    )
+    n = len(rec)
+    if not n:
+        return b""
+    import pyarrow as _pa
+
+    blob = pc.binary_join(
+        _pa.ListArray.from_arrays(_pa.array([0, n], _pa.int32()), rec),
+        pa.scalar("\n"),
+    )[0].as_py()
+    return (blob + "\n").encode("utf-8", "surrogateescape")
+
+
 def write_fastq(df: DataFrame, path: str) -> None:
     def line(r):
         return f"@{_synthesize_name(r)}\n{r.sequence}\n+\n{r.quality}"
 
-    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False)
+    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False,
+                      chunk_fn=_fastq_chunk)
 
 
 _P33_TO_P64 = bytes(
@@ -554,6 +635,55 @@ def build_fai(path: str, fai_path: str) -> None:
             out.write("\t".join(str(x) for x in r) + "\n")
 
 
+def _qseq_chunk(batch) -> bytes:
+    """FASTQ_SCHEMA RecordBatch -> QSEQ lines (vectorized write path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hadoop_bam_spark.sources.qseq_source import translate_string_array
+
+    col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+
+    def num(c, default="0"):
+        s = pc.fill_null(pc.cast(col[c], pa.string()), default)
+        if default != "0":
+            s = pc.if_else(pc.equal(s, "0"), pa.scalar(default), s)
+        return s
+
+    qual = translate_string_array(
+        pc.fill_null(col["quality"], "").combine_chunks()
+        if isinstance(col["quality"], pa.ChunkedArray)
+        else pc.fill_null(col["quality"], ""),
+        _P33_TO_P64,
+    )
+    idx = pc.fill_null(col["index_sequence"], "0")
+    idx = pc.if_else(pc.equal(idx, ""), pa.scalar("0"), idx)
+    line = pc.binary_join_element_wise(
+        pc.fill_null(col["instrument"], ""),
+        num("run_number"),
+        num("lane"),
+        num("tile"),
+        num("xpos"),
+        num("ypos"),
+        idx,
+        num("read", default="1"),
+        pc.replace_substring(pc.fill_null(col["sequence"], ""), "N", "."),
+        qual,
+        pc.if_else(
+            pc.fill_null(col["filter_passed"], False), pa.scalar("1"), pa.scalar("0")
+        ),
+        "\t",
+    )
+    n = len(line)
+    if not n:
+        return b""
+    blob = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), line),
+        pa.scalar("\n"),
+    )[0].as_py()
+    return (blob + "\n").encode("utf-8", "surrogateescape")
+
+
 def write_qseq(df: DataFrame, path: str) -> None:
     """Inverse of the qseq source: N->'.', Sanger->Illumina quality
     (reference QseqOutputFormat.java:98-157)."""
@@ -576,7 +706,8 @@ def write_qseq(df: DataFrame, path: str) -> None:
             ]
         )
 
-    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False)
+    _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False,
+                      chunk_fn=_qseq_chunk)
 
 
 def write_parquet_reads(

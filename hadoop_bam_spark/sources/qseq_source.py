@@ -42,17 +42,12 @@ def parse_qseq_line(line: str, recode_quality: bool) -> tuple:
 VEC_CHUNK_LINES = 16384
 
 
-def _np_lut():
-    import numpy as np
-
-    return np.frombuffer(_P64_TO_P33, dtype=np.uint8)
-
-
-def _translate_quality(col):
-    """Phred+64 -> Phred+33 on the column's UTF-8 data buffer via one numpy
-    LUT pass. Bytes >= 0x80 map to themselves in the table, so multi-byte
-    UTF-8 sequences pass through untouched (same as the scalar latin-1
-    translate, which only rewrites 33..126)."""
+def translate_string_array(col, table: bytes):
+    """Apply a 256-byte translate table to a string column's UTF-8 data
+    buffer in one numpy LUT pass (used for the Phred+64 <-> +33 recodes).
+    Bytes >= 0x80 must map to themselves in ``table`` so multi-byte UTF-8
+    sequences pass through untouched (both quality tables only rewrite
+    ASCII 33..126, same as the scalar latin-1 translate)."""
     import numpy as np
     import pyarrow as pa
 
@@ -60,10 +55,14 @@ def _translate_quality(col):
         col = col.take(pa.array(range(len(col)), pa.int64()))  # rebase
     validity, offsets, data = col.buffers()
     raw = np.frombuffer(data, dtype=np.uint8, count=data.size)
-    out = _np_lut()[raw]
+    out = np.frombuffer(table, dtype=np.uint8)[raw]
     return pa.StringArray.from_buffers(
         len(col), offsets, pa.py_buffer(out.tobytes()), validity, col.null_count
     )
+
+
+def _translate_quality(col):
+    return translate_string_array(col, _P64_TO_P33)
 
 
 def parse_qseq_chunk(lines: list, recode_quality: bool, wanted=None):
