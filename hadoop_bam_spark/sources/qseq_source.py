@@ -15,7 +15,11 @@ from typing import Iterator
 from pyspark.sql.datasource import DataSource, DataSourceReader
 
 from hadoop_bam_spark.sources.fastq_source import FASTQ_SCHEMA
-from hadoop_bam_spark.sources.sam_source import TextRangePartition, iter_lines, plan_text_splits
+from hadoop_bam_spark.sources.sam_source import (
+    TextRangePartition,
+    iter_line_chunks,
+    plan_text_splits,
+)
 
 _P64_TO_P33 = bytes(
     max(33, min(126, q - 31)) if 33 <= q <= 126 else q for q in range(256)
@@ -168,13 +172,11 @@ class QseqReader(DataSourceReader):
                 wanted = wanted | {"filter_passed"}
         target = arrow_schema(self._schema)
         buf: list[str] = []
-        for line in iter_lines(partition):
-            if not line:
-                continue
-            buf.append(line)
-            if len(buf) >= VEC_CHUNK_LINES:
-                yield from self._chunk_batches(buf, wanted, target)
-                buf = []
+        for chunk in iter_line_chunks(partition):
+            buf.extend(l for l in chunk if l)
+            while len(buf) >= VEC_CHUNK_LINES:
+                yield from self._chunk_batches(buf[:VEC_CHUNK_LINES], wanted, target)
+                buf = buf[VEC_CHUNK_LINES:]
         if buf:
             yield from self._chunk_batches(buf, wanted, target)
 

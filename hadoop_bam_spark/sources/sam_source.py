@@ -48,20 +48,54 @@ def plan_text_splits(path: str, split_size: int, exts: tuple[str, ...]) -> list[
 
 
 def iter_lines(partition: TextRangePartition) -> Iterator[str]:
-    """Lines owned by the split: start byte in (start, end] — the Hadoop
-    LineRecordReader convention. A non-first split always skips its leading
+    """Lines owned by the split, one at a time (see iter_line_chunks for
+    the ownership rule — this is its flattening wrapper)."""
+    for chunk in iter_line_chunks(partition):
+        yield from chunk
+
+
+def iter_line_chunks(
+    partition: TextRangePartition, chunk_bytes: int = 4 << 20
+) -> Iterator[list]:
+    """Lines owned by the split in BULK lists: one read + one split per
+    ~4 MB window instead of a readline+decode per line (the text-scan hot
+    path under the vectorized chunk parsers).
+
+    Ownership is the Hadoop LineRecordReader convention, identical to the
+    historical per-line reader: a line belongs to this split iff its first
+    byte offset is <= end, and a non-first split always skips its leading
     (possibly partial) line, so the previous split reads one line past its
-    end; a line starting exactly ON a boundary belongs to the EARLIER split.
-    """
+    end; a line starting exactly ON a boundary belongs to the EARLIER
+    split. Byte windows never extend past end+1, so every complete line in
+    a window starts at <= end; the straddling tail line is finished with
+    one readline. UTF-8 is decoded per completed window (windows are cut
+    at newline boundaries, which multi-byte sequences cannot span)."""
     with fs.open_file(partition.path, "rb") as fh:
         fh.seek(partition.start)
         if partition.start > 0:
             fh.readline()  # owned by the previous split
-        while fh.tell() <= partition.end:
-            line = fh.readline()
-            if not line:
-                return
-            yield line.decode("utf-8", "replace").rstrip("\r\n")
+        pos = fh.tell()
+        pending = b""
+        while pos <= partition.end:
+            data = fh.read(min(chunk_bytes, partition.end - pos + 1))
+            if not data:
+                break
+            pos += len(data)
+            blob = pending + data
+            cut = blob.rfind(b"\n")
+            if cut < 0:
+                pending = blob
+                continue
+            pending = blob[cut + 1 :]
+            seg = blob[:cut]
+            lines = seg.decode("utf-8", "replace").split("\n")
+            if b"\r" in seg:
+                lines = [l.rstrip("\r") for l in lines]
+            yield lines
+        if pending:
+            # tail line straddling end: owned (its start is <= end)
+            rest = fh.readline()
+            yield [(pending + rest).decode("utf-8", "replace").rstrip("\r\n")]
 
 
 class SAMDataSource(DataSource):
@@ -107,13 +141,12 @@ class SAMReader(DataSourceReader):
 
         target = arrow_schema(self._schema)
         buf: list[str] = []
-        for line in iter_lines(partition):
-            if not line or line.startswith("@"):
-                continue
-            buf.append(line)
-            if len(buf) >= sam_vec.VEC_CHUNK_LINES:
-                yield from self._chunk_batches(buf, target)
-                buf = []
+        size = sam_vec.VEC_CHUNK_LINES
+        for chunk in iter_line_chunks(partition):
+            buf.extend(l for l in chunk if l and not l.startswith("@"))
+            while len(buf) >= size:
+                yield from self._chunk_batches(buf[:size], target)
+                buf = buf[size:]
         if buf:
             yield from self._chunk_batches(buf, target)
 

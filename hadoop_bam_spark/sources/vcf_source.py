@@ -29,7 +29,7 @@ from hadoop_bam_spark.formats import bgzf
 from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
 from hadoop_bam_spark.sources import list_format_files
 from hadoop_bam_spark.sources.bam_source import parse_intervals
-from hadoop_bam_spark.sources.sam_source import TextRangePartition, iter_lines, plan_text_splits
+from hadoop_bam_spark.sources.sam_source import TextRangePartition, plan_text_splits
 
 DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
 
@@ -51,15 +51,28 @@ class WholeGzipPartition(InputPartition):
 def iter_bgzf_owned_lines(
     path: str, start_coffset: int, end_coffset: int
 ) -> Iterator[str]:
+    """Lines of a BGZF text file owned by the block range, one at a time
+    (flattening wrapper over iter_bgzf_owned_line_chunks)."""
+    for chunk in iter_bgzf_owned_line_chunks(path, start_coffset, end_coffset):
+        yield from chunk
+
+
+def iter_bgzf_owned_line_chunks(
+    path: str, start_coffset: int, end_coffset: int
+) -> Iterator[list]:
     """Lines of a BGZF text file owned by the block range
-    [start_coffset, end_coffset).
+    [start_coffset, end_coffset), in BULK lists (one decode+split per
+    block instead of per line).
 
     Ownership mirrors the plain-text rule (sam_source.iter_lines) at block
     granularity: a non-first split always skips its leading line, so this
     split reads lines whose start block is < end, then finishes the line
     straddling the boundary — and when its last line ends EXACTLY at the
     block boundary it additionally owns the first line of the boundary
-    block (the next split can't see backwards to claim it)."""
+    block (the next split can't see backwards to claim it). Inside the
+    range every complete line is owned, so whole blocks decode in one
+    pass; only the boundary block (at most one line yielded) walks
+    per-line."""
     skip_first = start_coffset > 0
     with fs.open_file(path, "rb") as fh:
         pending = b""
@@ -68,38 +81,64 @@ def iter_bgzf_owned_lines(
         for coffset, payload in bgzf.iter_blocks(fh, start_coffset):
             if not payload:
                 continue
+            if coffset >= end_coffset:
+                # boundary block: at most the straddle-finishing line (and
+                # the exactly-on-boundary bonus line) is owned
+                combined = pending + payload
+                parts = combined.split(b"\n")
+                for i, part in enumerate(parts[:-1]):
+                    if i == 0 and pending_start is not None:
+                        line_start, at_bs = pending_start, pending_at_block_start
+                    else:
+                        line_start, at_bs = coffset, (i == 0)
+                    if skip_first:
+                        skip_first = False
+                        continue
+                    if line_start < end_coffset or (
+                        line_start == end_coffset and at_bs
+                    ):
+                        yield [part.decode("utf-8", "replace").rstrip("\r")]
+                        if line_start >= end_coffset:
+                            return
+                    else:
+                        return
+                if len(parts) == 1:
+                    if pending_start is None:
+                        pending_start, pending_at_block_start = coffset, True
+                    pending = combined
+                else:
+                    pending = parts[-1]
+                    if pending:
+                        pending_start, pending_at_block_start = coffset, False
+                    else:
+                        pending_start, pending_at_block_start = None, False
+                continue
+            # interior block: every complete line starts before end -> owned
             combined = pending + payload
-            parts = combined.split(b"\n")
-            for i, part in enumerate(parts[:-1]):
-                if i == 0 and pending_start is not None:
-                    line_start, at_bs = pending_start, pending_at_block_start
-                else:
-                    line_start, at_bs = coffset, (i == 0)
-                if skip_first:
-                    skip_first = False
-                    continue
-                if line_start < end_coffset:
-                    yield part.decode("utf-8", "replace").rstrip("\r")
-                elif line_start == end_coffset and at_bs:
-                    # bonus line: previous line ended exactly on the boundary
-                    yield part.decode("utf-8", "replace").rstrip("\r")
-                    return
-                else:
-                    return
-            if len(parts) == 1:
+            cut = combined.rfind(b"\n")
+            if cut < 0:
                 if pending_start is None:
                     pending_start, pending_at_block_start = coffset, True
-                pending = combined  # no newline in this block
+                pending = combined
+                continue
+            seg = combined[:cut]
+            lines = seg.decode("utf-8", "replace").split("\n")
+            if b"\r" in seg:
+                lines = [l.rstrip("\r") for l in lines]
+            if skip_first:
+                skip_first = False
+                lines = lines[1:]
+            if lines:
+                yield lines
+            pending = combined[cut + 1 :]
+            if pending:
+                pending_start, pending_at_block_start = coffset, False
             else:
-                pending = parts[-1]
-                if pending:
-                    pending_start, pending_at_block_start = coffset, False
-                else:
-                    pending_start, pending_at_block_start = None, False
+                pending_start, pending_at_block_start = None, False
         if pending and not skip_first:
             ls = pending_start if pending_start is not None else 0
             if ls < end_coffset or (ls == end_coffset and pending_at_block_start):
-                yield pending.decode("utf-8", "replace").rstrip("\r")
+                yield [pending.decode("utf-8", "replace").rstrip("\r")]
 
 
 def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
@@ -121,6 +160,19 @@ def plan_bgzf_splits(path: str, split_size: int) -> list[BGZFTextPartition]:
 
     splits = bgzf.align_splits(path, size, split_size, read_range)
     return [BGZFTextPartition(s.path, s.start_coffset, s.end_coffset) for s in splits]
+
+
+def _gzip_line_chunks(path: str, size: int = 8192) -> Iterator[list]:
+    """Whole-file gzip text as bulk line lists (non-splittable fallback)."""
+    buf: list[str] = []
+    with gzip.open(fs.open_file(path, "rb"), "rt", encoding="utf-8") as fh:
+        for l in fh:
+            buf.append(l.rstrip("\r\n"))
+            if len(buf) >= size:
+                yield buf
+                buf = []
+    if buf:
+        yield buf
 
 
 def sniff_vcf_compression(path: str) -> str:
@@ -252,34 +304,32 @@ class VCFReader(DataSourceReader):
         if isinstance(partition, EmptyPartition):
             return iter(())
         if isinstance(partition, TextRangePartition):
-            lines = iter_lines(partition)
+            from hadoop_bam_spark.sources.sam_source import iter_line_chunks
+
+            chunks = iter_line_chunks(partition)
         elif isinstance(partition, BGZFTextPartition):
-            lines = iter_bgzf_owned_lines(
+            chunks = iter_bgzf_owned_line_chunks(
                 partition.path, partition.start_coffset, partition.end_coffset
             )
         else:
-            lines = (
-                l.rstrip("\n")
-                for l in gzip.open(fs.open_file(partition.path, "rb"), "rt", encoding="utf-8")
-            )
-        return self._batches(lines, self._samples[partition.path])
+            chunks = _gzip_line_chunks(partition.path)
+        return self._batches(chunks, self._samples[partition.path])
 
-    def _batches(self, lines, samples):
-        """Chunk data lines and decode columnar (formats.vcf_vec); any chunk
+    def _batches(self, chunks, samples):
+        """Decode bulk line lists columnar (formats.vcf_vec); any chunk
         the vectorized parser rejects re-parses per-line with the scalar
         path, which applies ValidationStringency exactly as before."""
         from hadoop_bam_spark.formats import vcf_vec
         from hadoop_bam_spark.sources import arrow_schema
 
         target = arrow_schema(self._schema)
+        size = vcf_vec.VEC_CHUNK_LINES
         buf: list[str] = []
-        for line in lines:
-            if not line or line.startswith("#"):
-                continue
-            buf.append(line)
-            if len(buf) >= vcf_vec.VEC_CHUNK_LINES:
-                yield from self._chunk_batches(buf, samples, target)
-                buf = []
+        for chunk in chunks:
+            buf.extend(l for l in chunk if l and not l.startswith("#"))
+            while len(buf) >= size:
+                yield from self._chunk_batches(buf[:size], samples, target)
+                buf = buf[size:]
         if buf:
             yield from self._chunk_batches(buf, samples, target)
 

@@ -173,3 +173,103 @@ class TestVCFVecParity:
         arrays = vcf_vec.parse_vcf_chunk(lines, [])
         mask = vcf_vec.interval_mask(arrays, [("chr1", 101, 350)], 3)
         assert list(mask) == [True, True, False]
+
+
+class TestBulkLineIterators:
+    """iter_line_chunks / iter_bgzf_owned_line_chunks must partition a file's
+    lines exactly (every line owned by exactly one split) for arbitrary
+    content and split points — the Hadoop LineRecordReader contract the
+    per-line readers implemented."""
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_plain_text_split_partition(self, data):
+        import os
+        import tempfile
+
+        from hadoop_bam_spark.sources.sam_source import (
+            TextRangePartition,
+            iter_line_chunks,
+        )
+
+        nlines = data.draw(st.integers(1, 40))
+        lines = [
+            data.draw(st.sampled_from(["", "a", "bb", "x" * 37, "q\tz"]))
+            for _ in range(nlines)
+        ]
+        crlf = data.draw(st.booleans())
+        trailing_nl = data.draw(st.booleans())
+        sep = "\r\n" if crlf else "\n"
+        body = sep.join(lines) + (sep if trailing_nl else "")
+        if not trailing_nl and lines and lines[-1] == "":
+            lines = lines[:-1]  # no trailing newline + empty last -> no line
+        raw = body.encode()
+        with tempfile.NamedTemporaryFile(delete=False, suffix=".txt") as f:
+            f.write(raw)
+            path = f.name
+        try:
+            size = len(raw)
+            ncuts = data.draw(st.integers(0, 3))
+            cuts = sorted(
+                {data.draw(st.integers(1, max(size - 1, 1))) for _ in range(ncuts)}
+            ) if size > 1 else []
+            bounds = [0] + cuts + [size]
+            got = []
+            for a, b in zip(bounds, bounds[1:]):
+                for chunk in iter_line_chunks(
+                    TextRangePartition(path, a, b), chunk_bytes=7
+                ):
+                    got.extend(chunk)
+            assert got == (lines if raw else []), (lines, got, bounds, body)
+        finally:
+            os.unlink(path)
+
+    @given(st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_bgzf_split_partition(self, data):
+        import io as _io
+        import os
+        import tempfile
+
+        from hadoop_bam_spark.formats import bgzf
+        from hadoop_bam_spark.sources.vcf_source import (
+            iter_bgzf_owned_line_chunks,
+        )
+
+        nlines = data.draw(st.integers(1, 12))
+        # long lines overflow the 64k block payload -> several blocks, so
+        # splits land mid-stream and lines straddle block boundaries
+        lines = [
+            data.draw(st.sampled_from(["", "r", "ss", "y" * 41, "z" * 30000]))
+            for _ in range(nlines)
+        ]
+        body = ("\n".join(lines) + "\n").encode()
+        buf = _io.BytesIO()
+        w = bgzf.BGZFWriter(buf)
+        w.write(body)
+        w.close()
+        raw = buf.getvalue()
+        with tempfile.NamedTemporaryFile(delete=False, suffix=".bgz") as f:
+            f.write(raw)
+            path = f.name
+        try:
+            # block-aligned candidate boundaries
+            coffs = []
+            with open(path, "rb") as fh:
+                for coffset, _ in bgzf.iter_blocks(fh, 0):
+                    coffs.append(coffset)
+            coffs.append(len(raw))
+            k = data.draw(st.integers(0, min(3, len(coffs) - 2)))
+            inner = sorted(
+                data.draw(
+                    st.sets(st.sampled_from(coffs[1:-1]), min_size=0, max_size=k)
+                )
+            ) if len(coffs) > 2 else []
+            bounds = [0] + inner + [len(raw)]
+            got = []
+            for a, b in zip(bounds, bounds[1:]):
+                for chunk in iter_bgzf_owned_line_chunks(path, a, b):
+                    got.extend(chunk)
+            assert got == lines, (lines, got, bounds)
+        finally:
+            os.unlink(path)
