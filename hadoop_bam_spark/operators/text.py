@@ -310,3 +310,34 @@ def pii_scrub(text: Column) -> Column:
     for pat, repl in PII_PATTERNS.values():
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# --- URL / domain filtering ------------------------------------------------
+
+#: Java-regex / RE2 common dialect (no lookaround): scheme + non-space run.
+URL_PATTERN = r"https?://[^\s]+"
+#: capture the host part of a URL
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the document, in order (array<string>)."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domains(urls: Column) -> Column:
+    """URL array -> host array (lowercased)."""
+    return F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_blocklist_keep(domains: Column, blocklist: tuple[str, ...]) -> Column:
+    """True when no extracted domain is on the blocklist.
+
+    The blocklist is a literal array (real deployments broadcast-join a
+    blocklist table instead when it outgrows a literal; either way the
+    corpus text itself is never shuffled)."""
+    return ~F.arrays_overlap(
+        domains, F.array(*[F.lit(d) for d in blocklist])
+    )

@@ -1199,6 +1199,83 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(toks, budget=_PACK_BUDGET)
 
 
+#: deterministic URL seeding (documents.parquet has no URLs): every third
+#: doc gains one URL whose domain cycles a 5-entry set, two of which are
+#: blocklisted
+_URL_DOMAINS = (
+    "ads.example.com", "spam.bad.net", "docs.example.org",
+    "blog.example.io", "cdn.assets.dev",
+)
+_URL_BLOCKLIST = ("ads.example.com", "spam.bad.net")
+
+_URL_SEED_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' see https://' || "
+    + "CASE doc_id % 5 "
+    + " ".join(f"WHEN {i} THEN '{d}'" for i, d in enumerate(_URL_DOMAINS[:-1]))
+    + f" ELSE '{_URL_DOMAINS[-1]}' END || '/p/' || doc_id ELSE text END"
+)
+
+
+@query(
+    "url_domain_filter",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT doc_id, {_URL_SEED_SQL} AS text FROM documents
+        ),
+        u AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, 'https?://[^\\s]+') AS urls
+            FROM seeded
+        ),
+        d AS (
+            SELECT doc_id, len(urls)::BIGINT AS n_urls,
+                   list_transform(
+                       urls, x -> lower(regexp_extract(x, 'https?://([^/\\s]+)', 1))
+                   ) AS domains
+            FROM u
+        )
+        SELECT doc_id, n_urls,
+               CASE WHEN n_urls > 0 THEN domains[1] END AS first_domain,
+               NOT list_has_any(
+                   domains, {list(_URL_BLOCKLIST)!r}
+               ) AS kept
+        FROM d
+    """,
+    doc="URL extraction + domain blocklist filtering: regexp_extract_all "
+    "pulls every http(s) URL, hosts are lowered and tested against a "
+    "literal blocklist with arrays_overlap — pure Catalyst expressions, "
+    "one narrow pass over the text, corpus never shuffled (a large "
+    "blocklist becomes a broadcast anti-join on an exploded domain "
+    "column instead).",
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://"),
+                F.element_at(
+                    F.array(*[F.lit(d) for d in _URL_DOMAINS]),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ),
+                F.lit("/p/"),
+                F.col("doc_id"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    urls = text_ops.extract_urls(F.col("text"))
+    domains = text_ops.url_domains(urls)
+    return seeded.select(
+        "doc_id",
+        F.size(urls).cast("long").alias("n_urls"),
+        F.when(F.size(urls) > 0, F.element_at(domains, 1)).alias("first_domain"),
+        text_ops.domain_blocklist_keep(domains, _URL_BLOCKLIST).alias("kept"),
+    )
+
+
 @query(
     "semantic_dedup",
     oracle=f"""
