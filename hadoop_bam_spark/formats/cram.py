@@ -1166,6 +1166,18 @@ class ContainerDecoder:
             _bind("BF"), _bind("CF"), _bind("RL"), _bind("AP"),
             _bind("RG"), _bind("TL"),
         )
+        def _bind_byte(key):
+            d = dec_byte.get(key)
+            if d is None:
+                codec, params = comp.data_series[key]
+                d = dec_byte[key] = make_byte_decoder(codec, params, ext, core)
+            return d
+
+        # mapped-record series bind lazily on the FIRST mapped record: a
+        # slice of only-unmapped records may declare them with degenerate
+        # (empty-alphabet) codecs that must never be constructed
+        d_fn = d_fp = d_mq = d_fc = None
+        from hadoop_bam_spark.formats.sam import tag_value_repr as _tvr
         for i in range(sh.n_records):
             bf = d_bf()
             cf = d_cf()
@@ -1197,9 +1209,7 @@ class ContainerDecoder:
             tl = d_tl()
             for tag, typ in (comp.tag_lines[tl] if comp.tag_lines else ()):
                 s, sub = _decode_tag_value(typ, TAGVAL(tag, typ))
-                from hadoop_bam_spark.formats.sam import tag_value_repr
-
-                tags[tag] = tag_value_repr(typ, s, sub)
+                tags[tag] = _tvr(typ, s, sub)
             if rg >= 0 and rg < len(self.read_groups) and "RG" not in tags:
                 tags["RG"] = self.read_groups[rg]
 
@@ -1208,12 +1218,18 @@ class ContainerDecoder:
             seq: Optional[str] = None
             qual_raw: Optional[bytearray] = None
             if not flag & 0x4:  # mapped: feature-based reconstruction
-                fn = I("FN")
+                if d_fn is None:
+                    d_fn, d_mq = _bind("FN"), _bind("MQ")
+                fn = d_fn()
                 feats = []
                 fpos = 0
+                if fn and d_fc is None:
+                    # FC/FP bind on the first FEATURE: all-match slices may
+                    # declare them with empty-alphabet codecs
+                    d_fc, d_fp = _bind_byte("FC"), _bind("FP")
                 for _ in range(fn):
-                    fc = chr(BYTE("FC"))
-                    fpos += I("FP")
+                    fc = chr(d_fc())
+                    fpos += d_fp()
                     if fc == "X":
                         feats.append((fpos, fc, BYTE("BS")))
                     elif fc == "D":
@@ -1242,7 +1258,7 @@ class ContainerDecoder:
                         feats.append((fpos, fc, BYTE("QS")))
                     else:
                         raise ValueError(f"unknown feature code {fc!r}")
-                mapq = I("MQ")
+                mapq = d_mq()
                 qual_raw = bytearray([0xFF]) * rl if rl else bytearray()
                 seq_parts: list[str] = []
                 cig: list[tuple[int, str]] = []
