@@ -341,3 +341,57 @@ def domain_blocklist_keep(domains: Column, blocklist: tuple[str, ...]) -> Column
     return ~F.arrays_overlap(
         domains, F.array(*[F.lit(d) for d in blocklist])
     )
+
+
+def remove_boilerplate(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 4,
+):
+    """Paragraph-level boilerplate removal (the jusText-style density pass,
+    reduced to engine-bridgeable heuristics): a paragraph is boilerplate
+    when it has under ``min_tokens`` tokens OR zero English stopword hits
+    (navigation/menu fragments and word-salad lines have no function
+    words). Returns (id_col, n_para, n_boiler, clean_md5) with clean_md5
+    fingerprinting the kept paragraphs newline-joined in original order.
+
+    Plan shape at 100 TB: the explode and per-paragraph classification are
+    pipeline-local column expressions (no UDF, no shuffle); the ONLY
+    shuffle is the final per-document reassembly groupBy.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).withColumn("para", F.trim(F.col("para")))
+    paras = paras.filter(F.col("para") != "")
+    n_tok = token_count(F.col("para"))
+    n_stop = stopword_hits(F.col("para"), LANG_STOPWORDS["en"])
+    paras = paras.withColumn(
+        "boiler", (n_tok < min_tokens) | (n_stop == 0)
+    )
+    return (
+        paras.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_para"),
+            F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("boiler"),
+                                    F.struct(F.col("pos"), F.col("para")),
+                                )
+                            )
+                        ),
+                        lambda s: s["para"],
+                    ),
+                    "\n",
+                )
+            ).alias("clean_md5"),
+        )
+    )

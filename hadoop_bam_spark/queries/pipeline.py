@@ -1101,6 +1101,53 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(docs)
 
 
+@query(
+    "boilerplate_removal",
+    oracle=r"""
+        WITH segmented AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(text, '((\S+\s+){10})',
+                                               '\1' || chr(10), 'g'),
+                                chr(10)) AS ps
+            FROM documents
+        ),
+        paras0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ps)),
+                          i -> struct_pack(pos := i, para := trim(ps[i])))) AS s
+            FROM segmented
+        ),
+        paras AS (
+            SELECT doc_id, s.pos AS pos, s.para AS para,
+                   len(list_filter(string_split_regex(trim(lower(s.para)), '\s+'),
+                                   x -> x <> '')) AS n_tok,
+                   len(list_filter(string_split_regex(trim(lower(s.para)), '\s+'),
+                                   x -> x IN ('the','a','of','and','to'))) AS n_stop
+            FROM paras0 WHERE s.para <> ''
+        ),
+        marked AS (
+            SELECT *, (n_tok < 4 OR n_stop = 0) AS boiler FROM paras
+        )
+        SELECT doc_id, count(*) AS n_para,
+               sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+               md5(coalesce(
+                   string_agg(CASE WHEN NOT boiler THEN para END, chr(10)
+                              ORDER BY pos),
+                   '')) AS clean_md5
+        FROM marked GROUP BY 1
+    """,
+    doc="Paragraph-level boilerplate removal (jusText-style density pass): "
+    "a paragraph is dropped when it is under 4 tokens or has zero English "
+    "stopword hits. Explode + classification are pipeline-local column "
+    "expressions; the only shuffle is the per-document reassembly groupBy.",
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", *_PARA_SEG_SPARK)
+    )
+    return text_ops.remove_boilerplate(docs)
+
+
 _PII_SEED_SQL = (
     "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id"
     " || '@example.org from 10.0.' || (doc_id % 200) || '.7 ssn"
