@@ -1148,6 +1148,56 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.remove_boilerplate(docs)
 
 
+@query(
+    "char_entropy_quality",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id, substr(text, i, 2) AS g
+            FROM documents,
+                 unnest(generate_series(1, greatest(len(text) - 1, 0))) AS t(i)
+        ),
+        counts AS (
+            SELECT doc_id, g, count(*)::DOUBLE AS c FROM grams GROUP BY 1, 2
+        ),
+        tot AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY 1)
+        SELECT c.doc_id, t.n::BIGINT AS n_bigrams,
+               round(-sum((c.c / t.n) * log2(c.c / t.n)), 6) AS entropy_bits
+        FROM counts c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id, t.n
+    """,
+    doc="Perplexity-proxy quality signal: per-document character-bigram "
+    "entropy (low entropy = repetitive/degenerate text, high = random "
+    "noise; natural text sits in a band). One explode feeds a keyed "
+    "(doc, bigram) count whose doc-partitioned window total is reused by "
+    "the final per-doc aggregate — no UDF, two keyed shuffles, alphabet "
+    "per doc is tiny so nothing grows quadratically.",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 1, 0)),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    counts = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("c") / F.col("n")
+    return counts.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_bigrams"),
+        F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+    )
+
+
 _PII_SEED_SQL = (
     "CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || doc_id"
     " || '@example.org from 10.0.' || (doc_id % 200) || '.7 ssn"
