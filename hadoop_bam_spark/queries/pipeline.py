@@ -1300,10 +1300,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: doc gains one URL whose domain cycles a 5-entry set, two of which are
 #: blocklisted
 _URL_DOMAINS = (
-    "ads.example.com", "spam.bad.net", "docs.example.org",
-    "blog.example.io", "cdn.assets.dev",
+    "ads.example.com", "spam.example.net", "docs.example.org",
+    "blog.example.com", "cdn.example.net",
 )
-_URL_BLOCKLIST = ("ads.example.com", "spam.bad.net")
+_URL_BLOCKLIST = ("ads.example.com", "spam.example.net")
 
 _URL_SEED_SQL = (
     "CASE WHEN doc_id % 3 = 0 THEN text || ' see https://' || "
