@@ -30,7 +30,17 @@ import os
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 from hadoop_bam_spark import fs
 from hadoop_bam_spark.formats import bam, bgzf
@@ -136,12 +146,44 @@ class BAMReader(DataSourceReader):
             size = fs.file_size(f)
             self._files.append((f, refs, first_voffset, size))
 
+    #: max 1-based SAM coordinate (htsjdk GenomicIndexUtil bound)
+    _MAX_POS = (1 << 31) - 2
+
     def pushFilters(self, filters):
-        """Consume rname EqualTo for planning-time pruning; everything is
-        returned as unsupported so Catalyst re-applies it (safe residual)."""
+        """Derive planning-time pruning from Catalyst filters; everything is
+        returned as unsupported so Catalyst re-applies it (safe residual).
+
+        - rname EqualTo/In prunes whole files missing the contig;
+        - rname + optional pos bounds synthesize an interval when the user
+          passed none, so a plain ``.filter(col("rname") == ...)`` gets the
+          same BAI chunk-span split pruning as ``option("intervals", ...)``.
+          The interval selects every record whose alignment overlaps it — a
+          superset of the pos-predicate rows — and Catalyst's residual
+          closes the gap, so this is pruning only, never semantics."""
+        rnames: Optional[set] = None
+        lo, hi = 1, None
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("rname",):
-                self._rname_eq = {f.value}
+            attr = getattr(f, "attribute", None)  # Not/composites have none
+            if isinstance(f, EqualTo) and attr == ("rname",):
+                rnames = {f.value} if rnames is None else rnames & {f.value}
+            elif isinstance(f, In) and attr == ("rname",):
+                vals = set(f.value)
+                rnames = vals if rnames is None else rnames & vals
+            elif attr == ("pos",):
+                if isinstance(f, GreaterThan):
+                    lo = max(lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = max(lo, f.value)
+                elif isinstance(f, LessThan):
+                    hi = min(hi if hi is not None else self._MAX_POS, f.value - 1)
+                elif isinstance(f, LessThanOrEqual):
+                    hi = min(hi if hi is not None else self._MAX_POS, f.value)
+        self._rname_eq = rnames
+        if rnames and self._intervals is None:
+            self._intervals = [
+                (r, lo, hi if hi is not None else self._MAX_POS)
+                for r in sorted(rnames)
+            ]
         return filters
 
     @staticmethod

@@ -247,3 +247,71 @@ def test_distributed_tbi_equals_post_merge_build(spark, tmp_path):
     for iv in [[("c1", 1, 5000)], [("c2", 300000, 400000)],
                [("c1", 1399000, 1400000), ("c2", 1, 800)]]:
         assert dist.span_for_intervals(iv) == seq.span_for_intervals(iv)
+
+
+class TestCatalystFilterPushdown:
+    """Plain DataFrame filters (no intervals option) must reach the BAI:
+    rname equality + pos bounds synthesize an interval at pushFilters time,
+    so Catalyst predicates get the same split pruning as option("intervals")
+    — with results identical to the unpruned plan (Catalyst residual)."""
+
+    SPLIT = 8 * 1024
+
+    def _read(self, spark, path):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        return (
+            spark.read.format("bam")
+            .option("split_size", str(self.SPLIT))
+            .load(path)
+        )
+
+    def test_filter_results_match(self, spark, indexed_bam):
+        from pyspark.sql import functions as F
+
+        path, rows = indexed_bam
+        df = self._read(spark, path).filter(
+            (F.col("rname") == "chr1")
+            & (F.col("pos") >= 1_000_000)
+            & (F.col("pos") <= 1_200_000)
+        )
+        got = sorted(r.qname for r in df.collect())
+        want = sorted(
+            r[0]
+            for r in rows
+            if r[2] == "chr1" and 1_000_000 <= r[3] <= 1_200_000
+        )
+        assert got == want
+
+    def test_filter_prunes_partitions(self, spark, indexed_bam):
+        from pyspark.sql import functions as F
+
+        path, _ = indexed_bam
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = (
+            self._read(spark, path)
+            .filter(
+                (F.col("rname") == "chr1")
+                & (F.col("pos") >= 1_000_000)
+                & (F.col("pos") <= 1_010_000)
+            )
+            .rdd.getNumPartitions()
+        )
+        assert full > 2
+        assert pruned < full
+
+    def test_contig_only_filter_matches(self, spark, indexed_bam):
+        from pyspark.sql import functions as F
+
+        path, rows = indexed_bam
+        df = self._read(spark, path).filter(F.col("rname") == "chr2")
+        got = sorted(r.qname for r in df.collect())
+        assert got == sorted(r[0] for r in rows if r[2] == "chr2")
+
+    def test_missing_contig_plans_empty(self, spark, indexed_bam):
+        from pyspark.sql import functions as F
+
+        path, _ = indexed_bam
+        df = self._read(spark, path).filter(F.col("rname") == "chrZ")
+        assert df.count() == 0
