@@ -176,3 +176,43 @@ def list_format_files(path: str, *exts: str) -> list[str]:
             if f.endswith(exts) and not f.startswith("_") and not f.startswith(".")
         )
     return [p]
+
+
+#: max 1-based coordinate the genomic binning schemes support (int32 bound)
+MAX_COORD = (1 << 31) - 2
+
+
+def collect_pushed_range(filters, name_attr: str, pos_attr: str):
+    """Shared Catalyst-filter collection for the genomic sources' pushdown:
+    returns (contig_names | None, lo, hi | None) from EqualTo/In on
+    ``name_attr`` and range predicates on ``pos_attr``. Callers synthesize
+    an interval from it (pruning only — every filter is re-applied by
+    Catalyst as the residual, so this can never change semantics)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    names = None
+    lo, hi = 1, None
+    for f in filters:
+        attr = getattr(f, "attribute", None)  # Not/composites have none
+        if isinstance(f, EqualTo) and attr == (name_attr,):
+            names = {f.value} if names is None else names & {f.value}
+        elif isinstance(f, In) and attr == (name_attr,):
+            vals = set(f.value)
+            names = vals if names is None else names & vals
+        elif attr == (pos_attr,):
+            if isinstance(f, GreaterThan):
+                lo = max(lo, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                lo = max(lo, f.value)
+            elif isinstance(f, LessThan):
+                hi = min(hi if hi is not None else MAX_COORD, f.value - 1)
+            elif isinstance(f, LessThanOrEqual):
+                hi = min(hi if hi is not None else MAX_COORD, f.value)
+    return names, lo, hi

@@ -220,6 +220,24 @@ class BCFReader(DataSourceReader):
             hdr, header_end = read_header(f, kind)
             self._files[f] = (kind, hdr, header_end)
 
+    #: max 1-based coordinate the binning scheme supports (int32 bound)
+    _MAX_POS = (1 << 31) - 2
+
+    def pushFilters(self, filters):
+        """Same Catalyst-filter pushdown policy as the VCF/BAM sources:
+        contig/start predicates synthesize an interval for CSI/split
+        pruning; all filters are returned unsupported (Catalyst residual
+        keeps semantics exact)."""
+        from hadoop_bam_spark.sources import collect_pushed_range
+
+        contigs, lo, hi = collect_pushed_range(filters, "contig", "start")
+        if contigs and self._intervals is None:
+            self._intervals = [
+                (c, lo, hi if hi is not None else self._MAX_POS)
+                for c in sorted(contigs)
+            ]
+        return filters
+
     def partitions(self):
         parts: list[InputPartition] = []
         for f, (kind, _, _) in self._files.items():

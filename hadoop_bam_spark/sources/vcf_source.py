@@ -244,6 +244,30 @@ class VCFReader(DataSourceReader):
         # header (and samples) read once on the driver per file
         self._samples = {f: read_vcf_header(f).samples for f in self._files}
 
+    #: max 1-based coordinate the binning scheme supports (int32 bound)
+    _MAX_POS = (1 << 31) - 2
+
+    def pushFilters(self, filters):
+        """Derive planning-time pruning from Catalyst filters (same policy
+        as the BAM source): contig EqualTo/In plus optional start bounds
+        synthesize an interval when no intervals option was given, so a
+        plain ``.filter(col("contig") == ...)`` gets tabix split pruning.
+        Every filter is returned unsupported — Catalyst's residual keeps
+        semantics exact (the interval admits a superset: overlap on
+        [start, end] vs the start predicate)."""
+        from hadoop_bam_spark.sources import collect_pushed_range
+
+        contigs, lo, hi = collect_pushed_range(filters, "contig", "start")
+        if contigs and self._intervals is None:
+            self._intervals = [
+                (c, lo, hi if hi is not None else self._MAX_POS)
+                for c in sorted(contigs)
+            ]
+            if self._wanted is not None:
+                # the residual filter reads these (see __init__)
+                self._wanted = self._wanted | {"contig", "start", "end"}
+        return filters
+
     def partitions(self):
         parts: list[InputPartition] = []
         for f in self._files:

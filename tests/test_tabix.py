@@ -109,3 +109,61 @@ class TestVCFSourceTabixPruning:
         path, _ = indexed_vcf
         df = self._read(spark, path, intervals="1:9000000-9100000")
         assert df.count() == 0
+
+
+class TestVCFCatalystFilterPushdown:
+    """Plain DataFrame contig/start predicates (no intervals option) must
+    reach the tabix index via pushFilters, with results identical to the
+    unpruned plan (Catalyst re-applies every filter as residual)."""
+
+    SPLIT = 4096
+
+    def _read(self, spark, path):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        return (
+            spark.read.format("vcf")
+            .option("split_size", str(self.SPLIT))
+            .load(path)
+        )
+
+    def test_filter_results_match(self, spark, indexed_vcf):
+        from pyspark.sql import functions as F
+
+        path, recs = indexed_vcf
+        df = self._read(spark, path).filter(
+            (F.col("contig") == "1")
+            & (F.col("start") >= 1_000_001)
+            & (F.col("start") <= 1_500_000)
+        )
+        got = sorted(r.id for r in df.collect())
+        want = sorted(
+            vid for c, pos, vid in recs if c == "1" and 1_000_001 <= pos <= 1_500_000
+        )
+        assert got == want
+
+    def test_filter_prunes_partitions(self, spark, indexed_vcf):
+        from pyspark.sql import functions as F
+
+        path, _ = indexed_vcf
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = (
+            self._read(spark, path)
+            .filter(
+                (F.col("contig") == "1")
+                & (F.col("start") >= 1_000_001)
+                & (F.col("start") <= 1_100_000)
+            )
+            .rdd.getNumPartitions()
+        )
+        assert full > 2
+        assert pruned < full
+
+    def test_contig_only_filter_matches(self, spark, indexed_vcf):
+        from pyspark.sql import functions as F
+
+        path, recs = indexed_vcf
+        df = self._read(spark, path).filter(F.col("contig") == "2")
+        got = sorted(r.id for r in df.collect())
+        assert got == sorted(vid for c, _, vid in recs if c == "2")
