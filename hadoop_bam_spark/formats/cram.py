@@ -1522,7 +1522,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     defaults to (CRAMRecordWriter.java:74-121). Without it, sequences go
     verbatim (RR=false, the htslib no_ref shape).
     """
-    from hadoop_bam_spark.formats.bam import _encode_tag_value
+    from hadoop_bam_spark.formats.bam import _encode_tag_value, cigar_ref_length
 
     ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
     bytestreams: dict[str, bytearray] = {k: bytearray() for k in _BYTE_SERIES}
@@ -1553,12 +1553,26 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             else:  # base the matrix can't express (or past contig end)
                 feats.append((read_pos + i, "b", rb))
 
+    # alignment footprint for single-reference container stamping: when
+    # every record maps to ONE ref, the container/slice headers carry the
+    # real (ref, start, span) so a .crai built from headers can prune
+    # interval queries; mixed/unmapped content stays multiref (-2), the
+    # htslib no_ref shape
+    seen_refs: set = set()
+    aln_min: Optional[int] = None
+    aln_max: Optional[int] = None
+
     for row in rows:
         (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,
          seq, qual, tags) = row
         flag = int(flag)
         ref_id = ref_index.get(rname, -1) if rname else -1
         rl = len(seq) if seq else cigar_query_length(cigar)
+        seen_refs.add(ref_id)
+        if ref_id >= 0 and pos:
+            end = pos + max(cigar_ref_length(cigar), 1) - 1
+            aln_min = pos if aln_min is None else min(aln_min, pos)
+            aln_max = end if aln_max is None else max(aln_max, end)
         if seq and cigar and not flag & 0x4:
             qlen = cigar_query_length(cigar)
             if qlen != len(seq):
@@ -1732,10 +1746,19 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
         for cid, data in ext_blocks
     ]
 
+    # single-ref container when every record maps to one reference
+    # (htsjdk's sorted-output shape — enables .crai interval pruning);
+    # anything mixed or unmapped stays multiref (htslib no_ref shape)
+    if len(seen_refs) == 1 and aln_min is not None and min(seen_refs) >= 0:
+        ctr_ref = next(iter(seen_refs))
+        ctr_start, ctr_span = aln_min, aln_max - aln_min + 1
+    else:
+        ctr_ref, ctr_start, ctr_span = -2, 0, 0
+
     slice_hdr = bytearray()
-    slice_hdr += write_itf8(0xFFFFFFFE)  # ref -2: multiref
-    slice_hdr += write_itf8(0)  # start
-    slice_hdr += write_itf8(0)  # span
+    slice_hdr += write_itf8(ctr_ref & 0xFFFFFFFF)  # -2 multiref else real ref
+    slice_hdr += write_itf8(ctr_start)
+    slice_hdr += write_itf8(ctr_span)
     slice_hdr += write_itf8(len(rows))
     slice_hdr += write_ltf8(record_counter)
     slice_hdr += write_itf8(1 + len(ext_serialized))  # core + external
@@ -1743,12 +1766,13 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     for cid, _ in ext_blocks:
         slice_hdr += write_itf8(cid)
     slice_hdr += write_itf8(0xFFFFFFFF)  # no embedded reference
-    slice_hdr += bytes(16)  # md5 unset (multiref slices skip the check)
+    slice_hdr += bytes(16)  # md5 unset (all-zero = "not known", spec-legal)
     slice_block = Block(M_RAW, CT_SLICE_HEADER, 0, bytes(slice_hdr)).serialize(major)
 
     body = comp_block + slice_block + core_block + b"".join(ext_serialized)
     chdr = ContainerHeader(
-        length=len(body), ref_seq_id=-2, start=0, span=0, n_records=len(rows),
+        length=len(body), ref_seq_id=ctr_ref, start=ctr_start, span=ctr_span,
+        n_records=len(rows),
         record_counter=record_counter, n_bases=n_bases,
         n_blocks=2 + 1 + len(ext_serialized), landmarks=[len(comp_block)],
         header_size=0,

@@ -301,6 +301,47 @@ def cram_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cram_interval_pushdown",
+    oracle=_BAM_INTERVAL_ORACLE,
+    doc="CRAI-driven bounded CRAM traversal: write a coordinate-sorted CRAM "
+    "with a .crai sidecar (single-reference containers stamped with real "
+    "alignment spans), read it back with an interval option so planning "
+    "prunes non-overlapping containers from the index alone (zero data "
+    "reads on the driver) and the surviving rows pass the overlap "
+    "residual — the CRAM analog of bam_interval_pushdown (reference "
+    "CRAMInputFormat plans from this sidecar).",
+)
+def cram_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d):
+        sorted_df = _sam_df(spark, sf_dir).orderBy(
+            F.col("rname").asc_nulls_last(), "pos", "qname"
+        )
+        sinks.write_cram(
+            sorted_df, os.path.join(d, "sorted.cram"), _sam_header(),
+            records_per_container=500, index_crai=True,
+        )
+
+    d = _artifact(sf_dir, "cram_sorted", build)
+    path = os.path.join(d, "sorted.cram")
+    back = (
+        spark.read.format("cram")
+        .option("split_size", str(_SPLIT))
+        .option("intervals", "chr2:100001-400000")
+        .load(path)
+    )
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.element_at("tags", "NM").cast("long")).alias("sum_nm"),
+    )
+
+
+@query(
     "anysam_scan",
     oracle=_BAM_ORACLE,
     doc="Multi-format dispatch inside the gate: the derived reads are split "

@@ -208,6 +208,7 @@ def write_cram(
     refs: Optional[list[tuple[str, int]]] = None,
     records_per_container: int = 10000,
     reference: Optional[str] = None,
+    index_crai: bool = False,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
 
@@ -253,6 +254,17 @@ def write_cram(
                 shutil.copyfileobj(f, out)
         out.write(cram.EOF_CONTAINER_V3)
     fs.remove_tree(parts_dir)
+    if index_crai:
+        # .crai sidecar from a header-only container walk of the merged
+        # output (the public CRAM index; the source plans splits and prunes
+        # intervals from it without touching the data file)
+        from hadoop_bam_spark.formats import crai as crai_mod
+
+        crai_mod.write_crai(
+            crai_mod.build_crai(path, open_fn=fs.open_file),
+            path + ".crai",
+            open_fn=fs.open_file,
+        )
 
 
 def write_any_sam(

@@ -9,9 +9,20 @@ in their range with the pure-Python codec (formats/cram.py) — the
 reference delegates this to htsjdk (CRAMRecordReader.java:33-56); no JVM
 sidecar is needed here.
 
+When a ``.crai`` sidecar exists (the public CRAM index the reference's
+CRAMInputFormat plans from), the driver never touches the data file at
+all: the index's distinct container offsets are the split-alignment
+points, and its (seq_id, start, span) entries prune containers that
+cannot overlap a query interval — the CRAM analog of BAI chunk-span
+pruning. Catalyst rname/pos filters push down the same way as in the BAM
+source (interval synthesized at pushFilters time, all filters returned as
+residual).
+
 Options:
   path         file or directory of .cram files
   split_size   target compressed bytes per partition (default 32 MiB)
+  intervals    "chr1:100-200,chr2" — bounded traversal with row-level
+               overlap residual (reference semantics)
   reference    FASTA path (with optional .fai) for reference-compressed
                files (RR=true); files our sink writes need none (RR=false)
 """
@@ -62,6 +73,14 @@ class CRAMReader(DataSourceReader):
         self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
         self._reference = options.get("reference")
+        from hadoop_bam_spark.sources.bam_source import parse_intervals
+
+        #: option-provided intervals carry the reference's row-level overlap
+        #: residual; pushed filters (below) prune only, Catalyst closes.
+        self._intervals = (
+            parse_intervals(options["intervals"]) if options.get("intervals") else None
+        )
+        self._pushed: Optional[list] = None
         # driver-side: header + container-boundary walk per file
         # (reference CRAMInputFormat.getSplits, CRAMInputFormat.java:31-80)
         self._files: list[tuple[str, int, list[tuple[str, int]], list[str]]] = []
@@ -71,13 +90,63 @@ class CRAMReader(DataSourceReader):
             )
             self._files.append((f, major, refs, rgs))
 
-    def partitions(self) -> list[CRAMPartition]:
-        parts: list[CRAMPartition] = []
-        for path, _major, _refs, _rgs in self._files:
-            offsets = [
-                off for off, _hdr in cram.iter_container_offsets(path, open_fn=fs.open_file)
+    _MAX_POS = (1 << 31) - 2
+
+    def pushFilters(self, filters):
+        """rname/pos predicates -> container pruning (same policy as the
+        BAM source: pruning only, every filter returned as residual)."""
+        from hadoop_bam_spark.sources import collect_pushed_range
+
+        names, lo, hi = collect_pushed_range(filters, "rname", "pos")
+        if names and self._intervals is None:
+            self._pushed = [
+                (n, lo, hi if hi is not None else self._MAX_POS)
+                for n in sorted(names)
             ]
+        return filters
+
+    def _entries(self, path: str):
+        """CRAI entries: sidecar when present (zero data reads), else the
+        container-header walk building the identical view."""
+        from hadoop_bam_spark.formats import crai
+
+        if fs.exists(path + ".crai"):
+            return crai.read_crai(path + ".crai", open_fn=fs.open_file)
+        return crai.build_crai(path, open_fn=fs.open_file)
+
+    def partitions(self) -> list[CRAMPartition]:
+        from hadoop_bam_spark.formats import crai
+
+        bounding = self._intervals if self._intervals is not None else self._pushed
+        parts: list[CRAMPartition] = []
+        for path, _major, refs, _rgs in self._files:
+            entries = self._entries(path)
+            offsets = crai.container_offsets(entries)
             if not offsets:
+                continue
+            if bounding is not None:
+                keep = set(crai.prune_offsets(entries, bounding, refs))
+                if not keep:
+                    continue
+                # runs of consecutive kept containers -> one partition span
+                # each (end = offset after the run, so nothing skipped is
+                # read); oversized runs still split at ~split_size
+                run_start = None
+                prev_end = None
+                for i, off in enumerate(offsets):
+                    nxt = offsets[i + 1] if i + 1 < len(offsets) else off + 1
+                    if off in keep:
+                        if run_start is None:
+                            run_start = off
+                        elif off - run_start >= self._split_size:
+                            parts.append(CRAMPartition(path, run_start, off))
+                            run_start = off
+                        prev_end = nxt
+                    elif run_start is not None:
+                        parts.append(CRAMPartition(path, run_start, prev_end))
+                        run_start = None
+                if run_start is not None:
+                    parts.append(CRAMPartition(path, run_start, prev_end))
                 continue
             # greedy container grouping to ~split_size compressed bytes
             bounds = [offsets[0]]
@@ -109,6 +178,8 @@ class CRAMReader(DataSourceReader):
         ref_fasta = (cram.FastaRef(self._reference, open_fn=fs.open_file)
                      if self._reference else None)
         dec = cram.ContainerDecoder(major, refs, ref_fasta=ref_fasta, read_groups=rgs)
+        intervals = self._intervals  # option only; pushed filters are
+        # pruning hints with Catalyst as the residual
         with fs.open_file(partition.path, "rb") as fh:
             pos = partition.start
             while pos < partition.end:
@@ -121,5 +192,38 @@ class CRAMReader(DataSourceReader):
                     return  # EOF container
                 fh.seek(pos + hdr.header_size)
                 body = fh.read(hdr.length)
-                yield from dec.decode(body, hdr)
+                if intervals is None:
+                    yield from dec.decode(body, hdr)
+                else:
+                    for row in dec.decode(body, hdr):
+                        if _overlaps_intervals(row, intervals):
+                            yield row
                 pos += hdr.header_size + hdr.length
+
+
+_CIGAR_REF_RE = None
+
+
+def _overlaps_intervals(row: tuple, intervals) -> bool:
+    """Row-level overlap residual (reference bounded-traversal semantics:
+    alignment span [pos, pos + ref-consumed - 1] vs interval; unmapped rows
+    never match a coordinate interval)."""
+    global _CIGAR_REF_RE
+    rname, pos = row[2], row[3]
+    if rname is None or pos <= 0:
+        return False
+    if _CIGAR_REF_RE is None:
+        import re
+
+        _CIGAR_REF_RE = re.compile(r"(\d+)([MIDNSHP=X])")
+    cigar = row[5]
+    span = 1
+    if cigar:
+        span = sum(
+            int(n) for n, op in _CIGAR_REF_RE.findall(cigar) if op in "MDN=X"
+        ) or 1
+    end = pos + span - 1
+    return any(
+        c == rname and pos <= stop and start <= end
+        for c, start, stop in intervals
+    )

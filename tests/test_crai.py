@@ -1,0 +1,189 @@
+"""CRAI index: build/write/read roundtrip, index-driven split planning, and
+interval/Catalyst-filter container pruning through the CRAM source (the
+reference's CRAMInputFormat plans from this sidecar; mirror of the BAI
+pushdown tests in test_bai.py)."""
+
+import random
+
+import pytest
+
+from hadoop_bam_spark.formats import crai, cram
+from hadoop_bam_spark.formats.sam import SAMHeader
+
+
+def _header(n_refs=2, ln=100_000_000):
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for i in range(n_refs):
+        hdr.lines.append(f"@SQ\tSN:chr{i + 1}\tLN:{ln}")
+        hdr.sequences[f"chr{i + 1}"] = (i, ln)
+    return hdr
+
+
+def _sorted_rows(n=8000, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        contig = f"chr{rng.randint(1, 2)}"
+        pos = rng.randint(1, 5_000_000)
+        rows.append(
+            (f"q{i}", 0, contig, pos, 30, "4M", None, 0, 0, "ACGT", "IIII", None)
+        )
+    rows.sort(key=lambda r: (r[2], r[3]))
+    return rows
+
+
+def _write_cram(path, rows, hdr, per_container=500):
+    from hadoop_bam_spark import fs
+
+    refs = [(f"chr{i + 1}", 100_000_000) for i in range(2)]
+    with open(path, "wb") as fh:
+        cram.write_file_definition(fh)
+        fh.write(cram.encode_header_container(hdr.text))
+        import io
+
+        buf = io.BytesIO()
+        w = cram.CRAMWriter(buf, refs, bare=True,
+                            records_per_container=per_container)
+        for r in rows:
+            w.write(r)
+        w.close(write_eof=False)
+        fh.write(buf.getvalue())
+        fh.write(cram.EOF_CONTAINER_V3)
+    crai.write_crai(crai.build_crai(path), path + ".crai")
+
+
+@pytest.fixture(scope="module")
+def indexed_cram(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crai_cram")
+    p = str(d / "t.cram")
+    rows = _sorted_rows()
+    _write_cram(p, rows, _header())
+    return p, rows
+
+
+class TestCRAIFormat:
+    def test_roundtrip(self, indexed_cram, tmp_path):
+        path, _ = indexed_cram
+        entries = crai.read_crai(path + ".crai")
+        assert entries
+        p2 = str(tmp_path / "copy.crai")
+        crai.write_crai(entries, p2)
+        assert crai.read_crai(p2) == entries
+
+    def test_entries_match_container_walk(self, indexed_cram):
+        path, _ = indexed_cram
+        offs = [off for off, _ in cram.iter_container_offsets(path)]
+        assert crai.container_offsets(crai.read_crai(path + ".crai")) == offs
+
+    def test_entries_carry_sorted_spans(self, indexed_cram):
+        path, _ = indexed_cram
+        entries = crai.read_crai(path + ".crai")
+        # coordinate-sorted input: per-ref entry starts are non-decreasing
+        for rid in (0, 1):
+            starts = [e.start for e in entries if e.seq_id == rid]
+            assert starts == sorted(starts)
+
+    def test_prune_drops_non_overlapping(self, indexed_cram):
+        path, _ = indexed_cram
+        entries = crai.read_crai(path + ".crai")
+        refs = [("chr1", 100_000_000), ("chr2", 100_000_000)]
+        all_offs = crai.container_offsets(entries)
+        kept = crai.prune_offsets(entries, [("chr1", 1, 50_000)], refs)
+        assert set(kept) <= set(all_offs)
+        assert len(kept) < len(all_offs)
+        # only genuinely multiref containers (the chr1/chr2 boundary one)
+        # may survive a no-match query — they are never prunable
+        multiref = {e.container_offset for e in entries if e.seq_id == -2}
+        assert set(crai.prune_offsets(entries, [("chrZ", 1, 10)], refs)) == multiref
+
+
+class TestCRAMSourcePruning:
+    SPLIT = 4096
+
+    def _read(self, spark, path, **opts):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        r = spark.read.format("cram").option("split_size", str(self.SPLIT))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(path)
+
+    def test_interval_matches_full_scan_filter(self, spark, indexed_cram):
+        path, rows = indexed_cram
+        df = self._read(spark, path, intervals="chr1:1000000-1200000")
+        got = sorted(r.qname for r in df.collect())
+        want = sorted(
+            r[0]
+            for r in rows
+            if r[2] == "chr1" and r[3] <= 1_200_000 and r[3] + 3 >= 1_000_000
+        )
+        assert got == want
+
+    def test_interval_prunes_partitions(self, spark, indexed_cram):
+        path, _ = indexed_cram
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = self._read(
+            spark, path, intervals="chr1:1000000-1050000"
+        ).rdd.getNumPartitions()
+        assert full > 2
+        assert pruned < full
+
+    def test_catalyst_filter_matches_and_prunes(self, spark, indexed_cram):
+        from pyspark.sql import functions as F
+
+        path, rows = indexed_cram
+        df = self._read(spark, path).filter(
+            (F.col("rname") == "chr1")
+            & (F.col("pos") >= 1_000_000)
+            & (F.col("pos") <= 1_200_000)
+        )
+        got = sorted(r.qname for r in df.collect())
+        want = sorted(
+            r[0]
+            for r in rows
+            if r[2] == "chr1" and 1_000_000 <= r[3] <= 1_200_000
+        )
+        assert got == want
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = (
+            self._read(spark, path)
+            .filter((F.col("rname") == "chr1") & (F.col("pos") <= 50_000))
+            .rdd.getNumPartitions()
+        )
+        assert pruned < full
+
+    def test_plan_without_crai_matches(self, spark, indexed_cram, tmp_path):
+        """The header-walk fallback must produce the same rows."""
+        import shutil as sh
+
+        path, rows = indexed_cram
+        p2 = str(tmp_path / "nocrai.cram")
+        sh.copyfile(path, p2)
+        df = self._read(spark, p2, intervals="chr2:1-100000")
+        got = sorted(r.qname for r in df.collect())
+        want = sorted(
+            r[0] for r in rows if r[2] == "chr2" and r[3] <= 100_000
+        )
+        assert got == want
+
+
+def test_sink_writes_crai(spark, tmp_path):
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    hdr = _header()
+    refs = [("chr1", 100_000_000), ("chr2", 100_000_000)]
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA
+
+    rows = _sorted_rows(n=1500)
+    df = spark.createDataFrame(rows, schema=SAM_SCHEMA)
+    out = str(tmp_path / "out.cram")
+    sinks.write_cram(df, out, hdr, refs=refs, records_per_container=300,
+                     index_crai=True)
+    entries = crai.read_crai(out + ".crai")
+    assert crai.container_offsets(entries) == [
+        off for off, _ in cram.iter_container_offsets(out)
+    ]
