@@ -1,0 +1,209 @@
+"""CSI — coordinate-sorted index v1 (public hts-specs CSIv1 layout), the
+BAI generalization with configurable ``(min_shift, depth)`` that
+htslib/bcftools write by default for BCF.
+
+Same role as BAI/tabix in this engine: intervals map through the binning
+scheme to merged chunk voffset spans, and the BCF source drops BGZF splits
+whose block range cannot overlap any span (planning-time pruning; the
+row-level overlap residual stays). ``build_csi`` constructs the index from
+any BCF we can read, one sequential voffset-tracking pass — engine-written
+files get real indexes without external tooling (mirrors bai.build_bai).
+
+Binary layout (BGZF-compressed, like tabix)::
+
+    magic "CSI\\x01"  min_shift:i32  depth:i32  l_aux:i32  aux[l_aux]
+    n_ref:i32
+      per ref: n_bin:i32
+        per bin: bin:u32  loffset:u64  n_chunk:i32  (beg:u64 end:u64)*
+    n_no_coor:u64 (optional)
+
+The metadata pseudo-bin (bin id past the largest real bin) is skipped on
+read like BAI's 37450; reg2bins never queries it.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Optional
+
+from hadoop_bam_spark.formats import bgzf
+from hadoop_bam_spark.formats.bai import RefIndex, merge_chunks
+
+CSI_MAGIC = b"CSI\x01"
+
+
+def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    """All bins possibly overlapping [beg, end) 0-based half-open
+    (hts-specs CSI reg2bins, generalized UCSC binning)."""
+    if end <= beg:
+        end = beg + 1
+    end -= 1
+    bins = []
+    t, s = 0, min_shift + depth * 3
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        s -= 3
+        t += 1 << (level * 3)
+    return bins
+
+
+def reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Smallest bin fully containing [beg, end) (hts-specs CSI reg2bin)."""
+    end -= 1
+    s = min_shift
+    t = ((1 << (depth * 3)) - 1) // 7
+    level = depth
+    while level > 0:
+        if beg >> s == end >> s:
+            return t + (beg >> s)
+        level -= 1
+        s += 3
+        t -= 1 << (level * 3)
+    return 0
+
+
+@dataclass
+class CSIIndex:
+    min_shift: int = 14
+    depth: int = 5
+    aux: bytes = b""
+    refs: list[RefIndex] = field(default_factory=list)
+    n_no_coor: int = 0
+
+    @property
+    def _pseudo_bin(self) -> int:
+        # one past the largest real bin (BAI's 37450 for 14/5)
+        return ((1 << ((self.depth + 1) * 3)) - 1) // 7 + 1
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CSIIndex":
+        if data[:4] != CSI_MAGIC:
+            raise ValueError("not a CSI index (bad magic)")
+        min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)
+        p = 16
+        aux = data[p : p + l_aux]
+        p += l_aux
+        (n_ref,) = struct.unpack_from("<i", data, p)
+        p += 4
+        idx = cls(min_shift=min_shift, depth=depth, aux=aux)
+        pseudo = idx._pseudo_bin
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, p)
+            p += 4
+            r = RefIndex()
+            for _ in range(n_bin):
+                bin_, loffset, n_chunk = struct.unpack_from("<IQi", data, p)
+                p += 16
+                chunks = []
+                for _ in range(n_chunk):
+                    b, e = struct.unpack_from("<QQ", data, p)
+                    p += 16
+                    chunks.append((b, e))
+                if bin_ == pseudo:
+                    if len(chunks) >= 1:
+                        r.off_beg, r.off_end = chunks[0]
+                    if len(chunks) >= 2:
+                        r.n_mapped, r.n_unmapped = chunks[1]
+                    continue
+                r.bins[bin_] = chunks
+            idx.refs.append(r)
+        if p + 8 <= len(data):
+            (idx.n_no_coor,) = struct.unpack_from("<Q", data, p)
+        return idx
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        out += CSI_MAGIC
+        out += struct.pack("<3i", self.min_shift, self.depth, len(self.aux))
+        out += self.aux
+        out += struct.pack("<i", len(self.refs))
+        for r in self.refs:
+            bins = sorted(r.bins.items())
+            out += struct.pack("<i", len(bins))
+            for bin_, chunks in bins:
+                out += struct.pack("<IQi", bin_, 0, len(chunks))
+                for b, e in chunks:
+                    out += struct.pack("<QQ", b, e)
+        out += struct.pack("<Q", self.n_no_coor)
+        return bytes(out)
+
+    def chunks_for_rid(self, rid: int, beg0: int, end0: int):
+        if rid < 0 or rid >= len(self.refs):
+            return []
+        r = self.refs[rid]
+        cand = [
+            c
+            for b in reg2bins_csi(beg0, end0, self.min_shift, self.depth)
+            for c in r.bins.get(b, ())
+        ]
+        return merge_chunks(cand)
+
+    def span_for_intervals(
+        self,
+        intervals: list[tuple[str, int, int]],
+        contigs: list[str],
+    ) -> list[tuple[int, int]]:
+        """Union of chunk voffset spans over 1-based inclusive intervals;
+        contig names resolve through the BCF header dictionary order."""
+        name_to_id = {c: i for i, c in enumerate(contigs)}
+        chunks = []
+        for contig, start, stop in intervals:
+            rid = name_to_id.get(contig)
+            if rid is not None:
+                chunks.extend(self.chunks_for_rid(rid, max(start - 1, 0), stop))
+        return merge_chunks(chunks)
+
+
+def read_csi(path: str, open_fn=open) -> CSIIndex:
+    with open_fn(path, "rb") as fh:
+        reader = bgzf.BGZFReader(fh)
+        data = bytearray()
+        while True:
+            chunk = reader.read(1 << 20)
+            if not chunk:
+                break
+            data += chunk
+    return CSIIndex.from_bytes(bytes(data))
+
+
+def write_csi(idx: CSIIndex, path: str, open_fn=open) -> None:
+    with open_fn(path, "wb") as fh:
+        w = bgzf.BGZFWriter(fh)
+        w.write(idx.to_bytes())
+        w.close()
+
+
+def build_csi(
+    path: str, open_fn=open, min_shift: int = 14, depth: int = 5
+) -> CSIIndex:
+    """Index an engine-readable BGZF BCF in one voffset-tracking pass."""
+    from hadoop_bam_spark.formats import bcf as bcf_mod
+
+    with open_fn(path, "rb") as fh:
+        reader = bgzf.BGZFReader(fh)
+        hdr, _ = bcf_mod.read_bcf_header(reader)
+        idx = CSIIndex(min_shift=min_shift, depth=depth)
+        idx.refs = [RefIndex() for _ in hdr.contigs]
+        name_to_id = {c: i for i, c in enumerate(hdr.contigs)}
+        while True:
+            at = reader.tell_voffset()
+            head = reader.read(8)
+            if len(head) < 8:
+                break
+            l_shared, l_indiv = struct.unpack_from("<II", head, 0)
+            body = reader.read(l_shared + l_indiv)
+            if len(body) < l_shared + l_indiv:
+                raise ValueError("truncated BCF record")
+            row, _ = bcf_mod.decode_record(head + body, 0, hdr)
+            nxt = reader.tell_voffset()
+            contig, start, end = row[0], row[1], row[2]
+            rid = name_to_id.get(contig)
+            if rid is not None:
+                b = reg2bin_csi(start - 1, end, min_shift, depth)
+                bins = idx.refs[rid].bins
+                if b in bins and bins[b] and bins[b][-1][1] == at:
+                    bins[b][-1] = (bins[b][-1][0], nxt)
+                else:
+                    bins.setdefault(b, []).append((at, nxt))
+        return idx

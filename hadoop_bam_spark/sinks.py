@@ -474,11 +474,16 @@ def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
     write_tabix(idx, path + ".tbi")
 
 
-def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:
+def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
+              index_csi: bool = False) -> None:
     """Write a VCF_SCHEMA DataFrame as one valid BGZF-compressed BCF2 file:
     headerless BGZF parts on executors, driver concat behind the header
     block, BGZF terminator appended last (reference BCFRecordWriter close
-    semantics, BCFRecordWriter.java:165-193)."""
+    semantics, BCFRecordWriter.java:165-193).
+
+    ``index_csi=True`` builds a ``.csi`` binning index from one pass over
+    the merged output (meaningful when ``df`` is coordinate-sorted) so
+    interval reads prune BGZF splits at plan time (formats/csi.py)."""
     from hadoop_bam_spark.formats import bcf as bcfmod
 
     bhdr = bcfmod.parse_bcf_header_text(header.text)
@@ -503,6 +508,14 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader") -> None:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
     fs.remove_tree(parts_dir)
+    if index_csi:
+        from hadoop_bam_spark.formats import csi as csi_mod
+
+        csi_mod.write_csi(
+            csi_mod.build_csi(path, open_fn=fs.open_file),
+            path + ".csi",
+            open_fn=fs.open_file,
+        )
 
 
 def _synthesize_name(r) -> str:

@@ -240,7 +240,7 @@ class BCFReader(DataSourceReader):
 
     def partitions(self):
         parts: list[InputPartition] = []
-        for f, (kind, _, _) in self._files.items():
+        for f, (kind, hdr, _) in self._files.items():
             size = fs.file_size(f)
             if kind == "plain":
                 bounds = list(range(0, size, self._split_size)) + [size]
@@ -254,9 +254,37 @@ class BCFReader(DataSourceReader):
                         fh.seek(start)
                         return fh.read(length)
 
-                for s in bgzf.align_splits(f, size, self._split_size, read_range):
-                    parts.append(BCFBgzfPartition(f, s.start_coffset, s.end_coffset))
+                splits = [
+                    BCFBgzfPartition(f, s.start_coffset, s.end_coffset)
+                    for s in bgzf.align_splits(f, size, self._split_size, read_range)
+                ]
+                if self._intervals is not None and fs.exists(f + ".csi"):
+                    splits = self._filter_splits_by_csi(f, hdr, splits)
+                parts.extend(splits)
         return parts
+
+    def _filter_splits_by_csi(self, path, hdr, splits):
+        """Drop BGZF splits whose block range cannot contain a record
+        overlapping any interval, per the .csi chunk spans — the BCF analog
+        of the VCF source's tabix split pruning (kept splits still apply
+        the row-level overlap residual, so over-keeping costs only time)."""
+        from hadoop_bam_spark.formats.csi import read_csi
+
+        span = read_csi(path + ".csi", open_fn=fs.open_file).span_for_intervals(
+            self._intervals, hdr.contigs
+        )
+        if not span:
+            return []
+        ranges = [
+            (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
+        ]
+        return [
+            s
+            for s in splits
+            if any(
+                cb < s.end_coffset and ce > s.start_coffset for cb, ce in ranges
+            )
+        ]
 
     def read(self, partition):
         from hadoop_bam_spark.sources import arrow_batches, project_rows

@@ -1,0 +1,194 @@
+"""CSI binning index: binary roundtrip, generalized reg2bin(s) parity with
+the fixed BAI scheme at (14,5), chunk coverage, and BGZF split pruning +
+Catalyst filter pushdown through the BCF source (CSI is what
+htslib/bcftools write for BCF by default)."""
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_bam_spark.formats import bai, bcf, bgzf, csi
+from hadoop_bam_spark.formats.vcf import VCFHeader
+
+
+class TestBinningParity:
+    @given(st.integers(0, 2**29 - 2), st.integers(1, 10_000))
+    @settings(max_examples=200, deadline=None)
+    def test_reg2bin_matches_bai_at_14_5(self, beg, ln):
+        end = min(beg + ln, 2**29 - 1)
+        from hadoop_bam_spark.formats.bam import reg2bin
+
+        assert csi.reg2bin_csi(beg, end, 14, 5) == reg2bin(beg, end)
+
+    @given(st.integers(0, 2**29 - 2), st.integers(1, 100_000))
+    @settings(max_examples=100, deadline=None)
+    def test_reg2bins_matches_bai_at_14_5(self, beg, ln):
+        end = min(beg + ln, 2**29 - 1)
+        assert sorted(csi.reg2bins_csi(beg, end, 14, 5)) == sorted(
+            bai.reg2bins(beg, end)
+        )
+
+    @given(st.integers(0, 2**20), st.integers(1, 5000),
+           st.sampled_from([(12, 4), (14, 5), (16, 6)]))
+    @settings(max_examples=100, deadline=None)
+    def test_bin_of_region_in_reg2bins(self, beg, ln, scheme):
+        ms, d = scheme
+        end = beg + ln
+        assert csi.reg2bin_csi(beg, end, ms, d) in csi.reg2bins_csi(
+            beg, end, ms, d
+        )
+
+
+def _bcf_header(n_contigs=2):
+    lines = ["##fileformat=VCFv4.2"]
+    for i in range(n_contigs):
+        lines.append(f"##contig=<ID=chr{i + 1},length=100000000>")
+    lines += [
+        '##FILTER=<ID=PASS,Description="d">',
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    return "\n".join(lines) + "\n"
+
+
+def _sorted_variants(n=6000, seed=5):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        contig = f"chr{rng.randint(1, 2)}"
+        pos = rng.randint(1, 5_000_000)
+        rows.append((contig, pos, pos, f"v{i}", "A", ["T"], 50.0, ["PASS"],
+                     {"DP": str(i % 99)}, None))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return rows
+
+
+def _write_bcf(path, rows, hdr_text):
+    hdr = bcf.parse_bcf_header_text(hdr_text)
+    with open(path, "wb") as fh:
+        w = bgzf.BGZFWriter(fh)
+        w.write(bcf.encode_header(hdr))
+        for r in rows:
+            w.write(bcf.encode_record(r, hdr))
+        w.close()
+    csi.write_csi(csi.build_csi(path), path + ".csi")
+
+
+@pytest.fixture(scope="module")
+def indexed_bcf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csi_bcf")
+    p = str(d / "t.bcf")
+    rows = _sorted_variants()
+    _write_bcf(p, rows, _bcf_header())
+    return p, rows
+
+
+class TestCSIFormat:
+    def test_binary_roundtrip(self, indexed_bcf, tmp_path):
+        path, _ = indexed_bcf
+        idx = csi.read_csi(path + ".csi")
+        p2 = str(tmp_path / "copy.csi")
+        csi.write_csi(idx, p2)
+        idx2 = csi.read_csi(p2)
+        assert idx2.min_shift == idx.min_shift and idx2.depth == idx.depth
+        assert [r.bins for r in idx2.refs] == [r.bins for r in idx.refs]
+
+    def test_chunks_cover_interval_records(self, indexed_bcf):
+        """Every record in the interval must live inside a returned chunk
+        span (decode the spans and check)."""
+        path, rows = indexed_bcf
+        idx = csi.read_csi(path + ".csi")
+        lo, hi = 1_000_000, 1_300_000
+        span = idx.span_for_intervals([("chr1", lo, hi)], ["chr1", "chr2"])
+        assert span
+        hdr = bcf.parse_bcf_header_text(_bcf_header())
+        got = set()
+        with open(path, "rb") as fh:
+            r = bgzf.BGZFReader(fh)
+            bcf.read_bcf_header(r)
+            import struct as _s
+
+            while True:
+                at = r.tell_voffset()
+                head = r.read(8)
+                if len(head) < 8:
+                    break
+                ls, li = _s.unpack_from("<II", head, 0)
+                body = r.read(ls + li)
+                row, _ = bcf.decode_record(head + body, 0, hdr)
+                if row[0] == "chr1" and lo <= row[1] <= hi:
+                    assert any(b <= at < e for b, e in span), (row[1], at)
+                    got.add(row[3])
+        assert got == {
+            r[3] for r in rows if r[0] == "chr1" and lo <= r[1] <= hi
+        }
+
+
+class TestBCFSourceCSIPruning:
+    SPLIT = 4096
+
+    def _read(self, spark, path, **opts):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        r = spark.read.format("bcf").option("split_size", str(self.SPLIT))
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(path)
+
+    def test_interval_matches_filter(self, spark, indexed_bcf):
+        path, rows = indexed_bcf
+        df = self._read(spark, path, intervals="chr1:1000001-1500000")
+        got = sorted(r.id for r in df.collect())
+        want = sorted(
+            r[3] for r in rows if r[0] == "chr1" and 1_000_001 <= r[1] <= 1_500_000
+        )
+        assert got == want
+
+    def test_index_prunes_partitions(self, spark, indexed_bcf):
+        path, _ = indexed_bcf
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = self._read(
+            spark, path, intervals="chr1:1000001-1050000"
+        ).rdd.getNumPartitions()
+        assert full > 2
+        assert pruned < full
+
+    def test_catalyst_filter_matches_and_prunes(self, spark, indexed_bcf):
+        from pyspark.sql import functions as F
+
+        path, rows = indexed_bcf
+        df = self._read(spark, path).filter(
+            (F.col("contig") == "chr1")
+            & (F.col("start") >= 1_000_001)
+            & (F.col("start") <= 1_500_000)
+        )
+        got = sorted(r.id for r in df.collect())
+        want = sorted(
+            r[3] for r in rows if r[0] == "chr1" and 1_000_001 <= r[1] <= 1_500_000
+        )
+        assert got == want
+        full = self._read(spark, path).rdd.getNumPartitions()
+        pruned = (
+            self._read(spark, path)
+            .filter((F.col("contig") == "chr1") & (F.col("start") <= 50_000))
+            .rdd.getNumPartitions()
+        )
+        assert pruned < full
+
+
+def test_sink_writes_csi(spark, tmp_path):
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
+
+    hdr = VCFHeader()
+    hdr.lines = [l for l in _bcf_header().strip().split("\n") if l.startswith("##")]
+    hdr.contigs = {"chr1": 0, "chr2": 1}
+    rows = _sorted_variants(n=800)
+    df = spark.createDataFrame(rows, schema=VCF_SCHEMA)
+    out = str(tmp_path / "out.bcf")
+    sinks.write_bcf(df, out, hdr, index_csi=True)
+    idx = csi.read_csi(out + ".csi")
+    assert any(r.bins for r in idx.refs)
