@@ -87,6 +87,16 @@ class AnySAMReader(DataSourceReader):
 
             self._cram = CRAMReader(sub_options(by_format["cram"]))
 
+    def pushFilters(self, filters):
+        """Forward Catalyst predicates to the per-format sub-readers that
+        understand them (BAM -> BAI pruning, CRAM -> CRAI pruning); the SAM
+        text reader has no index to prune. All filters stay unsupported —
+        Catalyst's residual applies uniformly across the union."""
+        for sub in (self._bam, self._cram):
+            if sub is not None:
+                sub.pushFilters(filters)
+        return filters
+
     def partitions(self):
         from hadoop_bam_spark.sources.bam_source import EmptyPartition
 
