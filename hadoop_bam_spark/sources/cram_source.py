@@ -81,6 +81,10 @@ class CRAMReader(DataSourceReader):
             parse_intervals(options["intervals"]) if options.get("intervals") else None
         )
         self._pushed: Optional[list] = None
+        #: unplaced-unmapped traversal (reference queryUnmapped semantics):
+        #: plan only containers that may hold unmapped records, row-filter
+        #: the rest
+        self._unmapped = options.get("unmapped", "false").lower() == "true"
         # driver-side: header + container-boundary walk per file
         # (reference CRAMInputFormat.getSplits, CRAMInputFormat.java:31-80)
         self._files: list[tuple[str, int, list[tuple[str, int]], list[str]]] = []
@@ -123,6 +127,28 @@ class CRAMReader(DataSourceReader):
             entries = self._entries(path)
             offsets = crai.container_offsets(entries)
             if not offsets:
+                continue
+            if self._unmapped:
+                # only containers that can hold unmapped records: the -1
+                # (unmapped) and -2 (mixed) ones; rows still filter below
+                keep = {
+                    e.container_offset for e in entries if e.seq_id in (-1, -2)
+                }
+                if not keep:
+                    continue
+                run_start = None
+                prev_end = None
+                for i, off in enumerate(offsets):
+                    nxt = offsets[i + 1] if i + 1 < len(offsets) else off + 1
+                    if off in keep:
+                        if run_start is None:
+                            run_start = off
+                        prev_end = nxt
+                    elif run_start is not None:
+                        parts.append(CRAMPartition(path, run_start, prev_end))
+                        run_start = None
+                if run_start is not None:
+                    parts.append(CRAMPartition(path, run_start, prev_end))
                 continue
             if bounding is not None:
                 keep = set(crai.prune_offsets(entries, bounding, refs))
@@ -192,7 +218,11 @@ class CRAMReader(DataSourceReader):
                     return  # EOF container
                 fh.seek(pos + hdr.header_size)
                 body = fh.read(hdr.length)
-                if intervals is None:
+                if self._unmapped:
+                    for row in dec.decode(body, hdr):
+                        if row[2] is None:  # unplaced-unmapped only
+                            yield row
+                elif intervals is None:
                     yield from dec.decode(body, hdr)
                 else:
                     for row in dec.decode(body, hdr):

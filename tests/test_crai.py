@@ -187,3 +187,40 @@ def test_sink_writes_crai(spark, tmp_path):
     assert crai.container_offsets(entries) == [
         off for off, _ in cram.iter_container_offsets(out)
     ]
+
+
+def test_unmapped_traversal(spark, tmp_path):
+    """option('unmapped') plans only the -1/-2 containers and returns only
+    unplaced-unmapped records (BAM source parity, queryUnmapped semantics)."""
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    hdr = _header()
+    rows = _sorted_rows(n=3000)
+    # unplaced-unmapped tail
+    tail = [
+        (f"u{i}", 4, None, 0, 0, None, None, 0, 0, "ACGT", "IIII", None)
+        for i in range(40)
+    ]
+    p = str(tmp_path / "u.cram")
+    _write_cram(p, rows + tail, hdr, per_container=400)
+    df = (
+        spark.read.format("cram")
+        .option("split_size", "4096")
+        .option("unmapped", "true")
+        .load(p)
+    )
+    got = sorted(r.qname for r in df.collect())
+    assert got == sorted(t[0] for t in tail)
+    full = (
+        spark.read.format("cram").option("split_size", "4096").load(p)
+        .rdd.getNumPartitions()
+    )
+    pruned = (
+        spark.read.format("cram")
+        .option("split_size", "4096")
+        .option("unmapped", "true")
+        .load(p)
+        .rdd.getNumPartitions()
+    )
+    assert pruned < full
