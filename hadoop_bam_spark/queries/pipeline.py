@@ -1149,6 +1149,52 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixing_weights",
+    oracle=f"""
+        WITH stats AS (
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> '')))::BIGINT AS total_tokens
+            FROM documents GROUP BY 1
+        ),
+        tot AS (
+            SELECT sum(total_tokens)::DOUBLE AS all_tokens,
+                   count(*)::DOUBLE AS n_langs
+            FROM stats
+        )
+        SELECT s.lang, s.n_docs, s.total_tokens,
+               round(s.total_tokens / t.all_tokens, 6) AS current_share,
+               round((1.0 / t.n_langs) / (s.total_tokens / t.all_tokens), 6)
+                   AS sample_weight
+        FROM stats s CROSS JOIN tot t
+    """,
+    doc="Corpus mixing weights: per-language token shares and the sampling "
+    "weight that rebalances the corpus to a uniform target mixture "
+    "(weight = target_share / current_share — multiply into per-doc "
+    "sampling probabilities). One keyed aggregate; the corpus total joins "
+    "in as a broadcast single-row aggregate, never a driver count.",
+)
+def corpus_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text_ops.token_count(F.col("text"))).alias("total_tokens"),
+    )
+    tot = stats.agg(
+        F.sum("total_tokens").cast("double").alias("all_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    share = F.col("total_tokens") / F.col("all_tokens")
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(share, 6).alias("current_share"),
+        F.round((F.lit(1.0) / F.col("n_langs")) / share, 6).alias("sample_weight"),
+    )
+
+
+@query(
     "char_entropy_quality",
     oracle="""
         WITH grams AS (

@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "embedding_cosine_neardup", # broadcast blocked self-join
     "tfidf_top_terms",          # single-row broadcast corpus-size aggregate
     "semantic_dedup",           # single-row broadcast centroid array (knn_ivf pattern)
+    "corpus_mixing_weights",    # single-row broadcast corpus-total aggregate
 }
 
 
