@@ -98,6 +98,26 @@ class FastaReader(DataSourceReader):
 
         self._schema, self._keep = pruned_schema(FASTA_SCHEMA, options)
         self._files = list_format_files(path, ".fa", ".fasta", ".fna")
+        self._contig_eq: Optional[set] = None
+
+    def pushFilters(self, filters):
+        """Catalyst contig EqualTo/In prunes whole per-contig splits at plan
+        time (faidx planning makes contig the split key); all filters are
+        returned unsupported so Catalyst re-applies them."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, EqualTo) and attr == ("contig",):
+                vals = {f.value}
+            elif isinstance(f, In) and attr == ("contig",):
+                vals = set(f.value)
+            else:
+                continue
+            self._contig_eq = (
+                vals if self._contig_eq is None else self._contig_eq & vals
+            )
+        return filters
 
     def partitions(self):
         parts: list[FastaPartition] = []
@@ -107,9 +127,14 @@ class FastaReader(DataSourceReader):
                 parts.extend(
                     FastaPartition(f, offset, name)
                     for name, _len, offset, _lb, _lw in read_fai(fai)
+                    if self._contig_eq is None or name in self._contig_eq
                 )
             else:
                 parts.append(FastaPartition(f, -1, None))
+        if not parts:
+            from hadoop_bam_spark.sources.bam_source import EmptyPartition
+
+            return [EmptyPartition()]
         return parts
 
     def read(self, partition: FastaPartition):
@@ -120,6 +145,10 @@ class FastaReader(DataSourceReader):
         )
 
     def _rows(self, partition: FastaPartition) -> Iterator[tuple]:
+        from hadoop_bam_spark.sources.bam_source import EmptyPartition
+
+        if isinstance(partition, EmptyPartition):
+            return
         if partition.offset >= 0 and partition.contig is not None:
             yield from iter_contig_lines(partition.path, partition.offset, partition.contig)
         else:

@@ -221,3 +221,29 @@ class TestSinks:
         out_sam = str(tmp_path / "o.sam")
         sinks.write_sam(src, out_sam, header)
         assert same(src, fmt_spark.read.format("sam").load(out_sam))
+
+
+def test_fasta_contig_filter_prunes_splits(spark, tmp_path):
+    """Catalyst contig equality prunes per-contig faidx splits at plan time,
+    results identical to the unpruned plan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rows = [
+        ("c1", 1, "ACGTACGT"), ("c1", 9, "ACGTACGT"),
+        ("c2", 1, "TTTTTTTT"), ("c3", 1, "GGGGGGGG"), ("c3", 9, "GG"),
+    ]
+    df = spark.createDataFrame(rows, ["contig", "pos", "seq"])
+    p = str(tmp_path / "r.fa")
+    sinks.write_fasta(df, p, index_fai=True)
+    full = spark.read.format("fasta").load(p)
+    assert full.rdd.getNumPartitions() == 3  # one per contig
+    pruned = full.filter(F.col("contig") == "c3")
+    assert pruned.rdd.getNumPartitions() == 1
+    got = sorted((r.contig, r.pos, r.seq) for r in pruned.collect())
+    assert got == [("c3", 1, "GGGGGGGG"), ("c3", 9, "GG")]
+    none = full.filter(F.col("contig") == "cZ")
+    assert none.count() == 0
