@@ -69,7 +69,9 @@ class CSIIndex:
     depth: int = 5
     aux: bytes = b""
     refs: list[RefIndex] = field(default_factory=list)
-    n_no_coor: int = 0
+    #: None = the optional trailing counter was absent (unknown), matching
+    #: BAI semantics — 0 means PROVABLY no unplaced-unmapped records
+    n_no_coor: Optional[int] = None
 
     @property
     def _pseudo_bin(self) -> int:
@@ -125,7 +127,8 @@ class CSIIndex:
                 out += struct.pack("<IQi", bin_, 0, len(chunks))
                 for b, e in chunks:
                     out += struct.pack("<QQ", b, e)
-        out += struct.pack("<Q", self.n_no_coor)
+        if self.n_no_coor is not None:
+            out += struct.pack("<Q", self.n_no_coor)
         return bytes(out)
 
     def chunks_for_rid(self, rid: int, beg0: int, end0: int):
@@ -153,6 +156,39 @@ class CSIIndex:
             if rid is not None:
                 chunks.extend(self.chunks_for_rid(rid, max(start - 1, 0), stop))
         return merge_chunks(chunks)
+
+
+class BAMIndexView:
+    """BAI-shaped query surface over a CSI index, so the BAM planner can
+    fall back to ``<file>.csi`` (samtools index -c output — REQUIRED for
+    contigs past the 512 Mbp BAI coordinate limit) for interval chunk-span
+    pruning. CSI has no linear index, so the BAI-based split calculation
+    and the last-linear-bin unmapped shortcut degrade gracefully (empty
+    linear lists / None)."""
+
+    def __init__(self, csi_idx: CSIIndex):
+        self._csi = csi_idx
+        self.refs = csi_idx.refs  # RefIndex objects; .linear stays empty
+        self.n_no_coor = csi_idx.n_no_coor
+
+    def span_for_intervals(self, refs, intervals):
+        return self._csi.span_for_intervals(
+            intervals, [name for name, _ln in refs]
+        )
+
+    def start_of_last_linear_bin(self) -> Optional[int]:
+        return None
+
+
+def csi_from_bai(bai_idx) -> CSIIndex:
+    """BAI -> CSI(14,5): the binning schemes are identical at that shape,
+    so bins/chunks carry over verbatim (linear index has no CSI analog)."""
+    idx = CSIIndex(min_shift=14, depth=5, n_no_coor=bai_idx.n_no_coor)
+    for r in bai_idx.refs:
+        nr = RefIndex()
+        nr.bins = {b: list(cs) for b, cs in r.bins.items()}
+        idx.refs.append(nr)
+    return idx
 
 
 def read_csi(path: str, open_fn=open) -> CSIIndex:

@@ -217,6 +217,12 @@ class BAMReader(DataSourceReader):
                 from hadoop_bam_spark.formats.bai import read_bai
 
                 idx = read_bai(path + ".bai", open_fn=fs.open_file)
+            elif fs.exists(path + ".csi"):
+                # samtools index -c output (mandatory past the 512 Mbp BAI
+                # coordinate limit): same chunk-span pruning, no linear index
+                from hadoop_bam_spark.formats.csi import BAMIndexView, read_csi
+
+                idx = BAMIndexView(read_csi(path + ".csi", open_fn=fs.open_file))
             if self._intervals is not None and any(
                 c in contigs for c, _, _ in self._intervals
             ):

@@ -192,3 +192,49 @@ def test_sink_writes_csi(spark, tmp_path):
     sinks.write_bcf(df, out, hdr, index_csi=True)
     idx = csi.read_csi(out + ".csi")
     assert any(r.bins for r in idx.refs)
+
+
+class TestBAMWithCSI:
+    """A BAM indexed only with .csi (samtools index -c) must get the same
+    interval pruning the .bai path provides."""
+
+    def _bam_with_csi(self, tmp_path):
+        from tests.test_bai import _header, _make_bam, _sorted_rows
+
+        p = str(tmp_path / "c.bam")
+        rows = _sorted_rows(n=8000)
+        _make_bam(p, rows, _header())
+        b = bai.build_bai(p)
+        csi.write_csi(csi.csi_from_bai(b), p + ".csi")
+        return p, rows
+
+    def test_interval_matches_and_prunes(self, spark, tmp_path):
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        path, rows = self._bam_with_csi(tmp_path)
+
+        def rd(**opts):
+            r = spark.read.format("bam").option("split_size", "8192")
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load(path)
+
+        df = rd(intervals="chr1:1000000-1200000")
+        got = sorted(r.qname for r in df.collect())
+        want = sorted(
+            r[0]
+            for r in rows
+            if r[2] == "chr1" and r[3] <= 1_200_000 and r[3] + 3 >= 1_000_000
+        )
+        assert got == want
+        full = rd().rdd.getNumPartitions()
+        pruned = rd(intervals="chr1:1000000-1010000").rdd.getNumPartitions()
+        assert full > 2 and pruned < full
+
+    def test_csi_roundtrip_preserves_bai_chunks(self, tmp_path):
+        path, _ = self._bam_with_csi(tmp_path)
+        b = bai.build_bai(path)
+        c = csi.read_csi(path + ".csi")
+        assert [r.bins for r in c.refs] == [r.bins for r in b.refs]
+        assert c.n_no_coor == b.n_no_coor
