@@ -158,6 +158,36 @@ class CSIIndex:
         return merge_chunks(chunks)
 
 
+def names_from_aux(aux: bytes) -> list[str]:
+    """Contig names from a tabix-flavored CSI aux block (htslib layout:
+    7 little-endian int32 config words — format, col_seq, col_beg, col_end,
+    meta, skip, l_nm — then NUL-separated names). Empty when the aux is
+    absent or not tabix-shaped."""
+    if len(aux) < 28:
+        return []
+    (l_nm,) = struct.unpack_from("<i", aux, 24)
+    blob = aux[28 : 28 + l_nm]
+    return [n.decode() for n in blob.split(b"\x00") if n]
+
+
+def csi_from_tabix(tbi) -> CSIIndex:
+    """Tabix -> CSI(14,5): identical binning, names preserved in the aux
+    block (the htslib tabix-flavored CSI layout bcftools emits)."""
+    aux = struct.pack(
+        "<6i", tbi.fmt, tbi.col_seq, tbi.col_beg, tbi.col_end, tbi.meta,
+        tbi.skip,
+    )
+    blob = b"".join(n.encode() + b"\x00" for n in tbi.names)
+    aux += struct.pack("<i", len(blob)) + blob
+    idx = CSIIndex(min_shift=14, depth=5, aux=aux)
+    for r in tbi.refs:
+        nr = RefIndex()
+        nr.bins = {b: list(cs) for b, cs in r.bins.items()}
+        nr.linear = list(r.linear)  # kept for fidelity; CSI writes ignore it
+        idx.refs.append(nr)
+    return idx
+
+
 class BAMIndexView:
     """BAI-shaped query surface over a CSI index, so the BAM planner can
     fall back to ``<file>.csi`` (samtools index -c output — REQUIRED for

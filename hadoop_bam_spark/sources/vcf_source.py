@@ -276,8 +276,11 @@ class VCFReader(DataSourceReader):
                 parts.extend(plan_text_splits(f, self._split_size, ()))
             elif kind == "bgzf":
                 splits = plan_bgzf_splits(f, self._split_size)
-                if self._intervals is not None and fs.exists(f + ".tbi"):
-                    splits = self._filter_splits_by_tabix(f, splits)
+                if self._intervals is not None:
+                    if fs.exists(f + ".tbi"):
+                        splits = self._filter_splits_by_tabix(f, splits)
+                    elif fs.exists(f + ".csi"):
+                        splits = self._filter_splits_by_csi(f, splits)
                 parts.extend(splits)
             else:  # non-BGZF gzip: not splittable
                 parts.append(WholeGzipPartition(f))
@@ -315,6 +318,27 @@ class VCFReader(DataSourceReader):
             if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges):
                 kept.append(s)
         return kept
+
+    def _filter_splits_by_csi(self, path, splits):
+        """Same split pruning via a tabix-flavored .csi (bcftools index -c
+        on .vcf.gz): contig names come from the index's aux block."""
+        from hadoop_bam_spark.formats.csi import names_from_aux, read_csi
+
+        idx = read_csi(path + ".csi", open_fn=fs.open_file)
+        names = names_from_aux(idx.aux)
+        if not names:
+            return splits  # aux not tabix-shaped: cannot resolve contigs
+        span = idx.span_for_intervals(self._intervals, names)
+        if not span:
+            return []
+        ranges = [
+            (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
+        ]
+        return [
+            s
+            for s in splits
+            if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges)
+        ]
 
     def read(self, partition):
         from hadoop_bam_spark.sources.bam_source import EmptyPartition

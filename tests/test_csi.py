@@ -238,3 +238,42 @@ class TestBAMWithCSI:
         c = csi.read_csi(path + ".csi")
         assert [r.bins for r in c.refs] == [r.bins for r in b.refs]
         assert c.n_no_coor == b.n_no_coor
+
+
+class TestVCFWithCSI:
+    """A .vcf.bgz indexed only with tabix-flavored .csi (bcftools index -c)
+    must get the same split pruning the .tbi path provides."""
+
+    def test_aux_names_roundtrip(self, spark, tmp_path):
+        from hadoop_bam_spark.formats import tabix as tbx
+        from tests.test_tabix import _vcf_lines, _write_vcf_bgz
+
+        p = str(tmp_path / "v.vcf.bgz")
+        recs = _vcf_lines()
+        _write_vcf_bgz(p, recs)
+        t = tbx.build_tabix(p)
+        c = csi.csi_from_tabix(t)
+        assert csi.names_from_aux(c.aux) == t.names
+        csi.write_csi(c, p + ".csi")  # only .csi present — no .tbi at all
+
+        from pyspark.sql import functions as F
+
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+
+        def rd(**opts):
+            r = spark.read.format("vcf").option("split_size", "4096")
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load(p)
+
+        df = rd(intervals="1:1000001-1500000")
+        got = sorted(r.id for r in df.collect())
+        want = sorted(
+            vid for cg, pos, vid in recs if cg == "1" and 1_000_001 <= pos <= 1_500_000
+        )
+        assert got == want
+        full = rd().rdd.getNumPartitions()
+        pruned = rd(intervals="1:1000001-1100000").rdd.getNumPartitions()
+        assert full > 2 and pruned < full
