@@ -123,6 +123,13 @@ def _tags_array(values: pa.Array, off: np.ndarray, lens: np.ndarray) -> pa.Array
     keys = kvv.take(pa.array(kvo_keep, pa.int64()))
     typs = kvv.take(pa.array(kvo_keep + 1, pa.int64()))
     vals = kvv.take(pa.array(kvo_keep + 2, pa.int64()))
+    # a record carrying the SAME tag twice (spec-invalid but parseable) must
+    # dedupe last-wins like the scalar dict — rare enough that the whole
+    # chunk falls back to the scalar parser instead
+    codes = keys.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    combined = parent * (int(codes.max()) + 1 if len(codes) else 1) + codes
+    if len(np.unique(combined)) != len(combined):
+        return None
     canon = _canonical_tag_values(typs, vals)
 
     counts = np.bincount(parent, minlength=n)
@@ -269,7 +276,10 @@ def parse_sam_chunk(
         if want("qual"):
             out["qual"] = _star_null(slot(10))
         if want("tags"):
-            out["tags"] = _tags_array(values, off, lens)
+            tags = _tags_array(values, off, lens)
+            if tags is None:  # duplicate tag in a record -> scalar dedupe
+                return None
+            out["tags"] = tags
     except (pa.ArrowInvalid, ValueError):
         return None
     return out

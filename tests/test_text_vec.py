@@ -102,7 +102,15 @@ class TestSAMVecParity:
     def test_matches_scalar(self, lines):
         arrays = sam_vec.parse_sam_chunk(lines)
         rows = [parse_sam_line(l) for l in lines]
-        assert arrays is not None
+        if arrays is None:
+            # only legitimate rejection: a record repeating a tag (the
+            # scalar dict dedupes last-wins; the chunk path defers to it)
+            assert any(
+                len(t := [f.split(":", 1)[0] for f in l.split("\t")[11:]])
+                != len(set(t))
+                for l in lines
+            )
+            return
         names = ["qname", "flag", "rname", "pos", "mapq", "cigar",
                  "rnext", "pnext", "tlen", "seq", "qual", "tags"]
         for ci, nm in enumerate(names):
@@ -273,3 +281,111 @@ class TestBulkLineIterators:
             assert got == lines, (lines, got, bounds)
         finally:
             os.unlink(path)
+
+
+# --- write-side chunk formatters -----------------------------------------
+
+
+class TestSAMFormatChunkParity:
+    @given(sam_lines())
+    @settings(max_examples=40, deadline=None)
+    def test_matches_scalar_formatter(self, lines):
+        import pyarrow  # noqa: F401
+
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA, format_sam_line
+        from hadoop_bam_spark.sources import arrow_schema
+
+        rows = [parse_sam_line(l) for l in lines]
+        arrays = sam_vec.parse_sam_chunk(lines)
+        if arrays is None:  # duplicate-tag records defer to the scalar path
+            return
+        batch = vcf_vec.chunk_to_batch(arrays, arrow_schema(SAM_SCHEMA))
+        blob = sam_vec.format_sam_chunk(batch)
+        got = blob.decode().rstrip("\n").split("\n")
+        exp = [format_sam_line(r) for r in rows]
+        assert got == exp
+
+
+class TestVCFFormatChunkParity:
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_matches_scalar_formatter(self, data):
+        from hadoop_bam_spark.formats.vcf import (
+            VCF_SCHEMA,
+            format_vcf_line,
+        )
+        from hadoop_bam_spark.sources import arrow_schema
+
+        samples = data.draw(st.sampled_from([[], ["S1", "S2"]]))
+        lines = data.draw(vcf_lines(samples))
+        rows = [parse_vcf_line(l, samples) for l in lines]
+        arrays = vcf_vec.parse_vcf_chunk(lines, samples)
+        batch = vcf_vec.chunk_to_batch(arrays, arrow_schema(VCF_SCHEMA))
+        blob = vcf_vec.format_vcf_chunk(batch, samples)
+        exp = [format_vcf_line(r, samples) for r in rows]
+        if blob is None:
+            # ragged genotype shapes legitimately fall back; the scalar
+            # formatter must still be able to format every row
+            assert samples and all(isinstance(e, str) for e in exp)
+            return
+        got = blob.decode().rstrip("\n").split("\n")
+        assert got == exp
+
+
+class TestFastqQseqChunkParity:
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_fastq_and_qseq_write(self, data):
+        import pyarrow as pa
+
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.sources import arrow_schema
+        from hadoop_bam_spark.sources.fastq_source import FASTQ_SCHEMA
+
+        n = data.draw(st.integers(1, 15))
+        rows = []
+        for i in range(n):
+            rows.append((
+                data.draw(st.sampled_from(["", "r1", "q/1", "a b"])),
+                "ACGT",
+                data.draw(st.sampled_from(["IIII", "!!~~", "AAAA"])),
+                data.draw(st.sampled_from([None, "", "M1"])),
+                data.draw(st.sampled_from([None, 0, 55])),
+                None,
+                data.draw(st.sampled_from([None, 0, 3])),
+                data.draw(st.sampled_from([None, 1101])),
+                data.draw(st.sampled_from([None, 0, 15])),
+                data.draw(st.sampled_from([None, 33])),
+                data.draw(st.sampled_from([None, 0, 1, 2])),
+                data.draw(st.sampled_from([None, True, False])),
+                data.draw(st.sampled_from([None, 0])),
+                data.draw(st.sampled_from([None, "", "0", "ATCACG"])),
+            ))
+        target = arrow_schema(FASTQ_SCHEMA)
+        cols = list(zip(*rows))
+        arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, target)]
+        batch = pa.RecordBatch.from_arrays(arrays, schema=target)
+
+        class R:
+            def __init__(self, t):
+                for nm, v in zip([f.name for f in target], t):
+                    setattr(self, nm, v)
+
+        exp_fq = "".join(
+            f"@{sinks._synthesize_name(R(t))}\n{R(t).sequence}\n+\n{R(t).quality}\n"
+            for t in rows
+        )
+        assert sinks._fastq_chunk(batch).decode() == exp_fq
+
+        def qline(r):
+            qual = (r.quality or "").encode("latin-1").translate(
+                sinks._P33_TO_P64).decode("latin-1")
+            return "\t".join([
+                r.instrument or "", str(r.run_number or 0), str(r.lane or 0),
+                str(r.tile or 0), str(r.xpos or 0), str(r.ypos or 0),
+                r.index_sequence or "0", str(r.read or 1),
+                (r.sequence or "").replace("N", "."), qual,
+                "1" if r.filter_passed else "0",
+            ])
+        exp_q = "".join(qline(R(t)) + "\n" for t in rows)
+        assert sinks._qseq_chunk(batch).decode() == exp_q
