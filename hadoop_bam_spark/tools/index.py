@@ -5,6 +5,9 @@
                     (SplittingBAMIndexer.main, SplittingBAMIndexer.java:72-110)
 - ``bai``           build the standard binning index (samtools index analog)
 - ``tbi``           build a tabix index over a BGZF tab-text file
+- ``crai``          index a CRAM's containers (samtools index analog)
+- ``csi``           build a CSI index over a BAM/BCF/BGZF-text file
+                    (samtools/bcftools index -c analog)
 - ``bgzfi``         index BGZF block offsets
                     (BGZFBlockIndexer.main, util/BGZFBlockIndexer.java:42-83)
 - ``stats``         print an index summary
@@ -92,6 +95,34 @@ def _cmd_tbi(args) -> int:
     idx = build_tabix(args.file, open_fn=fs.open_file)
     write_tabix(idx, out, open_fn=fs.open_file)
     print(f"{out}: {len(idx.names)} sequences")
+    return 0
+
+
+def _cmd_crai(args) -> int:
+    from hadoop_bam_spark.formats import crai
+
+    out = args.output or args.file + ".crai"
+    entries = crai.build_crai(args.file, open_fn=fs.open_file)
+    crai.write_crai(entries, out, open_fn=fs.open_file)
+    print(f"{out}: {len(entries)} containers")
+    return 0
+
+
+def _cmd_csi(args) -> int:
+    from hadoop_bam_spark.formats import csi as csi_mod
+
+    out = args.output or args.file + ".csi"
+    lower = args.file.lower()
+    if lower.endswith(".bam"):
+        idx = csi_mod.csi_from_bai(build_bai(args.file, open_fn=fs.open_file))
+    elif lower.endswith(".bcf"):
+        idx = csi_mod.build_csi(args.file, open_fn=fs.open_file)
+    else:  # BGZF tab text (vcf.gz/.bgz): tabix-flavored CSI
+        idx = csi_mod.csi_from_tabix(build_tabix(args.file, open_fn=fs.open_file))
+    csi_mod.write_csi(idx, out, open_fn=fs.open_file)
+    n_bins = sum(len(r.bins) for r in idx.refs)
+    print(f"{out}: {len(idx.refs)} refs, {n_bins} bins "
+          f"(min_shift={idx.min_shift}, depth={idx.depth})")
     return 0
 
 
@@ -187,6 +218,9 @@ def main(argv=None) -> int:
     for name, fn, hlp in [
         ("bai", _cmd_bai, "build a BAI binning index over a BAM"),
         ("tbi", _cmd_tbi, "build a tabix index over a BGZF text file"),
+        ("crai", _cmd_crai, "build a CRAI container index over a CRAM"),
+        ("csi", _cmd_csi,
+         "build a CSI index (BAM/BCF/BGZF-text by extension, samtools -c analog)"),
     ]:
         s = sub.add_parser(name, help=hlp)
         s.add_argument("file")

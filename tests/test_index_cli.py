@@ -90,3 +90,34 @@ def test_sorted_header_stamps_coordinate(tmp_path):
 def test_guess_finds_first_record(capsys):
     assert main(["guess", BAM, "0"]) == 0
     assert "-> record at" in capsys.readouterr().out
+
+
+def test_crai_and_csi_commands(tmp_path, capsys):
+    from hadoop_bam_spark.formats import crai as crai_mod
+    from hadoop_bam_spark.formats import csi as csi_mod
+
+    # CSI over the fixture BAM (samtools index -c analog)
+    out_csi = str(tmp_path / "b.csi")
+    assert main(["csi", BAM, "-o", out_csi]) == 0
+    assert "refs" in capsys.readouterr().out
+    idx = csi_mod.read_csi(out_csi)
+    assert idx.min_shift == 14 and idx.depth == 5
+
+    # tabix-flavored CSI over the BGZF VCF
+    out_vcsi = str(tmp_path / "v.csi")
+    assert main(["csi", VCF_BGZ, "-o", out_vcsi]) == 0
+    vidx = csi_mod.read_csi(out_vcsi)
+    assert csi_mod.names_from_aux(vidx.aux)
+
+    # CRAI over an engine-written CRAM
+    from tests.test_crai import _header, _sorted_rows, _write_cram
+
+    p = str(tmp_path / "c.cram")
+    _write_cram(p, _sorted_rows(n=1200), _header(), per_container=300)
+    import os
+
+    os.unlink(p + ".crai")  # the helper writes one; rebuild via the CLI
+    out_crai = str(tmp_path / "c.crai")
+    assert main(["crai", p, "-o", out_crai]) == 0
+    assert "containers" in capsys.readouterr().out
+    assert crai_mod.read_crai(out_crai)
