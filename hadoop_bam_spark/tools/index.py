@@ -160,6 +160,30 @@ def _cmd_stats(args) -> int:
             b = bgzf.BGZFBlockIndex.read(fh)
             print(f"bgzfi: {len(b.offsets)} offsets, file size {b.file_size}")
             return 0
+        elif path.endswith(".crai"):
+            from hadoop_bam_spark.formats import crai as crai_mod
+
+            entries = crai_mod.read_crai(path, open_fn=fs.open_file)
+            n_mapped = sum(1 for e in entries if e.seq_id >= 0)
+            print(
+                f"crai: {len(entries)} entries "
+                f"({n_mapped} single-ref, "
+                f"{sum(1 for e in entries if e.seq_id == -2)} multi-ref, "
+                f"{sum(1 for e in entries if e.seq_id == -1)} unmapped)"
+            )
+            return 0
+        elif path.endswith(".csi"):
+            from hadoop_bam_spark.formats import csi as csi_mod
+
+            c = csi_mod.read_csi(path, open_fn=fs.open_file)
+            names = csi_mod.names_from_aux(c.aux)
+            print(
+                f"csi: {len(c.refs)} refs, "
+                f"{sum(len(r.bins) for r in c.refs)} bins, "
+                f"min_shift={c.min_shift}, depth={c.depth}"
+                + (f", sequences {names}" if names else "")
+            )
+            return 0
         else:
             print(f"unrecognized index extension: {path}", file=sys.stderr)
             return 2

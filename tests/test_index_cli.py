@@ -121,3 +121,9 @@ def test_crai_and_csi_commands(tmp_path, capsys):
     assert main(["crai", p, "-o", out_crai]) == 0
     assert "containers" in capsys.readouterr().out
     assert crai_mod.read_crai(out_crai)
+
+    # stats over both new formats
+    assert main(["stats", out_crai]) == 0
+    assert "entries" in capsys.readouterr().out
+    assert main(["stats", out_vcsi]) == 0
+    assert "sequences" in capsys.readouterr().out
