@@ -684,6 +684,37 @@ def vcf_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bcf_interval_pushdown",
+    oracle=_VCF_INTERVAL_ORACLE,
+    doc="CSI bounded traversal: write a coordinate-sorted BCF with a .csi "
+    "binning index (what bcftools index emits), read back with an interval "
+    "option so planning prunes BGZF splits via the generalized-binning "
+    "chunk spans and the reader residual-filters rows — the binary-VCF "
+    "analog of vcf_interval_pushdown.",
+)
+def bcf_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bcf_iv", lambda d: sinks.write_bcf(
+        _variants_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "sorted.bcf"), _vcf_header(), index_csi=True))
+    path = os.path.join(d, "sorted.bcf")
+    back = (
+        spark.read.format("bcf")
+        .option("split_size", "4096")
+        .option("intervals", "2:5000-20000")
+        .load(path)
+    )
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )
+
+
+@query(
     "vcf_file_roundtrip",
     oracle=_VCF_ORACLE,
     doc="End-to-end VCF I/O inside the gate: derive variants with INFO map "
