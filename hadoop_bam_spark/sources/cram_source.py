@@ -129,11 +129,15 @@ class CRAMReader(DataSourceReader):
             if not offsets:
                 continue
             if self._unmapped:
-                # only containers that can hold unmapped records: the -1
-                # (unmapped) and -2 (mixed) ones; rows still filter below
+                # containers that can hold unmapped records: the -1
+                # (unmapped) and -2 (mixed) ones; with intervals also given,
+                # the union with interval-overlapping containers (BAM source
+                # parity: unmapped+intervals returns both row sets)
                 keep = {
                     e.container_offset for e in entries if e.seq_id in (-1, -2)
                 }
+                if bounding is not None:
+                    keep |= set(crai.prune_offsets(entries, bounding, refs))
                 if not keep:
                     continue
                 run_start = None
@@ -220,7 +224,12 @@ class CRAMReader(DataSourceReader):
                 body = fh.read(hdr.length)
                 if self._unmapped:
                     for row in dec.decode(body, hdr):
-                        if row[2] is None:  # unplaced-unmapped only
+                        # unplaced-unmapped, plus interval overlaps when
+                        # both options are set (BAM source parity)
+                        if row[2] is None or (
+                            intervals is not None
+                            and _overlaps_intervals(row, intervals)
+                        ):
                             yield row
                 elif intervals is None:
                     yield from dec.decode(body, hdr)

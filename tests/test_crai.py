@@ -224,3 +224,35 @@ def test_unmapped_traversal(spark, tmp_path):
         .rdd.getNumPartitions()
     )
     assert pruned < full
+
+
+def test_unmapped_plus_intervals(spark, tmp_path):
+    """Both options together return the union of interval overlaps and
+    unplaced-unmapped records (BAM source parity)."""
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rows = _sorted_rows(n=3000)
+    tail = [
+        (f"u{i}", 4, None, 0, 0, None, None, 0, 0, "ACGT", "IIII", None)
+        for i in range(25)
+    ]
+    p = str(tmp_path / "b.cram")
+    _write_cram(p, rows + tail, _header(), per_container=400)
+    df = (
+        spark.read.format("cram")
+        .option("split_size", "4096")
+        .option("unmapped", "true")
+        .option("intervals", "chr1:1000000-1200000")
+        .load(p)
+    )
+    got = sorted(r.qname for r in df.collect())
+    want = sorted(
+        [t[0] for t in tail]
+        + [
+            r[0]
+            for r in rows
+            if r[2] == "chr1" and r[3] <= 1_200_000 and r[3] + 3 >= 1_000_000
+        ]
+    )
+    assert got == want
