@@ -6,6 +6,7 @@
 - ``bai``           build the standard binning index (samtools index analog)
 - ``tbi``           build a tabix index over a BGZF tab-text file
 - ``crai``          index a CRAM's containers (samtools index analog)
+- ``fai``           build a faidx sidecar over a FASTA (samtools faidx)
 - ``csi``           build a CSI index over a BAM/BCF/BGZF-text file
                     (samtools/bcftools index -c analog)
 - ``bgzfi``         index BGZF block offsets
@@ -126,6 +127,17 @@ def _cmd_csi(args) -> int:
     return 0
 
 
+def _cmd_fai(args) -> int:
+    from hadoop_bam_spark.sinks import build_fai
+
+    out = args.output or args.file + ".fai"
+    build_fai(args.file, out)
+    with fs.open_file(out, "r") as fh:
+        n = sum(1 for _ in fh)
+    print(f"{out}: {n} sequences")
+    return 0
+
+
 def _cmd_bgzfi(args) -> int:
     out = args.output or args.file + ".bgzfi"
     idx = build_bgzfi(args.file, granularity=args.granularity, open_fn=fs.open_file)
@@ -243,6 +255,7 @@ def main(argv=None) -> int:
         ("bai", _cmd_bai, "build a BAI binning index over a BAM"),
         ("tbi", _cmd_tbi, "build a tabix index over a BGZF text file"),
         ("crai", _cmd_crai, "build a CRAI container index over a CRAM"),
+        ("fai", _cmd_fai, "build a faidx sidecar over a FASTA"),
         ("csi", _cmd_csi,
          "build a CSI index (BAM/BCF/BGZF-text by extension, samtools -c analog)"),
     ]:

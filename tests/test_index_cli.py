@@ -127,3 +127,16 @@ def test_crai_and_csi_commands(tmp_path, capsys):
     assert "entries" in capsys.readouterr().out
     assert main(["stats", out_vcsi]) == 0
     assert "sequences" in capsys.readouterr().out
+
+
+def test_fai_command(tmp_path, capsys):
+    p = str(tmp_path / "r.fa")
+    with open(p, "w") as fh:
+        fh.write(">c1\nACGTACGT\nACGT\n>c2\nTTTT\n")
+    out = str(tmp_path / "r.fa.fai")
+    assert main(["fai", p, "-o", out]) == 0
+    assert "2 sequences" in capsys.readouterr().out
+    with open(out) as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()]
+    assert lines[0][0] == "c1" and int(lines[0][1]) == 12
+    assert lines[1][0] == "c2" and int(lines[1][1]) == 4
