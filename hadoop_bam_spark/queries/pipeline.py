@@ -1149,6 +1149,45 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_centroids",
+    oracle="""
+        WITH dims AS (
+            SELECT label, i - 1 AS dim, embedding[i] AS x
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+        ),
+        means AS (
+            SELECT label, dim, round(avg(x), 6) AS m, count(*) AS n
+            FROM dims GROUP BY 1, 2
+        )
+        SELECT label, max(n)::BIGINT AS n_vectors,
+               round(sqrt(sum(m * m)), 6) AS centroid_norm,
+               round(sum(abs(m)), 6) AS centroid_l1
+        FROM means GROUP BY 1
+    """,
+    doc="Per-label embedding centroids: posexplode dimensions, one keyed "
+    "(label, dim) mean, then per-label norm summaries of the centroid "
+    "vector — the class-prototype aggregation recommendation/clustering "
+    "pipelines run over embedding columns. Means round at 1e-6 before the "
+    "norms so double-summation order (nondeterministic across partitions) "
+    "cannot leak into the hash.",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    means = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return means.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        F.round(F.sum(F.abs(F.col("m"))), 6).alias("centroid_l1"),
+    )
+
+
+@query(
     "corpus_mixing_weights",
     oracle=f"""
         WITH stats AS (
