@@ -1,0 +1,92 @@
+"""Streaming VCF ingest: ``spark.readStream.format("vcf_stream")``.
+
+Tails a landing directory for new ``.vcf`` / ``.vcf.gz`` / ``.vcf.bgz``
+files — the variant-call delivery pattern (per-batch caller output landing
+continuously) the batch-only reference cannot express (SURVEY.md §2.9).
+Offsets are the sorted list of files already processed, so restarts are
+exactly-once per file; each file's own header drives its sample columns,
+so mixed cohorts in one directory parse correctly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from hadoop_bam_spark.sources import local_path
+from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
+
+
+def _iter_vcf_rows(path: str) -> Iterator[tuple]:
+    hdr = read_vcf_header(path)
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        fh = gzip.open(path, "rt", encoding="utf-8")
+    else:
+        fh = open(path, "rt", encoding="utf-8")
+    with fh:
+        for line in fh:
+            line = line.rstrip("\r\n")
+            if not line or line.startswith("#"):
+                continue
+            row = parse_vcf_line(line, hdr.samples)
+            if row is not None:
+                yield row
+
+
+class VCFStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vcf_stream"
+
+    def schema(self):
+        return VCF_SCHEMA
+
+    def simpleStreamReader(self, schema) -> "VCFStreamReader":
+        return VCFStreamReader(self.options)
+
+
+class VCFStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("vcf_stream source requires a path (directory)")
+        self._dir = local_path(path)
+
+    def _list(self) -> list[str]:
+        if not os.path.isdir(self._dir):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self._dir)
+            if f.endswith((".vcf", ".vcf.gz", ".vcf.bgz")) and not f.startswith(".")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"processed": []}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = set(start.get("processed", []))
+        new = [f for f in self._list() if f not in seen]
+        rows = [
+            rec
+            for name in new
+            for rec in _iter_vcf_rows(os.path.join(self._dir, name))
+        ]
+        return iter(rows), {"processed": sorted(seen | set(new))}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        seen = set(start.get("processed", []))
+        for name in end.get("processed", []):
+            if name in seen:
+                continue
+            full = os.path.join(self._dir, name)
+            if os.path.exists(full):
+                yield from _iter_vcf_rows(full)
+
+    def commit(self, end: dict) -> None:
+        pass

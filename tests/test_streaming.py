@@ -192,3 +192,45 @@ class TestDocumentStreaming:
         assert {r.doc_id for r in got.select("doc_id").collect()} == {
             r.doc_id for r in want.select("doc_id").collect()
         }
+
+
+class TestVCFStreaming:
+    def test_directory_tail(self, spark, tmp_path):
+        from hadoop_bam_spark.streaming.vcf_stream import VCFStreamDataSource
+
+        spark.dataSource.register(VCFStreamDataSource)
+        land = tmp_path / "vland"
+        land.mkdir()
+        hdr = (
+            "##fileformat=VCFv4.2\n"
+            "##contig=<ID=1,length=1000000>\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        )
+        body_a = "".join(
+            f"1\t{100 + i}\tva{i}\tA\tT\t50\tPASS\tDP={i}\tGT\t0/1\n"
+            for i in range(8)
+        )
+        body_b = "".join(
+            f"1\t{500 + i}\tvb{i}\tC\tG\t40\tPASS\tDP={i}\tGT\t1/1\n"
+            for i in range(5)
+        )
+        (land / "a.vcf").write_text(hdr + body_a)
+        import gzip as _gz
+
+        (land / "b.vcf.gz").write_bytes(_gz.compress((hdr + body_b).encode()))
+
+        q = (
+            spark.readStream.format("vcf_stream")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_vcf_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table("t_vcf_stream")
+        assert out.count() == 13
+        row = out.filter("id = 'vb2'").collect()[0]
+        assert row.contig == "1" and row.start == 502
+        assert row.genotypes[0]["gt"] == "1/1"
