@@ -136,9 +136,16 @@ def main() -> None:
     refs = [(f"chr{i + 1}", 1050000) for i in range(4)]
 
     vhdr = VCFHeader()
-    vhdr.lines = ["##fileformat=VCFv4.2"] + [
-        f"##contig=<ID=chr{i + 1},length=1050000>" for i in range(4)
-    ]
+    vhdr.lines = (
+        ["##fileformat=VCFv4.2"]
+        + [f"##contig=<ID=chr{i + 1},length=1050000>" for i in range(4)]
+        + [
+            # dictionary entries the BCF encoder indexes into
+            '##FILTER=<ID=PASS,Description="pass">',
+            '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">',
+        ]
+    )
     vhdr.samples = ["s1"]
     vhdr.contigs = {f"chr{i + 1}": i for i in range(4)}
 
@@ -154,7 +161,9 @@ def main() -> None:
         ("cram", reads, lambda df, p: sinks.write_cram(df, p, hdr, refs=refs)),
         ("sam", reads, lambda df, p: sinks.write_sam(df, p, hdr)),
         ("vcf.bgz", variants, lambda df, p: sinks.write_vcf(df, p, vhdr)),
+        ("bcf", variants, lambda df, p: sinks.write_bcf(df, p, vhdr)),
         ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p)),
+        ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p)),
     ]
     results = {}
     for fmt, df, write in jobs:
