@@ -315,3 +315,32 @@ class TestCatalystFilterPushdown:
         path, _ = indexed_bam
         df = self._read(spark, path).filter(F.col("rname") == "chrZ")
         assert df.count() == 0
+
+
+def test_intervals_option_plus_catalyst_filter(spark, indexed_bam):
+    """option('intervals') and DataFrame predicates compose: the option
+    drives index pruning, the pushed filter stays residual, and the result
+    is the intersection."""
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    path, rows = indexed_bam
+    df = (
+        spark.read.format("bam")
+        .option("split_size", "8192")
+        .option("intervals", "chr1:1000000-1200000")
+        .load(path)
+        .filter(F.col("pos") >= 1_100_000)
+    )
+    got = sorted(r.qname for r in df.collect())
+    want = sorted(
+        r[0]
+        for r in rows
+        if r[2] == "chr1"
+        and r[3] <= 1_200_000
+        and r[3] + 3 >= 1_000_000
+        and r[3] >= 1_100_000
+    )
+    assert got == want
