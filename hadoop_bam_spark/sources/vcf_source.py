@@ -266,6 +266,9 @@ class VCFReader(DataSourceReader):
             if self._wanted is not None:
                 # the residual filter reads these (see __init__)
                 self._wanted = self._wanted | {"contig", "start", "end"}
+        if self._bcf is not None:
+            # BCF files in a mixed directory prune through their own reader
+            self._bcf.pushFilters(filters)
         return filters
 
     def partitions(self):
