@@ -342,6 +342,45 @@ def cram_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cram_unmapped_traversal",
+    oracle=_BAM_UNMAPPED_ORACLE,
+    doc="CRAM unplaced-unmapped traversal: option('unmapped') plans only "
+    "the unmapped/mixed containers from the CRAI view and row-filters to "
+    "records without a reference — the CRAM analog of "
+    "bam_unmapped_traversal (queryUnmapped semantics). Shares the sorted "
+    "CRAM artifact with cram_interval_pushdown.",
+)
+def cram_unmapped_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d):
+        sorted_df = _sam_df(spark, sf_dir).orderBy(
+            F.col("rname").asc_nulls_last(), "pos", "qname"
+        )
+        sinks.write_cram(
+            sorted_df, os.path.join(d, "sorted.cram"), _sam_header(),
+            records_per_container=500, index_crai=True,
+        )
+
+    d = _artifact(sf_dir, "cram_sorted", build)
+    path = os.path.join(d, "sorted.cram")
+    back = (
+        spark.read.format("cram")
+        .option("split_size", str(_SPLIT))
+        .option("unmapped", "true")
+        .load(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("flag").alias("sum_flag"),
+        F.sum(F.element_at("tags", "NM").cast("long")).alias("sum_nm"),
+    )
+
+
+@query(
     "anysam_scan",
     oracle=_BAM_ORACLE,
     doc="Multi-format dispatch inside the gate: the derived reads are split "
