@@ -277,3 +277,42 @@ class TestVCFWithCSI:
         full = rd().rdd.getNumPartitions()
         pruned = rd(intervals="1:1000001-1100000").rdd.getNumPartitions()
         assert full > 2 and pruned < full
+
+
+def test_nondefault_scheme_chunk_coverage(tmp_path):
+    """A CSI built at (12,4) — not the BAI-equivalent (14,5) — must still
+    cover every interval record (generalized binning end-to-end)."""
+    p = str(tmp_path / "s.bcf")
+    rows = _sorted_variants(n=2000, seed=9)
+    hdr_text = _bcf_header()
+    hdr = bcf.parse_bcf_header_text(hdr_text)
+    with open(p, "wb") as fh:
+        w = bgzf.BGZFWriter(fh)
+        w.write(bcf.encode_header(hdr))
+        for r in rows:
+            w.write(bcf.encode_record(r, hdr))
+        w.close()
+    idx = csi.build_csi(p, min_shift=12, depth=4)
+    assert idx.min_shift == 12 and idx.depth == 4
+    lo, hi = 2_000_000, 2_400_000
+    span = idx.span_for_intervals([("chr2", lo, hi)], ["chr1", "chr2"])
+    import struct as _s
+
+    covered = set()
+    with open(p, "rb") as fh:
+        r = bgzf.BGZFReader(fh)
+        bcf.read_bcf_header(r)
+        while True:
+            at = r.tell_voffset()
+            head = r.read(8)
+            if len(head) < 8:
+                break
+            ls, li = _s.unpack_from("<II", head, 0)
+            body = r.read(ls + li)
+            row, _ = bcf.decode_record(head + body, 0, hdr)
+            if row[0] == "chr2" and lo <= row[1] <= hi:
+                assert any(b <= at < e for b, e in span), (row[1], at)
+                covered.add(row[3])
+    assert covered == {
+        r[3] for r in rows if r[0] == "chr2" and lo <= r[1] <= hi
+    }
