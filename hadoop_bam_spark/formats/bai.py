@@ -82,6 +82,9 @@ def ref_chunks(r: "RefIndex", beg0: int, end0: int) -> list[tuple[int, int]]:
 class RefIndex:
     bins: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
     linear: list[int] = field(default_factory=list)
+    # per-bin loffset (CSI only — BAI carries the linear index instead);
+    # preserved through read->write so htslib's seek hint survives
+    loffset: dict[int, int] = field(default_factory=dict)
     # pseudo-bin metadata (-1 = absent)
     off_beg: int = -1
     off_end: int = -1

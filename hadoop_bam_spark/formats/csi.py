@@ -109,6 +109,8 @@ class CSIIndex:
                         r.n_mapped, r.n_unmapped = chunks[1]
                     continue
                 r.bins[bin_] = chunks
+                if loffset:
+                    r.loffset[bin_] = loffset
             idx.refs.append(r)
         if p + 8 <= len(data):
             (idx.n_no_coor,) = struct.unpack_from("<Q", data, p)
@@ -120,13 +122,27 @@ class CSIIndex:
         out += struct.pack("<3i", self.min_shift, self.depth, len(self.aux))
         out += self.aux
         out += struct.pack("<i", len(self.refs))
+        pseudo = self._pseudo_bin
         for r in self.refs:
             bins = sorted(r.bins.items())
-            out += struct.pack("<i", len(bins))
+            # pseudo-bin re-emitted when its metadata is present, so a
+            # bcftools/samtools-written .csi round-trips without losing the
+            # per-ref voffset span and mapped/unmapped counts htslib tools
+            # read back (`bcftools index -s`)
+            has_pseudo = r.off_beg >= 0 or r.n_mapped >= 0
+            out += struct.pack("<i", len(bins) + (1 if has_pseudo else 0))
             for bin_, chunks in bins:
-                out += struct.pack("<IQi", bin_, 0, len(chunks))
+                out += struct.pack(
+                    "<IQi", bin_, r.loffset.get(bin_, 0), len(chunks)
+                )
                 for b, e in chunks:
                     out += struct.pack("<QQ", b, e)
+            if has_pseudo:
+                out += struct.pack("<IQi", pseudo, 0, 2)
+                out += struct.pack("<QQ", max(r.off_beg, 0), max(r.off_end, 0))
+                out += struct.pack(
+                    "<QQ", max(r.n_mapped, 0), max(r.n_unmapped, 0)
+                )
         if self.n_no_coor is not None:
             out += struct.pack("<Q", self.n_no_coor)
         return bytes(out)
@@ -267,9 +283,19 @@ def build_csi(
             rid = name_to_id.get(contig)
             if rid is not None:
                 b = reg2bin_csi(start - 1, end, min_shift, depth)
-                bins = idx.refs[rid].bins
+                r = idx.refs[rid]
+                bins = r.bins
                 if b in bins and bins[b] and bins[b][-1][1] == at:
                     bins[b][-1] = (bins[b][-1][0], nxt)
                 else:
                     bins.setdefault(b, []).append((at, nxt))
+                # htslib seek hint: min voffset of the bin's records
+                # (coordinate-sorted input -> first touch is the min)
+                r.loffset.setdefault(b, at)
+                # pseudo-bin stats (bcftools index -s reads these back)
+                if r.off_beg < 0:
+                    r.off_beg = at
+                    r.n_mapped = r.n_unmapped = 0
+                r.off_end = nxt
+                r.n_mapped += 1
         return idx

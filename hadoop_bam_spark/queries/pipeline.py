@@ -1261,11 +1261,14 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
+    # length < 2 guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0]
+    # (two phantom bigrams), while the oracle's generate_series(1, 0) is
+    # empty — drop short docs on both sides so they simply have no row.
+    grams = docs.filter(F.length("text") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(text) - 1, 0)),"
+                "transform(sequence(1, length(text) - 1),"
                 " i -> substring(text, i, 2))"
             )
         ).alias("g"),

@@ -187,7 +187,14 @@ def collect_pushed_range(filters, name_attr: str, pos_attr: str):
     returns (contig_names | None, lo, hi | None) from EqualTo/In on
     ``name_attr`` and range predicates on ``pos_attr``. Callers synthesize
     an interval from it (pruning only — every filter is re-applied by
-    Catalyst as the residual, so this can never change semantics)."""
+    Catalyst as the residual, so this can never change semantics).
+
+    ``lo`` starts at 0, not 1: when no lower bound is pushed the synthesized
+    interval must admit coordinate-unset rows (VCF telomeric POS=0, BAM
+    RNAME-set/POS-unset) that a bare name-equality filter selects — the
+    interval also drives the row-level overlap residual in the readers, so
+    a [1, MAX] floor would silently drop those spec-legal rows. Index
+    queries clamp to 0-based ``max(lo - 1, 0)`` so pruning is unchanged."""
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,
@@ -198,7 +205,7 @@ def collect_pushed_range(filters, name_attr: str, pos_attr: str):
     )
 
     names = None
-    lo, hi = 1, None
+    lo, hi = 0, None
     for f in filters:
         attr = getattr(f, "attribute", None)  # Not/composites have none
         if isinstance(f, EqualTo) and attr == (name_attr,):

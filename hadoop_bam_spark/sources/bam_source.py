@@ -159,9 +159,12 @@ class BAMReader(DataSourceReader):
           same BAI chunk-span split pruning as ``option("intervals", ...)``.
           The interval selects every record whose alignment overlaps it — a
           superset of the pos-predicate rows — and Catalyst's residual
-          closes the gap, so this is pruning only, never semantics."""
+          closes the gap, so this is pruning only, never semantics.
+          ``lo`` starts at 0 (not 1) so the synthesized interval — which
+          also feeds the reader's row-level overlap residual — keeps
+          RNAME-set/POS-unset records a bare equality filter selects."""
         rnames: Optional[set] = None
-        lo, hi = 1, None
+        lo, hi = 0, None
         for f in filters:
             attr = getattr(f, "attribute", None)  # Not/composites have none
             if isinstance(f, EqualTo) and attr == ("rname",):

@@ -72,12 +72,14 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         seen = set(start.get("processed", []))
         new = [f for f in self._list() if f not in seen]
-        rows = [
+        # lazy generator, not a prebuilt list: a large .vcf.gz delivery
+        # must stream through the batch, not sit whole in driver memory
+        rows = (
             rec
             for name in new
             for rec in _iter_vcf_rows(os.path.join(self._dir, name))
-        ]
-        return iter(rows), {"processed": sorted(seen | set(new))}
+        )
+        return rows, {"processed": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         seen = set(start.get("processed", []))
@@ -85,8 +87,16 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
             if name in seen:
                 continue
             full = os.path.join(self._dir, name)
-            if os.path.exists(full):
-                yield from _iter_vcf_rows(full)
+            if not os.path.exists(full):
+                # replay gap: the offset log says this file's rows are part
+                # of the batch — silently skipping would drop them and void
+                # the exactly-once-per-file contract
+                raise FileNotFoundError(
+                    f"vcf_stream replay: {full} recorded in offsets but "
+                    "missing on disk; restore the file (or reset the "
+                    "checkpoint) to keep exactly-once semantics"
+                )
+            yield from _iter_vcf_rows(full)
 
     def commit(self, end: dict) -> None:
         pass

@@ -95,6 +95,33 @@ class TestCSIFormat:
         assert idx2.min_shift == idx.min_shift and idx2.depth == idx.depth
         assert [r.bins for r in idx2.refs] == [r.bins for r in idx.refs]
 
+    def test_roundtrip_preserves_loffset_and_pseudo_bin(
+        self, indexed_bcf, tmp_path
+    ):
+        """An htslib-written .csi carries per-bin loffset seek hints and a
+        pseudo-bin (per-ref voffset span + mapped/unmapped counts read back
+        by `bcftools index -s`); a read->write round trip must not drop
+        either (ADVICE r4)."""
+        path, rows = indexed_bcf
+        idx = csi.read_csi(path + ".csi")
+        # build_csi populates both on a sorted input
+        assert any(r.loffset for r in idx.refs)
+        assert any(r.off_beg >= 0 for r in idx.refs)
+        per_ref = {}
+        for c, *_ in rows:
+            per_ref[c] = per_ref.get(c, 0) + 1
+        assert sorted(r.n_mapped for r in idx.refs if r.n_mapped >= 0) == (
+            sorted(per_ref.values())
+        )
+        p2 = str(tmp_path / "copy2.csi")
+        csi.write_csi(idx, p2)
+        idx2 = csi.read_csi(p2)
+        assert [r.loffset for r in idx2.refs] == [r.loffset for r in idx.refs]
+        for a, b in zip(idx.refs, idx2.refs):
+            assert (a.off_beg, a.off_end, a.n_mapped, a.n_unmapped) == (
+                b.off_beg, b.off_end, b.n_mapped, b.n_unmapped
+            )
+
     def test_chunks_cover_interval_records(self, indexed_bcf):
         """Every record in the interval must live inside a returned chunk
         span (decode the spans and check)."""
