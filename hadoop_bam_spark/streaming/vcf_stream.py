@@ -38,6 +38,34 @@ def _iter_vcf_rows(path: str) -> Iterator[tuple]:
                 yield row
 
 
+class _LazyFileRows:
+    """Copyable lazy iterator over the rows of a list of VCF files.
+
+    PySpark's SimpleDataSourceStreamReader prefetch cache ``copy.copy()``s
+    the iterator at planPartitions time (a plain generator cannot be
+    copied), and the cached original is never consumed directly — so a
+    copy that restarts the lazy scan over the same files yields exactly
+    the batch's rows while holding at most one file's parse state in
+    driver memory (no whole-delivery materialization)."""
+
+    def __init__(self, paths: list[str]):
+        self._paths = paths
+        self._iter: Iterator[tuple] | None = None
+
+    def __iter__(self) -> "_LazyFileRows":
+        return self
+
+    def __next__(self) -> tuple:
+        if self._iter is None:
+            self._iter = (
+                rec for p in self._paths for rec in _iter_vcf_rows(p)
+            )
+        return next(self._iter)
+
+    def __copy__(self) -> "_LazyFileRows":
+        return _LazyFileRows(self._paths)
+
+
 class VCFStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -72,13 +100,9 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         seen = set(start.get("processed", []))
         new = [f for f in self._list() if f not in seen]
-        # lazy generator, not a prebuilt list: a large .vcf.gz delivery
+        # lazy + copyable, not a prebuilt list: a large .vcf.gz delivery
         # must stream through the batch, not sit whole in driver memory
-        rows = (
-            rec
-            for name in new
-            for rec in _iter_vcf_rows(os.path.join(self._dir, name))
-        )
+        rows = _LazyFileRows([os.path.join(self._dir, n) for n in new])
         return rows, {"processed": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
