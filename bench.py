@@ -1,10 +1,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"cpu_sec": {...}, "noise_sentinel": {...}, "sf": ...}.
 
 Each query is run once to warm the JVM/parse paths, then timed (best of 5 —
 the min is robust to the 1.1-1.3x uniform GC/scheduler noise this box shows;
 r3's drift analysis in VERDICT.md motivated widening from best-of-3).
+
+Noise immunity (r4 VERDICT: the official r4 number recorded a phantom
+regression on a box with documented 5-10x hypervisor swings):
+
+- ``cpu_sec`` records per-query PROCESS-TREE CPU seconds (driver python +
+  local-mode JVM + pyspark workers, via /proc), best of 5. CPU seconds are
+  invisible to hypervisor steal/throttle, so round-over-round comparisons
+  should cite them, not wall time.
+- ``noise_sentinel`` times a fixed trivial query between every rep and
+  reports its spread; a spread well above ~1.3x means the box was noisy
+  and the wall-clock totals of that run are not comparable.
 """
 
 from __future__ import annotations
@@ -18,6 +30,48 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant — in local mode that is the driver, the single JVM, and the
+    reused pyspark worker processes. Reading /proc avoids any dependency
+    and sees through hypervisor steal (stolen time never shows up here)."""
+    procs: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu)
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat", "rb") as fh:
+                stat = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields start after the last ')'
+        rest = stat.rsplit(")", 1)[-1].split()
+        # rest[0]=state rest[1]=ppid ... rest[11]=utime rest[12]=stime
+        try:
+            procs[int(entry)] = (
+                int(rest[1]),
+                (int(rest[11]) + int(rest[12])) / _CLK,
+            )
+        except (IndexError, ValueError):
+            continue
+    me = os.getpid()
+    total = 0.0
+    # walk up each process's ancestry to see if it hangs under us
+    for pid, (ppid, cpu) in procs.items():
+        cur = pid
+        for _ in range(64):
+            if cur == me:
+                total += cpu
+                break
+            nxt = procs.get(cur)
+            if nxt is None or nxt[0] in (0, cur):
+                break
+            cur = nxt[0]
+    return total
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,22 +81,36 @@ def main() -> None:
     spark = get_spark("bench")
     names = [n for n, spec in REGISTRY.items() if spec.bench]
 
+    def sentinel() -> float:
+        t0 = time.time()
+        spark.range(2_000_000).selectExpr("sum(id)").collect()
+        return time.time() - t0
+
     # Warm-up: run every benchmarked query once (JVM JIT, parquet footers).
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
+    sentinel()
 
     # Interleave reps round-robin: a transient host-load spike then degrades
     # one rep of every query instead of all reps of one query, so per-query
     # min stays meaningful on a noisy box.
     best: dict[str, float] = {n: float("inf") for n in names}
+    best_cpu: dict[str, float] = {n: float("inf") for n in names}
+    sentinels: list[float] = []
     for _ in range(5):
+        sentinels.append(sentinel())
         for name in names:
+            c0 = _tree_cpu_seconds()
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.time() - t0)
+            best_cpu[name] = min(best_cpu[name], _tree_cpu_seconds() - c0)
+    sentinels.append(sentinel())
     timings = {n: round(v, 3) for n, v in best.items()}
+    cpu = {n: round(v, 3) for n, v in best_cpu.items()}
 
     total = round(sum(timings.values()), 3)
+    s_min, s_max = min(sentinels), max(sentinels)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -51,6 +119,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cpu_sec": cpu,
+                "cpu_total": round(sum(cpu.values()), 3),
+                "noise_sentinel": {
+                    "min": round(s_min, 4),
+                    "max": round(s_max, 4),
+                    "spread": round(s_max / s_min, 2) if s_min > 0 else None,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
