@@ -385,7 +385,7 @@ def quantize_int8_error(
 
 def semantic_dedup(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -403,13 +403,21 @@ def semantic_dedup(
     pattern — the centroid set packs into ONE array-of-structs row and
     assignment is a per-row array_max, so the corpus is never shuffled for
     it. The pairwise stage is an equi-join ON centroid_id (never
-    all-pairs); cluster sizes are bounded by the centroid count growing
-    with the corpus (n_centroids ~ sqrt(N) in production), keeping each
-    bucket's pair count flat.
+    all-pairs); cluster sizes stay bounded because ``n_centroids``
+    DEFAULTS to ~sqrt(N) (floor 16) from a cheap corpus count when not
+    given — the within-cluster pair count then grows ~N^1.5 total /
+    ~N per bucket instead of N^2. Pass an explicit ``n_centroids`` (or a
+    precomputed ``centroids`` frame) to skip the count scan when the
+    corpus size is already known.
     """
+    import math
+
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
+    if n_centroids is None and centroids is None:
+        # one cheap count scan; sqrt(N) keeps per-bucket pairs ~flat
+        n_centroids = max(16, int(math.isqrt(corpus.count())))
     cent_src = (
         centroids.select(F.col("centroid_id").alias(id_col), F.col(vec_col))
         if centroids is not None

@@ -634,9 +634,10 @@ def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
         build_fai(path, path + ".fai")
 
 
-def build_fai(path: str, fai_path: str) -> None:
-    """samtools-faidx layout: name, length, offset, linebases, linewidth."""
-    rows = []
+def scan_fai_entries(path: str) -> list[tuple[str, int, int, int, int]]:
+    """One sequential pass over a FASTA -> faidx entries (name, length,
+    offset, linebases, linewidth) — the samtools faidx scan."""
+    rows: list[tuple[str, int, int, int, int]] = []
     with fs.open_file(path, "rb") as fh:
         name, length, offset, linebases, linewidth = None, 0, 0, 0, 0
         pos = 0
@@ -655,6 +656,12 @@ def build_fai(path: str, fai_path: str) -> None:
             pos += len(raw)
         if name is not None:
             rows.append((name, length, offset, linebases, linewidth))
+    return rows
+
+
+def build_fai(path: str, fai_path: str) -> None:
+    """samtools-faidx layout: name, length, offset, linebases, linewidth."""
+    rows = scan_fai_entries(path)
     with fs.open_file(fai_path, "w") as out:
         for r in rows:
             out.write("\t".join(str(x) for x in r) + "\n")

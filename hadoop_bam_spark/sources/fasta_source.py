@@ -124,13 +124,27 @@ class FastaReader(DataSourceReader):
         for f in self._files:
             fai = f + ".fai"
             if fs.exists(fai):
-                parts.extend(
-                    FastaPartition(f, offset, name)
-                    for name, _len, offset, _lb, _lw in read_fai(fai)
-                    if self._contig_eq is None or name in self._contig_eq
-                )
+                entries = read_fai(fai)
             else:
-                parts.append(FastaPartition(f, -1, None))
+                # auto-faidx: one driver-side sequential scan beats reading
+                # a whole un-indexed genome on ONE core (the reference
+                # driver-scans for '>' to split too — FastaInputFormat.java:
+                # 62-154 — but never persists the result). Persist the
+                # sidecar for future runs when the directory is writable.
+                from hadoop_bam_spark.sinks import scan_fai_entries
+
+                entries = scan_fai_entries(f)
+                try:
+                    with fs.open_file(fai, "w") as out:
+                        for r in entries:
+                            out.write("\t".join(str(x) for x in r) + "\n")
+                except OSError:
+                    pass  # read-only source dir: plan from memory only
+            parts.extend(
+                FastaPartition(f, offset, name)
+                for name, _len, offset, _lb, _lw in entries
+                if self._contig_eq is None or name in self._contig_eq
+            )
         if not parts:
             from hadoop_bam_spark.sources.bam_source import EmptyPartition
 

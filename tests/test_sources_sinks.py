@@ -247,3 +247,58 @@ def test_fasta_contig_filter_prunes_splits(spark, tmp_path):
     assert got == [("c3", 1, "GGGGGGGG"), ("c3", 9, "GG")]
     none = full.filter(F.col("contig") == "cZ")
     assert none.count() == 0
+
+
+def test_fasta_auto_faidx_unindexed(spark, tmp_path):
+    """An un-indexed multi-contig FASTA must plan per-contig splits via a
+    driver-side auto-faidx (one sequential scan) instead of a single
+    whole-file split, persist the sidecar when writable, and work from
+    memory when the directory is read-only (VERDICT r4 item 6)."""
+    import os
+    import stat
+
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rows = [
+        ("c1", 1, "ACGTACGT"), ("c2", 1, "TTTTTTTT"), ("c3", 1, "GGGG"),
+    ]
+    df = spark.createDataFrame(rows, ["contig", "pos", "seq"])
+    p = str(tmp_path / "noidx.fa")
+    sinks.write_fasta(df, p, index_fai=False)
+    assert not os.path.exists(p + ".fai")
+    full = spark.read.format("fasta").load(p)
+    assert full.rdd.getNumPartitions() == 3  # per-contig despite no .fai
+    got = sorted((r.contig, r.pos) for r in full.collect())
+    assert got == [("c1", 1), ("c2", 1), ("c3", 1)]
+    # planning persisted the sidecar for future runs
+    assert os.path.exists(p + ".fai")
+
+    # read-only source dir (chmod is moot as root — block the write at
+    # the fs seam): planning still gets per-contig splits from memory
+    from unittest import mock
+
+    from hadoop_bam_spark import fs as fsmod
+
+    p2 = str(tmp_path / "noidx2.fa")
+    sinks.write_fasta(df, p2, index_fai=False)
+    real_open = fsmod.open_file
+
+    def deny_fai_write(path, mode="r", *a, **kw):
+        if path.endswith(".fai") and "w" in mode:
+            raise OSError(30, "Read-only file system", path)
+        return real_open(path, mode, *a, **kw)
+
+    with mock.patch.object(fsmod, "open_file", side_effect=deny_fai_write):
+        # partitions() plans on the driver, so the patch is in effect
+        from hadoop_bam_spark.sources.fasta_source import FastaReader
+
+        reader = FastaReader({"path": p2})
+        parts = reader.partitions()
+    assert len(parts) == 3 and {pt.contig for pt in parts} == {
+        "c1", "c2", "c3"
+    }
+    assert not os.path.exists(p2 + ".fai")
