@@ -691,3 +691,58 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c").alias("n_clicked"),
         F.count("p").alias("n_purchased"),
     )
+
+
+@query(
+    "events_salted_skew_join",
+    oracle="""
+        WITH probe AS (
+            SELECT event_id,
+                   CASE WHEN user_id % 10 < 6 THEN 0
+                        ELSE user_id % 100 END AS skew_key,
+                   value
+            FROM events
+        ),
+        build AS (
+            SELECT c_custkey % 100 AS skew_key,
+                   min(c_name) AS rep_name,
+                   count(*)    AS n_members
+            FROM customer GROUP BY 1
+        )
+        SELECT b.rep_name AS rep_name,
+               count(*) AS n_events,
+               round(sum(p.value), 2) AS total_value
+        FROM probe p JOIN build b USING (skew_key)
+        GROUP BY rep_name
+    """,
+    doc="Salted skew join (operators/skew.py): ~60% of probe rows share "
+    "ONE hot key; salted_join spreads that key over `salt` shuffle "
+    "partitions by replicating the small build side, row-identical to the "
+    "plain join. The explicit-salting tool for when a single key exceeds "
+    "an executor (AQE splits partitions, never within a key) or AQE is "
+    "off (streaming joins).",
+)
+def events_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 6, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .cast("long")
+        .alias("skew_key"),
+        "value",
+    )
+    build = (
+        _t(spark, sf_dir, "customer")
+        .groupBy((F.col("c_custkey") % 100).cast("long").alias("skew_key"))
+        .agg(
+            F.min("c_name").alias("rep_name"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    joined = salted_join(ev, build, on="skew_key", salt=8)
+    return joined.groupBy("rep_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -20,7 +20,35 @@ from hadoop_bam_spark.sources import local_path
 from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
 
 
-def _iter_vcf_rows(path: str) -> Iterator[tuple]:
+def _overlaps(row: tuple, intervals) -> bool:
+    """Row-level overlap residual, identical to the batch VCF source's
+    semantics: (contig, start, end) vs 1-based inclusive intervals."""
+    contig, start, end = row[0], row[1], row[2]
+    return any(
+        c == contig and start <= stop and lo <= end
+        for c, lo, stop in intervals
+    )
+
+
+def _tbi_says_empty(path: str, intervals) -> bool:
+    """True when a .tbi sidecar PROVES no record overlaps the intervals —
+    the streaming analog of the batch source's tabix split pruning (a
+    tailing query over a growing cohort directory skips whole deliveries
+    without parsing them). False when no usable index exists."""
+    tbi = path + ".tbi"
+    if intervals is None or not os.path.exists(tbi):
+        return False
+    try:
+        from hadoop_bam_spark.formats.tabix import read_tabix
+
+        return not read_tabix(tbi).span_for_intervals(list(intervals))
+    except (OSError, ValueError):
+        return False
+
+
+def _iter_vcf_rows(path: str, intervals=None) -> Iterator[tuple]:
+    if _tbi_says_empty(path, intervals):
+        return
     hdr = read_vcf_header(path)
     with open(path, "rb") as probe:
         magic = probe.read(2)
@@ -34,7 +62,9 @@ def _iter_vcf_rows(path: str) -> Iterator[tuple]:
             if not line or line.startswith("#"):
                 continue
             row = parse_vcf_line(line, hdr.samples)
-            if row is not None:
+            if row is not None and (
+                intervals is None or _overlaps(row, intervals)
+            ):
                 yield row
 
 
@@ -48,8 +78,9 @@ class _LazyFileRows:
     the batch's rows while holding at most one file's parse state in
     driver memory (no whole-delivery materialization)."""
 
-    def __init__(self, paths: list[str]):
+    def __init__(self, paths: list[str], intervals=None):
         self._paths = paths
+        self._intervals = intervals
         self._iter: Iterator[tuple] | None = None
 
     def __iter__(self) -> "_LazyFileRows":
@@ -58,12 +89,14 @@ class _LazyFileRows:
     def __next__(self) -> tuple:
         if self._iter is None:
             self._iter = (
-                rec for p in self._paths for rec in _iter_vcf_rows(p)
+                rec
+                for p in self._paths
+                for rec in _iter_vcf_rows(p, self._intervals)
             )
         return next(self._iter)
 
     def __copy__(self) -> "_LazyFileRows":
-        return _LazyFileRows(self._paths)
+        return _LazyFileRows(self._paths, self._intervals)
 
 
 class VCFStreamDataSource(DataSource):
@@ -84,6 +117,13 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
         if not path:
             raise ValueError("vcf_stream source requires a path (directory)")
         self._dir = local_path(path)
+        # interval pushdown, batch-source parity: option("intervals",
+        # "c1:1-100,c2") -> .tbi whole-file pruning + row-level residual
+        self._intervals = None
+        if options.get("intervals"):
+            from hadoop_bam_spark.sources.bam_source import parse_intervals
+
+            self._intervals = parse_intervals(options["intervals"])
 
     def _list(self) -> list[str]:
         if not os.path.isdir(self._dir):
@@ -102,7 +142,9 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
         new = [f for f in self._list() if f not in seen]
         # lazy + copyable, not a prebuilt list: a large .vcf.gz delivery
         # must stream through the batch, not sit whole in driver memory
-        rows = _LazyFileRows([os.path.join(self._dir, n) for n in new])
+        rows = _LazyFileRows(
+            [os.path.join(self._dir, n) for n in new], self._intervals
+        )
         return rows, {"processed": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
@@ -120,7 +162,7 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
                     "missing on disk; restore the file (or reset the "
                     "checkpoint) to keep exactly-once semantics"
                 )
-            yield from _iter_vcf_rows(full)
+            yield from _iter_vcf_rows(full, self._intervals)
 
     def commit(self, end: dict) -> None:
         pass

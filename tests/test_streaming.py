@@ -234,3 +234,71 @@ class TestVCFStreaming:
         row = out.filter("id = 'vb2'").collect()[0]
         assert row.contig == "1" and row.start == 502
         assert row.genotypes[0]["gt"] == "1/1"
+
+    def test_interval_pushdown_parity_with_batch(self, spark, tmp_path):
+        """option("intervals", ...) on the stream source: row results must
+        equal the BATCH vcf source with the same intervals over the same
+        files, and a .tbi that proves a file empty skips it whole
+        (VERDICT r4 item 10)."""
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.vcf_stream import (
+            VCFStreamDataSource,
+            _iter_vcf_rows,
+        )
+
+        register_all(spark)
+        spark.dataSource.register(VCFStreamDataSource)
+        land = tmp_path / "vland2"
+        land.mkdir()
+        hdr = VCFHeader()
+        hdr.lines = [
+            "##fileformat=VCFv4.2",
+            "##contig=<ID=c1,length=1000000>",
+            "##contig=<ID=c2,length=1000000>",
+        ]
+        hdr.contigs = {"c1": 0, "c2": 1}
+        rows_a = [
+            ("c1", p, p, f"a{p}", "A", ["T"], 9.0, ["PASS"], {}, [])
+            for p in range(100, 5000, 100)
+        ]
+        rows_b = [
+            ("c2", p, p, f"b{p}", "C", ["G"], 9.0, ["PASS"], {}, [])
+            for p in range(100, 5000, 100)
+        ]
+        dfa = spark.createDataFrame(rows_a, VCF_SCHEMA)
+        dfb = spark.createDataFrame(rows_b, VCF_SCHEMA)
+        sinks.write_vcf(dfa, str(land / "a.vcf.bgz"), hdr, index_tbi=True)
+        sinks.write_vcf(dfb, str(land / "b.vcf.bgz"), hdr, index_tbi=True)
+
+        iv = "c1:1000-2000"
+        q = (
+            spark.readStream.format("vcf_stream")
+            .option("intervals", iv)
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_vcf_stream_iv")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.contig, r.start, r.id)
+            for r in spark.table("t_vcf_stream_iv").collect()
+        )
+        want = sorted(
+            (r.contig, r.start, r.id)
+            for r in spark.read.format("vcf")
+            .option("intervals", iv)
+            .load(str(land))
+            .collect()
+        )
+        assert got == want and len(got) == 11
+
+        # .tbi proves b.vcf.bgz has no c1 rows: the file is skipped whole
+        it = _iter_vcf_rows(
+            str(land / "b.vcf.bgz"), [("c1", 1000, 2000)]
+        )
+        assert list(it) == []
