@@ -15,13 +15,12 @@ the data file). Here it serves the same two jobs:
   provably not overlapping a query interval drop at plan time
   (``prune_offsets``), exactly like BAI chunk spans for BAM.
 
-``build_crai`` emits one entry per container from the container headers
-(header-only reads). Our writer produces one slice per container so this
-is also per-slice; for foreign multi-slice files the entry is coarser
-than samtools' per-slice lines but remains a valid, strictly-conservative
-index (slice offset/size cover the whole body). Multi-reference
-containers (seq_id -2) are never prunable and unmapped containers
-(seq_id -1) prune only under interval queries, matching the BAM source's
+``build_crai`` emits one entry per SLICE (samtools' layout) by parsing
+slice-header blocks at each container's landmarks — bounded small reads,
+external data blocks untouched. A slice header that fails to parse
+degrades to one conservative whole-container entry. Multi-reference
+slices (seq_id -2) are never prunable and unmapped slices (seq_id -1)
+prune only under interval queries, matching the BAM source's
 bounded-traversal semantics.
 """
 
@@ -30,6 +29,7 @@ from __future__ import annotations
 import gzip
 import io
 from dataclasses import dataclass
+from struct import error as struct_error
 from typing import Iterator, Optional
 
 
@@ -68,23 +68,58 @@ def read_crai(path: str, open_fn=open) -> list[CRAIEntry]:
 
 
 def build_crai(path: str, open_fn=open) -> list[CRAIEntry]:
-    """One entry per container from header-only reads (the slice spans the
-    whole body past the first landmark — conservative but valid)."""
-    from hadoop_bam_spark.formats.cram import iter_container_offsets
+    """One entry per SLICE (samtools layout): each container's slice
+    headers are parsed at its landmarks with small bounded reads — the
+    external data blocks are never touched. A slice header that cannot be
+    parsed degrades to one conservative whole-body entry for that
+    container (still a valid, strictly-conservative index)."""
+    from hadoop_bam_spark.formats.cram import (
+        CT_SLICE_HEADER,
+        Block,
+        SliceHeader,
+        iter_container_offsets,
+        read_file_definition,
+    )
 
     entries = []
-    for off, hdr in iter_container_offsets(path, open_fn=open_fn):
-        slice_off = hdr.landmarks[0] if hdr.landmarks else 0
-        entries.append(
-            CRAIEntry(
-                seq_id=hdr.ref_seq_id,
-                start=hdr.start,
-                span=hdr.span,
-                container_offset=off,
-                slice_offset=slice_off,
-                slice_size=max(hdr.length - slice_off, 0),
-            )
-        )
+    with open_fn(path, "rb") as fh:
+        major, _ = read_file_definition(fh)
+        for off, hdr in iter_container_offsets(path, open_fn=open_fn):
+            marks = list(hdr.landmarks) or [0]
+            bounds = marks + [hdr.length]
+            per_slice = []
+            try:
+                for i, lm in enumerate(marks):
+                    fh.seek(off + hdr.header_size + lm)
+                    # slice header blocks are tiny; 64 KiB bounds even
+                    # pathological block-id lists
+                    window = fh.read(min(64 * 1024, hdr.length - lm))
+                    blk, _ = Block.parse(window, 0, major)
+                    if blk.content_type != CT_SLICE_HEADER:
+                        raise ValueError("no slice header at landmark")
+                    sh = SliceHeader.parse(blk.data, major)
+                    per_slice.append(
+                        CRAIEntry(
+                            seq_id=sh.ref_seq_id,
+                            start=sh.start if sh.ref_seq_id >= 0 else 0,
+                            span=sh.span if sh.ref_seq_id >= 0 else 0,
+                            container_offset=off,
+                            slice_offset=lm,
+                            slice_size=max(bounds[i + 1] - lm, 0),
+                        )
+                    )
+            except (ValueError, IndexError, struct_error):
+                per_slice = [
+                    CRAIEntry(
+                        seq_id=hdr.ref_seq_id,
+                        start=hdr.start,
+                        span=hdr.span,
+                        container_offset=off,
+                        slice_offset=marks[0],
+                        slice_size=max(hdr.length - marks[0], 0),
+                    )
+                ]
+            entries.extend(per_slice)
     return entries
 
 

@@ -1461,13 +1461,15 @@ class CRAMWriter:
                  header_text: Optional[str] = None,
                  records_per_container: int = 10000,
                  bare: bool = False, record_counter: int = 0,
-                 ref_fasta: Optional[FastaRef] = None):
+                 ref_fasta: Optional[FastaRef] = None,
+                 records_per_slice: int = 10000):
         self._fh = fh
         self._refs = refs
         self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
         self._ref_names = [name for name, _ in refs]
         self._ref_fasta = ref_fasta
         self._per_container = records_per_container
+        self._per_slice = records_per_slice
         self._counter = record_counter
         self._buf: list[tuple] = []
         self._closed = False
@@ -1485,6 +1487,7 @@ class CRAMWriter:
             self._fh.write(encode_container(
                 self._buf, self._ref_index, self._counter,
                 ref_fasta=self._ref_fasta, ref_names=self._ref_names,
+                records_per_slice=self._per_slice,
             ))
             self._counter += len(self._buf)
             self._buf = []
@@ -1511,8 +1514,10 @@ def _sub_code(ref_base: str, read_base: str):
 def encode_container(rows: list[tuple], ref_index: dict[str, int],
                      record_counter: int, major: int = 3,
                      ref_fasta: Optional[FastaRef] = None,
-                     ref_names: Optional[list[str]] = None) -> bytes:
-    """One multiref single-slice container from SAM-schema tuples.
+                     ref_names: Optional[list[str]] = None,
+                     records_per_slice: int = 10000) -> bytes:
+    """One container (1..N slices of <= ``records_per_slice`` records
+    each, the samtools/htsjdk layout) from SAM-schema tuples.
 
     With ``ref_fasta`` (+ ``ref_names``, id -> contig name), mapped M/=/X
     stretches are reference-compressed (RR=true): matching bases are
@@ -1524,16 +1529,10 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     """
     from hadoop_bam_spark.formats.bam import _encode_tag_value, cigar_ref_length
 
-    ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
-    bytestreams: dict[str, bytearray] = {k: bytearray() for k in _BYTE_SERIES}
-    arrays: dict[str, bytearray] = {k: bytearray() for k in _ARRAY_SERIES}
-    tag_blocks: dict[tuple[str, str], bytearray] = {}
+    # tag-line dictionary is CONTAINER-scoped (TL indexes resolve through
+    # the one compression header all slices share)
     tag_lines: list[tuple] = []
     line_index: dict[tuple, int] = {}
-    n_bases = 0
-
-    def put_int(key, v):
-        ints[key] += write_itf8(v)
 
     def match_features(feats, read_pos, ref_id, ref_pos, bases):
         """Emit features for an M/=/X stretch against the reference."""
@@ -1553,135 +1552,158 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             else:  # base the matrix can't express (or past contig end)
                 feats.append((read_pos + i, "b", rb))
 
-    # alignment footprint for single-reference container stamping: when
-    # every record maps to ONE ref, the container/slice headers carry the
-    # real (ref, start, span) so a .crai built from headers can prune
-    # interval queries; mixed/unmapped content stays multiref (-2), the
-    # htslib no_ref shape
-    seen_refs: set = set()
-    aln_min: Optional[int] = None
-    aln_max: Optional[int] = None
+    def encode_slice(chunk: list[tuple]) -> dict:
+        """Per-record encode of one slice's records into its own stream
+        set (each slice carries its own core/external blocks)."""
+        ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
+        bytestreams: dict[str, bytearray] = {k: bytearray() for k in _BYTE_SERIES}
+        arrays: dict[str, bytearray] = {k: bytearray() for k in _ARRAY_SERIES}
+        tag_blocks: dict[tuple[str, str], bytearray] = {}
+        n_bases = 0
 
-    for row in rows:
-        (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,
-         seq, qual, tags) = row
-        flag = int(flag)
-        ref_id = ref_index.get(rname, -1) if rname else -1
-        rl = len(seq) if seq else cigar_query_length(cigar)
-        seen_refs.add(ref_id)
-        if ref_id >= 0 and pos:
-            end = pos + max(cigar_ref_length(cigar), 1) - 1
-            aln_min = pos if aln_min is None else min(aln_min, pos)
-            aln_max = end if aln_max is None else max(aln_max, end)
-        if seq and cigar and not flag & 0x4:
-            qlen = cigar_query_length(cigar)
-            if qlen != len(seq):
-                raise ValueError(
-                    f"cigar {cigar!r} query length {qlen} != seq length {len(seq)}"
-                )
-        n_bases += rl
-        cf = CF_DETACHED
-        if qual is not None:
-            cf |= CF_QUAL_STORED
-        if seq is None:
-            cf |= CF_NO_SEQ
-        put_int("BF", flag)
-        put_int("CF", cf)
-        put_int("RI", ref_id)
-        put_int("RL", rl)
-        put_int("AP", pos or 0)
-        put_int("RG", -1)
-        arrays["RN"] += (qname or "").encode("latin-1") + b"\x00"
-        put_int("MF", (1 if flag & 0x20 else 0) | (2 if flag & 0x8 else 0))
-        put_int("NS", ref_index.get(rnext, -1) if rnext else -1)
-        put_int("NP", pnext or 0)
-        put_int("TS", tlen or 0)
-        # tag line
-        encoded_tags = []
-        for tag, v in (tags or {}).items():
-            wire = _encode_tag_value(tag, v)
-            encoded_tags.append((tag, chr(wire[2]), wire[3:]))
-        line_key = tuple((t, ty) for t, ty, _ in encoded_tags)
-        tl = line_index.get(line_key)
-        if tl is None:
-            tl = line_index[line_key] = len(tag_lines)
-            tag_lines.append(line_key)
-        put_int("TL", tl)
-        for tag, ty, val in encoded_tags:
-            blk = tag_blocks.setdefault((tag, ty), bytearray())
-            blk += write_itf8(len(val)) + val
-        if not flag & 0x4:  # mapped: features from the cigar
-            # reference-compress only when the record actually has a place
-            # on the reference
-            by_ref = ref_fasta is not None and ref_id >= 0 and (pos or 0) >= 1
-            feats = []
-            read_pos = 1
-            ref_pos = pos or 1
-            if cigar:
-                for n, op in _cigar_ops(cigar):
-                    if op in "M=X":
-                        if seq is not None:
-                            bases = seq[read_pos - 1 : read_pos - 1 + n]
-                            if by_ref:
-                                match_features(feats, read_pos, ref_id,
-                                               ref_pos, bases)
-                            else:
-                                feats.append((read_pos, "b", bases))
-                        read_pos += n
-                        ref_pos += n
-                    elif op == "I":
-                        b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
-                        feats.append((read_pos, "I", b))
-                        read_pos += n
-                    elif op == "S":
-                        b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
-                        feats.append((read_pos, "S", b))
-                        read_pos += n
-                    elif op == "D":
-                        feats.append((read_pos, "D", n))
-                        ref_pos += n
-                    elif op == "N":
-                        feats.append((read_pos, "N", n))
-                        ref_pos += n
-                    elif op == "H":
-                        feats.append((read_pos, "H", n))
-                    elif op == "P":
-                        feats.append((read_pos, "P", n))
-                    else:
-                        raise ValueError(f"unsupported cigar op {op!r}")
-            elif seq is not None:
-                if by_ref:
-                    match_features(feats, 1, ref_id, ref_pos, seq)
-                else:
-                    feats.append((1, "b", seq))
-            put_int("FN", len(feats))
-            prev = 0
-            for fpos, fc, val in feats:
-                bytestreams["FC"].append(ord(fc))
-                put_int("FP", fpos - prev)
-                prev = fpos
-                if fc in "bIS":
-                    arrays["BB" if fc == "b" else ("IN" if fc == "I" else "SC")] += (
-                        val.encode("latin-1") + b"\x00"
+        def put_int(key, v):
+            ints[key] += write_itf8(v)
+
+        # alignment footprint for single-reference slice stamping: when
+        # every record maps to ONE ref, the slice header carries the real
+        # (ref, start, span) so a .crai built from headers can prune
+        # interval queries; mixed/unmapped content stays multiref (-2),
+        # the htslib no_ref shape
+        seen_refs: set = set()
+        aln_min: Optional[int] = None
+        aln_max: Optional[int] = None
+
+        for row in chunk:
+            (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen,
+             seq, qual, tags) = row
+            flag = int(flag)
+            ref_id = ref_index.get(rname, -1) if rname else -1
+            rl = len(seq) if seq else cigar_query_length(cigar)
+            seen_refs.add(ref_id)
+            if ref_id >= 0 and pos:
+                end = pos + max(cigar_ref_length(cigar), 1) - 1
+                aln_min = pos if aln_min is None else min(aln_min, pos)
+                aln_max = end if aln_max is None else max(aln_max, end)
+            if seq and cigar and not flag & 0x4:
+                qlen = cigar_query_length(cigar)
+                if qlen != len(seq):
+                    raise ValueError(
+                        f"cigar {cigar!r} query length {qlen} != seq length {len(seq)}"
                     )
-                elif fc == "X":
-                    bytestreams["BS"].append(val)
-                elif fc == "D":
-                    put_int("DL", val)
-                elif fc == "N":
-                    put_int("RS", val)
-                elif fc == "H":
-                    put_int("HC", val)
-                elif fc == "P":
-                    put_int("PD", val)
-            put_int("MQ", mapq or 0)
+            n_bases += rl
+            cf = CF_DETACHED
             if qual is not None:
-                bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
-        else:  # unmapped
-            if seq is not None:
-                bytestreams["BA"] += seq.encode("latin-1")
-            if qual is not None:
-                bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+                cf |= CF_QUAL_STORED
+            if seq is None:
+                cf |= CF_NO_SEQ
+            put_int("BF", flag)
+            put_int("CF", cf)
+            put_int("RI", ref_id)
+            put_int("RL", rl)
+            put_int("AP", pos or 0)
+            put_int("RG", -1)
+            arrays["RN"] += (qname or "").encode("latin-1") + b"\x00"
+            put_int("MF", (1 if flag & 0x20 else 0) | (2 if flag & 0x8 else 0))
+            put_int("NS", ref_index.get(rnext, -1) if rnext else -1)
+            put_int("NP", pnext or 0)
+            put_int("TS", tlen or 0)
+            # tag line
+            encoded_tags = []
+            for tag, v in (tags or {}).items():
+                wire = _encode_tag_value(tag, v)
+                encoded_tags.append((tag, chr(wire[2]), wire[3:]))
+            line_key = tuple((t, ty) for t, ty, _ in encoded_tags)
+            tl = line_index.get(line_key)
+            if tl is None:
+                tl = line_index[line_key] = len(tag_lines)
+                tag_lines.append(line_key)
+            put_int("TL", tl)
+            for tag, ty, val in encoded_tags:
+                blk = tag_blocks.setdefault((tag, ty), bytearray())
+                blk += write_itf8(len(val)) + val
+            if not flag & 0x4:  # mapped: features from the cigar
+                # reference-compress only when the record actually has a place
+                # on the reference
+                by_ref = ref_fasta is not None and ref_id >= 0 and (pos or 0) >= 1
+                feats = []
+                read_pos = 1
+                ref_pos = pos or 1
+                if cigar:
+                    for n, op in _cigar_ops(cigar):
+                        if op in "M=X":
+                            if seq is not None:
+                                bases = seq[read_pos - 1 : read_pos - 1 + n]
+                                if by_ref:
+                                    match_features(feats, read_pos, ref_id,
+                                                   ref_pos, bases)
+                                else:
+                                    feats.append((read_pos, "b", bases))
+                            read_pos += n
+                            ref_pos += n
+                        elif op == "I":
+                            b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
+                            feats.append((read_pos, "I", b))
+                            read_pos += n
+                        elif op == "S":
+                            b = seq[read_pos - 1 : read_pos - 1 + n] if seq else "N" * n
+                            feats.append((read_pos, "S", b))
+                            read_pos += n
+                        elif op == "D":
+                            feats.append((read_pos, "D", n))
+                            ref_pos += n
+                        elif op == "N":
+                            feats.append((read_pos, "N", n))
+                            ref_pos += n
+                        elif op == "H":
+                            feats.append((read_pos, "H", n))
+                        elif op == "P":
+                            feats.append((read_pos, "P", n))
+                        else:
+                            raise ValueError(f"unsupported cigar op {op!r}")
+                elif seq is not None:
+                    if by_ref:
+                        match_features(feats, 1, ref_id, ref_pos, seq)
+                    else:
+                        feats.append((1, "b", seq))
+                put_int("FN", len(feats))
+                prev = 0
+                for fpos, fc, val in feats:
+                    bytestreams["FC"].append(ord(fc))
+                    put_int("FP", fpos - prev)
+                    prev = fpos
+                    if fc in "bIS":
+                        arrays["BB" if fc == "b" else ("IN" if fc == "I" else "SC")] += (
+                            val.encode("latin-1") + b"\x00"
+                        )
+                    elif fc == "X":
+                        bytestreams["BS"].append(val)
+                    elif fc == "D":
+                        put_int("DL", val)
+                    elif fc == "N":
+                        put_int("RS", val)
+                    elif fc == "H":
+                        put_int("HC", val)
+                    elif fc == "P":
+                        put_int("PD", val)
+                put_int("MQ", mapq or 0)
+                if qual is not None:
+                    bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+            else:  # unmapped
+                if seq is not None:
+                    bytestreams["BA"] += seq.encode("latin-1")
+                if qual is not None:
+                    bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+
+
+        return dict(
+            ints=ints, bytestreams=bytestreams, arrays=arrays,
+            tag_blocks=tag_blocks, n_bases=n_bases, seen_refs=seen_refs,
+            aln_min=aln_min, aln_max=aln_max, n=len(chunk),
+        )
+
+    step = max(records_per_slice, 1)
+    chunks = [rows[i : i + step] for i in range(0, len(rows), step)] or [rows]
+    slices = [encode_slice(c) for c in chunks]
 
     # --- compression header -------------------------------------------------
     td = b"".join(
@@ -1716,13 +1738,14 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
         n_ds += 1
     ds_map = write_itf8(n_ds) + ds
 
+    all_tags = sorted(set().union(*[set(sl["tag_blocks"]) for sl in slices]))
     tg = bytearray()
-    for (tag, ty) in sorted(tag_blocks):
+    for (tag, ty) in all_tags:
         kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
         nested = encoding_external(kv) + encoding_external(kv)
         params = nested
         tg += write_itf8(kv) + write_itf8(E_BYTE_ARRAY_LEN) + write_itf8(len(params)) + params
-    tg_map = write_itf8(len(tag_blocks)) + tg
+    tg_map = write_itf8(len(all_tags)) + tg
 
     comp_data = (
         write_itf8(len(pres_map)) + pres_map
@@ -1731,50 +1754,85 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     )
     comp_block = Block(M_GZIP, CT_COMPRESSION_HEADER, 0, bytes(comp_data)).serialize(major)
 
-    # --- blocks -------------------------------------------------------------
-    ext_blocks: list[tuple[int, bytes]] = []
-    for key, cid in _SERIES_IDS.items():
-        data = ints.get(key) or bytestreams.get(key) or arrays.get(key) or b""
-        ext_blocks.append((cid, bytes(data)))
-    for (tag, ty) in sorted(tag_blocks):
-        kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
-        ext_blocks.append((kv, bytes(tag_blocks[(tag, ty)])))
-
+    # --- per-slice blocks + headers -----------------------------------------
     core_block = Block(M_RAW, CT_CORE, 0, b"").serialize(major)
-    ext_serialized = [
-        Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data).serialize(major)
-        for cid, data in ext_blocks
-    ]
+    parts: list[bytes] = []
+    landmarks: list[int] = []
+    at = len(comp_block)
+    counter = record_counter
+    total_bases = 0
+    total_blocks = 1  # compression header block
+    union_refs: set = set()
+    cmin: Optional[int] = None
+    cmax: Optional[int] = None
+    for sl in slices:
+        ext_blocks: list[tuple[int, bytes]] = []
+        for key, cid in _SERIES_IDS.items():
+            data = (sl["ints"].get(key) or sl["bytestreams"].get(key)
+                    or sl["arrays"].get(key) or b"")
+            ext_blocks.append((cid, bytes(data)))
+        for (tag, ty) in sorted(sl["tag_blocks"]):
+            kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
+            ext_blocks.append((kv, bytes(sl["tag_blocks"][(tag, ty)])))
+        ext_serialized = [
+            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data).serialize(major)
+            for cid, data in ext_blocks
+        ]
+        # single-ref slice when every record maps to one reference
+        # (htsjdk's sorted-output shape — enables .crai interval pruning);
+        # anything mixed or unmapped stays multiref (htslib no_ref shape)
+        if (len(sl["seen_refs"]) == 1 and sl["aln_min"] is not None
+                and min(sl["seen_refs"]) >= 0):
+            sl_ref = next(iter(sl["seen_refs"]))
+            sl_start, sl_span = sl["aln_min"], sl["aln_max"] - sl["aln_min"] + 1
+        else:
+            sl_ref, sl_start, sl_span = -2, 0, 0
+        union_refs |= sl["seen_refs"]
+        if sl_ref >= 0:
+            cmin = sl_start if cmin is None else min(cmin, sl_start)
+            e = sl_start + sl_span - 1
+            cmax = e if cmax is None else max(cmax, e)
 
-    # single-ref container when every record maps to one reference
-    # (htsjdk's sorted-output shape — enables .crai interval pruning);
-    # anything mixed or unmapped stays multiref (htslib no_ref shape)
-    if len(seen_refs) == 1 and aln_min is not None and min(seen_refs) >= 0:
-        ctr_ref = next(iter(seen_refs))
-        ctr_start, ctr_span = aln_min, aln_max - aln_min + 1
+        slice_hdr = bytearray()
+        slice_hdr += write_itf8(sl_ref & 0xFFFFFFFF)  # -2 multiref else ref
+        slice_hdr += write_itf8(sl_start)
+        slice_hdr += write_itf8(sl_span)
+        slice_hdr += write_itf8(sl["n"])
+        slice_hdr += write_ltf8(counter)
+        slice_hdr += write_itf8(1 + len(ext_serialized))  # core + external
+        slice_hdr += write_itf8(len(ext_blocks))
+        for cid, _ in ext_blocks:
+            slice_hdr += write_itf8(cid)
+        slice_hdr += write_itf8(0xFFFFFFFF)  # no embedded reference
+        slice_hdr += bytes(16)  # md5 unset (all-zero = "not known")
+        slice_block = Block(
+            M_RAW, CT_SLICE_HEADER, 0, bytes(slice_hdr)
+        ).serialize(major)
+
+        part = slice_block + core_block + b"".join(ext_serialized)
+        landmarks.append(at)
+        at += len(part)
+        parts.append(part)
+        counter += sl["n"]
+        total_bases += sl["n_bases"]
+        total_blocks += 2 + len(ext_serialized)  # slice hdr + core + ext
+
+    # container footprint: single-ref only when EVERY slice is single-ref
+    # on the same reference
+    if (len(union_refs) == 1 and cmin is not None and min(union_refs) >= 0
+            and all(sl["aln_min"] is not None and len(sl["seen_refs"]) == 1
+                    for sl in slices)):
+        ctr_ref = next(iter(union_refs))
+        ctr_start, ctr_span = cmin, cmax - cmin + 1
     else:
         ctr_ref, ctr_start, ctr_span = -2, 0, 0
 
-    slice_hdr = bytearray()
-    slice_hdr += write_itf8(ctr_ref & 0xFFFFFFFF)  # -2 multiref else real ref
-    slice_hdr += write_itf8(ctr_start)
-    slice_hdr += write_itf8(ctr_span)
-    slice_hdr += write_itf8(len(rows))
-    slice_hdr += write_ltf8(record_counter)
-    slice_hdr += write_itf8(1 + len(ext_serialized))  # core + external
-    slice_hdr += write_itf8(len(ext_blocks))
-    for cid, _ in ext_blocks:
-        slice_hdr += write_itf8(cid)
-    slice_hdr += write_itf8(0xFFFFFFFF)  # no embedded reference
-    slice_hdr += bytes(16)  # md5 unset (all-zero = "not known", spec-legal)
-    slice_block = Block(M_RAW, CT_SLICE_HEADER, 0, bytes(slice_hdr)).serialize(major)
-
-    body = comp_block + slice_block + core_block + b"".join(ext_serialized)
+    body = comp_block + b"".join(parts)
     chdr = ContainerHeader(
         length=len(body), ref_seq_id=ctr_ref, start=ctr_start, span=ctr_span,
         n_records=len(rows),
-        record_counter=record_counter, n_bases=n_bases,
-        n_blocks=2 + 1 + len(ext_serialized), landmarks=[len(comp_block)],
+        record_counter=record_counter, n_bases=total_bases,
+        n_blocks=total_blocks, landmarks=landmarks,
         header_size=0,
     )
     return chdr.serialize(major) + body

@@ -206,11 +206,16 @@ def write_cram(
     path: str,
     header: SAMHeader,
     refs: Optional[list[tuple[str, int]]] = None,
-    records_per_container: int = 10000,
+    records_per_container: int = 30000,
     reference: Optional[str] = None,
     index_crai: bool = False,
+    records_per_slice: int = 10000,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
+
+    Containers hold up to ``records_per_container`` records in slices of
+    ``records_per_slice`` (the samtools/htsjdk multi-slice layout); the
+    ``.crai`` indexes per SLICE, so interval pruning stays fine-grained.
 
     Executors emit bare container shards (no file definition / header /
     EOF); the driver concatenates them behind one file definition + SAM
@@ -238,7 +243,7 @@ def write_cram(
         with fs.open_file(part_path, "wb") as f:
             w = cram.CRAMWriter(
                 f, refs, bare=True, records_per_container=records_per_container,
-                ref_fasta=ref_fasta,
+                ref_fasta=ref_fasta, records_per_slice=records_per_slice,
             )
             for r in rows:
                 w.write(tuple(r))

@@ -256,3 +256,72 @@ def test_unmapped_plus_intervals(spark, tmp_path):
         ]
     )
     assert got == want
+
+
+class TestMultiSliceWrite:
+    """r5: containers hold multiple ~10k-record slices (samtools/htsjdk
+    layout); the .crai indexes per slice and interval pruning uses the
+    finer slice spans."""
+
+    def _file(self, tmp_path, records_per_slice):
+        import random
+
+        from hadoop_bam_spark.formats import cram
+
+        rng = random.Random(11)
+        refs = [("chr1", 10_000_000)]
+        rows = []
+        pos = 1
+        for i in range(900):
+            pos += rng.randint(1, 40)
+            rows.append((f"r{i}", 0, "chr1", pos, 60, "10M", None, 0, 0,
+                         "ACGTACGTAC", "IIIIIIIIII", None))
+        p = str(tmp_path / f"ms{records_per_slice}.cram")
+        with open(p, "wb") as fh:
+            w = cram.CRAMWriter(fh, refs, header_text="@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10000000\n",
+                                records_per_container=900,
+                                records_per_slice=records_per_slice)
+            for r in rows:
+                w.write(r)
+            w.close()
+        return p, rows, refs
+
+    def test_roundtrip_and_per_slice_entries(self, tmp_path):
+        from hadoop_bam_spark.formats import cram, crai
+
+        p, rows, refs = self._file(tmp_path, records_per_slice=300)
+        got = list(cram.decode_file(p))
+        assert len(got) == 900
+        assert [g[0] for g in got] == [r[0] for r in rows]
+        assert [g[3] for g in got] == [r[3] for r in rows]
+        entries = crai.build_crai(p)
+        assert len(entries) == 3  # 900 records / 300 per slice, 1 container
+        assert len({e.container_offset for e in entries}) == 1
+        # per-slice spans partition the container's alignment range
+        assert all(e.seq_id == 0 and e.span > 0 for e in entries)
+        starts = [e.start for e in entries]
+        assert starts == sorted(starts) and starts[0] < starts[-1]
+        # slice offsets/sizes tile the body
+        offs = sorted(e.slice_offset for e in entries)
+        assert offs[0] > 0 and len(set(offs)) == 3
+
+    def test_single_slice_layout_unchanged(self, tmp_path):
+        from hadoop_bam_spark.formats import crai
+
+        p, _rows, _refs = self._file(tmp_path, records_per_slice=10000)
+        entries = crai.build_crai(p)
+        assert len(entries) == 1
+
+    def test_slice_pruning_finer_than_container(self, tmp_path):
+        """prune_offsets keeps the container when ANY slice overlaps; a
+        query hitting only the last slice's range must still keep it, and
+        a query left of every slice must drop it."""
+        from hadoop_bam_spark.formats import crai
+
+        p, rows, refs = self._file(tmp_path, records_per_slice=300)
+        entries = crai.build_crai(p)
+        last_start = max(e.start for e in entries)
+        keep = crai.prune_offsets(entries, [("chr1", last_start, last_start + 5)], refs)
+        assert len(keep) == 1
+        none = crai.prune_offsets(entries, [("chr2", 1, 10)], refs)
+        assert none == []
