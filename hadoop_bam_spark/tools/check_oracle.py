@@ -6,6 +6,12 @@ on the same parquet tables, then compare row count, column names, and values
 CORRECTNESS_r{N}.json uses.
 
 Usage: python -m hadoop_bam_spark.tools.check_oracle [sf_dir] [query ...]
+       python -m hadoop_bam_spark.tools.check_oracle --json OUT.json [sf_dir]
+
+``--json`` additionally writes the driver-shaped artifact ({name:
+{rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}}) —
+the round's COMPLETE correctness record over every registered query (the
+driver's official file samples ~50; VERDICT r4 item 2).
 """
 
 from __future__ import annotations
@@ -74,8 +80,13 @@ def check_query(spark, con, name, spec, sf_dir) -> dict:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -90,6 +101,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     failures = 0
+    record = {}
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -101,10 +113,30 @@ def main():
         ok = res["status"] in ("OK", "rows_only")
         if not ok:
             failures += 1
+        status = res["status"]
+        record[name] = {
+            "rows_match": ok or not status.startswith(
+                ("ROWCOUNT", "ERROR")
+            ),
+            "schema_match": ok or not status.startswith(
+                ("SCHEMA", "ERROR")
+            ),
+            "hash_match": ok,
+            "spark_rows": res.get("spark_rows"),
+            "oracle_rows": res.get("duck_rows"),
+            "err": None if ok else status,
+            "mode": "rows_only" if status == "rows_only" else "full",
+        }
         print(
             f"{'PASS' if ok else 'FAIL'}  {name:32s} {res.get('spark_rows', '-'):>7} rows  "
             f"spark={res.get('spark_sec', '-')}s duck={res.get('duck_sec', '-')}s  {res['status']}"
         )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {len(record)} queries, {failures} failures")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
