@@ -1043,6 +1043,19 @@ class ContainerDecoder:
                 ext[blk.content_id] = ExtCursor(blk.data)
                 if blk.content_id == sh.embedded_ref_id:
                     embedded_ref = blk.data
+
+        # columnar fast path (formats/cram_vec.py): whole-slice numpy
+        # decode when every needed series is EXTERNAL with exclusive
+        # blocks; returns None for shapes it does not cover.
+        from hadoop_bam_spark.formats import cram_vec
+
+        fast = cram_vec.decode_slice_columnar(
+            self, sh, comp, {cid: c.data for cid, c in ext.items()},
+            embedded_ref,
+        )
+        if fast is not None:
+            self._resolve_mates(fast)
+            return [tuple(r[:12]) for r in fast]
         core = CoreBits(core_data)
 
         # Blocks exclusively owned by ONE integer-series encoding can be
@@ -1309,7 +1322,12 @@ class ContainerDecoder:
                     elif fc == "P":
                         add_op(val, "P")
                     elif fc == "N":
+                        # RS = reference SKIP: consumes reference (spec
+                        # §10.5 feature codes; splice-aware decode was
+                        # dropping the advance — caught by the columnar
+                        # path's property parity, tests/test_cram_vec.py)
                         add_op(val, "N")
+                        ref_pos += val
                     elif fc == "B":
                         base, q = val
                         seq_parts.append(chr(base))

@@ -1,0 +1,1040 @@
+"""Vectorized (columnar) CRAM slice decode — numpy over block buffers.
+
+The CRAM read rim's remaining scalar loop was the per-record feature
+reconstruction (formats/cram.py:_decode_slice, ~60-70 krec/s). This module
+decodes a whole slice's data series into flat numpy arrays and applies the
+feature stream with segmented prefix sums + arena gathers:
+
+- every EXTERNAL integer series bulk-decodes with itf8 fast paths (all
+  1-byte, uniform-width stride, loop fallback);
+- feature positions/read-consumed/ref-consumed compute as per-record
+  segmented cumsums over the flat FC/FP streams, giving every match gap,
+  reference offset, and the trailing match without touching records
+  one-by-one;
+- sequence bytes assemble with ONE variable-slice gather over an arena of
+  (reference windows | insertion streams | substituted-base table | BA
+  singles | 'N' run); CIGARs build from merged op-run arrays formatted
+  via a single Arrow int->string cast; quals slice or scatter in bulk;
+- slices whose shapes the columnar path does not cover (core-bit codecs,
+  'q'/QQ features, reference reads past the fetched window) return None
+  and the caller runs the scalar path — semantics never depend on the
+  fast path.
+
+Role model: the reference reads CRAM through htsjdk's CRAMIterator /
+slice codecs (CRAMRecordReader.java); parity here is property-tested
+against the scalar decoder (tests/test_cram_vec.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from hadoop_bam_spark.formats.bam_vec import _gather
+from hadoop_bam_spark.formats.cram import (
+    CF_DETACHED,
+    CF_MATE_DOWNSTREAM,
+    CF_NO_SEQ,
+    CF_QUAL_STORED,
+    E_BYTE_ARRAY_LEN,
+    E_BYTE_ARRAY_STOP,
+    E_EXTERNAL,
+    _decode_itf8_block,
+    _decode_tag_value,
+    _parse_encoding,
+    _SUB_ALTS,
+    read_itf8,
+)
+
+
+# --------------------------------------------------------------------------
+# bulk primitives
+# --------------------------------------------------------------------------
+
+def _bulk_itf8(data: bytes, expected: Optional[int] = None) -> np.ndarray:
+    """All itf8 values of a block as SIGNED int64 (identical semantics to
+    _decode_itf8_block). Fast paths: all-1-byte blocks decode as one
+    frombuffer; uniform-width blocks decode as a stride view."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if int(arr.max()) < 0x80:
+        return arr.astype(np.int64)
+    if expected and n % expected == 0:
+        w = n // expected
+        if 2 <= w <= 5:
+            first = arr[:: w]
+            lo, hi = {2: (0x80, 0xC0), 3: (0xC0, 0xE0),
+                      4: (0xE0, 0xF0), 5: (0xF0, 0x100)}[w]
+            if bool(((first >= lo) & (first < hi)).all()):
+                cols = arr.reshape(expected, w).astype(np.int64)
+                if w == 2:
+                    v = ((cols[:, 0] & 0x7F) << 8) | cols[:, 1]
+                elif w == 3:
+                    v = (((cols[:, 0] & 0x3F) << 16) | (cols[:, 1] << 8)
+                         | cols[:, 2])
+                elif w == 4:
+                    v = (((cols[:, 0] & 0x1F) << 24) | (cols[:, 1] << 16)
+                         | (cols[:, 2] << 8) | cols[:, 3])
+                else:
+                    v = (((cols[:, 0] & 0x0F) << 28) | (cols[:, 1] << 20)
+                         | (cols[:, 2] << 12) | (cols[:, 3] << 4)
+                         | (cols[:, 4] & 0x0F))
+                return np.where(v > 0x7FFFFFFF, v - (1 << 32), v)
+    return np.array(_decode_itf8_block(data), dtype=np.int64)
+
+
+def _split_stop(data: bytes, stop: int, expected: int):
+    """BYTE_ARRAY_STOP stream -> (starts, lens) of the first ``expected``
+    entries (each terminated by ``stop``). None when the stream has too
+    few terminators."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    stops = np.flatnonzero(arr == stop)
+    if len(stops) < expected:
+        return None
+    stops = stops[:expected]
+    starts = np.concatenate([[0], stops[:-1] + 1]).astype(np.int64)
+    return starts, stops - starts
+
+
+class _Unsupported(Exception):
+    """Slice shape outside the columnar path's coverage."""
+
+
+# --------------------------------------------------------------------------
+# series access
+# --------------------------------------------------------------------------
+
+class _Series:
+    """Resolves each data series to its raw external block + consumption
+    offsets. Raises _Unsupported for core-bit codecs or shared int blocks
+    (the scalar path handles those)."""
+
+    def __init__(self, comp, ext: dict):
+        self.comp = comp
+        self.ext = ext
+        self._off: dict[int, int] = {}  # cid -> consumed bytes
+
+    def _cid(self, key: str) -> tuple[int, bytes]:
+        spec = self.comp.data_series.get(key)
+        if spec is None:
+            raise _Unsupported(f"series {key} absent")
+        codec, params = spec
+        if codec != E_EXTERNAL:
+            raise _Unsupported(f"series {key} codec {codec}")
+        cid, _ = read_itf8(params, 0)
+        if cid not in self.ext:
+            raise _Unsupported(f"series {key} block {cid} missing")
+        return cid, self.ext[cid]
+
+    def ints(self, key: str, count: int) -> np.ndarray:
+        """Whole-block itf8 decode; requires exclusive ownership (offset
+        must be 0 and the block must hold exactly ``count`` values)."""
+        cid, data = self._cid(key)
+        if self._off.get(cid):
+            raise _Unsupported(f"series {key} shares block {cid}")
+        vals = _bulk_itf8(data, expected=count)
+        if len(vals) != count:
+            raise _Unsupported(
+                f"series {key}: {len(vals)} values != {count} expected"
+            )
+        self._off[cid] = len(data)
+        return vals
+
+    def raw(self, key: str) -> np.ndarray:
+        cid, data = self._cid(key)
+        return np.frombuffer(data, dtype=np.uint8)
+
+    def stop_split(self, key: str, expected: int):
+        spec = self.comp.data_series.get(key)
+        if spec is None:
+            raise _Unsupported(f"series {key} absent")
+        codec, params = spec
+        if codec != E_BYTE_ARRAY_STOP:
+            raise _Unsupported(f"series {key} not stop-coded")
+        stop = params[0]
+        cid, _ = read_itf8(params, 1)
+        if cid not in self.ext:
+            raise _Unsupported(f"series {key} block {cid} missing")
+        got = _split_stop(self.ext[cid], stop, expected)
+        if got is None:
+            raise _Unsupported(f"series {key}: short stop stream")
+        return got, np.frombuffer(self.ext[cid], dtype=np.uint8)
+
+
+def _decode_tag_block(data: bytes, expected: int) -> list[bytes]:
+    """BYTE_ARRAY_LEN stream with len+value in ONE block (the writer's
+    layout): [itf8 len][payload]... -> payload list. Uniform-stride fast
+    path, scalar walk fallback."""
+    out: list[bytes] = []
+    if expected == 0:
+        return out
+    b0 = data[0]
+    if b0 < 0x80:
+        stride = 1 + b0
+        if (len(data) == expected * stride
+                and all(data[i] == b0 for i in range(0, len(data), stride))):
+            return [
+                data[i + 1: i + stride]
+                for i in range(0, len(data), stride)
+            ]
+    p = 0
+    for _ in range(expected):
+        ln, p = read_itf8(data, p)
+        out.append(data[p: p + ln])
+        p += ln
+    return out
+
+
+# --------------------------------------------------------------------------
+# the columnar slice decode
+# --------------------------------------------------------------------------
+
+def decode_slice_columnar(dec, sh, comp, ext: dict,
+                          embedded_ref) -> Optional[list[list]]:
+    """Columnar decode of one slice -> the scalar path's ``records`` list
+    (13-slot lists, mate links unresolved), or None when the slice shape
+    is not covered. ``dec`` is the ContainerDecoder (refs / ref_fasta /
+    read_groups); ``ext`` maps content id -> raw block bytes."""
+    try:
+        return _decode(dec, sh, comp, ext, embedded_ref)
+    except _Unsupported:
+        return None
+
+
+def _exclusive_int_cids(comp) -> None:
+    """The int-series blocks must be exclusively owned for whole-block
+    decode; shared cids (htslib sometimes multiplexes) -> unsupported."""
+    users: dict[int, int] = {}
+    from hadoop_bam_spark.formats.cram import _encoding_cids
+
+    for key, (codec, params) in comp.data_series.items():
+        for cid in _encoding_cids(codec, params):
+            users[cid] = users.get(cid, 0) + 1
+    for codec, params in comp.tag_encodings.values():
+        for cid in set(_encoding_cids(codec, params)):
+            users[cid] = users.get(cid, 0) + 1
+    from hadoop_bam_spark.formats.cram import _INT_SERIES
+
+    for key, (codec, params) in comp.data_series.items():
+        if key in _INT_SERIES and codec == E_EXTERNAL:
+            for cid in _encoding_cids(codec, params):
+                if users.get(cid, 0) != 1:
+                    raise _Unsupported(f"int series {key} shares block")
+
+
+def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
+    n = sh.n_records
+    if n == 0:
+        return []
+    _exclusive_int_cids(comp)
+    S = _Series(comp, ext)
+
+    bf = S.ints("BF", n)
+    cf = S.ints("CF", n)
+    multiref = sh.ref_seq_id == -2
+    ri = S.ints("RI", n) if multiref else np.full(n, sh.ref_seq_id,
+                                                 dtype=np.int64)
+    rl = S.ints("RL", n)
+    ap = S.ints("AP", n)
+    if comp.ap_delta:
+        pos = sh.start + np.cumsum(ap)
+    else:
+        pos = ap
+    rg = S.ints("RG", n)
+
+    detached = (cf & CF_DETACHED) != 0
+    downstream = ~detached & ((cf & CF_MATE_DOWNSTREAM) != 0)
+    noseq = (cf & CF_NO_SEQ) != 0
+    stored = (cf & CF_QUAL_STORED) != 0
+    mapped = (bf & 0x4) == 0
+
+    # names --------------------------------------------------------------
+    if comp.read_names_included:
+        (rn_starts, rn_lens), rn_buf = S.stop_split("RN", n)
+        rn_rec = np.arange(n)
+    else:
+        n_det = int(detached.sum())
+        if n_det:
+            (rn_starts, rn_lens), rn_buf = S.stop_split("RN", n_det)
+            rn_rec = np.flatnonzero(detached)
+        else:
+            rn_starts = rn_lens = np.empty(0, dtype=np.int64)
+            rn_buf = np.empty(0, dtype=np.uint8)
+            rn_rec = np.empty(0, dtype=np.int64)
+
+    # detached mate fields ------------------------------------------------
+    n_det = int(detached.sum())
+    mf = S.ints("MF", n_det) if n_det else np.empty(0, dtype=np.int64)
+    ns = S.ints("NS", n_det) if n_det else mf
+    np_ = S.ints("NP", n_det) if n_det else mf
+    ts = S.ints("TS", n_det) if n_det else mf
+    n_down = int(downstream.sum())
+    nf = S.ints("NF", n_down) if n_down else np.empty(0, dtype=np.int64)
+
+    # tags ----------------------------------------------------------------
+    tl = S.ints("TL", n)
+    tag_values = _decode_tags(S, comp, tl)
+
+    # mapped series -------------------------------------------------------
+    n_map = int(mapped.sum())
+    map_idx = np.flatnonzero(mapped)
+    if n_map:
+        fn = S.ints("FN", n_map)
+        mq = S.ints("MQ", n_map)
+    else:
+        fn = mq = np.empty(0, dtype=np.int64)
+    F = int(fn.sum())
+    if F:
+        fc_all = S.raw("FC")
+        if len(fc_all) < F:
+            raise _Unsupported("short FC stream")
+        fc = fc_all[:F]
+        fp = S.ints("FP", F)
+    else:
+        fc = np.empty(0, dtype=np.uint8)
+        fp = np.empty(0, dtype=np.int64)
+    if F and bool((fc == ord("q")).any()):
+        raise _Unsupported("'q' feature (QQ) not covered")
+
+    rec_of = np.repeat(np.arange(n_map, dtype=np.int64), fn)  # mapped-local
+    f_start = np.zeros(n_map, dtype=np.int64)
+    np.cumsum(fn[:-1], out=f_start[1:])
+    # fpos: per-record cumsum of FP deltas
+    cs = np.cumsum(fp)
+    base = np.zeros(n_map, dtype=np.int64)
+    has = fn > 0
+    base[has] = cs[f_start[has]] - fp[f_start[has]]
+    fpos = cs - base[rec_of] if F else fp
+
+    # per-feature value streams (counts per code) -------------------------
+    is_x = fc == ord("X")
+    is_d = fc == ord("D")
+    is_i = fc == ord("I")
+    is_ins1 = fc == ord("i")
+    is_s = fc == ord("S")
+    is_h = fc == ord("H")
+    is_p = fc == ord("P")
+    is_n = fc == ord("N")
+    is_bb = fc == ord("B")
+    is_b = fc == ord("b")
+    is_q = fc == ord("Q")
+    known = (is_x | is_d | is_i | is_ins1 | is_s | is_h | is_p | is_n
+             | is_bb | is_b | is_q)
+    if F and not bool(known.all()):
+        raise _Unsupported("unknown feature code")
+
+    def code_vals(key, mask):
+        c = int(mask.sum())
+        return S.ints(key, c) if c else np.empty(0, dtype=np.int64)
+
+    dl = code_vals("DL", is_d)
+    hc = code_vals("HC", is_h)
+    pd_ = code_vals("PD", is_p)
+    rs = code_vals("RS", is_n)
+    bs_vals = S.raw("BS")[: int(is_x.sum())] if is_x.any() else (
+        np.empty(0, dtype=np.uint8)
+    )
+    if int(is_x.sum()) and len(bs_vals) < int(is_x.sum()):
+        raise _Unsupported("short BS stream")
+    if is_i.any():
+        (in_st, in_ln), in_buf = S.stop_split("IN", int(is_i.sum()))
+    else:
+        in_st = in_ln = np.empty(0, dtype=np.int64)
+        in_buf = np.empty(0, dtype=np.uint8)
+    if is_s.any():
+        (sc_st, sc_ln), sc_buf = S.stop_split("SC", int(is_s.sum()))
+    else:
+        sc_st = sc_ln = np.empty(0, dtype=np.int64)
+        sc_buf = np.empty(0, dtype=np.uint8)
+    if is_b.any():
+        (bb_st, bb_ln), bb_buf = S.stop_split("BB", int(is_b.sum()))
+    else:
+        bb_st = bb_ln = np.empty(0, dtype=np.int64)
+        bb_buf = np.empty(0, dtype=np.uint8)
+
+    # BA stream: mapped 'i'/'B' singles + unmapped verbatim reads,
+    # consumed record-major
+    ba_needed = "BA" in comp.data_series
+    ba_per_rec = np.zeros(n, dtype=np.int64)
+    if F:
+        per_feat_ba = (is_ins1 | is_bb).astype(np.int64)
+        ba_map = np.zeros(n_map, dtype=np.int64)
+        np.add.at(ba_map, rec_of, per_feat_ba)
+        ba_per_rec[map_idx] = ba_map
+    unm = ~mapped
+    ba_per_rec[unm & ~noseq] = rl[unm & ~noseq]
+    total_ba = int(ba_per_rec.sum())
+    if total_ba:
+        ba_buf = S.raw("BA")
+        if len(ba_buf) < total_ba:
+            raise _Unsupported("short BA stream")
+    else:
+        ba_buf = np.empty(0, dtype=np.uint8)
+    ba_rec_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ba_per_rec, out=ba_rec_off[1:])
+    # per-feature BA offsets (features consume their record's BA range in
+    # feature order)
+    if F:
+        ba_feat_rank = np.zeros(F, dtype=np.int64)
+        csf = np.cumsum(per_feat_ba)
+        fb = np.zeros(n_map, dtype=np.int64)
+        fb[has] = csf[f_start[has]] - per_feat_ba[f_start[has]]
+        ba_feat_rank = csf - fb[rec_of] - per_feat_ba  # rank within record
+        ba_feat_off = ba_rec_off[map_idx][rec_of] + ba_feat_rank
+    else:
+        ba_feat_off = np.empty(0, dtype=np.int64)
+
+    # QS stream: mapped 'B'/'Q' singles then rl when stored; unmapped rl
+    # when stored — record-major
+    per_feat_qs = (is_bb | is_q).astype(np.int64) if F else (
+        np.empty(0, dtype=np.int64)
+    )
+    qs_per_rec = np.zeros(n, dtype=np.int64)
+    if F:
+        qm = np.zeros(n_map, dtype=np.int64)
+        np.add.at(qm, rec_of, per_feat_qs)
+        qs_per_rec[map_idx] = qm
+    qs_per_rec[stored] += rl[stored]
+    total_qs = int(qs_per_rec.sum())
+    if total_qs:
+        qs_buf = S.raw("QS")
+        if len(qs_buf) < total_qs:
+            raise _Unsupported("short QS stream")
+    else:
+        qs_buf = np.empty(0, dtype=np.uint8)
+    qs_rec_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(qs_per_rec, out=qs_rec_off[1:])
+    if F:
+        csq = np.cumsum(per_feat_qs)
+        qb = np.zeros(n_map, dtype=np.int64)
+        qb[has] = csq[f_start[has]] - per_feat_qs[f_start[has]]
+        qs_feat_rank = csq - qb[rec_of] - per_feat_qs
+        qs_feat_off = qs_rec_off[map_idx][rec_of] + qs_feat_rank
+    else:
+        qs_feat_off = np.empty(0, dtype=np.int64)
+
+    # feature geometry ----------------------------------------------------
+    # read-consumed / ref-consumed per feature
+    rc = np.zeros(F, dtype=np.int64)
+    refc = np.zeros(F, dtype=np.int64)
+    if F:
+        rc[is_x] = 1
+        rc[is_ins1] = 1
+        rc[is_bb] = 1
+        _scatter(rc, is_i, in_ln)
+        _scatter(rc, is_s, sc_ln)
+        _scatter(rc, is_b, bb_ln)
+        refc[is_x] = 1
+        refc[is_bb] = 1
+        _scatter(refc, is_d, dl)
+        _scatter(refc, is_n, rs)
+        _scatter(refc, is_b, bb_ln)
+
+    # gap before each feature: fpos_k - (prev fpos + prev rc), first is
+    # fpos_0 - 1
+    if F:
+        prev = np.concatenate([[0], (fpos + rc)[:-1]])
+        first = np.arange(F) == f_start[rec_of]
+        prev_end = np.where(first, 1, prev)
+        gap = fpos - prev_end
+        if bool((gap < 0).any()):
+            raise _Unsupported("overlapping features")
+        # ref offset (0-based from record pos) before each feature's match
+        adv = gap + refc
+        csa = np.cumsum(adv)
+        ab = np.zeros(n_map, dtype=np.int64)
+        ab[has] = csa[f_start[has]] - adv[f_start[has]]
+        ref_after = csa - ab[rec_of]          # offset after feature k
+        ref_before_match = ref_after - adv    # offset where match starts
+        ref_at_feat = ref_before_match + gap  # offset of the feature
+        # read_pos after last feature per record
+        last = f_start + fn - 1
+        read_end = np.ones(n_map, dtype=np.int64)
+        read_end[has] = fpos[last[has]] + rc[last[has]]
+        ref_end_off = np.zeros(n_map, dtype=np.int64)
+        ref_end_off[has] = csa[last[has]] - ab[has]
+    else:
+        gap = np.empty(0, dtype=np.int64)
+        ref_at_feat = ref_before_match = np.empty(0, dtype=np.int64)
+        read_end = np.ones(n_map, dtype=np.int64)
+        ref_end_off = np.zeros(n_map, dtype=np.int64)
+    trailing = rl[map_idx] + 1 - read_end
+    if n_map and bool((trailing < 0).any()):
+        raise _Unsupported("features past read length")
+
+    # reference windows ---------------------------------------------------
+    ref_arena, ref_base_of, ref_woff = _ref_windows(
+        dec, sh, comp, embedded_ref, ri, pos, mapped, noseq,
+        map_idx, ref_end_off, trailing,
+    )
+
+    # substituted bases for X features ------------------------------------
+    sub_chunk = _substituted(comp, ref_arena, ref_base_of, ref_woff,
+                             ri, pos, map_idx, rec_of, ref_at_feat,
+                             is_x, bs_vals, noseq)
+
+    # sequence assembly ---------------------------------------------------
+    seq_bytes, seq_off = _assemble_seq(
+        n, n_map, F, map_idx, rec_of, fn, f_start, has,
+        gap, trailing, ref_before_match, ref_end_off,
+        ref_arena, ref_base_of, ref_woff, ri, pos, noseq,
+        is_x, is_i, is_ins1, is_s, is_bb, is_b,
+        sub_chunk, in_st, in_ln, in_buf, sc_st, sc_ln, sc_buf,
+        bb_st, bb_ln, bb_buf, ba_buf, ba_feat_off, ba_rec_off,
+        unm, rl,
+    )
+
+    # cigar ---------------------------------------------------------------
+    cigars = _assemble_cigars(
+        n_map, F, rec_of, fn, gap, trailing,
+        is_x, is_d, is_i, is_ins1, is_s, is_h, is_p, is_n, is_bb, is_b,
+        in_ln, sc_ln, bb_ln, dl, hc, pd_, rs,
+    )
+
+    # quals ---------------------------------------------------------------
+    quals = _assemble_quals(
+        n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off, qs_per_rec,
+        F, rec_of, fn, is_bb, is_q, fpos, qs_feat_off,
+    )
+
+    # assembly: columnar -> per-record lists (one zip pass; the scalar
+    # per-record branching is precomputed into column lists)
+    refs = dec.refs
+    read_groups = dec.read_groups
+    tag_lines = comp.tag_lines or []
+    n_refs = len(refs)
+    counter = sh.counter
+
+    # names
+    if comp.read_names_included:
+        rn_b = rn_buf.tobytes()
+        st_l = rn_starts.tolist()
+        ln_l = rn_lens.tolist()
+        names = [
+            rn_b[st_l[i]: st_l[i] + ln_l[i]].decode("latin-1")
+            for i in range(n)
+        ]
+    else:
+        names = [f"r{counter + i}" for i in range(n)]
+        if len(rn_rec):
+            rn_b = rn_buf.tobytes()
+            for i, r in enumerate(rn_rec.tolist()):
+                names[r] = rn_b[
+                    int(rn_starts[i]): int(rn_starts[i] + rn_lens[i])
+                ].decode("latin-1")
+
+    # flags / mate columns (vectorized detached adjustments)
+    fl = bf.copy()
+    rnext_col: list = [None] * n
+    pnext = np.zeros(n, dtype=np.int64)
+    tlen = np.zeros(n, dtype=np.int64)
+    if n_det:
+        det_idx = np.flatnonzero(detached)
+        fl[det_idx] |= ((mf & 1) * 0x20) | (((mf >> 1) & 1) * 0x8)
+        pnext[det_idx] = np_
+        tlen[det_idx] = ts
+        ns_l = ns.tolist()
+        for j, g in enumerate(det_idx.tolist()):
+            rid = ns_l[j]
+            if 0 <= rid < n_refs:
+                rnext_col[g] = refs[rid][0]
+    nf_col: list = [None] * n
+    if n_down:
+        for j, g in enumerate(np.flatnonzero(downstream).tolist()):
+            nf_col[g] = int(nf[j])
+
+    # per-record tags (fresh dict each — _resolve_mates-safe, and RG may
+    # be inserted per record)
+    any_tags = any(tag_lines)
+    need_rg = bool(len(read_groups)) and bool((rg >= 0).any())
+    if any_tags or need_rg:
+        tl_l = tl.tolist()
+        rg_l = rg.tolist()
+        tags_col = []
+        for i in range(n):
+            tags = _row_tags(tag_lines, tl_l[i], tag_values, i)
+            g = rg_l[i]
+            if 0 <= g < len(read_groups) and "RG" not in tags:
+                tags["RG"] = read_groups[g]
+            tags_col.append(tags)
+    else:
+        tags_col = [{} for _ in range(n)]
+
+    # mapq / cigar / seq columns
+    mapq_col = np.zeros(n, dtype=np.int64)
+    mapq_col[map_idx] = mq
+    cigar_col: list = [None] * n
+    for k, g in enumerate(map_idx.tolist()):
+        cigar_col[g] = cigars[k]
+    seq_b = seq_bytes.tobytes()
+    off_l = seq_off.tolist()
+    noseq_l = noseq.tolist()
+    seq_col = [
+        None if noseq_l[i] else (
+            seq_b[off_l[i]: off_l[i + 1]].decode("latin-1") or None
+        )
+        for i in range(n)
+    ]
+
+    rname_col = [
+        refs[r][0] if 0 <= r < n_refs else None for r in ri.tolist()
+    ]
+    records = [
+        list(t)
+        for t in zip(
+            names, fl.tolist(), rname_col, pos.tolist(), mapq_col.tolist(),
+            cigar_col, rnext_col, pnext.tolist(), tlen.tolist(), seq_col,
+            quals, tags_col, nf_col,
+        )
+    ]
+    return records
+
+
+def _scatter(dst: np.ndarray, mask: np.ndarray, vals: np.ndarray) -> None:
+    if len(vals):
+        dst[np.flatnonzero(mask)] = vals
+
+
+def _decode_tags(S: _Series, comp, tl: np.ndarray):
+    """-> {(tag, typ): (formatted value list, per-record value index)}.
+    Values are pre-formatted SAM reprs (tag_value_repr semantics)."""
+    from hadoop_bam_spark.formats.sam import tag_value_repr
+
+    tag_lines = comp.tag_lines or []
+    out: dict = {}
+    if not tag_lines:
+        return out
+    n = len(tl)
+    # membership per line id
+    line_has: dict[tuple, np.ndarray] = {}
+    for t in range(len(tag_lines)):
+        for tag, typ in tag_lines[t]:
+            line_has.setdefault((tag, typ), np.zeros(len(tag_lines),
+                                                     dtype=bool))[t] = True
+    tl_arr = tl
+    for (tag, typ), mask_by_line in line_has.items():
+        rec_mask = mask_by_line[tl_arr]
+        count = int(rec_mask.sum())
+        spec = comp.tag_encodings.get((tag, typ))
+        if spec is None:
+            raise _Unsupported(f"tag {(tag, typ)} encoding missing")
+        codec, params = spec
+        if codec != E_BYTE_ARRAY_LEN:
+            raise _Unsupported(f"tag {(tag, typ)} codec {codec}")
+        len_codec, len_params, rest = _parse_encoding(params)
+        val_codec, val_params, _ = _parse_encoding(rest)
+        if len_codec != E_EXTERNAL or val_codec != E_EXTERNAL:
+            raise _Unsupported(f"tag {(tag, typ)} non-external streams")
+        len_cid, _ = read_itf8(len_params, 0)
+        val_cid, _ = read_itf8(val_params, 0)
+        if len_cid != val_cid:
+            raise _Unsupported(f"tag {(tag, typ)} split streams")
+        if val_cid not in S.ext:
+            raise _Unsupported(f"tag block {val_cid} missing")
+        raws = _decode_tag_block(S.ext[val_cid], count)
+        vals = []
+        for raw in raws:
+            sv, sub = _decode_tag_value(typ, raw)
+            vals.append(tag_value_repr(typ, sv, sub))
+        idx = np.full(n, -1, dtype=np.int64)
+        idx[rec_mask] = np.arange(count)
+        out[(tag, typ)] = (vals, idx)
+    return out
+
+
+def _row_tags(tag_lines, tl_i: int, tag_values, rec: int) -> dict:
+    tags: dict[str, str] = {}
+    if not tag_lines:
+        return tags
+    for tag, typ in tag_lines[tl_i]:
+        vals, idx = tag_values[(tag, typ)]
+        tags[tag] = vals[idx[rec]]
+    return tags
+
+
+def _ref_windows(dec, sh, comp, embedded_ref, ri, pos, mapped, noseq,
+                 map_idx, ref_end_off, trailing):
+    """Reference windows for every ref id that mapped, seq-bearing records
+    touch -> (arena bytes, {rid: arena base}, {rid: window 1-based start}).
+    Raises _Unsupported when a record would read past its window."""
+    need = mapped.copy()
+    need[map_idx[noseq[map_idx]]] = False
+    if not bool(need.any()):
+        return np.empty(0, dtype=np.uint8), {}, {}
+    # ref byte span per record: [pos, pos + ref_consumed + trailing - 1]
+    span_end = np.zeros(len(pos), dtype=np.int64)
+    span_end[map_idx] = pos[map_idx] + ref_end_off + trailing - 1
+    chunks: list[np.ndarray] = []
+    base_of: dict[int, int] = {}
+    woff: dict[int, int] = {}
+    at = 0
+    if embedded_ref is not None:
+        w = np.frombuffer(embedded_ref, dtype=np.uint8)
+        # embedded ref covers [sh.start, ...] for the slice's own ref
+        rid = sh.ref_seq_id
+        base_of[rid] = at
+        woff[rid] = sh.start
+        chunks.append(_upper(w))
+        at += len(w)
+    else:
+        if dec.ref_fasta is None:
+            if comp.reference_required:
+                raise ValueError(
+                    "CRAM slice requires a reference; pass "
+                    "option('reference', <fasta>)"
+                )
+            # matches decode as 'N' — handled by the N-run buffer
+            return np.empty(0, dtype=np.uint8), {}, {}
+        for rid in np.unique(ri[need]):
+            rid = int(rid)
+            if rid < 0 or rid >= len(dec.refs):
+                raise _Unsupported("mapped record with bad ref id")
+            m = need & (ri == rid)
+            lo = int(pos[m].min())
+            hi = int(span_end[m].max())
+            name = dec.refs[rid][0]
+            # FastaRef.window returns raw bytes (scalar decodes latin-1,
+            # a 1:1 byte mapping — the arena keeps bytes)
+            w = np.frombuffer(
+                bytes(dec.ref_fasta.window(name, lo, hi)), dtype=np.uint8
+            )
+            base_of[rid] = at
+            woff[rid] = lo
+            chunks.append(w)
+            at += len(w)
+    # bounds check: every needed record's span must fit its window
+    for rid, base in base_of.items():
+        m = need & (ri == rid)
+        if not bool(m.any()):
+            continue
+        wlen = len(chunks[list(base_of).index(rid)])
+        if bool((span_end[m] - woff[rid] + 1 > wlen).any()):
+            raise _Unsupported("reference read past fetched window")
+    arena = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint8)
+    return arena, base_of, woff
+
+
+def _upper(w: np.ndarray) -> np.ndarray:
+    lower = (w >= ord("a")) & (w <= ord("z"))
+    if bool(lower.any()):
+        w = w.copy()
+        w[lower] -= 32
+    return w
+
+
+#: ref base byte -> row index in the substitution matrix (ACGTN, else N)
+_REF_ROW = np.full(256, 4, dtype=np.int64)
+for _i, _b in enumerate(b"ACGT"):
+    _REF_ROW[_b] = _i
+
+
+def _substituted(comp, ref_arena, ref_base_of, ref_woff, ri, pos,
+                 map_idx, rec_of, ref_at_feat, is_x, bs_vals, noseq):
+    """Output base per X feature (one uint8 per X, in X order)."""
+    n_x = int(is_x.sum())
+    if n_x == 0:
+        return np.empty(0, dtype=np.uint8)
+    matrix = comp.substitution_matrix
+    # code LUT replicating the scalar's FIRST-match loop exactly
+    lut = np.full((5, 4), ord("N"), dtype=np.uint8)
+    filled = np.zeros((5, 4), dtype=bool)
+    for r, refb in enumerate("ACGTN"):
+        byte = matrix[r]
+        alts = _SUB_ALTS[refb]
+        for j in range(4):
+            c = (byte >> (6 - 2 * j)) & 3
+            if not filled[r, c]:
+                lut[r, c] = ord(alts[j])
+                filled[r, c] = True
+    x_sel = np.flatnonzero(is_x)
+    rec = rec_of[x_sel]            # mapped-local record index
+    gi = map_idx[rec]              # global record index
+    # ref char at the feature's position
+    out = np.empty(n_x, dtype=np.uint8)
+    ref_char = np.full(n_x, ord("N"), dtype=np.uint8)
+    if len(ref_base_of):
+        offs = np.zeros(n_x, dtype=np.int64)
+        valid = np.zeros(n_x, dtype=bool)
+        for rid, base in ref_base_of.items():
+            m = ri[gi] == rid
+            if bool(m.any()):
+                offs[m] = base + pos[gi][m] + ref_at_feat[x_sel][m] - ref_woff[rid]
+                valid[m] = True
+        if bool(valid.any()):
+            ref_char[valid] = ref_arena[offs[valid]]
+    # noseq records: ref base is 'N' (scalar: rb = "N" if noseq)
+    ref_char[noseq[gi]] = ord("N")
+    rows = _REF_ROW[ref_char]
+    out = lut[rows, bs_vals.astype(np.int64)]
+    return out
+
+
+def _assemble_seq(n, n_map, F, map_idx, rec_of, fn, f_start, has,
+                  gap, trailing, ref_before_match, ref_end_off,
+                  ref_arena, ref_base_of, ref_woff, ri, pos, noseq,
+                  is_x, is_i, is_ins1, is_s, is_bb, is_b,
+                  sub_chunk, in_st, in_ln, in_buf, sc_st, sc_ln, sc_buf,
+                  bb_st, bb_ln, bb_buf, ba_buf, ba_feat_off, ba_rec_off,
+                  unm, rl):
+    """One gather -> (big seq byte buffer, per-GLOBAL-record offsets)."""
+    # arena: [N-run | ref windows | sub chunk | IN | SC | BB | BA]
+    max_n = int(max(
+        int(gap.max()) if F else 0,
+        int(trailing.max()) if n_map else 0,
+        int(rl[unm].max()) if bool(unm.any()) else 0,
+        1,
+    ))
+    n_run = np.full(max_n, ord("N"), dtype=np.uint8)
+    bufs = [n_run, ref_arena, sub_chunk, in_buf, sc_buf, bb_buf, ba_buf]
+    bases = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=bases[1:])
+    arena = np.concatenate([b for b in bufs if len(b)]) if any(
+        len(b) for b in bufs
+    ) else np.empty(0, dtype=np.uint8)
+    B_N, B_REF, B_SUB, B_IN, B_SC, B_BB, B_BA = bases[:7]
+
+    # cells: per mapped record 2*fn+1 (match, feat)*fn + trailing; per
+    # unmapped seq-bearing record 1 cell
+    cells_map = 2 * fn + 1
+    cell_base = np.zeros(n_map, dtype=np.int64)
+    np.cumsum(cells_map[:-1], out=cell_base[1:])
+    total_cells = int(cells_map.sum()) + int(unm.sum())
+    st = np.zeros(total_cells, dtype=np.int64)
+    ln = np.zeros(total_cells, dtype=np.int64)
+
+    # match cells ---------------------------------------------------------
+    if F:
+        mc = cell_base[rec_of] + 2 * (np.arange(F) - f_start[rec_of])
+        gi = map_idx[rec_of]
+        m_noseq = noseq[gi]
+        ln[mc] = gap
+        # default: N-run
+        st[mc] = B_N
+        if len(ref_base_of):
+            for rid, rbase in ref_base_of.items():
+                m = (ri[gi] == rid) & ~m_noseq
+                if bool(m.any()):
+                    st[mc[m]] = (B_REF + rbase + pos[gi][m]
+                                 + ref_before_match[m] - ref_woff[rid])
+        # feature cells
+        fcell = mc + 1
+        xs = np.flatnonzero(is_x)
+        st[fcell[xs]] = B_SUB + np.arange(len(xs))
+        ln[fcell[xs]] = 1
+        ii = np.flatnonzero(is_i)
+        st[fcell[ii]] = B_IN + in_st
+        ln[fcell[ii]] = in_ln
+        ss = np.flatnonzero(is_s)
+        st[fcell[ss]] = B_SC + sc_st
+        ln[fcell[ss]] = sc_ln
+        bb2 = np.flatnonzero(is_b)
+        st[fcell[bb2]] = B_BB + bb_st
+        ln[fcell[bb2]] = bb_ln
+        ones = np.flatnonzero(is_ins1 | is_bb)
+        st[fcell[ones]] = B_BA + ba_feat_off[ones]
+        ln[fcell[ones]] = 1
+    # trailing cells
+    if n_map:
+        tc = cell_base + 2 * fn
+        gi_t = map_idx
+        ln[tc] = trailing
+        st[tc] = B_N
+        if len(ref_base_of):
+            for rid, rbase in ref_base_of.items():
+                m = (ri[gi_t] == rid) & ~noseq[gi_t]
+                if bool(m.any()):
+                    st[tc[m]] = (B_REF + rbase + pos[gi_t][m]
+                                 + ref_end_off[m] - ref_woff[rid])
+    # unmapped cells
+    unm_idx = np.flatnonzero(unm)
+    if len(unm_idx):
+        uc = int(cells_map.sum()) + np.arange(len(unm_idx))
+        keep = ~noseq[unm_idx]
+        st[uc[keep]] = B_BA + ba_rec_off[unm_idx[keep]]
+        ln[uc[keep]] = rl[unm_idx[keep]]
+
+    vals, offs = _gather(arena, st, ln)
+
+    # per-global-record byte offsets
+    rec_lens = np.zeros(n, dtype=np.int64)
+    # mapped: cells [cell_base[k], cell_base[k] + 2 fn + 1)
+    if n_map:
+        ends = cell_base + cells_map
+        rec_lens[map_idx] = offs[ends] - offs[cell_base]
+    if len(unm_idx):
+        rec_lens[unm_idx] = offs[uc + 1] - offs[uc]
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rec_lens, out=seq_off[1:])
+    # the gather already laid cells record-major for mapped records and
+    # appended unmapped cells at the end — reorder unmapped slices into
+    # place only when any unmapped record carries sequence
+    if len(unm_idx) and bool((rec_lens[unm_idx] > 0).any()):
+        out = np.empty(int(seq_off[-1]), dtype=np.uint8)
+        # copy mapped region (contiguous prefix in gather order)
+        if n_map:
+            mlen = int(offs[int(cells_map.sum())])
+            # mapped cells occupy the gather prefix; scatter per record
+            for k in range(n_map):
+                g = map_idx[k]
+                a, b = int(offs[cell_base[k]]), int(offs[cell_base[k] + cells_map[k]])
+                out[seq_off[g]: seq_off[g + 1]] = vals[a:b]
+        for j, g in enumerate(unm_idx):
+            a, b = int(offs[uc[j]]), int(offs[uc[j] + 1])
+            out[seq_off[g]: seq_off[g + 1]] = vals[a:b]
+        return out, seq_off
+    return vals, seq_off
+
+
+_OP_M, _OP_D, _OP_I, _OP_S, _OP_H, _OP_P, _OP_N = (
+    ord("M"), ord("D"), ord("I"), ord("S"), ord("H"), ord("P"), ord("N")
+)
+
+
+def _assemble_cigars(n_map, F, rec_of, fn, gap, trailing,
+                     is_x, is_d, is_i, is_ins1, is_s, is_h, is_p, is_n,
+                     is_bb, is_b, in_ln, sc_ln, bb_ln, dl, hc, pd_, rs):
+    """-> list of cigar strings (None when empty) per mapped record."""
+    if n_map == 0:
+        return []
+    # op cells: per feature (match 'M' gap, feature op len) + trailing M
+    cells = 2 * fn + 1
+    base = np.zeros(n_map, dtype=np.int64)
+    np.cumsum(cells[:-1], out=base[1:])
+    total = int(cells.sum())
+    op = np.zeros(total, dtype=np.uint8)
+    oplen = np.zeros(total, dtype=np.int64)
+    cell_rec = np.zeros(total, dtype=np.int64)
+    if F:
+        f_start = np.zeros(n_map, dtype=np.int64)
+        np.cumsum(fn[:-1], out=f_start[1:])
+        mc = base[rec_of] + 2 * (np.arange(F) - f_start[rec_of])
+        op[mc] = _OP_M
+        oplen[mc] = gap
+        cell_rec[mc] = rec_of
+        fcell = mc + 1
+        cell_rec[fcell] = rec_of
+        op[fcell[is_x]] = _OP_M
+        oplen[fcell[is_x]] = 1
+        op[fcell[is_d]] = _OP_D
+        oplen[fcell[is_d]] = dl
+        op[fcell[is_i]] = _OP_I
+        oplen[fcell[is_i]] = in_ln
+        op[fcell[is_ins1]] = _OP_I
+        oplen[fcell[is_ins1]] = 1
+        op[fcell[is_s]] = _OP_S
+        oplen[fcell[is_s]] = sc_ln
+        op[fcell[is_h]] = _OP_H
+        oplen[fcell[is_h]] = hc
+        op[fcell[is_p]] = _OP_P
+        oplen[fcell[is_p]] = pd_
+        op[fcell[is_n]] = _OP_N
+        oplen[fcell[is_n]] = rs
+        op[fcell[is_bb]] = _OP_M
+        oplen[fcell[is_bb]] = 1
+        op[fcell[is_b]] = _OP_M
+        oplen[fcell[is_b]] = bb_ln
+        # 'Q' cells keep op 0 -> dropped
+    tc = base + 2 * fn
+    op[tc] = _OP_M
+    oplen[tc] = trailing
+    cell_rec[tc] = np.arange(n_map)
+
+    keep = (oplen > 0) & (op != 0)
+    op = op[keep]
+    oplen = oplen[keep]
+    cell_rec = cell_rec[keep]
+    if len(op) == 0:
+        return [None] * n_map
+    new_run = np.ones(len(op), dtype=bool)
+    new_run[1:] = (op[1:] != op[:-1]) | (cell_rec[1:] != cell_rec[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.add.reduceat(oplen, run_starts)
+    run_op = op[run_starts]
+    run_rec = cell_rec[run_starts]
+    # format: int->str via one Arrow cast, interleave with op chars
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sa = pc.cast(pa.array(run_len), pa.string())
+    soff = np.frombuffer(sa.buffers()[1], dtype="<i4").astype(np.int64)
+    sbuf = np.frombuffer(sa.buffers()[2], dtype=np.uint8)[: soff[-1]]
+    # build per-run bytes: digits + op char
+    num_lens = soff[1:] - soff[:-1]
+    r_total = int(num_lens.sum()) + len(run_op)
+    out = np.empty(r_total, dtype=np.uint8)
+    dst = np.zeros(len(run_op) + 1, dtype=np.int64)
+    np.cumsum(num_lens + 1, out=dst[1:])
+    # scatter digits
+    src = np.arange(int(num_lens.sum()), dtype=np.int64)
+    src_rank = src - np.repeat(soff[:-1], num_lens)
+    out_pos = np.repeat(dst[:-1], num_lens) + src_rank
+    out[out_pos] = sbuf[np.repeat(soff[:-1], num_lens) + src_rank]
+    out[dst[1:] - 1] = run_op
+    run_bytes = out.tobytes()
+    # per-record run ranges
+    runs_per_rec = np.zeros(n_map, dtype=np.int64)
+    np.add.at(runs_per_rec, run_rec, 1)
+    rec_bytes = np.zeros(n_map, dtype=np.int64)
+    np.add.at(rec_bytes, run_rec, num_lens + 1)
+    ends = np.cumsum(rec_bytes)
+    starts = ends - rec_bytes
+    cigars = []
+    for k in range(n_map):
+        s = run_bytes[starts[k]: ends[k]]
+        cigars.append(s.decode("latin-1") if s else None)
+    return cigars
+
+
+def _assemble_quals(n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off,
+                    qs_per_rec, F, rec_of, fn, is_bb, is_q, fpos,
+                    qs_feat_off):
+    """-> list of qual strings (None when absent) per global record."""
+    quals: list = [None] * n
+    # stored quals: the trailing rl bytes of the record's QS range.
+    # Bulk path: one +33 add over the whole QS stream, per-record slice +
+    # latin-1 decode (phreds past 0xDE would need >latin-1 codepoints —
+    # those fall back to the translate path, byte-identical).
+    stored_idx = np.flatnonzero(stored & (rl > 0))
+    bulk_ok = len(qs_buf) == 0 or int(qs_buf.max()) < 0xDF
+    qs_b = qs_buf.tobytes()
+    if len(stored_idx):
+        src = (qs_buf + np.uint8(33)).tobytes() if bulk_ok else qs_b
+        ends = qs_rec_off[stored_idx + 1]
+        starts = ends - rl[stored_idx]
+        keep = (qs_buf[starts] != 0xFF).tolist()
+        st_l = starts.tolist()
+        en_l = ends.tolist()
+        if bulk_ok:
+            for j, g in enumerate(stored_idx.tolist()):
+                if keep[j]:
+                    quals[g] = src[st_l[j]: en_l[j]].decode("latin-1")
+        else:
+            for j, g in enumerate(stored_idx.tolist()):
+                if keep[j]:
+                    quals[g] = _phred(qs_b[st_l[j]: en_l[j]])
+    # sparse quals: mapped, not stored, with B/Q features
+    if F:
+        bq = is_bb | is_q
+        if bool(bq.any()):
+            per_rec_bq = np.zeros(len(fn), dtype=np.int64)
+            np.add.at(per_rec_bq, rec_of[bq], 1)
+            for k in np.flatnonzero(per_rec_bq):
+                g = int(map_idx[k])
+                if stored[g] or rl[g] == 0:
+                    continue
+                raw = bytearray(b"\xff" * int(rl[g]))
+                sel = np.flatnonzero(bq & (rec_of == k))
+                for f in sel:
+                    raw[int(fpos[f]) - 1] = int(qs_buf[int(qs_feat_off[f])])
+                if raw[0] != 0xFF:
+                    quals[g] = _phred(bytes(raw))
+    return quals
+
+
+def _phred(raw: bytes) -> str:
+    from hadoop_bam_spark.formats.cram import _PHRED33_STR
+
+    return raw.decode("latin-1").translate(_PHRED33_STR)
