@@ -102,12 +102,26 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     shingle_n: int = 8,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
     Returns distinct (id_a, id_b) with id_a < id_b that collide in at least
     one band. The join key (band_idx, band_key) is fine-grained, so the
     shuffle stays balanced; no O(n^2) comparison ever happens.
+
+    ``mode="pairs"`` (default) emits every in-bucket pair — the contract a
+    verification stage (n-gram Jaccard, cosine) needs. ``mode="star"``
+    emits only (ids[0], ids[i]) per bucket: CONNECTIVITY-equivalent (every
+    bucket member is joined through the bucket minimum, so connected
+    components are identical) but linear in bucket size instead of
+    quadratic, and the resulting graph has per-bucket diameter 2, so
+    label propagation converges in a couple of rounds. This is the mode a
+    clustering consumer must use at corpus scale: real corpora have
+    DEGENERATE buckets (empty documents, boilerplate-only pages share one
+    signature), and an m-member degenerate bucket costs m-1 star edges vs
+    m(m-1)/2 pair edges — the sf3 stress (SCALE.md) measured 22.5M pair
+    edges collapsing to ~1M star edges on the same corpus.
 
     Plan shape (scale-critical): shingle positions are EXPLODED as an int
     sequence and the substring + md5 happen AFTER the explode, one shingle
@@ -175,6 +189,18 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if mode == "star":
+        return (
+            buckets.select(
+                F.col("ids")[0].alias("id_a"),
+                F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias(
+                    "id_b"
+                ),
+            )
+            .distinct()
+        )
+    if mode != "pairs":
+        raise ValueError(f"unknown mode {mode!r} (pairs|star)")
     return (
         buckets.select(
             F.explode(

@@ -573,11 +573,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.cluster import connected_components
 
+    # star mode: connectivity-equivalent to all pairs (components — and
+    # therefore this query's output and its oracle — are identical) but
+    # linear in bucket size, so degenerate buckets (empty/boilerplate
+    # docs sharing one signature) cannot go quadratic. See the sf3 cliff
+    # analysis in SCALE.md.
     pairs = dedup.minhash_lsh_pairs(
         corpus_view(spark, sf_dir),
         num_hashes=_MINHASH_K,
         band_size=_BAND_SIZE,
         shingle_n=_SHINGLE_N,
+        mode="star",
     )
     return connected_components(pairs)
 
@@ -616,8 +622,10 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.cluster import dedup_canonical
 
     corpus = corpus_view(spark, sf_dir)
+    # star mode: component-equivalent, linear in degenerate-bucket size
     pairs = dedup.minhash_lsh_pairs(
-        corpus, num_hashes=_MINHASH_K, band_size=_BAND_SIZE, shingle_n=_SHINGLE_N
+        corpus, num_hashes=_MINHASH_K, band_size=_BAND_SIZE,
+        shingle_n=_SHINGLE_N, mode="star",
     )
     kept = dedup_canonical(corpus, pairs)
     return kept.groupBy("lang").agg(
