@@ -134,7 +134,17 @@ def _components_local(spark, edges) -> DataFrame:
 
 
 def _components_distributed(directed: DataFrame, max_iterations: int) -> DataFrame:
-    """Iterative min-label propagation (join + groupBy per round)."""
+    """Iterative min-label propagation WITH pointer doubling.
+
+    Each round folds two signals into the per-node min: the 1-hop
+    neighbor labels (classic propagation) and the label's OWN label
+    (pointer doubling — every label is a node id, so jumping to
+    ``label(label(v))`` halves the remaining distance to the component
+    minimum). Rounds drop from O(diameter) to O(log diameter): a path
+    graph of 10k nodes converges in ~15 rounds instead of 10k. The
+    doubling invariant holds because labels only ever decrease toward
+    the component minimum and every intermediate label is a member of
+    the same component."""
     edges = directed.union(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -151,10 +161,18 @@ def _components_distributed(directed: DataFrame, max_iterations: int) -> DataFra
         neighbor = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
+        hop = labels.join(
+            labels.select(
+                F.col("node").alias("label"),
+                F.col("label").alias("_l2"),
+            ),
+            "label",
+        ).select("node", F.col("_l2").alias("label"))
         # Lazy checkpoint: the convergence aggregate below is the action that
         # materializes it, so each round costs ONE Spark job, not two.
         labels = (
             labels.union(neighbor)
+            .union(hop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)

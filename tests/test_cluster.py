@@ -104,3 +104,18 @@ def test_auto_switchover_to_distributed(spark, monkeypatch):
     }
     assert calls == ["local", "dist"]
     assert small == big and len(small) == 19
+
+
+def test_distributed_pointer_doubling_long_chain(spark):
+    """A 600-node path with max_iterations=15 converges ONLY with pointer
+    doubling (one-hop propagation alone needs ~600 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(600)], ["id_a", "id_b"]
+    )
+    from hadoop_bam_spark.operators.cluster import connected_components
+
+    rows = connected_components(
+        pairs, strategy="distributed", max_iterations=15
+    ).collect()
+    assert len(rows) == 601
+    assert {r.cluster_id for r in rows} == {0}
