@@ -40,8 +40,10 @@ from hadoop_bam_spark.formats.cram import (
     E_BYTE_ARRAY_LEN,
     E_BYTE_ARRAY_STOP,
     E_EXTERNAL,
+    E_HUFFMAN,
     _decode_itf8_block,
     _decode_tag_value,
+    _huffman_table,
     _parse_encoding,
     _SUB_ALTS,
     read_itf8,
@@ -129,9 +131,26 @@ class _Series:
             raise _Unsupported(f"series {key} block {cid} missing")
         return cid, self.ext[cid]
 
+    def _const(self, key: str):
+        """Constant value when the series uses a single-symbol HUFFMAN
+        (zero core bits — htsjdk/htslib emit this for every constant
+        series), else None. Multi-symbol huffman consumes core bits and
+        is not covered."""
+        spec = self.comp.data_series.get(key)
+        if spec is None or spec[0] != E_HUFFMAN:
+            return None
+        table, const = _huffman_table(spec[1])
+        if table is not None:
+            raise _Unsupported(f"series {key} multi-symbol huffman")
+        return const
+
     def ints(self, key: str, count: int) -> np.ndarray:
         """Whole-block itf8 decode; requires exclusive ownership (offset
-        must be 0 and the block must hold exactly ``count`` values)."""
+        must be 0 and the block must hold exactly ``count`` values).
+        Single-symbol huffman series synthesize a constant array."""
+        const = self._const(key)
+        if const is not None:
+            return np.full(count, const, dtype=np.int64)
         cid, data = self._cid(key)
         if self._off.get(cid):
             raise _Unsupported(f"series {key} shares block {cid}")
@@ -143,7 +162,10 @@ class _Series:
         self._off[cid] = len(data)
         return vals
 
-    def raw(self, key: str) -> np.ndarray:
+    def raw(self, key: str, need: int = 0) -> np.ndarray:
+        const = self._const(key)
+        if const is not None:
+            return np.full(need, const & 0xFF, dtype=np.uint8)
         cid, data = self._cid(key)
         return np.frombuffer(data, dtype=np.uint8)
 
@@ -288,7 +310,7 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
         fn = mq = np.empty(0, dtype=np.int64)
     F = int(fn.sum())
     if F:
-        fc_all = S.raw("FC")
+        fc_all = S.raw("FC", F)
         if len(fc_all) < F:
             raise _Unsupported("short FC stream")
         fc = fc_all[:F]
@@ -334,7 +356,7 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     hc = code_vals("HC", is_h)
     pd_ = code_vals("PD", is_p)
     rs = code_vals("RS", is_n)
-    bs_vals = S.raw("BS")[: int(is_x.sum())] if is_x.any() else (
+    bs_vals = S.raw("BS", int(is_x.sum()))[: int(is_x.sum())] if is_x.any() else (
         np.empty(0, dtype=np.uint8)
     )
     if int(is_x.sum()) and len(bs_vals) < int(is_x.sum()):
@@ -368,7 +390,7 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     ba_per_rec[unm & ~noseq] = rl[unm & ~noseq]
     total_ba = int(ba_per_rec.sum())
     if total_ba:
-        ba_buf = S.raw("BA")
+        ba_buf = S.raw("BA", total_ba)
         if len(ba_buf) < total_ba:
             raise _Unsupported("short BA stream")
     else:
@@ -400,7 +422,7 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     qs_per_rec[stored] += rl[stored]
     total_qs = int(qs_per_rec.sum())
     if total_qs:
-        qs_buf = S.raw("QS")
+        qs_buf = S.raw("QS", total_qs)
         if len(qs_buf) < total_qs:
             raise _Unsupported("short QS stream")
     else:

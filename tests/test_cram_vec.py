@@ -255,3 +255,33 @@ def test_property_parity(tmp_path_factory, data):
         assert [f[9] for f in fast] == [r[9] for r in rows]
         # cigars normalize (adjacent same ops merge in CRAM's model)
         assert [f[5] for f in fast] == [_norm_cigar(r[5]) for r in rows]
+
+
+def test_constant_huffman_series():
+    """Single-symbol HUFFMAN series (zero core bits — the htsjdk/htslib
+    encoding for constant columns) synthesize constant arrays in the
+    columnar path instead of forcing a scalar fallback."""
+    import numpy as np
+
+    from hadoop_bam_spark.formats.cram import write_itf8
+    from hadoop_bam_spark.formats.cram_vec import _Series, _Unsupported
+
+    # huffman params: alphabet [42], code lengths [0]
+    params = write_itf8(1) + write_itf8(42) + write_itf8(1) + write_itf8(0)
+
+    class Comp:
+        data_series = {"RL": (3, params), "FC": (3, params)}
+
+    S = _Series(Comp(), {})
+    assert list(S.ints("RL", 5)) == [42] * 5
+    assert list(S.raw("FC", 3)) == [42] * 3
+    # multi-symbol huffman must still fall back
+    params2 = (write_itf8(2) + write_itf8(1) + write_itf8(2)
+               + write_itf8(2) + write_itf8(1) + write_itf8(1))
+
+    class Comp2:
+        data_series = {"RL": (3, params2)}
+
+    import pytest as _pytest
+    with _pytest.raises(_Unsupported):
+        _Series(Comp2(), {}).ints("RL", 5)
