@@ -225,3 +225,43 @@ def test_property_parity(rows):
     hdr = bcf.parse_bcf_header_text(HDR_TEXT)
     buf = _encode(rows, hdr)
     _assert_parity(buf, hdr)
+
+
+def test_extended_counts_and_padding():
+    """Descriptor count nibble 15 -> typed-scalar-int extension: >14
+    alleles, long IDs/strings, wide FORMAT vectors; plus NUL-padded
+    per-sample strings (BCF pads to fixed width) and zero-sample rows."""
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    wide_alts = [f"{'A' * (i + 1)}" for i in range(20)]  # 21 alleles total
+    rows = [
+        ("chr1", 10, 10, "id_longer_than_fifteen_chars_x", "A", wide_alts,
+         1.0, ["PASS"],
+         {"SRC": "a string value longer than fifteen characters"},
+         [("S1", "0/1", {"GT": "0/1",
+                         "PL": ",".join(str(i) for i in range(21))}),
+          ("S2", "0/0", {"GT": "0/0"}),
+          ("S3", None, {"FT": "ok"})]),
+        ("chr2", 20, 20, None, "C", None, None, None, {}, []),
+    ]
+    buf = _encode(rows, hdr)
+    _assert_parity(buf, hdr)
+
+
+def test_many_samples_wide_vectors():
+    hdr_text = HDR_TEXT.replace(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(f"S{i}" for i in range(40)),
+    )
+    hdr = bcf.parse_bcf_header_text(hdr_text)
+    gts = [
+        (f"S{i}", "0|1" if i % 2 else "1/1",
+         {"GT": "0|1" if i % 2 else "1/1", "DP": str(i)})
+        for i in range(40)
+    ]
+    rows = [
+        ("chr1", p, p, None, "A", ["T"], 9.0, ["PASS"], {"DP": "7"}, gts)
+        for p in range(100, 600, 100)
+    ]
+    buf = _encode(rows, hdr)
+    _assert_parity(buf, hdr)
