@@ -1513,3 +1513,35 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         emb_corpus_view(spark, sf_dir), n_centroids=16, threshold=0.95
     )
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+        WITH {_CORPUS_CTE},
+        grams AS (
+            SELECT doc_id, md5(substr(text, i, 40)) AS g
+            FROM corpus,
+                 unnest(generate_series(1, len(text) - 39, 10)) AS t(i)
+            WHERE len(text) >= 40
+        ),
+        cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_grams,
+               sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+               round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_ratio
+        FROM grams JOIN cnt USING (g)
+        GROUP BY doc_id
+    """,
+    doc="ExactSubstr-style duplication signal: strided 40-char gram "
+    "fingerprints; a gram occurring more than once in the corpus marks "
+    "its span duplicated — the substring-level signal whole-document "
+    "minhash misses (long quoted passages inside otherwise-unique "
+    "pages). One explode, one fingerprint count, one equi-join back; "
+    "the text column never shuffles and nothing is quadratic.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substring_duplication(
+        corpus_view(spark, sf_dir), gram=40, stride=10
+    )
