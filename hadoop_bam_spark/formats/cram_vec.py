@@ -656,15 +656,49 @@ def _decode_tags(S: _Series, comp, tl: np.ndarray):
             raise _Unsupported(f"tag {(tag, typ)} split streams")
         if val_cid not in S.ext:
             raise _Unsupported(f"tag block {val_cid} missing")
-        raws = _decode_tag_block(S.ext[val_cid], count)
-        vals = []
-        for raw in raws:
-            sv, sub = _decode_tag_value(typ, raw)
-            vals.append(tag_value_repr(typ, sv, sub))
+        vals = _int_tag_fast(S.ext[val_cid], typ, count)
+        if vals is None:
+            raws = _decode_tag_block(S.ext[val_cid], count)
+            vals = []
+            for raw in raws:
+                sv, sub = _decode_tag_value(typ, raw)
+                vals.append(tag_value_repr(typ, sv, sub))
         idx = np.full(n, -1, dtype=np.int64)
         idx[rec_mask] = np.arange(count)
         out[(tag, typ)] = (vals, idx)
     return out
+
+
+_INT_TAG_DT = {"c": "i1", "C": "u1", "s": "<i2", "S": "<u2",
+               "i": "<i4", "I": "<u4"}
+_INT_TAG_W = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4}
+
+
+def _int_tag_fast(data: bytes, typ: str, count: int):
+    """Uniform-stride integer tag stream -> formatted value list via one
+    numpy view + Arrow cast (decimal strings always pass
+    tag_value_repr's bare-int guess, so the plain string IS the repr).
+    None when the stream is not the uniform shape."""
+    if typ not in _INT_TAG_DT or count == 0:
+        return None
+    w = _INT_TAG_W[typ]
+    stride = 1 + w
+    if len(data) != count * stride:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if not bool((arr[::stride] == w).all()):
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ints = (
+        arr.reshape(count, stride)[:, 1:]
+        .copy()
+        .view(_INT_TAG_DT[typ])
+        .ravel()
+        .astype(np.int64)
+    )
+    return pc.cast(pa.array(ints), pa.string()).to_pylist()
 
 
 def _row_tags(tag_lines, tl_i: int, tag_values, rec: int) -> dict:
