@@ -478,6 +478,13 @@ E_NULL, E_EXTERNAL, E_GOLOMB, E_HUFFMAN = 0, 1, 2, 3
 #: including codepoints past 255 for out-of-range stored values)
 _PHRED33_STR = str.maketrans({q: chr(q + 33) for q in range(256)})
 
+#: phred+33 text byte -> raw phred (the encode inverse: ord(c) - 33 mod 256,
+#: one C translate pass instead of a per-char generator)
+_PHRED33_ENC = bytes((i - 33) & 0xFF for i in range(256))
+
+#: itf8 bytes for the 1-byte domain (encode hot path: most series values)
+_ITF8_SMALL = [bytes([v]) for v in range(128)]
+
 #: data series consumed as itf8 INTEGERS by the slice decoder (I());
 #: everything else (BA/QS/FC/BS bytes, RN/IN/SC/BB/QQ byte arrays) carries
 #: raw bytes and must never be bulk-itf8-decoded.
@@ -1580,7 +1587,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
         n_bases = 0
 
         def put_int(key, v):
-            ints[key] += write_itf8(v)
+            ints[key] += (_ITF8_SMALL[v] if 0 <= v < 128 else write_itf8(v))
 
         # alignment footprint for single-reference slice stamping: when
         # every record maps to ONE ref, the slice header carries the real
@@ -1705,12 +1712,14 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         put_int("PD", val)
                 put_int("MQ", mapq or 0)
                 if qual is not None:
-                    bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+                    bytestreams["QS"] += qual.encode("latin-1").translate(
+                        _PHRED33_ENC)
             else:  # unmapped
                 if seq is not None:
                     bytestreams["BA"] += seq.encode("latin-1")
                 if qual is not None:
-                    bytestreams["QS"] += bytes(ord(c) - 33 for c in qual)
+                    bytestreams["QS"] += qual.encode("latin-1").translate(
+                        _PHRED33_ENC)
 
 
         return dict(
