@@ -1435,6 +1435,25 @@ _ARRAY_SERIES = {"RN", "IN", "SC", "BB"}
 
 _CIGAR_CONSUME_READ = set("MIS=X")
 
+#: parsed-cigar memo (encode hot path: real lanes repeat a handful of
+#: cigar shapes — "100M" dominates); cleared when unbounded growth looms
+_CIGAR_MEMO: dict = {}
+
+
+def _cigar_ops_cached(cigar: str):
+    """-> (ops, query_len, ref_len), memoized per cigar string."""
+    got = _CIGAR_MEMO.get(cigar)
+    if got is None:
+        if len(_CIGAR_MEMO) > 65536:
+            _CIGAR_MEMO.clear()
+        ops = _cigar_ops(cigar)
+        got = _CIGAR_MEMO[cigar] = (
+            ops,
+            sum(n for n, op in ops if op in _CIGAR_CONSUME_READ),
+            sum(n for n, op in ops if op in "MDN=X"),
+        )
+    return got
+
 
 def _cigar_ops(cigar: str) -> list[tuple[int, str]]:
     ops, num = [], 0
@@ -1603,14 +1622,16 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
              seq, qual, tags) = row
             flag = int(flag)
             ref_id = ref_index.get(rname, -1) if rname else -1
-            rl = len(seq) if seq else cigar_query_length(cigar)
+            cigar_ops, qlen, reflen = (
+                _cigar_ops_cached(cigar) if cigar else ([], 0, 0)
+            )
+            rl = len(seq) if seq else qlen
             seen_refs.add(ref_id)
             if ref_id >= 0 and pos:
-                end = pos + max(cigar_ref_length(cigar), 1) - 1
+                end = pos + max(reflen, 1) - 1
                 aln_min = pos if aln_min is None else min(aln_min, pos)
                 aln_max = end if aln_max is None else max(aln_max, end)
             if seq and cigar and not flag & 0x4:
-                qlen = cigar_query_length(cigar)
                 if qlen != len(seq):
                     raise ValueError(
                         f"cigar {cigar!r} query length {qlen} != seq length {len(seq)}"
