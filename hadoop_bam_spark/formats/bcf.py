@@ -594,17 +594,37 @@ def _enc_idx(v: int) -> bytes:
     return got
 
 
+#: descriptor bytes for the sub-15 count domain (every record hits these)
+_ENC_DESC_CACHE = {
+    (t, c): bytes([(c << 4) | t]) for t in range(8) for c in range(15)
+}
+
+
 def _enc_descriptor(typ: int, count: int) -> bytes:
-    if count < 15:
-        return bytes([(count << 4) | typ])
+    got = _ENC_DESC_CACHE.get((typ, count))
+    if got is not None:
+        return got
     return bytes([0xF0 | typ]) + _enc_typed_int_scalar(count)
 
 
+_ENC_STR_CACHE: dict = {}
+
+
 def _enc_string(s: Optional[str]) -> bytes:
+    """Memoized: alleles (A/C/G/T/short indels) and FILTER names recur
+    every record."""
+    got = _ENC_STR_CACHE.get(s)
+    if got is not None:
+        return got
     if s is None:
-        return b"\x07"  # char, count 0
-    b = s.encode("utf-8")
-    return _enc_descriptor(7, len(b)) + b
+        out = b"\x07"  # char, count 0
+    else:
+        b = s.encode("utf-8")
+        out = _enc_descriptor(7, len(b)) + b
+    if len(_ENC_STR_CACHE) > 16384:
+        _ENC_STR_CACHE.clear()
+    _ENC_STR_CACHE[s] = out
+    return out
 
 
 def _enc_int_vector(vals: list[Optional[int]]) -> bytes:
@@ -671,6 +691,8 @@ def _enc_info_value_raw(text: str) -> bytes:
 
 
 _ENC_GT_CACHE: dict = {}
+_ENC_FILTER_CACHE: dict = {}
+_ENC_GTBLOCK_CACHE: dict = {}
 
 
 def _enc_gt(gt: Optional[str]) -> list[Optional[int]]:
@@ -711,7 +733,15 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
     if filters is None:
         shared += b"\x01"  # int8 vector, count 0
     else:
-        shared += _enc_int_vector([sidx[f] for f in filters])
+        ft = tuple(filters)
+        got = _ENC_FILTER_CACHE.get(ft)
+        if got is None:
+            if len(_ENC_FILTER_CACHE) > 4096:
+                _ENC_FILTER_CACHE.clear()
+            got = _ENC_FILTER_CACHE[ft] = _enc_int_vector(
+                [sidx[f] for f in filters]
+            )
+        shared += got
     info = info or {}
     for k, v in info.items():
         shared += _enc_idx(sidx[k])
@@ -733,6 +763,18 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
         for k in keys:
             indiv += _enc_idx(sidx[k])
             if k == "GT":
+                # the whole per-record GT block recurs constantly across a
+                # cohort (few genotype combos); memo for small panels
+                gts_key = (
+                    tuple(fm.get("GT") for fm in by_sample)
+                    if len(by_sample) <= 16 else None
+                )
+                if gts_key is not None:
+                    got = _ENC_GTBLOCK_CACHE.get(gts_key)
+                    if got is not None:
+                        indiv += got
+                        continue
+                _gt_mark = len(indiv)
                 vecs = [_enc_gt(fm.get("GT")) for fm in by_sample]
                 width = max(len(v) for v in vecs)
                 flat: list[Optional[int]] = []
@@ -756,6 +798,10 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
                     "<%d%s" % (len(flat), fmt),
                     *(eov if x is None else x for x in flat),
                 )
+                if gts_key is not None:
+                    if len(_ENC_GTBLOCK_CACHE) > 16384:
+                        _ENC_GTBLOCK_CACHE.clear()
+                    _ENC_GTBLOCK_CACHE[gts_key] = bytes(indiv[_gt_mark:])
             else:
                 vals = [fm.get(k) for fm in by_sample]
                 cells = [
