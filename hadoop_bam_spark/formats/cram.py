@@ -482,6 +482,17 @@ _PHRED33_STR = str.maketrans({q: chr(q + 33) for q in range(256)})
 #: one C translate pass instead of a per-char generator)
 _PHRED33_ENC = bytes((i - 33) & 0xFF for i in range(256))
 
+
+def _phred_encode(qual: str) -> bytes:
+    """qual text -> raw phred bytes; latin-1 translate fast path with a
+    per-char fallback for codepoints past 255 (the decode side emits
+    chr(q + 33) up to 288 for stored phreds >= 223 — those must
+    round-trip, not crash the C path)."""
+    try:
+        return qual.encode("latin-1").translate(_PHRED33_ENC)
+    except UnicodeEncodeError:
+        return bytes((ord(c) - 33) & 0xFF for c in qual)
+
 #: itf8 bytes for the 1-byte domain (encode hot path: most series values)
 _ITF8_SMALL = [bytes([v]) for v in range(128)]
 
@@ -1733,14 +1744,12 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         put_int("PD", val)
                 put_int("MQ", mapq or 0)
                 if qual is not None:
-                    bytestreams["QS"] += qual.encode("latin-1").translate(
-                        _PHRED33_ENC)
+                    bytestreams["QS"] += _phred_encode(qual)
             else:  # unmapped
                 if seq is not None:
                     bytestreams["BA"] += seq.encode("latin-1")
                 if qual is not None:
-                    bytestreams["QS"] += qual.encode("latin-1").translate(
-                        _PHRED33_ENC)
+                    bytestreams["QS"] += _phred_encode(qual)
 
 
         return dict(

@@ -285,3 +285,13 @@ def test_constant_huffman_series():
     import pytest as _pytest
     with _pytest.raises(_Unsupported):
         _Series(Comp2(), {}).ints("RL", 5)
+
+
+def test_high_phred_roundtrip():
+    """Stored phreds >= 223 decode to codepoints past latin-1 (chr(q+33));
+    the encode fast path must fall back per-char, not crash."""
+    hi = "".join(chr(33 + q) for q in (250, 255, 222, 223, 10))
+    rows = [("r0", 4, None, 0, 0, None, None, 0, 0, "ACGTA", hi, None)]
+    fast, scalar, _ = _decode_both(rows, REFS)
+    assert fast == scalar
+    assert fast[0][10] == hi
