@@ -322,3 +322,83 @@ def frame_sample_indices(n_frames: pd.Series, every: int = 10) -> pd.Series:
     """Deterministic frame-sampling plan for video payloads (indices only —
     decoding is stubbed)."""
     return n_frames.map(lambda n: list(range(0, int(n), every)))
+
+
+def frame_sample_plan(
+    df: DataFrame, every: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame-sampling plan over decoded container metadata: one row
+    per VIDEO document with the deterministic every-``every`` frame index
+    list (decode of the frames themselves is the PIL/av-gated stub; the
+    Spark-side plumbing — schema, Arrow batch shape, per-partition
+    mapInPandas — is real). AVI synth containers run at 1 frame/ms, so
+    n_frames == duration_ms."""
+    import pyspark.sql.types as T
+
+    meta = decode_media_meta(df, id_col=id_col)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("first_idx", T.LongType()),
+        T.StructField("last_idx", T.LongType()),
+        T.StructField("sample_indices", T.ArrayType(T.LongType())),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vid = pdf[pdf["format"] == "avi"]
+            n = vid["duration_ms"].astype("int64")  # 1 frame == 1 ms
+            idx = frame_sample_indices(n, every=every)
+            yield pd.DataFrame({
+                id_col: vid[id_col].astype("int64"),
+                "n_frames": n,
+                "n_sampled": idx.map(len).astype("int64"),
+                "first_idx": idx.map(lambda v: v[0] if v else -1).astype("int64"),
+                "last_idx": idx.map(lambda v: v[-1] if v else -1).astype("int64"),
+                "sample_indices": idx,
+            })
+
+    return meta.mapInPandas(batches, schema)
+
+
+def resize_plan(
+    df: DataFrame, box: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """Aspect-preserving fit-into-``box`` resize plan over decoded image
+    metadata (integer math so engines agree bit-for-bit: out dims =
+    dim * box // max(w, h), never upscaled; the pixel resample itself is
+    the PIL-gated stub)."""
+    import pyspark.sql.types as T
+
+    meta = decode_media_meta(df, id_col=id_col)
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("downscaled", T.BooleanType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            img = pdf[pdf["format"].isin(["png", "jpeg", "gif"])]
+            w = img["width"].astype("int64")
+            h = img["height"].astype("int64")
+            m = w.combine(h, max)
+            scale_needed = m > box
+            out_w = (w * box // m).where(scale_needed, w).clip(lower=1)
+            out_h = (h * box // m).where(scale_needed, h).clip(lower=1)
+            yield pd.DataFrame({
+                id_col: img[id_col].astype("int64"),
+                "format": img["format"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_w": out_w.astype("int32"),
+                "out_h": out_h.astype("int32"),
+                "downscaled": scale_needed,
+            })
+
+    return meta.mapInPandas(batches, schema)

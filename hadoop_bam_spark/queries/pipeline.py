@@ -1545,3 +1545,67 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substring_duplication(
         corpus_view(spark, sf_dir), gram=40, stride=10
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               (doc_id % 1000 + 1)::BIGINT AS n_frames,
+               ((doc_id % 1000 + 1) + 9) // 10 AS n_sampled,
+               0::BIGINT AS first_idx,
+               ((doc_id % 1000) // 10 * 10)::BIGINT AS last_idx,
+               range(0, (doc_id % 1000 + 1)::BIGINT, 10) AS sample_indices
+        FROM documents WHERE doc_id % 6 = 5
+    """,
+    doc="Video frame-sampling plan: decode the AVI containers' headers "
+    "(1 frame/ms in the synth corpus), emit every-10th frame index per "
+    "video via a real mapInPandas stage (schema, Arrow batch shape, "
+    "array column); the pixel-level frame decode stays a documented "
+    "PIL/av-gated stub. Oracle recomputes the plan closed-form incl. "
+    "the full index array.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(synthesize_media_payloads(docs), every=10)
+
+
+@query(
+    "multimodal_resize_plan",
+    oracle="""
+        WITH img AS (
+            SELECT doc_id,
+                   CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                                   ELSE 'gif' END AS format,
+                   (doc_id * 7 % 509 + 1)::INT AS width,
+                   (doc_id * 13 % 509 + 1)::INT AS height
+            FROM documents WHERE doc_id % 6 IN (0, 1, 2)
+        )
+        SELECT doc_id, format, width, height,
+               CASE WHEN greatest(width, height) > 224
+                    THEN greatest(width * 224 // greatest(width, height), 1)
+                    ELSE width END::INT AS out_w,
+               CASE WHEN greatest(width, height) > 224
+                    THEN greatest(height * 224 // greatest(width, height), 1)
+                    ELSE height END::INT AS out_h,
+               greatest(width, height) > 224 AS downscaled
+        FROM img
+    """,
+    doc="Aspect-preserving fit-into-224 resize plan over decoded image "
+    "headers — integer math so the Spark plan and the oracle agree "
+    "bit-for-bit; the pixel resample itself is the PIL-gated stub. Real "
+    "mapInPandas plumbing over the decoded-metadata stage.",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.multimodal import (
+        resize_plan,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_plan(synthesize_media_payloads(docs), box=224)
