@@ -121,7 +121,7 @@ def minhash_lsh_pairs(
     DEGENERATE buckets (empty documents, boilerplate-only pages share one
     signature), and an m-member degenerate bucket costs m-1 star edges vs
     m(m-1)/2 pair edges — the sf3 stress (SCALE.md) measured 22.5M pair
-    edges collapsing to ~1M star edges on the same corpus.
+    edges collapsing to 319k star edges on the same corpus (70x).
 
     Plan shape (scale-critical): shingle positions are EXPLODED as an int
     sequence and the substring + md5 happen AFTER the explode, one shingle
