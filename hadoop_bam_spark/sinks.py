@@ -371,6 +371,28 @@ def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
     )
 
 
+def _ensure_vcf_samples(df: DataFrame, header: VCFHeader) -> VCFHeader:
+    """Header/data consistency guard: when the caller's header carries no
+    sample list but the DataFrame has genotypes, derive the samples from
+    the first genotyped row (one tiny driver job). Without this the
+    written header claims 0 samples while records carry N — text output
+    silently drops genotype columns, and the BCF split guesser (whose
+    strongest filter is the header sample count) rejects every record of
+    every non-first split: silent data loss."""
+    from pyspark.sql import functions as F
+
+    if header.samples or "genotypes" not in df.columns:
+        return header
+    row = df.select("genotypes").where(F.size("genotypes") > 0).first()
+    if row is None:
+        return header
+    patched = VCFHeader()
+    patched.lines = list(header.lines)
+    patched.contigs = dict(header.contigs)
+    patched.samples = [g["sample"] for g in row[0]]
+    return patched
+
+
 def write_vcf(
     df: DataFrame, path: str, header: VCFHeader, compress: Optional[bool] = None,
     index_tbi: bool = False,
@@ -386,6 +408,7 @@ def write_vcf(
     if index_tbi and not compress:
         # fail fast, before any part is written
         raise ValueError("tabix index requires BGZF-compressed output")
+    header = _ensure_vcf_samples(df, header)
     samples = header.samples
 
     if index_tbi:
@@ -491,6 +514,7 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
     interval reads prune BGZF splits at plan time (formats/csi.py)."""
     from hadoop_bam_spark.formats import bcf as bcfmod
 
+    header = _ensure_vcf_samples(df, header)
     bhdr = bcfmod.parse_bcf_header_text(header.text)
     parts_dir = path + ".__parts__"
 
