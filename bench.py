@@ -17,6 +17,11 @@ regression on a box with documented 5-10x hypervisor swings):
 - ``noise_sentinel`` times a fixed trivial query between every rep and
   reports its spread; a spread well above ~1.3x means the box was noisy
   and the wall-clock totals of that run are not comparable.
+- ``vs_prev`` (r5 VERDICT item 5) makes CPU-seconds the OFFICIAL
+  round-over-round comparison: the newest committed BENCH_r{N}.json with a
+  ``cpu_sec`` block is loaded and per-query + total CPU ratios are emitted
+  in the JSON, wall-clock ratio only as a secondary. A verdict should read
+  ``vs_prev.cpu_total_ratio``, never re-derive drift from wall time.
 """
 
 from __future__ import annotations
@@ -73,6 +78,61 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _load_prev_bench() -> tuple[str, dict] | None:
+    """Newest committed BENCH_r{N}.json that carries a cpu_sec block."""
+    import glob
+    import re
+
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        # the driver records {n, rc, ..., parsed: <bench json>} wrappers
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        if "cpu_sec" in data and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), (os.path.basename(path), data)
+    return best
+
+
+def _vs_prev(total: float, cpu: dict[str, float], sf) -> dict | None:
+    prev = _load_prev_bench()
+    if prev is None:
+        return None
+    fname, data = prev
+    if data.get("sf") != sf:
+        return {"prev": fname, "note": "sf mismatch; ratios omitted",
+                "prev_sf": data.get("sf"), "sf": sf}
+    prev_cpu = data.get("cpu_sec", {})
+    common = sorted(set(cpu) & set(prev_cpu))
+    ratios = {
+        n: round(cpu[n] / prev_cpu[n], 3)
+        for n in common
+        if prev_cpu[n] > 0
+    }
+    cur_tot = sum(cpu[n] for n in common)
+    prev_tot = sum(prev_cpu[n] for n in common)
+    worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+    return {
+        "prev": fname,
+        "common_queries": len(common),
+        "cpu_total_ratio": round(cur_tot / prev_tot, 3) if prev_tot else None,
+        "wall_total_ratio": (
+            round(total / data["value"], 3) if data.get("value") else None
+        ),
+        "per_query_cpu_ratio": ratios,
+        "worst_cpu_regressions": [
+            {"query": n, "ratio": r} for n, r in worst
+        ],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hadoop_bam_spark.queries import REGISTRY
@@ -127,6 +187,11 @@ def main() -> None:
                     "spread": round(s_max / s_min, 2) if s_min > 0 else None,
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "vs_prev": _vs_prev(
+                    total,
+                    cpu,
+                    float(sf) if sf.replace(".", "").isdigit() else sf,
+                ),
             }
         )
     )

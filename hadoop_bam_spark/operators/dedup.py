@@ -95,33 +95,15 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_buckets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    band_size: int = 4,
-    shingle_n: int = 8,
-    mode: str = "pairs",
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash + banded LSH.
-
-    Returns distinct (id_a, id_b) with id_a < id_b that collide in at least
-    one band. The join key (band_idx, band_key) is fine-grained, so the
-    shuffle stays balanced; no O(n^2) comparison ever happens.
-
-    ``mode="pairs"`` (default) emits every in-bucket pair — the contract a
-    verification stage (n-gram Jaccard, cosine) needs. ``mode="star"``
-    emits only (ids[0], ids[i]) per bucket: CONNECTIVITY-equivalent (every
-    bucket member is joined through the bucket minimum, so connected
-    components are identical) but linear in bucket size instead of
-    quadratic, and the resulting graph has per-bucket diameter 2, so
-    label propagation converges in a couple of rounds. This is the mode a
-    clustering consumer must use at corpus scale: real corpora have
-    DEGENERATE buckets (empty documents, boilerplate-only pages share one
-    signature), and an m-member degenerate bucket costs m-1 star edges vs
-    m(m-1)/2 pair edges — the sf3 stress (SCALE.md) measured 22.5M pair
-    edges collapsing to 319k star edges on the same corpus (70x).
+    """Band buckets with >1 member: (band_idx, band_key, ids sorted array).
 
     Plan shape (scale-critical): shingle positions are EXPLODED as an int
     sequence and the substring + md5 happen AFTER the explode, one shingle
@@ -136,12 +118,10 @@ def minhash_lsh_pairs(
     (Catalyst does no CSE across lambda functions), which is k× slower.
 
     Candidate emission groups each band bucket once (collect_set per
-    (band_idx, band_key)) and expands in-bucket pairs from the sorted id
+    (band_idx, band_key)) and expands in-bucket edges from the sorted id
     array — NOT a bands-self-join: Spark plans that join with a broadcast
     build side and no exchange reuse, so the whole md5 signature stage would
-    execute twice (once per side). Bucket sizes are bounded by the LSH band
-    collision rate, so the per-bucket pair expansion is small; a
-    pathologically hot band produces O(m^2) pairs under either formulation.
+    execute twice (once per side).
     """
     num_bands = num_hashes // band_size
     df = ensure_parallelism(df)
@@ -184,23 +164,22 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_key")
-    buckets = (
+    return (
         bands.groupBy("band_idx", "band_key")
         .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if mode == "star":
-        return (
-            buckets.select(
-                F.col("ids")[0].alias("id_a"),
-                F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias(
-                    "id_b"
-                ),
-            )
-            .distinct()
-        )
-    if mode != "pairs":
-        raise ValueError(f"unknown mode {mode!r} (pairs|star)")
+
+
+def _bucket_star(buckets: DataFrame) -> DataFrame:
+    """Per-bucket star edges (ids[0], ids[i]) — linear, diameter 2."""
+    return buckets.select(
+        F.col("ids")[0].alias("id_a"),
+        F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias("id_b"),
+    )
+
+
+def _bucket_all_pairs(buckets: DataFrame) -> DataFrame:
     return (
         buckets.select(
             F.explode(
@@ -218,7 +197,88 @@ def minhash_lsh_pairs(
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
-        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 8,
+    mode: str = "pairs",
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Returns distinct (id_a, id_b) with id_a < id_b that collide in at least
+    one band. The join key (band_idx, band_key) is fine-grained, so the
+    shuffle stays balanced; no O(n^2) comparison ever happens.
+
+    ``mode="pairs"`` (default) emits every in-bucket pair — the contract a
+    verification stage (n-gram Jaccard, cosine) needs. ``mode="star"``
+    emits only (ids[0], ids[i]) per bucket: CONNECTIVITY-equivalent (every
+    bucket member is joined through the bucket minimum, so connected
+    components are identical) but linear in bucket size instead of
+    quadratic, and the resulting graph has per-bucket diameter 2, so
+    label propagation converges in a couple of rounds. This is the mode a
+    clustering consumer must use at corpus scale: real corpora have
+    DEGENERATE buckets (empty documents, boilerplate-only pages share one
+    signature), and an m-member degenerate bucket costs m-1 star edges vs
+    m(m-1)/2 pair edges — the sf3 stress (SCALE.md) measured 22.5M pair
+    edges collapsing to 319k star edges on the same corpus (70x).
+
+    ``max_bucket`` (pairs mode only) is the degenerate-bucket budget: a
+    bucket with more than ``max_bucket`` members is (near-)identical text —
+    honest near-dup collisions are bounded by the band collision rate —
+    so it is routed through star expansion (m-1 edges keyed on the bucket
+    minimum) instead of m(m-1)/2 pairs. This caps the worst case a 100 TB
+    web crawl hits (the empty-document bucket: millions of members) at
+    linear cost while leaving every normal bucket's pair contract intact.
+    Downstream verifiers still see every oversized-bucket member at least
+    once (paired with the bucket representative); use
+    :func:`minhash_lsh_overflow` to audit which buckets were budgeted and
+    how many pairs were suppressed. ``max_bucket=None`` disables the
+    budget (the pre-r6 behavior).
+    """
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    if mode == "star":
+        return _bucket_star(buckets).distinct()
+    if mode != "pairs":
+        raise ValueError(f"unknown mode {mode!r} (pairs|star)")
+    if max_bucket is None:
+        return _bucket_all_pairs(buckets).distinct()
+    small = _bucket_all_pairs(buckets.filter(F.size("ids") <= max_bucket))
+    big = _bucket_star(buckets.filter(F.size("ids") > max_bucket))
+    return small.unionAll(big).distinct()
+
+
+def minhash_lsh_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Audit of degenerate buckets the pairs-mode budget star-routed.
+
+    One row per oversized (band_idx, band_key) bucket:
+    (band_idx, band_key, bucket_size, pairs_emitted, pairs_suppressed)
+    where pairs_emitted = m-1 star edges and pairs_suppressed =
+    m(m-1)/2 - (m-1). At 100 TB this is the operator a pipeline owner runs
+    to see how much near-identical mass the budget absorbed.
+    """
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    m = F.size("ids").cast("long")
+    return buckets.filter(F.size("ids") > max_bucket).select(
+        "band_idx",
+        "band_key",
+        m.alias("bucket_size"),
+        (m - 1).alias("pairs_emitted"),
+        (m * (m - 1) / 2 - (m - 1)).cast("long").alias("pairs_suppressed"),
     )
 
 
@@ -505,11 +565,17 @@ def exact_substring_duplication(
     page quoting a long duplicated passage scores low on whole-document
     similarity but high here.
 
-    Plan shape at 100 TB: one int-position explode (the text column never
-    shuffles — only 32-char fingerprints do), one fingerprint count
-    aggregate with map-side partials, one fingerprint equi-join back, one
-    per-document aggregate. Nothing quadratic: a pathological gram shared
-    by m documents costs m joined rows, not m^2 pairs."""
+    Plan shape at 100 TB: ONE int-position explode (the text column never
+    shuffles — only 32-char fingerprints do), one window count partitioned
+    on the fingerprint, one per-document aggregate. The count is a window
+    (``count(1) over (partition by _g)``) rather than a groupBy + join back
+    to the same frame: the self-referencing join made Catalyst execute the
+    explode+md5 stage twice (no exchange reuse across the two scans of an
+    unmaterialized frame); the window computes the same per-gram count in
+    one pass over one shuffle. Nothing quadratic: a pathological gram
+    shared by m documents costs m windowed rows, not m^2 pairs."""
+    from pyspark.sql import Window
+
     grams = (
         df.filter(F.length(text_col) >= gram)
         .select(
@@ -528,9 +594,11 @@ def exact_substring_duplication(
             F.md5(F.substring(F.col("_t"), F.col("_i"), gram)).alias("_g"),
         )
     )
-    counts = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+    marked = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    )
     return (
-        grams.join(counts, "_g")
+        marked
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

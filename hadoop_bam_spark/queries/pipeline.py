@@ -157,6 +157,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_overflow",
+    oracle=f"""
+        WITH {_minhash_pair_ctes()}
+        SELECT band_idx, band_key,
+               count(*)::BIGINT AS bucket_size,
+               (count(*) - 1)::BIGINT AS pairs_emitted,
+               (count(*) * (count(*) - 1) // 2 - (count(*) - 1))::BIGINT
+                   AS pairs_suppressed
+        FROM bands GROUP BY 1, 2 HAVING count(*) > 2
+    """,
+    doc="Degenerate-bucket audit for the pairs-mode LSH budget: one row per "
+    "band bucket above the size cap with the star-edge count emitted and "
+    "the all-pairs count suppressed. At 100 TB this is how a pipeline "
+    "owner sees how much near-identical mass (empty docs, boilerplate "
+    "pages) the budget absorbed instead of going quadratic. Cap=2 here so "
+    "the audit has rows at bench scale; production default is 256.",
+)
+def dedup_lsh_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_overflow(
+        corpus_view(spark, sf_dir),
+        num_hashes=_MINHASH_K,
+        band_size=_BAND_SIZE,
+        shingle_n=_SHINGLE_N,
+        max_bucket=2,
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
         WITH {_CORPUS_CTE},
@@ -1538,7 +1566,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprints; a gram occurring more than once in the corpus marks "
     "its span duplicated — the substring-level signal whole-document "
     "minhash misses (long quoted passages inside otherwise-unique "
-    "pages). One explode, one fingerprint count, one equi-join back; "
+    "pages). ONE explode feeding a window count over the fingerprint "
+    "(the groupBy+join-back form executed the explode stage twice); "
     "the text column never shuffles and nothing is quadratic.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:

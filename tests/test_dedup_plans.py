@@ -87,3 +87,123 @@ class TestStarMode:
             for r in connected_components(star).collect()
         }
         assert cc_pairs == cc_star
+
+
+class TestPairsBudget:
+    """max_bucket budget in pairs mode: a degenerate bucket above the cap is
+    star-routed (m-1 edges) instead of expanding m(m-1)/2 pairs — the last
+    designed-in quadratic a 100 TB corpus (empty-doc / boilerplate bucket)
+    could hit. Connectivity must be unchanged and normal buckets must keep
+    the full pair contract."""
+
+    N_DEGENERATE = 50_000
+
+    def _adversarial(self, spark, n):
+        """n identical docs (one degenerate bucket) + a few normal docs."""
+        ids = spark.range(n).select(F.col("id").alias("doc_id"))
+        degenerate = ids.withColumn(
+            "text", F.lit("boilerplate page body " * 4)
+        )
+        normal_rows = [
+            (1_000_000, "a genuinely unique document about penguins " * 5),
+            (1_000_001, "a genuinely unique document about penguins " * 5 + "!"),
+            (1_000_002, "another unrelated text entirely, about glaciers " * 5),
+        ]
+        normal = spark.createDataFrame(normal_rows, ["doc_id", "text"])
+        return degenerate.unionByName(normal)
+
+    def test_bounded_pairs_on_adversarial_corpus(self, spark):
+        """Unbudgeted, a 50k identical-text bucket would expand
+        ~1.25e9 pairs; the budget must keep the output linear."""
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_pairs
+
+        n = self.N_DEGENERATE
+        df = self._adversarial(spark, n)
+        pairs = minhash_lsh_pairs(df, num_hashes=8, band_size=2)
+        cnt = pairs.count()
+        # star edges from the degenerate bucket: n-1; plus the one normal
+        # near-dup pair; far below quadratic.
+        assert cnt < 2 * n
+        assert cnt >= n - 1
+        # every degenerate member is reachable from the bucket minimum
+        assert (
+            pairs.filter((F.col("id_a") == 0) & (F.col("id_b") < n)).count()
+            == n - 1
+        )
+
+    def test_budget_preserves_connectivity_and_small_buckets(self, spark):
+        from hadoop_bam_spark.operators.cluster import connected_components
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_pairs
+
+        df = self._adversarial(spark, 40)
+        budgeted = minhash_lsh_pairs(
+            df, num_hashes=8, band_size=2, max_bucket=10
+        )
+        full = minhash_lsh_pairs(
+            df, num_hashes=8, band_size=2, max_bucket=None
+        )
+        # 40-member bucket: star under the cap=10 budget, all-pairs without.
+        assert full.count() >= 40 * 39 // 2
+        assert budgeted.count() < 2 * 40
+        cc_b = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(budgeted).collect()
+        }
+        cc_f = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(full).collect()
+        }
+        assert cc_b == cc_f
+        # normal (sub-cap) buckets keep the exact pair contract
+        small = minhash_lsh_pairs(
+            self._adversarial(spark, 5), num_hashes=8, band_size=2,
+            max_bucket=256,
+        )
+        small_full = minhash_lsh_pairs(
+            self._adversarial(spark, 5), num_hashes=8, band_size=2,
+            max_bucket=None,
+        )
+        key = lambda r: (r.id_a, r.id_b)
+        assert sorted(map(key, small.collect())) == sorted(
+            map(key, small_full.collect())
+        )
+
+    def test_overflow_audit(self, spark):
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_overflow
+
+        df = self._adversarial(spark, 10)
+        rows = minhash_lsh_overflow(df, num_hashes=8, band_size=2,
+                                    max_bucket=4).collect()
+        # 4 bands, identical signatures -> one 10-member bucket per band
+        assert len(rows) == 4
+        for r in rows:
+            assert r.bucket_size == 10
+            assert r.pairs_emitted == 9
+            assert r.pairs_suppressed == 45 - 9
+
+
+class TestExactSubstringSinglePass:
+    def test_one_explode_in_plan(self, spark):
+        """The gram stage must execute once: a window count over the
+        fingerprint, not a groupBy + join back (which scanned the
+        unmaterialized explode frame twice)."""
+        from hadoop_bam_spark.operators.dedup import exact_substring_duplication
+
+        df = exact_substring_duplication(_corpus(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") == 1
+        assert "Window" in plan
+        assert "Join" not in plan
+
+    def test_values(self, spark):
+        from hadoop_bam_spark.operators.dedup import exact_substring_duplication
+
+        rows = [
+            (1, "x" * 100),          # all grams self-duplicated via doc 2
+            (2, "x" * 100),
+            (3, "".join(chr(97 + (i * 7) % 26) + str(i) for i in range(60))),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: r for r in exact_substring_duplication(df).collect()}
+        assert got[1].dup_ratio == 1.0 and got[2].dup_ratio == 1.0
+        assert got[3].n_dup_grams == 0
