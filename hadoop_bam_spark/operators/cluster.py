@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 #: Above the threshold the fully-distributed path runs instead.
 LOCAL_EDGE_THRESHOLD = 2_000_000
 
+#: Diagnostic: rounds the last ``_components_distributed`` call used to
+#: converge (the O(log diameter) claim of pointer doubling is asserted
+#: against this in tests/test_cluster.py).
+LAST_DISTRIBUTED_ROUNDS = 0
+
 
 def connected_components(
     pairs: DataFrame,
@@ -156,8 +161,10 @@ def _components_distributed(directed: DataFrame, max_iterations: int) -> DataFra
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .localCheckpoint(eager=False)
     )
+    global LAST_DISTRIBUTED_ROUNDS
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iterations):
+    for rounds in range(max_iterations):
+        LAST_DISTRIBUTED_ROUNDS = rounds + 1
         neighbor = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")

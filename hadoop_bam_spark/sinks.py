@@ -663,13 +663,32 @@ def write_fasta(df: DataFrame, path: str, index_fai: bool = True) -> None:
         build_fai(path, path + ".fai")
 
 
-def scan_fai_entries(path: str) -> list[tuple[str, int, int, int, int]]:
+def scan_fai_entries(
+    path: str, stringency: str = "strict"
+) -> list[tuple[str, int, int, int, int]]:
     """One sequential pass over a FASTA -> faidx entries (name, length,
-    offset, linebases, linewidth) — the samtools faidx scan."""
+    offset, linebases, linewidth) — the samtools faidx scan.
+
+    Handles CRLF line endings (bases exclude the ``\\r``, linewidth includes
+    it — htslib parity) and a final line without a trailing newline.
+
+    faidx's offset arithmetic is only valid when every sequence line of a
+    contig except the LAST has identical width; htslib REFUSES to index
+    such files ("different line length"), as it does for blank lines inside
+    a sequence. ``stringency`` controls the same situations here: strict
+    raises ValueError, lenient warns to stderr and keeps the first line's
+    width (our line-sequential readers stay exact; only foreign
+    faidx-arithmetic consumers of the persisted sidecar would misseek),
+    silent continues quietly.
+    """
+    from hadoop_bam_spark.sources import apply_stringency
+
     rows: list[tuple[str, int, int, int, int]] = []
     with fs.open_file(path, "rb") as fh:
         name, length, offset, linebases, linewidth = None, 0, 0, 0, 0
         pos = 0
+        irregular = False  # previous seq line of this contig was short/long
+        blank_seen = False  # blank line inside this contig's sequence
         for raw in fh:
             if raw.startswith(b">"):
                 if name is not None:
@@ -677,11 +696,40 @@ def scan_fai_entries(path: str) -> list[tuple[str, int, int, int, int]]:
                 name = raw[1:].split()[0].decode()
                 length, linebases, linewidth = 0, 0, 0
                 offset = pos + len(raw)
+                irregular = blank_seen = False
             elif name is not None and raw.strip():
+                if irregular:
+                    apply_stringency(
+                        stringency,
+                        ValueError(
+                            f"{path}: contig {name!r} has sequence lines of "
+                            "different length before the last — faidx offset "
+                            "arithmetic is invalid for this file (htslib "
+                            "refuses to index it)"
+                        ),
+                        "fasta faidx scan",
+                    )
+                    irregular = False  # lenient/silent: report once per run
+                if blank_seen:
+                    apply_stringency(
+                        stringency,
+                        ValueError(
+                            f"{path}: contig {name!r} has a blank line inside "
+                            "its sequence (htslib refuses to index this)"
+                        ),
+                        "fasta faidx scan",
+                    )
+                    blank_seen = False
                 bases = len(raw.strip())
                 if linebases == 0:
                     linebases, linewidth = bases, len(raw)
+                elif bases != linebases:
+                    # legal ONLY as the contig's final line — flag and
+                    # report if another sequence line follows
+                    irregular = True
                 length += bases
+            elif name is not None and not raw.strip():
+                blank_seen = True
             pos += len(raw)
         if name is not None:
             rows.append((name, length, offset, linebases, linewidth))

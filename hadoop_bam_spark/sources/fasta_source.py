@@ -94,11 +94,12 @@ class FastaReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("fasta source requires a path")
-        from hadoop_bam_spark.sources import pruned_schema
+        from hadoop_bam_spark.sources import pruned_schema, stringency_option
 
         self._schema, self._keep = pruned_schema(FASTA_SCHEMA, options)
         self._files = list_format_files(path, ".fa", ".fasta", ".fna")
         self._contig_eq: Optional[set] = None
+        self._stringency = stringency_option(options)
 
     def pushFilters(self, filters):
         """Catalyst contig EqualTo/In prunes whole per-contig splits at plan
@@ -133,11 +134,19 @@ class FastaReader(DataSourceReader):
                 # sidecar for future runs when the directory is writable.
                 from hadoop_bam_spark.sinks import scan_fai_entries
 
-                entries = scan_fai_entries(f)
+                entries = scan_fai_entries(f, stringency=self._stringency)
                 try:
+                    # under lenient/silent, re-scan strict before persisting:
+                    # an irregular-width file still READS correctly here
+                    # (line-sequential), but its faidx arithmetic is invalid
+                    # — don't hand foreign consumers a poisoned sidecar
+                    if self._stringency != "strict":
+                        scan_fai_entries(f, stringency="strict")
                     with fs.open_file(fai, "w") as out:
                         for r in entries:
                             out.write("\t".join(str(x) for x in r) + "\n")
+                except ValueError:
+                    pass  # malformed for faidx: plan from memory only
                 except OSError:
                     pass  # read-only source dir: plan from memory only
             parts.extend(

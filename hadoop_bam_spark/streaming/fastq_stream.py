@@ -16,6 +16,13 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from hadoop_bam_spark.sources import local_path
 from hadoop_bam_spark.sources.fastq_source import FASTQ_SCHEMA, iter_fastq_records
+from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
+
+
+def _iter_fastq_file(path: str) -> Iterator[tuple]:
+    """All records of one FASTQ file (module-level so LazyFileRows can
+    reference it picklably)."""
+    return iter_fastq_records(path, 0, os.path.getsize(path))
 
 
 class FastqStreamDataSource(DataSource):
@@ -52,17 +59,13 @@ class FastqStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         seen = set(start.get("processed", []))
         new = [f for f in self._list() if f not in seen]
-        # materialized list, not a generator: the prefetch cache pickles it
-        rows = [
-            rec
-            for name in new
-            for rec in iter_fastq_records(
-                os.path.join(self._dir, name),
-                0,
-                os.path.getsize(os.path.join(self._dir, name)),
-            )
-        ]
-        return iter(rows), {"processed": sorted(seen | set(new))}
+        # lazy + copyable, not a prebuilt list: a multi-GB sequencer drop
+        # must stream through the batch, not sit whole in driver memory
+        # (same shape as vcf_stream; r5 VERDICT item 7)
+        rows = LazyFileRows(
+            [os.path.join(self._dir, n) for n in new], _iter_fastq_file
+        )
+        return rows, {"processed": sorted(seen | set(new))}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay for recovery: the files in end but not start."""
@@ -70,8 +73,16 @@ class FastqStreamReader(SimpleDataSourceStreamReader):
         target = [f for f in end.get("processed", []) if f not in seen]
         for name in target:
             full = os.path.join(self._dir, name)
-            if os.path.exists(full):
-                yield from iter_fastq_records(full, 0, os.path.getsize(full))
+            if not os.path.exists(full):
+                # replay gap: the offset log says this file's rows are part
+                # of the batch — silently skipping would drop them and void
+                # the exactly-once-per-file contract
+                raise FileNotFoundError(
+                    f"fastq_stream replay: {full} recorded in offsets but "
+                    "missing on disk; restore the file (or reset the "
+                    "checkpoint) to keep exactly-once semantics"
+                )
+            yield from _iter_fastq_file(full)
 
     def commit(self, end: dict) -> None:
         pass

@@ -18,6 +18,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from hadoop_bam_spark.sources import local_path
 from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, parse_vcf_line, read_vcf_header
+from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
 
 
 def _overlaps(row: tuple, intervals) -> bool:
@@ -68,37 +69,6 @@ def _iter_vcf_rows(path: str, intervals=None) -> Iterator[tuple]:
                 yield row
 
 
-class _LazyFileRows:
-    """Copyable lazy iterator over the rows of a list of VCF files.
-
-    PySpark's SimpleDataSourceStreamReader prefetch cache ``copy.copy()``s
-    the iterator at planPartitions time (a plain generator cannot be
-    copied), and the cached original is never consumed directly — so a
-    copy that restarts the lazy scan over the same files yields exactly
-    the batch's rows while holding at most one file's parse state in
-    driver memory (no whole-delivery materialization)."""
-
-    def __init__(self, paths: list[str], intervals=None):
-        self._paths = paths
-        self._intervals = intervals
-        self._iter: Iterator[tuple] | None = None
-
-    def __iter__(self) -> "_LazyFileRows":
-        return self
-
-    def __next__(self) -> tuple:
-        if self._iter is None:
-            self._iter = (
-                rec
-                for p in self._paths
-                for rec in _iter_vcf_rows(p, self._intervals)
-            )
-        return next(self._iter)
-
-    def __copy__(self) -> "_LazyFileRows":
-        return _LazyFileRows(self._paths, self._intervals)
-
-
 class VCFStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -142,8 +112,10 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
         new = [f for f in self._list() if f not in seen]
         # lazy + copyable, not a prebuilt list: a large .vcf.gz delivery
         # must stream through the batch, not sit whole in driver memory
-        rows = _LazyFileRows(
-            [os.path.join(self._dir, n) for n in new], self._intervals
+        rows = LazyFileRows(
+            [os.path.join(self._dir, n) for n in new],
+            _iter_vcf_rows,
+            (self._intervals,),
         )
         return rows, {"processed": sorted(seen | set(new))}
 

@@ -119,3 +119,48 @@ def test_distributed_pointer_doubling_long_chain(spark):
     ).collect()
     assert len(rows) == 601
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_distributed_10k_path_round_count(spark):
+    """Adversarial worst case for label propagation: a 10k-node path graph
+    (diameter 10k). Pointer doubling must converge in O(log diameter)
+    rounds — assert the actual loop count stays <= 16 (log2(10k) ~ 13.3
+    plus the fixpoint-confirmation round and slack), not just that the
+    answer is right (VERDICT r5 item 6)."""
+    from hadoop_bam_spark.operators import cluster as C
+
+    n = 10_000
+    pairs = (
+        spark.range(n)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    out = C.connected_components(
+        pairs, strategy="distributed", max_iterations=30
+    )
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert {r.cluster_id for r in rows} == {0}
+    assert C.LAST_DISTRIBUTED_ROUNDS <= 16, C.LAST_DISTRIBUTED_ROUNDS
+
+
+def test_distributed_mixed_chain_clique_round_count(spark):
+    """Mixed topology: a 2k-node chain, a 500-node clique-star (hub 50000),
+    and an isolated pair. Components must be exact and the round count
+    still logarithmic in the LONGEST component's diameter."""
+    from hadoop_bam_spark.operators import cluster as C
+
+    chain = [(i, i + 1) for i in range(2_000)]
+    star = [(50_000, 50_000 + i) for i in range(1, 500)]
+    extra = [(90_000, 90_001)]
+    pairs = spark.createDataFrame(chain + star + extra, ["id_a", "id_b"])
+    rows = C.connected_components(
+        pairs, strategy="distributed", max_iterations=30
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert set(got) == {0, 50_000, 90_000}
+    assert got[0] == set(range(2_001))
+    assert got[50_000] == {50_000 + i for i in range(500)}
+    assert got[90_000] == {90_000, 90_001}
+    assert C.LAST_DISTRIBUTED_ROUNDS <= 14, C.LAST_DISTRIBUTED_ROUNDS

@@ -218,3 +218,125 @@ class TestHtsjdkBamBai:
         r2 = BAMReader({"path": p})
         m = sum(rb.num_rows for part in r2.partitions() for rb in r2.read(part))
         assert n == m
+
+
+AUXF_FA = os.path.join(RES, "auxf.fa")
+MINI_FA = os.path.join(RES, "mini-chr1-chr2.fasta")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(AUXF_FA) and os.path.exists(MINI_FA)),
+    reason="reference fixtures absent",
+)
+class TestAutoFaidxExactness:
+    """scan_fai_entries (the auto-faidx path for un-indexed FASTA,
+    fasta_source.partitions) must reproduce htslib-written .fai sidecars
+    byte-for-byte and handle malformed layouts per stringency
+    (VERDICT r5 item 8)."""
+
+    def _read_fai(self, path):
+        with open(path) as fh:
+            return [
+                (f[0], int(f[1]), int(f[2]), int(f[3]), int(f[4]))
+                for f in (l.rstrip("\n").split("\t") for l in fh if l.strip())
+            ]
+
+    @pytest.mark.parametrize("fasta", [AUXF_FA, MINI_FA])
+    def test_parity_with_htslib_fai(self, fasta):
+        from hadoop_bam_spark.sinks import scan_fai_entries
+
+        assert scan_fai_entries(fasta) == self._read_fai(fasta + ".fai")
+
+    def test_crlf(self, tmp_path):
+        """CRLF line endings: bases exclude the \\r (htslib parity),
+        linewidth includes it, offsets count every byte."""
+        from hadoop_bam_spark.sinks import scan_fai_entries
+
+        p = tmp_path / "crlf.fa"
+        p.write_bytes(b">c1\r\nACGTACGT\r\nACGT\r\n>c2\r\nGGGG\r\n")
+        # c1: offset 5, 12 bases, 8/line, 10 bytes/line
+        # c2: offset 5+10+6+5 = 26
+        assert scan_fai_entries(str(p)) == [
+            ("c1", 12, 5, 8, 10),
+            ("c2", 4, 26, 4, 6),
+        ]
+
+    def test_final_line_without_newline(self, spark, tmp_path):
+        from hadoop_bam_spark.sinks import scan_fai_entries
+        from hadoop_bam_spark.sources import register_all
+
+        p = tmp_path / "trunc.fa"
+        p.write_bytes(b">c1\nACGT\nGG")
+        assert scan_fai_entries(str(p)) == [("c1", 6, 4, 4, 5)]
+        register_all(spark)
+        rows = sorted(
+            (r.contig, r.pos, r.seq)
+            for r in spark.read.format("fasta").load(str(p)).collect()
+        )
+        assert rows == [("c1", 1, "ACGT"), ("c1", 5, "GG")]
+
+    def test_mixed_line_widths_stringency(self, tmp_path):
+        """A short line that is NOT a contig's last invalidates faidx
+        arithmetic: strict raises (htslib refuses too), lenient/silent
+        scan through with the first line's width."""
+        import pytest as _pytest
+
+        from hadoop_bam_spark.sinks import scan_fai_entries
+
+        p = tmp_path / "mixed.fa"
+        p.write_bytes(b">c1\nACGTACGT\nAC\nACGTACGT\n")
+        with _pytest.raises(ValueError, match="different length"):
+            scan_fai_entries(str(p))
+        for mode in ("lenient", "silent"):
+            got = scan_fai_entries(str(p), stringency=mode)
+            assert got == [("c1", 18, 4, 8, 9)]
+        # a short LAST line is legal (the normal faidx layout)
+        ok = tmp_path / "ok.fa"
+        ok.write_bytes(b">c1\nACGTACGT\nAC\n")
+        assert scan_fai_entries(str(ok)) == [("c1", 10, 4, 8, 9)]
+
+    def test_blank_line_inside_sequence_stringency(self, tmp_path):
+        from hadoop_bam_spark.sinks import scan_fai_entries
+
+        p = tmp_path / "blank.fa"
+        p.write_bytes(b">c1\nACGT\n\nACGT\n")
+        with pytest.raises(ValueError, match="blank line"):
+            scan_fai_entries(str(p))
+        assert scan_fai_entries(str(p), stringency="silent") == [
+            ("c1", 8, 4, 4, 5)
+        ]
+        # trailing blank at EOF and blank between contigs are fine
+        ok = tmp_path / "okb.fa"
+        ok.write_bytes(b">c1\nACGT\n\n>c2\nGG\n\n")
+        assert scan_fai_entries(str(ok)) == [
+            ("c1", 4, 4, 4, 5),
+            ("c2", 2, 14, 2, 3),
+        ]
+
+    def test_malformed_file_reads_but_persists_no_sidecar(self, spark, tmp_path):
+        """Under lenient stringency the line-sequential reader stays exact
+        on a mixed-width file, but NO .fai sidecar may be persisted (it
+        would misseek any foreign faidx-arithmetic consumer)."""
+        from hadoop_bam_spark.sources import register_all
+
+        register_all(spark)
+        p = tmp_path / "m.fa"
+        p.write_bytes(b">c1\nACGTACGT\nAC\nACGTACGT\n")
+        rows = sorted(
+            (r.contig, r.pos, r.seq)
+            for r in spark.read.format("fasta")
+            .option("stringency", "lenient")
+            .load(str(p))
+            .collect()
+        )
+        assert rows == [
+            ("c1", 1, "ACGTACGT"),
+            ("c1", 9, "AC"),
+            ("c1", 11, "ACGTACGT"),
+        ]
+        assert not os.path.exists(str(p) + ".fai")
+        # a WELL-FORMED file persists its sidecar for future runs
+        ok = tmp_path / "w.fa"
+        ok.write_bytes(b">c1\nACGT\nGG\n")
+        spark.read.format("fasta").load(str(ok)).collect()
+        assert os.path.exists(str(ok) + ".fai")

@@ -126,6 +126,54 @@ class TestFastqStreaming:
         q.awaitTermination()
         assert spark.table("t_fastq_stream").count() == 25
 
+    def test_read_is_lazy_and_copy_safe(self, spark, tmp_path):
+        """read() must hand back a lazy, copy.copy()-restartable iterator
+        (the prefetch-cache contract), not a prebuilt list — a multi-GB
+        sequencer drop must stream through the batch (r5 VERDICT item 7,
+        parity with the r5 vcf_stream fix)."""
+        import copy
+
+        from hadoop_bam_spark.streaming.fastq_stream import FastqStreamReader
+        from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
+
+        land = tmp_path / "lz"
+        land.mkdir()
+        rec = "@r{i}/1\nACGT\n+\nIIII\n"
+        (land / "a.fastq").write_text("".join(rec.format(i=i) for i in range(7)))
+        reader = FastqStreamReader({"path": str(land)})
+        rows, end = reader.read({"processed": []})
+        assert isinstance(rows, LazyFileRows)
+        assert end == {"processed": ["a.fastq"]}
+        first = list(rows)
+        again = list(copy.copy(rows))
+        assert len(first) == 7 and first == again
+
+    def test_replay_missing_file_raises(self, spark, tmp_path):
+        """A file recorded in the offset log but deleted from disk must
+        RAISE at replay, not silently drop its rows (exactly-once-per-file
+        contract; parity with vcf_stream)."""
+        import pytest
+
+        from hadoop_bam_spark.streaming.fastq_stream import FastqStreamReader
+
+        land = tmp_path / "rp"
+        land.mkdir()
+        (land / "a.fastq").write_text("@r1/1\nACGT\n+\nIIII\n")
+        reader = FastqStreamReader({"path": str(land)})
+        ok = list(
+            reader.readBetweenOffsets(
+                {"processed": []}, {"processed": ["a.fastq"]}
+            )
+        )
+        assert len(ok) == 1
+        (land / "a.fastq").unlink()
+        with pytest.raises(FileNotFoundError, match="exactly-once"):
+            list(
+                reader.readBetweenOffsets(
+                    {"processed": []}, {"processed": ["a.fastq"]}
+                )
+            )
+
 
 class TestDocumentStreaming:
     def test_stream_dedup_first_seen_wins(self, spark):
