@@ -21,6 +21,17 @@ residual).
 Options:
   path         file or directory of .cram files
   split_size   target compressed bytes per partition (default 32 MiB)
+  records_per_split  target records per partition (default 200k). CRAM
+               compresses so hard that byte-based sizing alone misplans
+               dense files — a 9 MB file can hold 2M records and would
+               scan on ONE core under the 32 MiB default (the reference's
+               CRAMInputFormat.java:31-80 has the same byte-only
+               weakness). The planner probes the first container header
+               for record density; only when the byte plan would exceed
+               this record budget does it walk the remaining container
+               headers (bounded 64-byte reads — exactly what dense files
+               keep cheap: high density means few containers) and adds
+               record-count split boundaries.
   intervals    "chr1:100-200,chr2" — bounded traversal with row-level
                overlap residual (reference semantics)
   reference    FASTA path (with optional .fai) for reference-compressed
@@ -30,6 +41,7 @@ Options:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from struct import error as struct_error
 from typing import Iterator, Optional
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -40,6 +52,11 @@ from hadoop_bam_spark.formats.sam import SAM_SCHEMA
 from hadoop_bam_spark.sources import list_format_files
 
 DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
+DEFAULT_RECORDS_PER_SPLIT = 200_000
+#: ceiling on plan-time header walks (a denser file has FEWER containers,
+#: so the walk is cheap exactly when the record budget matters; a huge
+#: sparse file never reaches here because its byte plan is already fine)
+_MAX_COUNT_WALK = 65_536
 
 
 @dataclass
@@ -72,6 +89,9 @@ class CRAMReader(DataSourceReader):
 
         self._schema, self._keep = pruned_schema(SAM_SCHEMA, options)
         self._split_size = int(options.get("split_size", DEFAULT_SPLIT_SIZE))
+        self._records_per_split = int(
+            options.get("records_per_split", DEFAULT_RECORDS_PER_SPLIT)
+        )
         self._reference = options.get("reference")
         from hadoop_bam_spark.sources.bam_source import parse_intervals
 
@@ -178,11 +198,20 @@ class CRAMReader(DataSourceReader):
                 if run_start is not None:
                     parts.append(CRAMPartition(path, run_start, prev_end))
                 continue
-            # greedy container grouping to ~split_size compressed bytes
+            # greedy container grouping to ~split_size compressed bytes,
+            # AND ~records_per_split records when the file is dense enough
+            # for the byte plan alone to overload single tasks
+            counts = self._density_counts(path, _major, offsets)
             bounds = [offsets[0]]
-            for off in offsets[1:]:
-                if off - bounds[-1] >= self._split_size:
+            recs = 0
+            for i, off in enumerate(offsets[1:], start=1):
+                if counts is not None:
+                    recs += counts[i - 1]
+                if off - bounds[-1] >= self._split_size or (
+                    counts is not None and recs >= self._records_per_split
+                ):
                     bounds.append(off)
+                    recs = 0
             # end sentinel: past the last container start; the executor stops
             # at the EOF container by itself
             bounds.append(offsets[-1] + 1)
@@ -191,6 +220,41 @@ class CRAMReader(DataSourceReader):
                 for i in range(len(bounds) - 1)
             )
         return parts or [CRAMPartition("", 0, 0)]
+
+    def _density_counts(
+        self, path: str, major: int, offsets: list[int]
+    ) -> Optional[list[int]]:
+        """Per-container record counts, or None when byte sizing suffices.
+
+        One 64-byte probe of the first container header estimates record
+        density; only if the resulting byte-based splits would exceed
+        ``records_per_split`` does the planner walk every container header
+        (bounded small reads — the same cost class as the reference's own
+        getSplits walk, and cheap precisely for the dense files that need
+        it: high density means few containers). Any parse problem degrades
+        to byte-based planning, never an error."""
+        if len(offsets) < 2 or len(offsets) > _MAX_COUNT_WALK:
+            return None
+        try:
+            data_bytes = fs.file_size(path) - offsets[0]
+            with fs.open_file(path, "rb") as fh:
+
+                def hdr_at(off: int) -> cram.ContainerHeader:
+                    fh.seek(off)
+                    return cram.ContainerHeader.parse(fh.read(64), 0, major)
+
+                first = hdr_at(offsets[0])
+                clen = first.header_size + first.length
+                density = first.n_records / max(clen, 1)
+                byte_splits = max(1, data_bytes // self._split_size)
+                if (
+                    density * data_bytes / byte_splits
+                    <= self._records_per_split
+                ):
+                    return None
+                return [hdr_at(off).n_records for off in offsets]
+        except (OSError, ValueError, struct_error):
+            return None
 
     def read(self, partition: CRAMPartition):
         from hadoop_bam_spark.sources import arrow_batches, project_rows
