@@ -719,34 +719,12 @@ def _enc_gt(gt: Optional[str]) -> list[Optional[int]]:
     return out
 
 
-def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
-    """VCF_SCHEMA tuple -> one BCF2 record (inverse of decode_record;
-    writer parity: BCFRecordWriter.java:108-129)."""
-    (contig, start, end, vid, ref, alts, qual, filters, info, genotypes) = row
-    sidx = hdr.string_index
-    alleles = [ref] + list(alts or [])
+def encode_indiv(genotypes, sidx) -> tuple[bytes, int]:
+    """Per-sample (indiv) section of one BCF record -> (bytes, n_fmt).
 
-    shared = bytearray()
-    shared += _enc_string(vid)
-    for a in alleles:
-        shared += _enc_string(a)
-    if filters is None:
-        shared += b"\x01"  # int8 vector, count 0
-    else:
-        ft = tuple(filters)
-        got = _ENC_FILTER_CACHE.get(ft)
-        if got is None:
-            if len(_ENC_FILTER_CACHE) > 4096:
-                _ENC_FILTER_CACHE.clear()
-            got = _ENC_FILTER_CACHE[ft] = _enc_int_vector(
-                [sidx[f] for f in filters]
-            )
-        shared += got
-    info = info or {}
-    for k, v in info.items():
-        shared += _enc_idx(sidx[k])
-        shared += _enc_info_value(v)
-
+    Shared by the scalar ``encode_record`` and the vectorized batch
+    encoder (``bcf_venc.py``, which calls it once per UNIQUE genotype
+    combination instead of once per record)."""
     indiv = bytearray()
     n_fmt = 0
     if genotypes:
@@ -843,6 +821,27 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
                 indiv += _enc_descriptor(7, w)
                 for s in strs:
                     indiv += s.ljust(w, "\x00").encode("utf-8")
+    return bytes(indiv), n_fmt
+
+
+def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
+    """VCF_SCHEMA tuple -> one BCF2 record (inverse of decode_record;
+    writer parity: BCFRecordWriter.java:108-129)."""
+    (contig, start, end, vid, ref, alts, qual, filters, info, genotypes) = row
+    sidx = hdr.string_index
+    alleles = [ref] + list(alts or [])
+
+    shared = bytearray()
+    shared += _enc_string(vid)
+    for a in alleles:
+        shared += _enc_string(a)
+    shared += encode_filters(filters, sidx)
+    info = info or {}
+    for k, v in info.items():
+        shared += _enc_idx(sidx[k])
+        shared += _enc_info_value(v)
+
+    indiv, n_fmt = encode_indiv(genotypes, sidx)
 
     n_sample = len(genotypes) if genotypes else 0
     fixed = struct.pack(
@@ -860,8 +859,24 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
     return (
         struct.pack("<II", len(shared_full), len(indiv))
         + shared_full
-        + bytes(indiv)
+        + indiv
     )
+
+
+def encode_filters(filters, sidx) -> bytes:
+    """FILTER column -> typed int vector of dictionary indexes (memoized;
+    shared with the vectorized batch encoder)."""
+    if filters is None:
+        return b"\x01"  # int8 vector, count 0
+    ft = tuple(filters)
+    got = _ENC_FILTER_CACHE.get(ft)
+    if got is None:
+        if len(_ENC_FILTER_CACHE) > 4096:
+            _ENC_FILTER_CACHE.clear()
+        got = _ENC_FILTER_CACHE[ft] = _enc_int_vector(
+            [sidx[f] for f in filters]
+        )
+    return got
 
 
 def _enc_int_vector_grouped(vals: list, width: int) -> bytes:

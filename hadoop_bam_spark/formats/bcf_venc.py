@@ -1,0 +1,442 @@
+"""Vectorized (columnar) BCF2 record encode — the write-side twin of
+``formats/bcf_vec.py`` and the mirror of ``formats/bam_venc.py``.
+
+Instead of ``encode_record`` per row (formats/bcf.py — kept as the parity
+oracle and the fallback for shapes this path rejects), a whole Arrow batch
+of VCF_SCHEMA rows encodes into ONE contiguous byte blob:
+
+- the 8-byte length prefix and 24-byte fixed section scatter as one
+  (n, 32) structured-dtype matrix — no per-record ``struct.pack``;
+- ID strings encode fully vectorized: the typed-string descriptor bytes
+  come from length masks (1 byte under 15 chars, the 0xF7-prefixed typed
+  int above) and the payload gathers straight out of the Arrow data
+  buffer with the decoder's ramp index;
+- alleles, FILTER lists, INFO entries, and whole per-record genotype
+  blocks are dictionary-encoded FIRST (Arrow ``dictionary_encode`` over
+  composed keys): only UNIQUE values pay the scalar encode (via the same
+  formats/bcf.py helpers, so bytes are identical by construction), then
+  per-record bytes gather from the unique-encodings concat. Real call
+  sets have a handful of distinct allele/filter/genotype shapes and
+  low-cardinality INFO values, so the scalar cost is O(unique), not O(n);
+- INFO is handled per flat map ENTRY (key 0x00 value composed strings):
+  one segmented cumsum places each entry's bytes inside its record.
+
+Any shape outside the fast path (strings over 32767 bytes, maps with
+non-empty ranges under a null mask) raises :class:`VecUnsupported` and the
+sink falls back to the scalar encoder for that batch.
+
+Fills the role of htsjdk's BCF2Writer behind the reference's record
+writer (BCFRecordWriter.java:108-129) — the reference gets this speed
+from JVM bytecode; we get it from batch vectorization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hadoop_bam_spark.formats import bcf as B
+from hadoop_bam_spark.formats.bam_venc import (
+    _exclusive_cumsum,
+    _int_col,
+    _ramp,
+    _string_parts,
+)
+
+
+class VecUnsupported(ValueError):
+    """Batch shape outside the vectorized encode fast path."""
+
+
+_PREFIX_DTYPE = np.dtype(
+    [
+        ("l_shared", "<u4"),
+        ("l_indiv", "<u4"),
+        ("contig", "<i4"),
+        ("pos", "<i4"),
+        ("rlen", "<i4"),
+        ("qual", "<u4"),
+        ("n_allele_info", "<u4"),
+        ("n_fmt_sample", "<u4"),
+    ]
+)
+
+
+def _combined(col):
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _list_counts(col, n: int) -> np.ndarray:
+    """Per-record child counts of a list/map column; nulls must have empty
+    ranges (Spark writes them so) else the flat children would misalign."""
+    import pyarrow as pa
+
+    col = _combined(col)
+    if col.null_count == n:
+        return np.zeros(n, np.int64)
+    width = (
+        np.int64
+        if isinstance(col.type, pa.LargeListType)
+        else np.int32
+    )
+    offs = np.frombuffer(col.buffers()[1], dtype=width)[
+        col.offset: col.offset + n + 1
+    ].astype(np.int64)
+    counts = offs[1:] - offs[:-1]
+    if col.null_count:
+        null = np.asarray(col.is_null())
+        if counts[null].any():
+            raise VecUnsupported("null list entry with non-empty range")
+    return counts
+
+
+def _abs_offsets(col, n: int) -> np.ndarray:
+    """Absolute child offsets of a list/map column slice (n+1 values)."""
+    import pyarrow as pa
+
+    width = (
+        np.int64 if isinstance(col.type, pa.LargeListType) else np.int32
+    )
+    return np.frombuffer(col.buffers()[1], dtype=width)[
+        col.offset: col.offset + n + 1
+    ].astype(np.int64)
+
+
+def _map_children(col, n: int):
+    """Map column -> (absolute offsets, full flat keys, full flat items).
+
+    ``MapArray.keys``/``.items`` ignore the parent's slice offset, so the
+    caller must address them through the absolute offsets."""
+    col = _combined(col)
+    if col.null_count == n:
+        return np.zeros(n + 1, np.int64), None, None
+    offs = _abs_offsets(col, n)
+    if col.null_count:
+        null = np.asarray(col.is_null())
+        if (offs[1:] - offs[:-1])[null].any():
+            raise VecUnsupported("null map entry with non-empty range")
+    return offs, col.keys, col.items
+
+
+def _dict_encode_keys(keys):
+    """Composed string keys -> (codes int64, first-occurrence row index per
+    unique)."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(_combined(keys))
+    codes = np.asarray(d.indices).astype(np.int64)
+    n_unique = len(d.dictionary)
+    first = np.full(n_unique, -1, dtype=np.int64)
+    # reverse iteration order makes the FIRST occurrence win
+    first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
+    return codes, first
+
+
+class _PieceTable:
+    """Unique byte pieces + gather of their concat into the output blob."""
+
+    def __init__(self, pieces: list[bytes]):
+        self.lens = np.fromiter(
+            (len(p) for p in pieces), dtype=np.int64, count=len(pieces)
+        )
+        self.starts = _exclusive_cumsum(self.lens)[:-1]
+        self.buf = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+
+    def scatter(self, out: np.ndarray, codes: np.ndarray, dest: np.ndarray):
+        lens = self.lens[codes]
+        out[_ramp(dest, lens)] = self.buf[_ramp(self.starts[codes], lens)]
+
+
+def _join_list_of_strings(col, n: int, sep: str):
+    """list<string> column -> per-record joined string (nulls -> '')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = _combined(col)
+    if col.null_count == n or n == 0:
+        return pa.array([""] * n, pa.string())
+    if col.type != pa.list_(pa.string()):
+        # Spark's bridge emits list<string not null>/large variants that
+        # pc.binary_join lacks kernels for — normalize first
+        col = col.cast(pa.list_(pa.string()))
+    joined = pc.binary_join(col, sep)
+    return pc.fill_null(joined, "")
+
+
+class BCFBatchEncoder:
+    """Columnar encoder bound to one BCF header.
+
+    ``encode_batch`` consumes a pyarrow RecordBatch with the VCF_SCHEMA
+    columns (contig, start, end, id, ref, alts, qual, filters, info,
+    genotypes) and returns one bytes blob of concatenated BCF2 records,
+    byte-identical to ``encode_record`` per row (property-tested in
+    tests/test_bcf_venc.py).
+    """
+
+    #: separators for composed dictionary keys — control chars that cannot
+    #: appear in VCF fields (tab/newline-delimited text format)
+    _S0, _S1, _S2 = "\x00", "\x01", "\x02"
+
+    def __init__(self, hdr: B.BCFHeader):
+        self.hdr = hdr
+        self.sidx = hdr.string_index
+        self.cidx = hdr.contig_index
+
+    # -- unique-piece encoders (scalar helpers from formats/bcf.py keep
+    # byte parity by construction) ------------------------------------
+
+    def _allele_piece(self, ref: str, alts) -> bytes:
+        out = bytearray()
+        for a in [ref] + list(alts or []):
+            out += B._enc_string(a)
+        return bytes(out)
+
+    def _info_entry_piece(self, key: str, value: str) -> bytes:
+        return B._enc_idx(self.sidx[key]) + B._enc_info_value(value)
+
+    # -- batch encode --------------------------------------------------
+
+    def encode_batch(self, batch) -> tuple[bytes, np.ndarray, tuple]:
+        """RecordBatch -> (blob, per-record byte lengths,
+        (rid, beg0, end0) int64 arrays for inline CSI accumulation)."""
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        if n == 0:
+            empty = np.zeros(0, np.int64)
+            return b"", empty, (empty, empty, empty)
+        col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+
+        # ---- fixed-section scalars
+        contig_codes, contig_first = _dict_encode_keys(col["contig"])
+        contig_arr = _combined(col["contig"])
+        contig_ids = np.empty(len(contig_first), np.int64)
+        for u, i in enumerate(contig_first):
+            contig_ids[u] = self.cidx[contig_arr[int(i)].as_py()]
+        contig_id = contig_ids[contig_codes]
+        start = _int_col(col["start"])
+        end = _int_col(col["end"])
+        qual = _combined(col["qual"])
+        qual_null = (
+            np.asarray(qual.is_null())
+            if qual.null_count
+            else np.zeros(n, bool)
+        )
+        qual_f = np.asarray(pc.fill_null(qual, 0.0)).astype(np.float32)
+        qual_bits = qual_f.view(np.uint32).astype(np.int64)
+        qual_bits[qual_null] = B._FLOAT_MISSING_BITS
+
+        # ---- ID strings: fully vectorized typed-string encode
+        id_flat, id_lens, id_null, _ = _string_parts(_combined(col["id"]))
+        if id_lens.max(initial=0) > 32767:
+            raise VecUnsupported("ID string over 32767 bytes")
+        empty_id = id_null | (id_lens == 0)
+        small = (~empty_id) & (id_lens < 15)
+        med = (~empty_id) & (id_lens >= 15) & (id_lens <= 127)
+        big = (~empty_id) & (id_lens > 127)
+        id_desc_lens = np.where(empty_id, 1, np.where(small, 1, np.where(med, 3, 4)))
+        id_payload = np.where(empty_id, 0, id_lens)
+        id_sec = id_desc_lens + id_payload
+
+        # ---- alleles: unique (ref, alts) combos
+        ref_arr = _combined(col["ref"])
+        alts_counts = _list_counts(col["alts"], n)
+        alts_joined = _join_list_of_strings(col["alts"], n, self._S0)
+        allele_keys = pc.binary_join_element_wise(
+            pc.cast(ref_arr, "string"), alts_joined, self._S1
+        )
+        al_codes, al_first = _dict_encode_keys(allele_keys)
+        # only REPRESENTATIVE rows pay the Python materialization
+        ref_rep = ref_arr.take(al_first).to_pylist()
+        alts_rep = _combined(col["alts"]).take(al_first).to_pylist()
+        al_pieces = [
+            self._allele_piece(r, a) for r, a in zip(ref_rep, alts_rep)
+        ]
+        al_table = _PieceTable(al_pieces)
+        al_sec = al_table.lens[al_codes]
+        n_allele = 1 + alts_counts
+
+        # ---- filters: unique lists
+        filt_arr = _combined(col["filters"])
+        filt_joined = _join_list_of_strings(col["filters"], n, self._S0)
+        # distinguish null (b"\x01" too, but via tuple None) from empty —
+        # both encode identically so one key suffices
+        f_codes, f_first = _dict_encode_keys(filt_joined)
+        f_pieces = [
+            B.encode_filters(fl, self.sidx)
+            for fl in filt_arr.take(f_first).to_pylist()
+        ]
+        f_table = _PieceTable(f_pieces)
+        f_sec = f_table.lens[f_codes]
+
+        # ---- INFO: per flat map entry
+        info_offs, info_keys, info_items = _map_children(col["info"], n)
+        info_counts = info_offs[1:] - info_offs[:-1]
+        n_entries = int(info_counts.sum())
+        if n_entries:
+            off0 = int(info_offs[0])
+            ik = pc.cast(
+                info_keys.slice(off0, int(info_offs[-1]) - off0), "string"
+            )
+            iv = pc.cast(
+                info_items.slice(off0, int(info_offs[-1]) - off0), "string"
+            )
+            if ik.null_count or iv.null_count:
+                raise VecUnsupported("null INFO key/value")
+            entry_keys = pc.binary_join_element_wise(ik, iv, self._S0)
+            e_codes, e_first = _dict_encode_keys(entry_keys)
+            ik_rep = ik.take(e_first).to_pylist()
+            iv_rep = iv.take(e_first).to_pylist()
+            e_pieces = [
+                self._info_entry_piece(k, v)
+                for k, v in zip(ik_rep, iv_rep)
+            ]
+            e_table = _PieceTable(e_pieces)
+            entry_lens = e_table.lens[e_codes]
+            # per-record section length via segmented prefix sums (np.add.at
+            # is an order of magnitude slower here)
+            ecs = _exclusive_cumsum(entry_lens)
+            rel = info_offs - info_offs[0]
+            info_sec = ecs[rel[1:]] - ecs[rel[:-1]]
+        else:
+            e_table = None
+            entry_lens = np.zeros(0, np.int64)
+            info_sec = np.zeros(n, np.int64)
+
+        # ---- genotypes: unique whole-record combos
+        geno_arr = _combined(col["genotypes"])
+        geno_counts = _list_counts(col["genotypes"], n)
+        g_keys = self._genotype_keys(geno_arr, n)
+        g_codes, g_first = _dict_encode_keys(g_keys)
+        g_pieces = []
+        g_nfmt = np.empty(len(g_first), np.int64)
+        for u, i in enumerate(g_first):
+            genos = geno_arr[int(i)].as_py()
+            # map scalars come back as [(k, v), ...] — encode_indiv wants dicts
+            tuples = (
+                [
+                    (
+                        g["sample"],
+                        g["gt"],
+                        dict(g["fields"]) if g["fields"] is not None else None,
+                    )
+                    for g in genos
+                ]
+                if genos
+                else genos
+            )
+            piece, nf = B.encode_indiv(tuples, self.sidx)
+            g_pieces.append(piece)
+            g_nfmt[u] = nf
+        g_table = _PieceTable(g_pieces)
+        indiv_lens = g_table.lens[g_codes]
+        n_fmt = g_nfmt[g_codes]
+
+        # ---- layout
+        shared_lens = 24 + id_sec + al_sec + f_sec + info_sec
+        rec_lens = 8 + shared_lens + indiv_lens
+        rec_starts = _exclusive_cumsum(rec_lens)
+        total = int(rec_starts[-1])
+        rec_starts = rec_starts[:-1]
+        out = np.empty(total, np.uint8)
+
+        # prefix + fixed: one structured scatter
+        head = np.empty(n, dtype=_PREFIX_DTYPE)
+        head["l_shared"] = shared_lens
+        head["l_indiv"] = indiv_lens
+        head["contig"] = contig_id
+        head["pos"] = start - 1
+        head["rlen"] = end - (start - 1)
+        head["qual"] = qual_bits
+        head["n_allele_info"] = (n_allele << 16) | info_counts
+        head["n_fmt_sample"] = (n_fmt << 24) | geno_counts
+        # direct scatter: view the structured rows as a flat byte stream
+        idx32 = _ramp(rec_starts, np.full(n, 32, np.int64))
+        out[idx32] = head.view(np.uint8)
+
+        # ID section
+        id_dest = rec_starts + 32
+        desc = np.empty(n, np.uint8)
+        desc[empty_id] = 0x07
+        desc[small] = ((id_lens[small] << 4) | 7).astype(np.uint8)
+        desc[med | big] = 0xF7
+        out[id_dest] = desc
+        if med.any():
+            out[id_dest[med] + 1] = 0x11
+            out[id_dest[med] + 2] = id_lens[med].astype(np.uint8)
+        if big.any():
+            out[id_dest[big] + 1] = 0x12
+            le16 = id_lens[big].astype("<u2").view(np.uint8).reshape(-1, 2)
+            out[id_dest[big] + 2] = le16[:, 0]
+            out[id_dest[big] + 3] = le16[:, 1]
+        src_starts = _exclusive_cumsum(id_lens)[:-1]
+        pay = id_payload
+        out[_ramp(id_dest + id_desc_lens, pay)] = id_flat[
+            _ramp(src_starts, pay)
+        ]
+
+        # alleles / filters
+        al_dest = id_dest + id_sec
+        al_table.scatter(out, al_codes, al_dest)
+        f_dest = al_dest + al_sec
+        f_table.scatter(out, f_codes, f_dest)
+
+        # INFO entries: segmented placement inside each record
+        info_dest = f_dest + f_sec
+        if n_entries:
+            g_cum = _exclusive_cumsum(entry_lens)  # n_entries + 1 values
+            rec_entry_starts = rel[:-1]  # may equal n_entries for 0-entry tails
+            seg = g_cum[:-1] - np.repeat(g_cum[rec_entry_starts], info_counts)
+            entry_dest = np.repeat(info_dest, info_counts) + seg
+            e_table.scatter(out, e_codes, entry_dest)
+
+        # indiv section
+        g_table.scatter(out, g_codes, info_dest + info_sec)
+
+        return out.tobytes(), rec_lens, (contig_id, start - 1, end)
+
+    def _genotype_keys(self, geno_arr, n: int):
+        """Composed per-record key discriminating genotype combos.
+
+        Only the per-genotype ``fields`` maps drive the indiv encoding
+        (encode_indiv reads g[2]); sample names and the redundant ``gt``
+        struct field don't affect bytes, but including nothing they
+        contain keeps keys shorter. Entries join with control-char
+        separators that cannot occur in VCF text."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if geno_arr.null_count == n:
+            return pa.array([""] * n, pa.string())
+        g_offs = _abs_offsets(geno_arr, n)
+        if geno_arr.null_count:
+            null = np.asarray(geno_arr.is_null())
+            if (g_offs[1:] - g_offs[:-1])[null].any():
+                raise VecUnsupported("null genotypes with non-empty range")
+        structs = geno_arr.values  # full child, offset-free
+        fields = structs.field("fields")
+        m = len(fields)
+        f_offs, f_keys, f_items = _map_children(fields, m)
+        if f_keys is None:
+            per_geno = pa.array([""] * m, pa.string())
+        else:
+            fk = pc.cast(f_keys, "string")
+            fv = pc.cast(f_items, "string")
+            entry = pc.binary_join_element_wise(fk, fv, self._S0)
+            per_geno = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    f_offs.astype(np.int32), entry
+                ),
+                self._S1,
+            )
+        per_rec = pc.binary_join(
+            pa.ListArray.from_arrays(
+                g_offs.astype(np.int32),
+                pc.fill_null(per_geno, ""),
+            ),
+            self._S2,
+        )
+        return pc.fill_null(per_rec, "")

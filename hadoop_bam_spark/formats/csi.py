@@ -256,6 +256,101 @@ def write_csi(idx: CSIIndex, path: str, open_fn=open) -> None:
         w.close()
 
 
+class CSIPartStats:
+    """CSI accumulation for ONE part file with part-local voffsets —
+    the BCF analog of bai.PartIndexStats: the sink gathers (rid, beg0,
+    end0, voffset span) per record DURING the executor write, so the
+    driver never re-reads and re-decodes the merged output
+    (``build_csi``'s one-pass scan costs ~13x the write itself at 2M
+    records). Accumulation order must be file order: the chunk-adjacency
+    merge and first-touch loffset reproduce ``build_csi`` exactly, so the
+    merged index is byte-identical (asserted in tests/test_bcf_venc.py)."""
+
+    def __init__(self, min_shift: int = 14, depth: int = 5):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.refs: dict[int, RefIndex] = {}
+
+    def add(self, rid: int, bin_: int, at: int, nxt: int) -> None:
+        r = self.refs.get(rid)
+        if r is None:
+            r = self.refs[rid] = RefIndex(linear=[])
+            r.n_mapped = r.n_unmapped = 0
+        bins = r.bins
+        bl = bins.get(bin_)
+        if bl and bl[-1][1] == at:
+            bl[-1] = (bl[-1][0], nxt)
+        else:
+            bins.setdefault(bin_, []).append((at, nxt))
+        r.loffset.setdefault(bin_, at)
+        if r.off_beg < 0:
+            r.off_beg = at
+        r.off_end = nxt
+        r.n_mapped += 1
+
+    def add_record(self, rid: int, beg0: int, end0: int, at: int, nxt: int):
+        self.add(rid, reg2bin_csi(beg0, end0, self.min_shift, self.depth),
+                 at, nxt)
+
+    def remap_part_end(self, old: int, new: int) -> None:
+        """Rebase the end-of-part voffset representation.
+
+        The writer expresses the final record's end as (last short block,
+        tail offset); a reader scanning the MERGED file expresses the same
+        byte as (next part's first block, 0). Remapping after close keeps
+        cross-part chunk adjacency — and byte parity with build_csi. Only
+        chunk ENDS and off_end can hold the part-end voffset (no record
+        starts there)."""
+        if old == new:
+            return
+        for r in self.refs.values():
+            for chunks in r.bins.values():
+                if chunks and chunks[-1][1] == old:
+                    chunks[-1] = (chunks[-1][0], new)
+            if r.off_end == old:
+                r.off_end = new
+
+
+def csi_from_part_stats(
+    parts: list[tuple[Optional[CSIPartStats], int]],
+    header_len: int,
+    n_refs: int,
+    min_shift: int = 14,
+    depth: int = 5,
+) -> CSIIndex:
+    """Merge ordered (stats, part_compressed_length) into one CSIIndex,
+    rebasing part-local voffsets onto the merged file. Mirrors
+    ``build_csi``'s in-pass rules (adjacency chunk merge, first-touch
+    loffset, pseudo-bin span/counts) so results are identical."""
+    from hadoop_bam_spark.formats.bai import _shift_v
+
+    idx = CSIIndex(min_shift=min_shift, depth=depth)
+    idx.refs = [RefIndex(linear=[]) for _ in range(n_refs)]
+    base = header_len
+    for stats, part_len in parts:
+        if stats is not None:
+            for rid, pr in stats.refs.items():
+                r = idx.refs[rid]
+                for bin_, chunks in pr.bins.items():
+                    bl = r.bins.setdefault(bin_, [])
+                    for b, e in chunks:
+                        b, e = _shift_v(b, base), _shift_v(e, base)
+                        if bl and bl[-1][1] == b:
+                            bl[-1] = (bl[-1][0], e)
+                        else:
+                            bl.append((b, e))
+                for bin_, off in pr.loffset.items():
+                    r.loffset.setdefault(bin_, _shift_v(off, base))
+                if pr.off_beg >= 0:
+                    if r.off_beg < 0:
+                        r.off_beg = _shift_v(pr.off_beg, base)
+                        r.n_mapped = r.n_unmapped = 0
+                    r.off_end = _shift_v(pr.off_end, base)
+                    r.n_mapped += pr.n_mapped
+        base += part_len
+    return idx
+
+
 def build_csi(
     path: str, open_fn=open, min_shift: int = 14, depth: int = 5
 ) -> CSIIndex:

@@ -518,21 +518,78 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
     bhdr = bcfmod.parse_bcf_header_text(header.text)
     parts_dir = path + ".__parts__"
 
-    def write_part(idx: int, rows):
+    def write_part_batches(idx: int, batches):
+        """Columnar part write: Arrow batches -> bcf_venc blobs -> BGZF.
+
+        A batch whose shape falls outside the vectorized fast path
+        (VecUnsupported) degrades to the scalar per-record encoder for
+        that batch only — same contract as the BCF read path. With
+        ``index_csi`` the per-record CSI stats accumulate INLINE from the
+        encoder's (rid, beg0, end0) arrays and the writer's analytic
+        voffsets — no post-merge re-decode of the output (the r5 path
+        spent ~13x the write time re-reading it)."""
+        import numpy as np
+
+        from hadoop_bam_spark.formats.bam_venc import reg2bin_vec
+        from hadoop_bam_spark.formats.bcf_venc import (
+            BCFBatchEncoder,
+            VecUnsupported,
+        )
+
         part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        enc = BCFBatchEncoder(bhdr)
+        stats = None
+        if index_csi:
+            from hadoop_bam_spark.formats.csi import CSIPartStats
+
+            stats = CSIPartStats()  # default 14/5 == reg2bin_vec's scheme
         with fs.open_file(part_path, "wb") as f:
             w = bgzf.BGZFWriter(f, write_terminator=False)
-            for r in rows:
-                w.write(bcfmod.encode_record(tuple(r), bhdr))
+            for batch in batches:
+                try:
+                    blob, rec_lens, (rid, beg0, end0) = enc.encode_batch(batch)
+                    u0 = w.u_total
+                    w.write(blob)
+                    if stats is not None and len(rec_lens):
+                        u_starts = u0 + np.concatenate(
+                            [[0], np.cumsum(rec_lens[:-1])]
+                        )
+                        u_ends = u_starts + rec_lens
+                        bins = reg2bin_vec(beg0, end0)
+                        add = stats.add
+                        vof = w.voffset_of_u
+                        for i in range(len(rec_lens)):
+                            add(
+                                int(rid[i]), int(bins[i]),
+                                vof(int(u_starts[i])), vof(int(u_ends[i])),
+                            )
+                except VecUnsupported:
+                    for row in _vcf_batch_rows(batch):
+                        u0 = w.u_total
+                        rec = bcfmod.encode_record(row, bhdr)
+                        w.write(rec)
+                        if stats is not None:
+                            stats.add_record(
+                                bhdr.contig_index[row[0]], row[1] - 1, row[2],
+                                w.voffset_of_u(u0),
+                                w.voffset_of_u(u0 + len(rec)),
+                            )
+            pend = w.voffset_of_u(w.u_total) if stats is not None else None
             w.close()
-        return (idx, part_path)
+        size = fs.file_size(part_path)
+        if stats is not None:
+            stats.remap_part_end(pend, size << 16)
+        return (idx, part_path, size, stats)
 
-    parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
+    parts = _collect_parts_arrow(
+        df.select(*VCF_COLS), parts_dir, write_part_batches
+    )
     with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bcfmod.encode_header(bhdr))
         w.close()
-        for _, part_path in parts:
+        header_len = out.tell()
+        for _, part_path, _, _ in parts:
             with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
@@ -540,10 +597,34 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
     if index_csi:
         from hadoop_bam_spark.formats import csi as csi_mod
 
-        csi_mod.write_csi(
-            csi_mod.build_csi(path, open_fn=fs.open_file),
-            path + ".csi",
-            open_fn=fs.open_file,
+        idx = csi_mod.csi_from_part_stats(
+            [(stats, size) for _, _, size, stats in parts],
+            header_len,
+            len(bhdr.contigs),
+        )
+        csi_mod.write_csi(idx, path + ".csi", open_fn=fs.open_file)
+
+
+def _vcf_batch_rows(batch):
+    """Arrow VCF batch -> encode_record-shaped tuples (scalar fallback):
+    map columns come back from to_pylist as [(k, v), ...] pair lists and
+    must be dicts; genotype structs become (sample, gt, fields) tuples."""
+    for r in batch.to_pylist():
+        genos = r["genotypes"]
+        yield (
+            r["contig"], r["start"], r["end"], r["id"], r["ref"], r["alts"],
+            r["qual"], r["filters"],
+            dict(r["info"]) if r["info"] is not None else None,
+            [
+                (
+                    g["sample"],
+                    g["gt"],
+                    dict(g["fields"]) if g["fields"] is not None else None,
+                )
+                for g in genos
+            ]
+            if genos is not None
+            else None,
         )
 
 

@@ -1,0 +1,218 @@
+"""Vectorized BCF encode parity: bcf_venc.BCFBatchEncoder blobs must be
+byte-identical to formats/bcf.py:encode_record per row, over hypothesis
+variant batches, slicing offsets, and degenerate shapes; plus the sink's
+VecUnsupported scalar fallback."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_bam_spark.formats import bcf
+from hadoop_bam_spark.formats.bcf_venc import BCFBatchEncoder, VecUnsupported
+from tests.test_bcf_vec import HDR_TEXT, _variant
+
+ARROW_SCHEMA = pa.schema(
+    [
+        ("contig", pa.string()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("id", pa.string()),
+        ("ref", pa.string()),
+        ("alts", pa.list_(pa.string())),
+        ("qual", pa.float64()),
+        ("filters", pa.list_(pa.string())),
+        ("info", pa.map_(pa.string(), pa.string())),
+        (
+            "genotypes",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("sample", pa.string()),
+                        ("gt", pa.string()),
+                        ("fields", pa.map_(pa.string(), pa.string())),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _to_batch(rows):
+    pydata = [
+        {
+            "contig": r[0], "start": r[1], "end": r[2], "id": r[3],
+            "ref": r[4], "alts": r[5], "qual": r[6], "filters": r[7],
+            "info": r[8],
+            "genotypes": None
+            if r[9] is None
+            else [
+                {"sample": g[0], "gt": g[1], "fields": g[2]} for g in r[9]
+            ],
+        }
+        for r in rows
+    ]
+    return pa.RecordBatch.from_pylist(pydata, schema=ARROW_SCHEMA)
+
+
+def _scalar_blob(rows, hdr):
+    return b"".join(bcf.encode_record(r, hdr) for r in rows)
+
+
+def _assert_parity(rows):
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    batch = _to_batch(rows)
+    blob, lens, _coords = BCFBatchEncoder(hdr).encode_batch(batch)
+    ref = _scalar_blob(rows, hdr)
+    if blob != ref:
+        off = 0
+        for i, r in enumerate(rows):
+            rb = bcf.encode_record(r, hdr)
+            assert blob[off: off + len(rb)] == rb, (
+                f"record {i}: {rb.hex()} != {blob[off: off + len(rb)].hex()}"
+            )
+            off += len(rb)
+    assert int(lens.sum()) == len(ref)
+
+
+@given(st.lists(_variant(), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_property_parity(rows):
+    _assert_parity(rows)
+
+
+def test_edge_shapes():
+    base = ("chr1", 10, 10, None, "A", None, None, None, None, None)
+    rows = [
+        base,
+        ("chr1", 1, 1, "", "A", [], 0.0, [], {}, []),
+        # ID lengths straddling every descriptor width
+        ("chr2", 5, 8, "x" * 14, "ACGT", ["A"], 1.5, ["PASS"], {"DP": "7"},
+         [("S1", "0/1", {"GT": "0/1"})]),
+        ("chr2", 5, 8, "y" * 15, "ACGT", ["A"], None, None, None, None),
+        ("chr2", 5, 8, "z" * 127, "A", None, None, None, None, None),
+        ("chr2", 5, 8, "w" * 128, "A", None, None, None, None, None),
+        ("chr2", 5, 8, "v" * 1000, "A", None, None, None, None, None),
+        # negative / large INFO ints, flags, floats, strings
+        ("chr1", 99, 99, "rs1", "C", ["G", "T"], 3.25,
+         ["PASS", "q10"],
+         {"DP": "-50000", "DB": "true", "AF": "0.5,0.25", "SRC": "a,b"},
+         [("S1", None, {"DP": "1"}), ("S2", "1|1", {"GT": "1|1"}),
+          ("S3", None, None)]),
+    ]
+    _assert_parity(rows)
+
+
+def test_sliced_batch_parity():
+    """Arrow slice offsets (non-zero .offset on every nested buffer) must
+    not shift any section."""
+    rows = [
+        ("chr1", i + 1, i + 1, f"rs{i}", "A", ["G"], 30.0, ["PASS"],
+         {"DP": str(i % 10)}, [("S1", "0/1", {"GT": "0/1", "DP": str(i)})])
+        for i in range(50)
+    ]
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    batch = _to_batch(rows)
+    sliced = batch.slice(17, 21)
+    blob, _, _ = BCFBatchEncoder(hdr).encode_batch(sliced)
+    assert blob == _scalar_blob(rows[17:38], hdr)
+
+
+def test_huge_string_raises_vecunsupported():
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    rows = [("chr1", 1, 1, "q" * 40_000, "A", None, None, None, None, None)]
+    with pytest.raises(VecUnsupported):
+        BCFBatchEncoder(hdr).encode_batch(_to_batch(rows))
+
+
+def test_sink_fallback_parity(spark, tmp_path, monkeypatch):
+    """Forcing VecUnsupported in the sink must produce a byte-identical
+    file through the scalar fallback."""
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    vhdr = VCFHeader()
+    vhdr.lines = [
+        l for l in HDR_TEXT.strip().split("\n") if l.startswith("##")
+    ]
+    vhdr.samples = ["S1", "S2", "S3"]
+    vhdr.contigs = {"chr1": 0, "chr2": 1}
+    rows = [
+        ("chr1", i + 1, i + 1, f"rs{i}", "A", ["G"], 30.0, ["PASS"],
+         {"DP": str(i % 10)},
+         [("S1", "0/1", {"GT": "0/1"}), ("S2", None, {"DP": "4"}),
+          ("S3", "1|1", {"GT": "1|1"})])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, VCF_SCHEMA).coalesce(1)
+    fast = str(tmp_path / "fast.bcf")
+    slow = str(tmp_path / "slow.bcf")
+    sinks.write_bcf(df, fast, vhdr)
+
+    import hadoop_bam_spark.formats.bcf_venc as venc
+
+    def boom(self, batch):
+        raise venc.VecUnsupported("forced")
+
+    monkeypatch.setattr(venc.BCFBatchEncoder, "encode_batch", boom)
+    sinks.write_bcf(df, slow, vhdr)
+    with open(fast, "rb") as a, open(slow, "rb") as b:
+        assert a.read() == b.read()
+    got = spark.read.format("bcf").load(fast)
+    assert got.count() == 200
+
+
+def test_inline_csi_matches_rebuild(spark, tmp_path):
+    """The .csi built inline from per-part stats during executor writes
+    must be byte-identical to build_csi's post-pass over the merged file,
+    across multiple parts (cross-part chunk adjacency + voffset rebase)."""
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats import csi as csi_mod
+    from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    vhdr = VCFHeader()
+    vhdr.lines = [
+        l for l in HDR_TEXT.strip().split("\n") if l.startswith("##")
+    ]
+    vhdr.samples = ["S1", "S2", "S3"]
+    vhdr.contigs = {"chr1": 0, "chr2": 1}
+    rows = [
+        ("chr1" if i < 3000 else "chr2", i % 3000 + 1, i % 3000 + 1,
+         f"rs{i}", "A", ["G"], 30.0, ["PASS"], {"DP": str(i % 10)},
+         [("S1", "0/1", {"GT": "0/1"}), ("S2", None, {"DP": "4"}),
+          ("S3", "1|1", {"GT": "1|1"})])
+        for i in range(6000)
+    ]
+    df = (
+        spark.createDataFrame(rows, VCF_SCHEMA)
+        .sortWithinPartitions("contig", "start")
+        .coalesce(4)
+    )
+    path = str(tmp_path / "multi.bcf")
+    sinks.write_bcf(df, path, vhdr, index_csi=True)
+    with open(path + ".csi", "rb") as fh:
+        import gzip
+
+        inline = gzip.decompress(fh.read())
+    rebuilt = csi_mod.build_csi(path).to_bytes()
+    assert inline == rebuilt
+    # and the index actually prunes: an interval read returns the rows
+    got = (
+        spark.read.format("bcf")
+        .option("intervals", "chr2:100-200")
+        .option("split_size", "4000")
+        .load(path)
+        .count()
+    )
+    want = sum(
+        1 for r in rows if r[0] == "chr2" and r[1] <= 200 and r[2] >= 100
+    )
+    assert got == want and want > 0
