@@ -343,7 +343,29 @@ class Block:
 
     def serialize(self, major: int, level: int = 6) -> bytes:
         if self.method == M_GZIP:
-            raw = gzip.compress(self.data, level)
+            # mtime=0: a wall-clock stamp in the gzip member header would
+            # make identical containers byte-differ run to run (breaks
+            # deterministic output and the venc parity contract).
+            #
+            # Entropy-gated effort (htslib-spirit codec selection, but by
+            # a cheap byte-histogram instead of trial compression): DEFLATE
+            # cannot beat the order-0 byte entropy on match-free data, so a
+            # large block whose entropy is already ~8 bits/byte (e.g. raw
+            # binary quality streams) gets level 1 — deeper search burns
+            # CPU for <1% gain. Anything with real structure keeps the
+            # caller's ``level``. Pure function of the data, so scalar and
+            # vectorized encoders stay byte-identical.
+            eff = level
+            if len(self.data) >= (1 << 16):
+                import numpy as _np
+
+                h = _np.bincount(
+                    _np.frombuffer(self.data, dtype=_np.uint8), minlength=256
+                )
+                p = h[h > 0] / len(self.data)
+                if float(-(p * _np.log2(p)).sum()) >= 7.2:
+                    eff = 1
+            raw = gzip.compress(self.data, eff, mtime=0)
         elif self.method == M_RAW:
             raw = self.data
         else:
@@ -1517,7 +1539,8 @@ class CRAMWriter:
                  records_per_container: int = 10000,
                  bare: bool = False, record_counter: int = 0,
                  ref_fasta: Optional[FastaRef] = None,
-                 records_per_slice: int = 10000):
+                 records_per_slice: int = 10000,
+                 gzip_level: int = 6):
         self._fh = fh
         self._refs = refs
         self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
@@ -1525,6 +1548,7 @@ class CRAMWriter:
         self._ref_fasta = ref_fasta
         self._per_container = records_per_container
         self._per_slice = records_per_slice
+        self._gzip_level = gzip_level
         self._counter = record_counter
         self._buf: list[tuple] = []
         self._closed = False
@@ -1543,6 +1567,7 @@ class CRAMWriter:
                 self._buf, self._ref_index, self._counter,
                 ref_fasta=self._ref_fasta, ref_names=self._ref_names,
                 records_per_slice=self._per_slice,
+                gzip_level=self._gzip_level,
             ))
             self._counter += len(self._buf)
             self._buf = []
@@ -1570,7 +1595,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                      record_counter: int, major: int = 3,
                      ref_fasta: Optional[FastaRef] = None,
                      ref_names: Optional[list[str]] = None,
-                     records_per_slice: int = 10000) -> bytes:
+                     records_per_slice: int = 10000,
+                     gzip_level: int = 6) -> bytes:
     """One container (1..N slices of <= ``records_per_slice`` records
     each, the samtools/htsjdk layout) from SAM-schema tuples.
 
@@ -1761,7 +1787,26 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     step = max(records_per_slice, 1)
     chunks = [rows[i : i + step] for i in range(0, len(rows), step)] or [rows]
     slices = [encode_slice(c) for c in chunks]
+    return assemble_container(
+        slices, tag_lines, len(rows), record_counter, major,
+        rr=ref_fasta is not None, gzip_level=gzip_level,
+    )
 
+
+def assemble_container(
+    slices: list[dict],
+    tag_lines: list[tuple],
+    n_rows: int,
+    record_counter: int,
+    major: int = 3,
+    rr: bool = False,
+    gzip_level: int = 6,
+) -> bytes:
+    """Compression header + slice blocks + container header from per-slice
+    stream dicts (the shape ``encode_slice`` produces). Shared by the
+    scalar path above and the vectorized column encoder
+    (formats/cram_venc.py), so both produce identical container bytes for
+    identical streams."""
     # --- compression header -------------------------------------------------
     td = b"".join(
         b"".join(t.encode("latin-1") + ty.encode("latin-1") for t, ty in line) + b"\x00"
@@ -1770,7 +1815,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     pres = bytearray()
     pres += b"RN" + b"\x01"
     pres += b"AP" + b"\x00"
-    pres += b"RR" + (b"\x01" if ref_fasta is not None else b"\x00")
+    pres += b"RR" + (b"\x01" if rr else b"\x00")
     pres += b"SM" + b"\x1b\x1b\x1b\x1b\x1b"
     pres += b"TD" + write_itf8(len(td)) + td
     pres_map = write_itf8(5) + pres  # n entries then entries; prefix size below
@@ -1809,7 +1854,9 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
         + write_itf8(len(ds_map)) + ds_map
         + write_itf8(len(tg_map)) + tg_map
     )
-    comp_block = Block(M_GZIP, CT_COMPRESSION_HEADER, 0, bytes(comp_data)).serialize(major)
+    comp_block = Block(
+        M_GZIP, CT_COMPRESSION_HEADER, 0, bytes(comp_data)
+    ).serialize(major, gzip_level)
 
     # --- per-slice blocks + headers -----------------------------------------
     core_block = Block(M_RAW, CT_CORE, 0, b"").serialize(major)
@@ -1832,7 +1879,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
             ext_blocks.append((kv, bytes(sl["tag_blocks"][(tag, ty)])))
         ext_serialized = [
-            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data).serialize(major)
+            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data)
+            .serialize(major, gzip_level)
             for cid, data in ext_blocks
         ]
         # single-ref slice when every record maps to one reference
@@ -1887,7 +1935,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     body = comp_block + b"".join(parts)
     chdr = ContainerHeader(
         length=len(body), ref_seq_id=ctr_ref, start=ctr_start, span=ctr_span,
-        n_records=len(rows),
+        n_records=n_rows,
         record_counter=record_counter, n_bases=total_bases,
         n_blocks=total_blocks, landmarks=landmarks,
         header_size=0,

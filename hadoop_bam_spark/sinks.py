@@ -234,6 +234,61 @@ def write_cram(
         ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
         refs = [(name, ln) for name, (_, ln) in ordered]
     parts_dir = path + ".__parts__"
+    ref_index = {name: i for i, (name, _) in enumerate(refs)}
+
+    def write_part_batches(idx: int, batches):
+        """Columnar part write (RR=false): Arrow batches accumulate to
+        ``records_per_container`` rows, each container encodes through the
+        vectorized cram_venc column encoder; a container whose batch shape
+        falls outside the fast path (VecUnsupported) degrades to the
+        scalar ``cram.encode_container`` for that container only — byte
+        parity between the two is property-tested (tests/test_cram_venc.py),
+        so the fallback changes speed, never bytes."""
+        import pyarrow as pa
+
+        from hadoop_bam_spark.formats.cram_venc import (
+            CRAMColumnEncoder,
+            VecUnsupported,
+        )
+
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        enc = CRAMColumnEncoder(ref_index)
+
+        def scalar_rows(tbl):
+            cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            for vals in zip(*cols):
+                yield vals[:11] + (dict(zip(vals[11] or (), vals[12] or ())),)
+
+        with fs.open_file(part_path, "wb") as f:
+            counter = 0
+            pend: list = []
+            pend_rows = 0
+
+            def flush(tbl):
+                nonlocal counter
+                try:
+                    f.write(enc.encode_container(
+                        tbl, counter, records_per_slice=records_per_slice
+                    ))
+                except VecUnsupported:
+                    f.write(cram.encode_container(
+                        list(scalar_rows(tbl)), ref_index, counter,
+                        records_per_slice=records_per_slice,
+                    ))
+                counter += tbl.num_rows
+
+            for batch in batches:
+                pend.append(batch)
+                pend_rows += batch.num_rows
+                while pend_rows >= records_per_container:
+                    tbl = pa.Table.from_batches(pend)
+                    flush(tbl.slice(0, records_per_container))
+                    rest = tbl.slice(records_per_container)
+                    pend = rest.to_batches() if rest.num_rows else []
+                    pend_rows = rest.num_rows
+            if pend_rows:
+                flush(pa.Table.from_batches(pend))
+        return (idx, part_path)
 
     def write_part(idx: int, rows):
         ref_fasta = (
@@ -250,7 +305,17 @@ def write_cram(
             w.close(write_eof=False)
         return (idx, part_path)
 
-    parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    if reference is None:
+        pre = df.selectExpr(
+            *SAM_COLS[:-1],
+            "map_keys(tags) as tag_keys",
+            "map_values(tags) as tag_vals",
+        )
+        parts = _collect_parts_arrow(pre, parts_dir, write_part_batches)
+    else:
+        # reference-compressed (RR=true) containers need per-base FASTA
+        # windows — outside the columnar scope, scalar Row path
+        parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
     with fs.open_file(path, "wb") as out:
         cram.write_file_definition(out)
         out.write(cram.encode_header_container(header.text))
