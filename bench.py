@@ -22,6 +22,12 @@ regression on a box with documented 5-10x hypervisor swings):
   ``cpu_sec`` block is loaded and per-query + total CPU ratios are emitted
   in the JSON, wall-clock ratio only as a secondary. A verdict should read
   ``vs_prev.cpu_total_ratio``, never re-derive drift from wall time.
+- ``host_cpu_calibration`` (r6): even CPU-seconds drift — an A/B re-run
+  of the UNCHANGED r5 tree measured 6.8 -> 10.65 CPU-s on the identical
+  dedup_clusters plan (hypervisor steal accounting). The sentinel's CPU
+  cost (``noise_sentinel.cpu_min``) is a fixed workload, so its
+  round-over-round ratio calibrates the box;
+  ``vs_prev.cpu_total_ratio_calibrated`` divides it out. Read THAT.
 """
 
 from __future__ import annotations
@@ -101,7 +107,8 @@ def _load_prev_bench() -> tuple[str, dict] | None:
     return best
 
 
-def _vs_prev(total: float, cpu: dict[str, float], sf) -> dict | None:
+def _vs_prev(total: float, cpu: dict[str, float], sf,
+             sentinel_cpu: float | None = None) -> dict | None:
     prev = _load_prev_bench()
     if prev is None:
         return None
@@ -119,10 +126,28 @@ def _vs_prev(total: float, cpu: dict[str, float], sf) -> dict | None:
     cur_tot = sum(cpu[n] for n in common)
     prev_tot = sum(prev_cpu[n] for n in common)
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
+    # Host CPU-accounting drift calibration: the sentinel is a FIXED query,
+    # so its CPU-seconds moving between rounds measures the box (hypervisor
+    # steal accounting, thermal clamps), not the code. An r6 A/B (same r5
+    # code tree re-measured in a fresh process) showed 6.8 -> 10.65
+    # CPU-seconds on an identical plan — divide the raw ratio by the
+    # sentinel ratio before reading anything as a regression.
+    prev_sent = (data.get("noise_sentinel") or {}).get("cpu_min")
+    cal = (
+        round(sentinel_cpu / prev_sent, 3)
+        if sentinel_cpu and prev_sent
+        else None
+    )
     return {
         "prev": fname,
         "common_queries": len(common),
         "cpu_total_ratio": round(cur_tot / prev_tot, 3) if prev_tot else None,
+        "host_cpu_calibration": cal,
+        "cpu_total_ratio_calibrated": (
+            round(cur_tot / prev_tot / cal, 3)
+            if prev_tot and cal
+            else None
+        ),
         "wall_total_ratio": (
             round(total / data["value"], 3) if data.get("value") else None
         ),
@@ -141,10 +166,15 @@ def main() -> None:
     spark = get_spark("bench")
     names = [n for n, spec in REGISTRY.items() if spec.bench]
 
+    sentinel_cpus: list[float] = []
+
     def sentinel() -> float:
+        c0 = _tree_cpu_seconds()
         t0 = time.time()
         spark.range(2_000_000).selectExpr("sum(id)").collect()
-        return time.time() - t0
+        dt = time.time() - t0
+        sentinel_cpus.append(_tree_cpu_seconds() - c0)
+        return dt
 
     # Warm-up: run every benchmarked query once (JVM JIT, parquet footers).
     for name in names:
@@ -185,12 +215,14 @@ def main() -> None:
                     "min": round(s_min, 4),
                     "max": round(s_max, 4),
                     "spread": round(s_max / s_min, 2) if s_min > 0 else None,
+                    "cpu_min": round(min(sentinel_cpus), 4),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "vs_prev": _vs_prev(
                     total,
                     cpu,
                     float(sf) if sf.replace(".", "").isdigit() else sf,
+                    sentinel_cpu=min(sentinel_cpus),
                 ),
             }
         )
