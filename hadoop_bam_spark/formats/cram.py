@@ -1306,7 +1306,11 @@ class ContainerDecoder:
                     elif fc == "b":
                         feats.append((fpos, fc, ARR("BB")))
                     elif fc == "q":
-                        feats.append((fpos, fc, ARR("QQ", 0)))
+                        # length: remainder of the read from fpos (the
+                        # htslib cram_decode.c 'q' contract) — only used
+                        # when QQ is a bare EXTERNAL codec; BYTE_ARRAY_LEN
+                        # carries its own length stream
+                        feats.append((fpos, fc, ARR("QQ", rl - fpos + 1)))
                     elif fc == "Q":
                         feats.append((fpos, fc, BYTE("QS")))
                     else:
@@ -1383,6 +1387,12 @@ class ContainerDecoder:
                         ref_pos += len(b)
                     elif fc == "Q":
                         qual_raw[fpos - 1] = val
+                    elif fc == "q":
+                        # QQ stretch of quality scores: scatter at fpos,
+                        # read/ref positions unaffected (spec §10.5; the
+                        # lossy-qual shape htslib emits). Was parsed but
+                        # silently dropped before r6.
+                        qual_raw[fpos - 1 : fpos - 1 + len(val)] = val
                 fill_match(rl + 1)
                 if cf & CF_QUAL_STORED:
                     qual_raw = bytearray(
@@ -1458,13 +1468,13 @@ _SERIES_IDS = {
     for i, k in enumerate(
         ["BF", "CF", "RI", "RL", "AP", "RG", "RN", "MF", "NS", "NP", "TS",
          "TL", "FN", "FC", "FP", "DL", "BA", "QS", "IN", "SC", "HC", "PD",
-         "RS", "BB", "BS", "MQ"]
+         "RS", "BB", "BS", "MQ", "QQ"]
     )
 }
 _INT_SERIES = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
                "TL", "FN", "FP", "DL", "HC", "PD", "RS", "MQ"}
 _BYTE_SERIES = {"FC", "BA", "QS", "BS"}
-_ARRAY_SERIES = {"RN", "IN", "SC", "BB"}
+_ARRAY_SERIES = {"RN", "IN", "SC", "BB", "QQ"}
 
 _CIGAR_CONSUME_READ = set("MIS=X")
 
@@ -1596,7 +1606,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                      ref_fasta: Optional[FastaRef] = None,
                      ref_names: Optional[list[str]] = None,
                      records_per_slice: int = 10000,
-                     gzip_level: int = 6) -> bytes:
+                     gzip_level: int = 6,
+                     qual_mode: str = "stored") -> bytes:
     """One container (1..N slices of <= ``records_per_slice`` records
     each, the samtools/htsjdk layout) from SAM-schema tuples.
 
@@ -1607,6 +1618,12 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
     single-base 'b' features — the same reference-based encode htsjdk
     defaults to (CRAMRecordWriter.java:74-121). Without it, sequences go
     verbatim (RR=false, the htslib no_ref shape).
+
+    ``qual_mode="qq"`` stores mapped-record qualities as a single 'q'
+    (QQ stretch) feature at position 1 instead of a stored QS array —
+    a spec-valid alternate layout (§10.5) used as the interop test
+    vector for the QQ decode paths; unmapped records keep QS storage
+    (features are mapped-only).
     """
     from hadoop_bam_spark.formats.bam import _encode_tag_value, cigar_ref_length
 
@@ -1674,8 +1691,11 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         f"cigar {cigar!r} query length {qlen} != seq length {len(seq)}"
                     )
             n_bases += rl
+            qual_as_feature = (
+                qual_mode == "qq" and qual is not None and not flag & 0x4
+            )
             cf = CF_DETACHED
-            if qual is not None:
+            if qual is not None and not qual_as_feature:
                 cf |= CF_QUAL_STORED
             if seq is None:
                 cf |= CF_NO_SEQ
@@ -1748,6 +1768,10 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         match_features(feats, 1, ref_id, ref_pos, seq)
                     else:
                         feats.append((1, "b", seq))
+                if qual_as_feature:
+                    # whole-read QQ stretch at position 1; must lead so FP
+                    # deltas stay non-negative for the cigar features after it
+                    feats.insert(0, (1, "q", qual))
                 put_int("FN", len(feats))
                 prev = 0
                 for fpos, fc, val in feats:
@@ -1768,8 +1792,11 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                         put_int("HC", val)
                     elif fc == "P":
                         put_int("PD", val)
+                    elif fc == "q":
+                        qq = _phred_encode(val)
+                        arrays["QQ"] += write_itf8(len(qq)) + qq
                 put_int("MQ", mapq or 0)
-                if qual is not None:
+                if qual is not None and not qual_as_feature:
                     bytestreams["QS"] += _phred_encode(qual)
             else:  # unmapped
                 if seq is not None:
@@ -1832,7 +1859,13 @@ def assemble_container(
     n_ds = 0
     for key in _SERIES_IDS:
         cid = _SERIES_IDS[key]
-        if key in _ARRAY_SERIES:
+        if key == "QQ":
+            # quality bytes may legitimately be 0x00 (phred 0), so a stop
+            # byte can't delimit them — length-prefixed like tag values
+            nested = encoding_external(cid) + encoding_external(cid)
+            enc = (write_itf8(E_BYTE_ARRAY_LEN)
+                   + write_itf8(len(nested)) + nested)
+        elif key in _ARRAY_SERIES:
             enc = encoding_stop(0x00, cid)
         else:
             enc = encoding_external(cid)

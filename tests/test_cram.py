@@ -380,3 +380,94 @@ def test_density_aware_split_sizing(spark, tmp_path):
     # a SPARSE plan request (huge record budget) keeps the old byte logic
     r2 = CRAMReader({"path": path, "records_per_split": "100000000"})
     assert len([p for p in r2.partitions() if p.path]) == 1
+
+
+# ---------------------------------------------------------------------------
+# 'q' / QQ quality-stretch feature (spec section 10.5 alternate qual layout)
+# ---------------------------------------------------------------------------
+
+def _decode_body(body, ref_fasta_path=None):
+    hdr = cram.ContainerHeader.parse(body, 0, 3)
+    dec = cram.ContainerDecoder(
+        3, REFS, ref_fasta=cram.FastaRef(ref_fasta_path) if ref_fasta_path else None
+    )
+    return dec.decode(body[hdr.header_size : hdr.header_size + hdr.length], hdr)
+
+
+def test_qq_quality_feature_roundtrip(tmp_path):
+    """qual_mode='qq' stores mapped quals as one whole-read 'q' feature
+    (QQ stretch) instead of a stored QS array; the decoder must scatter
+    it back byte-for-byte. Covers: a phred-0 ('!') qual that a stop-byte
+    codec would truncate at (QQ is length-prefixed for exactly this
+    reason), mismatch/insert features AFTER the q feature (FP delta
+    ordering), and an unmapped record which keeps QS storage (features
+    are mapped-only)."""
+    rows = [
+        # phred 0 at both ends
+        ("r0", 0, "chr1", 5, 60, "8M", None, 0, 0, "ACGTACGT", "!IJ!ABC!", {}),
+        # mismatches + insertion after the leading q feature
+        ("r1", 16, "chr2", 10, 30, "4M2I4M", None, 0, 0,
+         "AAAACCGGGG", "IIIIHHGGGG", {}),
+        # soft clip + deletion
+        ("r2", 0, "chr1", 50, 20, "2S5M3D3M", None, 0, 0,
+         "TTACGTAGCA", "##FFFFFFFF", {}),
+        # unmapped: QS-stored path must be untouched by qual_mode
+        ("u0", 4, None, 0, 0, None, None, 0, 0, "GGCC", "!!!!", {}),
+        # mapped, no qual at all
+        ("r3", 0, "chr2", 99, 10, "4M", None, 0, 0, "ACAC", None, {}),
+    ]
+    ref_index = {"chr1": 0, "chr2": 1}
+    body = cram.encode_container(
+        rows, ref_index, 0, ref_names=["chr1", "chr2"], qual_mode="qq"
+    )
+    assert _decode_body(body) == rows
+    plain = cram.encode_container(rows, ref_index, 0, ref_names=["chr1", "chr2"])
+    assert _decode_body(plain) == rows
+    assert body != plain
+
+
+def test_qq_reference_based_roundtrip(tmp_path):
+    """qual_mode='qq' composed with reference-based (RR=true) encode:
+    the q feature must coexist with substitution features."""
+    fasta, contigs = _mk_fasta(tmp_path)
+    seq = contigs["chr1"][9:39]
+    edited = seq[:10] + ("A" if seq[10] != "A" else "C") + seq[11:]
+    qual = "".join(chr(33 + (i % 40)) for i in range(30))
+    rows = [("p", 0, "chr1", 10, 60, "30M", None, 0, 0, edited, qual, {})]
+    body = cram.encode_container(
+        rows, {"chr1": 0, "chr2": 1}, 0,
+        ref_fasta=cram.FastaRef(fasta), ref_names=["chr1", "chr2"],
+        qual_mode="qq",
+    )
+    assert _decode_body(body, ref_fasta_path=fasta) == rows
+
+
+def test_qq_vec_decoder_falls_back_scalar():
+    """The columnar decoder declares 'q' unsupported; ContainerDecoder
+    must transparently take the scalar path and still be exact."""
+    from hadoop_bam_spark.formats import cram_vec
+
+    rows = [
+        (f"r{i}", 0, "chr1", 1 + i, 60, "6M", None, 0, 0, "ACGTAC",
+         chr(33 + i) * 6, {})
+        for i in range(50)
+    ]
+    body = cram.encode_container(
+        rows, {"chr1": 0, "chr2": 1}, 0, ref_names=["chr1", "chr2"],
+        qual_mode="qq",
+    )
+    fired = {"n": 0}
+    orig = cram_vec.decode_slice_columnar
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            fired["n"] += 1
+        return r
+
+    cram_vec.decode_slice_columnar = spy
+    try:
+        assert _decode_body(body) == rows
+    finally:
+        cram_vec.decode_slice_columnar = orig
+    assert fired["n"] == 0  # fell back; parity still exact
