@@ -173,29 +173,37 @@ def _minhash_buckets(
 
 def _bucket_star(buckets: DataFrame) -> DataFrame:
     """Per-bucket star edges (ids[0], ids[i]) — linear, diameter 2."""
-    return buckets.select(
-        F.col("ids")[0].alias("id_a"),
-        F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias("id_b"),
+    return (
+        buckets.select(F.explode(_star_expr()).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+
+
+def _all_pairs_expr():
+    """Array<struct<id_a,id_b>> of every in-bucket pair (sorted ids)."""
+    return F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _star_expr():
+    """Array<struct<id_a,id_b>> of per-bucket star edges (min-id hub)."""
+    hub = F.col("ids")[0]
+    return F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+        lambda y: F.struct(hub.alias("id_a"), y.alias("id_b")),
     )
 
 
 def _bucket_all_pairs(buckets: DataFrame) -> DataFrame:
     return (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.struct(
-                                x.alias("id_a"), y.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(_all_pairs_expr()).alias("p"))
         .select("p.id_a", "p.id_b")
     )
 
@@ -241,6 +249,12 @@ def minhash_lsh_pairs(
     :func:`minhash_lsh_overflow` to audit which buckets were budgeted and
     how many pairs were suppressed. ``max_bucket=None`` disables the
     budget (the pre-r6 behavior).
+
+    The budget is applied as ONE conditional expansion expression over a
+    single scan of the bucket frame — NOT as filter+union of two branches,
+    which makes Catalyst execute the whole signature stage twice (no
+    exchange reuse across two scans of an unmaterialized frame; the sf10
+    stress measured the 2x directly).
     """
     buckets = _minhash_buckets(df, text_col, id_col, num_hashes, band_size, shingle_n)
     if mode == "star":
@@ -249,9 +263,16 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown mode {mode!r} (pairs|star)")
     if max_bucket is None:
         return _bucket_all_pairs(buckets).distinct()
-    small = _bucket_all_pairs(buckets.filter(F.size("ids") <= max_bucket))
-    big = _bucket_star(buckets.filter(F.size("ids") > max_bucket))
-    return small.unionAll(big).distinct()
+    return (
+        buckets.select(
+            F.explode(
+                F.when(F.size("ids") <= max_bucket, _all_pairs_expr())
+                .otherwise(_star_expr())
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
 
 
 def minhash_lsh_overflow(

@@ -67,14 +67,26 @@ _KEY_SPACE: dict[str, tuple[str, str]] = {
 }
 
 
-def make_scale(src: str, dst: str, k: int = 10) -> None:
+def make_scale(src: str, dst: str, k: int = 10,
+               tables: set[str] | None = None) -> None:
+    """``tables`` restricts the tiling to a subset (e.g. {"documents"} for
+    a documents-only deep-scale stress directory); default is all. Key
+    strides are still computed from the owning table in SRC so a partial
+    tiling stays key-compatible with a full one at the same K."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"PRAGMA threads={os.cpu_count() or 8}")
 
+    wanted = set(_SHIFTED_KEYS) | set(_VERBATIM) if tables is None else tables
+    needed_spaces = {
+        _KEY_SPACE[c]
+        for t in wanted & set(_SHIFTED_KEYS)
+        for c in _SHIFTED_KEYS[t]
+    }
+
     # One stride per key space, from the owning table's max.
     stride: dict[tuple[str, str], int] = {}
-    for space in set(_KEY_SPACE.values()):
+    for space in needed_spaces:
         table, col = space
         (mx,) = con.execute(
             f"select max({col}) from '{src}/{table}.parquet'"
@@ -82,12 +94,16 @@ def make_scale(src: str, dst: str, k: int = 10) -> None:
         stride[space] = int(mx) + 1
 
     for t in _VERBATIM:
+        if t not in wanted:
+            continue
         con.execute(
             f"COPY (select * from '{src}/{t}.parquet') TO '{dst}/{t}.parquet'"
             " (FORMAT parquet, COMPRESSION snappy)"
         )
 
     for t, keys in _SHIFTED_KEYS.items():
+        if t not in wanted:
+            continue
         cols = [
             c[0]
             for c in con.execute(
@@ -101,13 +117,25 @@ def make_scale(src: str, dst: str, k: int = 10) -> None:
                 if c in keys:
                     sel.append(f"{c} + {r * stride[_KEY_SPACE[c]]} as {c}")
                 elif t == "documents" and c == "text" and r > 0:
-                    # suffix every token -> all shingles differ per replica
+                    # suffix every token -> all shingles differ per replica.
+                    # The suffix embeds the doc-key stride so NESTED tilings
+                    # stay disjoint too: with a bare ~{r}, tiling sf1 (itself
+                    # a tiling of sf0.1) made generation-2 replica r of an
+                    # unsuffixed doc byte-identical to generation-1 replica r
+                    # of the same source doc ("d~3" == "d~3"), planting one
+                    # exact clone per (source doc, replica) pair — the sf10
+                    # stress (r6, SCALE.md) caught this as impossible
+                    # cross-replica LSH collisions. Strides differ across
+                    # generations (the doc space grows), so ~{r}x{stride}
+                    # cannot repeat.
+                    sfx = f"~{r}x{stride[_KEY_SPACE['doc_id']]}"
                     sel.append(
-                        rf"regexp_replace(text, '(\S+)', '\1~{r}', 'g') as text"
+                        rf"regexp_replace(text, '(\S+)', '\1{sfx}', 'g') as text"
                     )
                 elif t == "documents" and c == "n_chars" and r > 0:
+                    sfx = f"~{r}x{stride[_KEY_SPACE['doc_id']]}"
                     sel.append(
-                        rf"length(regexp_replace(text, '(\S+)', '\1~{r}', 'g'))"
+                        rf"length(regexp_replace(text, '(\S+)', '\1{sfx}', 'g'))"
                         " as n_chars"
                     )
                 elif t == "embeddings" and c == "embedding" and r > 0:
@@ -133,7 +161,13 @@ def make_scale(src: str, dst: str, k: int = 10) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--tables=")]
+    tabs = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tabs = set(a.split("=", 1)[1].split(","))
+    if len(argv) < 2:
         print(__doc__)
         sys.exit(2)
-    make_scale(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    make_scale(argv[0], argv[1], int(argv[2]) if len(argv) > 2 else 10,
+               tables=tabs)
