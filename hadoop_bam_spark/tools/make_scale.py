@@ -49,6 +49,46 @@ _SHIFTED_KEYS: dict[str, list[str]] = {
 }
 _VERBATIM = ["region", "nation"]
 
+
+def _perm_case_expr(vocab: list[str], seed: int) -> str:
+    """CASE expression remapping each vocabulary token under a seeded
+    derangement (no fixed points; deterministic LCG Fisher-Yates).
+
+    Why a permutation and not a suffix (both earlier designs failed the r6
+    sf10 stress): any per-replica token SUFFIX either (a) repeats across
+    nested tilings — a bare ~{r} made generation-2 replica r of an
+    unsuffixed doc byte-identical to generation-1 replica r of the same
+    source doc, planting one exact clone per (doc, replica) — or (b) once
+    made generation-unique, grows to >= the dedup shingle width and
+    becomes a shingle shared by EVERY token of a replica, collapsing the
+    corpus's shingle diversity (measured: sf1 candidate pairs 349k ->
+    2.9M). Re-labeling the closed vocabulary keeps within-replica
+    statistics IDENTICAL to the source corpus (dup clusters map 1:1) while
+    making cross-replica word sequences disjoint; the vocabulary is closed
+    under composition, so nested tilings compose permutations and stay
+    well-behaved. Seeds (replica * doc-key stride) never repeat across
+    nested generations: r*stride_g1 < K*stride_g1 = stride_g2 <= r'*stride_g2.
+    """
+    n = len(vocab)
+    x = (seed * 0x9E3779B97F4A7C15 + 0x2545F4914F6CDD1D) % (1 << 64)
+
+    def nxt(bound: int) -> int:
+        nonlocal x
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (x >> 16) % bound
+
+    while True:
+        idx = list(range(n))
+        for i in range(n - 1, 0, -1):
+            j = nxt(i + 1)
+            idx[i], idx[j] = idx[j], idx[i]
+        if all(idx[i] != i for i in range(n)):
+            break
+    whens = " ".join(
+        f"WHEN '{vocab[i]}' THEN '{vocab[idx[i]]}'" for i in range(n)
+    )
+    return f"CASE t {whens} ELSE t END"
+
 # Key spaces shared across tables: shift amounts must agree between the
 # dim and every fact referencing it.
 _KEY_SPACE: dict[str, tuple[str, str]] = {
@@ -101,6 +141,23 @@ def make_scale(src: str, dst: str, k: int = 10,
             " (FORMAT parquet, COMPRESSION snappy)"
         )
 
+    doc_vocab: list[str] = []
+    if "documents" in wanted and k > 1:
+        doc_vocab = [
+            row[0]
+            for row in con.execute(
+                "select distinct unnest(string_split(text, ' ')) tok"
+                f" from '{src}/documents.parquet' order by tok"
+            ).fetchall()
+            if row[0]
+        ]
+        if len(doc_vocab) > 1000:
+            raise ValueError(
+                "documents vocabulary is not closed/small "
+                f"({len(doc_vocab)} tokens); the permutation scale-up "
+                "transform assumes a bounded vocabulary"
+            )
+
     for t, keys in _SHIFTED_KEYS.items():
         if t not in wanted:
             continue
@@ -116,27 +173,20 @@ def make_scale(src: str, dst: str, k: int = 10,
             for c in cols:
                 if c in keys:
                     sel.append(f"{c} + {r * stride[_KEY_SPACE[c]]} as {c}")
-                elif t == "documents" and c == "text" and r > 0:
-                    # suffix every token -> all shingles differ per replica.
-                    # The suffix embeds the doc-key stride so NESTED tilings
-                    # stay disjoint too: with a bare ~{r}, tiling sf1 (itself
-                    # a tiling of sf0.1) made generation-2 replica r of an
-                    # unsuffixed doc byte-identical to generation-1 replica r
-                    # of the same source doc ("d~3" == "d~3"), planting one
-                    # exact clone per (source doc, replica) pair — the sf10
-                    # stress (r6, SCALE.md) caught this as impossible
-                    # cross-replica LSH collisions. Strides differ across
-                    # generations (the doc space grows), so ~{r}x{stride}
-                    # cannot repeat.
-                    sfx = f"~{r}x{stride[_KEY_SPACE['doc_id']]}"
-                    sel.append(
-                        rf"regexp_replace(text, '(\S+)', '\1{sfx}', 'g') as text"
+                elif t == "documents" and c in ("text", "n_chars") and r > 0:
+                    # re-label the (closed, small) vocabulary under a
+                    # per-replica derangement — see _perm_case_expr for why
+                    # suffixing is the wrong transform here
+                    case = _perm_case_expr(
+                        doc_vocab, r * stride[_KEY_SPACE["doc_id"]]
                     )
-                elif t == "documents" and c == "n_chars" and r > 0:
-                    sfx = f"~{r}x{stride[_KEY_SPACE['doc_id']]}"
+                    remap = (
+                        "array_to_string(list_transform("
+                        f"string_split(text, ' '), t -> {case}), ' ')"
+                    )
                     sel.append(
-                        rf"length(regexp_replace(text, '(\S+)', '\1{sfx}', 'g'))"
-                        " as n_chars"
+                        f"{remap} as text" if c == "text"
+                        else f"length({remap}) as n_chars"
                     )
                 elif t == "embeddings" and c == "embedding" and r > 0:
                     # per-(vec,dim,replica) hash noise, +-0.15/element:
