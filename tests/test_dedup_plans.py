@@ -207,3 +207,21 @@ class TestExactSubstringSinglePass:
         got = {r.doc_id: r for r in exact_substring_duplication(df).collect()}
         assert got[1].dup_ratio == 1.0 and got[2].dup_ratio == 1.0
         assert got[3].n_dup_grams == 0
+
+
+class TestBudgetSinglePass:
+    def test_signature_stage_once_in_plan(self, spark):
+        """The pairs-mode budget must be ONE conditional expansion over one
+        scan of the bucket frame — filter(small) UNION filter(big) made
+        Catalyst run the whole minhash signature stage twice (measured 2x
+        at sf10, SCALE.md r6)."""
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_pairs
+
+        df = minhash_lsh_pairs(_corpus(spark), num_hashes=8, band_size=2,
+                               max_bucket=16)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one shingle-position explode + one band explode + one pair-array
+        # explode; a doubled signature stage shows up as >3 explodes
+        assert plan.count("Generate explode") == 3
+        # the pair-array explode is the conditional budget expansion
+        assert plan.count("CASE WHEN (size(ids") == 1
