@@ -152,6 +152,25 @@ def remove_tree(path: str) -> None:
     fs.rm(p, recursive=True)
 
 
+def rename(src: str, dst: str) -> None:
+    """Move ``src`` to ``dst`` on the same filesystem — a metadata
+    operation locally (os.replace), a server-side move via fsspec for
+    object stores, a key move for memory://. The sharded sinks use this
+    for the commit step so no data byte ever funnels through the driver."""
+    if _is_mem(src):
+        _MEM[dst] = _MEM.pop(src)
+        return
+    scheme = _scheme(src)
+    if scheme in (None, "file"):
+        os.replace(strip_local(src), strip_local(dst))
+        return
+    import fsspec
+
+    f, p = fsspec.core.url_to_fs(src)
+    _, q = fsspec.core.url_to_fs(dst)
+    f.mv(p, q)
+
+
 def mem_clear() -> None:
     """Test helper: drop every memory:// object in this process."""
     _MEM.clear()

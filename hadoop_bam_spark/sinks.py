@@ -99,6 +99,7 @@ def write_bam(
     index_granularity: int = DEFAULT_GRANULARITY,
     index_bai: bool = False,
     index_splitting_bai: bool = False,
+    sharded: bool = False,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid BAM file + ``.sbi`` index.
 
@@ -108,7 +109,20 @@ def write_bam(
     plan index-driven splits (formats/bai.py).
     ``index_splitting_bai=True`` also emits the reference's
     ``.splitting-bai`` layout (big-endian i64 voffsets) so Hadoop-BAM /
-    htsjdk can plan splits on our output."""
+    htsjdk can plan splits on our output.
+
+    ``sharded=True`` writes ``path`` as a DIRECTORY of independent,
+    complete BAM files (``part-NNNNN.bam`` — own header, own BGZF EOF,
+    own per-shard indexes) plus a ``_manifest.json``. This is the 100 TB
+    write path: the single-file mode's driver-side byte concatenation —
+    the reference's own contract (util/SAMFileMerger.java:46-103) —
+    funnels every output byte through one process, which caps write
+    throughput at one machine's bandwidth no matter how many executors
+    ran. Sharded output never moves data after the executor write (the
+    commit step is a same-filesystem rename), and the sources read a
+    directory of format files natively, so
+    ``spark.read.format("bam").load(dir)`` round-trips with per-shard
+    index pruning intact."""
     if refs is None:
         ordered = sorted(header.sequences.items(), key=lambda kv: kv[1][0])
         refs = [(name, ln) for name, (_, ln) in ordered]
@@ -125,7 +139,9 @@ def write_bam(
 
         from hadoop_bam_spark.formats.bam_venc import BAMBatchEncoder
 
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(
+            parts_dir, f"part-{idx:05d}.bam" if sharded else f"part-{idx:05d}"
+        )
         stats = None
         if index_bai:
             from hadoop_bam_spark.formats.bai import PartIndexStats
@@ -135,7 +151,12 @@ def write_bam(
         offsets: list[int] = []
         nrec = 0
         with fs.open_file(part_path, "wb") as f:
-            w = bgzf.BGZFWriter(f, write_terminator=False)
+            w = bgzf.BGZFWriter(f, write_terminator=sharded)
+            if sharded:
+                # a shard is a complete standalone BAM: header first,
+                # through the same writer so every recorded voffset is
+                # already file-absolute (no merge-time shifting)
+                w.write(bam.encode_header(header, refs))
             for batch in batches:
                 blob, rec_lens, (rid, pos0, end0, mapped) = enc.encode_batch(batch)
                 if not len(rec_lens):
@@ -163,7 +184,23 @@ def write_bam(
                         )
                 nrec += len(rec_lens)
             w.close()
-        return (idx, part_path, fs.file_size(part_path), offsets, stats)
+        size = fs.file_size(part_path)
+        if sharded:
+            # per-shard sidecars, written in-task: voffsets are already
+            # file-absolute (header went through the same writer)
+            sbi = SplittingIndex(index_granularity, offsets, size)
+            with fs.open_file(part_path + ".sbi", "wb") as f2:
+                sbi.write(f2)
+            if index_splitting_bai:
+                with fs.open_file(part_path + ".splitting-bai", "wb") as f2:
+                    sbi.write_reference_layout(f2)
+            if index_bai:
+                from hadoop_bam_spark.formats.bai import bai_from_part_stats
+
+                bai = bai_from_part_stats([(stats, size)], 0, len(refs))
+                with fs.open_file(part_path + ".bai", "wb") as f2:
+                    bai.write(f2)
+        return (idx, part_path, size, offsets, stats, nrec)
 
     pre = df.selectExpr(
         *SAM_COLS[:-1],
@@ -171,17 +208,24 @@ def write_bam(
         "map_values(tags) as tag_vals",
     )
     parts = _collect_parts_arrow(pre, parts_dir, write_part_batches)
+    if sharded:
+        sidecars = [".sbi"] + ([".splitting-bai"] if index_splitting_bai else []) \
+            + ([".bai"] if index_bai else [])
+        _commit_shards(path, parts_dir, [p for _, p, _, _, _, _ in parts],
+                       sidecars, records=[n for _, _, _, _, _, n in parts],
+                       fmt="bam")
+        return
     with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bam.encode_header(header, refs))
         w.close()
         header_len = out.tell()
-        for _, part_path, _, _, _ in parts:
+        for _, part_path, _, _, _, _ in parts:
             with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
     sbi = SplittingIndex.merge(
-        [(offs, size) for _, _, size, offs, _ in parts], header_len, index_granularity
+        [(offs, size) for _, _, size, offs, _, _ in parts], header_len, index_granularity
     )
     with fs.open_file(path + ".sbi", "wb") as f:
         sbi.write(f)
@@ -194,7 +238,7 @@ def write_bam(
         from hadoop_bam_spark.formats.bai import bai_from_part_stats
 
         bai = bai_from_part_stats(
-            [(stats, size) for _, _, size, _, stats in parts], header_len, len(refs)
+            [(stats, size) for _, _, size, _, stats, _ in parts], header_len, len(refs)
         )
         with fs.open_file(path + ".bai", "wb") as f:
             bai.write(f)
@@ -210,8 +254,14 @@ def write_cram(
     reference: Optional[str] = None,
     index_crai: bool = False,
     records_per_slice: int = 10000,
+    sharded: bool = False,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
+
+    ``sharded=True``: ``path`` becomes a DIRECTORY of complete standalone
+    CRAMs (``part-NNNNN.cram`` — own file definition, header container and
+    EOF; per-shard ``.crai`` when ``index_crai``) plus ``_manifest.json``
+    — same no-driver-byte-funnel rationale as ``write_bam(sharded=True)``.
 
     Containers hold up to ``records_per_container`` records in slices of
     ``records_per_slice`` (the samtools/htsjdk multi-slice layout); the
@@ -251,7 +301,9 @@ def write_cram(
             VecUnsupported,
         )
 
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(
+            parts_dir, f"part-{idx:05d}.cram" if sharded else f"part-{idx:05d}"
+        )
         enc = CRAMColumnEncoder(ref_index)
 
         def scalar_rows(tbl):
@@ -260,6 +312,9 @@ def write_cram(
                 yield vals[:11] + (dict(zip(vals[11] or (), vals[12] or ())),)
 
         with fs.open_file(part_path, "wb") as f:
+            if sharded:
+                cram.write_file_definition(f)
+                f.write(cram.encode_header_container(header.text))
             counter = 0
             pend: list = []
             pend_rows = 0
@@ -288,22 +343,46 @@ def write_cram(
                     pend_rows = rest.num_rows
             if pend_rows:
                 flush(pa.Table.from_batches(pend))
-        return (idx, part_path)
+            if sharded:
+                f.write(cram.EOF_CONTAINER_V3)
+        if sharded and index_crai:
+            _crai_sidecar(part_path)
+        return (idx, part_path, counter)
+
+    def _crai_sidecar(part_path):
+        from hadoop_bam_spark.formats import crai as crai_mod
+
+        crai_mod.write_crai(
+            crai_mod.build_crai(part_path, open_fn=fs.open_file),
+            part_path + ".crai",
+            open_fn=fs.open_file,
+        )
 
     def write_part(idx: int, rows):
         ref_fasta = (
             cram.FastaRef(reference, open_fn=fs.open_file) if reference else None
         )
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(
+            parts_dir, f"part-{idx:05d}.cram" if sharded else f"part-{idx:05d}"
+        )
+        nrec = 0
         with fs.open_file(part_path, "wb") as f:
+            if sharded:
+                cram.write_file_definition(f)
+                f.write(cram.encode_header_container(header.text))
             w = cram.CRAMWriter(
                 f, refs, bare=True, records_per_container=records_per_container,
                 ref_fasta=ref_fasta, records_per_slice=records_per_slice,
             )
             for r in rows:
                 w.write(tuple(r))
+                nrec += 1
             w.close(write_eof=False)
-        return (idx, part_path)
+            if sharded:
+                f.write(cram.EOF_CONTAINER_V3)
+        if sharded and index_crai:
+            _crai_sidecar(part_path)
+        return (idx, part_path, nrec)
 
     if reference is None:
         pre = df.selectExpr(
@@ -316,10 +395,15 @@ def write_cram(
         # reference-compressed (RR=true) containers need per-base FASTA
         # windows — outside the columnar scope, scalar Row path
         parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    if sharded:
+        _commit_shards(path, parts_dir, [p for _, p, _ in parts],
+                       [".crai"] if index_crai else [],
+                       records=[n for _, _, n in parts], fmt="cram")
+        return
     with fs.open_file(path, "wb") as out:
         cram.write_file_definition(out)
         out.write(cram.encode_header_container(header.text))
-        for _, part_path in parts:
+        for _, part_path, _ in parts:
             with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(cram.EOF_CONTAINER_V3)
@@ -368,20 +452,35 @@ def write_any_sam(
 
 
 def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
-                      line_fn, compress: bool, chunk_fn=None) -> None:
+                      line_fn, compress: bool, chunk_fn=None,
+                      shard_ext: str | None = None) -> None:
     """``chunk_fn`` (RecordBatch -> newline-terminated bytes) switches the
     partition write to the vectorized Arrow path (no Row materialization);
-    ``line_fn`` stays as the per-row formatter otherwise."""
+    ``line_fn`` stays as the per-row formatter otherwise.
+
+    ``shard_ext`` (e.g. ``".vcf.bgz"``) switches to sharded output: every
+    part becomes a complete standalone file (own header, own BGZF EOF)
+    committed into the ``path`` directory by rename — no driver merge."""
+    sharded = shard_ext is not None
+
+    def _open_part(idx):
+        name = f"part-{idx:05d}{shard_ext}" if sharded else f"part-{idx:05d}"
+        return fs.join(parts_dir, name)
+
     if chunk_fn is not None:
         def write_part_batches(idx: int, batches):
-            part_path = fs.join(parts_dir, f"part-{idx:05d}")
+            part_path = _open_part(idx)
             with fs.open_file(part_path, "wb") as f:
                 if compress:
-                    w = bgzf.BGZFWriter(f, write_terminator=False)
+                    w = bgzf.BGZFWriter(f, write_terminator=sharded)
+                    if sharded:
+                        w.write(header_text.encode())
                     for b in batches:
                         w.write(chunk_fn(b))
                     w.close()
                 else:
+                    if sharded:
+                        f.write(header_text.encode())
                     for b in batches:
                         f.write(chunk_fn(b))
             return (idx, part_path)
@@ -389,24 +488,58 @@ def _write_text_parts(df: DataFrame, cols, path, parts_dir, header_text: str,
         parts = _collect_parts_arrow(
             df.select(*cols), parts_dir, write_part_batches
         )
-        _merge_text_parts(path, parts_dir, parts, header_text, compress)
+    else:
+        def write_part(idx: int, rows):
+            part_path = _open_part(idx)
+            with fs.open_file(part_path, "wb") as f:
+                if compress:
+                    w = bgzf.BGZFWriter(f, write_terminator=sharded)
+                    if sharded:
+                        w.write(header_text.encode())
+                    for r in rows:
+                        w.write((line_fn(r) + "\n").encode())
+                    w.close()
+                else:
+                    if sharded:
+                        f.write(header_text.encode())
+                    for r in rows:
+                        f.write((line_fn(r) + "\n").encode())
+            return (idx, part_path)
+
+        parts = _collect_parts(df, cols, parts_dir, write_part)
+    if sharded:
+        _commit_shards(path, parts_dir, [p for _, p in parts], [])
         return
-
-    def write_part(idx: int, rows):
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
-        with fs.open_file(part_path, "wb") as f:
-            if compress:
-                w = bgzf.BGZFWriter(f, write_terminator=False)
-                for r in rows:
-                    w.write((line_fn(r) + "\n").encode())
-                w.close()
-            else:
-                for r in rows:
-                    f.write((line_fn(r) + "\n").encode())
-        return (idx, part_path)
-
-    parts = _collect_parts(df, cols, parts_dir, write_part)
     _merge_text_parts(path, parts_dir, parts, header_text, compress)
+
+
+def _commit_shards(path: str, parts_dir: str, shard_paths: list[str],
+                   sidecar_exts: list[str], records: list[int] | None = None,
+                   fmt: str = "") -> None:
+    """Rename executor-written complete shards (+ sidecars) into ``path``
+    and write ``_manifest.json``. Rename is a metadata operation on every
+    supported filesystem, so the commit moves no data bytes."""
+    import json
+
+    fs.makedirs(path)
+    manifest = []
+    for i, part_path in enumerate(shard_paths):
+        name = part_path.rsplit("/", 1)[-1]
+        fs.rename(part_path, fs.join(path, name))
+        for ext in sidecar_exts:
+            fs.rename(part_path + ext, fs.join(path, name + ext))
+        entry = {"shard": name, "bytes": fs.file_size(fs.join(path, name))}
+        if records is not None:
+            entry["records"] = records[i]
+        manifest.append(entry)
+    body = {"shards": manifest}
+    if fmt:
+        body["format"] = fmt
+    if records is not None:
+        body["records"] = sum(records)
+    with fs.open_file(fs.join(path, "_manifest.json"), "wb") as f:
+        f.write(json.dumps(body, indent=1).encode())
+    fs.remove_tree(parts_dir)
 
 
 def _merge_text_parts(path, parts_dir, parts, header_text: str,
@@ -460,14 +593,23 @@ def _ensure_vcf_samples(df: DataFrame, header: VCFHeader) -> VCFHeader:
 
 def write_vcf(
     df: DataFrame, path: str, header: VCFHeader, compress: Optional[bool] = None,
-    index_tbi: bool = False,
+    index_tbi: bool = False, sharded: bool = False,
 ) -> None:
     """Write a VCF_SCHEMA DataFrame as one valid VCF (.vcf or BGZF .vcf.bgz —
     default by extension, reference KeyIgnoringVCFOutputFormat.java:93-114).
 
     ``index_tbi=True`` (BGZF output only) builds a ``.tbi`` tabix index with
     one post-merge pass (meaningful when ``df`` is coordinate-sorted) so
-    interval reads prune splits at plan time (formats/tabix.py)."""
+    interval reads prune splits at plan time (formats/tabix.py).
+
+    ``sharded=True``: ``path`` becomes a DIRECTORY of complete standalone
+    VCFs (``part-NNNNN.vcf`` / ``.vcf.bgz`` — own header, own BGZF EOF,
+    per-shard ``.tbi`` when ``index_tbi``) plus a ``_manifest.json`` —
+    same rationale as ``write_bam(sharded=True)``: no output byte ever
+    funnels through the driver, the commit is a rename, and the VCF
+    source reads the directory natively."""
+    if sharded and compress is None:
+        compress = True  # directory path carries no extension signal
     if compress is None:
         compress = path.endswith((".gz", ".bgz"))
     if index_tbi and not compress:
@@ -476,6 +618,9 @@ def write_vcf(
     header = _ensure_vcf_samples(df, header)
     samples = header.samples
 
+    if sharded and index_tbi:
+        _write_vcf_shards_indexed(df, path, header.text, samples)
+        return
     if index_tbi:
         _write_vcf_parts_indexed(df, path, header.text, samples)
         return
@@ -494,7 +639,9 @@ def write_vcf(
         return out
 
     _write_text_parts(df, VCF_COLS, path, path + ".__parts__", header.text, line,
-                      compress, chunk_fn=chunk)
+                      compress, chunk_fn=chunk,
+                      shard_ext=(".vcf.bgz" if compress else ".vcf")
+                      if sharded else None)
 
 
 def _vcf_batch_rows(batch):
@@ -513,6 +660,46 @@ def _vcf_batch_rows(batch):
             if gts is not None
             else None,
         )
+
+
+def _write_vcf_shards_indexed(df: DataFrame, path: str, header_text: str,
+                              samples: list[str]) -> None:
+    """Sharded BGZF VCF with a per-shard ``.tbi`` built in-task: the shard
+    includes its own header through the same BGZF writer, so the stats'
+    voffsets are file-absolute and no offset shifting is needed."""
+    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    from hadoop_bam_spark.formats.tabix import FMT_VCF, TabixIndex, write_tabix
+
+    parts_dir = path + ".__parts__"
+
+    def write_part(idx: int, rows):
+        part_path = fs.join(parts_dir, f"part-{idx:05d}.vcf.bgz")
+        stats = PartIndexStats()
+        nrec = 0
+        with fs.open_file(part_path, "wb") as f:
+            w = bgzf.BGZFWriter(f, write_terminator=True)
+            w.write(header_text.encode())
+            for r in rows:
+                at = w.tell_voffset()
+                w.write((format_vcf_line(tuple(r), samples) + "\n").encode())
+                beg0 = int(r[1]) - 1
+                end0 = beg0 + max(len(r[4] or "N"), 1)
+                stats.add(r[0], beg0, end0, True, at, w.tell_voffset())
+                nrec += 1
+            w.close()
+        size = fs.file_size(part_path)
+        names = list(stats.order)
+        merged = merge_part_stats([(stats, size)], 0, names)
+        merged.pop("__n_no_coor__")
+        idx_t = TabixIndex(
+            names, [merged[n] for n in names], FMT_VCF, 1, 2, 0, ord("#"), 0, 0
+        )
+        write_tabix(idx_t, part_path + ".tbi")
+        return (idx, part_path, nrec)
+
+    parts = _collect_parts(df, VCF_COLS, parts_dir, write_part)
+    _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
+                   records=[n for _, _, n in parts], fmt="vcf")
 
 
 def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,

@@ -471,3 +471,41 @@ def test_qq_vec_decoder_falls_back_scalar():
     finally:
         cram_vec.decode_slice_columnar = orig
     assert fired["n"] == 0  # fell back; parity still exact
+
+
+def test_sharded_cram_write_dir_read(spark, tmp_path):
+    """sharded=True: directory of complete standalone CRAMs with per-shard
+    .crai; no driver-side byte merge (write_bam(sharded=True) rationale)."""
+    import json
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rows = [
+        (f"r{i}", 0, "chr1", 1 + 3 * i, 60, "10M", None, 0, 0,
+         "ACGTACGTAC", "IIIIIIIIII", {})
+        for i in range(200)
+    ]
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+    hdr.sequences = {"chr1": (0, 5000)}
+    df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(3)
+    out = str(tmp_path / "sharded_cram")
+    sinks.write_cram(df, out, hdr, records_per_container=50,
+                     index_crai=True, sharded=True)
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".cram"))
+    assert len(shards) == 3
+    for s in shards:
+        assert os.path.exists(os.path.join(out, s + ".crai"))
+    man = json.load(open(os.path.join(out, "_manifest.json")))
+    assert man["records"] == 200
+    back = spark.read.format("cram").load(out)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
+    # one shard stands alone (own file definition + header + EOF)
+    solo_path = os.path.join(out, shards[0])
+    solo = list(cram.decode_file(solo_path))
+    assert len(solo) == man["shards"][0]["records"]
+    assert open(solo_path, "rb").read().endswith(cram.EOF_CONTAINER_V3)
