@@ -153,6 +153,28 @@ def bam_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_back(back)
 
 
+@query(
+    "bam_sharded_roundtrip",
+    oracle=_BAM_ORACLE,
+    doc="Sharded BAM I/O (the 100 TB write path): write a DIRECTORY of "
+    "complete standalone BAMs with per-shard .sbi/.bai — no driver-side "
+    "byte merge, commit by rename — then read the directory back with "
+    "small splits and aggregate. Same oracle as the single-file "
+    "round trip: shard layout must never change content.",
+)
+def bam_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bam_sharded", lambda d: sinks.write_bam(
+        _sam_df(spark, sf_dir).repartition(4), os.path.join(d, "reads_bam"),
+        _sam_header(), index_granularity=1024, index_bai=True, sharded=True))
+    path = os.path.join(d, "reads_bam")
+    back = spark.read.format("bam").option("split_size", str(_SPLIT)).load(path)
+    return _agg_back(back)
+
+
 _BAM_PROJECTION_ORACLE = f"""
     WITH {READS_CTE}
     SELECT CASE WHEN ref_idx < 0 THEN NULL
