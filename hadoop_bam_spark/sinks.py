@@ -755,7 +755,7 @@ def _write_vcf_parts_indexed(df: DataFrame, path: str, header_text: str,
 
 
 def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
-              index_csi: bool = False) -> None:
+              index_csi: bool = False, sharded: bool = False) -> None:
     """Write a VCF_SCHEMA DataFrame as one valid BGZF-compressed BCF2 file:
     headerless BGZF parts on executors, driver concat behind the header
     block, BGZF terminator appended last (reference BCFRecordWriter close
@@ -763,7 +763,12 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
 
     ``index_csi=True`` builds a ``.csi`` binning index from one pass over
     the merged output (meaningful when ``df`` is coordinate-sorted) so
-    interval reads prune BGZF splits at plan time (formats/csi.py)."""
+    interval reads prune BGZF splits at plan time (formats/csi.py).
+
+    ``sharded=True``: ``path`` becomes a DIRECTORY of complete standalone
+    BCFs (own header block + BGZF EOF, per-shard ``.csi`` when
+    ``index_csi``) plus ``_manifest.json`` — same no-driver-byte-funnel
+    rationale as ``write_bam(sharded=True)``."""
     from hadoop_bam_spark.formats import bcf as bcfmod
 
     header = _ensure_vcf_samples(df, header)
@@ -788,20 +793,35 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
             VecUnsupported,
         )
 
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        part_path = fs.join(
+            parts_dir, f"part-{idx:05d}.bcf" if sharded else f"part-{idx:05d}"
+        )
         enc = BCFBatchEncoder(bhdr)
         stats = None
         if index_csi:
             from hadoop_bam_spark.formats.csi import CSIPartStats
 
             stats = CSIPartStats()  # default 14/5 == reg2bin_vec's scheme
+        nrec = 0
+        hdr_len = 0
         with fs.open_file(part_path, "wb") as f:
+            if sharded:
+                # a shard is a complete standalone BCF with the MERGED
+                # file's exact layout: the header closes its own BGZF
+                # stream so records begin on a block boundary (the reader
+                # and the part-stats CSI rebase both assume it), and the
+                # EOF terminator is appended after the record stream
+                hw = bgzf.BGZFWriter(f, write_terminator=False)
+                hw.write(bcfmod.encode_header(bhdr))
+                hw.close()
+                hdr_len = f.tell()
             w = bgzf.BGZFWriter(f, write_terminator=False)
             for batch in batches:
                 try:
                     blob, rec_lens, (rid, beg0, end0) = enc.encode_batch(batch)
                     u0 = w.u_total
                     w.write(blob)
+                    nrec += len(rec_lens)
                     if stats is not None and len(rec_lens):
                         u_starts = u0 + np.concatenate(
                             [[0], np.cumsum(rec_lens[:-1])]
@@ -820,6 +840,7 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
                         u0 = w.u_total
                         rec = bcfmod.encode_record(row, bhdr)
                         w.write(rec)
+                        nrec += 1
                         if stats is not None:
                             stats.add_record(
                                 bhdr.contig_index[row[0]], row[1] - 1, row[2],
@@ -828,20 +849,36 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
                             )
             pend = w.voffset_of_u(w.u_total) if stats is not None else None
             w.close()
+            if sharded:
+                f.write(bgzf.BGZF_EOF)
         size = fs.file_size(part_path)
+        if sharded:
+            size -= hdr_len + len(bgzf.BGZF_EOF)  # record-stream length only
         if stats is not None:
             stats.remap_part_end(pend, size << 16)
-        return (idx, part_path, size, stats)
+        if sharded and index_csi:
+            from hadoop_bam_spark.formats import csi as csi_mod
+
+            idx_c = csi_mod.csi_from_part_stats(
+                [(stats, size)], hdr_len, len(bhdr.contigs)
+            )
+            csi_mod.write_csi(idx_c, part_path + ".csi", open_fn=fs.open_file)
+        return (idx, part_path, size, stats, nrec)
 
     parts = _collect_parts_arrow(
         df.select(*VCF_COLS), parts_dir, write_part_batches
     )
+    if sharded:
+        _commit_shards(path, parts_dir, [p for _, p, _, _, _ in parts],
+                       [".csi"] if index_csi else [],
+                       records=[n for _, _, _, _, n in parts], fmt="bcf")
+        return
     with fs.open_file(path, "wb") as out:
         w = bgzf.BGZFWriter(out, write_terminator=False)
         w.write(bcfmod.encode_header(bhdr))
         w.close()
         header_len = out.tell()
-        for _, part_path, _, _ in parts:
+        for _, part_path, _, _, _ in parts:
             with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
         out.write(bgzf.BGZF_EOF)
@@ -850,7 +887,7 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
         from hadoop_bam_spark.formats import csi as csi_mod
 
         idx = csi_mod.csi_from_part_stats(
-            [(stats, size) for _, _, size, stats in parts],
+            [(stats, size) for _, _, size, stats, _ in parts],
             header_len,
             len(bhdr.contigs),
         )

@@ -427,3 +427,43 @@ class TestShardedVCFSink:
             .filter((F.col("contig") == contig) & (F.col("start") <= 100000))
         )
         assert same(expect, got)
+
+
+class TestShardedBCFSink:
+    def test_sharded_csi_roundtrip(self, fmt_spark, tmp_path):
+        import json
+
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.vcf import read_vcf_header
+
+        vcf = fmt_spark.read.format("vcf").load(f"{RES}/HiSeq.10000.vcf")
+        hdr = read_vcf_header(f"{RES}/HiSeq.10000.vcf")
+        # compare against the merged single-file BCF (known-good path) so
+        # BCF's float32 QUAL semantics cancel out of the comparison
+        merged = str(tmp_path / "merged.bcf")
+        sinks.write_bcf(vcf.repartition(3), merged, hdr)
+        src = fmt_spark.read.format("bcf").load(merged)
+        out = str(tmp_path / "sharded_bcf")
+        sinks.write_bcf(vcf.repartition(3), out, hdr, index_csi=True,
+                        sharded=True)
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".bcf"))
+        assert len(shards) == 3
+        for s in shards:
+            assert os.path.exists(os.path.join(out, s + ".csi"))
+        man = json.load(open(os.path.join(out, "_manifest.json")))
+        assert man["records"] == src.count()
+        back = fmt_spark.read.format("bcf").load(out)
+        assert same(src, back)
+        # interval pushdown through per-shard .csi
+        contig = back.select("contig").first()[0]
+        expect = back.filter(
+            (F.col("contig") == contig) & (F.col("start") <= 100000)
+        )
+        got = (
+            fmt_spark.read.format("bcf").load(out)
+            .filter((F.col("contig") == contig) & (F.col("start") <= 100000))
+        )
+        assert same(expect, got)
+        # one shard stands alone
+        solo = fmt_spark.read.format("bcf").load(os.path.join(out, shards[0]))
+        assert solo.count() == man["shards"][0]["records"]
