@@ -427,6 +427,7 @@ def write_any_sam(
     header: SAMHeader,
     refs: Optional[list[tuple[str, int]]] = None,
     format: Optional[str] = None,
+    sharded: bool = False,
 ) -> None:
     """Dispatch a SAM_SCHEMA write to the BAM / SAM / CRAM sink by explicit
     ``format`` or by the path's extension — the reference's any-SAM output
@@ -440,11 +441,11 @@ def write_any_sam(
                 fmt = ext
                 break
     if fmt == "bam":
-        write_bam(df, path, header, refs=refs)
+        write_bam(df, path, header, refs=refs, sharded=sharded)
     elif fmt == "cram":
-        write_cram(df, path, header, refs=refs)
+        write_cram(df, path, header, refs=refs, sharded=sharded)
     elif fmt == "sam":
-        write_sam(df, path, header)
+        write_sam(df, path, header, sharded=sharded)
     else:
         raise ValueError(
             f"cannot infer SAM output format for {path!r}; pass format="
@@ -559,13 +560,15 @@ def _merge_text_parts(path, parts_dir, parts, header_text: str,
     fs.remove_tree(parts_dir)
 
 
-def write_sam(df: DataFrame, path: str, header: SAMHeader) -> None:
+def write_sam(df: DataFrame, path: str, header: SAMHeader,
+              sharded: bool = False) -> None:
     from hadoop_bam_spark.formats import sam_vec
 
     _write_text_parts(
         df, SAM_COLS, path, path + ".__parts__", header.text,
         lambda r: format_sam_line(tuple(r)), compress=False,
         chunk_fn=sam_vec.format_sam_chunk,
+        shard_ext=".sam" if sharded else None,
     )
 
 
@@ -987,12 +990,13 @@ def _fastq_chunk(batch) -> bytes:
     return (blob + "\n").encode("utf-8", "surrogateescape")
 
 
-def write_fastq(df: DataFrame, path: str) -> None:
+def write_fastq(df: DataFrame, path: str, sharded: bool = False) -> None:
     def line(r):
         return f"@{_synthesize_name(r)}\n{r.sequence}\n+\n{r.quality}"
 
     _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False,
-                      chunk_fn=_fastq_chunk)
+                      chunk_fn=_fastq_chunk,
+                      shard_ext=".fastq" if sharded else None)
 
 
 _P33_TO_P64 = bytes(
@@ -1163,7 +1167,7 @@ def _qseq_chunk(batch) -> bytes:
     return (blob + "\n").encode("utf-8", "surrogateescape")
 
 
-def write_qseq(df: DataFrame, path: str) -> None:
+def write_qseq(df: DataFrame, path: str, sharded: bool = False) -> None:
     """Inverse of the qseq source: N->'.', Sanger->Illumina quality
     (reference QseqOutputFormat.java:98-157)."""
 
@@ -1186,7 +1190,8 @@ def write_qseq(df: DataFrame, path: str) -> None:
         )
 
     _write_text_parts(df, FASTQ_COLS, path, path + ".__parts__", "", line, False,
-                      chunk_fn=_qseq_chunk)
+                      chunk_fn=_qseq_chunk,
+                      shard_ext=".qseq" if sharded else None)
 
 
 def write_parquet_reads(

@@ -467,3 +467,33 @@ class TestShardedBCFSink:
         # one shard stands alone
         solo = fmt_spark.read.format("bcf").load(os.path.join(out, shards[0]))
         assert solo.count() == man["shards"][0]["records"]
+
+
+class TestShardedTextSinks:
+    def test_sharded_sam_fastq(self, fmt_spark, tmp_path):
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats import bam, bgzf
+
+        src = fmt_spark.read.format("bam").load(f"{RES}/test.bam")
+        with open(f"{RES}/test.bam", "rb") as f:
+            header, _, _ = bam.read_header(bgzf.BGZFReader(f))
+        out = str(tmp_path / "sh_sam")
+        sinks.write_sam(src.repartition(2), out, header, sharded=True)
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".sam"))
+        assert len(shards) == 2
+        # every shard carries the header (standalone)
+        for s in shards:
+            assert open(os.path.join(out, s)).readline().startswith("@")
+        assert same(src, fmt_spark.read.format("sam").load(out))
+
+        fq_file = str(tmp_path / "r.fastq")
+        with open(fq_file, "w") as f:
+            for i in range(40):
+                f.write(f"@read{i}/1\nACGTACGT\n+\nIIIIIIII\n")
+        fq = fmt_spark.read.format("fastq").load(fq_file)
+        out_fq = str(tmp_path / "sh_fq")
+        sinks.write_fastq(fq.repartition(2), out_fq, sharded=True)
+        shards = [f for f in os.listdir(out_fq) if f.endswith(".fastq")]
+        assert len(shards) == 2
+        back = fmt_spark.read.format("fastq").load(out_fq)
+        assert back.count() == 40
