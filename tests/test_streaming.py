@@ -350,3 +350,72 @@ class TestVCFStreaming:
             str(land / "b.vcf.bgz"), [("c1", 1000, 2000)]
         )
         assert list(it) == []
+
+
+class TestBamStreaming:
+    """bam_stream: tail a directory of complete BAMs — the consumer of the
+    sharded BAM sink (write_bam(sharded=True))."""
+
+    def _mk_shards(self, spark, out):
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+
+        rows = [
+            (f"r{i}", 0, "chr1", 1 + i, 60, "4M", None, 0, 0, "ACGT", "IIII", {})
+            for i in range(60)
+        ]
+        hdr = SAMHeader()
+        hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+        hdr.sequences = {"chr1": (0, 5000)}
+        df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(3)
+        sinks.write_bam(df, out, hdr, sharded=True)
+        return rows
+
+    def test_tail_sharded_sink_output(self, spark, tmp_path):
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamDataSource
+
+        spark.dataSource.register(BamStreamDataSource)
+        out = str(tmp_path / "landing_bam")
+        rows = self._mk_shards(spark, out)
+        q = (
+            spark.readStream.format("bam_stream")
+            .load(out)
+            .writeStream.format("memory")
+            .queryName("t_bam_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.qname, r.pos, r.seq) for r in spark.table("t_bam_stream").collect()
+        )
+        assert got == sorted((r[0], r[3], r[9]) for r in rows)
+
+    def test_exactly_once_and_replay_raises(self, spark, tmp_path):
+        import copy
+        import os as _os
+
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamReader
+        from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
+
+        out = str(tmp_path / "landing2")
+        self._mk_shards(spark, out)
+        rdr = BamStreamReader({"path": out})
+        rows, off = rdr.read(rdr.initialOffset())
+        assert isinstance(rows, LazyFileRows)  # lazy, not a prebuilt list
+        n1 = sum(1 for _ in copy.copy(rows))
+        assert n1 == 60
+        # second read from the new offset: nothing new
+        rows2, off2 = rdr.read(off)
+        assert sum(1 for _ in copy.copy(rows2)) == 0
+        assert off2 == off
+        # manifest/dotfiles never enter offsets
+        assert all(not f.startswith("_") for f in off["processed"])
+        # replay with a deleted shard must raise, not silently drop rows
+        victim = _os.path.join(out, off["processed"][0])
+        _os.remove(victim)
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            list(rdr.readBetweenOffsets(rdr.initialOffset(), off))
