@@ -152,6 +152,25 @@ def remove_tree(path: str) -> None:
     fs.rm(p, recursive=True)
 
 
+def remove(path: str) -> None:
+    """Delete one file (missing is fine)."""
+    if _is_mem(path):
+        _MEM.pop(path, None)
+        return
+    scheme = _scheme(path)
+    if scheme in (None, "file"):
+        try:
+            os.remove(strip_local(path))
+        except FileNotFoundError:
+            pass
+        return
+    import fsspec
+
+    f, p = fsspec.core.url_to_fs(path)
+    if f.exists(p):
+        f.rm_file(p)
+
+
 def rename(src: str, dst: str) -> None:
     """Move ``src`` to ``dst`` on the same filesystem — a metadata
     operation locally (os.replace), a server-side move via fsspec for

@@ -117,6 +117,11 @@ class BAMDataSource(DataSource):
     def reader(self, schema) -> "BAMReader":
         return BAMReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.bam_sink import BAMStreamWriter
+
+        return BAMStreamWriter(self.options)
+
 
 class BAMReader(DataSourceReader):
     def __init__(self, options):

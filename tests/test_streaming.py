@@ -419,3 +419,67 @@ class TestBamStreaming:
 
         with _pytest.raises(FileNotFoundError):
             list(rdr.readBetweenOffsets(rdr.initialOffset(), off))
+
+
+class TestBamStreamSink:
+    """writeStream.format('bam'): each micro-batch lands as complete BAM
+    shards committed by rename — the producer side of bam_stream."""
+
+    def test_stream_fastq_to_bam_shards(self, spark, tmp_path):
+        import json
+
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.fastq_stream import FastqStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(FastqStreamDataSource)
+        land = tmp_path / "fq_landing"
+        land.mkdir()
+        rec = "@r{i}/1\nACGTACGT\n+\nIIIIIIII\n"
+        (land / "a.fastq").write_text("".join(rec.format(i=i) for i in range(30)))
+
+        hdr_path = tmp_path / "hdr.sam"
+        hdr_path.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:5000\n")
+
+        out = tmp_path / "bam_out"
+        ck = tmp_path / "ck"
+        from pyspark.sql import functions as F
+
+        src = spark.readStream.format("fastq_stream").load(str(land))
+        sam = src.select(
+            F.col("name").alias("qname"),
+            F.lit(4).cast("int").alias("flag"),
+            F.lit(None).cast("string").alias("rname"),
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(0).cast("int").alias("mapq"),
+            F.lit(None).cast("string").alias("cigar"),
+            F.lit(None).cast("string").alias("rnext"),
+            F.lit(0).cast("int").alias("pnext"),
+            F.lit(0).cast("int").alias("tlen"),
+            F.col("sequence").alias("seq"),
+            F.col("quality").alias("qual"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        q = (
+            sam.writeStream.format("bam")
+            .option("path", str(out))
+            .option("header", str(hdr_path))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".bam"))
+        assert shards, "no shards written"
+        assert all(f.startswith("batch-") for f in shards)
+        # manifest records every shard with counts
+        lines = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        assert sum(e["records"] for e in lines) == 30
+        assert sorted(e["shard"] for e in lines) == shards
+        # the output is a readable BAM directory (batch source)
+        back = spark.read.format("bam").load(str(out))
+        assert back.count() == 30
+        assert back.filter("seq = 'ACGTACGT'").count() == 30
+        # no stragglers in staging
+        staging = out / ".staging"
+        assert not staging.exists() or not any(staging.iterdir())
