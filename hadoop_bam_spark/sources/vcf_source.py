@@ -197,6 +197,11 @@ class VCFDataSource(DataSource):
     def reader(self, schema) -> "VCFReader":
         return VCFReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.vcf_sink import VCFStreamWriter
+
+        return VCFStreamWriter(self.options)
+
 
 class VCFReader(DataSourceReader):
     def __init__(self, options):

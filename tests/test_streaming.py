@@ -483,3 +483,44 @@ class TestBamStreamSink:
         # no stragglers in staging
         staging = out / ".staging"
         assert not staging.exists() or not any(staging.iterdir())
+
+
+class TestVcfStreamSink:
+    def test_stream_vcf_shards(self, spark, tmp_path):
+        import json
+
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.vcf_stream import VCFStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(VCFStreamDataSource)
+        RES = "/root/reference/src/test/resources"
+        land = tmp_path / "vcf_landing"
+        land.mkdir()
+        import shutil as _sh
+
+        _sh.copy(f"{RES}/test.vcf", land / "a.vcf")
+
+        out = tmp_path / "vcf_out"
+        ck = tmp_path / "ck_vcf"
+        q = (
+            spark.readStream.format("vcf_stream")
+            .load(str(land))
+            .writeStream.format("vcf")
+            .option("path", str(out))
+            .option("header", f"{RES}/test.vcf")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".vcf.bgz"))
+        assert shards
+        lines = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        src = spark.read.format("vcf").load(f"{RES}/test.vcf")
+        assert sum(e["records"] for e in lines) == src.count()
+        back = spark.read.format("vcf").load(str(out))
+        assert back.count() == src.count()
+        got = sorted((r.contig, r.start, r.ref) for r in back.collect())
+        want = sorted((r.contig, r.start, r.ref) for r in src.collect())
+        assert got == want
