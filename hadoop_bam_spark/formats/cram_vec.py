@@ -16,9 +16,11 @@ feature stream with segmented prefix sums + arena gathers:
   singles | 'N' run); CIGARs build from merged op-run arrays formatted
   via a single Arrow int->string cast; quals slice or scatter in bulk;
 - slices whose shapes the columnar path does not cover (core-bit codecs,
-  'q'/QQ features, reference reads past the fetched window) return None
-  and the caller runs the scalar path — semantics never depend on the
-  fast path.
+  reference reads past the fetched window, non-BYTE_ARRAY_LEN QQ
+  streams) return None and the caller runs the scalar path — semantics
+  never depend on the fast path. 'q'/QQ quality stretches ARE covered
+  (r6): zero-consumption features flow through the shared geometry and
+  the length-prefixed QQ payloads scatter into the qual column.
 
 Role model: the reference reads CRAM through htsjdk's CRAMIterator /
 slice codecs (CRAMRecordReader.java); parity here is property-tested
@@ -318,9 +320,6 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     else:
         fc = np.empty(0, dtype=np.uint8)
         fp = np.empty(0, dtype=np.int64)
-    if F and bool((fc == ord("q")).any()):
-        raise _Unsupported("'q' feature (QQ) not covered")
-
     rec_of = np.repeat(np.arange(n_map, dtype=np.int64), fn)  # mapped-local
     f_start = np.zeros(n_map, dtype=np.int64)
     np.cumsum(fn[:-1], out=f_start[1:])
@@ -343,8 +342,9 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     is_bb = fc == ord("B")
     is_b = fc == ord("b")
     is_q = fc == ord("Q")
+    is_qq = fc == ord("q")  # QQ quality stretch: zero read/ref consumption
     known = (is_x | is_d | is_i | is_ins1 | is_s | is_h | is_p | is_n
-             | is_bb | is_b | is_q)
+             | is_bb | is_b | is_q | is_qq)
     if F and not bool(known.all()):
         raise _Unsupported("unknown feature code")
 
@@ -376,6 +376,9 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     else:
         bb_st = bb_ln = np.empty(0, dtype=np.int64)
         bb_buf = np.empty(0, dtype=np.uint8)
+    qq_payloads = (
+        _qq_payloads(S, comp, int(is_qq.sum())) if bool(is_qq.any()) else []
+    )
 
     # BA stream: mapped 'i'/'B' singles + unmapped verbatim reads,
     # consumed record-major
@@ -520,6 +523,7 @@ def _decode(dec, sh, comp, ext, embedded_ref) -> list[list]:
     quals = _assemble_quals(
         n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off, qs_per_rec,
         F, rec_of, fn, is_bb, is_q, fpos, qs_feat_off,
+        is_qq, qq_payloads,
     )
 
     # assembly: columnar -> per-record lists (one zip pass; the scalar
@@ -1044,9 +1048,35 @@ def _assemble_cigars(n_map, F, rec_of, fn, gap, trailing,
     return cigars
 
 
+def _qq_payloads(S: "_Series", comp, count: int) -> list[bytes]:
+    """'q' feature values: the QQ series as raw phred payload per feature.
+
+    Covers the length-prefixed BYTE_ARRAY_LEN one-block layout (this
+    repo's writer declares QQ that way — quality bytes may be 0x00 so a
+    stop byte cannot delimit them). Other codecs (e.g. a bare EXTERNAL
+    remainder-of-read stream) raise and the slice falls back scalar."""
+    spec = comp.data_series.get("QQ")
+    if spec is None:
+        raise _Unsupported("QQ series absent")
+    codec, params = spec
+    if codec != E_BYTE_ARRAY_LEN:
+        raise _Unsupported(f"QQ codec {codec}")
+    len_codec, len_params, rest = _parse_encoding(params)
+    val_codec, val_params, _ = _parse_encoding(rest)
+    if len_codec != E_EXTERNAL or val_codec != E_EXTERNAL:
+        raise _Unsupported("QQ non-external streams")
+    len_cid, _ = read_itf8(len_params, 0)
+    val_cid, _ = read_itf8(val_params, 0)
+    if len_cid != val_cid:
+        raise _Unsupported("QQ split streams")
+    if val_cid not in S.ext:
+        raise _Unsupported("QQ block missing")
+    return _decode_tag_block(S.ext[val_cid], count)
+
+
 def _assemble_quals(n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off,
                     qs_per_rec, F, rec_of, fn, is_bb, is_q, fpos,
-                    qs_feat_off):
+                    qs_feat_off, is_qq, qq_payloads):
     """-> list of qual strings (None when absent) per global record."""
     quals: list = [None] * n
     # stored quals: the trailing rl bytes of the record's QS range.
@@ -1071,10 +1101,11 @@ def _assemble_quals(n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off,
             for j, g in enumerate(stored_idx.tolist()):
                 if keep[j]:
                     quals[g] = _phred(qs_b[st_l[j]: en_l[j]])
-    # sparse quals: mapped, not stored, with B/Q features
+    # sparse quals: mapped, not stored, with B/Q singles or 'q' stretches
     if F:
-        bq = is_bb | is_q
+        bq = is_bb | is_q | is_qq
         if bool(bq.any()):
+            qq_rank = np.cumsum(is_qq) - 1
             per_rec_bq = np.zeros(len(fn), dtype=np.int64)
             np.add.at(per_rec_bq, rec_of[bq], 1)
             for k in np.flatnonzero(per_rec_bq):
@@ -1084,7 +1115,12 @@ def _assemble_quals(n, map_idx, mapped, stored, rl, qs_buf, qs_rec_off,
                 raw = bytearray(b"\xff" * int(rl[g]))
                 sel = np.flatnonzero(bq & (rec_of == k))
                 for f in sel:
-                    raw[int(fpos[f]) - 1] = int(qs_buf[int(qs_feat_off[f])])
+                    if is_qq[f]:
+                        pl = qq_payloads[int(qq_rank[f])]
+                        p0 = int(fpos[f]) - 1
+                        raw[p0: p0 + len(pl)] = pl
+                    else:
+                        raw[int(fpos[f]) - 1] = int(qs_buf[int(qs_feat_off[f])])
                 if raw[0] != 0xFF:
                     quals[g] = _phred(bytes(raw))
     return quals

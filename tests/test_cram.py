@@ -442,9 +442,10 @@ def test_qq_reference_based_roundtrip(tmp_path):
     assert _decode_body(body, ref_fasta_path=fasta) == rows
 
 
-def test_qq_vec_decoder_falls_back_scalar():
-    """The columnar decoder declares 'q' unsupported; ContainerDecoder
-    must transparently take the scalar path and still be exact."""
+def test_qq_vec_decoder_covers_qq():
+    """r6: the columnar decoder covers 'q'/QQ (zero-consumption features
+    through the shared geometry, length-prefixed payload scatter) — the
+    fast path must FIRE on a qual_mode='qq' container and stay exact."""
     from hadoop_bam_spark.formats import cram_vec
 
     rows = [
@@ -470,7 +471,7 @@ def test_qq_vec_decoder_falls_back_scalar():
         assert _decode_body(body) == rows
     finally:
         cram_vec.decode_slice_columnar = orig
-    assert fired["n"] == 0  # fell back; parity still exact
+    assert fired["n"] > 0  # columnar path covered the QQ slice
 
 
 def test_sharded_cram_write_dir_read(spark, tmp_path):

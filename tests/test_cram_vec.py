@@ -18,7 +18,7 @@ REF_FASTA = "/root/reference/src/test/resources/auxf.fa"
 
 
 def _decode_both(body_rows, refs, ref_fasta_path=None, records_per_slice=10000,
-                 ref_index=None, counter=0):
+                 ref_index=None, counter=0, qual_mode="stored"):
     """Encode rows -> decode via fast path AND forced-scalar path."""
     ref_index = ref_index or {name: i for i, (name, _l) in enumerate(refs)}
     ref_fasta = (
@@ -27,6 +27,7 @@ def _decode_both(body_rows, refs, ref_fasta_path=None, records_per_slice=10000,
     body = cram.encode_container(
         body_rows, ref_index, counter, ref_fasta=ref_fasta,
         ref_names=[n for n, _ in refs], records_per_slice=records_per_slice,
+        qual_mode=qual_mode,
     )
     hdr = cram.ContainerHeader.parse(body, 0, 3)
     payload = body[hdr.header_size:]
@@ -295,3 +296,23 @@ def test_high_phred_roundtrip():
     fast, scalar, _ = _decode_both(rows, REFS)
     assert fast == scalar
     assert fast[0][10] == hi
+
+
+def test_qq_quality_stretch_parity():
+    """'q'/QQ coverage (r6): whole-read quality stretches decode columnar
+    with exact scalar parity — including phred-0 bytes (the reason QQ is
+    length-prefixed), mixed mapped shapes, records without quals, and an
+    unmapped record that keeps QS storage."""
+    rows = [
+        ("q0", 0, "chr1", 5, 60, "8M", None, 0, 0, "ACGTACGT", "!IJ!ABC!", {}),
+        ("q1", 16, "chr2", 10, 30, "4M2I4M", None, 0, 0,
+         "AAAACCGGGG", "IIIIHHGGGG", {}),
+        ("q2", 0, "chr1", 50, 20, "2S5M3D3M", None, 0, 0,
+         "TTACGTAGCA", "##FFFFFFFF", {}),
+        ("q3", 0, "chr2", 99, 10, "4M", None, 0, 0, "ACAC", None, {}),
+        ("u0", 4, None, 0, 0, None, None, 0, 0, "GGCC", "!#!#", {}),
+    ] * 20
+    rows = [(f"{r[0]}_{i}",) + r[1:] for i, r in enumerate(rows)]
+    fast, scalar, fired = _decode_both(rows, REFS, qual_mode="qq")
+    assert fired > 0  # the columnar path must COVER this, not fall back
+    assert fast == scalar == rows
