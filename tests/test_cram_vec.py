@@ -249,13 +249,16 @@ def test_property_parity(tmp_path_factory, data):
         r = data.draw(_read(contigs))
         rows.append((f"{r[0]}{i}",) + r[1:])
     for ref_path in (None, fasta):
-        fast, scalar, fired = _decode_both(rows, REFS,
-                                           ref_fasta_path=ref_path)
-        assert fast == scalar
-        # and the decode is a true roundtrip of the encoded reads
-        assert [f[9] for f in fast] == [r[9] for r in rows]
-        # cigars normalize (adjacent same ops merge in CRAM's model)
-        assert [f[5] for f in fast] == [_norm_cigar(r[5]) for r in rows]
+        for qm in ("stored", "qq"):
+            fast, scalar, fired = _decode_both(rows, REFS,
+                                               ref_fasta_path=ref_path,
+                                               qual_mode=qm)
+            assert fast == scalar
+            # and the decode is a true roundtrip of the encoded reads
+            assert [f[9] for f in fast] == [r[9] for r in rows]
+            # cigars normalize (adjacent same ops merge in CRAM's model)
+            assert [f[5] for f in fast] == [_norm_cigar(r[5]) for r in rows]
+            assert [f[10] for f in fast] == [r[10] for r in rows]
 
 
 def test_constant_huffman_series():
