@@ -510,3 +510,46 @@ def test_sharded_cram_write_dir_read(spark, tmp_path):
     solo = list(cram.decode_file(solo_path))
     assert len(solo) == man["shards"][0]["records"]
     assert open(solo_path, "rb").read().endswith(cram.EOF_CONTAINER_V3)
+
+
+def test_sharded_cram_interval_pushdown(spark, tmp_path):
+    """Per-shard .crai pruning must survive the directory layout: an
+    interval filter over the shard directory returns exactly the rows the
+    unfiltered read (filtered in Spark) returns."""
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rows = [
+        (f"r{i}", 0, "chr1" if i % 2 else "chr2", 1 + 7 * i, 60, "10M",
+         None, 0, 0, "ACGTACGTAC", "IIIIIIIIII", {})
+        for i in range(300)
+    ]
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:coordinate",
+                 "@SQ\tSN:chr1\tLN:5000", "@SQ\tSN:chr2\tLN:5000"]
+    hdr.sequences = {"chr1": (0, 5000), "chr2": (1, 5000)}
+    from pyspark.sql import Row
+    df = (
+        spark.createDataFrame(rows, SAM_SCHEMA)
+        .orderBy("rname", "pos")
+        .coalesce(3)
+    )
+    out = str(tmp_path / "sh_itv_cram")
+    sinks.write_cram(df, out, hdr, records_per_container=40,
+                     records_per_slice=20, index_crai=True, sharded=True)
+    whole = spark.read.format("cram").load(out)
+    assert whole.count() == 300
+    expect = sorted(
+        (r[0], r[3]) for r in rows if r[2] == "chr1" and r[3] <= 700
+    )
+    got = (
+        spark.read.format("cram")
+        .option("intervals", "chr1:1-709")  # pos<=700 starts overlap 10M
+        .load(out)
+        .filter((F.col("rname") == "chr1") & (F.col("pos") <= 700))
+    )
+    assert sorted((r.qname, r.pos) for r in got.collect()) == expect
