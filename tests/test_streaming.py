@@ -524,3 +524,91 @@ class TestVcfStreamSink:
         got = sorted((r.contig, r.start, r.ref) for r in back.collect())
         want = sorted((r.contig, r.start, r.ref) for r in src.collect())
         assert got == want
+
+
+class TestStreamSinkCommitProtocol:
+    """Driver-side commit/abort semantics, unit-tested without Spark:
+    visibility is the rename, abort leaves nothing half-visible."""
+
+    def _writer(self, tmp_path):
+        from hadoop_bam_spark.streaming.bam_sink import BAMStreamWriter
+
+        hdr = tmp_path / "h.sam"
+        hdr.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n")
+        out = tmp_path / "out"
+        out.mkdir()
+        return BAMStreamWriter({"path": str(out), "header": str(hdr)}), out
+
+    def _stage(self, out, name, data=b"x"):
+        staging = out / ".staging"
+        staging.mkdir(exist_ok=True)
+        (staging / name).write_bytes(data)
+
+    def test_commit_renames_and_manifests(self, tmp_path):
+        import json
+
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit
+
+        w, out = self._writer(tmp_path)
+        self._stage(out, "attempt-1-p00000.bam", b"A")
+        self._stage(out, "attempt-2-p00001.bam", b"B")
+        msgs = [
+            BamShardCommit(staged="attempt-1-p00000.bam", records=3),
+            None,  # lost task slot
+            BamShardCommit(staged=None, records=0),  # empty partition
+            BamShardCommit(staged="attempt-2-p00001.bam", records=4),
+        ]
+        w.commit(msgs, batchId=7)
+        files = sorted(os.listdir(out))
+        assert "batch-00007-00000.bam" in files
+        assert "batch-00007-00001.bam" in files
+        assert not any((out / ".staging").iterdir())
+        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        assert sum(e["records"] for e in man) == 7
+        assert all(e["batch"] == 7 for e in man)
+        # a later batch APPENDS (the manifest is a log, not a snapshot)
+        self._stage(out, "attempt-9-p00000.bam", b"C")
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit as M
+
+        w.commit([M(staged="attempt-9-p00000.bam", records=1)], batchId=8)
+        man2 = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        assert len(man2) == len(man) + 1
+
+    def test_abort_discards_staged_only(self, tmp_path):
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit
+
+        w, out = self._writer(tmp_path)
+        (out / "batch-00001-00000.bam").write_bytes(b"KEEP")
+        self._stage(out, "attempt-5-p00000.bam")
+        w.abort(
+            [BamShardCommit(staged="attempt-5-p00000.bam", records=2), None],
+            batchId=2,
+        )
+        assert not (out / ".staging" / "attempt-5-p00000.bam").exists()
+        assert (out / "batch-00001-00000.bam").read_bytes() == b"KEEP"
+
+
+class TestFsRenameRemove:
+    def test_local(self, tmp_path):
+        from hadoop_bam_spark import fs
+
+        a = tmp_path / "a.bin"
+        a.write_bytes(b"xyz")
+        b = tmp_path / "b.bin"
+        fs.rename(str(a), str(b))
+        assert not a.exists() and b.read_bytes() == b"xyz"
+        fs.remove(str(b))
+        assert not b.exists()
+        fs.remove(str(b))  # idempotent on missing
+
+    def test_memory(self):
+        from hadoop_bam_spark import fs
+
+        with fs.open_file("memory://t/a", "wb") as f:
+            f.write(b"m")
+        fs.rename("memory://t/a", "memory://t/b")
+        with fs.open_file("memory://t/b", "rb") as f:
+            assert f.read() == b"m"
+        assert not fs.exists("memory://t/a")
+        fs.remove("memory://t/b")
+        assert not fs.exists("memory://t/b")
