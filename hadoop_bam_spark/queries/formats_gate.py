@@ -323,6 +323,27 @@ def cram_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cram_sharded_roundtrip",
+    oracle=_BAM_ORACLE,
+    doc="Sharded CRAM I/O (the 100 TB write path): a directory of complete "
+    "standalone CRAMs with per-shard .crai, no driver byte merge, read "
+    "back as a directory. Same oracle as the single-file round trip.",
+)
+def cram_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "cram_sharded", lambda d: sinks.write_cram(
+        _sam_df(spark, sf_dir).repartition(4), os.path.join(d, "reads_cram"),
+        _sam_header(), records_per_container=500, index_crai=True,
+        sharded=True))
+    path = os.path.join(d, "reads_cram")
+    back = spark.read.format("cram").option("split_size", str(_SPLIT)).load(path)
+    return _agg_back(back)
+
+
+@query(
     "cram_interval_pushdown",
     oracle=_BAM_INTERVAL_ORACLE,
     doc="CRAI-driven bounded CRAM traversal: write a coordinate-sorted CRAM "
@@ -790,6 +811,33 @@ def vcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _artifact(sf_dir, "vcf", lambda d: sinks.write_vcf(
         _variants_df(spark, sf_dir), os.path.join(d, "v.vcf.bgz"), _vcf_header()))
     path = os.path.join(d, "v.vcf.bgz")
+    back = spark.read.format("vcf").option("split_size", "4096").load(path)
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.round(F.sum("qual"), 6).alias("sum_qual"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )
+
+
+@query(
+    "vcf_sharded_roundtrip",
+    oracle=_VCF_ORACLE,
+    doc="Sharded VCF I/O (the 100 TB write path): a directory of complete "
+    "standalone .vcf.bgz shards with per-shard .tbi, no driver byte "
+    "merge, read back as a directory. Same oracle as the single-file "
+    "round trip: shard layout must never change content.",
+)
+def vcf_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "vcf_sharded", lambda d: sinks.write_vcf(
+        _variants_df(spark, sf_dir).repartition(4),
+        os.path.join(d, "v_vcf"), _vcf_header(), index_tbi=True,
+        sharded=True))
+    path = os.path.join(d, "v_vcf")
     back = spark.read.format("vcf").option("split_size", "4096").load(path)
     return back.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n"),
