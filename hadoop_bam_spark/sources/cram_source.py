@@ -79,6 +79,11 @@ class CRAMDataSource(DataSource):
     def reader(self, schema) -> "CRAMReader":
         return CRAMReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.cram_sink import CRAMStreamWriter
+
+        return CRAMStreamWriter(self.options)
+
 
 class CRAMReader(DataSourceReader):
     def __init__(self, options):

@@ -1,0 +1,107 @@
+"""Streaming CRAM sink: ``df.writeStream.format("cram")``.
+
+Third member of the streaming shard-sink family (see
+:mod:`hadoop_bam_spark.streaming.bam_sink` for the staging +
+rename-commit protocol, shared verbatim): each micro-batch lands as one
+complete standalone CRAM 3.0 per non-empty partition
+(``batch-{batchId:05d}-{i:05d}.cram`` — own file definition, header
+container and EOF) plus a ``_manifest.jsonl`` append. RR=false
+(verbatim sequences) so no reference FASTA is needed on executors.
+
+Options:
+  ``path``    target directory (required).
+  ``header``  path to a SAM text / BAM file providing the header and
+              reference dictionary (required).
+  ``records_per_container`` / ``records_per_slice``  container layout
+              (defaults 30000 / 10000, same as the batch sink).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+from hadoop_bam_spark import fs
+from hadoop_bam_spark.sources import local_path
+
+
+@dataclass
+class CramShardCommit(WriterCommitMessage):
+    staged: str | None
+    records: int
+
+
+class CRAMStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("cram stream sink requires a path (directory)")
+        header_src = options.get("header")
+        if not header_src:
+            raise ValueError(
+                "cram stream sink requires option('header', <sam-or-bam "
+                "path>)"
+            )
+        from hadoop_bam_spark.streaming.bam_sink import _load_header
+
+        self._dir = local_path(path)
+        self._header, self._refs = _load_header(header_src)
+        self._rpc = int(options.get("records_per_container", 30000))
+        self._rps = int(options.get("records_per_slice", 10000))
+
+    # -- executors ---------------------------------------------------------
+    def write(self, iterator) -> CramShardCommit:
+        from pyspark import TaskContext
+
+        from hadoop_bam_spark.formats import cram
+
+        ctx = TaskContext.get()
+        staging = fs.join(self._dir, ".staging")
+        fs.makedirs(staging)
+        name = f"attempt-{ctx.taskAttemptId()}-p{ctx.partitionId():05d}.cram"
+        tmp = fs.join(staging, name)
+        n = 0
+        with fs.open_file(tmp, "wb") as f:
+            cram.write_file_definition(f)
+            f.write(cram.encode_header_container(self._header.text))
+            w = cram.CRAMWriter(
+                f, self._refs, bare=True,
+                records_per_container=self._rpc,
+                records_per_slice=self._rps,
+            )
+            for r in iterator:
+                w.write((
+                    r["qname"], r["flag"], r["rname"], r["pos"], r["mapq"],
+                    r["cigar"], r["rnext"], r["pnext"], r["tlen"], r["seq"],
+                    r["qual"], dict(r["tags"] or {}),
+                ))
+                n += 1
+            w.close(write_eof=False)
+            f.write(cram.EOF_CONTAINER_V3)
+        if n == 0:
+            fs.remove(tmp)
+            return CramShardCommit(staged=None, records=0)
+        return CramShardCommit(staged=name, records=n)
+
+    # -- driver ------------------------------------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        staged = [m for m in messages if m is not None and m.staged]
+        entries = []
+        for i, m in enumerate(sorted(staged, key=lambda m: m.staged)):
+            final = f"batch-{batchId:05d}-{i:05d}.cram"
+            fs.rename(fs.join(self._dir, ".staging", m.staged),
+                      fs.join(self._dir, final))
+            entries.append({"shard": final, "records": m.records,
+                            "batch": batchId})
+        if entries:
+            with fs.open_file(fs.join(self._dir, "_manifest.jsonl"), "ab") as f:
+                for e in entries:
+                    f.write((json.dumps(e) + "\n").encode())
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "staged", None):
+                fs.remove(fs.join(self._dir, ".staging", m.staged))

@@ -612,3 +612,50 @@ class TestFsRenameRemove:
         assert not fs.exists("memory://t/a")
         fs.remove("memory://t/b")
         assert not fs.exists("memory://t/b")
+
+
+class TestCramStreamSink:
+    def test_stream_cram_shards(self, spark, tmp_path):
+        import json
+
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(BamStreamDataSource)
+        # produce a landing dir of BAM shards, tail it, land CRAM shards
+        rows = [
+            (f"c{i}", 0, "chr1", 1 + i, 60, "6M", None, 0, 0, "ACGTAC",
+             "IIIIII", {})
+            for i in range(80)
+        ]
+        hdr = SAMHeader()
+        hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+        hdr.sequences = {"chr1": (0, 5000)}
+        land = str(tmp_path / "bam_landing")
+        df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(2)
+        sinks.write_bam(df, land, hdr, sharded=True)
+        hdr_path = tmp_path / "h.sam"
+        hdr_path.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:5000\n")
+
+        out = tmp_path / "cram_out"
+        q = (
+            spark.readStream.format("bam_stream")
+            .load(land)
+            .writeStream.format("cram")
+            .option("path", str(out))
+            .option("header", str(hdr_path))
+            .option("checkpointLocation", str(tmp_path / "ck_cram"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".cram"))
+        assert shards
+        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        assert sum(e["records"] for e in man) == 80
+        back = spark.read.format("cram").load(str(out))
+        got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
+        assert got == sorted((r[0], r[3], r[9]) for r in rows)
