@@ -3,9 +3,10 @@
 The reference is batch-only (SURVEY.md §2.9) — this module is part of the
 beyond-reference pipeline surface: streaming ingest of the same formats
 (``fastq_stream``, ``vcf_stream``, ``bam_stream`` directory-tail
-sources), a streaming BAM shard sink (``writeStream.format("bam")`` —
-rename-committed standalone shards, the producer side of
-``bam_stream``), and stateful/windowed processing of event streams,
+sources), streaming shard sinks for BAM/VCF/CRAM
+(``writeStream.format("bam"|"vcf"|"cram")`` — rename-committed
+standalone shards, the producer side of the tail sources), and
+stateful/windowed processing of event streams,
 expressed with watermarks + windowed aggregation and
 ``applyInPandasWithState`` for custom state (sessionization, as-of
 join, conversion funnel — each with batch-parity tests against the
