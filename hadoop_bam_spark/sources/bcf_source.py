@@ -290,6 +290,11 @@ class BCFDataSource(DataSource):
     def reader(self, schema) -> "BCFReader":
         return BCFReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.bcf_sink import BCFStreamWriter
+
+        return BCFStreamWriter(self.options)
+
 
 class BCFReader(DataSourceReader):
     def __init__(self, options):

@@ -659,3 +659,51 @@ class TestCramStreamSink:
         back = spark.read.format("cram").load(str(out))
         got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
         assert got == sorted((r[0], r[3], r[9]) for r in rows)
+
+
+class TestBcfStreaming:
+    """bcf_stream tail source + writeStream.format('bcf') shard sink:
+    4-format streaming symmetry, chained end-to-end."""
+
+    def test_tail_and_stream_bcf(self, spark, tmp_path):
+        import json
+
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bcf_stream import BcfStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(BcfStreamDataSource)
+        RES = "/root/reference/src/test/resources"
+        src = spark.read.format("vcf").load(f"{RES}/test.vcf")
+        from hadoop_bam_spark.formats.vcf import read_vcf_header
+
+        hdr = read_vcf_header(f"{RES}/test.vcf")
+        # land a sharded BCF directory (the batch sink), tail it, and land
+        # the stream back out through the streaming BCF sink
+        land = str(tmp_path / "bcf_landing")
+        sinks.write_bcf(src.repartition(2), land, hdr, sharded=True)
+        out = tmp_path / "bcf_out"
+        q = (
+            spark.readStream.format("bcf_stream")
+            .load(land)
+            .writeStream.format("bcf")
+            .option("path", str(out))
+            .option("header", f"{RES}/test.vcf")
+            .option("checkpointLocation", str(tmp_path / "ck_bcf"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".bcf"))
+        assert shards
+        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        assert sum(e["records"] for e in man) == src.count()
+        back = spark.read.format("bcf").load(str(out))
+        assert back.count() == src.count()
+        # value spot-check through the full chain (BCF float32 qual both
+        # hops, so compare against the batch BCF read of the landing dir)
+        base = spark.read.format("bcf").load(land)
+        got = sorted((r.contig, r.start, r.ref, r.qual) for r in back.collect())
+        want = sorted((r.contig, r.start, r.ref, r.qual) for r in base.collect())
+        assert got == want
