@@ -707,3 +707,22 @@ class TestBcfStreaming:
         got = sorted((r.contig, r.start, r.ref, r.qual) for r in back.collect())
         want = sorted((r.contig, r.start, r.ref, r.qual) for r in base.collect())
         assert got == want
+
+
+def test_bcf_stream_plain_uncompressed(spark, tmp_path):
+    """The tail source must decode plain (non-BGZF) BCF2 files too — the
+    sniff routes both kinds (reference VCFFormat content sniff)."""
+    import shutil as _sh
+
+    from hadoop_bam_spark.streaming.bcf_stream import _iter_bcf_file
+
+    RES = "/root/reference/src/test/resources"
+    land = tmp_path / "plain_bcf"
+    land.mkdir()
+    _sh.copy(f"{RES}/test.uncompressed.bcf", land / "a.bcf")
+    rows = list(_iter_bcf_file(str(land / "a.bcf")))
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    want = spark.read.format("bcf").load(f"{RES}/test.uncompressed.bcf").count()
+    assert len(rows) == want > 0
