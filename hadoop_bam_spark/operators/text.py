@@ -120,12 +120,23 @@ def tf_idf_top_terms(
 ):
     """Top TF-IDF terms per document.
 
-    Shape: one explode -> per-(doc, token) tf counts -> token document
-    frequencies (second aggregate over the same pre-shuffled data) ->
-    broadcast the (small) df table back -> per-doc window top-n. The df
-    table is vocabulary-sized, so the join back is a broadcast, and the
-    expensive explode runs exactly once. Scores are rounded to 6 places so
-    the arithmetic is reproducible across engines.
+    Shape: ONE explode -> per-(doc, token) tf counts -> token document
+    frequencies as a window count over the SAME aggregated frame
+    (``count(1) over (partition by token)``) -> per-doc window top-n.
+
+    The window (not a second groupBy + broadcast-join back) is load-bearing:
+    deriving ``df`` from a second aggregate over the unmaterialized pairs
+    frame made Catalyst plan two non-identical subtrees (column pruning gave
+    the df branch a narrower subplan), so the corpus tokenize+explode ran
+    TWICE — the same double-execution class fixed in
+    ``exact_substring_duplication`` (dedup.py). With the window, the plan has
+    exactly one Generate and no Join; the extra cost is one vocabulary-keyed
+    shuffle of the (doc, token, tf) aggregate, which is bounded by distinct
+    pairs, not corpus bytes — the right trade at 100 TB where tokenization
+    dominates. Plan shape is pinned by ``tests/test_text_plans.py``.
+
+    Scores are rounded to 6 places so the arithmetic is reproducible across
+    engines.
     """
     from pyspark.sql import Window
 
@@ -133,7 +144,8 @@ def tf_idf_top_terms(
 
     df = ensure_parallelism(df)
     # Corpus size as a broadcast single-row aggregate (not a driver-side
-    # count()): the whole query stays one lazy plan, no eager job.
+    # count()): the whole query stays one lazy plan, no eager job. This
+    # scans only parquet footers (count over zero columns), not the corpus.
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     pairs = (
         df.select(
@@ -144,11 +156,10 @@ def tf_idf_top_terms(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doc_freq = pairs.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
     scored = (
-        pairs.join(F.broadcast(doc_freq), "token")
+        pairs.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
