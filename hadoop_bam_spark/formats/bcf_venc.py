@@ -151,7 +151,14 @@ class _PieceTable:
 
 
 def _join_list_of_strings(col, n: int, sep: str):
-    """list<string> column -> per-record joined string (nulls -> '')."""
+    """list<string> column -> per-record joined string (null LISTS -> '').
+
+    Null ELEMENTS inside a list are rejected: ``pc.binary_join`` returns
+    null for any list containing a null element, and the final
+    ``fill_null`` would then collapse e.g. alts ``[null]`` onto the same
+    dictionary key as alts ``[]`` — whose encoded bytes differ — so a
+    non-representative record would silently get the representative's
+    bytes. Those batches must take the scalar fallback instead."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -162,6 +169,8 @@ def _join_list_of_strings(col, n: int, sep: str):
         # Spark's bridge emits list<string not null>/large variants that
         # pc.binary_join lacks kernels for — normalize first
         col = col.cast(pa.list_(pa.string()))
+    if pc.list_flatten(col).null_count:
+        raise VecUnsupported("null string element in list")
     joined = pc.binary_join(col, sep)
     return pc.fill_null(joined, "")
 
@@ -405,7 +414,16 @@ class BCFBatchEncoder:
         (encode_indiv reads g[2]); sample names and the redundant ``gt``
         struct field don't affect bytes, but including nothing they
         contain keeps keys shorter. Entries join with control-char
-        separators that cannot occur in VCF text."""
+        separators that cannot occur in VCF text.
+
+        Null FORMAT keys/values (e.g. ``{"DP": null}``) and null genotype
+        struct elements are REJECTED: ``binary_join_element_wise`` /
+        ``binary_join`` propagate the null and the trailing
+        ``fill_null(..., "")`` would collapse that shape onto the same
+        dictionary key as an *empty* fields map, whose encode_indiv bytes
+        differ — the silent-wrong-bytes path the INFO guard (line-level
+        ``null INFO key/value`` raise above) already closes on the shared
+        section. These batches take the scalar fallback instead."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -417,12 +435,21 @@ class BCFBatchEncoder:
             if (g_offs[1:] - g_offs[:-1])[null].any():
                 raise VecUnsupported("null genotypes with non-empty range")
         structs = geno_arr.values  # full child, offset-free
+        lo, hi = int(g_offs[0]), int(g_offs[-1])
+        if hi > lo and structs.slice(lo, hi - lo).null_count:
+            raise VecUnsupported("null genotype struct element")
         fields = structs.field("fields")
         m = len(fields)
         f_offs, f_keys, f_items = _map_children(fields, m)
         if f_keys is None:
             per_geno = pa.array([""] * m, pa.string())
         else:
+            flo, fhi = int(f_offs[lo]), int(f_offs[hi])
+            if fhi > flo and (
+                f_keys.slice(flo, fhi - flo).null_count
+                or f_items.slice(flo, fhi - flo).null_count
+            ):
+                raise VecUnsupported("null FORMAT key/value")
             fk = pc.cast(f_keys, "string")
             fv = pc.cast(f_items, "string")
             entry = pc.binary_join_element_wise(fk, fv, self._S0)

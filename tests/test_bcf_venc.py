@@ -127,6 +127,89 @@ def test_huge_string_raises_vecunsupported():
         BCFBatchEncoder(hdr).encode_batch(_to_batch(rows))
 
 
+@pytest.mark.parametrize(
+    "row",
+    [
+        # null FORMAT value: {"DP": None} would key-collapse with {} —
+        # encode_indiv emits a DP column (EOV cell) for one, nothing for
+        # the other
+        ("chr1", 5, 5, None, "A", ["G"], None, None, None,
+         [("S1", None, {"DP": None})]),
+        # (null FORMAT keys are unrepresentable: Arrow rejects null map
+        # keys at construction, so only values need the runtime guard)
+        # null alts element: [None] would collapse with []
+        ("chr1", 5, 5, None, "A", [None], None, None, None, None),
+        # null filters element
+        ("chr1", 5, 5, None, "A", ["G"], None, ["PASS", None], None, None),
+    ],
+    ids=["null-fmt-value", "null-alt-elem", "null-filt-elem"],
+)
+def test_null_children_raise_vecunsupported(row):
+    """Null-bearing FORMAT maps / alts / filters must NOT be silently
+    dictionary-collapsed onto the empty shape's bytes (VERDICT r7 #1a) —
+    the batch must reject so the sink's scalar fallback encodes it."""
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    # pair the null-bearing row with its empty-shape collapse partner so
+    # the dictionary would actually merge them if unguarded
+    partner = ("chr1", 6, 6, None, "A", [], None, [], None,
+               [("S1", None, {})])
+    with pytest.raises(VecUnsupported):
+        BCFBatchEncoder(hdr).encode_batch(_to_batch([partner, row]))
+
+
+def test_null_format_value_distinct_scalar_bytes():
+    """Sanity for the guard: the two shapes the old fill_null('') collapse
+    merged really do encode differently in the scalar oracle."""
+    hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+    a = bcf.encode_record(
+        ("chr1", 5, 5, None, "A", ["G"], None, None, None,
+         [("S1", None, {"DP": None})]), hdr)
+    b = bcf.encode_record(
+        ("chr1", 5, 5, None, "A", ["G"], None, None, None,
+         [("S1", None, {})]), hdr)
+    assert a != b
+
+
+def test_sink_null_format_fallback_parity(spark, tmp_path, monkeypatch):
+    """A corpus with null FORMAT values triggers VecUnsupported NATURALLY;
+    the file written through the fallback must be byte-identical to a
+    forced all-scalar write."""
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    vhdr = VCFHeader()
+    vhdr.lines = [
+        l for l in HDR_TEXT.strip().split("\n") if l.startswith("##")
+    ]
+    vhdr.samples = ["S1"]
+    vhdr.contigs = {"chr1": 0, "chr2": 1}
+    rows = [
+        ("chr1", i + 1, i + 1, f"rs{i}", "A", ["G"], 30.0, ["PASS"],
+         {"DP": str(i % 10)},
+         # every 7th record carries a null DP FORMAT value
+         [("S1", "0/1", {"GT": "0/1", "DP": None if i % 7 == 0 else str(i)})])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, VCF_SCHEMA).coalesce(1)
+    natural = str(tmp_path / "natural.bcf")
+    sinks.write_bcf(df, natural, vhdr)
+
+    import hadoop_bam_spark.formats.bcf_venc as venc
+
+    def boom(self, batch):
+        raise venc.VecUnsupported("forced")
+
+    monkeypatch.setattr(venc.BCFBatchEncoder, "encode_batch", boom)
+    forced = str(tmp_path / "forced.bcf")
+    sinks.write_bcf(df, forced, vhdr)
+    with open(natural, "rb") as a, open(forced, "rb") as b:
+        assert a.read() == b.read()
+    got = spark.read.format("bcf").load(natural)
+    assert got.count() == 100
+
+
 def test_sink_fallback_parity(spark, tmp_path, monkeypatch):
     """Forcing VecUnsupported in the sink must produce a byte-identical
     file through the scalar fallback."""
