@@ -15,12 +15,16 @@ Options:
               BAM is meaningless without one).
 
 Write protocol: tasks write to ``<path>/.staging/`` under attempt-unique
-names and return the staged name in their commit message; ``commit``
-(driver, once per batch, with the batchId) renames winners into place
-and appends to ``_manifest.jsonl``; ``abort`` discards the batch's
-staged files. A re-run of a failed batch therefore never leaves a
-half-visible shard — visibility is the rename, same as the batch
-sharded sinks.
+names (removed on task failure) and return the staged name in their
+commit message; ``commit`` (driver, once per batch, with the batchId)
+runs the shared replay-safe protocol in
+:mod:`hadoop_bam_spark.streaming.shard_commit` — supersede any earlier
+attempt of the same batchId, rename winners into place, atomically
+replace the per-batch ``_manifest-{batchId:05d}.jsonl``, sweep stale
+staging attempts; ``abort`` discards the batch's staged files. A re-run
+of a failed or replayed batch therefore never leaves a half-visible,
+duplicated, or stale shard — visibility is the rename, same as the
+batch sharded sinks.
 
 The reference has no streaming surface at all (SURVEY.md §2.9); this is
 engine surface beyond it.
@@ -105,8 +109,12 @@ class BAMStreamWriter(DataSourceStreamWriter):
                     r["qual"], dict(r["tags"] or {}),
                 )
 
-        with fs.open_file(tmp, "wb") as f:
-            bam.write_bam(f, self._header, rows(), refs=self._refs)
+        try:
+            with fs.open_file(tmp, "wb") as f:
+                bam.write_bam(f, self._header, rows(), refs=self._refs)
+        except BaseException:
+            fs.remove(tmp)  # no orphaned attempt files on task failure
+            raise
         if n == 0:
             fs.remove(tmp)
             return BamShardCommit(staged=None, records=0)
@@ -114,22 +122,11 @@ class BAMStreamWriter(DataSourceStreamWriter):
 
     # -- driver ------------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        import json
+        from hadoop_bam_spark.streaming.shard_commit import commit_shards
 
-        staged = [m for m in messages if m is not None and m.staged]
-        entries = []
-        for i, m in enumerate(sorted(staged, key=lambda m: m.staged)):
-            final = f"batch-{batchId:05d}-{i:05d}.bam"
-            fs.rename(fs.join(self._dir, ".staging", m.staged),
-                      fs.join(self._dir, final))
-            entries.append({"shard": final, "records": m.records,
-                            "batch": batchId})
-        if entries:
-            with fs.open_file(fs.join(self._dir, "_manifest.jsonl"), "ab") as f:
-                for e in entries:
-                    f.write((json.dumps(e) + "\n").encode())
+        commit_shards(self._dir, messages, batchId, ".bam")
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and getattr(m, "staged", None):
-                fs.remove(fs.join(self._dir, ".staging", m.staged))
+        from hadoop_bam_spark.streaming.shard_commit import abort_shards
+
+        abort_shards(self._dir, messages)

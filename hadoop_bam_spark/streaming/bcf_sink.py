@@ -60,25 +60,29 @@ class BCFStreamWriter(DataSourceStreamWriter):
         name = f"attempt-{ctx.taskAttemptId()}-p{ctx.partitionId():05d}.bcf"
         tmp = fs.join(staging, name)
         n = 0
-        with fs.open_file(tmp, "wb") as f:
-            hw = bgzf.BGZFWriter(f, write_terminator=False)
-            hw.write(bcfmod.encode_header(self._bhdr))
-            hw.close()
-            w = bgzf.BGZFWriter(f, write_terminator=False)
-            for r in iterator:
-                row = (
-                    r["contig"], r["start"], r["end"], r["id"], r["ref"],
-                    r["alts"], r["qual"], r["filters"],
-                    dict(r["info"] or {}),
-                    [
-                        (g["sample"], g["gt"], dict(g["fields"] or {}))
-                        for g in (r["genotypes"] or [])
-                    ] or None,
-                )
-                w.write(bcfmod.encode_record(row, self._bhdr))
-                n += 1
-            w.close()
-            f.write(bgzf.BGZF_EOF)
+        try:
+            with fs.open_file(tmp, "wb") as f:
+                hw = bgzf.BGZFWriter(f, write_terminator=False)
+                hw.write(bcfmod.encode_header(self._bhdr))
+                hw.close()
+                w = bgzf.BGZFWriter(f, write_terminator=False)
+                for r in iterator:
+                    row = (
+                        r["contig"], r["start"], r["end"], r["id"], r["ref"],
+                        r["alts"], r["qual"], r["filters"],
+                        dict(r["info"] or {}),
+                        [
+                            (g["sample"], g["gt"], dict(g["fields"] or {}))
+                            for g in (r["genotypes"] or [])
+                        ] or None,
+                    )
+                    w.write(bcfmod.encode_record(row, self._bhdr))
+                    n += 1
+                w.close()
+                f.write(bgzf.BGZF_EOF)
+        except BaseException:
+            fs.remove(tmp)  # no orphaned attempt files on task failure
+            raise
         if n == 0:
             fs.remove(tmp)
             return BcfShardCommit(staged=None, records=0)
@@ -86,22 +90,11 @@ class BCFStreamWriter(DataSourceStreamWriter):
 
     # -- driver ------------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        import json
+        from hadoop_bam_spark.streaming.shard_commit import commit_shards
 
-        staged = [m for m in messages if m is not None and m.staged]
-        entries = []
-        for i, m in enumerate(sorted(staged, key=lambda m: m.staged)):
-            final = f"batch-{batchId:05d}-{i:05d}.bcf"
-            fs.rename(fs.join(self._dir, ".staging", m.staged),
-                      fs.join(self._dir, final))
-            entries.append({"shard": final, "records": m.records,
-                            "batch": batchId})
-        if entries:
-            with fs.open_file(fs.join(self._dir, "_manifest.jsonl"), "ab") as f:
-                for e in entries:
-                    f.write((json.dumps(e) + "\n").encode())
+        commit_shards(self._dir, messages, batchId, ".bcf")
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and getattr(m, "staged", None):
-                fs.remove(fs.join(self._dir, ".staging", m.staged))
+        from hadoop_bam_spark.streaming.shard_commit import abort_shards
+
+        abort_shards(self._dir, messages)

@@ -5,7 +5,8 @@ Third member of the streaming shard-sink family (see
 rename-commit protocol, shared verbatim): each micro-batch lands as one
 complete standalone CRAM 3.0 per non-empty partition
 (``batch-{batchId:05d}-{i:05d}.cram`` — own file definition, header
-container and EOF) plus a ``_manifest.jsonl`` append. RR=false
+container and EOF) plus the shared replay-safe per-batch manifest protocol (see
+:mod:`hadoop_bam_spark.streaming.shard_commit`). RR=false
 (verbatim sequences) so no reference FASTA is needed on executors.
 
 Options:
@@ -62,23 +63,27 @@ class CRAMStreamWriter(DataSourceStreamWriter):
         name = f"attempt-{ctx.taskAttemptId()}-p{ctx.partitionId():05d}.cram"
         tmp = fs.join(staging, name)
         n = 0
-        with fs.open_file(tmp, "wb") as f:
-            cram.write_file_definition(f)
-            f.write(cram.encode_header_container(self._header.text))
-            w = cram.CRAMWriter(
-                f, self._refs, bare=True,
-                records_per_container=self._rpc,
-                records_per_slice=self._rps,
-            )
-            for r in iterator:
-                w.write((
-                    r["qname"], r["flag"], r["rname"], r["pos"], r["mapq"],
-                    r["cigar"], r["rnext"], r["pnext"], r["tlen"], r["seq"],
-                    r["qual"], dict(r["tags"] or {}),
-                ))
-                n += 1
-            w.close(write_eof=False)
-            f.write(cram.EOF_CONTAINER_V3)
+        try:
+            with fs.open_file(tmp, "wb") as f:
+                cram.write_file_definition(f)
+                f.write(cram.encode_header_container(self._header.text))
+                w = cram.CRAMWriter(
+                    f, self._refs, bare=True,
+                    records_per_container=self._rpc,
+                    records_per_slice=self._rps,
+                )
+                for r in iterator:
+                    w.write((
+                        r["qname"], r["flag"], r["rname"], r["pos"], r["mapq"],
+                        r["cigar"], r["rnext"], r["pnext"], r["tlen"], r["seq"],
+                        r["qual"], dict(r["tags"] or {}),
+                    ))
+                    n += 1
+                w.close(write_eof=False)
+                f.write(cram.EOF_CONTAINER_V3)
+        except BaseException:
+            fs.remove(tmp)  # no orphaned attempt files on task failure
+            raise
         if n == 0:
             fs.remove(tmp)
             return CramShardCommit(staged=None, records=0)
@@ -86,22 +91,11 @@ class CRAMStreamWriter(DataSourceStreamWriter):
 
     # -- driver ------------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        import json
+        from hadoop_bam_spark.streaming.shard_commit import commit_shards
 
-        staged = [m for m in messages if m is not None and m.staged]
-        entries = []
-        for i, m in enumerate(sorted(staged, key=lambda m: m.staged)):
-            final = f"batch-{batchId:05d}-{i:05d}.cram"
-            fs.rename(fs.join(self._dir, ".staging", m.staged),
-                      fs.join(self._dir, final))
-            entries.append({"shard": final, "records": m.records,
-                            "batch": batchId})
-        if entries:
-            with fs.open_file(fs.join(self._dir, "_manifest.jsonl"), "ab") as f:
-                for e in entries:
-                    f.write((json.dumps(e) + "\n").encode())
+        commit_shards(self._dir, messages, batchId, ".cram")
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and getattr(m, "staged", None):
-                fs.remove(fs.join(self._dir, ".staging", m.staged))
+        from hadoop_bam_spark.streaming.shard_commit import abort_shards
+
+        abort_shards(self._dir, messages)

@@ -5,8 +5,10 @@ The variant-side twin of the streaming BAM sink
 staging + rename-commit protocol, shared verbatim): each micro-batch
 lands as one complete standalone BGZF ``.vcf.bgz`` per non-empty
 partition, committed into the target directory as
-``batch-{batchId:05d}-{i:05d}.vcf.bgz`` with a ``_manifest.jsonl``
-append. The batch ``vcf`` source reads the resulting directory natively
+``batch-{batchId:05d}-{i:05d}.vcf.bgz`` under the shared replay-safe
+per-batch manifest protocol (see
+:mod:`hadoop_bam_spark.streaming.shard_commit`).
+The batch ``vcf`` source reads the resulting directory natively
 and ``vcf_stream`` can tail it.
 
 Options:
@@ -63,22 +65,28 @@ class VCFStreamWriter(DataSourceStreamWriter):
         name = f"attempt-{ctx.taskAttemptId()}-p{ctx.partitionId():05d}.vcf.bgz"
         tmp = fs.join(staging, name)
         n = 0
-        with fs.open_file(tmp, "wb") as f:
-            w = bgzf.BGZFWriter(f, write_terminator=True)
-            w.write(self._header_text.encode())
-            for r in iterator:
-                row = (
-                    r["contig"], r["start"], r["end"], r["id"], r["ref"],
-                    r["alts"], r["qual"], r["filters"],
-                    dict(r["info"] or {}),
-                    [
-                        (g["sample"], g["gt"], dict(g["fields"] or {}))
-                        for g in (r["genotypes"] or [])
-                    ] or None,
-                )
-                w.write((format_vcf_line(row, self._samples) + "\n").encode())
-                n += 1
-            w.close()
+        try:
+            with fs.open_file(tmp, "wb") as f:
+                w = bgzf.BGZFWriter(f, write_terminator=True)
+                w.write(self._header_text.encode())
+                for r in iterator:
+                    row = (
+                        r["contig"], r["start"], r["end"], r["id"], r["ref"],
+                        r["alts"], r["qual"], r["filters"],
+                        dict(r["info"] or {}),
+                        [
+                            (g["sample"], g["gt"], dict(g["fields"] or {}))
+                            for g in (r["genotypes"] or [])
+                        ] or None,
+                    )
+                    w.write(
+                        (format_vcf_line(row, self._samples) + "\n").encode()
+                    )
+                    n += 1
+                w.close()
+        except BaseException:
+            fs.remove(tmp)  # no orphaned attempt files on task failure
+            raise
         if n == 0:
             fs.remove(tmp)
             return VcfShardCommit(staged=None, records=0)
@@ -86,22 +94,11 @@ class VCFStreamWriter(DataSourceStreamWriter):
 
     # -- driver ------------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:
-        import json
+        from hadoop_bam_spark.streaming.shard_commit import commit_shards
 
-        staged = [m for m in messages if m is not None and m.staged]
-        entries = []
-        for i, m in enumerate(sorted(staged, key=lambda m: m.staged)):
-            final = f"batch-{batchId:05d}-{i:05d}.vcf.bgz"
-            fs.rename(fs.join(self._dir, ".staging", m.staged),
-                      fs.join(self._dir, final))
-            entries.append({"shard": final, "records": m.records,
-                            "batch": batchId})
-        if entries:
-            with fs.open_file(fs.join(self._dir, "_manifest.jsonl"), "ab") as f:
-                for e in entries:
-                    f.write((json.dumps(e) + "\n").encode())
+        commit_shards(self._dir, messages, batchId, ".vcf.bgz")
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and getattr(m, "staged", None):
-                fs.remove(fs.join(self._dir, ".staging", m.staged))
+        from hadoop_bam_spark.streaming.shard_commit import abort_shards
+
+        abort_shards(self._dir, messages)

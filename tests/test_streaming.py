@@ -473,7 +473,8 @@ class TestBamStreamSink:
         assert shards, "no shards written"
         assert all(f.startswith("batch-") for f in shards)
         # manifest records every shard with counts
-        lines = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+        lines = read_manifest(str(out))
         assert sum(e["records"] for e in lines) == 30
         assert sorted(e["shard"] for e in lines) == shards
         # the output is a readable BAM directory (batch source)
@@ -516,7 +517,8 @@ class TestVcfStreamSink:
         q.awaitTermination()
         shards = sorted(f for f in os.listdir(out) if f.endswith(".vcf.bgz"))
         assert shards
-        lines = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+        lines = read_manifest(str(out))
         src = spark.read.format("vcf").load(f"{RES}/test.vcf")
         assert sum(e["records"] for e in lines) == src.count()
         back = spark.read.format("vcf").load(str(out))
@@ -563,15 +565,16 @@ class TestStreamSinkCommitProtocol:
         assert "batch-00007-00000.bam" in files
         assert "batch-00007-00001.bam" in files
         assert not any((out / ".staging").iterdir())
-        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+        man = read_manifest(str(out))
         assert sum(e["records"] for e in man) == 7
         assert all(e["batch"] == 7 for e in man)
-        # a later batch APPENDS (the manifest is a log, not a snapshot)
+        # a later batch adds its OWN per-batch manifest (union grows)
         self._stage(out, "attempt-9-p00000.bam", b"C")
         from hadoop_bam_spark.streaming.bam_sink import BamShardCommit as M
 
         w.commit([M(staged="attempt-9-p00000.bam", records=1)], batchId=8)
-        man2 = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        man2 = read_manifest(str(out))
         assert len(man2) == len(man) + 1
 
     def test_abort_discards_staged_only(self, tmp_path):
@@ -586,6 +589,160 @@ class TestStreamSinkCommitProtocol:
         )
         assert not (out / ".staging" / "attempt-5-p00000.bam").exists()
         assert (out / "batch-00001-00000.bam").read_bytes() == b"KEEP"
+
+    def test_replay_supersedes_first_attempt(self, tmp_path):
+        """Driver crash between commit and checkpoint advance → Spark
+        replays the SAME batchId. A replay with FEWER non-empty
+        partitions must not strand the first attempt's extra shard or
+        duplicate manifest lines (VERDICT r7 #1b)."""
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit as M
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+
+        w, out = self._writer(tmp_path)
+        self._stage(out, "attempt-1-p00000.bam", b"A")
+        self._stage(out, "attempt-2-p00001.bam", b"B")
+        w.commit(
+            [M(staged="attempt-1-p00000.bam", records=3),
+             M(staged="attempt-2-p00001.bam", records=4)],
+            batchId=3,
+        )
+        # replay of batch 3: only ONE non-empty partition this time
+        self._stage(out, "attempt-7-p00000.bam", b"C")
+        w.commit([M(staged="attempt-7-p00000.bam", records=5)], batchId=3)
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".bam"))
+        assert shards == ["batch-00003-00000.bam"]
+        assert (out / "batch-00003-00000.bam").read_bytes() == b"C"
+        assert read_manifest(str(out)) == [
+            {"shard": "batch-00003-00000.bam", "records": 5, "batch": 3}
+        ]
+        assert not any((out / ".staging").iterdir())
+
+    def test_replay_empty_batch_supersedes(self, tmp_path):
+        """A replay that yields NO rows must remove the first attempt's
+        shards and its manifest."""
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit as M
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+
+        w, out = self._writer(tmp_path)
+        self._stage(out, "attempt-1-p00000.bam", b"A")
+        w.commit([M(staged="attempt-1-p00000.bam", records=2)], batchId=4)
+        w.commit([M(staged=None, records=0), None], batchId=4)
+        assert not [f for f in os.listdir(out) if f.endswith(".bam")]
+        assert read_manifest(str(out)) == []
+
+    def test_crash_mid_rename_then_replay(self, tmp_path, monkeypatch):
+        """fs.rename dies after k renames (crash mid-commit); the NEXT
+        replay of the same batchId must converge to a consistent state —
+        no duplicate shards, manifest matching the directory."""
+        import pytest as _pytest
+
+        from hadoop_bam_spark import fs as fsmod
+        from hadoop_bam_spark.streaming.bam_sink import BamShardCommit as M
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+
+        w, out = self._writer(tmp_path)
+        self._stage(out, "attempt-1-p00000.bam", b"A")
+        self._stage(out, "attempt-2-p00001.bam", b"B")
+        real = fsmod.rename
+        calls = {"n": 0}
+
+        def flaky(src, dst):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash")
+            real(src, dst)
+
+        monkeypatch.setattr(fsmod, "rename", flaky)
+        with _pytest.raises(OSError):
+            w.commit(
+                [M(staged="attempt-1-p00000.bam", records=3),
+                 M(staged="attempt-2-p00001.bam", records=4)],
+                batchId=1,
+            )
+        monkeypatch.setattr(fsmod, "rename", real)
+        # batch-00001-00000.bam exists (first rename), attempt-2 stranded
+        # in staging, no manifest. Spark replays batch 1 with fresh tasks:
+        self._stage(out, "attempt-8-p00000.bam", b"A2")
+        self._stage(out, "attempt-9-p00001.bam", b"B2")
+        w.commit(
+            [M(staged="attempt-8-p00000.bam", records=3),
+             M(staged="attempt-9-p00001.bam", records=4)],
+            batchId=1,
+        )
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".bam"))
+        assert shards == ["batch-00001-00000.bam", "batch-00001-00001.bam"]
+        assert (out / "batch-00001-00000.bam").read_bytes() == b"A2"
+        man = read_manifest(str(out))
+        assert sorted(e["shard"] for e in man) == shards
+        assert sum(e["records"] for e in man) == 7
+        # the crashed attempt's stranded staging file was swept
+        assert not any((out / ".staging").iterdir())
+
+    @pytest.mark.parametrize(
+        "fmt", ["bam", "vcf", "cram", "bcf"],
+    )
+    def test_replay_safe_all_four_sinks(self, tmp_path, fmt):
+        """Every member of the sink family delegates to the shared
+        replay-safe protocol with its own extension."""
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+
+        sam_hdr = tmp_path / "h.sam"
+        sam_hdr.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100\n")
+        vcf_hdr = tmp_path / "h.vcf"
+        vcf_hdr.write_text(
+            "##fileformat=VCFv4.2\n"
+            "##contig=<ID=chr1,length=100>\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        )
+        out = tmp_path / f"out_{fmt}"
+        out.mkdir()
+        if fmt == "bam":
+            from hadoop_bam_spark.streaming.bam_sink import (
+                BamShardCommit as Msg,
+                BAMStreamWriter as W,
+            )
+
+            hdr, ext = sam_hdr, ".bam"
+        elif fmt == "vcf":
+            from hadoop_bam_spark.streaming.vcf_sink import (
+                VcfShardCommit as Msg,
+                VCFStreamWriter as W,
+            )
+
+            hdr, ext = vcf_hdr, ".vcf.bgz"
+        elif fmt == "cram":
+            from hadoop_bam_spark.streaming.cram_sink import (
+                CramShardCommit as Msg,
+                CRAMStreamWriter as W,
+            )
+
+            hdr, ext = sam_hdr, ".cram"
+        else:
+            from hadoop_bam_spark.streaming.bcf_sink import (
+                BcfShardCommit as Msg,
+                BCFStreamWriter as W,
+            )
+
+            hdr, ext = vcf_hdr, ".bcf"
+        w = W({"path": str(out), "header": str(hdr)})
+        self._stage(out, f"attempt-1-p00000{ext}", b"A")
+        self._stage(out, f"attempt-2-p00001{ext}", b"B")
+        w.commit(
+            [Msg(staged=f"attempt-1-p00000{ext}", records=1),
+             Msg(staged=f"attempt-2-p00001{ext}", records=2)],
+            batchId=5,
+        )
+        self._stage(out, f"attempt-3-p00000{ext}", b"C")
+        w.commit([Msg(staged=f"attempt-3-p00000{ext}", records=3)], batchId=5)
+        shards = sorted(
+            f for f in os.listdir(out)
+            if f.startswith("batch-") and f.endswith(ext)
+        )
+        assert shards == [f"batch-00005-00000{ext}"]
+        assert read_manifest(str(out)) == [
+            {"shard": f"batch-00005-00000{ext}", "records": 3, "batch": 5}
+        ]
+        assert not any((out / ".staging").iterdir())
 
 
 class TestFsRenameRemove:
@@ -654,7 +811,8 @@ class TestCramStreamSink:
         q.awaitTermination()
         shards = sorted(f for f in os.listdir(out) if f.endswith(".cram"))
         assert shards
-        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+        man = read_manifest(str(out))
         assert sum(e["records"] for e in man) == 80
         back = spark.read.format("cram").load(str(out))
         got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
@@ -697,7 +855,8 @@ class TestBcfStreaming:
         q.awaitTermination()
         shards = sorted(f for f in os.listdir(out) if f.endswith(".bcf"))
         assert shards
-        man = [json.loads(l) for l in open(out / "_manifest.jsonl")]
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+        man = read_manifest(str(out))
         assert sum(e["records"] for e in man) == src.count()
         back = spark.read.format("bcf").load(str(out))
         assert back.count() == src.count()
