@@ -84,14 +84,39 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
-def _load_prev_bench() -> tuple[str, dict] | None:
-    """Newest committed BENCH_r{N}.json that carries a cpu_sec block."""
+def _round_n() -> int:
+    """Round number for the self-written BENCH_FULL artifact: the driver
+    records BENCH_r{N}.json at the END of round N, so during round N the
+    newest driver file is N-1 and this run's artifact is N. Overridable
+    via $SPARK_GRAFT_ROUND."""
     import glob
     import re
 
-    best_n, best = -1, None
-    for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    ns = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", path))
+    ]
+    return max(ns, default=0) + 1
+
+
+def _load_prev_bench() -> tuple[str, dict] | None:
+    """Newest bench artifact carrying a cpu_sec block. BENCH_FULL_r{N}
+    (written directly by this script — r7 VERDICT #3: the driver's
+    stdout-capture BENCH_r{N}.json files were tail-truncated two rounds
+    running, which silently pinned vs_prev to r5) is preferred over the
+    driver wrapper at the same N."""
+    import glob
+    import re
+
+    best_rank, best = (-1, -1), None
+    for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")) + glob.glob(
+        os.path.join(_REPO, "BENCH_FULL_r*.json")
+    ):
+        m = re.search(r"BENCH(_FULL)?_r(\d+)\.json$", path)
         if not m:
             continue
         try:
@@ -102,8 +127,9 @@ def _load_prev_bench() -> tuple[str, dict] | None:
         # the driver records {n, rc, ..., parsed: <bench json>} wrappers
         if "parsed" in data and isinstance(data["parsed"], dict):
             data = data["parsed"]
-        if "cpu_sec" in data and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), (os.path.basename(path), data)
+        rank = (int(m.group(2)), 1 if m.group(1) else 0)
+        if "cpu_sec" in data and rank > best_rank:
+            best_rank, best = rank, (os.path.basename(path), data)
     return best
 
 
@@ -202,31 +228,36 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     s_min, s_max = min(sentinels), max(sentinels)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cpu_sec": cpu,
-                "cpu_total": round(sum(cpu.values()), 3),
-                "noise_sentinel": {
-                    "min": round(s_min, 4),
-                    "max": round(s_max, 4),
-                    "spread": round(s_max / s_min, 2) if s_min > 0 else None,
-                    "cpu_min": round(min(sentinel_cpus), 4),
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "vs_prev": _vs_prev(
-                    total,
-                    cpu,
-                    float(sf) if sf.replace(".", "").isdigit() else sf,
-                    sentinel_cpu=min(sentinel_cpus),
-                ),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cpu_sec": cpu,
+        "cpu_total": round(sum(cpu.values()), 3),
+        "noise_sentinel": {
+            "min": round(s_min, 4),
+            "max": round(s_max, 4),
+            "spread": round(s_max / s_min, 2) if s_min > 0 else None,
+            "cpu_min": round(min(sentinel_cpus), 4),
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "vs_prev": _vs_prev(
+            total,
+            cpu,
+            float(sf) if sf.replace(".", "").isdigit() else sf,
+            sentinel_cpu=min(sentinel_cpus),
+        ),
+    }
+    print(json.dumps(payload))
+    # The stdout line is the driver contract; the FILE is the durable
+    # artifact (the driver's stdout capture truncated two rounds running).
+    # Only the default-SF run is round-comparable — don't clobber the
+    # round artifact from sf0.01 iteration runs.
+    if "SPARK_GRAFT_SF_DIR" not in os.environ:
+        out = os.path.join(_REPO, f"BENCH_FULL_r{_round_n():02d}.json")
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
     spark.stop()
 
 
