@@ -18,8 +18,12 @@ correctness oracle and for re-runs of a 100 TB dedup pipeline.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -258,6 +262,16 @@ def minhash_lsh_pairs(
     how many pairs were suppressed. ``max_bucket=None`` disables the
     budget (the pre-r6 behavior).
 
+    **The budget's engagement is observable without a second query**
+    (r7 VERDICT #8 — it silently modified the documented all-pairs
+    contract): when ``max_bucket`` is set, an ``observe`` node
+    (CollectMetrics — rides the existing plan, no extra scan) counts
+    oversized buckets and suppressed pairs. After the first action on
+    the returned frame, :func:`lsh_budget_stats` reads the numbers, and
+    a watcher thread emits a ``logging`` WARNING naming the suppressed
+    pair count the moment the action completes. ``minhash_lsh_overflow``
+    remains the per-bucket drill-down.
+
     The budget is applied as ONE conditional expansion expression over a
     single scan of the bucket frame — NOT as filter+union of two branches,
     which makes Catalyst execute the whole signature stage twice (no
@@ -271,7 +285,23 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown mode {mode!r} (pairs|star)")
     if max_bucket is None:
         return _bucket_all_pairs(buckets).distinct()
-    return (
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    m = F.size("ids").cast("long")
+    oversized = F.size("ids") > max_bucket
+    buckets = buckets.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.when(oversized, 1).otherwise(0)), F.lit(0)
+        ).alias("oversized_buckets"),
+        F.coalesce(
+            F.sum(F.when(oversized, (m * (m - 1) / 2 - (m - 1))).otherwise(0))
+            .cast("long"),
+            F.lit(0),
+        ).alias("pairs_suppressed"),
+    )
+    out = (
         buckets.select(
             F.explode(
                 F.when(F.size("ids") <= max_bucket, _all_pairs_expr())
@@ -281,6 +311,47 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    out._lsh_budget_observation = obs
+    _watch_budget(obs, max_bucket)
+    return out
+
+
+def lsh_budget_stats(pairs: DataFrame) -> dict | None:
+    """Budget engagement of a pairs-mode :func:`minhash_lsh_pairs` frame:
+    ``{"oversized_buckets": n, "pairs_suppressed": n}``, readable after
+    the first action on the frame (blocks until one runs). Returns None
+    for frames without a budget observation (star mode /
+    ``max_bucket=None`` / frames from other producers)."""
+    obs = getattr(pairs, "_lsh_budget_observation", None)
+    return None if obs is None else dict(obs.get)
+
+
+def _watch_budget(obs, max_bucket: int) -> None:
+    """Daemon thread: the moment the observed frame's first action
+    finishes, WARN if the budget suppressed anything — so a pipeline
+    owner learns the all-pairs contract was modified without having to
+    poll. The thread parks on ``Observation.get`` (never fires if the
+    frame is never executed; daemon, so it cannot pin the process)."""
+    import threading
+
+    def run() -> None:
+        try:
+            got = dict(obs.get)
+        except Exception:
+            return  # session shut down before any action
+        if got.get("pairs_suppressed"):
+            _LOG.warning(
+                "minhash_lsh_pairs degenerate-bucket budget engaged: "
+                "%d bucket(s) over max_bucket=%d, %d candidate pair(s) "
+                "suppressed (star-routed; connectivity preserved). Run "
+                "minhash_lsh_overflow for per-bucket detail, or pass "
+                "max_bucket=None for the unbudgeted all-pairs contract.",
+                got.get("oversized_buckets", 0),
+                max_bucket,
+                got["pairs_suppressed"],
+            )
+
+    threading.Thread(target=run, daemon=True, name="lsh-budget-watch").start()
 
 
 def minhash_lsh_overflow(
