@@ -135,6 +135,16 @@ def tf_idf_top_terms(
     pairs, not corpus bytes — the right trade at 100 TB where tokenization
     dominates. Plan shape is pinned by ``tests/test_text_plans.py``.
 
+    Skew caveat (r8 ADVICE): ``partition by token`` puts every (doc, token)
+    row for one token in a single task, with no map-side partial and no AQE
+    skew split (AQE does not mitigate windows). A stop-word-adjacent token
+    surviving ``min_token_len`` ('that', 'with') appearing in a large
+    fraction of documents becomes the straggler partition at corpus scale.
+    If that bites, compute df via a salted two-level aggregate — partial
+    count on (salt, token), sum over salt — joined back to a persisted
+    pairs frame (persistence keeps the single-explode property the window
+    buys today), at the price of materializing the aggregate.
+
     Scores are rounded to 6 places so the arithmetic is reproducible across
     engines.
     """
@@ -144,8 +154,10 @@ def tf_idf_top_terms(
 
     df = ensure_parallelism(df)
     # Corpus size as a broadcast single-row aggregate (not a driver-side
-    # count()): the whole query stays one lazy plan, no eager job. This
-    # scans only parquet footers (count over zero columns), not the corpus.
+    # count()): the whole query stays one lazy plan, no eager job. The
+    # count is column-pruned to zero columns; for a bare parquet scan it is
+    # satisfied from footers alone (filtered/unioned/repartitioned inputs
+    # still stream rows, but never the text bytes).
     n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     pairs = (
         df.select(
