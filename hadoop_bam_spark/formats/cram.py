@@ -956,6 +956,32 @@ class FastaRef:
             ci += 1
         return bytes(out)
 
+    def contig_array(self, name: str):
+        """Whole contig as an uppercase uint8 numpy array — the bulk
+        gather surface the vectorized RR=true encoder (cram_venc.py)
+        compares read bases against. One sequential read + one vectorized
+        newline strip; byte-for-byte equal to ``window(name, 1, length)``
+        (parity-tested in tests/test_cram_venc.py). Callers cache the
+        result (the column encoder keeps a small per-contig FIFO) — this
+        method re-reads the file each call."""
+        import numpy as np
+
+        length, off, linebases, linewidth = self._index[name]
+        if length == 0:
+            return np.zeros(0, np.uint8)
+        nlines = (length + linebases - 1) // linebases
+        with self._open(self._path, "rb") as fh:
+            fh.seek(off)
+            raw = fh.read(nlines * linewidth)
+        a = np.frombuffer(raw, np.uint8)
+        a = a[(a != 0x0A) & (a != 0x0D)][:length]
+        return np.where((a >= 0x61) & (a <= 0x7A), a - 0x20, a).astype(
+            np.uint8
+        )
+
+    def contig_length(self, name: str) -> int:
+        return self._index[name][0]
+
     def window(self, name: str, start: int, end: int) -> bytes:
         """Uppercase bases for [start, end] 1-based inclusive."""
         length, off, linebases, linewidth = self._index[name]

@@ -287,12 +287,14 @@ def write_cram(
     ref_index = {name: i for i, (name, _) in enumerate(refs)}
 
     def write_part_batches(idx: int, batches):
-        """Columnar part write (RR=false): Arrow batches accumulate to
-        ``records_per_container`` rows, each container encodes through the
-        vectorized cram_venc column encoder; a container whose batch shape
-        falls outside the fast path (VecUnsupported) degrades to the
-        scalar ``cram.encode_container`` for that container only — byte
-        parity between the two is property-tested (tests/test_cram_venc.py),
+        """Columnar part write (both reference modes): Arrow batches
+        accumulate to ``records_per_container`` rows, each container
+        encodes through the vectorized cram_venc column encoder — RR=true
+        when ``reference`` is set (whole-contig numpy compare, r8),
+        RR=false verbatim otherwise; a container whose batch shape falls
+        outside the fast path (VecUnsupported) degrades to the scalar
+        ``cram.encode_container`` for that container only — byte parity
+        between the two is property-tested (tests/test_cram_venc.py),
         so the fallback changes speed, never bytes."""
         import pyarrow as pa
 
@@ -304,7 +306,15 @@ def write_cram(
         part_path = fs.join(
             parts_dir, f"part-{idx:05d}.cram" if sharded else f"part-{idx:05d}"
         )
-        enc = CRAMColumnEncoder(ref_index)
+        ref_fasta = (
+            cram.FastaRef(reference, open_fn=fs.open_file)
+            if reference
+            else None
+        )
+        ref_names = [name for name, _ in refs]
+        enc = CRAMColumnEncoder(
+            ref_index, ref_fasta=ref_fasta, ref_names=ref_names
+        )
 
         def scalar_rows(tbl):
             cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
@@ -328,6 +338,7 @@ def write_cram(
                 except VecUnsupported:
                     f.write(cram.encode_container(
                         list(scalar_rows(tbl)), ref_index, counter,
+                        ref_fasta=ref_fasta, ref_names=ref_names,
                         records_per_slice=records_per_slice,
                     ))
                 counter += tbl.num_rows
@@ -358,43 +369,12 @@ def write_cram(
             open_fn=fs.open_file,
         )
 
-    def write_part(idx: int, rows):
-        ref_fasta = (
-            cram.FastaRef(reference, open_fn=fs.open_file) if reference else None
-        )
-        part_path = fs.join(
-            parts_dir, f"part-{idx:05d}.cram" if sharded else f"part-{idx:05d}"
-        )
-        nrec = 0
-        with fs.open_file(part_path, "wb") as f:
-            if sharded:
-                cram.write_file_definition(f)
-                f.write(cram.encode_header_container(header.text))
-            w = cram.CRAMWriter(
-                f, refs, bare=True, records_per_container=records_per_container,
-                ref_fasta=ref_fasta, records_per_slice=records_per_slice,
-            )
-            for r in rows:
-                w.write(tuple(r))
-                nrec += 1
-            w.close(write_eof=False)
-            if sharded:
-                f.write(cram.EOF_CONTAINER_V3)
-        if sharded and index_crai:
-            _crai_sidecar(part_path)
-        return (idx, part_path, nrec)
-
-    if reference is None:
-        pre = df.selectExpr(
-            *SAM_COLS[:-1],
-            "map_keys(tags) as tag_keys",
-            "map_values(tags) as tag_vals",
-        )
-        parts = _collect_parts_arrow(pre, parts_dir, write_part_batches)
-    else:
-        # reference-compressed (RR=true) containers need per-base FASTA
-        # windows — outside the columnar scope, scalar Row path
-        parts = _collect_parts(df, SAM_COLS, parts_dir, write_part)
+    pre = df.selectExpr(
+        *SAM_COLS[:-1],
+        "map_keys(tags) as tag_keys",
+        "map_values(tags) as tag_vals",
+    )
+    parts = _collect_parts_arrow(pre, parts_dir, write_part_batches)
     if sharded:
         _commit_shards(path, parts_dir, [p for _, p, _ in parts],
                        [".crai"] if index_crai else [],
