@@ -7,12 +7,16 @@ complete standalone CRAM 3.0 per non-empty partition
 (``batch-{batchId:05d}-{i:05d}.cram`` — own file definition, header
 container and EOF) plus the shared replay-safe per-batch manifest protocol (see
 :mod:`hadoop_bam_spark.streaming.shard_commit`). RR=false
-(verbatim sequences) so no reference FASTA is needed on executors.
+(verbatim sequences) by default, so no reference FASTA is needed on
+executors; pass ``reference`` for reference-compressed shards.
 
 Options:
   ``path``    target directory (required).
   ``header``  path to a SAM text / BAM file providing the header and
               reference dictionary (required).
+  ``reference``  optional FASTA path (visible to every executor):
+              shards become reference-compressed (RR=true, r8) and
+              reading them requires the same FASTA.
   ``records_per_container`` / ``records_per_slice``  container layout
               (defaults 30000 / 10000, same as the batch sink).
 """
@@ -50,6 +54,10 @@ class CRAMStreamWriter(DataSourceStreamWriter):
         self._header, self._refs = _load_header(header_src)
         self._rpc = int(options.get("records_per_container", 30000))
         self._rps = int(options.get("records_per_slice", 10000))
+        #: optional FASTA path -> reference-compressed (RR=true) shards,
+        #: same contract as write_cram(reference=); readers then need the
+        #: same FASTA (option("reference") on the batch cram source)
+        self._reference = options.get("reference")
 
     # -- executors ---------------------------------------------------------
     def write(self, iterator) -> CramShardCommit:
@@ -71,6 +79,14 @@ class CRAMStreamWriter(DataSourceStreamWriter):
                     f, self._refs, bare=True,
                     records_per_container=self._rpc,
                     records_per_slice=self._rps,
+                    ref_fasta=(
+                        cram.FastaRef(
+                            local_path(self._reference),
+                            open_fn=fs.open_file,
+                        )
+                        if self._reference
+                        else None
+                    ),
                 )
                 for r in iterator:
                     w.write((

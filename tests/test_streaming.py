@@ -818,6 +818,74 @@ class TestCramStreamSink:
         got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
         assert got == sorted((r[0], r[3], r[9]) for r in rows)
 
+    def test_stream_cram_reference_compressed(self, spark, tmp_path):
+        """option('reference') makes the streamed shards RR=true: smaller
+        than verbatim shards of the same rows, unreadable without the
+        FASTA, value-identical with it."""
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats import cram
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(BamStreamDataSource)
+        contig = ("ACGT" * 1500)[:5000]
+        fasta = tmp_path / "ref.fa"
+        with open(fasta, "w") as f:
+            f.write(">chr1\n")
+            for i in range(0, len(contig), 60):
+                f.write(contig[i:i + 60] + "\n")
+        rows = [
+            (f"c{i}", 0, "chr1", 1 + (i % 100), 60, "40M", None, 0, 0,
+             contig[i % 100: i % 100 + 40], "I" * 40, {})
+            for i in range(400)
+        ]
+        hdr = SAMHeader()
+        hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+        hdr.sequences = {"chr1": (0, 5000)}
+        land = str(tmp_path / "bam_landing")
+        df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(2)
+        sinks.write_bam(df, land, hdr, sharded=True)
+        hdr_path = tmp_path / "h.sam"
+        hdr_path.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:5000\n")
+
+        def run(out, ck, with_ref):
+            ws = (
+                spark.readStream.format("bam_stream")
+                .load(land)
+                .writeStream.format("cram")
+                .option("path", str(out))
+                .option("header", str(hdr_path))
+                .option("checkpointLocation", str(ck))
+            )
+            if with_ref:
+                ws = ws.option("reference", str(fasta))
+            q = ws.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return sum(
+                os.path.getsize(out / f)
+                for f in os.listdir(out)
+                if f.endswith(".cram")
+            )
+
+        rr_size = run(tmp_path / "rr_out", tmp_path / "ck_rr", True)
+        nr_size = run(tmp_path / "nr_out", tmp_path / "ck_nr", False)
+        assert rr_size < nr_size  # matching bases are implicit
+        # a reader without the FASTA must refuse the RR=true shards
+        shard = next(
+            f for f in os.listdir(tmp_path / "rr_out") if f.endswith(".cram")
+        )
+        with pytest.raises(ValueError, match="reference"):
+            list(cram.decode_file(str(tmp_path / "rr_out" / shard)))
+        back = (
+            spark.read.format("cram")
+            .option("reference", str(fasta))
+            .load(str(tmp_path / "rr_out"))
+        )
+        got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
+        assert got == sorted((r[0], r[3], r[9]) for r in rows)
+
 
 class TestBcfStreaming:
     """bcf_stream tail source + writeStream.format('bcf') shard sink:
