@@ -423,6 +423,130 @@ def cram_unmapped_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- reference-compressed (RR=true) CRAM, r8 -------------------------------
+
+#: 64-base period of the synthetic reference contigs — both engines
+#: recompute read sequences from it, so the whole RR encode/decode chain
+#: (implicit matches, X substitution codes, inexpressible-'b' bases) is
+#: value-gated, not just row-counted.
+_RR_PAT64 = (
+    "ACGTTGCAGGATCCTAAGCTTCGACATGGTACGACTGCTAAGGCATCGTTCAGCTAGCATGGCA"
+)
+_RR_PAT3 = _RR_PAT64 * 3  # >= 100+63 chars: covers any read at any phase
+
+#: deterministic read sequence, portable Spark-SQL == DuckDB-SQL.
+#: Base layer matches the periodic reference exactly; two planted
+#: overlays make features: position 1 cycles A/C/G/'a' (the lowercase
+#: is outside the substitution matrix -> verbatim 'b' feature), and the
+#: mid-read base cycles T/N/G (N substitutes via the matrix -> 'X').
+_RR_SEQ_SQL = f"""
+    CASE WHEN ref_idx < 0 THEN
+        substr('{_RR_PAT3}', CAST(l_orderkey % 64 AS INT) + 1,
+               CAST(read_len AS INT))
+    ELSE
+        CASE WHEN l_orderkey % 4 = 0 THEN 'A'
+             WHEN l_orderkey % 4 = 1 THEN 'C'
+             WHEN l_orderkey % 4 = 2 THEN 'G' ELSE 'a' END
+        || substr(substr('{_RR_PAT3}', CAST((pos - 1) % 64 AS INT) + 1,
+                         CAST(read_len AS INT)),
+                  2, CAST(FLOOR(read_len / 2) AS INT) - 2)
+        || CASE WHEN l_linenumber % 3 = 0 THEN 'T'
+                WHEN l_linenumber % 3 = 1 THEN 'N' ELSE 'G' END
+        || substr(substr('{_RR_PAT3}', CAST((pos - 1) % 64 AS INT) + 1,
+                         CAST(read_len AS INT)),
+                  CAST(FLOOR(read_len / 2) AS INT) + 1)
+    END
+"""
+
+_CRAM_RR_ORACLE = f"""
+    WITH {{reads_cte}},
+    seqs AS (
+        SELECT CASE WHEN ref_idx < 0 THEN NULL
+                    ELSE 'chr' || (ref_idx + 1)::VARCHAR END AS rname,
+               pos,
+               {_RR_SEQ_SQL} AS seq
+        FROM reads
+    )
+    SELECT rname, count(*) AS n, sum(pos)::BIGINT AS sum_pos,
+           sum(length(seq))::BIGINT AS sum_len,
+           min(md5(seq)) AS min_md5, max(md5(seq)) AS max_md5
+    FROM seqs GROUP BY 1
+"""
+
+
+@query(
+    "cram_rr_roundtrip",
+    oracle=_CRAM_RR_ORACLE.format(reads_cte=READS_CTE),
+    doc="Reference-compressed CRAM I/O (RR=true, the shape real archives "
+    "use): derive reads whose sequences mostly MATCH a periodic synthetic "
+    "FASTA with two planted per-read edits (one matrix-substitutable, one "
+    "inexpressible lowercase base), write through the r8 vectorized "
+    "column encoder (write_cram(reference=)), read back with "
+    "option('reference') so matched bases reconstruct FROM the FASTA, "
+    "and md5-aggregate the sequences per contig. The oracle recomputes "
+    "the identical sequences arithmetically — any corruption in the "
+    "substitution codes, feature positions, or reference windows breaks "
+    "the value hash.",
+)
+def cram_rr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.queries.genomics import reads_view
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d):
+        contig = (_RR_PAT64 * (1_050_000 // 64 + 1))[:1_050_000]
+        with open(os.path.join(d, "ref.fa"), "w") as f:
+            for i in range(4):
+                f.write(f">chr{i + 1}\n")
+                for j in range(0, len(contig), 70):
+                    f.write(contig[j:j + 70] + "\n")
+        reads = reads_view(spark, sf_dir)
+        rname = F.when(
+            F.col("ref_idx") < 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("chr"), (F.col("ref_idx") + 1).cast("string"))
+        )
+        df = reads.select(
+            F.col("qname"),
+            F.col("flag").cast("int").alias("flag"),
+            rname.alias("rname"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("mapq").cast("int").alias("mapq"),
+            F.when(
+                F.col("ref_idx") >= 0,
+                F.concat(F.col("read_len").cast("string"), F.lit("M")),
+            ).alias("cigar"),
+            F.lit(None).cast("string").alias("rnext"),
+            F.lit(0).cast("int").alias("pnext"),
+            F.lit(0).cast("int").alias("tlen"),
+            F.expr(_RR_SEQ_SQL).alias("seq"),
+            F.lit(None).cast("string").alias("qual"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        )
+        sinks.write_cram(
+            df, os.path.join(d, "reads.cram"), _sam_header(),
+            reference=os.path.join(d, "ref.fa"),
+            records_per_container=500,
+        )
+
+    d = _artifact(sf_dir, "cram_rr", build)
+    back = (
+        spark.read.format("cram")
+        .option("split_size", str(_SPLIT))
+        .option("reference", os.path.join(d, "ref.fa"))
+        .load(os.path.join(d, "reads.cram"))
+    )
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.length("seq")).alias("sum_len"),
+        F.min(F.md5("seq")).alias("min_md5"),
+        F.max(F.md5("seq")).alias("max_md5"),
+    )
+
+
 @query(
     "anysam_scan",
     oracle=_BAM_ORACLE,
