@@ -117,6 +117,7 @@ def tf_idf_top_terms(
     id_col: str = "doc_id",
     top_terms: int = 3,
     min_token_len: int = 4,
+    skew_safe: bool = False,
 ):
     """Top TF-IDF terms per document.
 
@@ -140,10 +141,12 @@ def tf_idf_top_terms(
     skew split (AQE does not mitigate windows). A stop-word-adjacent token
     surviving ``min_token_len`` ('that', 'with') appearing in a large
     fraction of documents becomes the straggler partition at corpus scale.
-    If that bites, compute df via a salted two-level aggregate — partial
-    count on (salt, token), sum over salt — joined back to a persisted
-    pairs frame (persistence keeps the single-explode property the window
-    buys today), at the price of materializing the aggregate.
+    ``skew_safe=True`` ships the mitigation: the pairs frame persists
+    (keeping the single-explode property the window buys by default), df
+    comes from a plain groupBy over it — map-side partials, AQE skew
+    handling, no single-task token key — broadcast-joined back. Same
+    values, one extra materialization; flip it on when token document
+    frequency is Zipf-extreme relative to executor memory.
 
     Scores are rounded to 6 places so the arithmetic is reproducible across
     engines.
@@ -168,10 +171,20 @@ def tf_idf_top_terms(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    scored = (
-        pairs.withColumn(
+    if skew_safe:
+        # persist so the explode runs once despite two consumers; the df
+        # aggregate gets map-side partials (no per-token single task)
+        pairs = pairs.persist()
+        doc_freq = pairs.groupBy("token").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        with_df = pairs.join(F.broadcast(doc_freq), "token")
+    else:
+        with_df = pairs.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
         )
+    scored = (
+        with_df
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -55,3 +55,41 @@ class TestTfIdfSinglePass:
         # doc 3: delta tf=2 df=1 beats gamma tf=2 df=2
         assert got[(3, "delta")] == round(2 * math.log(n / 1), 6)
         assert got[(3, "gamma")] == round(2 * math.log(n / 2), 6)
+
+
+class TestTfIdfSkewSafe:
+    def test_skew_safe_values_identical(self, spark):
+        """skew_safe=True (persisted pairs + map-side df aggregate +
+        broadcast join back) must produce the exact same rows as the
+        default window shape."""
+        from hadoop_bam_spark.operators.text import tf_idf_top_terms
+
+        corpus = _corpus(spark)
+        key = lambda r: (r.doc_id, r.rank)
+        a = {key(r): (r.token, r.tfidf)
+             for r in tf_idf_top_terms(corpus).collect()}
+        b = {key(r): (r.token, r.tfidf)
+             for r in tf_idf_top_terms(corpus, skew_safe=True).collect()}
+        assert a == b
+
+    def test_skew_safe_plan_shape(self, spark):
+        """Both consumers read the PERSISTED pairs frame (so the explode
+        materializes once, even though the plan text prints the cached
+        subtree under each scan), df joins back broadcast, and no
+        per-token Window remains."""
+        from hadoop_bam_spark.operators.text import tf_idf_top_terms
+
+        df = tf_idf_top_terms(_corpus(spark), skew_safe=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both consumers (tf side and df side) read the persisted pairs
+        # frame — the explode materializes once into the cache. (Generate
+        # node counts are not asserted: the plan TEXT re-prints the cached
+        # subtree under each scan, and the shared-session cache manager
+        # can nest relation dumps.)
+        assert plan.count("InMemoryTableScan") == 2
+        assert plan.count("BroadcastHashJoin") == 1  # df join-back
+        assert "SortMergeJoin" not in plan
+        # the only Window left is the per-doc top-n ranking — the
+        # per-token df window (the skew risk) is gone
+        assert plan.count("Window [row_number()") == 1
+        assert "count(1) windowspecdefinition(token" not in plan
