@@ -431,3 +431,90 @@ def remove_boilerplate(
             ).alias("clean_md5"),
         )
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 256,
+    overlap: int = 32,
+):
+    """Context-window chunking: split each document into ``size``-char
+    chunks whose first ``overlap`` chars repeat the previous chunk's tail
+    (stride = size - overlap) — the training-prep primitive that turns
+    long documents into model-context-sized rows without losing
+    cross-boundary spans.
+
+    Pure Catalyst: one ``sequence`` explode of chunk indexes, one
+    ``substr`` per chunk — the text column shuffles nowhere, chunk rows
+    are produced in the scan stage. n_chunks =
+    max(ceil((len - overlap) / stride), 1), so every character lands in
+    at least one chunk and a document shorter than ``size`` yields
+    exactly one (possibly short) chunk.
+
+    Returns (doc_id, chunk_idx, chunk_text). At 100 TB this is a
+    map-only operator: output partitioning follows the input scan.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    stride = size - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(F.length(t), F.lit(1)) - overlap) / stride),
+        F.lit(1),
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("_text"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("_text")
+            .substr(
+                (F.col("chunk_idx") * stride + 1).cast("int"),
+                F.lit(size),
+            )
+            .alias("chunk_text"),
+        )
+    )
+
+
+def quality_quantile_filter(
+    df,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    quantile: float = 0.5,
+):
+    """Per-language quality-quantile gate: keep documents whose
+    :func:`quality_score` sits strictly above the ``quantile`` cume_dist
+    WITHIN their language — the standard curation step that drops the
+    bottom half of each language's crawl without letting a high-resource
+    language's score distribution set the bar for a low-resource one.
+
+    cume_dist (not percent_rank) so a single-document language keeps its
+    only document (cume_dist = 1.0, vs percent_rank = 0.0 which would
+    silently empty rare languages). Ordering by (quality, doc_id) is a
+    total order, so the kept set is deterministic and engine-portable.
+    One window shuffle on the language key; language count is small, so
+    partitions are few but bounded by corpus/|langs| — for Zipf-extreme
+    language skew, pre-aggregate histogram quantiles instead.
+
+    Returns the kept rows with their (row-rounded) quality score.
+    """
+    from pyspark.sql import Window
+
+    scored = df.filter(F.length(text_col) > 0).select(
+        "*", F.round(quality_score(F.col(text_col)), 6).alias("quality")
+    )
+    w = Window.partitionBy(lang_col).orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("_cd", F.cume_dist().over(w))
+        .filter(F.col("_cd") > quantile)
+        .drop("_cd")
+    )

@@ -1638,3 +1638,91 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return resize_plan(synthesize_media_payloads(docs), box=224)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking + per-language quality quantile gate (r8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "chunk_documents",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       generate_series(0,
+                           CAST(greatest(ceil((greatest(len(text), 1) - 32)
+                                              / 224.0), 1) AS BIGINT) - 1),
+                       i -> struct_pack(
+                           idx := i,
+                           txt := substr(text, CAST(i * 224 AS INT) + 1,
+                                         256)))) AS ch
+            FROM documents
+        )
+        SELECT doc_id, ch.idx AS chunk_idx,
+               len(ch.txt)::BIGINT AS chunk_len, md5(ch.txt) AS chunk_md5
+        FROM c
+    """,
+    doc="Context-window chunking: size-256 chunks with 32-char overlap "
+    "(stride 224) via one sequence explode + substr — map-only, the text "
+    "column never shuffles. Chunk payloads compare as md5 so the value "
+    "hash covers every chunk boundary byte.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_documents(docs, size=256, overlap=32)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "quality_quantile_filter",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> ''))::BIGINT AS n_tok,
+                   len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / len(text) AS punct_ratio
+            FROM documents WHERE len(text) > 0
+        ),
+        s AS (
+            SELECT doc_id, lang,
+                   round(least(len(text) / 500.0, 1.0) * 0.4
+                         + (CASE WHEN len(text)::DOUBLE / n_tok
+                                      BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.5 END) * 0.3
+                         + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3,
+                         6) AS quality
+            FROM t
+        ),
+        r AS (
+            SELECT lang, quality,
+                   cume_dist() OVER (PARTITION BY lang
+                                     ORDER BY quality, doc_id) AS cd
+            FROM s
+        )
+        SELECT lang, count(*) AS n_kept,
+               sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS sum_q6
+        FROM r WHERE cd > 0.5 GROUP BY 1
+    """,
+    doc="Per-language quality-quantile gate: keep documents strictly above "
+    "the median quality cume_dist WITHIN their language (total order "
+    "on (quality, doc_id) makes the kept set deterministic and "
+    "engine-portable), then summarize kept mass per language. sum_q6 is "
+    "an integer micro-quality sum so the aggregate is order-independent "
+    "across distributed partial sums.",
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept = text_ops.quality_quantile_filter(docs, quantile=0.5)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.round(F.col("quality") * 1000000, 0).cast("long")).alias(
+            "sum_q6"
+        ),
+    )

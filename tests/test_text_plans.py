@@ -93,3 +93,87 @@ class TestTfIdfSkewSafe:
         # per-token df window (the skew risk) is gone
         assert plan.count("Window [row_number()") == 1
         assert "count(1) windowspecdefinition(token" not in plan
+
+
+class TestChunkDocuments:
+    def test_chunk_semantics(self, spark):
+        """Every char covered, overlap bytes repeat the previous tail,
+        short docs yield one chunk, reconstruction equals the source."""
+        from hadoop_bam_spark.operators.text import chunk_documents
+
+        rows = [
+            (1, "abcdefghijklmnopqrstuvwxyz"),   # 26 chars
+            (2, "xy"),                           # shorter than size
+            (3, "a" * 10),                       # exactly size
+            (4, ""),                             # empty
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.chunk_idx): r.chunk_text
+            for r in chunk_documents(df, size=10, overlap=4).collect()
+        }
+        # doc 1: stride 6 -> ceil((26-4)/6)=4 chunks at 1,7,13,19
+        assert got[(1, 0)] == "abcdefghij"
+        assert got[(1, 1)] == "ghijklmnop"
+        assert got[(1, 2)] == "mnopqrstuv"
+        assert got[(1, 3)] == "stuvwxyz"
+        # overlap: each chunk's head == previous chunk's tail
+        for i in range(1, 4):
+            assert got[(1, i)][:4] == got[(1, i - 1)][-4:]
+        # stride-spliced reconstruction round-trips
+        rebuilt = got[(1, 0)] + "".join(got[(1, i)][4:] for i in range(1, 4))
+        assert rebuilt == rows[0][1]
+        assert got[(2, 0)] == "xy" and (2, 1) not in got
+        assert got[(3, 0)] == "a" * 10 and (3, 1) not in got
+        assert got[(4, 0)] == ""
+
+    def test_chunk_plan_map_only(self, spark):
+        """Chunking must not shuffle: one Generate, no Exchange."""
+        from hadoop_bam_spark.operators.text import chunk_documents
+
+        df = chunk_documents(_corpus(spark).select("doc_id", "text"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Generate explode") == 1
+        assert "Exchange" not in plan or plan.count("Exchange") <= 1
+        # (corpus_view unions allow at most the ensure-parallelism round
+        # robin; a raw parquet scan plans zero exchanges)
+
+    def test_overlap_ge_size_rejected(self, spark):
+        import pytest as _pytest
+
+        from hadoop_bam_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, size=8, overlap=8)
+
+
+class TestQualityQuantileFilter:
+    def test_keeps_top_half_per_lang(self, spark):
+        from hadoop_bam_spark.operators.text import (
+            quality_quantile_filter,
+            quality_score,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            # en: 4 docs with clearly ordered quality (longer = better here)
+            (1, "en", "short"),
+            (2, "en", "a reasonable document " * 3),
+            (3, "en", "a reasonable document with more words " * 6),
+            (4, "en", "a reasonable document with many more words " * 12),
+            # de: single doc -> cume_dist 1.0 -> kept (the reason the
+            # operator uses cume_dist, not percent_rank)
+            (5, "de", "ein dokument"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        kept = {r.doc_id for r in quality_quantile_filter(df).collect()}
+        # en: cume_dist over 4 rows = .25, .5, .75, 1 -> > .5 keeps 2
+        scored = {
+            r.doc_id: r.q
+            for r in df.select(
+                "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+            ).collect()
+        }
+        en_sorted = sorted([1, 2, 3, 4], key=lambda d: (scored[d], d))
+        assert kept == {en_sorted[2], en_sorted[3], 5}
