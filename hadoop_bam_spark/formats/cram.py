@@ -1497,6 +1497,12 @@ _SERIES_IDS = {
          "RS", "BB", "BS", "MQ", "QQ"]
     )
 }
+
+#: external block content id this writer uses for an embedded reference
+#: (spec just says "a block id named by the slice header" — readers,
+#: including this one, locate it via the header field, so the value only
+#: needs to avoid the data-series ids above and the (tag<<16|type) range)
+EMBEDDED_REF_CONTENT_ID = 100
 _INT_SERIES = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS",
                "TL", "FN", "FP", "DL", "HC", "PD", "RS", "MQ"}
 _BYTE_SERIES = {"FC", "BA", "QS", "BS"}
@@ -1633,7 +1639,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                      ref_names: Optional[list[str]] = None,
                      records_per_slice: int = 10000,
                      gzip_level: int = 6,
-                     qual_mode: str = "stored") -> bytes:
+                     qual_mode: str = "stored",
+                     embed_reference: bool = False) -> bytes:
     """One container (1..N slices of <= ``records_per_slice`` records
     each, the samtools/htsjdk layout) from SAM-schema tuples.
 
@@ -1676,7 +1683,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             else:  # base the matrix can't express (or past contig end)
                 feats.append((read_pos + i, "b", rb))
 
-    def encode_slice(chunk: list[tuple]) -> dict:
+    def encode_slice(chunk: list[tuple], allow_by_ref: bool = True) -> dict:
         """Per-record encode of one slice's records into its own stream
         set (each slice carries its own core/external blocks)."""
         ints: dict[str, bytearray] = {k: bytearray() for k in _INT_SERIES}
@@ -1753,7 +1760,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
             if not flag & 0x4:  # mapped: features from the cigar
                 # reference-compress only when the record actually has a place
                 # on the reference
-                by_ref = ref_fasta is not None and ref_id >= 0 and (pos or 0) >= 1
+                by_ref = (allow_by_ref and ref_fasta is not None
+                          and ref_id >= 0 and (pos or 0) >= 1)
                 feats = []
                 read_pos = 1
                 ref_pos = pos or 1
@@ -1839,11 +1847,47 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
 
     step = max(records_per_slice, 1)
     chunks = [rows[i : i + step] for i in range(0, len(rows), step)] or [rows]
-    slices = [encode_slice(c) for c in chunks]
+
+    def _chunk_allows_by_ref(chunk) -> bool:
+        # Under embed_reference the output must be SELF-CONTAINED: a
+        # multiref slice has no single [start, span] window to embed, so
+        # its records encode verbatim instead of reference-compressed —
+        # otherwise a reader without the FASTA could not reconstruct them.
+        if not embed_reference or ref_fasta is None:
+            return True
+        rids = {
+            (ref_index.get(r[2], -1) if r[2] else -1) for r in chunk
+        }
+        return len(rids) == 1 and min(rids) >= 0
+
+    slices = [encode_slice(c, _chunk_allows_by_ref(c)) for c in chunks]
+    if embed_reference and ref_fasta is not None:
+        attach_embedded_refs(
+            slices, lambda rid, lo, hi: ref_fasta.window(
+                ref_names[rid], lo, hi
+            ) if ref_names and 0 <= rid < len(ref_names) else None,
+        )
     return assemble_container(
         slices, tag_lines, len(rows), record_counter, major,
         rr=ref_fasta is not None, gzip_level=gzip_level,
     )
+
+
+def attach_embedded_refs(slices: list[dict], window_fn) -> None:
+    """Attach the [aln_min, aln_max] reference window to every SINGLE-REF
+    slice dict (spec §8.5 embedded reference) so readers need no FASTA.
+    ``window_fn(rid, lo, hi) -> bytes | None`` supplies the bases —
+    shared by the scalar path (FastaRef.window) and the column encoder
+    (contig-array slice), so both embed identical bytes. Multiref /
+    unmapped slices are left alone (they have no single window; their
+    records either carry verbatim bases or need no reference)."""
+    for sl in slices:
+        if (len(sl["seen_refs"]) == 1 and sl["aln_min"] is not None
+                and min(sl["seen_refs"]) >= 0):
+            rid = next(iter(sl["seen_refs"]))
+            emb = window_fn(int(rid), sl["aln_min"], sl["aln_max"])
+            if emb is not None:
+                sl["embed_ref"] = emb
 
 
 def assemble_container(
@@ -1937,11 +1981,6 @@ def assemble_container(
         for (tag, ty) in sorted(sl["tag_blocks"]):
             kv = (ord(tag[0]) << 16) | (ord(tag[1]) << 8) | ord(ty)
             ext_blocks.append((kv, bytes(sl["tag_blocks"][(tag, ty)])))
-        ext_serialized = [
-            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data)
-            .serialize(major, gzip_level)
-            for cid, data in ext_blocks
-        ]
         # single-ref slice when every record maps to one reference
         # (htsjdk's sorted-output shape — enables .crai interval pruning);
         # anything mixed or unmapped stays multiref (htslib no_ref shape)
@@ -1951,6 +1990,19 @@ def assemble_container(
             sl_start, sl_span = sl["aln_min"], sl["aln_max"] - sl["aln_min"] + 1
         else:
             sl_ref, sl_start, sl_span = -2, 0, 0
+        # embedded reference (spec §8.5): the producer attached the ref
+        # window covering [aln_min, aln_max]; only meaningful for a
+        # single-ref slice, where decode indexes it from sh.start
+        embed_id = 0xFFFFFFFF
+        emb = sl.get("embed_ref")
+        if emb is not None and sl_ref >= 0:
+            embed_id = EMBEDDED_REF_CONTENT_ID
+            ext_blocks.append((embed_id, bytes(emb)))
+        ext_serialized = [
+            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data)
+            .serialize(major, gzip_level)
+            for cid, data in ext_blocks
+        ]
         union_refs |= sl["seen_refs"]
         if sl_ref >= 0:
             cmin = sl_start if cmin is None else min(cmin, sl_start)
@@ -1967,7 +2019,7 @@ def assemble_container(
         slice_hdr += write_itf8(len(ext_blocks))
         for cid, _ in ext_blocks:
             slice_hdr += write_itf8(cid)
-        slice_hdr += write_itf8(0xFFFFFFFF)  # no embedded reference
+        slice_hdr += write_itf8(embed_id)  # embedded-ref block id or -1
         slice_hdr += bytes(16)  # md5 unset (all-zero = "not known")
         slice_block = Block(
             M_RAW, CT_SLICE_HEADER, 0, bytes(slice_hdr)

@@ -294,12 +294,14 @@ class CRAMColumnEncoder:
 
     def __init__(self, ref_index: dict, major: int = 3,
                  gzip_level: int = 6, ref_fasta=None,
-                 ref_names: Optional[list[str]] = None):
+                 ref_names: Optional[list[str]] = None,
+                 embed_reference: bool = False):
         self.ref_index = ref_index
         self.major = major
         self.gzip_level = gzip_level
         self.ref_fasta = ref_fasta
         self.ref_names = ref_names or []
+        self.embed_reference = embed_reference
         self._templates: dict[tuple[str, bool], _Template] = {}
         self._contigs: dict[int, np.ndarray] = {}
 
@@ -424,6 +426,13 @@ class CRAMColumnEncoder:
             self._slice_streams(ctx, lo, min(lo + step, n) or n)
             for lo in bounds
         ]
+        if self.embed_reference and self.ref_fasta is not None:
+            C.attach_embedded_refs(
+                slices,
+                lambda rid, lo1, hi1: self._contig(rid)[
+                    lo1 - 1: hi1
+                ].tobytes(),
+            )
         return C.assemble_container(
             slices, tag_lines, n, record_counter, self.major,
             rr=self.ref_fasta is not None,
@@ -518,6 +527,13 @@ class CRAMColumnEncoder:
         s_starts = _exclusive_cumsum(ctx["seq_lens"])[:-1][lo:hi]
         m = hi - lo
         midx = np.where(mapped)[0]
+        if self.embed_reference:
+            # self-contained contract: a multiref slice has no embeddable
+            # window, so demote its records to verbatim (mirrors the
+            # scalar _chunk_allows_by_ref rule — parity-tested)
+            rids = np.unique(ri)
+            if not (len(rids) == 1 and rids[0] >= 0):
+                byref = np.zeros_like(byref)
 
         L = int(rl.max(initial=0)) + 2  # sort-key stride; offsets < L
 

@@ -255,6 +255,7 @@ def write_cram(
     index_crai: bool = False,
     records_per_slice: int = 10000,
     sharded: bool = False,
+    embed_reference: bool = False,
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
 
@@ -277,7 +278,18 @@ def write_cram(
     containers are reference-compressed (RR=true, htsjdk's default — only
     mismatching bases are stored) and reading the output requires the same
     reference. Without it, sequences go verbatim (RR=false, htslib's
-    ``no_ref`` shape) and no FASTA is needed to read."""
+    ``no_ref`` shape) and no FASTA is needed to read.
+
+    ``embed_reference`` (with ``reference``): each single-reference slice
+    additionally carries its [aln_min, aln_max] reference window as an
+    embedded block (spec §8.5), so READERS need no FASTA — the
+    self-contained archive shape. Multiref slices (records spanning
+    contigs — unsorted input) have no single window, so their records
+    encode verbatim instead; the self-contained guarantee holds either
+    way, reference compression just degrades where the input isn't
+    coordinate-grouped. Costs the window bytes per slice
+    (gzip-compressed; cheap for coordinate-sorted data where slices are
+    dense)."""
     from hadoop_bam_spark.formats import cram
 
     if refs is None:
@@ -313,7 +325,8 @@ def write_cram(
         )
         ref_names = [name for name, _ in refs]
         enc = CRAMColumnEncoder(
-            ref_index, ref_fasta=ref_fasta, ref_names=ref_names
+            ref_index, ref_fasta=ref_fasta, ref_names=ref_names,
+            embed_reference=embed_reference,
         )
 
         def scalar_rows(tbl):
@@ -340,6 +353,7 @@ def write_cram(
                         list(scalar_rows(tbl)), ref_index, counter,
                         ref_fasta=ref_fasta, ref_names=ref_names,
                         records_per_slice=records_per_slice,
+                        embed_reference=embed_reference,
                     ))
                 counter += tbl.num_rows
 

@@ -441,3 +441,87 @@ def test_rr_sink_roundtrip_and_scalar_file_parity(
     )
     got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
     assert got == sorted((r[0], r[3], r[9]) for r in rows)
+
+
+def test_rr_embedded_reference_parity_and_selfcontained(rr_fasta, tmp_path):
+    """embed_reference=True: vectorized == scalar bytes, and the file
+    decodes WITHOUT any FASTA (the self-contained archive shape)."""
+    import io
+
+    rows = [r for r in RR_EDGE_ROWS if r[3] != 0]
+    fa = cram.FastaRef(rr_fasta)
+    scal = cram.encode_container(
+        [tuple(r) for r in rows], RR_INDEX, 0,
+        ref_fasta=fa, ref_names=RR_NAMES, records_per_slice=4,
+        embed_reference=True,
+    )
+    enc = CRAMColumnEncoder(
+        RR_INDEX, ref_fasta=cram.FastaRef(rr_fasta), ref_names=RR_NAMES,
+        embed_reference=True,
+    )
+    vec = enc.encode_container(rows_to_batch(rows), 0, records_per_slice=4)
+    assert vec == scal
+    # embedding grows the container vs plain RR (the windows ride along)
+    assert len(vec) > len(_rr_vec(rows, rr_fasta, rps=4))
+
+    buf = io.BytesIO()
+    cram.write_file_definition(buf)
+    buf.write(cram.encode_header_container(
+        "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:%d\n@SQ\tSN:chr2\tLN:%d\n"
+        % (len(RR_CHR1), len(RR_CHR2))
+    ))
+    buf.write(vec)
+    buf.write(cram.EOF_CONTAINER_V3)
+    p = tmp_path / "embed.cram"
+    p.write_bytes(buf.getvalue())
+    # NO reference passed — the embedded windows must carry the decode.
+    # (Multiref slices — the off-reference r8/r9 rows are in this set and
+    # keep verbatim features — never consult a reference at all.)
+    got = list(cram.decode_file(str(p)))
+
+    def norm(r):
+        if not r[1] & 4 and r[5] is None and r[9] is not None:
+            return r[:5] + (f"{len(r[9])}M",) + r[6:]
+        return r
+
+    assert [norm(tuple(r)) for r in rows] == got
+
+
+def test_sink_embed_reference_roundtrip(spark, tmp_path):
+    """write_cram(reference=, embed_reference=True) produces a directory-
+    readable file that Spark reads back with NO reference option."""
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    fasta = tmp_path / "ref.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(RR_CHR1), 10):
+            f.write(RR_CHR1[i:i + 10] + "\n")
+        f.write(">chr2\n" + RR_CHR2 + "\n")
+    rows = []
+    for i in range(200):
+        pos = (i % 40) + 1
+        n = min(8, len(RR_CHR1) - pos + 1)
+        seq = RR_CHR1[pos - 1: pos - 1 + n].upper()
+        if i % 3 == 0 and n > 2:
+            seq = seq[:1] + ("A" if seq[1] != "A" else "C") + seq[2:]
+        rows.append((f"q{i}", 0, "chr1", pos, 60, f"{n}M", None, 0, 0,
+                     seq, "I" * n, {}))
+    hdr = SAMHeader()
+    hdr.lines = [
+        "@HD\tVN:1.6",
+        f"@SQ\tSN:chr1\tLN:{len(RR_CHR1)}",
+        f"@SQ\tSN:chr2\tLN:{len(RR_CHR2)}",
+    ]
+    hdr.sequences = {"chr1": (0, len(RR_CHR1)), "chr2": (1, len(RR_CHR2))}
+    df = spark.createDataFrame(rows, SAM_SCHEMA).coalesce(1)
+    out = str(tmp_path / "embedded.cram")
+    sinks.write_cram(df, out, hdr, reference=str(fasta),
+                     embed_reference=True,
+                     records_per_container=64, records_per_slice=32)
+    back = spark.read.format("cram").load(out)  # no reference option!
+    got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
+    assert got == sorted((r[0], r[3], r[9]) for r in rows)
