@@ -1582,12 +1582,14 @@ class CRAMWriter:
                  bare: bool = False, record_counter: int = 0,
                  ref_fasta: Optional[FastaRef] = None,
                  records_per_slice: int = 10000,
-                 gzip_level: int = 6):
+                 gzip_level: int = 6,
+                 embed_reference: bool = False):
         self._fh = fh
         self._refs = refs
         self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
         self._ref_names = [name for name, _ in refs]
         self._ref_fasta = ref_fasta
+        self._embed_reference = embed_reference
         self._per_container = records_per_container
         self._per_slice = records_per_slice
         self._gzip_level = gzip_level
@@ -1610,6 +1612,7 @@ class CRAMWriter:
                 ref_fasta=self._ref_fasta, ref_names=self._ref_names,
                 records_per_slice=self._per_slice,
                 gzip_level=self._gzip_level,
+                embed_reference=self._embed_reference,
             ))
             self._counter += len(self._buf)
             self._buf = []

@@ -742,10 +742,14 @@ def _ref_windows(dec, sh, comp, embedded_ref, ri, pos, mapped, noseq,
     else:
         if dec.ref_fasta is None:
             if comp.reference_required:
-                raise ValueError(
-                    "CRAM slice requires a reference; pass "
-                    "option('reference', <fasta>)"
-                )
+                # Cannot tell HERE whether the slice truly reads the
+                # reference: an embed_reference writer demotes multiref
+                # slices to verbatim features that cover every base, so
+                # no ref byte is ever consulted. The scalar path resolves
+                # reference need lazily per matched range — fall back to
+                # it; a genuinely reference-needing slice then raises its
+                # ValueError("requires a reference") from there.
+                raise _Unsupported("reference-required slice without ref")
             # matches decode as 'N' — handled by the N-run buffer
             return np.empty(0, dtype=np.uint8), {}, {}
         for rid in np.unique(ri[need]):

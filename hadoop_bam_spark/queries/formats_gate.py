@@ -548,6 +548,77 @@ def cram_rr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cram_embed_roundtrip",
+    oracle=_CRAM_RR_ORACLE.format(reads_cte=READS_CTE),
+    doc="Self-contained reference-compressed CRAM: same derivation as "
+    "cram_rr_roundtrip but written with embed_reference=True (every "
+    "single-ref slice carries its reference window as an embedded block, "
+    "spec 8.5; multiref slices demote to verbatim) and read back with NO "
+    "reference option — matched bases must reconstruct from the embedded "
+    "windows alone. Same value oracle: the archive layout must never "
+    "change content.",
+)
+def cram_embed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.queries.genomics import reads_view
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d):
+        contig = (_RR_PAT64 * (1_050_000 // 64 + 1))[:1_050_000]
+        with open(os.path.join(d, "ref.fa"), "w") as f:
+            for i in range(4):
+                f.write(f">chr{i + 1}\n")
+                for j in range(0, len(contig), 70):
+                    f.write(contig[j:j + 70] + "\n")
+        reads = reads_view(spark, sf_dir)
+        rname = F.when(
+            F.col("ref_idx") < 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("chr"), (F.col("ref_idx") + 1).cast("string"))
+        )
+        df = reads.select(
+            F.col("qname"),
+            F.col("flag").cast("int").alias("flag"),
+            rname.alias("rname"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("mapq").cast("int").alias("mapq"),
+            F.when(
+                F.col("ref_idx") >= 0,
+                F.concat(F.col("read_len").cast("string"), F.lit("M")),
+            ).alias("cigar"),
+            F.lit(None).cast("string").alias("rnext"),
+            F.lit(0).cast("int").alias("pnext"),
+            F.lit(0).cast("int").alias("tlen"),
+            F.expr(_RR_SEQ_SQL).alias("seq"),
+            F.lit(None).cast("string").alias("qual"),
+            F.create_map().cast("map<string,string>").alias("tags"),
+        ).orderBy(F.col("rname").asc_nulls_last(), "pos", "qname")
+        # coordinate-grouped input -> single-ref slices -> every slice
+        # embeds; the file needs no FASTA to read
+        sinks.write_cram(
+            df, os.path.join(d, "reads.cram"), _sam_header(),
+            reference=os.path.join(d, "ref.fa"), embed_reference=True,
+            records_per_container=500,
+        )
+
+    d = _artifact(sf_dir, "cram_embed", build)
+    back = (
+        spark.read.format("cram")
+        .option("split_size", str(_SPLIT))
+        .load(os.path.join(d, "reads.cram"))  # NO reference option
+    )
+    return back.groupBy("rname").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("sum_pos"),
+        F.sum(F.length("seq")).alias("sum_len"),
+        F.min(F.md5("seq")).alias("min_md5"),
+        F.max(F.md5("seq")).alias("max_md5"),
+    )
+
+
+@query(
     "anysam_scan",
     oracle=_BAM_ORACLE,
     doc="Multi-format dispatch inside the gate: the derived reads are split "

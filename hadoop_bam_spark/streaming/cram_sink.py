@@ -17,6 +17,9 @@ Options:
   ``reference``  optional FASTA path (visible to every executor):
               shards become reference-compressed (RR=true, r8) and
               reading them requires the same FASTA.
+  ``embed_reference``  with ``reference``: embed each single-ref
+              slice's window so shards are self-contained (readers need
+              no FASTA; multiref slices encode verbatim).
   ``records_per_container`` / ``records_per_slice``  container layout
               (defaults 30000 / 10000, same as the batch sink).
 """
@@ -58,6 +61,11 @@ class CRAMStreamWriter(DataSourceStreamWriter):
         #: same contract as write_cram(reference=); readers then need the
         #: same FASTA (option("reference") on the batch cram source)
         self._reference = options.get("reference")
+        #: with reference: embed each single-ref slice's window so shards
+        #: are self-contained (readers need no FASTA)
+        self._embed = str(
+            options.get("embed_reference", "false")
+        ).lower() == "true"
 
     # -- executors ---------------------------------------------------------
     def write(self, iterator) -> CramShardCommit:
@@ -87,6 +95,7 @@ class CRAMStreamWriter(DataSourceStreamWriter):
                         if self._reference
                         else None
                     ),
+                    embed_reference=self._embed,
                 )
                 for r in iterator:
                     w.write((

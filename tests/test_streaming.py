@@ -861,6 +861,8 @@ class TestCramStreamSink:
             )
             if with_ref:
                 ws = ws.option("reference", str(fasta))
+                if with_ref == "embed":
+                    ws = ws.option("embed_reference", "true")
             q = ws.trigger(availableNow=True).start()
             q.awaitTermination()
             return sum(
@@ -884,7 +886,13 @@ class TestCramStreamSink:
             .load(str(tmp_path / "rr_out"))
         )
         got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
-        assert got == sorted((r[0], r[3], r[9]) for r in rows)
+        want = sorted((r[0], r[3], r[9]) for r in rows)
+        assert got == want
+        # embed_reference: self-contained shards, read with NO fasta
+        run(tmp_path / "em_out", tmp_path / "ck_em", "embed")
+        back = spark.read.format("cram").load(str(tmp_path / "em_out"))
+        got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
+        assert got == want
 
 
 class TestBcfStreaming:
