@@ -127,11 +127,36 @@ def _minhash_buckets(
     build side and no exchange reuse, so the whole md5 signature stage would
     execute twice (once per side).
     """
+    bands = _minhash_bands(
+        df, text_col, id_col, num_hashes, band_size, shingle_n
+    )
+    return (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
+def _minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """(_id, band_idx, band_key[, flag]) band rows — the signature stage
+    shared by batch buckets and the incremental-ingest variant.
+    ``flag_col`` (a per-document boolean, constant per id) rides through
+    the signature aggregate via ``first()``."""
     num_bands = num_hashes // band_size
     df = ensure_parallelism(df)
+    extra = [F.col(flag_col).alias("_flag")] if flag_col else []
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_t"),
+        *extra,
         F.explode(
             F.sequence(
                 F.lit(1),
@@ -140,9 +165,11 @@ def _minhash_buckets(
         ).alias("_i"),
     ).select(
         "_id",
+        *(["_flag"] if flag_col else []),
         (hash60(F.substring(F.col("_t"), F.col("_i"), F.lit(shingle_n))) % MINHASH_P).alias("_h"),
     )
     sig = hashed.groupBy("_id").agg(
+        *([F.first("_flag").alias("_flag")] if flag_col else []),
         *[
             F.min(minhash_rehash(F.col("_h"), a, b)).alias(f"mh{j}")
             for j, (a, b) in enumerate(minhash_params(num_hashes))
@@ -150,6 +177,7 @@ def _minhash_buckets(
     )
     bands = sig.select(
         "_id",
+        *(["_flag"] if flag_col else []),
         F.explode(
             F.array(
                 *[
@@ -167,11 +195,12 @@ def _minhash_buckets(
                 ]
             )
         ).alias("band"),
-    ).select("_id", "band.band_idx", "band.band_key")
-    return (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.array_sort(F.collect_set("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    )
+    return bands.select(
+        "_id",
+        *(["_flag"] if flag_col else []),
+        "band.band_idx",
+        "band.band_key",
     )
 
 
@@ -352,6 +381,84 @@ def _watch_budget(obs, max_bucket: int) -> None:
             )
 
     threading.Thread(target=run, daemon=True, name="lsh-budget-watch").start()
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Incremental-ingest near-dup detection: which INCOMING documents
+    (``new_df``) collide with anything already ingested (``corpus_df``)
+    or with each other — the question a continuously-growing training
+    corpus asks per batch, where re-running all-pairs dedup over the
+    full corpus every ingest is unaffordable.
+
+    Returns distinct ``(new_id, dup_of)`` where ``dup_of`` is a bucket
+    witness: the bucket's minimum id, or the second-minimum when the new
+    document IS the minimum. One witness suffices to flag/route the
+    document; edges are LINEAR in new-batch bucket membership — an
+    incoming batch landing in a million-member boilerplate bucket emits
+    one edge per new member, never the cross product. Ids must be
+    disjoint between the two frames (an id present in both pairs with
+    itself and is dropped).
+
+    Plan: ONE signature pass over corpus ∪ new (the ``_new`` flag rides
+    the aggregate), one bucket groupBy, conditional expansion — no join.
+    At 100 TB the corpus side's band rows are a pure function of the
+    text, so a production pipeline persists them once (they are exactly
+    ``_minhash_bands``'s output) and unions the stored frame instead of
+    re-hashing; the operator shape is unchanged.
+    """
+    u = corpus_df.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_df.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_new")
+        )
+    )
+    bands = _minhash_bands(
+        u, text_col, id_col, num_hashes, band_size, shingle_n,
+        flag_col="_new",
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        F.col("_id").alias("id"), F.col("_flag").alias("new")
+                    )
+                )
+            ).alias("arr")
+        )
+        .filter(
+            (F.size("arr") > 1) & F.exists("arr", lambda x: x["new"])
+        )
+    )
+    hub1 = F.col("arr")[0]["id"]
+    hub2 = F.col("arr")[1]["id"]
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(F.col("arr"), lambda x: x["new"])
+            ).alias("x"),
+            hub1.alias("_h1"),
+            hub2.alias("_h2"),
+        )
+        .select(
+            F.col("x.id").alias("new_id"),
+            F.when(F.col("x.id") == F.col("_h1"), F.col("_h2"))
+            .otherwise(F.col("_h1"))
+            .alias("dup_of"),
+        )
+        .filter(F.col("dup_of") != F.col("new_id"))
+        .distinct()
+    )
 
 
 def minhash_lsh_overflow(

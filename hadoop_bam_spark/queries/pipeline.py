@@ -1640,6 +1640,53 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(synthesize_media_payloads(docs), box=224)
 
 
+@query(
+    "dedup_incremental_ingest",
+    oracle=f"""
+        WITH {_minhash_pair_ctes()},
+        marked AS (
+            SELECT band_idx, band_key, doc_id,
+                   doc_id >= 1000000 AS is_new
+            FROM bands
+        ),
+        w1 AS (
+            SELECT *, count(*) OVER wpk AS sz,
+                   min(doc_id) OVER wpk AS hub1
+            FROM marked
+            WINDOW wpk AS (PARTITION BY band_idx, band_key)
+        ),
+        w2 AS (
+            SELECT *, min(CASE WHEN doc_id = hub1 THEN NULL
+                               ELSE doc_id END)
+                          OVER (PARTITION BY band_idx, band_key) AS hub2
+            FROM w1
+        )
+        SELECT DISTINCT doc_id AS new_id,
+               CASE WHEN doc_id = hub1 THEN hub2 ELSE hub1 END AS dup_of
+        FROM w2
+        WHERE is_new AND sz > 1
+          AND (CASE WHEN doc_id = hub1 THEN hub2 ELSE hub1 END) IS NOT NULL
+          AND (CASE WHEN doc_id = hub1 THEN hub2 ELSE hub1 END) != doc_id
+    """,
+    doc="Incremental-ingest dedup: the planted duplicate rows (doc_id >= "
+    "1e6, corpus_view's exact and near copies) play the incoming batch, "
+    "the base documents table the existing corpus. One signature pass "
+    "over corpus UNION batch (the new-flag rides the aggregate), one "
+    "bucket groupBy, per-bucket witness expansion — edges linear in "
+    "new-batch bucket membership, never the cross product; no join. The "
+    "pattern a continuously-growing corpus runs per ingest instead of "
+    "re-deduping everything.",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = corpus_view(spark, sf_dir)
+    existing = corpus.filter(F.col("doc_id") < 1000000)
+    incoming = corpus.filter(F.col("doc_id") >= 1000000)
+    return dedup.minhash_lsh_incremental(
+        incoming, existing,
+        num_hashes=_MINHASH_K, band_size=_BAND_SIZE, shingle_n=_SHINGLE_N,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking + per-language quality quantile gate (r8)
 # ---------------------------------------------------------------------------

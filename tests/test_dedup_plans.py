@@ -282,3 +282,58 @@ class TestBudgetSinglePass:
         # r8 observe node adds CASE WHENs of its own inside CollectMetrics,
         # so anchor on the explode itself)
         assert plan.count("explode(CASE WHEN (size(ids") == 1
+
+
+class TestIncrementalIngest:
+    def test_detects_dupes_linearly(self, spark):
+        """Incoming near-dupes of corpus docs are flagged with a witness;
+        a degenerate identical-text incoming batch emits LINEAR edges."""
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_incremental
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "a perfectly ordinary document about glaciers " * 5),
+                (2, "an unrelated text describing penguin colonies " * 5),
+                (3, "boilerplate page body " * 4),
+            ],
+            ["doc_id", "text"],
+        )
+        n_degen = 5000
+        new_rows = [
+            # near-dup of corpus doc 1
+            (100, "a perfectly ordinary document about glaciers " * 5 + "!"),
+            # genuinely novel
+            (101, "completely novel content about deep sea vents " * 5),
+        ] + [
+            # degenerate: identical to corpus doc 3 AND to each other
+            (200 + i, "boilerplate page body " * 4) for i in range(n_degen)
+        ]
+        new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+        got = minhash_lsh_incremental(
+            new, corpus, num_hashes=8, band_size=2
+        )
+        rows = got.collect()
+        flagged = {r.new_id for r in rows}
+        assert 100 in flagged            # near-dup detected
+        assert 101 not in flagged        # novel doc stays clean
+        assert all(200 + i in flagged for i in range(0, n_degen, 997))
+        # linear: one witness edge per flagged doc per colliding bucket,
+        # deduped -> far below the quadratic m(m-1)/2 of the degenerate
+        # bucket
+        assert len(rows) < 2 * (n_degen + 2)
+        # every degenerate member's witness is the bucket minimum (the
+        # corpus doc 3), so routing/clustering can anchor on it
+        w3 = {r.dup_of for r in rows if r.new_id >= 200}
+        assert w3 == {3}
+
+    def test_self_id_guard(self, spark):
+        """An id present in both frames must not pair with itself."""
+        from hadoop_bam_spark.operators.dedup import minhash_lsh_incremental
+
+        txt = "the same document appearing on both sides " * 4
+        corpus = spark.createDataFrame([(7, txt)], ["doc_id", "text"])
+        new = spark.createDataFrame([(7, txt)], ["doc_id", "text"])
+        rows = minhash_lsh_incremental(
+            new, corpus, num_hashes=8, band_size=2
+        ).collect()
+        assert all(r.new_id != r.dup_of for r in rows)
