@@ -151,22 +151,58 @@ def main() -> None:
 
     reads = _reads_df(spark, n).repartition(16).cache()
     reads.count()
+    # reference-compressed CRAM workload: seqs MATCH a periodic FASTA
+    # except one pseudo-random first base (~75% true mismatch rate at
+    # position 1), so the RR=true encoder's compare+feature path is
+    # exercised at realistic density
+    pat64 = (
+        "ACGTTGCAGGATCCTAAGCTTCGACATGGTACGACTGCTAAGGCATCGTTCAGCTAGCATGGCA"
+    )
+    fasta = os.path.join(workdir, "bench_ref.fa")
+    contig = (pat64 * (1_050_000 // 64 + 1))[:1_050_000]
+    with open(fasta, "w") as fh:
+        for i in range(4):
+            fh.write(f">chr{i + 1}\n")
+            for j in range(0, len(contig), 70):
+                fh.write(contig[j:j + 70] + "\n")
+    pat3 = pat64 * 3
+    mutbase = F.translate(
+        F.substring(F.md5("qname"), 1, 1),
+        "0123456789abcdef", "ACGTACGTACGTACGT",
+    )
+    rr_reads = reads.withColumn(
+        "seq",
+        F.concat(
+            mutbase,
+            F.expr(
+                f"substr('{pat3}', CAST((pos - 1) % 64 AS INT) + 2, 99)"
+            ),
+        ),
+    ).cache()
+    rr_reads.count()
     variants = _variants_df(spark, n).repartition(16).cache()
     variants.count()
     fastq = _fastq_df(spark, n).repartition(16).cache()
     fastq.count()
 
     jobs = [
-        ("bam", reads, lambda df, p: sinks.write_bam(df, p, hdr, refs=refs)),
-        ("cram", reads, lambda df, p: sinks.write_cram(df, p, hdr, refs=refs)),
-        ("sam", reads, lambda df, p: sinks.write_sam(df, p, hdr)),
-        ("vcf.bgz", variants, lambda df, p: sinks.write_vcf(df, p, vhdr)),
-        ("bcf", variants, lambda df, p: sinks.write_bcf(df, p, vhdr)),
-        ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p)),
-        ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p)),
+        ("bam", reads,
+         lambda df, p: sinks.write_bam(df, p, hdr, refs=refs), {}),
+        ("cram", reads,
+         lambda df, p: sinks.write_cram(df, p, hdr, refs=refs), {}),
+        ("cram-rr", rr_reads,
+         lambda df, p: sinks.write_cram(
+             df, p, hdr, refs=refs, reference=fasta),
+         {"reference": fasta}),
+        ("sam", reads, lambda df, p: sinks.write_sam(df, p, hdr), {}),
+        ("vcf.bgz", variants,
+         lambda df, p: sinks.write_vcf(df, p, vhdr), {}),
+        ("bcf", variants, lambda df, p: sinks.write_bcf(df, p, vhdr), {}),
+        ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p), {}),
+        ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p), {}),
     ]
     results = {}
-    for fmt, df, write in jobs:
+    for fmt, df, write, scan_opts in jobs:
         path = os.path.join(workdir, f"bench.{fmt}")
         # Writes get the same warm/cold split as scans: the first write's
         # Python workers pay one-time numpy/pyarrow imports and allocator
@@ -182,18 +218,21 @@ def main() -> None:
         write(df, path)
         w_sec = time.time() - t0
         size = os.path.getsize(path)
-        reader_fmt = fmt.split(".")[0] if fmt != "vcf.bgz" else "vcf"
+        reader_fmt = (
+            "cram" if fmt.startswith("cram")
+            else fmt.split(".")[0] if fmt != "vcf.bgz" else "vcf"
+        )
 
         def scan():
             # 2 MB splits: a bench-sized file parallelizes the way a 100 GB
             # one would with default 32 MB splits
             t0 = time.time()
-            c = (
-                spark.read.format(reader_fmt)
-                .option("split_size", "2000000")
-                .load(path)
-                .count()
+            r = spark.read.format(reader_fmt).option(
+                "split_size", "2000000"
             )
+            for k, v in scan_opts.items():
+                r = r.option(k, v)
+            c = r.load(path).count()
             return c, time.time() - t0
 
         # First scan pays one-time Python-worker imports (numpy/pyarrow,
