@@ -475,3 +475,50 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def ann_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact baseline —
+    per query: how many of the true top-k the approximate index returned.
+
+    The audit a pipeline owner runs BEFORE trusting an IVF/LSH path at
+    100 TB: brute force on a query sample is affordable (one corpus
+    scan), and this join costs k x |queries| rows — nothing. Both inputs
+    are (query_id, neighbor_id, ..., rank) frames as produced by
+    :func:`knn_bruteforce` / :func:`knn_ivf` / :func:`knn_lsh`.
+
+    Returns (query_id, n_exact, n_hit, recall) — recall rounded to 6 so
+    the arithmetic is engine-portable.
+    """
+    e = exact.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    a = approx.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        e.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

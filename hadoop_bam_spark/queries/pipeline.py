@@ -837,6 +837,84 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+@query(
+    "ann_recall_ivf",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_COSINE_SQL.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, qvec, centroid_id FROM (
+                SELECT q.query_id, q.qvec, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COSINE_SQL.format(a='q.qvec', b='c.cvec')} DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM q CROSS JOIN cent c
+            ) WHERE rk <= 4
+        ),
+        ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY {_COSINE_SQL.format(a='p.qvec', b='a.embedding')} DESC,
+                                    a.vec_id) AS rank
+                FROM probes p JOIN assigned a USING (centroid_id)
+            ) WHERE rank <= 5
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_COSINE_SQL.format(a='q.qvec', b='e.embedding')} DESC,
+                                    e.vec_id) AS rank
+                FROM q CROSS JOIN embeddings e
+            ) WHERE rank <= 5
+        )
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               sum(CASE WHEN i.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               round(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) / count(*), 6) AS recall
+        FROM exact e
+        LEFT JOIN ivf i USING (query_id, neighbor_id)
+        GROUP BY 1
+    """,
+    doc="ANN recall audit: recall@5 of the IVF index (16 deterministic "
+    "centroids, 4 probes) against the exact brute-force baseline, per "
+    "query — the measurement a pipeline owner runs on a query sample "
+    "before trusting an approximate index at corpus scale. One corpus "
+    "scan per side, then a k x |queries| join: the audit itself costs "
+    "nothing. The oracle recomputes both sides and the overlap in SQL.",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_bruteforce(emb, queries, k=5)
+    approx = similarity.knn_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=4
+    )
+    return similarity.ann_recall(exact, approx, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Decontamination & repetition quality
 # ---------------------------------------------------------------------------
