@@ -177,3 +177,41 @@ class TestQualityQuantileFilter:
         }
         en_sorted = sorted([1, 2, 3, 4], key=lambda d: (scored[d], d))
         assert kept == {en_sorted[2], en_sorted[3], 5}
+
+
+class TestChunkProperty:
+    def test_chunk_invariants_property(self, spark):
+        """For random (text, size, overlap): stride-spliced reconstruction
+        equals the source, every chunk except the last is exactly `size`,
+        chunk overlaps repeat the previous tail."""
+        import random
+
+        from hadoop_bam_spark.operators.text import chunk_documents
+
+        rng = random.Random(82)
+        rows, params = [], {}
+        for doc_id in range(40):
+            n = rng.choice([0, 1, 5, 63, 64, 65, 200, 1000])
+            text = "".join(
+                rng.choice("abcdefgh ") for _ in range(n)
+            )
+            rows.append((doc_id, text))
+        size = 64
+        overlap = rng.choice([0, 1, 16, 63])
+        stride = size - overlap
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got: dict[int, dict[int, str]] = {}
+        for r in chunk_documents(df, size=size, overlap=overlap).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text
+        for doc_id, text in rows:
+            chunks = [got[doc_id][i] for i in range(len(got[doc_id]))]
+            # all but last are full-size; reconstruction round-trips
+            for c in chunks[:-1]:
+                assert len(c) == size
+            rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rebuilt == text
+            # expected chunk count
+            import math
+
+            want = max(math.ceil((max(len(text), 1) - overlap) / stride), 1)
+            assert len(chunks) == want
