@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",          # single-row broadcast corpus-size aggregate
     "semantic_dedup",           # single-row broadcast centroid array (knn_ivf pattern)
     "corpus_mixing_weights",    # single-row broadcast corpus-total aggregate
+    "ann_recall_ivf",           # composes knn_bruteforce + knn_ivf (both above)
 }
 
 
