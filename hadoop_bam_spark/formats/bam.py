@@ -165,6 +165,16 @@ def _decode_tags(buf: bytes) -> dict[str, str]:
     return tags
 
 
+def cg_tag_to_cigar(value: str) -> str:
+    """CG:B,I tag value string ('I,w1,w2,...' / 'B:I,...') -> cigar text
+    (each word packs count<<4 | op-code, same layout as the cigar block)."""
+    body = value[2:] if value.startswith("B:") else value
+    return "".join(
+        f"{int(w) >> 4}{CIGAR_OPS[int(w) & 0xF]}"
+        for w in body.split(",")[1:]
+    )
+
+
 def decode_record(
     buf: bytes, refs: list[tuple[str, int]], wanted: Optional[frozenset] = None
 ) -> tuple:
@@ -183,6 +193,7 @@ def decode_record(
     qname = buf[p : p + l_read_name - 1].decode("latin-1")
     p += l_read_name
     cigar = None
+    ops: tuple = ()
     if n_cigar:
         if wanted is None or "cigar" in wanted:
             ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
@@ -199,6 +210,21 @@ def decode_record(
             qual = qual_raw.translate(_QUAL33).decode("latin-1")
     p += l_seq
     tags = _decode_tags(buf[p:]) if wanted is None or "tags" in wanted else None
+    # SAM spec 4.2.2 long-CIGAR reconstitution: a `<l_seq>S<x>N` sentinel
+    # with a CG:B,I tag means the real ops overflowed uint16 n_cigar_op
+    if (
+        cigar is not None
+        and n_cigar == 2
+        and (ops[0] & 0xF) == 4  # S covering the whole read
+        and (ops[0] >> 4) == l_seq
+        and (ops[1] & 0xF) == 3  # N spanning the reference
+    ):
+        t = tags if tags is not None else _decode_tags(buf[p:])
+        cg = t.get("CG")
+        if cg is not None:
+            cigar = cg_tag_to_cigar(cg)
+            if tags is not None:
+                tags = {k: v for k, v in tags.items() if k != "CG"}
     rname = refs[ref_id][0] if 0 <= ref_id < len(refs) else None
     rnext = refs[next_ref][0] if 0 <= next_ref < len(refs) else None
     return (
@@ -313,6 +339,7 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
     name_b = qname.encode("latin-1") + b"\x00"
     cigar_b = b""
     n_cigar = 0
+    cg_b = b""
     if cigar:
         num = 0
         ops = []
@@ -322,6 +349,22 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
             else:
                 ops.append((num << 4) | CIGAR_CODE[ch])
                 num = 0
+        if len(ops) > 0xFFFF:
+            # SAM spec 4.2.2 long-CIGAR convention (ultralong reads):
+            # n_cigar_op is uint16, so the record stores the sentinel
+            # `<l_seq>S<reflen>N` and the real ops ride in a CG:B,I tag —
+            # htsjdk writes/reads the same shape behind the reference.
+            lseq = len(seq) if seq else 0
+            sentinel = [
+                (lseq << 4) | CIGAR_CODE["S"],
+                (cigar_ref_length(cigar) << 4) | CIGAR_CODE["N"],
+            ]
+            cg_b = (
+                b"CGBI"
+                + struct.pack("<i", len(ops))
+                + struct.pack(f"<{len(ops)}I", *ops)
+            )
+            ops = sentinel
         n_cigar = len(ops)
         cigar_b = struct.pack(f"<{n_cigar}I", *ops)
     l_seq = len(seq) if seq else 0
@@ -348,7 +391,10 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
         qual_b = qual.encode("latin-1").translate(_QUAL_SUB33)
     else:
         qual_b = b"\xff" * l_seq
-    tags_b = b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
+    tags_b = (
+        b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
+        + cg_b
+    )
     bin_ = reg2bin(max(pos0, 0), max(pos0, 0) + cigar_ref_length(cigar)) if ref_id >= 0 else 0
     body = (
         struct.pack(

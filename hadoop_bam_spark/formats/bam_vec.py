@@ -442,7 +442,62 @@ class BAMBatchDecoder:
                 out[f] = self._tags_column(buf, arr, tag_start, rec_end)
             else:
                 raise ValueError(f"unknown SAM column {f!r}")
+        # SAM spec 4.2.2 long-CIGAR reconstitution: a 2-op sentinel
+        # `<l_seq>S<x>N` whose record carries a CG:B,I tag means the real
+        # cigar overflowed uint16 n_cigar_op (ultralong reads; htsjdk does
+        # the same swap). The candidate probe is three compares over the
+        # (rare) 2-op records; the per-record patch only runs on hits.
+        if "cigar" in out or "tags" in out:
+            two = np.flatnonzero(n_cigar == 2)
+            if len(two):
+                ob, _ = _gather(
+                    arr, cigar_start[two], np.full(len(two), 8, np.int64)
+                )
+                w = ob.view("<u4").reshape(-1, 2)
+                pat = (
+                    ((w[:, 0] & 0xF) == 4)
+                    & ((w[:, 0] >> 4) == l_seq[two])
+                    & ((w[:, 1] & 0xF) == 3)
+                )
+                if bool(pat.any()):
+                    self._reconstitute_long_cigars(
+                        out, buf, tag_start, rec_end, two[pat]
+                    )
         return out
+
+    @staticmethod
+    def _reconstitute_long_cigars(out, buf, tag_start, rec_end, cand):
+        """Swap sentinel cigars for their CG-tag ops and drop CG from the
+        tag maps — per-record Python on the handful of hit rows only."""
+        import pyarrow as pa
+
+        from hadoop_bam_spark.formats import bam as B
+
+        fixes = {}
+        for i in cand.tolist():
+            tags = B._decode_tags(
+                bytes(buf[int(tag_start[i]): int(rec_end[i])])
+            )
+            cg = tags.get("CG")
+            if cg is not None:
+                fixes[int(i)] = B.cg_tag_to_cigar(cg)
+        if not fixes:
+            return
+        if "cigar" in out:
+            vals = out["cigar"].to_pylist()
+            for i, c in fixes.items():
+                vals[i] = c
+            out["cigar"] = pa.array(vals, type=pa.string())
+        if "tags" in out:
+            t = out["tags"].to_pylist()
+            for i in fixes:
+                ent = t[i]
+                t[i] = (
+                    {k: v for k, v in ent.items() if k != "CG"}
+                    if isinstance(ent, dict)
+                    else [kv for kv in ent if kv[0] != "CG"]
+                )
+            out["tags"] = pa.array(t, type=out["tags"].type)
 
     def _cigar_column(self, arr, cigar_start, n_cigar):
         """n_cigar==0 -> null (SAM '*'); ops render as count+opchar pieces

@@ -128,6 +128,10 @@ def _int_col(arr, default: int = 0) -> np.ndarray:
     return np.asarray(arr).astype(np.int64)
 
 
+class VecUnsupported(ValueError):
+    """Batch shape outside the vectorized encode fast path."""
+
+
 class BAMBatchEncoder:
     """Columnar encoder bound to one header's reference dictionary.
 
@@ -190,7 +194,50 @@ class BAMBatchEncoder:
         stats arrays = (ref_id, pos0, end0, mapped) int64/bool, the exact
         inputs PartIndexStats.add_sam_row derives per row — returned so an
         indexing sink can accumulate BAI stats without re-decoding.
+
+        Shapes outside the vectorized fast path (today: a cigar over
+        65535 ops, which needs the SAM spec 4.2.2 CG-tag convention)
+        transparently degrade to the scalar per-record encoder for the
+        batch — same contract, same bytes as ``bam.encode_record``.
         """
+        try:
+            return self._encode_batch_vec(batch)
+        except VecUnsupported:
+            return self._encode_batch_scalar(batch)
+
+    def _encode_batch_scalar(self, batch):
+        """Per-row fallback mirroring the vectorized return contract."""
+        from hadoop_bam_spark.formats import bam as B
+
+        n = batch.num_rows
+        if n == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return b"", empty, (empty, empty, empty, empty.astype(bool))
+        cols = [
+            batch.column(i).to_pylist() for i in range(batch.num_columns)
+        ]
+        blobs, lens = [], np.empty(n, np.int64)
+        rid = np.empty(n, np.int64)
+        pos0 = np.empty(n, np.int64)
+        end0 = np.empty(n, np.int64)
+        mapped = np.empty(n, bool)
+        for i, vals in enumerate(zip(*cols)):
+            row = vals[:11] + (
+                dict(zip(vals[11] or (), vals[12] or ())),
+            )
+            b = B.encode_record(row, self.ref_index)
+            blobs.append(b)
+            lens[i] = len(b)
+            rid[i] = self.ref_index.get(row[2], -1) if row[2] else -1
+            p0 = (row[3] or 0) - 1
+            pos0[i] = p0
+            mapped[i] = (int(row[1]) & 0x4) == 0
+            # same min-1 clamp as _cigar_encode's ref_len
+            ref_len = max(B.cigar_ref_length(row[5]), 1) if row[5] else 1
+            end0[i] = max(p0, 0) + (ref_len if mapped[i] else 1)
+        return b"".join(blobs), lens, (rid, pos0, end0, mapped)
+
+    def _encode_batch_vec(self, batch):
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -229,6 +276,10 @@ class BAMBatchEncoder:
                                 len(enc_list)) if enc_list else np.empty(0, np.int64)
         uniq_reflen = np.fromiter((e[2] for e in enc_list), np.int64,
                                   len(enc_list)) if enc_list else np.empty(0, np.int64)
+        if len(uniq_nops) and int(uniq_nops.max()) > 0xFFFF:
+            # n_cigar_op is uint16 on the wire: the scalar fallback
+            # writes the SAM 4.2.2 sentinel + CG:B,I tag for such reads
+            raise VecUnsupported("cigar over 65535 ops")
         uniq_starts = _exclusive_cumsum(4 * uniq_nops)[:-1]
         # null cigar -> sentinel slot (0 ops, ref_len 1)
         uniq_nops = np.concatenate([uniq_nops, [0]])

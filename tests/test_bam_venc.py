@@ -134,3 +134,89 @@ def test_voffset_of_u_matches_tell():
     r = bgzf.BGZFReader(io.BytesIO(data))
     r.seek_voffset(w.voffset_of_u(us[17]))
     assert r.read(4) == payload[:4]
+
+
+# --- long-CIGAR CG-tag convention (SAM spec 4.2.2, r8) ----------------------
+
+def _long_cigar_row(n_pairs=35000, qname="ont1"):
+    cigar = "1M1I" * n_pairs  # 2*n_pairs ops > 65535
+    qlen = 2 * n_pairs
+    return (qname, 0, "chr1", 100, 60, cigar, None, 0, 0,
+            "A" * qlen, "I" * qlen, {"NM": "5"})
+
+
+def test_long_cigar_scalar_roundtrip():
+    """>65535 cigar ops: encode writes the `<l_seq>S<x>N` sentinel with a
+    CG:B,I tag; decode reconstitutes the real cigar and drops CG."""
+    row = _long_cigar_row()
+    blob = bam.encode_record(row, REF_INDEX)[4:]
+    assert bam.decode_record(blob, REFS) == row
+    # projection: cigar without tags still reconstitutes
+    got = bam.decode_record(blob, REFS, wanted=frozenset({"cigar"}))
+    assert got[5] == row[5]
+    # a REAL 2-op `S..N` cigar without a CG tag is untouched
+    short = ("s", 0, "chr1", 5, 60, "4S6N", None, 0, 0, "ACGT", "IIII", {})
+    back = bam.decode_record(bam.encode_record(short, REF_INDEX)[4:], REFS)
+    assert back[5] == "4S6N" and back[11] == {}
+
+
+def test_long_cigar_batch_fallback_byte_parity():
+    """The vectorized encoder rejects the batch (uint16 n_cigar_op) and
+    the internal scalar fallback must produce byte-identical records."""
+    rows = EDGE_ROWS + [_long_cigar_row()]
+    vec_blob, lens, (rid, pos0, end0, mapped) = BAMBatchEncoder(
+        REFS
+    ).encode_batch(rows_to_batch(rows))
+    scalar = b"".join(bam.encode_record(r, REF_INDEX) for r in rows)
+    assert bytes(vec_blob) == scalar
+    assert int(lens.sum()) == len(scalar)
+    # stats arrays still match the per-row derivation (same check as
+    # test_stats_arrays_match_add_sam_row, over the fallback's arrays)
+    from hadoop_bam_spark.formats.bai import PartIndexStats
+
+    exp, got = PartIndexStats(), PartIndexStats()
+    at = 0
+    for i, row in enumerate(rows):
+        end_v = at + int(lens[i])
+        exp.add_sam_row(tuple(row), REF_INDEX, at, end_v)
+        if rid[i] < 0 or pos0[i] < 0:
+            got.n_no_coor += 1
+        else:
+            got.add(int(rid[i]), int(pos0[i]), int(end0[i]),
+                    bool(mapped[i]), at, end_v)
+        at = end_v
+    assert got.n_no_coor == exp.n_no_coor
+    assert set(got.refs) == set(exp.refs)
+    for k in exp.refs:
+        assert got.refs[k].bins == exp.refs[k].bins
+        assert got.refs[k].linear == exp.refs[k].linear
+        assert got.refs[k].n_mapped == exp.refs[k].n_mapped
+
+
+def test_long_cigar_spark_roundtrip(spark, tmp_path):
+    """write_bam (vectorized path with internal fallback) -> Spark read
+    (bam_vec columnar decode with CG reconstitution) round-trips an
+    ultralong read alongside normal ones."""
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:100000",
+                 "@SQ\tSN:chr2\tLN:50000"]
+    hdr.sequences = {"chr1": (0, 100000), "chr2": (1, 50000)}
+    long_row = _long_cigar_row(n_pairs=33000)
+    rows = [
+        (f"n{i}", 0, "chr1", 1 + i, 60, "8M", None, 0, 0,
+         "ACGTACGT", "IIIIIIII", {"NM": str(i % 3)})
+        for i in range(200)
+    ] + [long_row]
+    df = spark.createDataFrame(rows, SAM_SCHEMA).coalesce(1)
+    path = str(tmp_path / "long.bam")
+    sinks.write_bam(df, path, hdr)
+    back = spark.read.format("bam").load(path)
+    got = {r.qname: (r.cigar, dict(r.tags)) for r in back.collect()}
+    assert len(got) == 201
+    assert got["ont1"] == (long_row[5], {"NM": "5"})
+    assert got["n7"] == ("8M", {"NM": "1"})
