@@ -355,6 +355,16 @@ def lsh_budget_stats(pairs: DataFrame) -> dict | None:
     return None if obs is None else dict(obs.get)
 
 
+#: parked budget watchers (threads waiting on an Observation that may
+#: never resolve if its frame is never executed). Daemon threads cost
+#: only virtual stack, but a long-lived service planning thousands of
+#: never-run frames shouldn't accumulate them — beyond the cap the
+#: warning is skipped and ``lsh_budget_stats`` remains the pull surface.
+_MAX_BUDGET_WATCHERS = 128
+_live_watchers = 0
+_watcher_lock = None
+
+
 def _watch_budget(obs, max_bucket: int) -> None:
     """Daemon thread: the moment the observed frame's first action
     finishes, WARN if the budget suppressed anything — so a pipeline
@@ -363,11 +373,23 @@ def _watch_budget(obs, max_bucket: int) -> None:
     frame is never executed; daemon, so it cannot pin the process)."""
     import threading
 
+    global _live_watchers, _watcher_lock
+    if _watcher_lock is None:
+        _watcher_lock = threading.Lock()
+    with _watcher_lock:
+        if _live_watchers >= _MAX_BUDGET_WATCHERS:
+            return
+        _live_watchers += 1
+
     def run() -> None:
+        global _live_watchers
         try:
             got = dict(obs.get)
         except Exception:
             return  # session shut down before any action
+        finally:
+            with _watcher_lock:
+                _live_watchers -= 1
         if got.get("pairs_suppressed"):
             _LOG.warning(
                 "minhash_lsh_pairs degenerate-bucket budget engaged: "
