@@ -58,6 +58,8 @@ def commit_shards(dir_: str, messages, batch_id: int, ext: str) -> None:
     (".bam", ".vcf.bgz", ".cram", ".bcf")."""
     staged = [m for m in messages if m is not None and getattr(m, "staged", None)]
     prefix = f"batch-{batch_id:05d}-"
+    if not fs.exists(dir_):
+        return  # zero-task batch against a never-written directory
     for name in fs.listdir(dir_):
         if name.startswith(prefix) and name.endswith(ext):
             fs.remove(fs.join(dir_, name))
