@@ -117,36 +117,42 @@ def tf_idf_top_terms(
     id_col: str = "doc_id",
     top_terms: int = 3,
     min_token_len: int = 4,
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ):
     """Top TF-IDF terms per document.
 
-    Shape: ONE explode -> per-(doc, token) tf counts -> token document
-    frequencies as a window count over the SAME aggregated frame
-    (``count(1) over (partition by token)``) -> per-doc window top-n.
+    Default (``skew_safe=True``) shape: ONE explode into a PERSISTED
+    per-(doc, token) tf aggregate -> token document frequencies as a plain
+    ``groupBy("token").count()`` over the persisted frame (map-side
+    partials, AQE skew handling, no single-task token key) -> broadcast
+    join-back (vocabulary-sized) -> per-doc window top-n.
 
-    The window (not a second groupBy + broadcast-join back) is load-bearing:
-    deriving ``df`` from a second aggregate over the unmaterialized pairs
-    frame made Catalyst plan two non-identical subtrees (column pruning gave
-    the df branch a narrower subplan), so the corpus tokenize+explode ran
-    TWICE — the same double-execution class fixed in
-    ``exact_substring_duplication`` (dedup.py). With the window, the plan has
-    exactly one Generate and no Join; the extra cost is one vocabulary-keyed
-    shuffle of the (doc, token, tf) aggregate, which is bounded by distinct
-    pairs, not corpus bytes — the right trade at 100 TB where tokenization
-    dominates. Plan shape is pinned by ``tests/test_text_plans.py``.
+    Why persist instead of letting Catalyst share the subtree: deriving
+    ``df`` from a second aggregate over the UNmaterialized pairs frame made
+    Catalyst plan two non-identical subtrees (column pruning gave the df
+    branch a narrower subplan), so the corpus tokenize+explode ran TWICE —
+    the same double-execution class fixed in ``exact_substring_duplication``
+    (dedup.py). The persist keeps the single-explode property while the
+    groupBy keeps df skew-free. Plan shape is pinned by
+    ``tests/test_text_plans.py``.
 
-    Skew caveat (r8 ADVICE): ``partition by token`` puts every (doc, token)
-    row for one token in a single task, with no map-side partial and no AQE
+    ``skew_safe=False`` is the legacy shape: df as
+    ``count(1) over (partition by token)`` — no persist, one fewer
+    materialization, but the per-token window puts every (doc, token) row
+    for one token in a single task with no map-side partial and no AQE
     skew split (AQE does not mitigate windows). A stop-word-adjacent token
     surviving ``min_token_len`` ('that', 'with') appearing in a large
-    fraction of documents becomes the straggler partition at corpus scale.
-    ``skew_safe=True`` ships the mitigation: the pairs frame persists
-    (keeping the single-explode property the window buys by default), df
-    comes from a plain groupBy over it — map-side partials, AQE skew
-    handling, no single-task token key — broadcast-joined back. Same
-    values, one extra materialization; flip it on when token document
-    frequency is Zipf-extreme relative to executor memory.
+    fraction of documents becomes the straggler partition at corpus scale
+    (r8 VERDICT) — only use it when the token distribution is known flat.
+
+    Cache lifetime (``skew_safe=True``): the persisted pairs frame is
+    attached to the returned DataFrame as ``._tfidf_pairs_cache``. A
+    one-shot caller (the oracle gate, bench) lets it die with the session;
+    a long-lived session issuing many tf-idf queries should call
+    ``result._tfidf_pairs_cache.unpersist()`` after materializing, else
+    cached (doc_id, token, tf) rows accumulate in executor storage across
+    calls. The persist uses MEMORY_AND_DISK so a vocabulary-heavy corpus
+    spills instead of evicting.
 
     Scores are rounded to 6 places so the arithmetic is reproducible across
     engines.
@@ -171,10 +177,14 @@ def tf_idf_top_terms(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    cached_pairs = None
     if skew_safe:
         # persist so the explode runs once despite two consumers; the df
-        # aggregate gets map-side partials (no per-token single task)
-        pairs = pairs.persist()
+        # aggregate gets map-side partials (no per-token single task).
+        # MEMORY_AND_DISK: spill, don't recompute-the-explode on eviction.
+        from pyspark import StorageLevel
+
+        cached_pairs = pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         doc_freq = pairs.groupBy("token").agg(
             F.count(F.lit(1)).alias("df")
         )
@@ -195,11 +205,15 @@ def tf_idf_top_terms(
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_terms)
         .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+    # hand the cache lifetime to the caller (see docstring): long-lived
+    # sessions unpersist via this handle after materializing the result
+    out._tfidf_pairs_cache = cached_pairs
+    return out
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:

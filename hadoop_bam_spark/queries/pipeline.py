@@ -772,14 +772,17 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
     """,
-    doc="Per-document top-3 TF-IDF terms: one explode pass feeds both the "
-    "tf counts and the (vocabulary-sized, broadcast) document frequencies; "
-    "per-doc ranking is a window over the scored pairs.",
+    doc="Per-document top-3 TF-IDF terms, skew-safe shape: one explode "
+    "into a persisted (doc, token, tf) aggregate; document frequencies "
+    "from a plain groupBy over it (map-side partials, no per-token window "
+    "straggler) broadcast-joined back; per-doc ranking is the only window.",
     bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.tf_idf_top_terms(docs, top_terms=3, min_token_len=4)
+    return text_ops.tf_idf_top_terms(
+        docs, top_terms=3, min_token_len=4, skew_safe=True
+    )
 
 
 @query(
