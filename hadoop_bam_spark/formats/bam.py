@@ -198,6 +198,12 @@ def decode_record(
         if wanted is None or "cigar" in wanted:
             ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
             cigar = "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in ops)
+        elif n_cigar == 2 and "tags" in wanted:
+            # tags-only projection still needs the 2-op sentinel probe so
+            # the CG artifact is stripped exactly as in a full decode —
+            # projection must be a pure column subset of the full record
+            # (the vectorized path already behaves this way)
+            ops = struct.unpack_from("<2I", buf, p)
         p += 4 * n_cigar
     seq = None
     if wanted is None or "seq" in wanted:
@@ -213,7 +219,7 @@ def decode_record(
     # SAM spec 4.2.2 long-CIGAR reconstitution: a `<l_seq>S<x>N` sentinel
     # with a CG:B,I tag means the real ops overflowed uint16 n_cigar_op
     if (
-        cigar is not None
+        len(ops) == 2
         and n_cigar == 2
         and (ops[0] & 0xF) == 4  # S covering the whole read
         and (ops[0] >> 4) == l_seq
@@ -222,7 +228,8 @@ def decode_record(
         t = tags if tags is not None else _decode_tags(buf[p:])
         cg = t.get("CG")
         if cg is not None:
-            cigar = cg_tag_to_cigar(cg)
+            if cigar is not None:
+                cigar = cg_tag_to_cigar(cg)
             if tags is not None:
                 tags = {k: v for k, v in tags.items() if k != "CG"}
     rname = refs[ref_id][0] if 0 <= ref_id < len(refs) else None
@@ -391,8 +398,15 @@ def encode_record(row: tuple, ref_index: dict[str, int]) -> bytes:
         qual_b = qual.encode("latin-1").translate(_QUAL_SUB33)
     else:
         qual_b = b"\xff" * l_seq
+    # when the long-cigar sentinel path generates its own CG block, drop
+    # any pre-existing 'CG' entry from the user tags (e.g. copied verbatim
+    # from another tool's output) — two CG tags in one record is ambiguous
+    # per SAM spec and the generated one is authoritative for this cigar
+    tag_items = (tags or {}).items()
+    if cg_b:
+        tag_items = [(k, v) for k, v in tag_items if k != "CG"]
     tags_b = (
-        b"".join(_encode_tag_value(k, v) for k, v in (tags or {}).items())
+        b"".join(_encode_tag_value(k, v) for k, v in tag_items)
         + cg_b
     )
     bin_ = reg2bin(max(pos0, 0), max(pos0, 0) + cigar_ref_length(cigar)) if ref_id >= 0 else 0

@@ -607,24 +607,35 @@ class CRAMColumnEncoder:
                 rids = np.unique(seg_ri)
                 if len(rids) == 1:
                     carr = self._contig(int(rids[0]))
-                    valid = e_ref < len(carr)  # e_ref >= 0 (pos >= 1)
-                    ref_b = np.where(
-                        valid,
-                        carr[np.minimum(e_ref, max(len(carr) - 1, 0))],
-                        np.uint8(0),
-                    )
+                    if len(carr) == 0:
+                        # empty contig (zero-length FASTA entry or rid
+                        # outside ref_names): every base mismatches as 'b',
+                        # same as the scalar path. np.where does NOT
+                        # short-circuit — indexing an empty array in the
+                        # taken-or-not branch raises (r8 ADVICE).
+                        ref_b = np.zeros(len(e_src), np.uint8)
+                        valid = np.zeros(len(e_src), bool)
+                    else:
+                        valid = e_ref < len(carr)  # e_ref >= 0 (pos >= 1)
+                        ref_b = np.where(
+                            valid,
+                            carr[np.minimum(e_ref, len(carr) - 1)],
+                            np.uint8(0),
+                        )
                 else:
                     ref_b = np.zeros(len(e_src), np.uint8)
                     valid = np.zeros(len(e_src), bool)
                     e_ri = np.repeat(seg_ri, sn)
                     for rid in rids:
                         carr = self._contig(int(rid))
+                        if len(carr) == 0:
+                            continue  # ref_b/valid stay 0/False -> 'b'
                         mask = e_ri == rid
                         p = e_ref[mask]
                         v = p < len(carr)
                         ref_b[mask] = np.where(
                             v,
-                            carr[np.minimum(p, max(len(carr) - 1, 0))],
+                            carr[np.minimum(p, len(carr) - 1)],
                             np.uint8(0),
                         )
                         valid[mask] = v

@@ -504,6 +504,8 @@ def quality_quantile_filter(
     text_col: str = "text",
     lang_col: str = "lang",
     quantile: float = 0.5,
+    id_col: str = "doc_id",
+    method: str = "histogram",
 ):
     """Per-language quality-quantile gate: keep documents whose
     :func:`quality_score` sits strictly above the ``quantile`` cume_dist
@@ -511,13 +513,29 @@ def quality_quantile_filter(
     bottom half of each language's crawl without letting a high-resource
     language's score distribution set the bar for a low-resource one.
 
-    cume_dist (not percent_rank) so a single-document language keeps its
-    only document (cume_dist = 1.0, vs percent_rank = 0.0 which would
-    silently empty rare languages). Ordering by (quality, doc_id) is a
-    total order, so the kept set is deterministic and engine-portable.
-    One window shuffle on the language key; language count is small, so
-    partitions are few but bounded by corpus/|langs| — for Zipf-extreme
-    language skew, pre-aggregate histogram quantiles instead.
+    cume_dist (not percent_rank) semantics so a single-document language
+    keeps its only document (cume_dist = 1.0, vs percent_rank = 0.0 which
+    would silently empty rare languages). Ordering by
+    (quality, ``id_col``) is a total order, so the kept set is
+    deterministic and engine-portable.
+
+    ``method="histogram"`` (default, exact): the rounded score IS a
+    histogram bucket (6 decimals in [0,1] -> <=1e6+1 distinct values per
+    language), so the per-language drop threshold comes from a
+    (lang, quality) COUNT aggregate — map-side partials, AQE-splittable —
+    never from a window over the raw rows. A language owning half the
+    corpus ('en' in a real crawl) costs a half-corpus SINGLE TASK under
+    the window plan; under the histogram plan it costs one <=1e6-row
+    cumulative sum. The threshold frame (one row per language: boundary
+    quality + how many boundary ties to drop) broadcast-joins back; only
+    rows AT the boundary value need a tie-break row_number, partitioned
+    by (lang, quality) — skewed only if one exact score dominates a
+    language (near-identical docs; dedup upstream handles that). Two corpus
+    scans (histogram pass + filter pass) instead of one scan + one
+    corpus-sized skewed shuffle — the right trade at 100 TB.
+
+    ``method="window"`` is the literal one-pass cume_dist shape — fine
+    when every language is small.
 
     Returns the kept rows with their (row-rounded) quality score.
     """
@@ -526,9 +544,56 @@ def quality_quantile_filter(
     scored = df.filter(F.length(text_col) > 0).select(
         "*", F.round(quality_score(F.col(text_col)), 6).alias("quality")
     )
-    w = Window.partitionBy(lang_col).orderBy("quality", "doc_id")
+    if method == "window":
+        w = Window.partitionBy(lang_col).orderBy("quality", id_col)
+        return (
+            scored.withColumn("_cd", F.cume_dist().over(w))
+            .filter(F.col("_cd") > quantile)
+            .drop("_cd")
+        )
+    if method != "histogram":
+        raise ValueError(f"unknown method {method!r}")
+    # (lang, quality) histogram -> per-language cumulative counts. The
+    # window here runs over histogram rows (<=1e6+1 per language), not
+    # corpus rows.
+    hist = scored.groupBy(lang_col, "quality").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wl = Window.partitionBy(lang_col).orderBy("quality")
+    cum = hist.withColumn("_cum", F.sum("_c").over(wl))
+    totals = cum.groupBy(lang_col).agg(F.max("_cum").alias("_n"))
+    # rows dropped per language: rank <= quantile*n  <=>  rank <= floor(q*n)
+    # (rank is integral). Boundary = smallest quality whose cumulative
+    # count exceeds the drop budget; _need = ties at the boundary that
+    # still fall inside the budget (dropped smallest-id first).
+    bnd = (
+        cum.join(totals, lang_col)
+        .withColumn(
+            "_k", F.floor(F.col("_n") * F.lit(float(quantile))).cast("long")
+        )
+        .filter(F.col("_cum") > F.col("_k"))
+        .groupBy(lang_col)
+        .agg(F.min(F.struct("quality", "_cum", "_c", "_k")).alias("_s"))
+        .select(
+            lang_col,
+            F.col("_s.quality").alias("_thr_q"),
+            (F.col("_s._k") - (F.col("_s._cum") - F.col("_s._c"))).alias(
+                "_need"
+            ),
+        )
+    )
+    # languages where the budget drops everything (_cum never exceeds _k,
+    # e.g. quantile=1.0) vanish from bnd; the inner join drops their rows,
+    # matching cume_dist > 1.0 being never true.
+    cand = scored.join(F.broadcast(bnd), lang_col, "inner").filter(
+        F.col("quality") >= F.col("_thr_q")
+    )
+    wt = Window.partitionBy(lang_col, "quality").orderBy(id_col)
     return (
-        scored.withColumn("_cd", F.cume_dist().over(w))
-        .filter(F.col("_cd") > quantile)
-        .drop("_cd")
+        cand.withColumn("_rn", F.row_number().over(wt))
+        .filter(
+            (F.col("quality") > F.col("_thr_q"))
+            | (F.col("_rn") > F.col("_need"))
+        )
+        .drop("_rn", "_thr_q", "_need")
     )

@@ -160,6 +160,55 @@ def test_long_cigar_scalar_roundtrip():
     assert back[5] == "4S6N" and back[11] == {}
 
 
+def test_long_cigar_tags_only_projection_strips_cg():
+    """Projection must be a pure column subset of the full decode: a
+    tags-only read of a CG-sentinel record returns the same tag map as a
+    full decode (CG stripped), on BOTH the scalar and vectorized paths
+    (r8 ADVICE: the two paths diverged here)."""
+    from hadoop_bam_spark.formats.bam_vec import BAMBatchDecoder
+
+    row = _long_cigar_row()
+    blob = bam.encode_record(row, REF_INDEX)[4:]
+    # scalar, tags without cigar
+    got = bam.decode_record(blob, REFS, wanted=frozenset({"tags"}))
+    assert got[11] == {"NM": "5"}
+    # vectorized, tags-only projection
+    cols = BAMBatchDecoder(REFS, fields=["qname", "tags"]).decode([blob])
+    assert cols["tags"].to_pylist()[0] in (
+        {"NM": "5"}, [("NM", "5")]
+    ) or dict(cols["tags"].to_pylist()[0]) == {"NM": "5"}
+    # a REAL 2-op sentinel-shaped cigar with NO CG tag keeps its tags as-is
+    short = ("s", 0, "chr1", 5, 60, "4S6N", None, 0, 0, "ACGT", "IIII",
+             {"NM": "2"})
+    sblob = bam.encode_record(short, REF_INDEX)[4:]
+    assert bam.decode_record(sblob, REFS, wanted=frozenset({"tags"}))[11] == \
+        {"NM": "2"}
+
+
+def test_long_cigar_encode_drops_stale_user_cg():
+    """A long-cigar row whose tags already carry a (stale) CG key must not
+    emit two CG tags: the sentinel path's generated CG block is
+    authoritative (r8 ADVICE)."""
+    qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq, qual, _ = \
+        _long_cigar_row()
+    stale = (qname, flag, rname, pos, mapq, cigar, rnext, pnext, tlen, seq,
+             qual, {"NM": "5", "CG": "B:I,160,32"})
+    blob = bam.encode_record(stale, REF_INDEX)[4:]
+    # exactly one CG tag on the wire (raw bytes — a dict decode would
+    # collapse duplicates and hide the bug)
+    tags_blob = bytes(blob[32 + len(qname) + 1 + 8 +
+                           (len(seq) + 1) // 2 + len(seq):])
+    assert tags_blob.count(b"CG") == 1
+    # and the decode reconstitutes the REAL cigar, not the stale one
+    back = bam.decode_record(blob, REFS)
+    assert back[5] == cigar and back[11] == {"NM": "5"}
+    # short-cigar rows keep a user CG verbatim (no sentinel, no stripping)
+    plain = ("p", 0, "chr1", 5, 60, "4M", None, 0, 0, "ACGT", "IIII",
+             {"CG": "B:I,64"})
+    pback = bam.decode_record(bam.encode_record(plain, REF_INDEX)[4:], REFS)
+    assert pback[11] == {"CG": "B:I,64"}
+
+
 def test_long_cigar_batch_fallback_byte_parity():
     """The vectorized encoder rejects the batch (uint16 n_cigar_op) and
     the internal scalar fallback must produce byte-identical records."""

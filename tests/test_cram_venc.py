@@ -283,6 +283,43 @@ def test_rr_edge_rows_byte_parity(rr_fasta):
     )
 
 
+def test_rr_empty_contig_every_base_b(rr_fasta):
+    """rid outside ref_names -> empty contig array -> every base a 'b'
+    feature, byte-parity with the scalar refseq='' path. Pinned because
+    np.where does NOT short-circuit: indexing the empty contig in the
+    not-taken branch raised IndexError before the guard (r8 ADVICE),
+    in both the single-rid and mixed-rid code paths."""
+    short_names = ["chr1"]  # chr2 maps to rid 1, outside the name table
+
+    def scalar(rows):
+        return cram.encode_container(
+            [tuple(r) for r in rows], RR_INDEX, 0,
+            ref_fasta=cram.FastaRef(rr_fasta), ref_names=short_names,
+            records_per_slice=10000,
+        )
+
+    def vec(rows):
+        enc = CRAMColumnEncoder(
+            RR_INDEX, ref_fasta=cram.FastaRef(rr_fasta),
+            ref_names=short_names,
+        )
+        return enc.encode_container(
+            rows_to_batch(rows), 0, records_per_slice=10000
+        )
+
+    # single-rid batch: only the empty contig
+    only_empty = [
+        ("e1", 0, "chr2", 3, 60, "4M", None, 0, 0, "ACGT", "IIII", {}),
+    ]
+    assert vec(only_empty) == scalar(only_empty)
+    # mixed batch: valid contig + empty contig (per-rid loop's continue)
+    mixed = only_empty + [
+        ("e2", 0, "chr1", 1, 60, "8M", None, 0, 0, "ACGTACGT",
+         "IIIIIIII", {}),
+    ]
+    assert vec(mixed) == scalar(mixed)
+
+
 def test_rr_multi_slice_parity(rr_fasta):
     for rps in (1, 2, 5, 7):
         assert _rr_vec(RR_EDGE_ROWS, rr_fasta, rps=rps) == _rr_scalar(

@@ -200,6 +200,62 @@ class TestQualityQuantileFilter:
         en_sorted = sorted([1, 2, 3, 4], key=lambda d: (scored[d], d))
         assert kept == {en_sorted[2], en_sorted[3], 5}
 
+    def test_histogram_matches_window_property(self, spark):
+        """The default histogram plan must keep EXACTLY the rows the
+        literal cume_dist window keeps, for several quantiles, including
+        tie-heavy data (identical scores resolved by id order)."""
+        import random
+
+        from hadoop_bam_spark.operators.text import quality_quantile_filter
+
+        rng = random.Random(91)
+        words = ["alpha", "beta", "gamma", "delta", "xx", "!!!", "longword"]
+        rows = []
+        for i in range(300):
+            lang = rng.choice(["en", "en", "en", "de", "fr", "zz"])
+            n = rng.randint(1, 40)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            rows.append((i, lang, text))
+        # tie block: identical docs -> identical quality, id tiebreak
+        rows += [(1000 + j, "ti", "same same same text") for j in range(7)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            a = {r.doc_id for r in
+                 quality_quantile_filter(df, quantile=q,
+                                         method="window").collect()}
+            b = {r.doc_id for r in
+                 quality_quantile_filter(df, quantile=q,
+                                         method="histogram").collect()}
+            assert a == b, f"quantile={q}: window={len(a)} hist={len(b)}"
+
+    def test_id_col_parameter(self, spark):
+        """Frames whose id column isn't named doc_id work via id_col
+        (r8 ADVICE: the orderBy hardcoded doc_id)."""
+        from hadoop_bam_spark.operators.text import quality_quantile_filter
+
+        rows = [(10, "en", "short"), (11, "en", "a reasonable doc " * 4)]
+        df = spark.createDataFrame(rows, ["pk", "lang", "text"])
+        for method in ("window", "histogram"):
+            kept = quality_quantile_filter(
+                df, id_col="pk", method=method
+            ).collect()
+            assert {r.pk for r in kept} == {11}
+
+    def test_histogram_plan_no_corpus_window(self, spark):
+        """The corpus-row subtree must not run a per-language cume_dist:
+        the only windows are the histogram cumulative sum (over
+        (lang, quality) counts) and the boundary-tie row_number
+        (partitioned by (lang, quality), not lang alone)."""
+        from hadoop_bam_spark.operators.text import quality_quantile_filter
+
+        df = quality_quantile_filter(_corpus(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "cume_dist" not in plan
+        # every window partitions by more than the bare language key or
+        # runs over the aggregated histogram — no full-corpus
+        # partitionBy(lang) window survives
+        assert "BroadcastHashJoin" in plan  # threshold join-back
+
 
 class TestChunkProperty:
     def test_chunk_invariants_property(self, spark):
