@@ -188,6 +188,8 @@ class BCFBatchEncoder:
     #: separators for composed dictionary keys — control chars that cannot
     #: appear in VCF fields (tab/newline-delimited text format)
     _S0, _S1, _S2 = "\x00", "\x01", "\x02"
+    #: null-FORMAT-value sentinel (spec-missing value in a present key)
+    _SNULL = "\x04"
 
     def __init__(self, hdr: B.BCFHeader):
         self.hdr = hdr
@@ -416,14 +418,23 @@ class BCFBatchEncoder:
         contain keeps keys shorter. Entries join with control-char
         separators that cannot occur in VCF text.
 
-        Null FORMAT keys/values (e.g. ``{"DP": null}``) and null genotype
-        struct elements are REJECTED: ``binary_join_element_wise`` /
-        ``binary_join`` propagate the null and the trailing
-        ``fill_null(..., "")`` would collapse that shape onto the same
-        dictionary key as an *empty* fields map, whose encode_indiv bytes
-        differ — the silent-wrong-bytes path the INFO guard (line-level
-        ``null INFO key/value`` raise above) already closes on the shared
-        section. These batches take the scalar fallback instead."""
+        Null FORMAT *values* (e.g. ``{"DP": null}`` — the real-VCF missing
+        shape when frames arrive from parquet instead of VCF text) are
+        TOLERATED: they key with the ``\\x04`` sentinel, a control char
+        that cannot occur in VCF text (tab-separated format), so the
+        combo keys distinctly from both ``{}`` and ``{"DP": "."}`` and
+        the representative record's scalar ``encode_indiv`` (which reads
+        the actual null through ``fm.get``) produces the right bytes for
+        every record sharing the key. Without the sentinel,
+        ``binary_join_element_wise`` / ``binary_join`` propagate the null
+        and the trailing ``fill_null(..., "")`` would collapse the shape
+        onto the *empty*-fields-map key, whose encode_indiv bytes differ
+        (r7 silent-wrong-bytes defect; r9 replaces the r8 bail-per-batch
+        with this key-level fix — measured in FORMAT_BENCH.md).
+
+        Null FORMAT *keys* and null genotype struct elements are still
+        REJECTED (VecUnsupported -> scalar fallback): a null key has no
+        defined wire encoding (the scalar path raises on it too)."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -445,13 +456,14 @@ class BCFBatchEncoder:
             per_geno = pa.array([""] * m, pa.string())
         else:
             flo, fhi = int(f_offs[lo]), int(f_offs[hi])
-            if fhi > flo and (
-                f_keys.slice(flo, fhi - flo).null_count
-                or f_items.slice(flo, fhi - flo).null_count
-            ):
-                raise VecUnsupported("null FORMAT key/value")
+            if fhi > flo and f_keys.slice(flo, fhi - flo).null_count:
+                raise VecUnsupported("null FORMAT key")
             fk = pc.cast(f_keys, "string")
-            fv = pc.cast(f_items, "string")
+            # null values (spec-missing) key via a control-char sentinel
+            # no VCF text can contain — distinct from "." and from an
+            # absent key; the representative's encode_indiv sees the real
+            # null and emits MISSING
+            fv = pc.fill_null(pc.cast(f_items, "string"), self._SNULL)
             entry = pc.binary_join_element_wise(fk, fv, self._S0)
             per_geno = pc.binary_join(
                 pa.ListArray.from_arrays(

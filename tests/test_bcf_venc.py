@@ -130,24 +130,19 @@ def test_huge_string_raises_vecunsupported():
 @pytest.mark.parametrize(
     "row",
     [
-        # null FORMAT value: {"DP": None} would key-collapse with {} —
-        # encode_indiv emits a DP column (EOV cell) for one, nothing for
-        # the other
-        ("chr1", 5, 5, None, "A", ["G"], None, None, None,
-         [("S1", None, {"DP": None})]),
-        # (null FORMAT keys are unrepresentable: Arrow rejects null map
-        # keys at construction, so only values need the runtime guard)
         # null alts element: [None] would collapse with []
         ("chr1", 5, 5, None, "A", [None], None, None, None, None),
         # null filters element
         ("chr1", 5, 5, None, "A", ["G"], None, ["PASS", None], None, None),
     ],
-    ids=["null-fmt-value", "null-alt-elem", "null-filt-elem"],
+    ids=["null-alt-elem", "null-filt-elem"],
 )
 def test_null_children_raise_vecunsupported(row):
-    """Null-bearing FORMAT maps / alts / filters must NOT be silently
+    """Null-bearing alts / filters must NOT be silently
     dictionary-collapsed onto the empty shape's bytes (VERDICT r7 #1a) —
-    the batch must reject so the sink's scalar fallback encodes it."""
+    the batch must reject so the sink's scalar fallback encodes it.
+    (Null FORMAT *values* are handled vectorized since r9 — see
+    test_null_format_value_vectorized_parity.)"""
     hdr = bcf.parse_bcf_header_text(HDR_TEXT)
     # pair the null-bearing row with its empty-shape collapse partner so
     # the dictionary would actually merge them if unguarded
@@ -155,6 +150,30 @@ def test_null_children_raise_vecunsupported(row):
                [("S1", None, {})])
     with pytest.raises(VecUnsupported):
         BCFBatchEncoder(hdr).encode_batch(_to_batch([partner, row]))
+
+
+def test_null_format_value_vectorized_parity():
+    """Null FORMAT values (the real-VCF spec-missing shape when frames
+    come from parquet) stay on the vectorized path (r9: sentinel in the
+    dictionary key, no per-batch bail) and every collapse-prone trio —
+    {"DP": null} vs {} vs {"DP": "."} — keys distinctly, matching the
+    scalar oracle byte-for-byte."""
+    rows = [
+        ("chr1", 5, 5, None, "A", ["G"], None, None, None,
+         [("S1", None, {"DP": None})]),
+        ("chr1", 6, 6, None, "A", ["G"], None, None, None,
+         [("S1", None, {})]),
+        ("chr1", 7, 7, None, "A", ["G"], None, None, None,
+         [("S1", None, {"DP": "."})]),
+        # null GT value inside an otherwise-present map
+        ("chr1", 8, 8, None, "A", ["G"], None, None, None,
+         [("S1", "0/1", {"GT": "0/1", "DP": None}),
+          ("S2", None, {"GT": None, "DP": "3"})]),
+        # every sample's every value null
+        ("chr1", 9, 9, None, "A", ["G"], None, None, None,
+         [("S1", None, {"DP": None, "GQ": None})]),
+    ]
+    _assert_parity(rows)
 
 
 def test_null_format_value_distinct_scalar_bytes():
@@ -171,9 +190,9 @@ def test_null_format_value_distinct_scalar_bytes():
 
 
 def test_sink_null_format_fallback_parity(spark, tmp_path, monkeypatch):
-    """A corpus with null FORMAT values triggers VecUnsupported NATURALLY;
-    the file written through the fallback must be byte-identical to a
-    forced all-scalar write."""
+    """A corpus with null FORMAT values (vectorized since r9 via the
+    key sentinel) must write bytes identical to a forced all-scalar
+    write — the end-to-end sink parity the old fallback test pinned."""
     from hadoop_bam_spark import sinks
     from hadoop_bam_spark.formats.vcf import VCF_SCHEMA, VCFHeader
     from hadoop_bam_spark.sources import register_all
