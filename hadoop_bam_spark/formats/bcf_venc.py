@@ -213,6 +213,7 @@ class BCFBatchEncoder:
     def encode_batch(self, batch) -> tuple[bytes, np.ndarray, tuple]:
         """RecordBatch -> (blob, per-record byte lengths,
         (rid, beg0, end0) int64 arrays for inline CSI accumulation)."""
+        import pyarrow as pa
         import pyarrow.compute as pc
 
         n = batch.num_rows
@@ -324,9 +325,13 @@ class BCFBatchEncoder:
         g_codes, g_first = _dict_encode_keys(g_keys)
         g_pieces = []
         g_nfmt = np.empty(len(g_first), np.int64)
-        for u, i in enumerate(g_first):
-            genos = geno_arr[int(i)].as_py()
-            # map scalars come back as [(k, v), ...] — encode_indiv wants dicts
+        # one batched take+to_pylist for every representative record: on
+        # value-diverse cohorts (per-sample DP/GQ near-unique -> unique
+        # combos ~ n) the old per-unique scalar `geno_arr[i].as_py()` was
+        # ~40% of encode_batch (bench_bcf_nulls.py)
+        reps = geno_arr.take(pa.array(g_first)).to_pylist()
+        for u, genos in enumerate(reps):
+            # map values come back as [(k, v), ...] — encode_indiv wants dicts
             tuples = (
                 [
                     (
