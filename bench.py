@@ -25,9 +25,20 @@ regression on a box with documented 5-10x hypervisor swings):
 - ``host_cpu_calibration`` (r6): even CPU-seconds drift — an A/B re-run
   of the UNCHANGED r5 tree measured 6.8 -> 10.65 CPU-s on the identical
   dedup_clusters plan (hypervisor steal accounting). The sentinel's CPU
-  cost (``noise_sentinel.cpu_min``) is a fixed workload, so its
-  round-over-round ratio calibrates the box;
-  ``vs_prev.cpu_total_ratio_calibrated`` divides it out. Read THAT.
+  cost is a fixed workload, so its round-over-round ratio calibrates the
+  box; ``vs_prev.cpu_total_ratio_calibrated`` divides it out. Read THAT.
+- Calibration protocol (r9, after r8's single-min sentinel produced an
+  implausible 3.399 on a flat-wall run): the calibration workload now
+  runs in a DEDICATED subprocess (fixed sha256 over 400 MiB, CPU read by
+  the child via RUSAGE_SELF) so background JVM GC/cleanup from adjacent
+  queries cannot contaminate it — the in-JVM Spark sentinel's tree-CPU
+  delta showed a 7x within-run spread from exactly that contamination.
+  ``noise_sentinel.host_cpu_median``/``host_cpu_spread`` summarize the
+  >=5 interleaved reps. ``_vs_prev`` calibrates ONLY median-to-median
+  and REFUSES otherwise — emitting ``calibration_unreliable`` with the
+  reason — both when either run's within-run spread exceeds 1.5x and
+  when the prior artifact predates the subprocess sentinel (its lone
+  in-JVM cpu_min is the number r8's verdict proved non-calibrating).
 """
 
 from __future__ import annotations
@@ -84,6 +95,38 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+#: fixed pure-CPU workload run in a DEDICATED subprocess: ~1.5 s of sha256
+#: over 400 MiB. Its CPU-seconds (RUSAGE_SELF, measured by the child
+#: itself) are identical instructions every run, so round-over-round drift
+#: in the number measures the BOX (hypervisor steal accounting, thermal
+#: clamps), never the engine — and, unlike the r8 in-JVM Spark sentinel,
+#: it cannot be contaminated by background GC/cleanup CPU from adjacent
+#: bench queries in the shared process tree (that contamination produced
+#: r9's first-draft 7x within-run sentinel spread).
+_HOST_SENTINEL_CODE = (
+    "import hashlib, resource\n"
+    "b = bytes(1 << 20)\n"
+    "h = hashlib.sha256()\n"
+    "for _ in range(400):\n"
+    "    h.update(b)\n"
+    "r = resource.getrusage(resource.RUSAGE_SELF)\n"
+    "print(r.ru_utime + r.ru_stime)\n"
+)
+
+
+def _host_sentinel_cpu() -> float | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _HOST_SENTINEL_CODE],
+            capture_output=True, timeout=120, check=True,
+        )
+        return float(out.stdout.split()[0])
+    except Exception:
+        return None
+
+
 def _round_n() -> int:
     """Round number for the self-written BENCH_FULL artifact: the driver
     records BENCH_r{N}.json at the END of round N, so during round N the
@@ -104,20 +147,23 @@ def _round_n() -> int:
 
 
 def _load_prev_bench() -> tuple[str, dict] | None:
-    """Newest bench artifact carrying a cpu_sec block. BENCH_FULL_r{N}
-    (written directly by this script — r7 VERDICT #3: the driver's
-    stdout-capture BENCH_r{N}.json files were tail-truncated two rounds
-    running, which silently pinned vs_prev to r5) is preferred over the
-    driver wrapper at the same N."""
+    """Newest PRIOR-round bench artifact carrying a cpu_sec block.
+    BENCH_FULL_r{N} (written directly by this script — r7 VERDICT #3: the
+    driver's stdout-capture BENCH_r{N}.json files were tail-truncated two
+    rounds running, which silently pinned vs_prev to r5) is preferred over
+    the driver wrapper at the same N. Artifacts from the CURRENT round are
+    excluded — a second bench run within one round must still compare
+    against the previous round, not against its own earlier run."""
     import glob
     import re
 
+    cur = _round_n()
     best_rank, best = (-1, -1), None
     for path in glob.glob(os.path.join(_REPO, "BENCH_r*.json")) + glob.glob(
         os.path.join(_REPO, "BENCH_FULL_r*.json")
     ):
         m = re.search(r"BENCH(_FULL)?_r(\d+)\.json$", path)
-        if not m:
+        if not m or int(m.group(2)) >= cur:
             continue
         try:
             with open(path) as fh:
@@ -133,8 +179,13 @@ def _load_prev_bench() -> tuple[str, dict] | None:
     return best
 
 
+#: a sentinel CPU spread above this means the box's CPU accounting was
+#: unstable DURING the run — no single number can calibrate it
+_CAL_SPREAD_BOUND = 1.5
+
+
 def _vs_prev(total: float, cpu: dict[str, float], sf,
-             sentinel_cpu: float | None = None) -> dict | None:
+             sentinel_block: dict | None = None) -> dict | None:
     prev = _load_prev_bench()
     if prev is None:
         return None
@@ -158,17 +209,57 @@ def _vs_prev(total: float, cpu: dict[str, float], sf,
     # code tree re-measured in a fresh process) showed 6.8 -> 10.65
     # CPU-seconds on an identical plan — divide the raw ratio by the
     # sentinel ratio before reading anything as a regression.
-    prev_sent = (data.get("noise_sentinel") or {}).get("cpu_min")
+    #
+    # r8 VERDICT #4: a single `cpu_min` sentinel produced a calibrated
+    # ratio of 3.399 on a flat-wall run — one number can't calibrate a
+    # box whose accounting wobbles WITHIN the run. The protocol is now:
+    # median of the interleaved sentinel reps, compared on the SAME basis
+    # as the prior artifact (median-to-median once both sides have it,
+    # min-to-min against pre-r9 artifacts), and calibration is REFUSED
+    # (`calibration_unreliable`) when either side's within-run sentinel
+    # spread exceeds the bound.
+    sb = sentinel_block or {}
+    prev_sb = data.get("noise_sentinel") or {}
+    unreliable_reason = None
+    if sb.get("host_cpu_median") and prev_sb.get("host_cpu_median"):
+        basis = "host_subprocess_median"
+        cur_sent = sb["host_cpu_median"]
+        prev_sent = prev_sb["host_cpu_median"]
+        spreads = [
+            s
+            for s in (
+                sb.get("host_cpu_spread"), prev_sb.get("host_cpu_spread")
+            )
+            if s is not None
+        ]
+        if any(s > _CAL_SPREAD_BOUND for s in spreads):
+            unreliable_reason = {
+                "host_cpu_spread": sb.get("host_cpu_spread"),
+                "prev_host_cpu_spread": prev_sb.get("host_cpu_spread"),
+                "bound": _CAL_SPREAD_BOUND,
+            }
+    else:
+        # the prior artifact predates the subprocess sentinel; its lone
+        # in-JVM cpu_min is the number r8's verdict proved cannot
+        # calibrate (3.399 on a flat-wall run) — refuse rather than emit
+        # a plausible-looking wrong ratio
+        basis = None
+        cur_sent = prev_sent = None
+        unreliable_reason = {
+            "reason": "prev artifact lacks the subprocess host sentinel "
+            "(pre-r9); legacy in-JVM cpu_min is not calibration-grade"
+        }
     cal = (
-        round(sentinel_cpu / prev_sent, 3)
-        if sentinel_cpu and prev_sent
+        round(cur_sent / prev_sent, 3)
+        if cur_sent and prev_sent and unreliable_reason is None
         else None
     )
-    return {
+    out = {
         "prev": fname,
         "common_queries": len(common),
         "cpu_total_ratio": round(cur_tot / prev_tot, 3) if prev_tot else None,
         "host_cpu_calibration": cal,
+        "calibration_basis": basis if cal else None,
         "cpu_total_ratio_calibrated": (
             round(cur_tot / prev_tot / cal, 3)
             if prev_tot and cal
@@ -182,6 +273,9 @@ def _vs_prev(total: float, cpu: dict[str, float], sf,
             {"query": n, "ratio": r} for n, r in worst
         ],
     }
+    if unreliable_reason is not None:
+        out["calibration_unreliable"] = unreliable_reason
+    return out
 
 
 def main() -> None:
@@ -209,12 +303,17 @@ def main() -> None:
 
     # Interleave reps round-robin: a transient host-load spike then degrades
     # one rep of every query instead of all reps of one query, so per-query
-    # min stays meaningful on a noisy box.
+    # min stays meaningful on a noisy box. The host calibration sentinel
+    # (dedicated subprocess, see _HOST_SENTINEL_CODE) interleaves the same
+    # way so its median samples the same run window as the queries.
     best: dict[str, float] = {n: float("inf") for n in names}
     best_cpu: dict[str, float] = {n: float("inf") for n in names}
     sentinels: list[float] = []
+    host_cpus: list[float] = []
     for _ in range(5):
         sentinels.append(sentinel())
+        if (h := _host_sentinel_cpu()) is not None:
+            host_cpus.append(h)
         for name in names:
             c0 = _tree_cpu_seconds()
             t0 = time.time()
@@ -222,12 +321,36 @@ def main() -> None:
             best[name] = min(best[name], time.time() - t0)
             best_cpu[name] = min(best_cpu[name], _tree_cpu_seconds() - c0)
     sentinels.append(sentinel())
+    if (h := _host_sentinel_cpu()) is not None:
+        host_cpus.append(h)
     timings = {n: round(v, 3) for n, v in best.items()}
     cpu = {n: round(v, 3) for n, v in best_cpu.items()}
 
     total = round(sum(timings.values()), 3)
     s_min, s_max = min(sentinels), max(sentinels)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # calibration sentinel: median + within-run spread of the >=5
+    # interleaved DEDICATED-subprocess reps; the spread gates whether
+    # cross-round calibration is trusted at all
+    import statistics
+
+    sentinel_block = {
+        "min": round(s_min, 4),
+        "max": round(s_max, 4),
+        "spread": round(s_max / s_min, 2) if s_min > 0 else None,
+        "cpu_min": round(min(sentinel_cpus), 4),
+    }
+    if host_cpus:
+        sentinel_block.update(
+            host_cpu_median=round(statistics.median(host_cpus), 4),
+            host_cpu_spread=(
+                round(max(host_cpus) / min(host_cpus), 2)
+                if min(host_cpus) > 0
+                else None
+            ),
+            host_cpu_reps=len(host_cpus),
+            host_workload="sha256-400MiB-subprocess",
+        )
     payload = {
         "metric": "headline_queries_total",
         "value": total,
@@ -235,18 +358,13 @@ def main() -> None:
         "queries": timings,
         "cpu_sec": cpu,
         "cpu_total": round(sum(cpu.values()), 3),
-        "noise_sentinel": {
-            "min": round(s_min, 4),
-            "max": round(s_max, 4),
-            "spread": round(s_max / s_min, 2) if s_min > 0 else None,
-            "cpu_min": round(min(sentinel_cpus), 4),
-        },
+        "noise_sentinel": sentinel_block,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "vs_prev": _vs_prev(
             total,
             cpu,
             float(sf) if sf.replace(".", "").isdigit() else sf,
-            sentinel_cpu=min(sentinel_cpus),
+            sentinel_block=sentinel_block,
         ),
     }
     print(json.dumps(payload))

@@ -18,12 +18,18 @@ batchId:
   zombie task attempts; this attempt's winners were just renamed away)
   are swept on every commit and abort, so staging never accumulates.
 
-Directory readers (the ``*_stream`` tail sources skip ``_``-prefixed
-names and dotdirs) therefore see each batch's shard set exactly once in
-its final form. The one replay artifact that remains is inherent to any
-rename-based sink: a reader that consumed a first-attempt shard BEFORE
-the replay superseded it has an at-least-once view of those records —
-same caveat as Spark's own file sink without its transaction log.
+Read side (r9): the ``*_stream`` tail sources list a sink-output
+directory THROUGH :func:`committed_shards` — only batches whose manifest
+is in place, only the shards it names. Because the manifest lands
+(atomic rename) strictly after every shard of its batch is final, and a
+replay atomically replaces it, a manifest-driven tail never consumes a
+half-committed batch and never mixes shard sets from two attempts of
+one batch — the at-least-once window the raw listing left open
+(fault-injection: ``tests/test_streaming.py``). The residual, inherent
+to any rename-based sink: a reader that fully consumed a COMMITTED
+attempt before a post-commit-pre-checkpoint crash replays it sees that
+attempt's (complete, consistent) record set; totals stay exact when the
+upstream batch is deterministic, which is Spark's own replay contract.
 
 The reference has no streaming surface (SURVEY.md §2.9); this protocol
 is engine surface beyond it.
@@ -94,6 +100,49 @@ def abort_shards(dir_: str, messages) -> None:
             except OSError:
                 pass
     _sweep_staging(dir_)
+
+
+def committed_shards(dir_: str, suffixes: tuple[str, ...]) -> list[str] | None:
+    """Shard names recorded by committed per-batch manifests, in batch
+    order, restricted to ``suffixes``. Returns ``None`` when the directory
+    holds no manifests at all — the caller is tailing a plain drop
+    directory, not a shard-sink output, and falls back to raw listing.
+
+    This is the read side of the commit protocol: a manifest is renamed
+    into place only AFTER every shard of its batch is renamed final, and a
+    replay atomically REPLACES it, so a tail that lists through manifests
+    never sees a half-committed batch and never mixes shard sets from two
+    attempts of the same batch — the at-least-once window raw directory
+    listing leaves open (a raw tail can consume an attempt-1 shard that a
+    replay later supersedes with a different record split)."""
+    try:
+        names = fs.listdir(dir_)
+    except OSError:
+        return None
+    manifests = sorted(
+        n for n in names
+        if n.startswith("_manifest-") and n.endswith(".jsonl")
+    )
+    if not manifests:
+        # a sink output is recognizable BEFORE its first manifest: task
+        # writers create .staging on their first staged file. Returning []
+        # (committed: nothing) instead of the raw fallback keeps the very
+        # first batch's commit window closed too.
+        return [] if ".staging" in names else None
+    out: list[str] = []
+    for name in manifests:
+        try:
+            with fs.open_file(fs.join(dir_, name), "rb") as f:
+                body = f.read().decode()
+        except OSError:
+            continue  # replaced mid-read; its batch reappears next tick
+        out.extend(
+            shard
+            for ln in body.splitlines()
+            if ln and (shard := json.loads(ln).get("shard"))
+            and shard.endswith(suffixes)
+        )
+    return out
 
 
 def read_manifest(dir_: str) -> list[dict]:

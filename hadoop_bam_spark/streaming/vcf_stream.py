@@ -98,6 +98,21 @@ class VCFStreamReader(SimpleDataSourceStreamReader):
     def _list(self) -> list[str]:
         if not os.path.isdir(self._dir):
             return []
+        from hadoop_bam_spark.streaming.shard_commit import committed_shards
+
+        # a shard-sink output directory is tailed THROUGH its per-batch
+        # manifests (committed batches only, listed shards only) — a raw
+        # listing could consume a not-yet-committed or about-to-be-
+        # superseded shard (at-least-once); plain drop directories (no
+        # manifests) keep the raw listing
+        committed = committed_shards(
+            self._dir, (".vcf", ".vcf.gz", ".vcf.bgz")
+        )
+        if committed is not None:
+            return sorted(
+                n for n in committed
+                if os.path.exists(os.path.join(self._dir, n))
+            )
         return sorted(
             f
             for f in os.listdir(self._dir)

@@ -528,6 +528,102 @@ class TestVcfStreamSink:
         assert got == want
 
 
+class TestManifestDrivenTail:
+    """r9: stream sources tail a sink-output directory THROUGH its
+    per-batch manifests — never a half-committed batch, never a mix of
+    two attempts' shard sets (r8 VERDICT #5: the raw listing could
+    consume an attempt-1 shard that a replay later superseded with a
+    different record split, duplicating or dropping rows)."""
+
+    def _bam_bytes(self, tmp_path, name, rows):
+        from hadoop_bam_spark.formats import bam as bammod
+        from hadoop_bam_spark.formats.sam import SAMHeader
+
+        hdr = SAMHeader()
+        hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+        hdr.sequences = {"chr1": (0, 5000)}
+        p = tmp_path / name
+        with open(p, "wb") as f:
+            bammod.write_bam(f, hdr, rows)
+        return p.read_bytes()
+
+    def test_replay_supersedes_mid_tail_total_exact(self, tmp_path):
+        import copy
+
+        from hadoop_bam_spark.streaming.bam_sink import (
+            BamShardCommit as M,
+            BAMStreamWriter,
+        )
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamReader
+
+        rows = [
+            (f"r{i}", 0, "chr1", 1 + i, 60, "4M", None, 0, 0, "ACGT",
+             "IIII", {})
+            for i in range(6)
+        ]
+        hdr = tmp_path / "h.sam"
+        hdr.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:5000\n")
+        out = tmp_path / "landing"
+        out.mkdir()
+        staging = out / ".staging"
+        staging.mkdir()
+        w = BAMStreamWriter({"path": str(out), "header": str(hdr)})
+        rdr = BamStreamReader({"path": str(out)})
+
+        # attempt 1 of batch 0 is MID-COMMIT: one shard already renamed
+        # final, the second still staging, manifest not yet written. A raw
+        # lister would consume the visible shard; the manifest tail must
+        # see an empty directory.
+        (out / "batch-00000-00000.bam").write_bytes(
+            self._bam_bytes(tmp_path, "a1.bam", rows[:4])
+        )
+        r0, off0 = rdr.read(rdr.initialOffset())
+        assert sum(1 for _ in copy.copy(r0)) == 0
+        assert off0.get("processed", []) == []
+
+        # the driver dies mid-commit; the replay of batch 0 lands a
+        # DIFFERENT record split (3+3 instead of 4+2) and commits fully
+        (staging / "attempt-5-p0.bam").write_bytes(
+            self._bam_bytes(tmp_path, "b1.bam", rows[:3])
+        )
+        (staging / "attempt-6-p1.bam").write_bytes(
+            self._bam_bytes(tmp_path, "b2.bam", rows[3:])
+        )
+        w.commit(
+            [M(staged="attempt-5-p0.bam", records=3),
+             M(staged="attempt-6-p1.bam", records=3)],
+            batchId=0,
+        )
+        r1, off1 = rdr.read(off0)
+        got = [t for t in copy.copy(r1)]
+        qnames = sorted(t[0] for t in got)
+        # total exact: every record exactly once, no attempt-1 leftovers
+        assert qnames == sorted(r[0] for r in rows)
+        # nothing new on the next tick
+        r2, off2 = rdr.read(off1)
+        assert sum(1 for _ in copy.copy(r2)) == 0
+        assert off2 == off1
+
+    def test_plain_drop_directory_keeps_raw_listing(self, tmp_path):
+        """A directory of loose BAMs (no manifests, no .staging) is not a
+        sink output; the tail falls back to the raw listing."""
+        import copy
+
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamReader
+
+        out = tmp_path / "drop"
+        out.mkdir()
+        rows = [("q1", 0, "chr1", 5, 60, "4M", None, 0, 0, "ACGT",
+                 "IIII", {})]
+        (out / "delivery.bam").write_bytes(
+            self._bam_bytes(tmp_path, "d.bam", rows)
+        )
+        rdr = BamStreamReader({"path": str(out)})
+        r, off = rdr.read(rdr.initialOffset())
+        assert sum(1 for _ in copy.copy(r)) == 1
+        assert off["processed"] == ["delivery.bam"]
+
+
 class TestStreamSinkCommitProtocol:
     """Driver-side commit/abort semantics, unit-tested without Spark:
     visibility is the rename, abort leaves nothing half-visible."""
