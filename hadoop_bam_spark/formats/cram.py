@@ -368,8 +368,12 @@ class Block:
             raw = gzip.compress(self.data, eff, mtime=0)
         elif self.method == M_RAW:
             raw = self.data
+        elif self.method == M_RANS:
+            from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+            raw = rans_encode_order0(self.data)
         else:
-            raise ValueError("writer supports raw/gzip blocks only")
+            raise ValueError("writer supports raw/gzip/rans blocks only")
         out = bytearray([self.method, self.content_type])
         out += write_itf8(self.content_id)
         out += write_itf8(len(raw))
@@ -1583,7 +1587,8 @@ class CRAMWriter:
                  ref_fasta: Optional[FastaRef] = None,
                  records_per_slice: int = 10000,
                  gzip_level: int = 6,
-                 embed_reference: bool = False):
+                 embed_reference: bool = False,
+                 codecs: str = "gzip"):
         self._fh = fh
         self._refs = refs
         self._ref_index = {name: i for i, (name, _) in enumerate(refs)}
@@ -1593,6 +1598,7 @@ class CRAMWriter:
         self._per_container = records_per_container
         self._per_slice = records_per_slice
         self._gzip_level = gzip_level
+        self._codecs = codecs
         self._counter = record_counter
         self._buf: list[tuple] = []
         self._closed = False
@@ -1613,6 +1619,7 @@ class CRAMWriter:
                 records_per_slice=self._per_slice,
                 gzip_level=self._gzip_level,
                 embed_reference=self._embed_reference,
+                codecs=self._codecs,
             ))
             self._counter += len(self._buf)
             self._buf = []
@@ -1643,7 +1650,8 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
                      records_per_slice: int = 10000,
                      gzip_level: int = 6,
                      qual_mode: str = "stored",
-                     embed_reference: bool = False) -> bytes:
+                     embed_reference: bool = False,
+                     codecs: str = "gzip") -> bytes:
     """One container (1..N slices of <= ``records_per_slice`` records
     each, the samtools/htsjdk layout) from SAM-schema tuples.
 
@@ -1872,7 +1880,7 @@ def encode_container(rows: list[tuple], ref_index: dict[str, int],
         )
     return assemble_container(
         slices, tag_lines, len(rows), record_counter, major,
-        rr=ref_fasta is not None, gzip_level=gzip_level,
+        rr=ref_fasta is not None, gzip_level=gzip_level, codecs=codecs,
     )
 
 
@@ -1893,6 +1901,16 @@ def attach_embedded_refs(slices: list[dict], window_fn) -> None:
                 sl["embed_ref"] = emb
 
 
+#: data series offered to the rANS codec under ``codecs="auto"``: the
+#: quality/flag class htsjdk routes to rANS behind
+#: CRAMRecordWriter.java:74-121 — per-base quals (QS, length-prefixed QQ),
+#: flags (BF/CF/MF), feature codes (FC), substitution codes (BS), mapq
+#: (MQ). Base series (BA/BB) and name/tag text stay gzip: LZ matches beat
+#: order-0 entropy there.
+_RANS_CANDIDATE_SERIES = {"QS", "QQ", "BF", "CF", "MF", "FC", "BS", "MQ"}
+_RANS_MIN_BLOCK = 1024  # below this the freq table overhead dominates
+
+
 def assemble_container(
     slices: list[dict],
     tag_lines: list[tuple],
@@ -1901,12 +1919,21 @@ def assemble_container(
     major: int = 3,
     rr: bool = False,
     gzip_level: int = 6,
+    codecs: str = "gzip",
 ) -> bytes:
     """Compression header + slice blocks + container header from per-slice
     stream dicts (the shape ``encode_slice`` produces). Shared by the
     scalar path above and the vectorized column encoder
     (formats/cram_venc.py), so both produce identical container bytes for
-    identical streams."""
+    identical streams.
+
+    ``codecs="auto"`` additionally offers rANS-4x8 order-0 to the
+    quality/flag-class series (``_RANS_CANDIDATE_SERIES``) and keeps
+    whichever encoding MEASURES smaller per block — the per-series
+    selection htsjdk performs, by trial instead of heuristic. gzip stays
+    the default because the pure-Python rANS encoder runs ~3.5 MB/s
+    single-thread (FORMAT_BENCH.md r9); flip it on when output size
+    matters more than write throughput."""
     # --- compression header -------------------------------------------------
     td = b"".join(
         b"".join(t.encode("latin-1") + ty.encode("latin-1") for t, ty in line) + b"\x00"
@@ -2001,11 +2028,25 @@ def assemble_container(
         if emb is not None and sl_ref >= 0:
             embed_id = EMBEDDED_REF_CONTENT_ID
             ext_blocks.append((embed_id, bytes(emb)))
-        ext_serialized = [
-            Block(M_GZIP if data else M_RAW, CT_EXTERNAL, cid, data)
-            .serialize(major, gzip_level)
-            for cid, data in ext_blocks
-        ]
+        rans_cids = (
+            {_SERIES_IDS[k] for k in _RANS_CANDIDATE_SERIES}
+            if codecs == "auto"
+            else frozenset()
+        )
+
+        def _ext(cid: int, data: bytes) -> bytes:
+            if not data:
+                return Block(M_RAW, CT_EXTERNAL, cid, data).serialize(major)
+            g = Block(M_GZIP, CT_EXTERNAL, cid, data).serialize(
+                major, gzip_level
+            )
+            if cid in rans_cids and len(data) >= _RANS_MIN_BLOCK:
+                r = Block(M_RANS, CT_EXTERNAL, cid, data).serialize(major)
+                if len(r) < len(g):
+                    return r
+            return g
+
+        ext_serialized = [_ext(cid, data) for cid, data in ext_blocks]
         union_refs |= sl["seen_refs"]
         if sl_ref >= 0:
             cmin = sl_start if cmin is None else min(cmin, sl_start)

@@ -295,10 +295,12 @@ class CRAMColumnEncoder:
     def __init__(self, ref_index: dict, major: int = 3,
                  gzip_level: int = 6, ref_fasta=None,
                  ref_names: Optional[list[str]] = None,
-                 embed_reference: bool = False):
+                 embed_reference: bool = False,
+                 codecs: str = "gzip"):
         self.ref_index = ref_index
         self.major = major
         self.gzip_level = gzip_level
+        self.codecs = codecs
         self.ref_fasta = ref_fasta
         self.ref_names = ref_names or []
         self.embed_reference = embed_reference
@@ -437,6 +439,7 @@ class CRAMColumnEncoder:
             slices, tag_lines, n, record_counter, self.major,
             rr=self.ref_fasta is not None,
             gzip_level=self.gzip_level,
+            codecs=self.codecs,
         )
 
     # ------------------------------------------------------------------

@@ -256,6 +256,7 @@ def write_cram(
     records_per_slice: int = 10000,
     sharded: bool = False,
     embed_reference: bool = False,
+    codecs: str = "gzip",
 ) -> None:
     """Write a SAM_SCHEMA DataFrame as one valid CRAM 3.0 file.
 
@@ -289,7 +290,16 @@ def write_cram(
     way, reference compression just degrades where the input isn't
     coordinate-grouped. Costs the window bytes per slice
     (gzip-compressed; cheap for coordinate-sorted data where slices are
-    dense)."""
+    dense).
+
+    ``codecs="auto"``: quality/flag-class data series are additionally
+    offered to the rANS-4x8 order-0 codec (what htsjdk emits for these
+    series) and each block keeps whichever measures smaller — typically
+    10-20% off the qual-dominated file size, at a write-throughput cost
+    (the pure-Python rANS encoder runs ~3.5 MB/s/task; see
+    FORMAT_BENCH.md r9). Readers need htslib-compatible rANS decode
+    (this engine's reader, samtools, htsjdk all qualify). Default stays
+    gzip: write speed is the sink's headline contract."""
     from hadoop_bam_spark.formats import cram
 
     if refs is None:
@@ -326,7 +336,7 @@ def write_cram(
         ref_names = [name for name, _ in refs]
         enc = CRAMColumnEncoder(
             ref_index, ref_fasta=ref_fasta, ref_names=ref_names,
-            embed_reference=embed_reference,
+            embed_reference=embed_reference, codecs=codecs,
         )
 
         def scalar_rows(tbl):
@@ -354,6 +364,7 @@ def write_cram(
                         ref_fasta=ref_fasta, ref_names=ref_names,
                         records_per_slice=records_per_slice,
                         embed_reference=embed_reference,
+                        codecs=codecs,
                     ))
                 counter += tbl.num_rows
 

@@ -194,6 +194,10 @@ def main() -> None:
          lambda df, p: sinks.write_cram(
              df, p, hdr, refs=refs, reference=fasta),
          {"reference": fasta}),
+        ("cram-rr-rans", rr_reads,
+         lambda df, p: sinks.write_cram(
+             df, p, hdr, refs=refs, reference=fasta, codecs="auto"),
+         {"reference": fasta}),
         ("sam", reads, lambda df, p: sinks.write_sam(df, p, hdr), {}),
         ("vcf.bgz", variants,
          lambda df, p: sinks.write_vcf(df, p, vhdr), {}),

@@ -3,6 +3,7 @@ plan as an equi-join (banded blocking), never a cartesian product, and the
 banded join must return exactly the all-pairs ground truth (pigeonhole
 recall guarantee)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -238,19 +239,35 @@ class TestPairsBudget:
 
 
 class TestExactSubstringSinglePass:
-    def test_one_explode_in_plan(self, spark):
-        """The gram stage must execute once: a window count over the
-        fingerprint, not a groupBy + join back (which scanned the
-        unmaterialized explode frame twice)."""
+    def test_legacy_window_one_explode_in_plan(self, spark):
+        """skew_safe=False (legacy): the gram stage executes once as a
+        window count over the fingerprint — no materialization, but a
+        boilerplate gram serializes into one task (kept as the escape
+        hatch for corpora known free of shared substrings)."""
         from hadoop_bam_spark.operators.dedup import exact_substring_duplication
 
-        df = exact_substring_duplication(_corpus(spark))
+        df = exact_substring_duplication(_corpus(spark), skew_safe=False)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Generate explode") == 1
         assert "Window" in plan
         assert "Join" not in plan
 
-    def test_values(self, spark):
+    def test_skew_safe_default_plan(self, spark):
+        """Default (r9): persisted grams + groupBy count + shuffle join
+        back — map-side partials and AQE skew-join instead of a per-gram
+        window task; the persist keeps the explode single-execution."""
+        from hadoop_bam_spark.operators.dedup import exact_substring_duplication
+
+        df = exact_substring_duplication(_corpus(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both consumers read the persisted grams frame
+        assert plan.count("InMemoryTableScan") == 2
+        # per-gram df window (the skew risk) is gone; join carries counts
+        assert "windowspecdefinition(_g" not in plan
+        assert "Join" in plan
+
+    @pytest.mark.parametrize("skew_safe", [False, True])
+    def test_values(self, spark, skew_safe):
         from hadoop_bam_spark.operators.dedup import exact_substring_duplication
 
         rows = [
@@ -259,7 +276,12 @@ class TestExactSubstringSinglePass:
             (3, "".join(chr(97 + (i * 7) % 26) + str(i) for i in range(60))),
         ]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
-        got = {r.doc_id: r for r in exact_substring_duplication(df).collect()}
+        got = {
+            r.doc_id: r
+            for r in exact_substring_duplication(
+                df, skew_safe=skew_safe
+            ).collect()
+        }
         assert got[1].dup_ratio == 1.0 and got[2].dup_ratio == 1.0
         assert got[3].n_dup_grams == 0
 

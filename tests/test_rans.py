@@ -1,0 +1,163 @@
+"""rANS-4x8 order-0 ENCODE (formats/rans.py): roundtrip through the
+engine's own spec decoder (formats/cram.py:rans_decode — the htslib
+rans_static layout), freq-table edge shapes, and the CRAM ``codecs="auto"``
+per-block measured selection (mirrors htsjdk's qual/flag-series rANS
+routing behind CRAMRecordWriter.java:74-121)."""
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_bam_spark.formats.cram import (
+    M_GZIP,
+    M_RANS,
+    rans_decode,
+)
+from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+
+class TestRansRoundtrip:
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"",
+            b"\x00",                      # symbol 0 present (terminator code)
+            b"\x00" * 1000,               # single symbol == terminator byte
+            b"\xff" * 7,                  # top symbol
+            bytes(range(256)) * 5,        # full alphabet, one 256-long run
+            b"ACGT" * 123,                # consecutive-symbol RLE run
+            b"A",                         # 1 symbol: freq 4096 (2-byte freq)
+            b"IIIIIIIIIJ",                # heavily skewed
+            bytes([0, 255]) * 50,         # far-apart symbols, no runs
+        ],
+        ids=[
+            "empty", "zero", "zero-run", "top", "full-alpha",
+            "acgt", "single", "skew", "gap",
+        ],
+    )
+    def test_edges(self, data):
+        assert rans_decode(rans_encode_order0(data), len(data)) == data
+
+    def test_all_lengths_mod4(self):
+        """The 4-lane interleave has a ragged tail for n % 4 != 0 — every
+        residue class must roundtrip (the peel/unroll split in the
+        encoder)."""
+        rng = random.Random(5)
+        for n in range(1, 66):
+            data = bytes(rng.choice(b"!#%+5?I") for _ in range(n))
+            assert rans_decode(rans_encode_order0(data), n) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.binary(max_size=4096)
+        | st.builds(
+            lambda alpha, n, seed: bytes(
+                random.Random(seed).choice(alpha) for _ in range(n)
+            ),
+            st.sampled_from([b"!#%+5?I", b"AB", b"\x00\x01\x02"]),
+            st.integers(0, 5000),
+            st.integers(0, 99),
+        )
+    )
+    def test_property(self, data):
+        assert rans_decode(rans_encode_order0(data), len(data)) == data
+
+    def test_qual_like_beats_gzip(self):
+        """The reason the codec exists: order-0 rANS beats DEFLATE's
+        integer-bit Huffman on skewed small-alphabet (quality-like)
+        data."""
+        import gzip as _gzip
+
+        rng = random.Random(11)
+        # phred-like: few symbols, skewed
+        data = bytes(
+            rng.choice(b"IIIIIIHHHGG?5+") for _ in range(200_000)
+        )
+        r = rans_encode_order0(data)
+        g = _gzip.compress(data, 6)
+        assert len(r) < len(g)
+
+
+def _block_methods(container: bytes) -> list[int]:
+    """Block method bytes of every block in a serialized container body
+    (after the container header)."""
+    from hadoop_bam_spark.formats.cram import Block, ContainerHeader
+
+    hdr = ContainerHeader.parse(container, 0, 3)
+    p = hdr.header_size
+    methods = []
+    while p < hdr.header_size + hdr.length:
+        blk, p = Block.parse(container, p, 3)
+        methods.append(blk.method)
+    return methods
+
+
+def _qual_rows(n=400):
+    # ONE rng stream: match-free skewed quals (real phred shape);
+    # per-char reseeding would create LZ matches and gzip would
+    # legitimately win the measured pick
+    rng = random.Random(19)
+    return [
+        (
+            f"r{i}", 0, "chr1", 1 + i, 60, "60M", None, 0, 0,
+            "ACGTACGTACGT" * 5,
+            "".join(rng.choices("IIIIIHHHGG?5+", k=60)),
+            {},
+        )
+        for i in range(n)
+    ]
+
+
+class TestCramCodecsAuto:
+    ROWS = _qual_rows()
+    REFS = [("chr1", 100000)]
+    RIDX = {"chr1": 0}
+
+    def _scalar(self, codecs):
+        from hadoop_bam_spark.formats import cram
+
+        return cram.encode_container(
+            self.ROWS, self.RIDX, 0, codecs=codecs
+        )
+
+    def test_auto_picks_rans_and_roundtrips(self):
+        from hadoop_bam_spark.formats import cram
+
+        auto = self._scalar("auto")
+        gz = self._scalar("gzip")
+        assert M_RANS in _block_methods(auto)
+        assert M_RANS not in _block_methods(gz)
+        assert len(auto) < len(gz)  # measured per-block pick won
+
+        # the standard reader decodes the rANS container identically
+        def decode(blob, tmp):
+            p = str(tmp)
+            with open(p, "wb") as f:
+                cram.write_file_definition(f)
+                f.write(cram.encode_header_container(
+                    "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n"
+                ))
+                f.write(blob)
+                f.write(cram.EOF_CONTAINER_V3)
+            return [r[:11] for r in cram.decode_file(p)]
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            a = decode(auto, td + "/a.cram")
+            g = decode(gz, td + "/g.cram")
+        assert a == g and len(a) == len(self.ROWS)
+
+    def test_vec_scalar_parity_with_auto(self):
+        """Both encoders share assemble_container, so the measured codec
+        choice must leave them byte-identical."""
+        from tests.test_cram_venc import rows_to_batch
+
+        from hadoop_bam_spark.formats.cram_venc import CRAMColumnEncoder
+
+        vec = CRAMColumnEncoder(self.RIDX, codecs="auto").encode_container(
+            rows_to_batch(self.ROWS), 0
+        )
+        assert vec == self._scalar("auto")
