@@ -653,8 +653,16 @@ def write_vcf(
 
 
 def _vcf_batch_rows(batch):
-    """Arrow batch -> VCF_SCHEMA tuples for the scalar formatter (fallback
-    path only)."""
+    """Arrow batch -> VCF_SCHEMA tuples for the scalar fallbacks of BOTH
+    the text-VCF formatter and the BCF encoder (map columns come back
+    from to_pylist as [(k, v), ...] pair lists and must be dicts).
+
+    A null per-genotype fields map becomes ``{}``: ``format_vcf_line``
+    iterates ``g[2]`` directly (None would TypeError), and the BCF
+    ``encode_indiv`` treats None and ``{}`` identically (``g[2] or {}``),
+    so the substitution is byte-neutral there. (r9: this function was
+    accidentally defined twice with the two semantics; the None-mapping
+    copy shadowed this one and left the text fallback crashable.)"""
     cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
     for t in zip(*cols):
         (contig, start, end, vid, ref, alts, qual, filters, info, gts) = t
@@ -902,27 +910,6 @@ def write_bcf(df: DataFrame, path: str, header: "VCFHeader",
         csi_mod.write_csi(idx, path + ".csi", open_fn=fs.open_file)
 
 
-def _vcf_batch_rows(batch):
-    """Arrow VCF batch -> encode_record-shaped tuples (scalar fallback):
-    map columns come back from to_pylist as [(k, v), ...] pair lists and
-    must be dicts; genotype structs become (sample, gt, fields) tuples."""
-    for r in batch.to_pylist():
-        genos = r["genotypes"]
-        yield (
-            r["contig"], r["start"], r["end"], r["id"], r["ref"], r["alts"],
-            r["qual"], r["filters"],
-            dict(r["info"]) if r["info"] is not None else None,
-            [
-                (
-                    g["sample"],
-                    g["gt"],
-                    dict(g["fields"]) if g["fields"] is not None else None,
-                )
-                for g in genos
-            ]
-            if genos is not None
-            else None,
-        )
 
 
 def _synthesize_name(r) -> str:

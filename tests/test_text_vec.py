@@ -332,6 +332,41 @@ class TestVCFFormatChunkParity:
         assert got == exp
 
 
+class TestVcfBatchRowsNullFields:
+    def test_null_fields_map_formats_and_encodes(self):
+        """_vcf_batch_rows maps a NULL per-genotype fields map to {} —
+        format_vcf_line iterates g[2] directly (None would TypeError on
+        the text sink's ragged fallback), and BCF's encode_indiv treats
+        None and {} identically, so the substitution is byte-neutral
+        there. Regression: the function was defined twice in sinks.py
+        with the two semantics and the crashable copy shadowed the safe
+        one (r9)."""
+        import pyarrow as pa
+
+        from hadoop_bam_spark.formats.vcf import format_vcf_line
+        from hadoop_bam_spark.sinks import _vcf_batch_rows
+        from hadoop_bam_spark.sources import arrow_schema
+        from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
+
+        batch = pa.RecordBatch.from_pylist(
+            [{
+                "contig": "chr1", "start": 5, "end": 5, "id": None,
+                "ref": "A", "alts": ["G"], "qual": None, "filters": None,
+                "info": None,
+                "genotypes": [
+                    {"sample": "S1", "gt": "0/1",
+                     "fields": {"GT": "0/1"}},
+                    {"sample": "S2", "gt": None, "fields": None},
+                ],
+            }],
+            schema=arrow_schema(VCF_SCHEMA),
+        )
+        rows = list(_vcf_batch_rows(batch))
+        assert rows[0][9][1][2] == {}  # null fields -> {}
+        line = format_vcf_line(rows[0], ["S1", "S2"])
+        assert line.split("\t")[9:] == ["0/1", "."]
+
+
 class TestFastqQseqChunkParity:
     @given(st.data())
     @settings(max_examples=40, deadline=None)
