@@ -13,7 +13,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_bam_spark.operators import dedup, similarity, text as text_ops
+from hadoop_bam_spark.operators import (
+    curation,
+    dedup,
+    similarity,
+    text as text_ops,
+)
 from hadoop_bam_spark.queries.registry import query
 
 
@@ -1854,3 +1859,183 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_q6"
         ),
     )
+
+
+@query(
+    "repetition_ratios",
+    oracle=r"""
+        WITH w AS (
+            SELECT doc_id, t.w
+            FROM documents,
+                 unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '')) AS t(w)
+        ),
+        g AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        wc AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_words,
+                   count(*)::BIGINT AS d_words, max(c)::BIGINT AS top_n
+            FROM g GROUP BY 1
+        ),
+        l AS (
+            SELECT doc_id, t.ln
+            FROM documents,
+                 unnest(list_filter(string_split(text, chr(10)),
+                                    x -> trim(x) <> '')) AS t(ln)
+        ),
+        lc AS (
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   count(DISTINCT ln)::BIGINT AS d_lines,
+                   sum(len(ln))::BIGINT AS lchars
+            FROM l GROUP BY 1
+        ),
+        ldc AS (
+            SELECT doc_id, sum(len(ln))::BIGINT AS dchars
+            FROM (SELECT DISTINCT doc_id, ln FROM l) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(lc.n_lines, 0) AS n_lines,
+               coalesce(round((lc.n_lines - lc.d_lines)::DOUBLE
+                              / lc.n_lines, 6), 0.0) AS dup_line_ratio,
+               coalesce(round((lc.lchars - ldc.dchars)::DOUBLE
+                              / lc.lchars, 6), 0.0) AS dup_line_char_ratio,
+               coalesce(round(wc.top_n::DOUBLE / wc.n_words, 6), 0.0)
+                   AS top_word_ratio,
+               coalesce(round((wc.n_words - wc.d_words)::DOUBLE
+                              / wc.n_words, 6), 0.0) AS dup_word_ratio
+        FROM documents d
+        LEFT JOIN lc USING (doc_id)
+        LEFT JOIN ldc USING (doc_id)
+        LEFT JOIN wc USING (doc_id)
+    """,
+    doc="Gopher-style per-document repetition signals (dup-line ratio by "
+    "occurrence and by characters, top-word mass, dup-word ratio) as "
+    "map-only array expressions — no explode, no shuffle; Catalyst fuses "
+    "the whole thing into the scan stage.",
+    bench=True,
+)
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.repetition_ratios(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pii_scan_redact",
+    oracle=r"""
+        WITH pii AS (
+            SELECT doc_id,
+                   text || CASE doc_id % 3
+                       WHEN 0 THEN ' contact user' || doc_id::VARCHAR
+                                   || '@example.com'
+                       WHEN 1 THEN ' call +1 415 555 0'
+                                   || lpad((doc_id % 100)::VARCHAR, 3, '0')
+                       ELSE ' host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                   END AS text
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9][0-9()\-\. ]{7,14}[0-9]'
+                   ))::BIGINT AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'
+                   ))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'
+                   ))::BIGINT AS n_ssn,
+                   len(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text,
+                                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                   '[PII]', 'g'),
+                               '\+?[0-9][0-9()\-\. ]{7,14}[0-9]',
+                               '[PII]', 'g'),
+                           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                           '[PII]', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'
+                   ))::BIGINT AS redacted_len
+            FROM pii
+        )
+        SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn,
+               n_email + n_phone + n_ipv4 + n_ssn AS n_pii,
+               redacted_len
+        FROM counted
+    """,
+    doc="PII scan + redaction over a deterministically PII-seeded corpus "
+    "(one email / phone / IPv4 per document, derived from doc_id on both "
+    "engines): per-category regexp_count plus the redacted text length, "
+    "all JVM regex inside whole-stage codegen, map-only. The patterns are "
+    "RE2-safe so the exact same regex text runs on Spark and DuckDB.",
+)
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" call +1 415 555 0"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                )
+            ),
+        ).alias("text"),
+    )
+    scanned = curation.pii_scan(docs)
+    redacted = curation.pii_redact(docs).select(
+        "doc_id", F.length("text").cast("long").alias("redacted_len")
+    )
+    return scanned.join(redacted, "doc_id")
+
+
+@query(
+    "paragraph_dedup",
+    oracle=r"""
+        WITH s AS (
+            SELECT doc_id, string_split_regex(text, '\n\s*\n') AS ps
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, i - 1 AS para_idx,
+                   regexp_replace(trim(ps[i]), '\s+', ' ', 'g') AS norm
+            FROM s, unnest(generate_series(1, len(ps))) AS g(i)
+        ),
+        q AS (
+            SELECT doc_id, para_idx::BIGINT AS para_idx, md5(norm) AS md5
+            FROM p WHERE len(norm) >= 20
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5 ORDER BY doc_id, para_idx) AS rn
+            FROM q
+        )
+        SELECT doc_id, para_idx, md5, rn = 1 AS keep FROM r
+    """,
+    doc="Exact paragraph-level dedup (Lee et al.): blank-line paragraphs, "
+    "whitespace-normalized, first occurrence per content hash kept. "
+    "Spark plan: explode + md5 + ONE min_by aggregate per hash "
+    "(map-side partials, AQE-splittable — pinned no-window) + hash "
+    "join-back; paragraph text never shuffles, only 32-byte hashes.",
+    bench=True,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.paragraph_dedup(_t(spark, sf_dir, "documents"))
