@@ -318,38 +318,51 @@ class BCFBatchEncoder:
             entry_lens = np.zeros(0, np.int64)
             info_sec = np.zeros(n, np.int64)
 
-        # ---- genotypes: unique whole-record combos
+        # ---- genotypes
         geno_arr = _combined(col["genotypes"])
         geno_counts = _list_counts(col["genotypes"], n)
-        g_keys = self._genotype_keys(geno_arr, n)
-        g_codes, g_first = _dict_encode_keys(g_keys)
-        g_pieces = []
-        g_nfmt = np.empty(len(g_first), np.int64)
-        # one batched take+to_pylist for every representative record: on
-        # value-diverse cohorts (per-sample DP/GQ near-unique -> unique
-        # combos ~ n) the old per-unique scalar `geno_arr[i].as_py()` was
-        # ~40% of encode_batch (bench_bcf_nulls.py)
-        reps = geno_arr.take(pa.array(g_first)).to_pylist()
-        for u, genos in enumerate(reps):
-            # map values come back as [(k, v), ...] — encode_indiv wants dicts
-            tuples = (
-                [
-                    (
-                        g["sample"],
-                        g["gt"],
-                        dict(g["fields"]) if g["fields"] is not None else None,
-                    )
-                    for g in genos
-                ]
-                if genos
-                else genos
-            )
-            piece, nf = B.encode_indiv(tuples, self.sidx)
-            g_pieces.append(piece)
-            g_nfmt[u] = nf
-        g_table = _PieceTable(g_pieces)
-        indiv_lens = g_table.lens[g_codes]
-        n_fmt = g_nfmt[g_codes]
+        # fully vectorized indiv encode for the uniform-FORMAT batch shape
+        # (every cell shares one key sequence; GT + int/int-vector values)
+        # — value-diverse cohorts make whole-record combos ~100% unique,
+        # so the dictionary below degenerates to per-record encode_indiv
+        # (~8 krec/s measured, bench_bcf_nulls.py); this path has no
+        # per-record python at all
+        fast = self._indiv_uniform_fast(geno_arr, n)
+        if fast is not None:
+            indiv_flat, indiv_lens, n_fmt = fast
+            g_table = g_codes = None
+        else:
+            g_keys = self._genotype_keys(geno_arr, n)
+            g_codes, g_first = _dict_encode_keys(g_keys)
+            g_pieces = []
+            g_nfmt = np.empty(len(g_first), np.int64)
+            # one batched take+to_pylist for every representative record:
+            # the old per-unique scalar `geno_arr[i].as_py()` was ~40% of
+            # encode_batch on unique-combo data
+            reps = geno_arr.take(pa.array(g_first)).to_pylist()
+            for u, genos in enumerate(reps):
+                # map values come back as [(k, v), ...] — encode_indiv
+                # wants dicts
+                tuples = (
+                    [
+                        (
+                            g["sample"],
+                            g["gt"],
+                            dict(g["fields"])
+                            if g["fields"] is not None
+                            else None,
+                        )
+                        for g in genos
+                    ]
+                    if genos
+                    else genos
+                )
+                piece, nf = B.encode_indiv(tuples, self.sidx)
+                g_pieces.append(piece)
+                g_nfmt[u] = nf
+            g_table = _PieceTable(g_pieces)
+            indiv_lens = g_table.lens[g_codes]
+            n_fmt = g_nfmt[g_codes]
 
         # ---- layout
         shared_lens = 24 + id_sec + al_sec + f_sec + info_sec
@@ -410,9 +423,274 @@ class BCFBatchEncoder:
             e_table.scatter(out, e_codes, entry_dest)
 
         # indiv section
-        g_table.scatter(out, g_codes, info_dest + info_sec)
+        indiv_dest = info_dest + info_sec
+        if g_table is None:
+            out[_ramp(indiv_dest, indiv_lens)] = indiv_flat
+        else:
+            g_table.scatter(out, g_codes, indiv_dest)
 
         return out.tobytes(), rec_lens, (contig_id, start - 1, end)
+
+    def _indiv_uniform_fast(self, geno_arr, n: int):
+        """Fully vectorized indiv-section encode for the uniform-FORMAT
+        batch shape -> (flat uint8 stream, per-record byte lens,
+        per-record n_fmt), or ``None`` when the batch doesn't qualify
+        (the unique-combo dictionary path handles it instead).
+
+        Shape contract (checked, bail on any miss):
+        - every record has the same sample count S >= 1, no null
+          genotypes lists / struct elements / fields maps;
+        - every (record, sample) fields map carries the IDENTICAL key
+          sequence (the parquet-borne cohort shape; our own VCF reader
+          drops '.'-valued pairs, so text-parsed data usually varies and
+          takes the dictionary path);
+        - GT values are missing or ploidy <= 2 with single-digit alleles
+          ('0/1', '.', '1|1', null);
+        - every other key holds int or comma-joined-int values ('.' parts
+          = in-cell MISSING, null values = absent cell) — float/string
+          FORMAT values bail.
+
+        Byte parity with ``encode_indiv`` is property-tested
+        (tests/test_bcf_venc.py); every type-choice rule (per-record
+        int8/16/32 from the record's value range, EOV padding to the
+        record's max cell width, MISSING sentinels) is mirrored exactly.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if n == 0 or geno_arr.null_count:
+            return None
+        g_offs = _abs_offsets(geno_arr, n)
+        counts = (g_offs[1:] - g_offs[:-1]).astype(np.int64)
+        S = int(counts[0])
+        if S < 1 or not (counts == S).all():
+            return None
+        lo, hi = int(g_offs[0]), int(g_offs[-1])
+        cells = geno_arr.values.slice(lo, hi - lo)  # n*S structs
+        nc = n * S
+        if cells.null_count:
+            return None
+        f = cells.field("fields")
+        if f.null_count:
+            return None
+        f_offs = _abs_offsets(f, nc)
+        m = int(f_offs[1] - f_offs[0]) if nc else 0
+        if m < 1 or not ((f_offs[1:] - f_offs[:-1]) == m).all():
+            return None
+        klo, khi = int(f_offs[0]), int(f_offs[-1])
+        keys = f.keys.slice(klo, khi - klo)
+        items = f.items.slice(klo, khi - klo)
+        if keys.null_count:
+            return None
+        kd = pc.dictionary_encode(pc.cast(keys, pa.string()))
+        kcodes = np.asarray(kd.indices).astype(np.int64)
+        if not (kcodes.reshape(nc, m) == kcodes[:m]).all():
+            return None
+        key_names = [str(kd.dictionary[int(c)]) for c in kcodes[:m]]
+        if len(set(key_names)) != m:
+            return None  # duplicate key in one map: scalar dedups
+        order = list(range(m))
+        if "GT" in key_names:
+            jg = key_names.index("GT")
+            order = [jg] + [x for x in range(m) if x != jg]
+        try:
+            idx_bytes = [
+                np.frombuffer(B._enc_idx(self.sidx[key_names[j]]), np.uint8)
+                for j in order
+            ]
+        except KeyError:
+            return None  # unknown FORMAT key: scalar raises the real error
+        vals = pc.cast(items, pa.string())
+
+        esize = np.array([0, 1, 2, 4], np.int64)  # per BCF int type code
+        _EOV = {1: B._INT8_EOV, 2: B._INT16_EOV, 3: B._INT32_EOV}
+        _MISS = {1: B._INT8_MISSING, 2: B._INT16_MISSING, 3: B._INT32_MISSING}
+        _NPT = {1: np.int8, 2: np.int16, 3: np.int32}
+
+        rec_of_cell = np.repeat(np.arange(n, dtype=np.int64), S)
+        cell_in_rec = np.tile(np.arange(S, dtype=np.int64), n)
+
+        # per ordered key: (typ[n], width[n], value arrays for emission)
+        per_key = []
+        for j in order:
+            cv = vals.take(pa.array(np.arange(j, nc * m, m)))
+            if key_names[j] == "GT":
+                filled = pc.fill_null(cv, "")
+                ln = np.asarray(pc.binary_length(filled)).astype(np.int64)
+                if not np.isin(ln, (0, 1, 3)).all():
+                    return None
+                comb = filled.combine_chunks() if hasattr(
+                    filled, "combine_chunks") else filled
+                boffs = np.frombuffer(comb.buffers()[1], np.int32)[
+                    comb.offset: comb.offset + nc + 1
+                ].astype(np.int64)
+                data = np.frombuffer(
+                    comb.buffers()[2] or b"\x00", np.uint8
+                )
+                st = boffs[:-1]
+                safe = np.minimum(st, len(data) - 1)
+                c0 = data[safe]
+                c1 = data[np.minimum(safe + 1, len(data) - 1)]
+                c2 = data[np.minimum(safe + 2, len(data) - 1)]
+                one = ln >= 1
+                dig0 = (c0 >= 48) & (c0 <= 57)
+                if not ((~one) | dig0 | (c0 == ord("."))).all():
+                    return None
+                three = ln == 3
+                if not (
+                    (~three) | ((c1 == ord("/")) | (c1 == ord("|")))
+                ).all():
+                    return None
+                dig2 = (c2 >= 48) & (c2 <= 57)
+                if not ((~three) | dig2 | (c2 == ord("."))).all():
+                    return None
+                a0 = np.where(dig0, c0.astype(np.int64) - 48, -1)
+                code0 = np.where(one, ((a0 + 1) << 1), 0)
+                a1 = np.where(dig2, c2.astype(np.int64) - 48, -1)
+                code1 = ((a1 + 1) << 1) | (c1 == ord("|")).astype(np.int64)
+                ploidy = np.where(three, 2, 1)
+                # flatten (value, rec, slot) triplets: slot = sample*width
+                # is resolved at emission; here cell-level (cnt, values)
+                cnt = ploidy
+                flat_vals = np.empty(int(cnt.sum()), np.int64)
+                # interleave code0 at positions cumsum, code1 where three
+                pos = _exclusive_cumsum(cnt)[:-1]
+                flat_vals[pos] = code0
+                flat_vals[pos[three] + 1] = code1[three]
+                flat_miss = np.zeros(len(flat_vals), bool)
+                typ = np.ones(n, np.int64)  # GT codes fit int8 always
+                width = np.maximum(
+                    cnt.reshape(n, S).max(axis=1), 1
+                )
+            else:
+                parts = pc.split_pattern(cv, ",")  # null -> null list
+                cnt = np.asarray(
+                    pc.fill_null(pc.list_value_length(parts), 0)
+                ).astype(np.int64)
+                flat = pc.list_flatten(parts)  # null lists contribute 0
+                dots = pc.equal(flat, ".")
+                try:
+                    ints = pc.cast(
+                        pc.if_else(dots, pa.scalar(None, pa.string()), flat),
+                        pa.int64(),
+                    )
+                except Exception:
+                    return None  # float/string FORMAT value: scalar path
+                flat_miss = np.asarray(ints.is_null())
+                flat_vals = np.asarray(
+                    ints.fill_null(0)
+                ).astype(np.int64)
+                # per-record value range over PRESENT ints (scalar:
+                # min/max of isinstance-int values, default 0, no clamp)
+                rec_ids = np.repeat(rec_of_cell, cnt)
+                lo_r = np.zeros(n, np.int64)
+                hi_r = np.zeros(n, np.int64)
+                present = ~flat_miss
+                if present.any():
+                    lo_acc = np.full(n, np.iinfo(np.int64).max, np.int64)
+                    hi_acc = np.full(n, np.iinfo(np.int64).min, np.int64)
+                    np.minimum.at(lo_acc, rec_ids[present],
+                                  flat_vals[present])
+                    np.maximum.at(hi_acc, rec_ids[present],
+                                  flat_vals[present])
+                    got = lo_acc != np.iinfo(np.int64).max
+                    lo_r[got] = lo_acc[got]
+                    hi_r[got] = hi_acc[got]
+                typ = np.where(
+                    (lo_r >= -120) & (hi_r <= 127), 1,
+                    np.where((lo_r >= -32000) & (hi_r <= 32767), 2, 3),
+                )
+                # width: max cell count, cells with 0 values excluded,
+                # default 1 (mirrors `max((len(c) for c in cells if c),
+                # default=1)`)
+                width = np.maximum(cnt.reshape(n, S).max(axis=1), 1)
+            per_key.append((cnt, flat_vals, flat_miss, typ, width))
+
+        # ---- lengths and layout
+        desc_cache: dict = {}
+
+        def desc_bytes(t: int, w: int) -> np.ndarray:
+            got = desc_cache.get((t, w))
+            if got is None:
+                got = desc_cache[(t, w)] = np.frombuffer(
+                    B._enc_descriptor(int(t), int(w)), np.uint8
+                )
+            return got
+
+        block_lens = np.empty((len(order), n), np.int64)
+        desc_lens = np.empty((len(order), n), np.int64)
+        for ki, (cnt, fv, fm, typ, width) in enumerate(per_key):
+            dl = np.empty(n, np.int64)
+            for (t, w) in {
+                (int(t), int(w)) for t, w in zip(typ.tolist(), width.tolist())
+            }:
+                dl[(typ == t) & (width == w)] = len(desc_bytes(t, w))
+            desc_lens[ki] = dl
+            block_lens[ki] = (
+                len(idx_bytes[ki]) + dl + S * width * esize[typ]
+            )
+        rec_lens = block_lens.sum(axis=0)
+        rec_starts = _exclusive_cumsum(rec_lens)
+        total = int(rec_starts[-1])
+        rec_starts = rec_starts[:-1]
+        out = np.empty(total, np.uint8)
+
+        key_off = rec_starts.copy()
+        for ki, (cnt, flat_vals, flat_miss, typ, width) in enumerate(per_key):
+            ib = idx_bytes[ki]
+            # key index bytes (constant per key)
+            out[key_off[:, None] + np.arange(len(ib))] = ib
+            dstart = key_off + len(ib)
+            pstart = dstart + desc_lens[ki]
+            for (t, w) in {
+                (int(t), int(w)) for t, w in zip(typ.tolist(), width.tolist())
+            }:
+                sel = (typ == t) & (width == w)
+                db = desc_bytes(t, w)
+                out[dstart[sel][:, None] + np.arange(len(db))] = db
+            # payload: prefill EOV per type group, then scatter values
+            for t in (1, 2, 3):
+                gsel = typ == t
+                if not gsel.any():
+                    continue
+                es = int(esize[t])
+                plens = S * width[gsel] * es
+                eov_le = np.frombuffer(
+                    np.array([_EOV[t]], dtype="<i%d" % es).tobytes(),
+                    np.uint8,
+                )
+                slots = _ramp(pstart[gsel], plens)
+                out[slots] = np.tile(eov_le, len(slots) // es)
+            # value elements: dest = pstart[rec] + (sample*width[rec] +
+            # i) * esize[typ[rec]]
+            elem_rec = np.repeat(rec_of_cell, cnt)
+            elem_cell_sample = np.repeat(cell_in_rec, cnt)
+            # index within the cell
+            pos0 = _exclusive_cumsum(cnt)[:-1]
+            elem_i = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                pos0, cnt
+            )
+            vv = np.where(flat_miss, 0, flat_vals)
+            for t in (1, 2, 3):
+                es = int(esize[t])
+                sel = typ[elem_rec] == t
+                if not sel.any():
+                    continue
+                dest = (
+                    pstart[elem_rec[sel]]
+                    + (
+                        elem_cell_sample[sel] * width[elem_rec[sel]]
+                        + elem_i[sel]
+                    )
+                    * es
+                )
+                v = np.where(flat_miss[sel], _MISS[t], vv[sel])
+                vb = v.astype("<i%d" % es).view(np.uint8).reshape(-1, es)
+                for b in range(es):
+                    out[dest + b] = vb[:, b]
+            key_off = key_off + block_lens[ki]
+
+        return out, rec_lens, np.full(n, m, np.int64)
 
     def _genotype_keys(self, geno_arr, n: int):
         """Composed per-record key discriminating genotype combos.

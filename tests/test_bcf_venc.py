@@ -152,6 +152,139 @@ def test_null_children_raise_vecunsupported(row):
         BCFBatchEncoder(hdr).encode_batch(_to_batch([partner, row]))
 
 
+def _uniform_rows(variants):
+    """Rows whose every (record, sample) fields map shares one key
+    sequence — the shape the r9 numpy indiv fast path targets."""
+    rows = []
+    for i, genos in enumerate(variants):
+        rows.append(
+            ("chr1", 10 + i, 10 + i, None, "A", ["G"], None, None, None,
+             genos)
+        )
+    return rows
+
+
+class TestIndivUniformFastPath:
+    """r9 numpy indiv encoder: byte parity with encode_indiv on the
+    uniform-FORMAT shape, correct bail-out to the dictionary path
+    otherwise."""
+
+    def _fast(self, rows):
+        import pyarrow as pa
+
+        hdr = bcf.parse_bcf_header_text(HDR_TEXT)
+        enc = BCFBatchEncoder(hdr)
+        batch = _to_batch(rows)
+        geno = batch.column(batch.schema.get_field_index("genotypes"))
+        if isinstance(geno, pa.ChunkedArray):
+            geno = geno.combine_chunks()
+        return enc._indiv_uniform_fast(geno, batch.num_rows)
+
+    def test_triggers_on_uniform_and_matches(self):
+        rows = _uniform_rows([
+            [("S1", "0/1", {"GT": "0/1", "DP": "12", "PL": "0,30,255"}),
+             ("S2", "1|1", {"GT": "1|1", "DP": None, "PL": "10,0,."})],
+            [("S1", ".", {"GT": ".", "DP": "99", "PL": None}),
+             ("S2", None, {"GT": None, "DP": ".", "PL": "1,2"})],
+            # values crossing the int8 and int16 bounds force per-record
+            # int16/int32 payloads
+            [("S1", "0/0", {"GT": "0/0", "DP": "-121", "PL": "128,5"}),
+             ("S2", "0/0", {"GT": "0/0", "DP": "40000", "PL": "0,0,0"})],
+            [("S1", "0/0", {"GT": "0/0", "DP": "2", "PL": "70000"}),
+             ("S2", "0/0", {"GT": "0/0", "DP": "-32001", "PL": "3"})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_bails_on_varying_keys(self):
+        rows = _uniform_rows([
+            [("S1", "0/1", {"GT": "0/1", "DP": "12"})],
+            [("S1", "0/1", {"GT": "0/1", "GQ": "30"})],  # different key
+        ])
+        assert self._fast(rows) is None
+        _assert_parity(rows)  # dictionary path still byte-correct
+
+    def test_bails_on_exotic_gt_and_float(self):
+        # ploidy 3 GT
+        a = _uniform_rows([[("S1", "0/1/1", {"GT": "0/1/1"})]])
+        assert self._fast(a) is None
+        _assert_parity(a)
+        # multi-digit allele
+        b = _uniform_rows([[("S1", "10/1", {"GT": "10/1"})]])
+        assert self._fast(b) is None
+        _assert_parity(b)
+        # float FORMAT value -> scalar float encoding path
+        c = _uniform_rows([[("S1", None, {"AB": "0.5"})]])
+        assert self._fast(c) is None
+        _assert_parity(c)
+
+    def test_gt_forms(self):
+        rows = _uniform_rows([
+            [("S1", g, {"GT": g})] for g in
+            ["0/0", "0/1", "1/1", "0|1", "1|0", ".", "./.", ".|.",
+             "9/9", "0", "1", None]
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_single_sample_many_widths(self):
+        rows = _uniform_rows([
+            [("S1", None, {"HQ": "1"})],
+            [("S1", None, {"HQ": "1,2,3,4,5"})],
+            [("S1", None, {"HQ": None})],
+            [("S1", None, {"HQ": "."})],
+            [("S1", None, {"HQ": "-1,."})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_indiv_uniform_property_parity(data):
+    """Random uniform-key batches: fast-path container bytes must equal
+    the scalar oracle byte-for-byte."""
+    rng = data.draw(st.randoms(use_true_random=False))
+    n = data.draw(st.integers(1, 12))
+    n_samples = data.draw(st.integers(1, 3))
+    keyset = data.draw(
+        st.sampled_from([
+            ("GT",), ("DP",), ("GT", "DP"), ("GT", "DP", "PL"),
+            ("DP", "HQ"), ("GT", "GQ", "HQ"),
+        ])
+    )
+
+    def gt():
+        return rng.choice(
+            ["0/0", "0/1", "1|1", ".", "./.", "0", None, "5|9"]
+        )
+
+    def intval(multi):
+        if rng.random() < 0.25:
+            return None
+        if rng.random() < 0.15:
+            return "."
+        k = rng.randint(1, 3) if multi else 1
+        return ",".join(
+            str(rng.choice([0, 5, -7, 127, 128, -121, 32768, -40000, 7]))
+            for _ in range(k)
+        )
+
+    variants = []
+    for _ in range(n):
+        genos = []
+        for s in range(n_samples):
+            fields = {}
+            for k in keyset:
+                if k == "GT":
+                    fields["GT"] = gt()
+                else:
+                    fields[k] = intval(k in ("PL", "HQ"))
+            genos.append((f"S{s + 1}", fields.get("GT"), fields))
+        variants.append(genos)
+    _assert_parity(_uniform_rows(variants))
+
+
 def test_null_format_value_vectorized_parity():
     """Null FORMAT values (the real-VCF spec-missing shape when frames
     come from parquet) stay on the vectorized path (r9: sentinel in the
