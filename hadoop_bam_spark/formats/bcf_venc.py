@@ -440,10 +440,12 @@ class BCFBatchEncoder:
         Shape contract (checked, bail on any miss):
         - every record has the same sample count S >= 1, no null
           genotypes lists / struct elements / fields maps;
-        - every (record, sample) fields map carries the IDENTICAL key
-          sequence (the parquet-borne cohort shape; our own VCF reader
-          drops '.'-valued pairs, so text-parsed data usually varies and
-          takes the dictionary path);
+        - within each record, every sample's fields map carries the
+          IDENTICAL key sequence. One sequence across the whole batch
+          (the parquet-borne cohort shape) takes the single-group path;
+          sequences varying ACROSS records (the single-sample VCF-text
+          shape — the parser drops '.'-valued pairs per record) group by
+          signature and encode per group (``_indiv_grouped``);
         - GT values are missing or ploidy <= 2 with single-digit alleles
           ('0/1', '.', '1|1', null);
         - every other key holds int or comma-joined-int values ('.' parts
@@ -467,9 +469,92 @@ class BCFBatchEncoder:
             return None
         lo, hi = int(g_offs[0]), int(g_offs[-1])
         cells = geno_arr.values.slice(lo, hi - lo)  # n*S structs
-        nc = n * S
         if cells.null_count:
             return None
+        res = self._encode_cells_uniform(cells, n, S)
+        if res is not None:
+            return res
+        return self._indiv_grouped(cells, n, S)
+
+    def _indiv_grouped(self, cells, n: int, S: int):
+        """Per-keyset grouping: records whose cells all share ONE key
+        sequence, but where the sequence VARIES across records (the
+        single-sample VCF-text shape — the parser drops '.'-valued pairs
+        per record) group by their key-sequence signature; each group
+        encodes through the uniform fast path and the flats merge back
+        in record order with one byte gather. Bails (None) when any
+        record's cells disagree with each other, when a group fails the
+        uniform contract, or when fragmentation is too high to pay the
+        per-group overhead."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nc = n * S
+        f = cells.field("fields")
+        if f.null_count:
+            return None
+        f_offs = _abs_offsets(f, nc)
+        klo = int(f_offs[0])
+        keys = f.keys.slice(klo, int(f_offs[-1]) - klo)
+        if keys.null_count:
+            return None
+        cell_keys = pa.ListArray.from_arrays(
+            (f_offs - klo).astype(np.int32), pc.cast(keys, pa.string())
+        )
+        sig = pc.dictionary_encode(
+            pc.fill_null(pc.binary_join(cell_keys, "\x00"), "")
+        )
+        codes = np.asarray(sig.indices).astype(np.int64).reshape(n, S)
+        if not (codes == codes[:, :1]).all():
+            return None  # cells within one record disagree: union shape
+        rec_sig = codes[:, 0]
+        groups = np.unique(rec_sig)
+        if len(groups) > 32:
+            return None  # too fragmented; dictionary path instead
+        m_per_cell = (f_offs[1:] - f_offs[:-1]).astype(np.int64)
+        parts = []
+        for sg in groups.tolist():
+            ridx = np.flatnonzero(rec_sig == sg)
+            n_g = len(ridx)
+            if int(m_per_cell[ridx[0] * S]) == 0:
+                # empty fields maps: encode_indiv emits nothing, n_fmt 0
+                parts.append(
+                    (ridx, np.zeros(0, np.uint8),
+                     np.zeros(n_g, np.int64), 0)
+                )
+                continue
+            cidx = (ridx[:, None] * S + np.arange(S)).ravel()
+            cells_g = cells.take(pa.array(cidx))
+            res = self._encode_cells_uniform(cells_g, n_g, S)
+            if res is None:
+                return None
+            flat_g, lens_g, nfmt_g = res
+            parts.append((ridx, flat_g, lens_g, int(nfmt_g[0])))
+        lens = np.empty(n, np.int64)
+        nfmt = np.empty(n, np.int64)
+        for ridx, _, lens_g, m_g in parts:
+            lens[ridx] = lens_g
+            nfmt[ridx] = m_g
+        starts = _exclusive_cumsum(lens)[:-1]
+        flat = np.empty(int(lens.sum()), np.uint8)
+        for ridx, flat_g, lens_g, _ in parts:
+            if not len(flat_g):
+                continue
+            g_starts = _exclusive_cumsum(lens_g)[:-1]
+            flat[_ramp(starts[ridx], lens_g)] = flat_g[
+                _ramp(g_starts, lens_g)
+            ]
+        return flat, lens, nfmt
+
+    def _encode_cells_uniform(self, cells, n: int, S: int):
+        """The uniform-key-sequence encoder proper: ``cells`` is the
+        (n*S)-long genotype struct child; every cell must carry the same
+        key sequence. Returns (flat, per-record lens, per-record n_fmt)
+        or None."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nc = n * S
         f = cells.field("fields")
         if f.null_count:
             return None

@@ -196,10 +196,26 @@ class TestIndivUniformFastPath:
         assert self._fast(rows) is not None
         _assert_parity(rows)
 
-    def test_bails_on_varying_keys(self):
+    def test_varying_keys_across_records_grouped(self):
+        """Key sequences varying ACROSS records (each record internally
+        uniform — the single-sample VCF-text shape) take the r9 grouped
+        path: still vectorized, byte-identical."""
         rows = _uniform_rows([
             [("S1", "0/1", {"GT": "0/1", "DP": "12"})],
             [("S1", "0/1", {"GT": "0/1", "GQ": "30"})],  # different key
+            [("S1", None, {})],                          # empty map group
+            [("S1", "1/1", {"GT": "1/1", "DP": "300", "PL": "0,.,5"})],
+            [("S1", "0/1", {"GT": "0/1", "DP": None})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_bails_on_within_record_disagreement(self):
+        """Samples of ONE record with different key sets need the union
+        semantics (absent key -> EOV cell) — dictionary path."""
+        rows = _uniform_rows([
+            [("S1", "0/1", {"GT": "0/1", "DP": "12"}),
+             ("S2", "0/1", {"GT": "0/1"})],  # DP absent in S2
         ])
         assert self._fast(rows) is None
         _assert_parity(rows)  # dictionary path still byte-correct
@@ -247,12 +263,14 @@ def test_indiv_uniform_property_parity(data):
     rng = data.draw(st.randoms(use_true_random=False))
     n = data.draw(st.integers(1, 12))
     n_samples = data.draw(st.integers(1, 3))
-    keyset = data.draw(
-        st.sampled_from([
-            ("GT",), ("DP",), ("GT", "DP"), ("GT", "DP", "PL"),
-            ("DP", "HQ"), ("GT", "GQ", "HQ"),
-        ])
-    )
+    keysets = [
+        ("GT",), ("DP",), ("GT", "DP"), ("GT", "DP", "PL"),
+        ("DP", "HQ"), ("GT", "GQ", "HQ"), (),
+    ]
+    # per_record=True exercises the r9 grouped path (key sequences vary
+    # across records, uniform within each)
+    per_record = data.draw(st.booleans())
+    keyset = data.draw(st.sampled_from(keysets[:-1]))
 
     def gt():
         return rng.choice(
@@ -272,6 +290,8 @@ def test_indiv_uniform_property_parity(data):
 
     variants = []
     for _ in range(n):
+        if per_record:
+            keyset = rng.choice(keysets)
         genos = []
         for s in range(n_samples):
             fields = {}
