@@ -2,8 +2,9 @@
 
 The reference is batch-only (SURVEY.md §2.9) — this module is part of the
 beyond-reference pipeline surface: streaming ingest of the same formats
-(``fastq_stream``, ``vcf_stream``, ``bam_stream``, ``bcf_stream``
-directory-tail sources), streaming shard sinks for BAM/VCF/CRAM/BCF
+(``fastq_stream``, ``vcf_stream``, ``bam_stream``, ``bcf_stream``,
+``cram_stream`` directory-tail sources), streaming shard sinks for
+BAM/VCF/CRAM/BCF
 (``writeStream.format("bam"|"vcf"|"cram"|"bcf")`` — rename-committed
 standalone shards, the producer side of the tail sources), and
 stateful/windowed processing of event streams,

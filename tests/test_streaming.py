@@ -914,6 +914,73 @@ class TestCramStreamSink:
         got = sorted((r.qname, r.pos, r.seq) for r in back.collect())
         assert got == sorted((r[0], r[3], r[9]) for r in rows)
 
+        # r9: the cram_stream tail source closes the loop — it consumes
+        # the streaming CRAM sink's own output THROUGH the manifests
+        from hadoop_bam_spark.streaming.cram_stream import (
+            CramStreamDataSource,
+        )
+
+        spark.dataSource.register(CramStreamDataSource)
+        q2 = (
+            spark.readStream.format("cram_stream")
+            .load(str(out))
+            .writeStream.format("memory")
+            .queryName("t_cram_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        tailed = sorted(
+            (r.qname, r.pos, r.seq)
+            for r in spark.table("t_cram_stream").collect()
+        )
+        assert tailed == got
+
+    def test_cram_stream_exactly_once_and_manifest_gate(self, spark,
+                                                        tmp_path):
+        """Direct reader contract: lazy rows, exactly-once offsets, and
+        manifest-gated listing (a visible shard without its manifest is
+        not consumed)."""
+        import copy
+
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA, SAMHeader
+        from hadoop_bam_spark.streaming.cram_stream import CramStreamReader
+        from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
+
+        rows = [
+            (f"x{i}", 0, "chr1", 1 + i, 60, "4M", None, 0, 0, "ACGT",
+             "IIII", {})
+            for i in range(30)
+        ]
+        hdr = SAMHeader()
+        hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+        hdr.sequences = {"chr1": (0, 5000)}
+        land = str(tmp_path / "cram_landing")
+        df = spark.createDataFrame(rows, SAM_SCHEMA).repartition(2)
+        sinks.write_cram(df, land, hdr, sharded=True)
+        rdr = CramStreamReader({"path": land})
+        got, off = rdr.read(rdr.initialOffset())
+        assert isinstance(got, LazyFileRows)
+        assert sum(1 for _ in copy.copy(got)) == 30
+        again, off2 = rdr.read(off)
+        assert sum(1 for _ in copy.copy(again)) == 0 and off2 == off
+        # manifest gate: a sink dir (.staging present) with an orphan
+        # shard and no manifest reads as empty
+        gated = tmp_path / "gated"
+        gated.mkdir()
+        (gated / ".staging").mkdir()
+        import shutil
+
+        src = next(
+            f for f in os.listdir(land) if f.endswith(".cram")
+        )
+        shutil.copy(os.path.join(land, src), gated / "batch-00000-00000.cram")
+        r2 = CramStreamReader({"path": str(gated)})
+        empty, _ = r2.read(r2.initialOffset())
+        assert sum(1 for _ in copy.copy(empty)) == 0
+
     def test_stream_cram_reference_compressed(self, spark, tmp_path):
         """option('reference') makes the streamed shards RR=true: smaller
         than verbatim shards of the same rows, unreadable without the
