@@ -587,10 +587,11 @@ class BCFBatchEncoder:
             return None  # unknown FORMAT key: scalar raises the real error
         vals = pc.cast(items, pa.string())
 
-        esize = np.array([0, 1, 2, 4], np.int64)  # per BCF int type code
+        # element byte size per BCF type code (1/2/3 = int8/16/32,
+        # 5 = float32, 7 = char)
+        esize = np.array([0, 1, 2, 4, 0, 4, 0, 1], np.int64)
         _EOV = {1: B._INT8_EOV, 2: B._INT16_EOV, 3: B._INT32_EOV}
         _MISS = {1: B._INT8_MISSING, 2: B._INT16_MISSING, 3: B._INT32_MISSING}
-        _NPT = {1: np.int8, 2: np.int16, 3: np.int32}
 
         rec_of_cell = np.repeat(np.arange(n, dtype=np.int64), S)
         cell_in_rec = np.tile(np.arange(S, dtype=np.int64), n)
@@ -647,49 +648,113 @@ class BCFBatchEncoder:
                 width = np.maximum(
                     cnt.reshape(n, S).max(axis=1), 1
                 )
+                flat_flt = s_starts = s_data = cell_len = None
             else:
+                # Per-record type selection, mirroring encode_indiv's
+                # try-int, try-float, else-string over each record's flat
+                # values. Strict regex classification; anything python's
+                # int()/float() would accept that the regexes reject
+                # (whitespace, '+', '_' digit separators, inf/nan) bails
+                # the batch so the scalar oracle decides.
+                filled_cv = pc.fill_null(cv, "")
+                blen = np.asarray(pc.binary_length(filled_cv)).astype(
+                    np.int64
+                )
+                # ASCII only: the scalar string path pads by CHARS then
+                # encodes utf-8 (byte length drifts for non-ASCII), and
+                # python accepts unicode digits the regexes don't
+                if not (
+                    blen
+                    == np.asarray(pc.utf8_length(filled_cv)).astype(np.int64)
+                ).all():
+                    return None
                 parts = pc.split_pattern(cv, ",")  # null -> null list
                 cnt = np.asarray(
                     pc.fill_null(pc.list_value_length(parts), 0)
                 ).astype(np.int64)
                 flat = pc.list_flatten(parts)  # null lists contribute 0
-                dots = pc.equal(flat, ".")
-                try:
-                    ints = pc.cast(
-                        pc.if_else(dots, pa.scalar(None, pa.string()), flat),
-                        pa.int64(),
+                dots = np.asarray(pc.equal(flat, "."))
+                if len(dots) and np.asarray(
+                    pc.match_substring_regex(
+                        flat, r"(?i)[\s_]|^\+|inf|nan"
                     )
-                except Exception:
-                    return None  # float/string FORMAT value: scalar path
-                flat_miss = np.asarray(ints.is_null())
-                flat_vals = np.asarray(
-                    ints.fill_null(0)
-                ).astype(np.int64)
+                ).any():
+                    return None
+                is_int = np.asarray(
+                    pc.match_substring_regex(flat, r"^-?[0-9]+$")
+                )
+                is_num = is_int | np.asarray(
+                    pc.match_substring_regex(
+                        flat,
+                        r"^-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)"
+                        r"(?:[eE][+-]?[0-9]+)?$",
+                    )
+                )
+                rec_ids = np.repeat(rec_of_cell, cnt)
+                rec_is_int = (
+                    np.bincount(rec_ids[~(is_int | dots)], minlength=n) == 0
+                )
+                rec_is_num = (
+                    np.bincount(rec_ids[~(is_num | dots)], minlength=n) == 0
+                )
+                rec_is_flt = rec_is_num & ~rec_is_int
+                rec_is_str = ~rec_is_num
+                flat_miss = dots
+                flat_vals = np.zeros(len(dots), np.int64)
+                int_sel = rec_is_int[rec_ids] & ~dots
+                if int_sel.any():
+                    flat_vals[int_sel] = np.asarray(
+                        pc.cast(flat.filter(pa.array(int_sel)), pa.int64())
+                    )
+                flat_flt = np.zeros(len(dots), np.float64)
+                flt_sel = rec_is_flt[rec_ids] & ~dots
+                if flt_sel.any():
+                    flat_flt[flt_sel] = np.asarray(
+                        pc.cast(
+                            flat.filter(pa.array(flt_sel)), pa.float64()
+                        )
+                    )
                 # per-record value range over PRESENT ints (scalar:
                 # min/max of isinstance-int values, default 0, no clamp)
-                rec_ids = np.repeat(rec_of_cell, cnt)
                 lo_r = np.zeros(n, np.int64)
                 hi_r = np.zeros(n, np.int64)
-                present = ~flat_miss
-                if present.any():
+                if int_sel.any():
                     lo_acc = np.full(n, np.iinfo(np.int64).max, np.int64)
                     hi_acc = np.full(n, np.iinfo(np.int64).min, np.int64)
-                    np.minimum.at(lo_acc, rec_ids[present],
-                                  flat_vals[present])
-                    np.maximum.at(hi_acc, rec_ids[present],
-                                  flat_vals[present])
+                    np.minimum.at(lo_acc, rec_ids[int_sel],
+                                  flat_vals[int_sel])
+                    np.maximum.at(hi_acc, rec_ids[int_sel],
+                                  flat_vals[int_sel])
                     got = lo_acc != np.iinfo(np.int64).max
                     lo_r[got] = lo_acc[got]
                     hi_r[got] = hi_acc[got]
-                typ = np.where(
+                int_typ = np.where(
                     (lo_r >= -120) & (hi_r <= 127), 1,
                     np.where((lo_r >= -32000) & (hi_r <= 32767), 2, 3),
                 )
-                # width: max cell count, cells with 0 values excluded,
-                # default 1 (mirrors `max((len(c) for c in cells if c),
-                # default=1)`)
-                width = np.maximum(cnt.reshape(n, S).max(axis=1), 1)
-            per_key.append((cnt, flat_vals, flat_miss, typ, width))
+                typ = np.where(
+                    rec_is_str, 7, np.where(rec_is_flt, 5, int_typ)
+                )
+                # width: int/float records use the max cell VALUE count
+                # (0-value cells excluded, default 1); string records use
+                # the max cell CHAR length of the unsplit value, min 1
+                w_num = np.maximum(cnt.reshape(n, S).max(axis=1), 1)
+                w_str = np.maximum(blen.reshape(n, S).max(axis=1), 1)
+                width = np.where(rec_is_str, w_str, w_num)
+                # raw cell bytes for the string payload
+                comb = filled_cv.combine_chunks() if hasattr(
+                    filled_cv, "combine_chunks") else filled_cv
+                s_starts = np.frombuffer(comb.buffers()[1], np.int32)[
+                    comb.offset: comb.offset + nc + 1
+                ].astype(np.int64)[:-1]
+                s_data = np.frombuffer(
+                    comb.buffers()[2] or b"", np.uint8
+                )
+                cell_len = blen
+            per_key.append(
+                (cnt, flat_vals, flat_miss, typ, width,
+                 flat_flt, s_starts, s_data, cell_len)
+            )
 
         # ---- lengths and layout
         desc_cache: dict = {}
@@ -704,7 +769,8 @@ class BCFBatchEncoder:
 
         block_lens = np.empty((len(order), n), np.int64)
         desc_lens = np.empty((len(order), n), np.int64)
-        for ki, (cnt, fv, fm, typ, width) in enumerate(per_key):
+        for ki, entry in enumerate(per_key):
+            typ, width = entry[3], entry[4]
             dl = np.empty(n, np.int64)
             for (t, w) in {
                 (int(t), int(w)) for t, w in zip(typ.tolist(), width.tolist())
@@ -721,7 +787,9 @@ class BCFBatchEncoder:
         out = np.empty(total, np.uint8)
 
         key_off = rec_starts.copy()
-        for ki, (cnt, flat_vals, flat_miss, typ, width) in enumerate(per_key):
+        for ki, entry in enumerate(per_key):
+            (cnt, flat_vals, flat_miss, typ, width,
+             flat_flt, s_starts, s_data, cell_len) = entry
             ib = idx_bytes[ki]
             # key index bytes (constant per key)
             out[key_off[:, None] + np.arange(len(ib))] = ib
@@ -733,21 +801,33 @@ class BCFBatchEncoder:
                 sel = (typ == t) & (width == w)
                 db = desc_bytes(t, w)
                 out[dstart[sel][:, None] + np.arange(len(db))] = db
-            # payload: prefill EOV per type group, then scatter values
-            for t in (1, 2, 3):
+            # payload: prefill per type group (int EOV / float EOV bits /
+            # NUL string padding), then scatter values
+            for t in (1, 2, 3, 5, 7):
                 gsel = typ == t
                 if not gsel.any():
                     continue
                 es = int(esize[t])
                 plens = S * width[gsel] * es
-                eov_le = np.frombuffer(
-                    np.array([_EOV[t]], dtype="<i%d" % es).tobytes(),
-                    np.uint8,
-                )
                 slots = _ramp(pstart[gsel], plens)
+                if t == 7:
+                    out[slots] = 0
+                    continue
+                if t == 5:
+                    eov_le = np.frombuffer(
+                        np.array(
+                            [B._FLOAT_EOV_BITS], dtype="<u4"
+                        ).tobytes(),
+                        np.uint8,
+                    )
+                else:
+                    eov_le = np.frombuffer(
+                        np.array([_EOV[t]], dtype="<i%d" % es).tobytes(),
+                        np.uint8,
+                    )
                 out[slots] = np.tile(eov_le, len(slots) // es)
-            # value elements: dest = pstart[rec] + (sample*width[rec] +
-            # i) * esize[typ[rec]]
+            # numeric value elements: dest = pstart[rec] +
+            # (sample*width[rec] + i) * esize[typ[rec]]
             elem_rec = np.repeat(rec_of_cell, cnt)
             elem_cell_sample = np.repeat(cell_in_rec, cnt)
             # index within the cell
@@ -773,6 +853,38 @@ class BCFBatchEncoder:
                 vb = v.astype("<i%d" % es).view(np.uint8).reshape(-1, es)
                 for b in range(es):
                     out[dest + b] = vb[:, b]
+            if flat_flt is not None:
+                sel = typ[elem_rec] == 5
+                if sel.any():
+                    dest = (
+                        pstart[elem_rec[sel]]
+                        + (
+                            elem_cell_sample[sel] * width[elem_rec[sel]]
+                            + elem_i[sel]
+                        )
+                        * 4
+                    )
+                    bits = flat_flt[sel].astype("<f4").view("<u4")
+                    bits = np.where(
+                        flat_miss[sel],
+                        np.uint32(B._FLOAT_MISSING_BITS),
+                        bits,
+                    ).astype("<u4")
+                    vb = bits.view(np.uint8).reshape(-1, 4)
+                    for b in range(4):
+                        out[dest + b] = vb[:, b]
+            if s_starts is not None:
+                # string cells: raw chars at sample*width, NUL-padded
+                csel = (typ[rec_of_cell] == 7) & (cell_len > 0)
+                if csel.any():
+                    dest = (
+                        pstart[rec_of_cell[csel]]
+                        + cell_in_rec[csel] * width[rec_of_cell[csel]]
+                    )
+                    lens_c = cell_len[csel]
+                    out[_ramp(dest, lens_c)] = s_data[
+                        _ramp(s_starts[csel], lens_c)
+                    ]
             key_off = key_off + block_lens[ki]
 
         return out, rec_lens, np.full(n, m, np.int64)

@@ -220,7 +220,7 @@ class TestIndivUniformFastPath:
         assert self._fast(rows) is None
         _assert_parity(rows)  # dictionary path still byte-correct
 
-    def test_bails_on_exotic_gt_and_float(self):
+    def test_bails_on_exotic_gt(self):
         # ploidy 3 GT
         a = _uniform_rows([[("S1", "0/1/1", {"GT": "0/1/1"})]])
         assert self._fast(a) is None
@@ -229,10 +229,43 @@ class TestIndivUniformFastPath:
         b = _uniform_rows([[("S1", "10/1", {"GT": "10/1"})]])
         assert self._fast(b) is None
         _assert_parity(b)
-        # float FORMAT value -> scalar float encoding path
-        c = _uniform_rows([[("S1", None, {"AB": "0.5"})]])
-        assert self._fast(c) is None
-        _assert_parity(c)
+
+    def test_float_and_string_values_fast(self):
+        """Per-record type selection parity: the scalar tries int, then
+        float, then string PER RECORD — a column mixing '5' and '0.5'
+        encodes record A as an int vector and record B as floats."""
+        rows = _uniform_rows([
+            [("S1", None, {"AB": "0.5"})],           # float
+            [("S1", None, {"AB": "5"})],             # int (same key!)
+            [("S1", None, {"AB": "0.25,0.75"})],     # float vector
+            [("S1", None, {"AB": "."})],             # missing
+            [("S1", None, {"AB": None})],            # absent
+            [("S1", None, {"AB": "-1e3"})],          # exponent float
+            [("S1", None, {"AB": "PASS;q10"})],      # string (FT-like)
+            [("S1", None, {"AB": ""})],              # empty -> string path
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_float_string_multi_sample(self):
+        rows = _uniform_rows([
+            [("S1", None, {"FT": "PASS", "AB": "0.5,1.5"}),
+             ("S2", None, {"FT": "q10;lowdp", "AB": None}),
+             ("S3", None, {"FT": None, "AB": "2.5"})],
+            [("S1", None, {"FT": ".", "AB": "3"}),
+             ("S2", None, {"FT": "x", "AB": "4"}),
+             ("S3", None, {"FT": "longest-string-here", "AB": "."})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_weird_numeric_forms_bail(self):
+        """Values python parses but the strict classifier won't (' 5',
+        'nan', '1_0') must bail the batch so the scalar oracle decides."""
+        for v in (" 5", "nan", "1_0", "inf", "+5"):
+            rows = _uniform_rows([[("S1", None, {"AB": v})]])
+            assert self._fast(rows) is None, v
+            _assert_parity(rows)
 
     def test_gt_forms(self):
         rows = _uniform_rows([
@@ -282,6 +315,17 @@ def test_indiv_uniform_property_parity(data):
             return None
         if rng.random() < 0.15:
             return "."
+        r = rng.random()
+        if r < 0.1:  # float record (per-record type selection)
+            k = rng.randint(1, 3) if multi else 1
+            return ",".join(
+                rng.choice(["0.5", "-1.25", "3", "1e3", "-.5", "2."])
+                for _ in range(k)
+            )
+        if r < 0.18:  # string record (unsplit, char-padded)
+            return rng.choice(
+                ["PASS", "q10;lowdp", "x", "", "a,b", "longer-string"]
+            )
         k = rng.randint(1, 3) if multi else 1
         return ",".join(
             str(rng.choice([0, 5, -7, 127, 128, -121, 32768, -40000, 7]))
