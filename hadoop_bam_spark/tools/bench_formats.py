@@ -91,6 +91,53 @@ def _variants_df(spark, n: int):
     )
 
 
+def _variants_rich_df(spark, n: int):
+    """Real-cohort FORMAT shape: 3 samples, GT:DP:GQ:PL with per-record
+    varying values and spec-missing cells — the data that used to bound
+    BCF write at the scalar indiv encoder (~8 krec/s) before the r9
+    numpy fast path."""
+    def geno(s):
+        gt = F.element_at(
+            F.array(F.lit("0/0"), F.lit("0/1"), F.lit("1/1")),
+            ((F.col("id") + s) % 3 + 1).cast("int"),
+        )
+        dp = F.when(
+            (F.col("id") + s) % 4 == 0, F.lit(None).cast("string")
+        ).otherwise(((F.col("id") * 7 + s) % 100).cast("string"))
+        gq = ((F.col("id") * 3 + s) % 99).cast("string")
+        pl = F.concat_ws(
+            ",",
+            ((F.col("id") + s) % 255).cast("string"),
+            F.lit("0"),
+            ((F.col("id") * 5 + s) % 255).cast("string"),
+        )
+        return F.struct(
+            F.lit(f"s{s}").alias("sample"),
+            gt.alias("gt"),
+            F.map_from_arrays(
+                F.array(F.lit("GT"), F.lit("DP"), F.lit("GQ"), F.lit("PL")),
+                F.array(gt, dp, gq, pl),
+            ).alias("fields"),
+        )
+
+    return spark.range(n).select(
+        F.concat(F.lit("chr"), (F.col("id") % 4 + 1).cast("string")).alias(
+            "contig"
+        ),
+        (F.col("id") % 1_000_000 + 1).cast("long").alias("start"),
+        (F.col("id") % 1_000_000 + 1).cast("long").alias("end"),
+        F.concat(F.lit("rs"), F.col("id").cast("string")).alias("id"),
+        F.lit("A").alias("ref"),
+        F.array(F.lit("G")).alias("alts"),
+        F.lit(30.0).alias("qual"),
+        F.array(F.lit("PASS")).alias("filters"),
+        F.create_map(F.lit("DP"), (F.col("id") % 100).cast("string")).alias(
+            "info"
+        ),
+        F.array(geno(1), geno(2), geno(3)).alias("genotypes"),
+    )
+
+
 def _fastq_df(spark, n: int):
     return spark.range(n).select(
         F.concat(F.lit("read"), F.col("id").cast("string")).alias("name"),
@@ -144,10 +191,18 @@ def main() -> None:
             '##FILTER=<ID=PASS,Description="pass">',
             '##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">',
             '##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">',
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="genoqual">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="pl">',
         ]
     )
     vhdr.samples = ["s1"]
     vhdr.contigs = {f"chr{i + 1}": i for i in range(4)}
+
+    vhdr_rich = VCFHeader()
+    vhdr_rich.lines = list(vhdr.lines)
+    vhdr_rich.samples = ["s1", "s2", "s3"]
+    vhdr_rich.contigs = dict(vhdr.contigs)
 
     reads = _reads_df(spark, n).repartition(16).cache()
     reads.count()
@@ -182,6 +237,10 @@ def main() -> None:
     rr_reads.count()
     variants = _variants_df(spark, n).repartition(16).cache()
     variants.count()
+    # real-cohort FORMAT shape (3 samples, GT:DP:GQ:PL, missing cells):
+    # exercises the r9 numpy indiv fast path end-to-end through the sink
+    variants_rich = _variants_rich_df(spark, n).repartition(16).cache()
+    variants_rich.count()
     fastq = _fastq_df(spark, n).repartition(16).cache()
     fastq.count()
 
@@ -202,6 +261,8 @@ def main() -> None:
         ("vcf.bgz", variants,
          lambda df, p: sinks.write_vcf(df, p, vhdr), {}),
         ("bcf", variants, lambda df, p: sinks.write_bcf(df, p, vhdr), {}),
+        ("bcf-cohort", variants_rich,
+         lambda df, p: sinks.write_bcf(df, p, vhdr_rich), {}),
         ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p), {}),
         ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p), {}),
     ]
@@ -224,6 +285,7 @@ def main() -> None:
         size = os.path.getsize(path)
         reader_fmt = (
             "cram" if fmt.startswith("cram")
+            else "bcf" if fmt.startswith("bcf")
             else fmt.split(".")[0] if fmt != "vcf.bgz" else "vcf"
         )
 
