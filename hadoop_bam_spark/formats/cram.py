@@ -369,9 +369,19 @@ class Block:
         elif self.method == M_RAW:
             raw = self.data
         elif self.method == M_RANS:
-            from hadoop_bam_spark.formats.rans import rans_encode_order0
+            from hadoop_bam_spark.formats.rans import (
+                rans_encode_order0,
+                rans_encode_order1,
+            )
 
+            # per-block measured order pick: order-1 wins on correlated
+            # streams (phred runs), loses its ~per-context table overhead
+            # on iid data
             raw = rans_encode_order0(self.data)
+            if len(self.data) >= (1 << 14):
+                r1 = rans_encode_order1(self.data)
+                if len(r1) < len(raw):
+                    raw = r1
         else:
             raise ValueError("writer supports raw/gzip/rans blocks only")
         out = bytearray([self.method, self.content_type])

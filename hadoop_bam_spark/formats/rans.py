@@ -101,6 +101,93 @@ def _write_freq_table(freqs: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def rans_encode_order1(data: bytes) -> bytes:
+    """``data`` -> rANS-4x8 ORDER-1 stream decodable by
+    ``cram.rans_decode`` (htslib rans_static layout). Each state owns a
+    contiguous QUARTER of the stream (q = n >> 2; state 3 also carries
+    the ragged tail), the context of a symbol is the previous byte of
+    its quarter (0 at each quarter start), and per-context frequency
+    tables are RLE-serialized with the order-0 table format inside.
+
+    Order-1 wins on correlated streams (real phred runs, flag patterns);
+    on iid data the ~per-context table overhead loses to order-0 — the
+    CRAM ``codecs="auto"`` path measures both and keeps the smaller.
+    """
+    n = len(data)
+    if n == 0:
+        return b""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    q = n >> 2
+    # context of position p: 0 at each state's first symbol (positions
+    # 0, q, 2q, 3q), else the previous byte of the same run; state 3's
+    # run extends through the ragged tail [3q, n)
+    ctx = np.empty(n, np.int64)
+    ctx[1:] = arr[:-1]
+    for p in (0, q, 2 * q, 3 * q):
+        if p < n:
+            ctx[p] = 0
+    # per-context quantized tables (vectorized 2-D bincount)
+    pair_counts = np.zeros((256, 256), np.int64)
+    np.add.at(pair_counts, (ctx, arr), 1)
+    live = np.flatnonzero(pair_counts.sum(axis=1))
+    freqs = np.zeros((256, 256), np.int64)
+    cums = np.zeros((256, 257), np.int64)
+    for c in live.tolist():
+        freqs[c] = _quantize_freqs(pair_counts[c])
+        np.cumsum(freqs[c], out=cums[c][1:])
+    # outer context-RLE serialization mirroring the decoder's reader
+    table = bytearray()
+    i = 0
+    lv = live.tolist()
+    while i < len(lv):
+        j = i
+        while j + 1 < len(lv) and lv[j + 1] == lv[j] + 1:
+            j += 1
+        table.append(lv[i])
+        table += _write_freq_table(freqs[lv[i]])
+        if j > i:
+            table.append(lv[i] + 1)
+            table.append(j - i - 1)
+            for k in range(i + 1, j + 1):
+                table += _write_freq_table(freqs[lv[k]])
+        i = j + 1
+    table.append(0)
+
+    # per-position transition params, gathered vectorized
+    f_all = freqs[ctx, arr]
+    c_all = cums[ctx, arr]
+    xmax_all = ((_LOW >> _TF_SHIFT) << 8) * f_all
+
+    states = [_LOW, _LOW, _LOW, _LOW]
+    rev = bytearray()
+    append = rev.append
+    fl, cl, xl = f_all.tolist(), c_all.tolist(), xmax_all.tolist()
+    # reverse of the decoder's consumption order: ragged tail first
+    # (state 3), then the interleaved main loop i = q-1..0, j = 3..0
+    x = states[3]
+    for p in range(n - 1, 4 * q - 1, -1):
+        xm = xl[p]
+        while x >= xm:
+            append(x & 0xFF)
+            x >>= 8
+        f = fl[p]
+        x = ((x // f) << _TF_SHIFT) + (x % f) + cl[p]
+    states[3] = x
+    for i in range(q - 1, -1, -1):
+        for j in (3, 2, 1, 0):
+            p = j * q + i
+            x = states[j]
+            xm = xl[p]
+            while x >= xm:
+                append(x & 0xFF)
+                x >>= 8
+            f = fl[p]
+            states[j] = ((x // f) << _TF_SHIFT) + (x % f) + cl[p]
+    rev.reverse()
+    body = bytes(table) + struct.pack("<4I", *states) + bytes(rev)
+    return b"\x01" + struct.pack("<II", len(body), n) + body
+
+
 def rans_encode_order0(data: bytes) -> bytes:
     """``data`` -> rANS-4x8 order-0 stream decodable by
     ``cram.rans_decode`` (and htslib). Empty input encodes to an empty

@@ -64,6 +64,58 @@ class TestRansRoundtrip:
     def test_property(self, data):
         assert rans_decode(rans_encode_order0(data), len(data)) == data
 
+    @pytest.mark.parametrize(
+        "data",
+        [
+            b"", b"A", b"AB", b"ABC", b"ABCD", b"A" * 999,
+            bytes(range(256)) * 3, b"ACGT" * 123, bytes([0, 255]) * 50,
+        ],
+        ids=["empty", "one", "two", "three", "four", "run",
+             "full", "acgt", "gap"],
+    )
+    def test_order1_edges(self, data):
+        from hadoop_bam_spark.formats.rans import rans_encode_order1
+
+        assert rans_decode(rans_encode_order1(data), len(data)) == data
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.binary(max_size=2048)
+        | st.builds(
+            lambda alpha, n, seed: bytes(
+                random.Random(seed).choice(alpha) for _ in range(n)
+            ),
+            st.sampled_from([b"!#%+5?I", b"AB", b"\x00\x01"]),
+            st.integers(0, 3000),
+            st.integers(0, 99),
+        )
+    )
+    def test_order1_property(self, data):
+        from hadoop_bam_spark.formats.rans import rans_encode_order1
+
+        assert rans_decode(rans_encode_order1(data), len(data)) == data
+
+    def test_order1_beats_order0_on_runs(self):
+        """The reason order-1 exists: run-structured streams (real phred
+        shape) compress via context tables far below order-0 entropy."""
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        rng = random.Random(7)
+        buf = bytearray()
+        cur = ord("I")
+        for _ in range(100_000):
+            if rng.random() < 0.05:
+                cur = rng.choice(b"!#%+5?I")
+            buf.append(cur)
+        data = bytes(buf)
+        o1 = rans_encode_order1(data)
+        o0 = rans_encode_order0(data)
+        assert len(o1) < len(o0) / 3
+        assert rans_decode(o1, len(data)) == data
+
     def test_qual_like_beats_gzip(self):
         """The reason the codec exists: order-0 rANS beats DEFLATE's
         integer-bit Huffman on skewed small-alphabet (quality-like)
