@@ -374,14 +374,22 @@ class Block:
                 rans_encode_order1,
             )
 
-            # per-block measured order pick: order-1 wins on correlated
-            # streams (phred runs), loses its ~per-context table overhead
-            # on iid data
-            raw = rans_encode_order0(self.data)
+            # order pick by a 16 KiB SAMPLE (order-1 wins on correlated
+            # streams — phred runs — and loses its per-context table
+            # overhead on iid data): encoding the sample with both orders
+            # costs ~10 ms; encoding the whole block twice cost 30% of
+            # the cram-rr-rans write throughput (FORMAT_BENCH r9)
+            order1 = False
             if len(self.data) >= (1 << 14):
-                r1 = rans_encode_order1(self.data)
-                if len(r1) < len(raw):
-                    raw = r1
+                sample = self.data[: 1 << 14]
+                order1 = len(rans_encode_order1(sample)) < len(
+                    rans_encode_order0(sample)
+                )
+            raw = (
+                rans_encode_order1(self.data)
+                if order1
+                else rans_encode_order0(self.data)
+            )
         else:
             raise ValueError("writer supports raw/gzip/rans blocks only")
         out = bytearray([self.method, self.content_type])

@@ -604,6 +604,38 @@ class TestManifestDrivenTail:
         assert sum(1 for _ in copy.copy(r2)) == 0
         assert off2 == off1
 
+    @pytest.mark.parametrize("fmt", ["vcf", "bcf", "fastq", "cram"])
+    def test_manifest_gate_all_sources(self, tmp_path, fmt):
+        """Every tail source honors the manifest gate: in a sink dir
+        (.staging present) an orphan shard without its manifest is
+        invisible; once a manifest names it, it lists."""
+        import json as _json
+
+        from hadoop_bam_spark.streaming.bcf_stream import BcfStreamReader
+        from hadoop_bam_spark.streaming.cram_stream import CramStreamReader
+        from hadoop_bam_spark.streaming.fastq_stream import (
+            FastqStreamReader,
+        )
+        from hadoop_bam_spark.streaming.vcf_stream import VCFStreamReader
+
+        rdr_cls, ext = {
+            "vcf": (VCFStreamReader, ".vcf"),
+            "bcf": (BcfStreamReader, ".bcf"),
+            "fastq": (FastqStreamReader, ".fastq"),
+            "cram": (CramStreamReader, ".cram"),
+        }[fmt]
+        d = tmp_path / f"sink_{fmt}"
+        d.mkdir()
+        (d / ".staging").mkdir()
+        shard = f"batch-00000-00000{ext}"
+        (d / shard).write_bytes(b"xx")  # listing-level test: content unread
+        rdr = rdr_cls({"path": str(d)})
+        assert rdr._list() == []
+        (d / "_manifest-00000.jsonl").write_text(
+            _json.dumps({"shard": shard, "records": 1, "batch": 0}) + "\n"
+        )
+        assert rdr._list() == [shard]
+
     def test_plain_drop_directory_keeps_raw_listing(self, tmp_path):
         """A directory of loose BAMs (no manifests, no .staging) is not a
         sink output; the tail falls back to the raw listing."""
