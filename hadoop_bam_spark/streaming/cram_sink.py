@@ -22,6 +22,9 @@ Options:
               no FASTA; multiref slices encode verbatim).
   ``records_per_container`` / ``records_per_slice``  container layout
               (defaults 30000 / 10000, same as the batch sink).
+  ``codecs``  "gzip" (default) or "auto" — per-block measured
+              rANS-4x8 for qual/flag-class series (archival setting;
+              see FORMAT_BENCH.md r9).
 """
 
 from __future__ import annotations
@@ -66,6 +69,9 @@ class CRAMStreamWriter(DataSourceStreamWriter):
         self._embed = str(
             options.get("embed_reference", "false")
         ).lower() == "true"
+        #: "gzip" (default) or "auto" — per-block measured rANS for
+        #: qual/flag series, same contract as write_cram(codecs=)
+        self._codecs = options.get("codecs", "gzip")
 
     # -- executors ---------------------------------------------------------
     def write(self, iterator) -> CramShardCommit:
@@ -96,6 +102,7 @@ class CRAMStreamWriter(DataSourceStreamWriter):
                         else None
                     ),
                     embed_reference=self._embed,
+                    codecs=self._codecs,
                 )
                 for r in iterator:
                     w.write((
