@@ -214,9 +214,17 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
             f"rANS raw size mismatch: block header says {raw_size}, "
             f"stream embeds {n_out}"
         )
+    if order in (0, 1):
+        # optional C kernel (~50x; formats/rans_native.py) — the scalar
+        # body below is the always-available reference implementation
+        from hadoop_bam_spark.formats import rans_native
+
+        got = rans_native.decode(data[9:], order, n_out)
+        if got is not None:
+            return got
     try:
         return _rans_decode_body(data, order, n_out)
-    except IndexError:
+    except (IndexError, struct.error):
         raise ValueError("truncated rANS block") from None
 
 
@@ -312,7 +320,9 @@ class Block:
     data: bytes  # uncompressed
 
     @classmethod
-    def parse(cls, buf, p: int, major: int) -> tuple["Block", int]:
+    def parse(cls, buf, p: int, major: int,
+              rans_cache: Optional[dict] = None) -> tuple["Block", int]:
+        start = p
         method = buf[p]
         ctype = buf[p + 1]
         p += 2
@@ -336,7 +346,11 @@ class Block:
 
             data = lzma.decompress(raw)
         elif method == M_RANS:
-            data = rans_decode(raw, rsize)
+            # scan pre-pass may have batch-decoded this block already
+            # (keyed by block start offset; see prescan_rans_blocks)
+            data = rans_cache.get(start) if rans_cache else None
+            if data is None:
+                data = rans_decode(raw, rsize)
         else:
             raise ValueError(f"unsupported block method {method}")
         return cls(method, ctype, content_id, data), p
@@ -400,6 +414,68 @@ class Block:
         if major >= 3:
             out += struct.pack("<I", zlib.crc32(bytes(out)))
         return bytes(out)
+
+
+def prescan_rans_blocks(body, major: int) -> list:
+    """Structural walk of a container body: (block_offset, raw_payload,
+    raw_size) for every rANS block, WITHOUT decompressing anything.
+
+    The scan's read-ahead feeds these from MANY containers into one
+    ``rans_vec.decode_batch`` call (native kernel per block, or numpy
+    lockstep across blocks), then hands per-offset results back through
+    ``Block.parse(rans_cache=...)``. Block framing per CRAM 3.0 §8:
+    method, type, itf8 content-id/comp-size/raw-size, payload, CRC32.
+    """
+    out = []
+    p = 0
+    end = len(body)
+    try:
+        while p < end:
+            start = p
+            method = body[p]
+            p += 2  # method + content type
+            _, p = read_itf8(body, p)
+            csize, p = read_itf8(body, p)
+            rsize, p = read_itf8(body, p)
+            if method == M_RANS:
+                out.append((start, bytes(body[p : p + csize]), rsize))
+            p += csize
+            if major >= 3:
+                p += 4  # CRC32
+    except IndexError:
+        # malformed tail: leave it to Block.parse to raise with context
+        pass
+    return out
+
+
+def batch_rans_caches(bodies: list, major: int) -> list:
+    """Pre-decode every rANS block across MANY container bodies in one
+    ``rans_vec.decode_batch`` call; returns one {block_offset: raw
+    bytes} dict per body for ``ContainerDecoder.decode(rans_cache=)``.
+
+    Purely an accelerator: on any batch-level failure (e.g. the
+    structural prescan desynced on an exotic body) it returns empty
+    caches and ``Block.parse`` decodes scalar with its own, precise
+    errors."""
+    pres = [prescan_rans_blocks(b, major) for b in bodies]
+    blobs = [(raw, rsize) for pre in pres for (_o, raw, rsize) in pre]
+    if not blobs:
+        return [{} for _ in bodies]
+    from hadoop_bam_spark.formats import rans_vec
+
+    try:
+        decoded = rans_vec.decode_batch(blobs)
+    except ValueError:
+        return [{} for _ in bodies]
+    caches = []
+    i = 0
+    for pre in pres:
+        c = {}
+        for off, _raw, _rs in pre:
+            c[off] = decoded[i]
+            i += 1
+        caches.append(c)
+    return caches
 
 
 @dataclass
@@ -1102,21 +1178,25 @@ class ContainerDecoder:
         self.ref_fasta = ref_fasta
         self.read_groups = read_groups or []
 
-    def decode(self, body, hdr: ContainerHeader) -> list[tuple]:
-        comp_block, _ = Block.parse(body, 0, self.major)
+    def decode(self, body, hdr: ContainerHeader,
+               rans_cache: Optional[dict] = None) -> list[tuple]:
+        comp_block, _ = Block.parse(body, 0, self.major, rans_cache)
         if comp_block.content_type != CT_COMPRESSION_HEADER:
             raise ValueError("container does not start with a compression header")
         comp = CompressionHeader.parse(comp_block.data)
         rows: list[tuple] = []
         for lm in hdr.landmarks:
-            rows.extend(self._decode_slice(body, lm, comp, hdr))
+            rows.extend(
+                self._decode_slice(body, lm, comp, hdr, rans_cache)
+            )
         return rows
 
     # -- slice ---------------------------------------------------------------
 
     def _decode_slice(self, body, landmark: int, comp: CompressionHeader,
-                      chdr: ContainerHeader) -> list[tuple]:
-        sh_block, p = Block.parse(body, landmark, self.major)
+                      chdr: ContainerHeader,
+                      rans_cache: Optional[dict] = None) -> list[tuple]:
+        sh_block, p = Block.parse(body, landmark, self.major, rans_cache)
         if sh_block.content_type != CT_SLICE_HEADER:
             raise ValueError("expected slice header block at landmark")
         sh = SliceHeader.parse(sh_block.data, self.major)
@@ -1124,7 +1204,7 @@ class ContainerDecoder:
         ext: dict[int, ExtCursor] = {}
         embedded_ref = None
         for _ in range(sh.n_blocks):
-            blk, p = Block.parse(body, p, self.major)
+            blk, p = Block.parse(body, p, self.major, rans_cache)
             if blk.content_type == CT_CORE:
                 core_data = blk.data
             else:
@@ -2141,6 +2221,11 @@ def decode_file(path: str, reference: Optional[str] = None,
     dec = ContainerDecoder(major, refs, ref_fasta=ref_fasta, read_groups=rgs)
     with open_fn(path, "rb") as fh:
         data = fh.read()
-    for off, chdr in iter_container_offsets(path, open_fn):
-        body = data[off + chdr.header_size : off + chdr.header_size + chdr.length]
-        yield from dec.decode(body, chdr)
+    containers = [
+        (chdr,
+         data[off + chdr.header_size : off + chdr.header_size + chdr.length])
+        for off, chdr in iter_container_offsets(path, open_fn)
+    ]
+    caches = batch_rans_caches([b for _, b in containers], major)
+    for (chdr, body), cache in zip(containers, caches):
+        yield from dec.decode(body, chdr, cache)

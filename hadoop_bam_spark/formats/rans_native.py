@@ -1,0 +1,306 @@
+"""Optional native (ctypes) rANS-4x8 decoder.
+
+The CRAM scan's hot loop on htslib/htsjdk-produced archives is rANS
+block decode (reference: `CRAMRecordReader.java:33-56` delegates to
+htsjdk's C-backed codecs; htslib itself is C). A per-byte Python
+decoder tops out ~3 MB/s; the numpy lockstep decoder
+(`formats/rans_vec.py`) wins only when many similar-length blocks
+decode together (true at 32 MB production splits, not at small bench
+splits). This module closes the gap portably: ~80 lines of C written
+from the CRAM 3.0 spec §13, compiled ONCE per machine with the system
+C compiler into a per-user cache dir, loaded via ctypes.
+
+Strictly optional: if there is no compiler, compilation fails, or the
+sandbox forbids dlopen, ``decode()`` returns ``None`` and callers fall
+back to the numpy/scalar decoders — behavior is identical, only slower.
+On a real cluster either every executor pays one ~200 ms compile, or
+ops ship the prebuilt ``.so`` with ``--files`` and set
+``SPARK_GRAFT_RANS_SO``. Set ``SPARK_GRAFT_NO_NATIVE=1`` to disable
+(tests use this to exercise the pure-Python paths).
+
+The C source mirrors ``formats/cram.py:rans_decode`` exactly (same
+freq-table RLE reader, same renorm semantics, same truncation errors);
+``tests/test_rans.py`` asserts byte parity against the scalar decoder
+on random and adversarial streams.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* rANS-4x8 (CRAM 3.0 spec section 13; htslib rans_static stream layout).
+ * Returns 0 on success, -1 on truncated/invalid input.
+ * `data`/`len` is the stream AFTER the 9-byte outer header
+ * (order byte + comp size u32 + raw size u32); `out`/`n_out` is the
+ * caller-allocated raw buffer. */
+
+#define TF_SHIFT 12
+#define TOTFREQ  (1 << TF_SHIFT)
+#define RANS_LOW (1u << 23)
+
+typedef struct {
+    uint16_t freq[256];
+    uint16_t cum[256];
+    uint8_t  lookup[TOTFREQ];   /* f -> symbol */
+} table_t;
+
+/* Shared symbol-RLE frequency-table reader (the inner table of both
+ * orders). Advances *pp; returns 0/-1. */
+static int read_freqs(const uint8_t *data, int64_t len, int64_t *pp,
+                      table_t *t) {
+    int64_t p = *pp;
+    int sym, last = 0, rle = 0;
+    uint32_t cum = 0;
+    memset(t, 0, sizeof(*t));
+    if (p >= len) return -1;
+    sym = data[p++];
+    for (;;) {
+        uint32_t f;
+        if (p >= len) return -1;
+        f = data[p++];
+        if (f >= 128) {
+            if (p >= len) return -1;
+            f = ((f & 127) << 8) | data[p++];
+        }
+        t->freq[sym] = (uint16_t)f;
+        if (rle > 0) {
+            rle--;
+            sym++;
+            if (sym > 255) return -1;
+        } else {
+            last = sym;
+            if (p >= len) return -1;
+            sym = data[p++];
+            if (sym == last + 1) {
+                if (p >= len) return -1;
+                rle = data[p++];
+            }
+        }
+        if (sym == 0) break;
+    }
+    for (int i = 0; i < 256; i++) {
+        t->cum[i] = (uint16_t)cum;
+        if (t->freq[i]) {
+            if (cum + t->freq[i] > TOTFREQ) return -1;
+            memset(t->lookup + cum, i, t->freq[i]);
+            cum += t->freq[i];
+        }
+    }
+    *pp = p;
+    return 0;
+}
+
+int rans_decode0(const uint8_t *data, int64_t len,
+                 uint8_t *out, int64_t n_out) {
+    table_t t;
+    int64_t p = 0;
+    uint32_t s[4];
+    if (read_freqs(data, len, &p, &t) != 0) return -1;
+    if (p + 16 > len) return -1;
+    for (int j = 0; j < 4; j++) {
+        s[j] = (uint32_t)data[p] | ((uint32_t)data[p + 1] << 8)
+             | ((uint32_t)data[p + 2] << 16) | ((uint32_t)data[p + 3] << 24);
+        p += 4;
+    }
+    for (int64_t i = 0; i < n_out; i++) {
+        uint32_t x = s[i & 3];
+        uint32_t f = x & (TOTFREQ - 1);
+        uint8_t sym = t.lookup[f];
+        out[i] = sym;
+        x = t.freq[sym] * (x >> TF_SHIFT) + f - t.cum[sym];
+        while (x < RANS_LOW) {
+            if (p >= len) return -1;
+            x = (x << 8) | data[p++];
+        }
+        s[i & 3] = x;
+    }
+    return 0;
+}
+
+static int rans_decode1_inner(const uint8_t *data, int64_t len,
+                              uint8_t *out, int64_t n_out,
+                              table_t *tabs, uint8_t *have) {
+    /* per-context tables; contexts RLE-compressed like symbols */
+    int64_t p = 0;
+    int ctx, last = 0, rle = 0;
+    uint32_t s[4];
+    if (p >= len) return -1;
+    ctx = data[p++];
+    for (;;) {
+        if (read_freqs(data, len, &p, &tabs[ctx]) != 0) return -1;
+        have[ctx] = 1;
+        if (rle > 0) {
+            rle--;
+            ctx++;
+            if (ctx > 255) return -1;
+        } else {
+            last = ctx;
+            if (p >= len) return -1;
+            ctx = data[p++];
+            if (ctx == last + 1) {
+                if (p >= len) return -1;
+                rle = data[p++];
+            }
+        }
+        if (ctx == 0) break;
+    }
+    if (p + 16 > len) return -1;
+    for (int j = 0; j < 4; j++) {
+        s[j] = (uint32_t)data[p] | ((uint32_t)data[p + 1] << 8)
+             | ((uint32_t)data[p + 2] << 16) | ((uint32_t)data[p + 3] << 24);
+        p += 4;
+    }
+    int64_t q = n_out >> 2;
+    int64_t ptrs[4] = {0, q, 2 * q, 3 * q};
+    int ctxs[4] = {0, 0, 0, 0};
+    for (int64_t i = 0; i < q; i++) {
+        for (int j = 0; j < 4; j++) {
+            table_t *t = have[ctxs[j]] ? &tabs[ctxs[j]] : &tabs[0];
+            uint32_t x = s[j];
+            uint32_t f = x & (TOTFREQ - 1);
+            uint8_t sym = t->lookup[f];
+            out[ptrs[j]++] = sym;
+            x = t->freq[sym] * (x >> TF_SHIFT) + f - t->cum[sym];
+            while (x < RANS_LOW) {
+                if (p >= len) return -1;
+                x = (x << 8) | data[p++];
+            }
+            s[j] = x;
+            ctxs[j] = sym;
+        }
+    }
+    /* ragged tail carried by state 3; renorm only while input remains
+     * (final symbols of a well-formed stream need none) */
+    {
+        uint32_t x = s[3];
+        int c3 = ctxs[3];
+        for (int64_t i = 4 * q; i < n_out; i++) {
+            table_t *t = have[c3] ? &tabs[c3] : &tabs[0];
+            uint32_t f = x & (TOTFREQ - 1);
+            uint8_t sym = t->lookup[f];
+            out[i] = sym;
+            x = t->freq[sym] * (x >> TF_SHIFT) + f - t->cum[sym];
+            while (x < RANS_LOW && p < len)
+                x = (x << 8) | data[p++];
+            c3 = sym;
+        }
+    }
+    return 0;
+}
+
+int rans_decode1(const uint8_t *data, int64_t len,
+                 uint8_t *out, int64_t n_out) {
+    /* Tables are heap-allocated (1.2 MB): too big for the stack, and
+     * TLS in a dlopen'd lib is allocator-dependent. */
+    table_t *tabs = (table_t *)malloc(256 * sizeof(table_t));
+    uint8_t have[256];
+    int rc;
+    if (!tabs) return -1;
+    memset(have, 0, sizeof(have));
+    rc = rans_decode1_inner(data, len, out, n_out, tabs, have);
+    free(tabs);
+    return rc;
+}
+"""
+
+_lock = threading.Lock()
+_lib = None          # ctypes lib once loaded
+_failed = False      # sticky: never retry a failed compile in-process
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    d = os.path.join(base, "hadoop_bam_spark")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> str | None:
+    """Compile the kernel into the cache dir (atomic rename so parallel
+    executor processes race safely); returns the .so path or None."""
+    tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
+    so = os.path.join(_cache_dir(), f"rans_{tag}.so")
+    if os.path.exists(so):
+        return so
+    cc = os.environ.get("CC", "cc")
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "rans.c")
+        tmp_so = os.path.join(td, "rans.so")
+        with open(src, "w") as fh:
+            fh.write(_C_SOURCE)
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                check=True, capture_output=True, timeout=60,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+        try:
+            os.replace(tmp_so, so)  # same-FS? tempdir may differ -> copy
+        except OSError:
+            import shutil
+
+            shutil.copy(tmp_so, so + f".tmp{os.getpid()}")
+            os.replace(so + f".tmp{os.getpid()}", so)
+    return so
+
+
+def _load():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if os.environ.get("SPARK_GRAFT_NO_NATIVE"):
+            _failed = True
+            return None
+        so = os.environ.get("SPARK_GRAFT_RANS_SO") or _build()
+        if not so:
+            _failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+            for fn in (lib.rans_decode0, lib.rans_decode1):
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_char_p, ctypes.c_int64,
+                ]
+                fn.restype = ctypes.c_int
+        except OSError:
+            _failed = True
+            return None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode(data: bytes, order: int, n_out: int) -> bytes | None:
+    """Decode the post-header stream ``data`` (order 0/1) to ``n_out``
+    raw bytes. Returns None when the native kernel is unavailable;
+    raises ValueError on truncated/invalid input (matching the scalar
+    decoder's errors)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(n_out)
+    fn = lib.rans_decode0 if order == 0 else lib.rans_decode1
+    rc = fn(data, len(data), out, n_out)
+    if rc != 0:
+        raise ValueError("truncated rANS block")
+    return out.raw

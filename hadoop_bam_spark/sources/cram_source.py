@@ -51,6 +51,12 @@ from hadoop_bam_spark.formats import cram
 from hadoop_bam_spark.formats.sam import SAM_SCHEMA
 from hadoop_bam_spark.sources import list_format_files
 
+#: compressed container-body read-ahead per rANS batch-decode call —
+#: sized to swallow a whole default 32 MB split in one batch (peak task
+#: memory stays bounded: bodies + decoded blocks, well under typical
+#: executor headroom even at 32 concurrent tasks)
+_READAHEAD_BYTES = 48 << 20
+
 DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
 DEFAULT_RECORDS_PER_SPLIT = 200_000
 #: ceiling on plan-time header walks (a denser file has FEWER containers,
@@ -281,32 +287,50 @@ class CRAMReader(DataSourceReader):
         # pruning hints with Catalyst as the residual
         with fs.open_file(partition.path, "rb") as fh:
             pos = partition.start
-            while pos < partition.end:
-                fh.seek(pos)
-                head = fh.read(64)
-                if len(head) < 8:
+            done = False
+            while not done and pos < partition.end:
+                # bounded container read-ahead: every rANS block in the
+                # batch decodes in ONE rans_vec.decode_batch call
+                # (native kernel per block, or numpy lockstep across
+                # blocks) instead of a per-byte scalar loop per block
+                batch: list[tuple] = []
+                total = 0
+                while pos < partition.end and total < _READAHEAD_BYTES:
+                    fh.seek(pos)
+                    head = fh.read(64)
+                    if len(head) < 8:
+                        done = True
+                        break
+                    hdr = cram.ContainerHeader.parse(head, 0, major)
+                    if (hdr.ref_seq_id == -1 and hdr.n_records == 0
+                            and hdr.start in (0, 0x454F46)):
+                        done = True
+                        break  # EOF container
+                    fh.seek(pos + hdr.header_size)
+                    batch.append((hdr, fh.read(hdr.length)))
+                    total += hdr.length
+                    pos += hdr.header_size + hdr.length
+                if not batch:
                     return
-                hdr = cram.ContainerHeader.parse(head, 0, major)
-                if hdr.ref_seq_id == -1 and hdr.n_records == 0 and hdr.start in (0, 0x454F46):
-                    return  # EOF container
-                fh.seek(pos + hdr.header_size)
-                body = fh.read(hdr.length)
-                if self._unmapped:
-                    for row in dec.decode(body, hdr):
-                        # unplaced-unmapped, plus interval overlaps when
-                        # both options are set (BAM source parity)
-                        if row[2] is None or (
-                            intervals is not None
-                            and _overlaps_intervals(row, intervals)
-                        ):
-                            yield row
-                elif intervals is None:
-                    yield from dec.decode(body, hdr)
-                else:
-                    for row in dec.decode(body, hdr):
-                        if _overlaps_intervals(row, intervals):
-                            yield row
-                pos += hdr.header_size + hdr.length
+                caches = cram.batch_rans_caches(
+                    [b for _, b in batch], major
+                )
+                for (hdr, body), cache in zip(batch, caches):
+                    if self._unmapped:
+                        for row in dec.decode(body, hdr, cache):
+                            # unplaced-unmapped, plus interval overlaps
+                            # when both options are set (BAM parity)
+                            if row[2] is None or (
+                                intervals is not None
+                                and _overlaps_intervals(row, intervals)
+                            ):
+                                yield row
+                    elif intervals is None:
+                        yield from dec.decode(body, hdr, cache)
+                    else:
+                        for row in dec.decode(body, hdr, cache):
+                            if _overlaps_intervals(row, intervals):
+                                yield row
 
 
 _CIGAR_REF_RE = None

@@ -79,19 +79,41 @@ def check_query(spark, con, name, spec, sf_dir) -> dict:
     return out
 
 
-def main():
-    argv = sys.argv[1:]
+def parse_args(argv: list) -> tuple:
+    """(json_out, sf_dir, only) from CLI args; ``--json OUT`` accepted
+    at ANY position (a misplaced flag once parsed as sf_dir + query
+    names and vacuously passed; VERDICT r9 item 6). Raises SystemExit
+    on a dangling --json or a non-directory sf_dir."""
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output path")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(
+            f"not a directory: {sf_dir!r} (usage: check_oracle "
+            f"[--json OUT.json] [sf_dir] [query ...])"
+        )
+    return json_out, sf_dir, set(argv[1:])
+
+
+def main():
+    json_out, sf_dir, only = parse_args(sys.argv[1:])
 
     import duckdb
 
     from hadoop_bam_spark.queries import REGISTRY
     from hadoop_bam_spark.session import TABLES, get_spark
+
+    unknown = only - set(REGISTRY)
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {sorted(unknown)} — "
+            f"registry has {len(REGISTRY)} queries"
+        )
 
     spark = get_spark("check_oracle")
     con = duckdb.connect()

@@ -140,3 +140,50 @@ def test_fai_command(tmp_path, capsys):
         lines = [l.split("\t") for l in fh.read().splitlines()]
     assert lines[0][0] == "c1" and int(lines[0][1]) == 12
     assert lines[1][0] == "c2" and int(lines[1][1]) == 4
+
+
+class TestCheckOracleArgs:
+    """check_oracle CLI parsing: a misplaced --json or a typo'd query
+    name must FAIL LOUDLY, never select zero queries and print a
+    vacuous ALL OK (VERDICT r9 item 6)."""
+
+    def test_json_flag_any_position(self, tmp_path):
+        from hadoop_bam_spark.tools.check_oracle import parse_args
+
+        d = str(tmp_path)
+        assert parse_args(["--json", "o.json", d]) == ("o.json", d, set())
+        assert parse_args([d, "--json", "o.json"]) == ("o.json", d, set())
+        assert parse_args([d, "q1", "--json", "o.json", "q2"]) == (
+            "o.json", d, {"q1", "q2"}
+        )
+
+    def test_dangling_json_flag(self, tmp_path):
+        import pytest
+
+        from hadoop_bam_spark.tools.check_oracle import parse_args
+
+        with pytest.raises(SystemExit):
+            parse_args([str(tmp_path), "--json"])
+
+    def test_non_directory_sf_dir(self, tmp_path):
+        import pytest
+
+        from hadoop_bam_spark.tools.check_oracle import parse_args
+
+        with pytest.raises(SystemExit):
+            parse_args(["OUT.json", str(tmp_path)])  # flag forgotten
+
+    def test_unknown_query_names_rejected(self, tmp_path):
+        """Full-stack: unknown names exit non-zero before Spark spins
+        up (the registry import is cheap; get_spark is not reached)."""
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "-m", "hadoop_bam_spark.tools.check_oracle",
+             str(tmp_path), "definitely_not_a_query"],
+            capture_output=True, text=True, timeout=120,
+            cwd="/root/repo",
+        )
+        assert r.returncode != 0
+        assert "unknown query name" in (r.stderr + r.stdout)

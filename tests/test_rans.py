@@ -213,3 +213,223 @@ class TestCramCodecsAuto:
             rows_to_batch(self.ROWS), 0
         )
         assert vec == self._scalar("auto")
+
+
+# ---------------------------------------------------------------------------
+# decoder implementations: scalar (reference) vs numpy lockstep vs native
+# ---------------------------------------------------------------------------
+
+def _scalar_decode(blob: bytes, n: int) -> bytes:
+    """The pure-Python reference body, bypassing the native fast path."""
+    import struct
+
+    from hadoop_bam_spark.formats.cram import _rans_decode_body
+
+    if not blob:
+        return b""
+    try:
+        return _rans_decode_body(blob, blob[0], n)
+    except (IndexError, struct.error):
+        raise ValueError("truncated rANS block") from None
+
+
+@pytest.fixture
+def numpy_only(monkeypatch):
+    """Force decode_batch onto the numpy/scalar paths."""
+    from hadoop_bam_spark.formats import rans_native
+
+    monkeypatch.setattr(rans_native, "_lib", None)
+    monkeypatch.setattr(rans_native, "_failed", True)
+
+
+def _corpus(seed, count, max_n=3000):
+    rng = random.Random(seed)
+    datas = []
+    for t in range(count):
+        n = rng.randrange(max_n)
+        kind = t % 4
+        if kind == 0:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            data = bytes(rng.choice(b"IIIIIHHHGG?5+") for _ in range(n))
+        elif kind == 2:
+            data = (b"ABBBBCCCCCCCD" * (n // 13 + 1))[:n]
+        else:
+            data = b"\x07" * n
+        datas.append(data)
+    return datas
+
+
+class TestDecodeBatch:
+    """rans_vec.decode_batch: lockstep parity vs the scalar reference
+    decoder on mixed batches (the CRAM scan feeds it every rANS block
+    of a 48 MB container read-ahead in one call)."""
+
+    def test_lockstep_parity_mixed(self, numpy_only):
+        from hadoop_bam_spark.formats import rans_vec
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        datas = _corpus(23, 80)
+        blobs = []
+        for i, d in enumerate(datas):
+            enc = rans_encode_order0 if i % 2 else rans_encode_order1
+            blobs.append((enc(d), len(d)))
+        got = rans_vec.decode_batch(blobs)
+        assert got == datas
+
+    def test_small_batch_falls_to_scalar(self, numpy_only):
+        from hadoop_bam_spark.formats import rans_vec
+        from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+        datas = _corpus(29, 5)
+        got = rans_vec.decode_batch(
+            [(rans_encode_order0(d), len(d)) for d in datas]
+        )
+        assert got == datas
+
+    def test_raw_size_mismatch(self, numpy_only):
+        from hadoop_bam_spark.formats import rans_vec
+        from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+        e = rans_encode_order0(b"hello world")
+        with pytest.raises(ValueError, match="mismatch"):
+            rans_vec.decode_batch([(e, 10)])
+
+    def test_truncated_item_poisons_batch(self, numpy_only):
+        """One truncated stream in a lockstep batch raises (the scan
+        aborts either way); valid-only batches stay fine."""
+        from hadoop_bam_spark.formats import rans_vec
+        from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+        datas = [
+            bytes(random.Random(i).choice(b"!#%+5?I") for _ in range(2000))
+            for i in range(25)
+        ]
+        blobs = [(rans_encode_order0(d), 2000) for d in datas]
+        bad = blobs[7][0]
+        blobs[7] = (bad[: len(bad) // 2], 2000)
+        with pytest.raises(ValueError):
+            rans_vec.decode_batch(blobs)
+
+    def test_truncation_agrees_with_scalar_sampled_offsets(self,
+                                                           numpy_only):
+        """Cut one stream of a lockstep batch at sampled offsets: the
+        batch must raise exactly when the scalar reference raises on
+        that stream, and agree on bytes when both tolerate the cut."""
+        from hadoop_bam_spark.formats import rans_vec
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        rng = random.Random(41)
+        data = bytes(rng.choice(b"!#%+5?I") for _ in range(300))
+        fill = [
+            bytes(random.Random(100 + i).choice(b"!#%+5?I")
+                  for _ in range(300))
+            for i in range(24)
+        ]
+        for enc in (rans_encode_order0, rans_encode_order1):
+            e = enc(data)
+            fill_blobs = [(enc(d), 300) for d in fill]
+            for cut in range(9, len(e), 7):
+                blob = e[:cut]
+                try:
+                    want = _scalar_decode(blob, 300)
+                    want_err = False
+                except ValueError:
+                    want_err = True
+                try:
+                    got = rans_vec.decode_batch(
+                        [(blob, None)] + fill_blobs
+                    )[0]
+                    got_err = False
+                except ValueError:
+                    got_err = True
+                assert got_err == want_err, (enc.__name__, cut)
+                if not want_err:
+                    assert got == want, (enc.__name__, cut)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 10**6))
+    def test_property_lockstep_vs_scalar(self, seed):
+        from hadoop_bam_spark.formats import rans_native, rans_vec
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        saved = (rans_native._lib, rans_native._failed)
+        rans_native._lib, rans_native._failed = None, True
+        try:
+            rng = random.Random(seed)
+            datas = _corpus(seed, rng.randrange(21, 40), max_n=800)
+            blobs = []
+            for i, d in enumerate(datas):
+                enc = rans_encode_order0 if (seed + i) % 2 else (
+                    rans_encode_order1
+                )
+                blobs.append((enc(d), len(d)))
+            assert rans_vec.decode_batch(blobs) == datas
+        finally:
+            rans_native._lib, rans_native._failed = saved
+
+
+class TestNativeDecoder:
+    """Optional ctypes kernel (formats/rans_native.py): byte parity
+    with the scalar reference and identical truncation errors."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from hadoop_bam_spark.formats import rans_native
+
+        if not rans_native.available():
+            pytest.skip("no C compiler in this environment")
+
+    def test_parity(self):
+        from hadoop_bam_spark.formats import rans_native
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        for d in _corpus(31, 40):
+            for enc in (rans_encode_order0, rans_encode_order1):
+                e = enc(d)
+                if not e:
+                    continue
+                assert rans_native.decode(e[9:], e[0], len(d)) == d
+
+    def test_every_offset_truncation_agrees_with_scalar(self):
+        """Truncate a valid stream at EVERY offset: the native kernel
+        must raise exactly when the scalar reference raises, and agree
+        byte-for-byte whenever both tolerate the cut (order-1's tail
+        renorm is allowed to run dry)."""
+        from hadoop_bam_spark.formats import rans_native
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        rng = random.Random(37)
+        data = bytes(rng.choice(b"!#%+5?I") for _ in range(200))
+        for enc in (rans_encode_order0, rans_encode_order1):
+            e = enc(data)
+            for cut in range(9, len(e)):
+                blob = e[:cut]
+                try:
+                    want = _scalar_decode(blob, len(data))
+                    want_err = False
+                except ValueError:
+                    want_err = True
+                try:
+                    got = rans_native.decode(blob[9:], blob[0], len(data))
+                    got_err = False
+                except ValueError:
+                    got_err = True
+                assert got_err == want_err, (enc.__name__, cut)
+                if not want_err:
+                    assert got == want, (enc.__name__, cut)
