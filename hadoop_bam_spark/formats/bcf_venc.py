@@ -516,14 +516,21 @@ class BCFBatchEncoder:
         for sg in groups.tolist():
             ridx = np.flatnonzero(rec_sig == sg)
             n_g = len(ridx)
+            cidx = (ridx[:, None] * S + np.arange(S)).ravel()
             if int(m_per_cell[ridx[0] * S]) == 0:
-                # empty fields maps: encode_indiv emits nothing, n_fmt 0
+                # empty fields maps: encode_indiv emits nothing, n_fmt 0.
+                # EVERY cell of the group must be empty — an
+                # empty-string FORMAT key produces the same "" signature
+                # as an empty map, so a mixed group must bail to the
+                # dictionary path instead of silently encoding the keyed
+                # records as empty indiv (r9 ADVICE).
+                if m_per_cell[cidx].any():
+                    return None
                 parts.append(
                     (ridx, np.zeros(0, np.uint8),
                      np.zeros(n_g, np.int64), 0)
                 )
                 continue
-            cidx = (ridx[:, None] * S + np.arange(S)).ravel()
             cells_g = cells.take(pa.array(cidx))
             res = self._encode_cells_uniform(cells_g, n_g, S)
             if res is None:

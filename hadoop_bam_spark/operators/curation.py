@@ -65,14 +65,29 @@ def repetition_ratios(
         lambda acc, ln: acc + F.length(ln),
     )
     # occurrences of the most frequent word, as a pure array expression:
-    # for each DISTINCT word, count its occurrences via filter+size, then
-    # take the max. O(distinct * n) per document — bounded by document
-    # length, never corpus-scale.
-    top_word_n = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # sort the words once, then one aggregate pass tracks the longest
+    # equal run — O(n log n) per document. (The earlier
+    # distinct×filter shape was O(distinct * n): a long document with a
+    # large vocabulary went quadratic inside one codegen expression and
+    # could dominate the scan stage; r9 ADVICE.)
+    zero = F.lit(0).cast("long")
+    top_word_n = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(w == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     safe = lambda num, den: F.when(den > 0, F.round(num / den, 6)).otherwise(
         F.lit(0.0)

@@ -118,14 +118,26 @@ def tf_idf_top_terms(
     top_terms: int = 3,
     min_token_len: int = 4,
     skew_safe: bool = True,
+    vocab_join: str = "auto",
 ):
     """Top TF-IDF terms per document.
 
     Default (``skew_safe=True``) shape: ONE explode into a PERSISTED
     per-(doc, token) tf aggregate -> token document frequencies as a plain
     ``groupBy("token").count()`` over the persisted frame (map-side
-    partials, AQE skew handling, no single-task token key) -> broadcast
-    join-back (vocabulary-sized) -> per-doc window top-n.
+    partials, AQE skew handling, no single-task token key) -> join-back
+    (see ``vocab_join``) -> per-doc window top-n.
+
+    ``vocab_join`` controls the df join-back strategy. The vocabulary is
+    corpus-derived — a web-scale corpus has 100M+ distinct tokens, far
+    past Spark's 8 GB broadcast / driver-memory limits — so forcing a
+    broadcast hint is a scale hazard (r9 ADVICE). ``"auto"`` (default)
+    plans a plain equi-join and lets AQE convert it to broadcast at
+    runtime from the ACTUAL post-aggregate size (doc_freq sits behind a
+    shuffle stage, so AQE has exact stats; small vocab -> runtime
+    broadcast, huge vocab -> shuffle join that completes). ``"broadcast"``
+    forces the hint (caller knows the vocabulary is bounded — saves the
+    pairs-side shuffle write AQE cannot elide); ``"shuffle"`` forbids it.
 
     Why persist instead of letting Catalyst share the subtree: deriving
     ``df`` from a second aggregate over the UNmaterialized pairs frame made
@@ -188,7 +200,14 @@ def tf_idf_top_terms(
         doc_freq = pairs.groupBy("token").agg(
             F.count(F.lit(1)).alias("df")
         )
-        with_df = pairs.join(F.broadcast(doc_freq), "token")
+        if vocab_join == "broadcast":
+            doc_freq = F.broadcast(doc_freq)
+        elif vocab_join != "shuffle" and vocab_join != "auto":
+            raise ValueError(f"vocab_join must be auto/broadcast/shuffle,"
+                             f" got {vocab_join!r}")
+        # "auto": no hint — AQE converts to broadcast at runtime iff the
+        # aggregated vocabulary is actually small (exact shuffle stats)
+        with_df = pairs.join(doc_freq, "token")
     else:
         with_df = pairs.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
@@ -562,14 +581,27 @@ def quality_quantile_filter(
     wl = Window.partitionBy(lang_col).orderBy("quality")
     cum = hist.withColumn("_cum", F.sum("_c").over(wl))
     totals = cum.groupBy(lang_col).agg(F.max("_cum").alias("_n"))
-    # rows dropped per language: rank <= quantile*n  <=>  rank <= floor(q*n)
-    # (rank is integral). Boundary = smallest quality whose cumulative
-    # count exceeds the drop budget; _need = ties at the boundary that
-    # still fall inside the budget (dropped smallest-id first).
+    # rows dropped per language: the largest rank k with k/n <= quantile
+    # — judged with the SAME double division cume_dist uses, not
+    # floor(n*q): float multiply can land one off at exact boundaries
+    # (10 * 0.3 = 2.999... -> floor 2, while cume_dist drops rank 3; r9
+    # ADVICE). floor gives the candidate, one +-1 step under the
+    # cume_dist comparison pins it. Boundary = smallest quality whose
+    # cumulative count exceeds the drop budget; _need = ties at the
+    # boundary that still fall inside the budget (dropped smallest-id
+    # first).
+    qlit = F.lit(float(quantile))
     bnd = (
         cum.join(totals, lang_col)
         .withColumn(
-            "_k", F.floor(F.col("_n") * F.lit(float(quantile))).cast("long")
+            "_k0", F.floor(F.col("_n") * qlit).cast("long")
+        )
+        .withColumn(
+            "_k",
+            F.when((F.col("_k0") + 1) / F.col("_n") <= qlit,
+                   F.col("_k0") + 1)
+            .when(F.col("_k0") / F.col("_n") > qlit, F.col("_k0") - 1)
+            .otherwise(F.col("_k0")),
         )
         .filter(F.col("_cum") > F.col("_k"))
         .groupBy(lang_col)

@@ -780,14 +780,26 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-document top-3 TF-IDF terms, skew-safe shape: one explode "
     "into a persisted (doc, token, tf) aggregate; document frequencies "
     "from a plain groupBy over it (map-side partials, no per-token window "
-    "straggler) broadcast-joined back; per-doc ranking is the only window.",
+    "straggler) joined back (AQE picks broadcast at runtime when the "
+    "vocabulary is small); per-doc ranking is the only window.",
     bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return text_ops.tf_idf_top_terms(
+    out = text_ops.tf_idf_top_terms(
         docs, top_terms=3, min_token_len=4, skew_safe=True
     )
+    # The gate/bench is a one-shot caller but shares a long-lived session
+    # with 98 other queries: materialize the (tiny, <= 3/doc) result into
+    # its own cache, then free the corpus-sized pairs frame NOW instead
+    # of letting it squat in executor storage (r9 ADVICE: caller-owned
+    # lifetime — the gate is a caller).
+    pairs_cache = out._tfidf_pairs_cache
+    if pairs_cache is not None:
+        out = out.persist()
+        out.count()
+        pairs_cache.unpersist()
+    return out
 
 
 @query(
@@ -1657,9 +1669,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the text column never shuffles and nothing is quadratic.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_substring_duplication(
+    out = dedup.exact_substring_duplication(
         corpus_view(spark, sf_dir), gram=40, stride=10
     )
+    # gate owns the cache lifetime (r9 ADVICE): materialize the per-doc
+    # result, free the corpus-sized grams frame immediately
+    grams_cache = out._grams_cache
+    if grams_cache is not None:
+        out = out.persist()
+        out.count()
+        grams_cache.unpersist()
+    return out
 
 
 @query(

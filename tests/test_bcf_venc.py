@@ -230,6 +230,26 @@ class TestIndivUniformFastPath:
         assert self._fast(b) is None
         _assert_parity(b)
 
+    def test_empty_string_key_does_not_pass_as_empty_map(self):
+        """An empty-string FORMAT key produces the same '' key-sequence
+        signature as an empty map. A group mixing both shapes must BAIL
+        (r9 ADVICE) — the old first-record shortcut silently encoded the
+        keyed records as empty indiv when the empty map sorted first."""
+        rows = _uniform_rows([
+            [("S1", None, {})],        # genuinely empty map
+            [("S1", None, {"": "5"})],  # empty-string key, same signature
+        ])
+        assert self._fast(rows) is None
+
+    def test_all_empty_group_still_fast(self):
+        rows = _uniform_rows([
+            [("S1", None, {})],
+            [("S1", "0/1", {"GT": "0/1"})],
+            [("S1", None, {})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
     def test_float_and_string_values_fast(self):
         """Per-record type selection parity: the scalar tries int, then
         float, then string PER RECORD — a column mixing '5' and '0.5'
