@@ -208,7 +208,10 @@ def rans_decode(data: bytes, raw_size: int) -> bytes:
         return b""
     order = data[0]
     # compressed size u32, raw size u32 (little-endian)
-    (n_out,) = struct.unpack_from("<I", data, 5)
+    try:
+        (n_out,) = struct.unpack_from("<I", data, 5)
+    except struct.error:
+        raise ValueError("truncated rANS block") from None
     if raw_size is not None and n_out != raw_size:
         raise ValueError(
             f"rANS raw size mismatch: block header says {raw_size}, "
@@ -2213,19 +2216,32 @@ def read_cram_file_header(path: str, open_fn=open):
     return major, text, refs, _parse_rgs(text), pos
 
 
+# Bounded container read-ahead for decode_file: same 48 MB pattern as
+# sources/cram_source.py:_READAHEAD_BYTES — batch every rANS block of a
+# chunk into one decode_batch call without ever materializing more than
+# one chunk's container bodies (keeps the generator lazy for streaming /
+# early-exit consumers).
+_DECODE_FILE_READAHEAD = 48 << 20
+
+
 def decode_file(path: str, reference: Optional[str] = None,
                 open_fn=open) -> Iterator[tuple]:
     """All records of a CRAM file (test/convenience path)."""
     major, _text, refs, rgs, _pos = read_cram_file_header(path, open_fn)
     ref_fasta = FastaRef(reference, open_fn) if reference else None
     dec = ContainerDecoder(major, refs, ref_fasta=ref_fasta, read_groups=rgs)
+    offsets = list(iter_container_offsets(path, open_fn))
     with open_fn(path, "rb") as fh:
-        data = fh.read()
-    containers = [
-        (chdr,
-         data[off + chdr.header_size : off + chdr.header_size + chdr.length])
-        for off, chdr in iter_container_offsets(path, open_fn)
-    ]
-    caches = batch_rans_caches([b for _, b in containers], major)
-    for (chdr, body), cache in zip(containers, caches):
-        yield from dec.decode(body, chdr, cache)
+        i = 0
+        while i < len(offsets):
+            batch: list = []
+            total = 0
+            while i < len(offsets) and total < _DECODE_FILE_READAHEAD:
+                off, chdr = offsets[i]
+                fh.seek(off + chdr.header_size)
+                batch.append((chdr, fh.read(chdr.length)))
+                total += chdr.length
+                i += 1
+            caches = batch_rans_caches([b for _, b in batch], major)
+            for (chdr, body), cache in zip(batch, caches):
+                yield from dec.decode(body, chdr, cache)

@@ -163,9 +163,18 @@ static int rans_decode1_inner(const uint8_t *data, int64_t len,
     int64_t q = n_out >> 2;
     int64_t ptrs[4] = {0, q, 2 * q, 3 * q};
     int ctxs[4] = {0, 0, 0, 0};
+    int have0 = have[0];
     for (int64_t i = 0; i < q; i++) {
         for (int j = 0; j < 4; j++) {
-            table_t *t = have[ctxs[j]] ? &tabs[ctxs[j]] : &tabs[0];
+            int c = ctxs[j];
+            if (!have[c]) {
+                /* unseen context falls back to ctx-0 (scalar parity:
+                 * `freqs[ctx] or freqs[0]`); no ctx-0 table either ->
+                 * malformed stream, error like the Python KeyError */
+                if (!have0) return -1;
+                c = 0;
+            }
+            table_t *t = &tabs[c];
             uint32_t x = s[j];
             uint32_t f = x & (TOTFREQ - 1);
             uint8_t sym = t->lookup[f];
@@ -185,7 +194,12 @@ static int rans_decode1_inner(const uint8_t *data, int64_t len,
         uint32_t x = s[3];
         int c3 = ctxs[3];
         for (int64_t i = 4 * q; i < n_out; i++) {
-            table_t *t = have[c3] ? &tabs[c3] : &tabs[0];
+            int c = c3;
+            if (!have[c]) {
+                if (!have0) return -1;
+                c = 0;
+            }
+            table_t *t = &tabs[c];
             uint32_t f = x & (TOTFREQ - 1);
             uint8_t sym = t->lookup[f];
             out[i] = sym;
@@ -201,8 +215,11 @@ static int rans_decode1_inner(const uint8_t *data, int64_t len,
 int rans_decode1(const uint8_t *data, int64_t len,
                  uint8_t *out, int64_t n_out) {
     /* Tables are heap-allocated (1.2 MB): too big for the stack, and
-     * TLS in a dlopen'd lib is allocator-dependent. */
-    table_t *tabs = (table_t *)malloc(256 * sizeof(table_t));
+     * TLS in a dlopen'd lib is allocator-dependent. calloc, not malloc:
+     * a malformed stream may reference a table the have[] fallback
+     * didn't guard in an earlier revision — zeroed tables decode
+     * deterministically (and the have0 check above errors first). */
+    table_t *tabs = (table_t *)calloc(256, sizeof(table_t));
     uint8_t have[256];
     int rc;
     if (!tabs) return -1;
@@ -228,33 +245,52 @@ def _cache_dir() -> str:
 
 
 def _build() -> str | None:
-    """Compile the kernel into the cache dir (atomic rename so parallel
-    executor processes race safely); returns the .so path or None."""
+    """Compile the kernel into the cache dir; returns the .so path or
+    None. Cross-process race-safe TWO ways: an advisory flock on a
+    sidecar lockfile makes exactly one of N concurrent executor
+    processes compile (the other 31 block a few hundred ms, then see the
+    finished .so), and the atomic rename keeps even lock-less
+    filesystems correct (worst case: redundant compiles, never a torn
+    .so)."""
     tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
     so = os.path.join(_cache_dir(), f"rans_{tag}.so")
     if os.path.exists(so):
         return so
-    cc = os.environ.get("CC", "cc")
-    with tempfile.TemporaryDirectory() as td:
-        src = os.path.join(td, "rans.c")
-        tmp_so = os.path.join(td, "rans.so")
-        with open(src, "w") as fh:
-            fh.write(_C_SOURCE)
-        try:
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
-                check=True, capture_output=True, timeout=60,
-            )
-        except (OSError, subprocess.SubprocessError):
-            return None
-        try:
-            os.replace(tmp_so, so)  # same-FS? tempdir may differ -> copy
-        except OSError:
-            import shutil
+    lock_fh = None
+    try:
+        import fcntl
 
-            shutil.copy(tmp_so, so + f".tmp{os.getpid()}")
-            os.replace(so + f".tmp{os.getpid()}", so)
-    return so
+        lock_fh = open(so + ".lock", "a+b")
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)  # blocks while a peer builds
+        if os.path.exists(so):  # peer won the race while we waited
+            return so
+    except (ImportError, OSError):
+        lock_fh = None  # no flock on this platform/FS: rename still safe
+    try:
+        cc = os.environ.get("CC", "cc")
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "rans.c")
+            tmp_so = os.path.join(td, "rans.so")
+            with open(src, "w") as fh:
+                fh.write(_C_SOURCE)
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
+                    check=True, capture_output=True, timeout=60,
+                )
+            except (OSError, subprocess.SubprocessError):
+                return None
+            try:
+                os.replace(tmp_so, so)  # same-FS? tempdir may differ -> copy
+            except OSError:
+                import shutil
+
+                shutil.copy(tmp_so, so + f".tmp{os.getpid()}")
+                os.replace(so + f".tmp{os.getpid()}", so)
+        return so
+    finally:
+        if lock_fh is not None:
+            lock_fh.close()  # close releases the flock
 
 
 def _load():

@@ -304,6 +304,9 @@ def _lockstep0(items: list["_Item0"]) -> None:
     n_arr = np.asarray([it.n for it in items], np.int64)
 
     wave = 0
+    carry = _CHECK_EVERY  # truncation-check counter carries across
+    # phases so the pad invariant (<= _CHECK_EVERY unchecked waves, i.e.
+    # <= _PAD bytes of drift) holds at phase boundaries too
     while ids.size:
         rem = n_arr - 4 * wave
         keep = rem >= 4
@@ -337,8 +340,9 @@ def _lockstep0(items: list["_Item0"]) -> None:
         W = min(_PHASE_W, int(rem.min()) // 4)
         buf = np.empty((W, ids.size, 4), np.uint8)
         base2d = (ids << _TF_SHIFT)[:, None]
-        check = [ends[ids], _CHECK_EVERY]
+        check = [ends[ids], carry]
         _run_phase(S, ptr, base2d, packed, data16, buf, W, check)
+        carry = check[1]
         # flush: item t's symbols for waves [wave, wave+W) interleave as
         # positions 4*wave .. 4*(wave+W) — contiguous per item after one
         # vectorized transpose
@@ -502,6 +506,7 @@ def _lockstep1(items: list["_Item1"]) -> None:
             out_flat[o + 4 * q : o + it.n] = np.frombuffer(tail, np.uint8)
 
     wave = 0
+    carry = _CHECK_EVERY  # see _lockstep0: pad invariant across phases
     while ids.size:
         q_act = q_all[ids]
         rem = q_act - wave
@@ -521,9 +526,10 @@ def _lockstep1(items: list["_Item1"]) -> None:
         W = min(_PHASE_W, int(rem.min()))
         buf = np.empty((W, ids.size, 4), np.uint8)
         rowbase2d = (ids * 256)[:, None]
-        check = [ends[ids], _CHECK_EVERY]
+        check = [ends[ids], carry]
         _run_phase1(S, ptr, ctx, rowbase2d, seg_flat, sym_arena,
                     fr_flat, cum_flat, data16, buf, W, check)
+        carry = check[1]
         # flush: state j of item t wrote quarter positions
         # [j*q + wave, j*q + wave + W) — contiguous per (item, state)
         # after one vectorized transpose
@@ -567,7 +573,12 @@ def decode_batch(blobs: list) -> list:
         order = data[0]
         if order not in (0, 1):
             raise ValueError(f"unsupported rANS order {order}")
-        (n_out,) = struct.unpack_from("<I", data, 5)
+        try:
+            (n_out,) = struct.unpack_from("<I", data, 5)
+        except struct.error:
+            # 1-8 byte payload: header itself is truncated. Normalize to
+            # ValueError so batch_rans_caches' fallback contract holds.
+            raise ValueError("truncated rANS block") from None
         if raw_size is not None and n_out != raw_size:
             raise ValueError(
                 f"rANS raw size mismatch: block header says {raw_size}, "

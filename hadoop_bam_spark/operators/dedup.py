@@ -783,6 +783,7 @@ def exact_substring_duplication(
     gram: int = 40,
     stride: int = 10,
     skew_safe: bool = True,
+    cache=None,
 ) -> DataFrame:
     """ExactSubstr-style duplication signal (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): sample character grams
@@ -809,9 +810,11 @@ def exact_substring_duplication(
     The persist keeps the single-explode property
     (the self-referencing join otherwise made Catalyst run the
     explode+md5 twice — no exchange reuse across two column-pruned scans
-    of an unmaterialized frame; the r6 defect class). Cache lifetime is
-    attached to the result as ``._grams_cache``, same contract as
-    ``tf_idf_top_terms``.
+    of an unmaterialized frame; the r6 defect class). Cache lifetime:
+    pass an ``operators.caching.CacheHandle`` as ``cache`` and unpersist
+    through it — same contract as ``tf_idf_top_terms`` (the legacy
+    ``._grams_cache`` attribute is also set, but attributes do not
+    survive DataFrame transformations).
 
     ``skew_safe=False`` is the r6-r8 shape: the count as
     ``count(1) over (partition by _g)`` — no materialization, one fewer
@@ -867,5 +870,7 @@ def exact_substring_duplication(
         )
     )
     # caller owns the cache lifetime (see docstring)
+    if cache is not None:
+        cache.register(cached)
     out._grams_cache = cached
     return out

@@ -119,6 +119,7 @@ def tf_idf_top_terms(
     min_token_len: int = 4,
     skew_safe: bool = True,
     vocab_join: str = "auto",
+    cache=None,
 ):
     """Top TF-IDF terms per document.
 
@@ -157,14 +158,19 @@ def tf_idf_top_terms(
     fraction of documents becomes the straggler partition at corpus scale
     (r8 VERDICT) — only use it when the token distribution is known flat.
 
-    Cache lifetime (``skew_safe=True``): the persisted pairs frame is
-    attached to the returned DataFrame as ``._tfidf_pairs_cache``. A
-    one-shot caller (the oracle gate, bench) lets it die with the session;
-    a long-lived session issuing many tf-idf queries should call
-    ``result._tfidf_pairs_cache.unpersist()`` after materializing, else
-    cached (doc_id, token, tf) rows accumulate in executor storage across
-    calls. The persist uses MEMORY_AND_DISK so a vocabulary-heavy corpus
-    spills instead of evicting.
+    Cache lifetime (``skew_safe=True``): pass a
+    ``operators.caching.CacheHandle`` as ``cache`` and the persisted
+    pairs frame registers on it — ``handle.unpersist()`` (or exiting the
+    handle's ``with`` block) after materializing frees it, regardless of
+    how the result was transformed. A one-shot caller (the oracle gate,
+    bench) may skip the handle and let the persist die with the session;
+    a long-lived session issuing many tf-idf queries must scope each
+    call, else cached (doc_id, token, tf) rows accumulate in executor
+    storage. The persist uses MEMORY_AND_DISK so a vocabulary-heavy
+    corpus spills instead of evicting. (Legacy: the frame is also
+    attached as ``result._tfidf_pairs_cache``, but Python attributes do
+    NOT survive DataFrame transformations — ``.filter()`` returns a new
+    object without it; prefer the handle.)
 
     Scores are rounded to 6 places so the arithmetic is reproducible across
     engines.
@@ -173,6 +179,11 @@ def tf_idf_top_terms(
 
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
+    if vocab_join not in ("auto", "broadcast", "shuffle"):
+        # validate up front — with skew_safe=False the value is unused,
+        # and a typo ('broadast') must not be silently ignored
+        raise ValueError(f"vocab_join must be auto/broadcast/shuffle,"
+                         f" got {vocab_join!r}")
     df = ensure_parallelism(df)
     # Corpus size as a broadcast single-row aggregate (not a driver-side
     # count()): the whole query stays one lazy plan, no eager job. The
@@ -202,9 +213,6 @@ def tf_idf_top_terms(
         )
         if vocab_join == "broadcast":
             doc_freq = F.broadcast(doc_freq)
-        elif vocab_join != "shuffle" and vocab_join != "auto":
-            raise ValueError(f"vocab_join must be auto/broadcast/shuffle,"
-                             f" got {vocab_join!r}")
         # "auto": no hint — AQE converts to broadcast at runtime iff the
         # aggregated vocabulary is actually small (exact shuffle stats)
         with_df = pairs.join(doc_freq, "token")
@@ -229,8 +237,11 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= top_terms)
         .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
-    # hand the cache lifetime to the caller (see docstring): long-lived
-    # sessions unpersist via this handle after materializing the result
+    # hand the cache lifetime to the caller (see docstring): the
+    # CacheHandle survives transformations of `out`; the attribute is
+    # the legacy channel and does not
+    if cache is not None:
+        cache.register(cached_pairs)
     out._tfidf_pairs_cache = cached_pairs
     return out
 

@@ -785,20 +785,22 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.caching import CacheHandle
+
     docs = _t(spark, sf_dir, "documents")
-    out = text_ops.tf_idf_top_terms(
-        docs, top_terms=3, min_token_len=4, skew_safe=True
-    )
     # The gate/bench is a one-shot caller but shares a long-lived session
     # with 98 other queries: materialize the (tiny, <= 3/doc) result into
     # its own cache, then free the corpus-sized pairs frame NOW instead
     # of letting it squat in executor storage (r9 ADVICE: caller-owned
-    # lifetime — the gate is a caller).
-    pairs_cache = out._tfidf_pairs_cache
-    if pairs_cache is not None:
+    # lifetime via the explicit CacheHandle API).
+    caches = CacheHandle()
+    out = text_ops.tf_idf_top_terms(
+        docs, top_terms=3, min_token_len=4, skew_safe=True, cache=caches
+    )
+    if len(caches):
         out = out.persist()
         out.count()
-        pairs_cache.unpersist()
+        caches.unpersist()
     return out
 
 
@@ -1669,16 +1671,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the text column never shuffles and nothing is quadratic.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup.exact_substring_duplication(
-        corpus_view(spark, sf_dir), gram=40, stride=10
-    )
+    from hadoop_bam_spark.operators.caching import CacheHandle
+
     # gate owns the cache lifetime (r9 ADVICE): materialize the per-doc
     # result, free the corpus-sized grams frame immediately
-    grams_cache = out._grams_cache
-    if grams_cache is not None:
+    caches = CacheHandle()
+    out = dedup.exact_substring_duplication(
+        corpus_view(spark, sf_dir), gram=40, stride=10, cache=caches
+    )
+    if len(caches):
         out = out.persist()
         out.count()
-        grams_cache.unpersist()
+        caches.unpersist()
     return out
 
 

@@ -285,6 +285,25 @@ class TestExactSubstringSinglePass:
         assert got[1].dup_ratio == 1.0 and got[2].dup_ratio == 1.0
         assert got[3].n_dup_grams == 0
 
+    def test_cache_handle_survives_transformations(self, spark):
+        """Explicit CacheHandle API: unpersisting the internal grams
+        frame stays possible after the result is transformed (the
+        legacy ``._grams_cache`` attribute does not survive a
+        ``.filter()``)."""
+        from hadoop_bam_spark.operators.caching import CacheHandle
+        from hadoop_bam_spark.operators.dedup import exact_substring_duplication
+
+        rows = [(1, "x" * 100), (2, "x" * 100)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        with CacheHandle() as caches:
+            out = exact_substring_duplication(df, cache=caches)
+            dup_only = out.filter("dup_ratio > 0.5")
+            assert not hasattr(dup_only, "_grams_cache")
+            assert dup_only.count() == 2
+            (grams,) = caches._frames
+            assert grams.storageLevel.useMemory
+        assert not grams.storageLevel.useMemory
+
 
 class TestBudgetSinglePass:
     def test_signature_stage_once_in_plan(self, spark):

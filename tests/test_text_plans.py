@@ -112,6 +112,44 @@ class TestTfIdfSkewSafe:
         self._assert_skew_safe_plan(plan)
         df.unpersist()
 
+    def test_cache_handle_survives_transformations(self, spark):
+        """The explicit CacheHandle API (r10 verdict task): the legacy
+        ``._tfidf_pairs_cache`` attribute vanishes on the first
+        transformation, but the handle keeps the unpersist path valid."""
+        from hadoop_bam_spark.operators.caching import CacheHandle
+        from hadoop_bam_spark.operators.text import tf_idf_top_terms
+
+        rows = [(1, "alpha alpha beta gamma"), (2, "alpha beta beta beta")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        with CacheHandle() as caches:
+            out = tf_idf_top_terms(df, min_token_len=1, cache=caches)
+            filtered = out.filter("rank = 1")
+            # the attribute channel is gone after .filter() — exactly the
+            # footgun the handle exists for
+            assert not hasattr(filtered, "_tfidf_pairs_cache")
+            assert len(caches) == 1
+            assert filtered.count() == 2
+            (pairs,) = caches._frames
+            assert pairs.storageLevel.useMemory
+        # context exit unpersisted the pairs frame; handle is drained
+        assert not pairs.storageLevel.useMemory
+        assert len(caches) == 0
+        caches.unpersist()  # idempotent
+
+    def test_vocab_join_validated_at_entry(self, spark):
+        """A typo'd vocab_join must raise in BOTH shapes — with
+        skew_safe=False the value is unused, but silence hides the typo
+        until the caller flips skew_safe back on (r10 ADVICE)."""
+        import pytest
+
+        from hadoop_bam_spark.operators.text import tf_idf_top_terms
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        for skew_safe in (True, False):
+            with pytest.raises(ValueError, match="vocab_join"):
+                tf_idf_top_terms(df, skew_safe=skew_safe,
+                                 vocab_join="broadast")
+
     @staticmethod
     def _assert_skew_safe_plan(plan: str) -> None:
         # both consumers (tf side and df side) read the persisted pairs
