@@ -865,17 +865,21 @@ def encode_record(row: tuple, hdr: BCFHeader) -> bytes:
 
 def encode_filters(filters, sidx) -> bytes:
     """FILTER column -> typed int vector of dictionary indexes (memoized;
-    shared with the vectorized batch encoder)."""
+    shared with the vectorized batch encoder).
+
+    The memo keys on the RESOLVED index tuple, not the name tuple: the
+    same filter names map to different dictionary indexes under
+    different headers, and a name-keyed cache would hand one header's
+    bytes to another (order-dependent wrong bytes when a process writes
+    two cohorts)."""
     if filters is None:
         return b"\x01"  # int8 vector, count 0
-    ft = tuple(filters)
+    ft = tuple(sidx[f] for f in filters)
     got = _ENC_FILTER_CACHE.get(ft)
     if got is None:
         if len(_ENC_FILTER_CACHE) > 4096:
             _ENC_FILTER_CACHE.clear()
-        got = _ENC_FILTER_CACHE[ft] = _enc_int_vector(
-            [sidx[f] for f in filters]
-        )
+        got = _ENC_FILTER_CACHE[ft] = _enc_int_vector(list(ft))
     return got
 
 

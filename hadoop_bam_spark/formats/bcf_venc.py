@@ -195,6 +195,10 @@ class BCFBatchEncoder:
         self.hdr = hdr
         self.sidx = hdr.string_index
         self.cidx = hdr.contig_index
+        #: which indiv strategy the LAST encode_batch used —
+        #: "uniform" | "grouped" | "union" | "dict" (observability for
+        #: tools/bench_bcf_nulls.py and the path-pinning tests)
+        self.last_indiv_path = None
 
     # -- unique-piece encoders (scalar helpers from formats/bcf.py keep
     # byte parity by construction) ------------------------------------
@@ -332,6 +336,7 @@ class BCFBatchEncoder:
             indiv_flat, indiv_lens, n_fmt = fast
             g_table = g_codes = None
         else:
+            self.last_indiv_path = "dict"
             g_keys = self._genotype_keys(geno_arr, n)
             g_codes, g_first = _dict_encode_keys(g_keys)
             g_pieces = []
@@ -473,6 +478,7 @@ class BCFBatchEncoder:
             return None
         res = self._encode_cells_uniform(cells, n, S)
         if res is not None:
+            self.last_indiv_path = "uniform"
             return res
         return self._indiv_grouped(cells, n, S)
 
@@ -506,7 +512,11 @@ class BCFBatchEncoder:
         )
         codes = np.asarray(sig.indices).astype(np.int64).reshape(n, S)
         if not (codes == codes[:, :1]).all():
-            return None  # cells within one record disagree: union shape
+            # cells within one record disagree -> union key-set shape
+            # (r11): expand every cell to the record's union key
+            # sequence with null values for absent keys, then encode
+            # through the uniform path per pattern group
+            return self._indiv_union(cells, n, S, codes, f_offs)
         rec_sig = codes[:, 0]
         groups = np.unique(rec_sig)
         if len(groups) > 32:
@@ -551,6 +561,133 @@ class BCFBatchEncoder:
             flat[_ramp(starts[ridx], lens_g)] = flat_g[
                 _ramp(g_starts, lens_g)
             ]
+        self.last_indiv_path = "grouped"
+        return flat, lens, nfmt
+
+    def _indiv_union(self, cells, n: int, S: int, codes, f_offs):
+        """Within-record key-set disagreement (the adversarial cohort
+        shape: per-sample FORMAT keys differing inside one record):
+        scalar ``encode_indiv`` takes the UNION of keys across samples
+        in first-seen order and reads absent cells as None. This
+        vectorizes that exactly. Records group by their UNION key
+        sequence — NOT by the full per-cell pattern, which fans out as
+        (distinct cell key-sets)^S and blows any group cap on real
+        cohorts, while distinct unions stay bounded by the header's
+        FORMAT key subsets that actually co-occur (usually a handful).
+        Per group, every cell expands to the union sequence via one
+        vectorized entry scatter + Arrow take with null indexes for
+        absent keys (null value == absent cell, bytewise identical per
+        encode_indiv's ``fm.get``), then encodes through the uniform
+        fast path. Bails (None -> per-record dictionary path) on
+        fragmentation (> 32 unions, > 64 distinct keys), duplicate keys
+        inside one cell, or a group the uniform contract rejects."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        f = cells.field("fields")
+        nc = n * S
+        klo, khi = int(f_offs[0]), int(f_offs[-1])
+        keys = pc.cast(f.keys.slice(klo, khi - klo), pa.string())
+        items = f.items  # absolute child indexing below
+        if keys.null_count:
+            return None
+        kd = pc.dictionary_encode(keys)
+        kcodes = np.asarray(kd.indices).astype(np.int64)
+        K = len(kd.dictionary)
+        E = len(kcodes)
+        if K > 64:
+            return None
+        ent_per_cell = (f_offs[1:] - f_offs[:-1]).astype(np.int64)
+        cell_of_entry = np.repeat(np.arange(nc, dtype=np.int64),
+                                  ent_per_cell)
+        rec_of_entry = cell_of_entry // S
+        # duplicate key inside one cell: scalar's dict shape dedups —
+        # route to the dictionary path
+        if len(np.unique(cell_of_entry * K + kcodes)) != E:
+            return None
+        # first-seen flat position per (record, key): record-major entry
+        # order IS the scalar's union discovery order
+        INF = np.iinfo(np.int64).max
+        first_pos = np.full((n, K), INF, np.int64)
+        np.minimum.at(
+            first_pos, (rec_of_entry, kcodes),
+            np.arange(E, dtype=np.int64),
+        )
+        order = np.argsort(first_pos, axis=1, kind="stable")
+        poss = np.take_along_axis(first_pos, order, axis=1)
+        uni = np.where(poss < INF, order, -1)  # (n, K) canonical unions
+        pats, rec_pat = np.unique(uni, axis=0, return_inverse=True)
+        rec_pat = rec_pat.ravel()  # numpy<2.1 returns (n,1) with axis=0
+        # unions are ORDERED sequences (discovery order fixes the wire
+        # key order), so subsets multiply by their orderings — allow a
+        # wider fan-out than the grouped path; per-group cost is a few
+        # vectorized ops, and 128 groups on a 4096-row batch still
+        # leaves ~32 records per encode_cells_uniform call
+        if len(pats) > 128:
+            return None
+        # per-record union slot of each key
+        slot_of = np.full((n, K), -1, np.int64)
+        rr = np.repeat(np.arange(n, dtype=np.int64), K)
+        flatu = uni.ravel()
+        valid = flatu >= 0
+        slot_of[rr[valid], flatu[valid]] = np.tile(
+            np.arange(K, dtype=np.int64), n
+        )[valid]
+        dest_slot = slot_of[rec_of_entry, kcodes]
+        ent_group = rec_pat[rec_of_entry]
+        parts = []
+        for g in range(len(pats)):
+            ridx = np.flatnonzero(rec_pat == g)
+            n_g = len(ridx)
+            urow = pats[g]
+            u = int((urow >= 0).sum())
+            if u == 0:
+                parts.append(
+                    (ridx, np.zeros(0, np.uint8), np.zeros(n_g, np.int64), 0)
+                )
+                continue
+            union_keys = [str(kd.dictionary[int(c)]) for c in urow[:u]]
+            sel = np.flatnonzero(ent_group == g)
+            loc = np.full(n, -1, np.int64)
+            loc[ridx] = np.arange(n_g, dtype=np.int64)
+            cell_local = (
+                loc[rec_of_entry[sel]] * S + cell_of_entry[sel] % S
+            )
+            src = np.full(n_g * S * u, -1, np.int64)
+            src[cell_local * u + dest_slot[sel]] = sel + klo
+            mask = src < 0
+            items_exp = items.take(
+                pa.array(np.where(mask, 0, src), mask=mask)
+            )
+            offs = pa.array(
+                np.arange(0, (n_g * S * u) + 1, u, dtype=np.int32)
+            )
+            map_arr = pa.MapArray.from_arrays(
+                offs,
+                pa.array(union_keys * (n_g * S), pa.string()),
+                items_exp,
+            )
+            cells_exp = pa.StructArray.from_arrays([map_arr], ["fields"])
+            res = self._encode_cells_uniform(cells_exp, n_g, S)
+            if res is None:
+                return None
+            flat_g, lens_g, nfmt_g = res
+            parts.append((ridx, flat_g, lens_g, int(nfmt_g[0])))
+        lens = np.empty(n, np.int64)
+        nfmt = np.empty(n, np.int64)
+        for ridx, _, lens_g, m_g in parts:
+            lens[ridx] = lens_g
+            nfmt[ridx] = m_g
+        starts = _exclusive_cumsum(lens)[:-1]
+        flat = np.empty(int(lens.sum()), np.uint8)
+        for ridx, flat_g, lens_g, _ in parts:
+            if not len(flat_g):
+                continue
+            g_starts = _exclusive_cumsum(lens_g)[:-1]
+            flat[_ramp(starts[ridx], lens_g)] = flat_g[
+                _ramp(g_starts, lens_g)
+            ]
+        self.last_indiv_path = "union"
         return flat, lens, nfmt
 
     def _encode_cells_uniform(self, cells, n: int, S: int):
@@ -611,7 +748,21 @@ class BCFBatchEncoder:
                 filled = pc.fill_null(cv, "")
                 ln = np.asarray(pc.binary_length(filled)).astype(np.int64)
                 if not np.isin(ln, (0, 1, 3)).all():
-                    return None
+                    # exotic shapes — ploidy > 2 ('0/1/2') and/or
+                    # multi-digit allele indexes ('10|2') — take the
+                    # general split-based parse (r11: these used to bail
+                    # the whole batch to the per-record dictionary path)
+                    res = self._gt_general(filled, nc, n, S, rec_of_cell)
+                    if res is None:
+                        return None
+                    cnt, flat_vals, typ, width = res
+                    flat_miss = np.zeros(len(flat_vals), bool)
+                    flat_flt = s_starts = s_data = cell_len = None
+                    per_key.append(
+                        (cnt, flat_vals, flat_miss, typ, width,
+                         flat_flt, s_starts, s_data, cell_len)
+                    )
+                    continue
                 comb = filled.combine_chunks() if hasattr(
                     filled, "combine_chunks") else filled
                 boffs = np.frombuffer(comb.buffers()[1], np.int32)[
@@ -895,6 +1046,65 @@ class BCFBatchEncoder:
             key_off = key_off + block_lens[ki]
 
         return out, rec_lens, np.full(n, m, np.int64)
+
+    def _gt_general(self, filled, nc: int, n: int, S: int, rec_of_cell):
+        """General vectorized GT parse: arbitrary ploidy and multi-digit
+        allele indexes ('0/1/2', '10|2', './0'). Returns
+        (per-cell allele counts, flat allele codes, per-record typ,
+        per-record width) or None (non-GT garbage -> dictionary path,
+        where the scalar raises the real error).
+
+        Mirrors ``bcf._enc_gt`` exactly: allele code =
+        ``((a + 1) << 1) | phased``, ``a = -1`` for '.'/'' alleles, the
+        phase bit of allele k>0 is 1 iff the separator BEFORE it is '|'
+        (allele 0 is always unphased), null/empty GT encodes the single
+        code 0, and the int type widens per record when a large allele
+        index pushes codes past int8/int16 (codes are >= 0, so only the
+        high bound matters)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        al = pc.split_pattern_regex(filled, r"[/|]")
+        cnt = np.asarray(pc.list_value_length(al)).astype(np.int64)
+        flat = pc.list_flatten(al)
+        ok = np.asarray(pc.match_substring_regex(flat, r"^([0-9]+|\.?)$"))
+        if not ok.all():
+            return None
+        absent = np.asarray(pc.match_substring_regex(flat, r"^\.?$"))
+        a = np.full(len(absent), -1, np.int64)
+        digs = ~absent
+        if digs.any():
+            a[digs] = np.asarray(
+                pc.cast(flat.filter(pa.array(digs)), pa.int64())
+            )
+        # separator chars survive stripping digits and dots; one byte
+        # per inter-allele gap, in order
+        seps = pc.replace_substring_regex(filled, r"[0-9.]", "")
+        comb = seps.combine_chunks() if hasattr(
+            seps, "combine_chunks") else seps
+        soffs = np.frombuffer(comb.buffers()[1], np.int32)[
+            comb.offset : comb.offset + nc + 1
+        ].astype(np.int64)
+        sdata = np.frombuffer(comb.buffers()[2] or b"", np.uint8)
+        if not ((soffs[1:] - soffs[:-1]) == cnt - 1).all():
+            return None  # stray non-digit/dot/sep characters
+        pos0 = _exclusive_cumsum(cnt)[:-1]
+        elem_i = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            pos0, cnt
+        )
+        cell_of = np.repeat(np.arange(nc, dtype=np.int64), cnt)
+        phase = np.zeros(len(a), np.int64)
+        nz = elem_i > 0
+        if nz.any():
+            phase[nz] = (
+                sdata[soffs[cell_of[nz]] + elem_i[nz] - 1] == ord("|")
+            ).astype(np.int64)
+        codes = ((a + 1) << 1) | phase
+        hi = np.zeros(n, np.int64)
+        np.maximum.at(hi, np.repeat(rec_of_cell, cnt), codes)
+        typ = np.where(hi <= 127, 1, np.where(hi <= 32767, 2, 3))
+        width = np.maximum(cnt.reshape(n, S).max(axis=1), 1)
+        return cnt, codes, typ.astype(np.int64), width
 
     def _genotype_keys(self, geno_arr, n: int):
         """Composed per-record key discriminating genotype combos.

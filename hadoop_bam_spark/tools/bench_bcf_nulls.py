@@ -78,6 +78,53 @@ NULL_RATES = {"DP": 0.25, "GQ": 0.25, "PL": 0.45, "HQ": 0.60}
 GTS = ["0/0", "0/0", "0/0", "0/1", "0/1", "1/1", "./."]
 
 
+def gen_adversarial_rows(n: int, seed: int = 11):
+    """The r11 adversarial multi-sample shape: per-sample FORMAT key sets
+    DIFFER WITHIN one record (samples genuinely missing keys, not
+    null-valued), GTs include ploidy > 2 and multi-digit allele indexes.
+    Pre-r11 this routed every batch to the per-record dictionary path
+    (~100% unique combos -> scalar encode_indiv per record)."""
+    rng = random.Random(seed)
+    gts = ["0/0", "0/1", "1/1", "./.", "0/1/2", "0|1|2", "10/1", "./12",
+           "0/1/2/3", "."]
+    rows = []
+    for i in range(n):
+        genos = []
+        for s in ("S1", "S2", "S3"):
+            gt = rng.choice(gts)
+            fields = {"GT": gt}
+            for k in ("DP", "GQ", "PL", "HQ"):
+                r = rng.random()
+                if r < 0.35:
+                    continue  # key ABSENT for this sample (not null)
+                if r < 0.45:
+                    fields[k] = None
+                elif k == "PL":
+                    fields[k] = ",".join(
+                        str(rng.randrange(0, 255)) for _ in range(3)
+                    )
+                elif k == "HQ":
+                    fields[k] = f"{rng.randrange(0, 99)},{rng.randrange(0, 99)}"
+                else:
+                    fields[k] = str(rng.randrange(0, 99))
+            genos.append({"sample": s, "gt": gt, "fields": fields})
+        rows.append(
+            {
+                "contig": "chr1" if i % 4 else "chr2",
+                "start": i + 1,
+                "end": i + 1,
+                "id": None,
+                "ref": "A",
+                "alts": ["G"],
+                "qual": 30.0,
+                "filters": ["PASS"],
+                "info": {"DP": str(60 + i % 40)},
+                "genotypes": genos,
+            }
+        )
+    return rows
+
+
 def gen_rows(n: int, seed: int = 7, quantized: bool = False):
     """``quantized=True`` models pipelines that bin DP/GQ (GATK GVCF-style
     bands): genotype combos become low-cardinality, the regime the
@@ -131,10 +178,11 @@ def _has_null_fmt_value(batch) -> bool:
     return items.null_count > 0
 
 
-def run(n: int, quantized: bool) -> dict:
+def run(n: int, quantized: bool, adversarial: bool = False) -> dict:
     batch_rows = 4096
     hdr = bcf.parse_bcf_header_text(HDR_TEXT)
-    rows = gen_rows(n, quantized=quantized)
+    rows = (gen_adversarial_rows(n) if adversarial
+            else gen_rows(n, quantized=quantized))
     batches = [
         pa.RecordBatch.from_pylist(rows[i: i + batch_rows], schema=SCHEMA)
         for i in range(0, n, batch_rows)
@@ -159,12 +207,17 @@ def run(n: int, quantized: bool) -> dict:
     t0 = time.perf_counter()
     vec_parts = []
     new_fallback_batches = 0
+    path_hist: dict = {}
     for b in batches:
         try:
             blob, _, _ = enc.encode_batch(b)
             vec_parts.append(blob)
+            path_hist[enc.last_indiv_path] = (
+                path_hist.get(enc.last_indiv_path, 0) + 1
+            )
         except Exception:
             new_fallback_batches += 1
+            path_hist["scalar"] = path_hist.get("scalar", 0) + 1
             vec_parts.append(
                 b"".join(bcf.encode_record(t, hdr) for t in _vcf_batch_rows(b))
             )
@@ -188,7 +241,9 @@ def run(n: int, quantized: bool) -> dict:
         for r in rows
     })
     out = {
-        "corpus": "quantized" if quantized else "value-diverse",
+        "corpus": ("adversarial" if adversarial
+                   else "quantized" if quantized else "value-diverse"),
+        "indiv_paths": path_hist,
         "n_records": n,
         "samples": 3,
         "null_fmt_cell_rate": round(null_cells / total_cells, 4),
@@ -210,6 +265,7 @@ def run(n: int, quantized: bool) -> dict:
         f"batches -> scalar ({out['old_fallback_rate']:.0%} fallback)\n"
         f"  r9 key sentinel:    {new_fallback_batches}/{len(batches)} "
         f"batches -> scalar\n"
+        f"  indiv paths: {path_hist}\n"
         f"  vectorized: {out['vec_krec_s']} krec/s   "
         f"scalar: {out['scalar_krec_s']} krec/s   "
         f"speedup {out['speedup']}x   parity={parity}"
@@ -219,7 +275,11 @@ def run(n: int, quantized: bool) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    results = [run(n, quantized=False), run(n, quantized=True)]
+    results = [
+        run(n, quantized=False),
+        run(n, quantized=True),
+        run(n, quantized=False, adversarial=True),
+    ]
     print(json.dumps(results))
     if not all(r["byte_parity"] for r in results):
         sys.exit(1)

@@ -210,25 +210,43 @@ class TestIndivUniformFastPath:
         assert self._fast(rows) is not None
         _assert_parity(rows)
 
-    def test_bails_on_within_record_disagreement(self):
-        """Samples of ONE record with different key sets need the union
-        semantics (absent key -> EOV cell) — dictionary path."""
+    def test_within_record_disagreement_takes_union_path(self):
+        """Samples of ONE record with different key sets take the r11
+        union expansion (absent key -> all-EOV cell, scalar
+        ``fm.get`` semantics) and stay vectorized."""
         rows = _uniform_rows([
             [("S1", "0/1", {"GT": "0/1", "DP": "12"}),
              ("S2", "0/1", {"GT": "0/1"})],  # DP absent in S2
+            # reversed discovery order in another record: its own union
+            # (DP before GT among non-GT? GT is hoisted; first-seen for
+            # the rest) — distinct pattern group
+            [("S1", "0/0", {"DP": "7"}),
+             ("S2", "0/0", {"GT": "0/0", "DP": "8"})],
         ])
-        assert self._fast(rows) is None
-        _assert_parity(rows)  # dictionary path still byte-correct
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
 
-    def test_bails_on_exotic_gt(self):
-        # ploidy 3 GT
-        a = _uniform_rows([[("S1", "0/1/1", {"GT": "0/1/1"})]])
+    def test_exotic_gt_takes_general_parse(self):
+        # ploidy 3, multi-digit alleles, mixed phasing, missing alleles
+        rows = _uniform_rows([
+            [("S1", "0/1/1", {"GT": "0/1/1"}),
+             ("S2", "0|1|2", {"GT": "0|1|2"})],
+            [("S1", "10/1", {"GT": "10/1"}),
+             ("S2", "./12", {"GT": "./12"})],
+            # allele index 64 -> code 130 crosses int8: per-record int16
+            [("S1", "64/0", {"GT": "64/0"}),
+             ("S2", "0/0", {"GT": "0/0"})],
+            [("S1", "0/1/2/3", {"GT": "0/1/2/3"}),
+             ("S2", ".", {"GT": "."})],
+        ])
+        assert self._fast(rows) is not None
+        _assert_parity(rows)
+
+    def test_gt_garbage_still_bails(self):
+        # non-numeric allele: the scalar raises; vectorized must not
+        # silently encode — dictionary path surfaces the same error
+        a = _uniform_rows([[("S1", "a/b", {"GT": "a/b"})]])
         assert self._fast(a) is None
-        _assert_parity(a)
-        # multi-digit allele
-        b = _uniform_rows([[("S1", "10/1", {"GT": "10/1"})]])
-        assert self._fast(b) is None
-        _assert_parity(b)
 
     def test_empty_string_key_does_not_pass_as_empty_map(self):
         """An empty-string FORMAT key produces the same '' key-sequence
@@ -321,14 +339,21 @@ def test_indiv_uniform_property_parity(data):
         ("DP", "HQ"), ("GT", "GQ", "HQ"), (),
     ]
     # per_record=True exercises the r9 grouped path (key sequences vary
-    # across records, uniform within each)
+    # across records, uniform within each); per_sample=True the r11
+    # union path (key sets vary WITHIN a record)
     per_record = data.draw(st.booleans())
+    per_sample = data.draw(st.booleans())
+    # exotic GT shapes (ploidy > 2, multi-digit alleles) drive the r11
+    # general GT parse
+    exotic_gt = data.draw(st.booleans())
     keyset = data.draw(st.sampled_from(keysets[:-1]))
 
     def gt():
-        return rng.choice(
-            ["0/0", "0/1", "1|1", ".", "./.", "0", None, "5|9"]
-        )
+        base = ["0/0", "0/1", "1|1", ".", "./.", "0", None, "5|9"]
+        if exotic_gt:
+            base += ["0/1/2", "10|2", "./0/.", "0|1|2|3", "64/1",
+                     "200|0", "12/."]
+        return rng.choice(base)
 
     def intval(multi):
         if rng.random() < 0.25:
@@ -358,8 +383,9 @@ def test_indiv_uniform_property_parity(data):
             keyset = rng.choice(keysets)
         genos = []
         for s in range(n_samples):
+            ks = rng.choice(keysets) if per_sample else keyset
             fields = {}
-            for k in keyset:
+            for k in ks:
                 if k == "GT":
                     fields["GT"] = gt()
                 else:
