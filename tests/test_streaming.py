@@ -873,6 +873,180 @@ class TestStreamSinkCommitProtocol:
         assert not any((out / ".staging").iterdir())
 
 
+class TestMidFlightCommitWindow:
+    """r11 (r9 #5 carried): a reader polls WHILE ``commit_shards`` is in
+    flight — probes fire before and after EVERY filesystem mutation the
+    commit performs (supersede removes, shard renames, manifest rename,
+    staging sweep). At every probe the tail must observe either NOTHING
+    of the in-flight batch or, from the manifest rename onward, exactly
+    the complete batch: zero partial reads, exact totals, monotonic
+    visibility."""
+
+    @staticmethod
+    def _probe_fs(monkeypatch, probe):
+        """Wrap shard_commit's fs.rename/fs.remove so ``probe(tag)``
+        runs before and after each mutation. A reentrancy flag keeps
+        the polling reader's own fs traffic from recursing."""
+        from hadoop_bam_spark import fs as fsmod
+
+        real = {"rename": fsmod.rename, "remove": fsmod.remove}
+        busy = {"v": False}
+
+        def wrap(name):
+            orig = real[name]
+
+            def inner(*a, **k):
+                if busy["v"]:
+                    return orig(*a, **k)
+                busy["v"] = True
+                try:
+                    probe(f"pre-{name}:{os.path.basename(str(a[-1]))}")
+                finally:
+                    busy["v"] = False
+                out = orig(*a, **k)
+                busy["v"] = True
+                try:
+                    probe(f"post-{name}:{os.path.basename(str(a[-1]))}")
+                finally:
+                    busy["v"] = False
+                return out
+
+            return inner
+
+        monkeypatch.setattr(fsmod, "rename", wrap("rename"))
+        monkeypatch.setattr(fsmod, "remove", wrap("remove"))
+
+    def test_bam_rows_never_partial_mid_commit(self, tmp_path, monkeypatch):
+        """Row-level: poll a BamStreamReader from a fixed offset at every
+        mutation inside a live commit. Every poll yields [] or the FULL
+        6-record batch — never a subset — and visibility is monotonic
+        (once full, stays full through the staging sweep)."""
+        import copy
+
+        from hadoop_bam_spark.formats import bam as bammod
+        from hadoop_bam_spark.formats.sam import SAMHeader
+        from hadoop_bam_spark.streaming.bam_sink import (
+            BamShardCommit as M,
+            BAMStreamWriter,
+        )
+        from hadoop_bam_spark.streaming.bam_stream import BamStreamReader
+
+        def bam_bytes(rows):
+            hdr = SAMHeader()
+            hdr.lines = ["@HD\tVN:1.6", "@SQ\tSN:chr1\tLN:5000"]
+            hdr.sequences = {"chr1": (0, 5000)}
+            import io as _io
+
+            buf = _io.BytesIO()
+            bammod.write_bam(buf, hdr, rows)
+            return buf.getvalue()
+
+        rows = [
+            (f"r{i}", 0, "chr1", 1 + i, 60, "4M", None, 0, 0, "ACGT",
+             "IIII", {})
+            for i in range(10)
+        ]
+        hdr_p = tmp_path / "h.sam"
+        hdr_p.write_text("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:5000\n")
+        out = tmp_path / "landing"
+        out.mkdir()
+        staging = out / ".staging"
+        staging.mkdir()
+        w = BAMStreamWriter({"path": str(out), "header": str(hdr_p)})
+        rdr = BamStreamReader({"path": str(out)})
+
+        # batch 0 committed cleanly; the reader has consumed it
+        (staging / "attempt-1-p0.bam").write_bytes(bam_bytes(rows[:4]))
+        w.commit([M(staged="attempt-1-p0.bam", records=4)], batchId=0)
+        r0, off0 = rdr.read(rdr.initialOffset())
+        assert sum(1 for _ in copy.copy(r0)) == 4
+
+        # batch 1 (rows 4-9, split 3+3) commits WHILE we poll
+        (staging / "attempt-5-p0.bam").write_bytes(bam_bytes(rows[4:7]))
+        (staging / "attempt-6-p1.bam").write_bytes(bam_bytes(rows[7:]))
+        want = sorted(r[0] for r in rows[4:])
+        observations = []
+
+        def probe(tag):
+            got, _ = rdr.read(off0)
+            qnames = sorted(t[0] for t in copy.copy(got))
+            observations.append((tag, qnames))
+            assert qnames in ([], want), (tag, qnames)
+
+        self._probe_fs(monkeypatch, probe)
+        w.commit(
+            [M(staged="attempt-5-p0.bam", records=3),
+             M(staged="attempt-6-p1.bam", records=3)],
+            batchId=1,
+        )
+        monkeypatch.undo()
+        # the window was actually exercised: some probes before the
+        # manifest rename saw nothing, some after saw everything, and
+        # visibility never regressed
+        states = [bool(q) for _, q in observations]
+        assert False in states and True in states
+        assert states == sorted(states), observations  # monotonic
+        # exact totals after commit, nothing new on the next tick
+        r1, off1 = rdr.read(off0)
+        assert sorted(t[0] for t in copy.copy(r1)) == want
+        r2, off2 = rdr.read(off1)
+        assert sum(1 for _ in copy.copy(r2)) == 0
+        assert off2 == off1
+
+    @pytest.mark.parametrize("fmt", ["vcf", "bcf", "fastq", "cram"])
+    def test_window_listing_all_tail_sources(self, tmp_path, monkeypatch,
+                                             fmt):
+        """Listing-level, all four tail sources: during a live 2-shard
+        commit every ``_list()`` poll returns [] or the full committed
+        shard set — a lone renamed shard is never visible without its
+        manifest."""
+        from hadoop_bam_spark.streaming.bcf_stream import BcfStreamReader
+        from hadoop_bam_spark.streaming.cram_stream import CramStreamReader
+        from hadoop_bam_spark.streaming.fastq_stream import (
+            FastqStreamReader,
+        )
+        from hadoop_bam_spark.streaming.shard_commit import commit_shards
+        from hadoop_bam_spark.streaming.vcf_stream import VCFStreamReader
+
+        rdr_cls, ext = {
+            "vcf": (VCFStreamReader, ".vcf"),
+            "bcf": (BcfStreamReader, ".bcf"),
+            "fastq": (FastqStreamReader, ".fastq"),
+            "cram": (CramStreamReader, ".cram"),
+        }[fmt]
+        d = tmp_path / f"sink_{fmt}"
+        d.mkdir()
+        (d / ".staging").mkdir()
+        (d / ".staging" / f"attempt-1-p0{ext}").write_bytes(b"A")
+        (d / ".staging" / f"attempt-2-p1{ext}").write_bytes(b"BB")
+        rdr = rdr_cls({"path": str(d)})
+        full = [f"batch-00000-00000{ext}", f"batch-00000-00001{ext}"]
+        observations = []
+
+        def probe(tag):
+            got = sorted(rdr._list())
+            observations.append((tag, got))
+            assert got in ([], full), (tag, got)
+
+        class Msg:
+            def __init__(self, staged, records):
+                self.staged = staged
+                self.records = records
+
+        self._probe_fs(monkeypatch, probe)
+        commit_shards(
+            str(d),
+            [Msg(f"attempt-1-p0{ext}", 1), Msg(f"attempt-2-p1{ext}", 2)],
+            0,
+            ext,
+        )
+        monkeypatch.undo()
+        states = [bool(g) for _, g in observations]
+        assert False in states and True in states
+        assert states == sorted(states), observations
+        assert sorted(rdr._list()) == full
+
+
 class TestFsRenameRemove:
     def test_local(self, tmp_path):
         from hadoop_bam_spark import fs
