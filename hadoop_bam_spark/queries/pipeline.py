@@ -1666,9 +1666,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprints; a gram occurring more than once in the corpus marks "
     "its span duplicated — the substring-level signal whole-document "
     "minhash misses (long quoted passages inside otherwise-unique "
-    "pages). ONE explode feeding a window count over the fingerprint "
-    "(the groupBy+join-back form executed the explode stage twice); "
-    "the text column never shuffles and nothing is quadratic.",
+    "pages). ONE explode into a PERSISTED grams frame, per-gram counts "
+    "as a plain groupBy joined back on the fingerprint (map-side "
+    "partials + AQE skew split; a per-gram window would single-task a "
+    "boilerplate gram shared by half the crawl); the text column never "
+    "shuffles and nothing is quadratic. The gate owns the grams-cache "
+    "lifetime through a CacheHandle.",
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.caching import CacheHandle

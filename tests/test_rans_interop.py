@@ -156,6 +156,26 @@ V5 = _hdr(1, _V5_BODY, 8)
 V5T_RAW = b"aabaaaaaa"
 V5T = _hdr(1, _V5_BODY, 9)
 
+# ---------------------------------------------------------------------------
+# Fixture V6 — order-0, "abcd": four consecutive symbols so the table's
+# symbol-RLE carries a REAL run count (V1/V5 only exercise count 0).
+# counts 1 each -> freqs 1024 (two-byte form (0x80|4, 0) = (132, 0));
+# cum = 0/1024/2048/3072.
+# Table wire per the spec reader: sym 97; freq; sym 98 == 97+1 -> RLE
+# count 2 (two MORE consecutive symbols, 99 and 100, follow implied);
+# freq(98); freq(99); freq(100); terminator 0.
+# Encode from LOW, f=1024: x' = (2^23//1024)<<12 + 0 + cum
+#   = 8192<<12 + cum = 2^25 + cum; x_max = 2^19*1024 = 2^29 > LOW, so
+# no renorm. s_j = 2^25 + j*1024 for symbols a,b,c,d in state order.
+# Decode check: f = (2^25 + c) & 4095 = c & 4095; c in {0,1024,2048,
+# 3072} -> lookup picks a/b/c/d. qed.
+# ---------------------------------------------------------------------------
+_T_ABCD = bytes([97, 132, 0, 98, 2, 132, 0, 132, 0, 132, 0, 0])
+V6_RAW = b"abcd"
+V6 = _hdr(0, _T_ABCD + struct.pack(
+    "<4I", 1 << 25, (1 << 25) + 1024, (1 << 25) + 2048, (1 << 25) + 3072
+), 4)
+
 VECTORS = [
     ("v1_o0_two_sym", V1, V1_RAW),
     ("v2_o0_single_sym_ragged", V2, V2_RAW),
@@ -163,6 +183,7 @@ VECTORS = [
     ("v4_o0_renorm", V4, V4_RAW),
     ("v5_o1_renorm_rle_ctx", V5, V5_RAW),
     ("v5t_o1_ragged_tail", V5T, V5T_RAW),
+    ("v6_o0_symbol_rle_run", V6, V6_RAW),
 ]
 
 
@@ -240,6 +261,11 @@ class TestEncoderLayoutConformance:
         from hadoop_bam_spark.formats.rans import rans_encode_order1
 
         assert rans_encode_order1(V3_RAW) == V3
+
+    def test_order0_symbol_rle_run(self):
+        from hadoop_bam_spark.formats.rans import rans_encode_order0
+
+        assert rans_encode_order0(V6_RAW) == V6
 
     def test_comp_size_field_is_body_length(self):
         # htslib layout: bytes 1-4 = size of table+states+renorm
