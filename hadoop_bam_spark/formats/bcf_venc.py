@@ -1102,6 +1102,11 @@ class BCFBatchEncoder:
         codes = ((a + 1) << 1) | phase
         hi = np.zeros(n, np.int64)
         np.maximum.at(hi, np.repeat(rec_of_cell, cnt), codes)
+        if (hi > 0x7FFFFFFF).any():
+            # code would overflow the int32 wire type: the scalar path
+            # raises struct.error on such a (malformed) allele index —
+            # bail so it does, instead of silently wrapping
+            return None
         typ = np.where(hi <= 127, 1, np.where(hi <= 32767, 2, 3))
         width = np.maximum(cnt.reshape(n, S).max(axis=1), 1)
         return cnt, codes, typ.astype(np.int64), width
