@@ -175,6 +175,27 @@ def _join_list_of_strings(col, n: int, sep: str):
     return pc.fill_null(joined, "")
 
 
+def _merge_group_parts(parts: list, n: int):
+    """Merge per-group indiv encodings back into record order: ``parts``
+    is [(record indexes, flat bytes, per-record lens, n_fmt)] covering
+    all ``n`` records exactly once; returns (flat, lens, nfmt) in
+    record order via one byte gather per group. Shared by the grouped
+    and union indiv paths."""
+    lens = np.empty(n, np.int64)
+    nfmt = np.empty(n, np.int64)
+    for ridx, _, lens_g, m_g in parts:
+        lens[ridx] = lens_g
+        nfmt[ridx] = m_g
+    starts = _exclusive_cumsum(lens)[:-1]
+    flat = np.empty(int(lens.sum()), np.uint8)
+    for ridx, flat_g, lens_g, _ in parts:
+        if not len(flat_g):
+            continue
+        g_starts = _exclusive_cumsum(lens_g)[:-1]
+        flat[_ramp(starts[ridx], lens_g)] = flat_g[_ramp(g_starts, lens_g)]
+    return flat, lens, nfmt
+
+
 class BCFBatchEncoder:
     """Columnar encoder bound to one BCF header.
 
@@ -515,8 +536,8 @@ class BCFBatchEncoder:
             # cells within one record disagree -> union key-set shape
             # (r11): expand every cell to the record's union key
             # sequence with null values for absent keys, then encode
-            # through the uniform path per pattern group
-            return self._indiv_union(cells, n, S, codes, f_offs)
+            # through the uniform path per union group
+            return self._indiv_union(cells, n, S, f_offs)
         rec_sig = codes[:, 0]
         groups = np.unique(rec_sig)
         if len(groups) > 32:
@@ -547,24 +568,10 @@ class BCFBatchEncoder:
                 return None
             flat_g, lens_g, nfmt_g = res
             parts.append((ridx, flat_g, lens_g, int(nfmt_g[0])))
-        lens = np.empty(n, np.int64)
-        nfmt = np.empty(n, np.int64)
-        for ridx, _, lens_g, m_g in parts:
-            lens[ridx] = lens_g
-            nfmt[ridx] = m_g
-        starts = _exclusive_cumsum(lens)[:-1]
-        flat = np.empty(int(lens.sum()), np.uint8)
-        for ridx, flat_g, lens_g, _ in parts:
-            if not len(flat_g):
-                continue
-            g_starts = _exclusive_cumsum(lens_g)[:-1]
-            flat[_ramp(starts[ridx], lens_g)] = flat_g[
-                _ramp(g_starts, lens_g)
-            ]
         self.last_indiv_path = "grouped"
-        return flat, lens, nfmt
+        return _merge_group_parts(parts, n)
 
-    def _indiv_union(self, cells, n: int, S: int, codes, f_offs):
+    def _indiv_union(self, cells, n: int, S: int, f_offs):
         """Within-record key-set disagreement (the adversarial cohort
         shape: per-sample FORMAT keys differing inside one record):
         scalar ``encode_indiv`` takes the UNION of keys across samples
@@ -646,6 +653,12 @@ class BCFBatchEncoder:
                     (ridx, np.zeros(0, np.uint8), np.zeros(n_g, np.int64), 0)
                 )
                 continue
+            if n_g * S * u > (1 << 27):
+                # the expansion materializes n_g*S*u slots at once — a
+                # cohort-scale batch (10^5 samples x wide union) must
+                # not OOM here or wrap the int32 map offsets; bail to
+                # the per-record path instead
+                return None
             union_keys = [str(kd.dictionary[int(c)]) for c in urow[:u]]
             sel = np.flatnonzero(ent_group == g)
             loc = np.full(n, -1, np.int64)
@@ -673,22 +686,8 @@ class BCFBatchEncoder:
                 return None
             flat_g, lens_g, nfmt_g = res
             parts.append((ridx, flat_g, lens_g, int(nfmt_g[0])))
-        lens = np.empty(n, np.int64)
-        nfmt = np.empty(n, np.int64)
-        for ridx, _, lens_g, m_g in parts:
-            lens[ridx] = lens_g
-            nfmt[ridx] = m_g
-        starts = _exclusive_cumsum(lens)[:-1]
-        flat = np.empty(int(lens.sum()), np.uint8)
-        for ridx, flat_g, lens_g, _ in parts:
-            if not len(flat_g):
-                continue
-            g_starts = _exclusive_cumsum(lens_g)[:-1]
-            flat[_ramp(starts[ridx], lens_g)] = flat_g[
-                _ramp(g_starts, lens_g)
-            ]
         self.last_indiv_path = "union"
-        return flat, lens, nfmt
+        return _merge_group_parts(parts, n)
 
     def _encode_cells_uniform(self, cells, n: int, S: int):
         """The uniform-key-sequence encoder proper: ``cells`` is the

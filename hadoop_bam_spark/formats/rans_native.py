@@ -258,15 +258,19 @@ def _build() -> str | None:
         return so
     lock_fh = None
     try:
-        import fcntl
+        try:
+            import fcntl
 
-        lock_fh = open(so + ".lock", "a+b")
-        fcntl.flock(lock_fh, fcntl.LOCK_EX)  # blocks while a peer builds
-        if os.path.exists(so):  # peer won the race while we waited
-            return so
-    except (ImportError, OSError):
-        lock_fh = None  # no flock on this platform/FS: rename still safe
-    try:
+            lock_fh = open(so + ".lock", "a+b")
+            fcntl.flock(lock_fh, fcntl.LOCK_EX)  # blocks while a peer builds
+            if os.path.exists(so):  # peer won the race while we waited
+                return so
+        except (ImportError, OSError):
+            # no flock on this platform/FS: the atomic rename below still
+            # guarantees correctness, only redundant compiles remain
+            if lock_fh is not None:
+                lock_fh.close()
+            lock_fh = None
         cc = os.environ.get("CC", "cc")
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "rans.c")
@@ -289,8 +293,12 @@ def _build() -> str | None:
                 os.replace(so + f".tmp{os.getpid()}", so)
         return so
     finally:
+        # one finally covers EVERY exit (compile, peer-won early return,
+        # exceptions): close releases the flock deterministically rather
+        # than leaning on refcounting GC (PyPy would otherwise hold the
+        # exclusive lock until an arbitrary collection point)
         if lock_fh is not None:
-            lock_fh.close()  # close releases the flock
+            lock_fh.close()
 
 
 def _load():
