@@ -153,6 +153,21 @@ def rans_encode_order1(data: bytes) -> bytes:
         i = j + 1
     table.append(0)
 
+    # native reverse state walk when available (r11): identical bytes
+    # by construction — the tables above are THE tables, C only runs
+    # the exact-integer walk (~100x the Python loop below)
+    from hadoop_bam_spark.formats import rans_native
+
+    got = rans_native.encode_walk(
+        data, 1,
+        freqs.astype("<u2").tobytes(),
+        np.ascontiguousarray(cums[:, :256]).astype("<u2").tobytes(),
+    )
+    if got is not None:
+        rev_b, st = got
+        body = bytes(table) + struct.pack("<4I", *st) + rev_b
+        return b"\x01" + struct.pack("<II", len(body), n) + body
+
     # per-position transition params, gathered vectorized
     f_all = freqs[ctx, arr]
     c_all = cums[ctx, arr]
@@ -201,6 +216,20 @@ def rans_encode_order0(data: bytes) -> bytes:
     cum = np.zeros(257, dtype=np.int64)
     np.cumsum(freqs, out=cum[1:])
     table = _write_freq_table(freqs)
+
+    # native reverse state walk when available (r11): identical bytes
+    # by construction (same tables, exact integer walk in C)
+    from hadoop_bam_spark.formats import rans_native
+
+    got = rans_native.encode_walk(
+        data, 0,
+        freqs.astype("<u2").tobytes(),
+        np.ascontiguousarray(cum[:256]).astype("<u2").tobytes(),
+    )
+    if got is not None:
+        rev_b, st = got
+        body = table + struct.pack("<4I", *st) + rev_b
+        return b"\x00" + struct.pack("<II", len(body), n) + body
 
     freq_l = freqs.tolist()
     cum_l = cum.tolist()

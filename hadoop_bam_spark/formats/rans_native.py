@@ -212,6 +212,82 @@ static int rans_decode1_inner(const uint8_t *data, int64_t len,
     return 0;
 }
 
+/* ---- encode-side state walks (r11) -------------------------------------
+ * The Python encoder (formats/rans.py) keeps ALL format decisions —
+ * frequency quantization, table serialization, header — and these
+ * kernels perform only the mechanical reverse state walk with the
+ * tables Python computed, so native and pure-Python streams are
+ * byte-identical by construction. `rev` receives renorm bytes in
+ * EMISSION order (the caller reverses once); returns the byte count,
+ * or -1 if it would overflow `rev_cap`. freq/cum are uint16[256]
+ * (order-0) or uint16[256*256] ctx-major (order-1), summing to 4096
+ * per (context) table for every symbol that occurs. */
+
+int64_t rans_encode0_walk(const uint8_t *data, int64_t n,
+                          const uint16_t *freq, const uint16_t *cum,
+                          uint8_t *rev, int64_t rev_cap,
+                          uint32_t *states_out) {
+    uint32_t s[4] = {RANS_LOW, RANS_LOW, RANS_LOW, RANS_LOW};
+    int64_t k = 0;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int j = (int)(i & 3);
+        uint32_t f = freq[data[i]];
+        uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
+        uint32_t x = s[j];
+        while (x >= xm) {
+            if (k >= rev_cap) return -1;
+            rev[k++] = (uint8_t)(x & 0xFF);
+            x >>= 8;
+        }
+        s[j] = ((x / f) << TF_SHIFT) + (x % f) + cum[data[i]];
+    }
+    for (int j = 0; j < 4; j++) states_out[j] = s[j];
+    return k;
+}
+
+int64_t rans_encode1_walk(const uint8_t *data, int64_t n,
+                          const uint16_t *freq, const uint16_t *cum,
+                          uint8_t *rev, int64_t rev_cap,
+                          uint32_t *states_out) {
+    uint32_t s[4] = {RANS_LOW, RANS_LOW, RANS_LOW, RANS_LOW};
+    int64_t k = 0;
+    int64_t q = n >> 2;
+    /* reverse of the decoder's consumption order: ragged tail first
+     * (state 3), then the interleaved main loop i = q-1..0, j = 3..0;
+     * a symbol's context is the previous byte of its quarter, 0 at
+     * quarter starts (positions 0, q, 2q, 3q) */
+    for (int64_t p = n - 1; p >= 4 * q; p--) {
+        int ctx = (p == 0) ? 0 : data[p - 1];
+        uint32_t f = freq[ctx * 256 + data[p]];
+        uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
+        uint32_t x = s[3];
+        while (x >= xm) {
+            if (k >= rev_cap) return -1;
+            rev[k++] = (uint8_t)(x & 0xFF);
+            x >>= 8;
+        }
+        s[3] = ((x / f) << TF_SHIFT) + (x % f) + cum[ctx * 256 + data[p]];
+    }
+    for (int64_t i = q - 1; i >= 0; i--) {
+        for (int j = 3; j >= 0; j--) {
+            int64_t p = (int64_t)j * q + i;
+            int ctx = (i == 0) ? 0 : data[p - 1];
+            uint32_t f = freq[ctx * 256 + data[p]];
+            uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
+            uint32_t x = s[j];
+            while (x >= xm) {
+                if (k >= rev_cap) return -1;
+                rev[k++] = (uint8_t)(x & 0xFF);
+                x >>= 8;
+            }
+            s[j] = ((x / f) << TF_SHIFT) + (x % f)
+                 + cum[ctx * 256 + data[p]];
+        }
+    }
+    for (int j = 0; j < 4; j++) states_out[j] = s[j];
+    return k;
+}
+
 int rans_decode1(const uint8_t *data, int64_t len,
                  uint8_t *out, int64_t n_out) {
     /* Tables are heap-allocated (1.2 MB): too big for the stack, and
@@ -326,12 +402,51 @@ def _load():
         except OSError:
             _failed = True
             return None
+        try:
+            # encode walks added in r11 — a prebuilt pre-r11 .so shipped
+            # via SPARK_GRAFT_RANS_SO lacks them; decode still works and
+            # the encoders fall back to the Python walk
+            for fn in (lib.rans_encode0_walk, lib.rans_encode1_walk):
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_char_p, ctypes.c_char_p,
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.c_char_p,
+                ]
+                fn.restype = ctypes.c_int64
+            lib._has_encode = True
+        except AttributeError:
+            lib._has_encode = False
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def encode_walk(data: bytes, order: int, freq_u16: bytes,
+                cum_u16: bytes) -> tuple[bytes, tuple] | None:
+    """Run the reverse rANS state walk natively with caller-computed
+    tables: ``freq_u16``/``cum_u16`` are little-endian uint16 buffers
+    (256 entries order-0, 256*256 ctx-major order-1, summing to 4096
+    per table for occurring symbols). Returns (renorm bytes in FINAL
+    stream order, 4 final states) — byte-identical to the Python walk
+    in formats/rans.py by construction — or None when the native
+    kernel (or its encode symbols) is unavailable."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_encode", False):
+        return None
+    n = len(data)
+    rev_cap = 4 * n + 64
+    rev = ctypes.create_string_buffer(rev_cap)
+    states = (ctypes.c_uint32 * 4)()
+    fn = lib.rans_encode0_walk if order == 0 else lib.rans_encode1_walk
+    k = fn(data, n, freq_u16, cum_u16, rev, rev_cap,
+           ctypes.cast(states, ctypes.c_char_p))
+    if k < 0:
+        return None  # cannot happen with valid tables; Python walk decides
+    return rev.raw[:k][::-1], tuple(states)
 
 
 def decode(data: bytes, order: int, n_out: int) -> bytes | None:

@@ -403,6 +403,26 @@ class TestNativeDecoder:
                     continue
                 assert rans_native.decode(e[9:], e[0], len(d)) == d
 
+    def test_encode_walk_byte_parity_with_python(self, monkeypatch):
+        """r11: the native ENCODE walk must emit exactly the bytes the
+        pure-Python walk emits (same tables, exact integer arithmetic)
+        for both orders across the adversarial corpus."""
+        from hadoop_bam_spark.formats import rans_native
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        corpus = _corpus(53, 25)
+        native = [
+            (rans_encode_order0(d), rans_encode_order1(d)) for d in corpus
+        ]
+        monkeypatch.setattr(rans_native, "_lib", None)
+        monkeypatch.setattr(rans_native, "_failed", True)
+        for d, (n0, n1) in zip(corpus, native):
+            assert rans_encode_order0(d) == n0
+            assert rans_encode_order1(d) == n1
+
     def test_every_offset_truncation_agrees_with_scalar(self):
         """Truncate a valid stream at EVERY offset: the native kernel
         must raise exactly when the scalar reference raises, and agree
