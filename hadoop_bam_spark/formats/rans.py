@@ -12,14 +12,17 @@ where the decoder picks them up. Frequencies are quantized to sum exactly
 symbol-RLE table format the decoder parses.
 
 The per-symbol state chain is inherently sequential (each state's next
-value depends on how many bytes the previous step emitted), so the hot
-loop is tight Python over preallocated lookup lists — ~2-4 MB/s single
-thread. That is far from htslib's C encoder; the CRAM sink therefore
-offers rANS as a measured OPT-IN for high-entropy series (qual), keeping
-gzip the default. See FORMAT_BENCH.md r9 for the size/throughput trade.
+value depends on how many bytes the previous step emitted). When the
+native kernel is available (r11, `formats/rans_native.py`), the walk
+runs in C with the tables computed HERE — format decisions never leave
+this module, so native and pure-Python streams are byte-identical by
+construction (182/59 MB/s order-0/1 measured; FORMAT_BENCH.md r11).
+Without a compiler the walk falls back to tight Python over
+preallocated lookup lists (~1-4 MB/s) — which is why the CRAM sink
+keeps gzip as the default codec and offers rANS as the opt-in for
+compiler-equipped deployments.
 
-Frequency counting and table prep are numpy-vectorized; only the state
-walk is scalar.
+Frequency counting and table prep are numpy-vectorized.
 """
 
 from __future__ import annotations
