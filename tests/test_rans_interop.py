@@ -176,6 +176,45 @@ V6 = _hdr(0, _T_ABCD + struct.pack(
     "<4I", 1 << 25, (1 << 25) + 1024, (1 << 25) + 2048, (1 << 25) + 3072
 ), 4)
 
+# ---------------------------------------------------------------------------
+# Fixture V7 — order-1, "abbccdab": OUTER context-RLE with a real run
+# count, plus an inner table with a symbol-RLE run.
+# Quarters (q=2): "ab" "bc" "cd" "ab". Transitions: ctx 0 -> {a:2, b:1,
+# c:1} (quarter starts), ctx 'a' -> {b:4096}, ctx 'b' -> {c:4096},
+# ctx 'c' -> {d:4096}. ctx-0 counts (2,1,1)/4 quantize EXACTLY to
+# 2048/1024/1024, cum a=0, b=2048, c=3072.
+# inner table of ctx 0: syms 97,98,99 consecutive -> sym 97; freq
+# (136,0); sym 98 == 97+1 -> RLE 1; freq 98 (132,0); freq 99 implied
+# (132,0); terminator — pinning an inner symbol-RLE count of 1.
+# OUTER wire: live ctxs [0, 97, 98, 99]: ctx 0; inner0; ctx 97 (not
+# consecutive); inner97; ctx 98 == 97+1 -> RLE count 1 (ctx 99
+# implied); inner98; inner99; terminator 0.
+# Encode from LOW (reverse, per state: second symbol has f=4096 -> x
+# unchanged; first is a quarter start against ctx 0):
+#   s0: 'a' f=2048 c=0    -> (LOW//2048)<<12       = 2^24 = 0x01000000
+#   s1: 'b' f=1024 c=2048 -> 8192<<12 + 2048       = 0x02000800
+#   s2: 'c' f=1024 c=3072 -> 8192<<12 + 3072       = 0x02000C00
+#   s3: 'a' like s0                                 = 0x01000000
+# (x_max >= 2^29 everywhere; zero renorm bytes.)
+# Decode check: j0 w0: f=0 -> 'a' (cum 0..2048); x = 2048*4096 = LOW;
+# w1 ctx'a' -> 'b'. j1 w0: f=0x800=2048 -> 'b'; x = 1024*8192 = LOW;
+# w1 ctx'b' -> 'c'. j2 w0: f=0xC00 -> 'c'; w1 ctx'c' -> 'd'. j3 like
+# j0. out[j*2+i] -> "abbccdab". qed.
+# ---------------------------------------------------------------------------
+_T_O1_CTXRUN = (
+    bytes([0])
+    + bytes([97, 136, 0, 98, 1, 132, 0, 132, 0, 0])   # ctx 0 inner
+    + bytes([97]) + bytes([98, 144, 0, 0])             # ctx 'a'
+    + bytes([98, 1])                                   # ctx 'b', run 1
+    + bytes([99, 144, 0, 0])                           # ctx 'b' inner
+    + bytes([100, 144, 0, 0])                          # ctx 'c' inner
+    + bytes([0])
+)
+V7_RAW = b"abbccdab"
+V7 = _hdr(1, _T_O1_CTXRUN + struct.pack(
+    "<4I", 0x01000000, 0x02000800, 0x02000C00, 0x01000000
+), 8)
+
 VECTORS = [
     ("v1_o0_two_sym", V1, V1_RAW),
     ("v2_o0_single_sym_ragged", V2, V2_RAW),
@@ -184,6 +223,7 @@ VECTORS = [
     ("v5_o1_renorm_rle_ctx", V5, V5_RAW),
     ("v5t_o1_ragged_tail", V5T, V5T_RAW),
     ("v6_o0_symbol_rle_run", V6, V6_RAW),
+    ("v7_o1_outer_ctx_rle_run", V7, V7_RAW),
 ]
 
 
@@ -266,6 +306,11 @@ class TestEncoderLayoutConformance:
         from hadoop_bam_spark.formats.rans import rans_encode_order0
 
         assert rans_encode_order0(V6_RAW) == V6
+
+    def test_order1_outer_ctx_rle_run(self):
+        from hadoop_bam_spark.formats.rans import rans_encode_order1
+
+        assert rans_encode_order1(V7_RAW) == V7
 
     def test_comp_size_field_is_body_length(self):
         # htslib layout: bytes 1-4 = size of table+states+renorm
