@@ -403,6 +403,56 @@ class TestNativeDecoder:
                     continue
                 assert rans_native.decode(e[9:], e[0], len(d)) == d
 
+    def test_decode_only_prebuilt_so_degrades_gracefully(
+        self, tmp_path, monkeypatch
+    ):
+        """A pre-r11 .so shipped via SPARK_GRAFT_RANS_SO has the decode
+        symbols but not the encode walks: decode must stay native while
+        the encoders fall back to the Python walk with identical
+        output."""
+        import subprocess
+
+        from hadoop_bam_spark.formats import rans_native
+        from hadoop_bam_spark.formats.rans import (
+            rans_encode_order0,
+            rans_encode_order1,
+        )
+
+        # build a decode-only kernel: strip the encode walks from the
+        # current source (they sit between the marker comment and
+        # rans_decode1's definition)
+        src_txt = rans_native._C_SOURCE
+        cut0 = src_txt.index("/* ---- encode-side state walks")
+        cut1 = src_txt.index("int rans_decode1(")
+        old_src = src_txt[:cut0] + src_txt[cut1:]
+        assert "rans_encode0_walk" not in old_src
+        src = tmp_path / "old.c"
+        so = tmp_path / "old.so"
+        src.write_text(old_src)
+        subprocess.run(
+            ["cc", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+            check=True, capture_output=True, timeout=60,
+        )
+        # reference outputs from the CURRENT configuration first
+        data = bytes(random.Random(11).choice(b"!#%+5?I") for _ in range(500))
+        want0, want1 = rans_encode_order0(data), rans_encode_order1(data)
+        monkeypatch.setenv("SPARK_GRAFT_RANS_SO", str(so))
+        monkeypatch.setattr(rans_native, "_lib", None)
+        monkeypatch.setattr(rans_native, "_failed", False)
+        try:
+            lib = rans_native._load()
+            assert lib is not None and not lib._has_encode
+            assert rans_native.encode_walk(b"xx", 0, b"", b"") is None
+            # encoders fall back to the Python walk — identical bytes
+            assert rans_encode_order0(data) == want0
+            assert rans_encode_order1(data) == want1
+            # decode still native through the old kernel
+            assert rans_native.decode(want0[9:], 0, len(data)) == data
+            assert rans_native.decode(want1[9:], 1, len(data)) == data
+        finally:
+            rans_native._lib = None
+            rans_native._failed = False
+
     def test_encode_walk_byte_parity_with_python(self, monkeypatch):
         """r11: the native ENCODE walk must emit exactly the bytes the
         pure-Python walk emits (same tables, exact integer arithmetic)
