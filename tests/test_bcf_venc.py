@@ -242,6 +242,59 @@ class TestIndivUniformFastPath:
         assert self._fast(rows) is not None
         _assert_parity(rows)
 
+    def test_over_32_key_sequences_takes_dictionary_path(self):
+        """A text-imported cohort with 8+ FORMAT keys produces more than
+        32 distinct per-record key sequences (uniform within each
+        record): the grouped path bails to the unique-combo DICTIONARY
+        path, which r11 measured 3.7x FASTER than routing through the
+        union expansion here (low-cardinality values amortize the
+        per-unique scalar encode; ~34 records/group cannot amortize the
+        per-group vector overhead). This pins the measured routing and
+        byte parity."""
+        import random as _random
+
+        from hadoop_bam_spark.formats import bcf as B
+
+        hdr_text = (
+            "##fileformat=VCFv4.2\n"
+            "##contig=<ID=chr1,length=100000>\n"
+            '##FILTER=<ID=PASS,Description="d">\n'
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="d">\n'
+            + "".join(
+                f'##FORMAT=<ID=K{i},Number=1,Type=Integer,Description="d">\n'
+                for i in range(7)
+            )
+            + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+              "\tS1\tS2\n"
+        )
+        hdr = B.parse_bcf_header_text(hdr_text)
+        rng = _random.Random(5)
+        rows = []
+        seqs = set()
+        for i in range(600):
+            keys = ["GT"] + [f"K{j}" for j in range(7) if rng.random() < 0.5]
+            seqs.add(tuple(keys))
+            genos = []
+            for s in ("S1", "S2"):
+                fields = {}
+                for k in keys:
+                    fields[k] = (rng.choice(["0/0", "0/1", "./."])
+                                 if k == "GT"
+                                 else str(rng.randrange(0, 99)))
+                genos.append((s, fields.get("GT"), fields))
+            rows.append(
+                ("chr1", 10 + i, 10 + i, None, "A", ["G"], None, None,
+                 None, genos)
+            )
+        assert len(seqs) > 32  # the shape under test
+        hdr2 = hdr
+        batch = _to_batch(rows)
+        enc = BCFBatchEncoder(hdr2)
+        blob, _, _ = enc.encode_batch(batch)
+        assert enc.last_indiv_path == "dict"
+        want = b"".join(B.encode_record(r, hdr2) for r in rows)
+        assert blob == want
+
     def test_gt_garbage_still_bails(self):
         # non-numeric allele: the scalar raises; vectorized must not
         # silently encode — dictionary path surfaces the same error
