@@ -232,6 +232,9 @@ int64_t rans_encode0_walk(const uint8_t *data, int64_t n,
     for (int64_t i = n - 1; i >= 0; i--) {
         int j = (int)(i & 3);
         uint32_t f = freq[data[i]];
+        if (f == 0) return -1;  /* inconsistent table: a SIGFPE here
+                                 * would kill the executor; the Python
+                                 * walk raises instead */
         uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
         uint32_t x = s[j];
         while (x >= xm) {
@@ -259,6 +262,7 @@ int64_t rans_encode1_walk(const uint8_t *data, int64_t n,
     for (int64_t p = n - 1; p >= 4 * q; p--) {
         int ctx = (p == 0) ? 0 : data[p - 1];
         uint32_t f = freq[ctx * 256 + data[p]];
+        if (f == 0) return -1;
         uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
         uint32_t x = s[3];
         while (x >= xm) {
@@ -273,6 +277,7 @@ int64_t rans_encode1_walk(const uint8_t *data, int64_t n,
             int64_t p = (int64_t)j * q + i;
             int ctx = (i == 0) ? 0 : data[p - 1];
             uint32_t f = freq[ctx * 256 + data[p]];
+            if (f == 0) return -1;
             uint32_t xm = ((RANS_LOW >> TF_SHIFT) << 8) * f;
             uint32_t x = s[j];
             while (x >= xm) {
