@@ -29,6 +29,27 @@ BNLJ_ALLOWED = {
 }
 
 
+#: Queries whose plan intentionally evaluates Python on executors —
+#: the multimodal family's Arrow-batched binary plumbing (mapInPandas /
+#: pandas UDFs over opaque media bytes is the documented design; image
+#: libs aren't expressible as Catalyst expressions). Everything else
+#: must stay JVM-side: a row-at-a-time F.udf sneaking into a hot query
+#: is a 10-100x scale defect that should fail CI here.
+PYTHON_EVAL_ALLOWED = {
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+}
+
+_PY_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
 def _registry():
     from hadoop_bam_spark.queries import REGISTRY
 
@@ -67,4 +88,11 @@ def test_no_cartesian_product(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a BroadcastNestedLoopJoin but is not in the "
             "allowlist — broadcast it deliberately or use an equi-join"
+        )
+    if name not in PYTHON_EVAL_ALLOWED:
+        found = [t for t in _PY_NODES if t in plan]
+        assert not found, (
+            f"{name} evaluates Python on executors ({found}) but is not "
+            "in the allowlist — express it with built-in functions, or "
+            "allowlist it with a written justification"
         )
