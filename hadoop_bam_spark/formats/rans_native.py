@@ -1,4 +1,7 @@
-"""Optional native (ctypes) rANS-4x8 decoder.
+"""Optional native (ctypes) rANS-4x8 kernels: decode, plus the r11
+encode state walks (the Python encoder in ``formats/rans.py`` computes
+the tables and serializes the format; C only runs the reverse walk, so
+streams are byte-identical with or without the kernel).
 
 The CRAM scan's hot loop on htslib/htsjdk-produced archives is rANS
 block decode (reference: `CRAMRecordReader.java:33-56` delegates to
