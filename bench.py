@@ -286,11 +286,24 @@ def _vs_prev(total: float, cpu: dict[str, float], sf,
 _REGRESSION_BOUND = 1.15
 
 
-def _regression_flag(vs_prev: dict | None) -> dict | None:
+#: per-query blowup bound: a single query regressing this much (after
+#: calibration) trips the wire even when the aggregate stays under
+#: _REGRESSION_BOUND — but only above a CPU floor, so a 0.2s query
+#: jittering to 0.5s doesn't cry wolf
+_QUERY_REGRESSION_BOUND = 2.0
+_QUERY_CPU_FLOOR_S = 0.5
+
+
+def _regression_flag(vs_prev: dict | None,
+                     cpu: dict | None = None) -> dict | None:
     """Loud cross-round regression tripwire. Prefers the CALIBRATED
     cpu ratio (host accounting drift divided out); when calibration was
     refused, falls back to the raw ratio and says so — an uncalibrated
-    exceedance still demands investigation, not narrative."""
+    exceedance still demands investigation, not narrative. Also trips
+    on any SINGLE query whose calibrated ratio exceeds
+    ``_QUERY_REGRESSION_BOUND`` while costing at least
+    ``_QUERY_CPU_FLOOR_S`` CPU-seconds this round — an aggregate under
+    the total bound must not hide one melted operator."""
     if not vs_prev:
         return None
     ratio = vs_prev.get("cpu_total_ratio_calibrated")
@@ -300,11 +313,20 @@ def _regression_flag(vs_prev: dict | None) -> dict | None:
         basis = "cpu_total_ratio"
     if ratio is None:
         return None
+    cal = vs_prev.get("host_cpu_calibration") or 1.0
+    per_query_hits = [
+        {"query": q, "ratio_calibrated": round(r / cal, 3)}
+        for q, r in (vs_prev.get("per_query_cpu_ratio") or {}).items()
+        if r / cal > _QUERY_REGRESSION_BOUND
+        and (cpu or {}).get(q, 0.0) >= _QUERY_CPU_FLOOR_S
+    ]
     return {
-        "regression": bool(ratio > _REGRESSION_BOUND),
+        "regression": bool(ratio > _REGRESSION_BOUND or per_query_hits),
         "basis": basis,
         "ratio": ratio,
         "bound": _REGRESSION_BOUND,
+        "query_hits": per_query_hits,
+        "query_bound": _QUERY_REGRESSION_BOUND,
     }
 
 
@@ -397,7 +419,7 @@ def main() -> None:
             sentinel_block=sentinel_block,
         ),
     }
-    if (reg := _regression_flag(payload["vs_prev"])) is not None:
+    if (reg := _regression_flag(payload["vs_prev"], cpu)) is not None:
         payload["regression"] = reg["regression"]
         payload["regression_detail"] = reg
     print(json.dumps(payload))

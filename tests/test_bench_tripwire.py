@@ -25,6 +25,8 @@ class TestRegressionFlag:
             "basis": "cpu_total_ratio_calibrated",
             "ratio": 1.2,
             "bound": b._REGRESSION_BOUND,
+            "query_hits": [],
+            "query_bound": b._QUERY_REGRESSION_BOUND,
         }
 
     def test_calibrated_under_bound_clean_even_if_raw_over(self):
@@ -56,6 +58,8 @@ class TestRegressionFlag:
             "basis": "cpu_total_ratio",
             "ratio": 1.3,
             "bound": b._REGRESSION_BOUND,
+            "query_hits": [],
+            "query_bound": b._QUERY_REGRESSION_BOUND,
         }
 
     def test_no_prev_or_no_ratio_is_silent(self):
@@ -65,3 +69,42 @@ class TestRegressionFlag:
         assert b._regression_flag(
             {"note": "sf mismatch; ratios omitted"}
         ) is None
+
+    def test_single_query_blowup_trips_despite_clean_total(self):
+        # one melted operator must not hide under a clean aggregate
+        b = _bench()
+        vs = {
+            "cpu_total_ratio": 1.02,
+            "cpu_total_ratio_calibrated": 1.02,
+            "host_cpu_calibration": 1.0,
+            "per_query_cpu_ratio": {"q_fast": 0.9, "q_melted": 3.1},
+        }
+        got = b._regression_flag(vs, {"q_fast": 0.4, "q_melted": 2.0})
+        assert got["regression"] is True
+        assert got["query_hits"] == [
+            {"query": "q_melted", "ratio_calibrated": 3.1}
+        ]
+
+    def test_query_blowup_below_cpu_floor_is_noise(self):
+        # a 0.1s query tripling is jitter, not a regression
+        b = _bench()
+        vs = {
+            "cpu_total_ratio_calibrated": 1.0,
+            "host_cpu_calibration": 1.0,
+            "per_query_cpu_ratio": {"q_tiny": 3.0},
+        }
+        got = b._regression_flag(vs, {"q_tiny": 0.1})
+        assert got["regression"] is False and got["query_hits"] == []
+
+    def test_query_ratio_divides_out_calibration(self):
+        # raw per-query ratio 2.4 on a box running 1.3x hot -> 1.85
+        # calibrated: under the bound, no false alarm
+        b = _bench()
+        vs = {
+            "cpu_total_ratio": 1.3,
+            "cpu_total_ratio_calibrated": 1.0,
+            "host_cpu_calibration": 1.3,
+            "per_query_cpu_ratio": {"q": 2.4},
+        }
+        got = b._regression_flag(vs, {"q": 5.0})
+        assert got["regression"] is False and got["query_hits"] == []
