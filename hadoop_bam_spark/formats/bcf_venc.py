@@ -595,8 +595,9 @@ class BCFBatchEncoder:
         absent keys (null value == absent cell, bytewise identical per
         encode_indiv's ``fm.get``), then encodes through the uniform
         fast path. Bails (None -> per-record dictionary path) on
-        fragmentation (> 32 unions, > 64 distinct keys), duplicate keys
-        inside one cell, or a group the uniform contract rejects."""
+        fragmentation (> 128 ordered unions, > 64 distinct keys), an
+        over-large expansion (> 2^27 slots), duplicate keys inside one
+        cell, or a group the uniform contract rejects."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
