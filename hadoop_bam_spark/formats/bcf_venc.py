@@ -1083,9 +1083,15 @@ class BCFBatchEncoder:
         a = np.full(len(absent), -1, np.int64)
         digs = ~absent
         if digs.any():
-            a[digs] = np.asarray(
-                pc.cast(flat.filter(pa.array(digs)), pa.int64())
-            )
+            try:
+                a[digs] = np.asarray(
+                    pc.cast(flat.filter(pa.array(digs)), pa.int64())
+                )
+            except pa.lib.ArrowInvalid:
+                # allele index too wide even for int64 (e.g. a 20-digit
+                # GT): bail to the scalar path so the caller surfaces
+                # the documented struct.error, not a raw Arrow error
+                return None
         # separator chars survive stripping digits and dots; one byte
         # per inter-allele gap, in order
         seps = pc.replace_substring_regex(filled, r"[0-9.]", "")

@@ -375,6 +375,16 @@ def _build() -> str | None:
 
                 shutil.copy(tmp_so, so + f".tmp{os.getpid()}")
                 os.replace(so + f".tmp{os.getpid()}", so)
+        try:
+            # the .so now exists, so every future caller returns before
+            # ever touching the lock path; dropping the sidecar keeps the
+            # cache dir from accumulating one .lock per source revision.
+            # A peer blocked on the old inode still wakes, re-checks
+            # os.path.exists(so), and returns early — and the atomic
+            # rename above keeps even a re-created-lock race correct.
+            os.unlink(so + ".lock")
+        except OSError:
+            pass
         return so
     finally:
         # one finally covers EVERY exit (compile, peer-won early return,

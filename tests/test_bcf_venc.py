@@ -301,6 +301,14 @@ class TestIndivUniformFastPath:
         a = _uniform_rows([[("S1", "a/b", {"GT": "a/b"})]])
         assert self._fast(a) is None
 
+    def test_gt_int64_overflow_bails_not_arrow_error(self):
+        """An allele index wider than int64 must bail (None) so the
+        scalar path raises the documented error — not die mid-vector
+        with a raw pyarrow ArrowInvalid (r11 ADVICE)."""
+        big = "99999999999999999999/1"  # 20 digits > int64 max
+        a = _uniform_rows([[("S1", big, {"GT": big})]])
+        assert self._fast(a) is None
+
     def test_empty_string_key_does_not_pass_as_empty_map(self):
         """An empty-string FORMAT key produces the same '' key-sequence
         signature as an empty map. A group mixing both shapes must BAIL
