@@ -36,14 +36,24 @@ from typing import BinaryIO, Iterator, Optional
 
 CRAM_MAGIC = b"CRAM"
 
-#: Fixed v3 EOF container (CRAM 3.0 spec §9; byte-for-byte).
+#: Fixed 38-byte v3 EOF container (CRAM 3.0 spec §9), field by field:
+#: container header = length 15 (int32 LE), ref_seq_id -1 (5-byte itf8),
+#: start 4542278 ("EOF" packed in a 4-byte itf8 e0454f46), span/nrec/
+#: counter/bases all 0, n_blocks 1, no landmarks, header CRC32 05bdd94f;
+#: then one raw block: method 0, type 1, id 0, sizes 6/6, data = three
+#: empty maps "010001000100", block CRC32 ee63014b. Both CRCs verify
+#: with zlib.crc32 over the preceding bytes (tests/test_cram3_golden.py
+#: re-derives the whole thing; an earlier revision carried a spurious
+#: extra NUL before the block CRC that foreign readers' byte-compare
+#: EOF checks would have rejected).
 EOF_CONTAINER_V3 = bytes.fromhex(
     "0f000000ffffffff0fe0454f4600000000010005bdd94f0001000606"
-    "01000100010000ee63014b"
+    "010001000100ee63014b"
 )
-#: v2.1 EOF container (htslib check_EOF; no CRCs).
+#: 30-byte v2.1 EOF container: same fields minus both CRC32s (CRCs were
+#: introduced in 3.0).
 EOF_CONTAINER_V2 = bytes.fromhex(
-    "0b000000ffffffff0fe0454f4600000000010005bdd94f000100000000"
+    "0b000000ffffffff0fe0454f460000000001000001000606010001000100"
 )
 
 # block content types (spec §8)
