@@ -243,7 +243,11 @@ def _parse_block(cur: _Cursor, findings: list, where: str,
     elif b.method == METHOD_GZIP:
         try:
             b.data = gzip.decompress(payload)
-        except OSError:
+        except (OSError, zlib.error, EOFError):
+            # gzip.decompress surfaces header corruption as BadGzipFile
+            # (an OSError) but MID-STREAM corruption as a raw zlib.error
+            # and truncation as EOFError — all three are findings, not
+            # crashes
             findings.append(f"{where}: gzip payload does not decompress")
         else:
             if len(b.data) != rsize:
@@ -352,10 +356,26 @@ def _check_map_sizes(cur: _Cursor, findings: list, where: str):
 
 
 def _parse_compression_header(data: bytes, findings: list, where: str):
-    """Validate the three maps; returns the set of external content ids
-    the encodings reference (what every slice must provide)."""
+    """EOFError-safe wrapper: corrupt map bytes that decompressed fine
+    must surface as a finding, not a crash."""
+    try:
+        return _parse_compression_header_maps(data, findings, where)
+    except EOFError as e:
+        findings.append(f"{where}: truncated compression header ({e})")
+        return set(), set()
+
+
+def _parse_compression_header_maps(data: bytes, findings: list,
+                                   where: str):
+    """Validate the three maps; returns ``(ds_ids, tag_ids)`` — the
+    external content ids referenced from the data-series map (every
+    slice with records must provide these: the engine and htslib both
+    emit them even when empty) and from the tag-encoding map (record-
+    dependent: a slice none of whose records carry a given tag legally
+    omits that tag's block, so absence is NOT a finding)."""
     cur = _Cursor(data)
     ext_ids: set = set()
+    tag_ids: set = set()
     # --- preservation map (spec §10.6) ---
     n, sub = _check_map_sizes(cur, findings, where + "/preservation")
     for _ in range(n):
@@ -432,7 +452,7 @@ def _parse_compression_header(data: bytes, findings: list, where: str):
                 f"{where}/tag-map[{tag}]: value type {chr(typ)!r} "
                 "invalid")
         _parse_encoding(sub, findings, f"{where}/tag-map[{tag}]",
-                        ext_ids)
+                        tag_ids)
     if sub.remaining():
         findings.append(
             f"{where}/tag-map: {sub.remaining()} bytes beyond the "
@@ -441,7 +461,7 @@ def _parse_compression_header(data: bytes, findings: list, where: str):
         findings.append(
             f"{where}: {cur.remaining()} bytes after the tag encoding "
             "map")
-    return ext_ids
+    return ext_ids, tag_ids
 
 
 def _parse_slice(body_cur: _Cursor, findings: list, where: str,
@@ -515,15 +535,21 @@ def _parse_slice(body_cur: _Cursor, findings: list, where: str,
     if n_core != 1:
         findings.append(
             f"{where}: {n_core} core blocks (spec requires exactly 1)")
-    if seen_ids != ids:
+    if sorted(seen_ids) != sorted(ids):
+        # multiset compare: the spec requires the declared blocks to be
+        # PRESENT, not in declaration order — third-party writers may
+        # legally reorder externals within the slice
         findings.append(
-            f"{where}: external block ids {seen_ids} != slice header "
-            f"declaration {ids}")
+            f"{where}: external block ids {sorted(seen_ids)} != slice "
+            f"header declaration {sorted(ids)}")
     if nrec > 0:
-        missing = needed_ids - set(ids)
+        # only data-series ids are unconditionally required; tag-map
+        # ids are record-dependent (a slice whose records carry no such
+        # tag legally omits the block — htslib and this engine both do)
+        missing = needed_ids[0] - set(ids)
         if missing:
             findings.append(
-                f"{where}: encoding maps reference external ids "
+                f"{where}: data-series encodings reference external ids "
                 f"{sorted(missing)} the slice does not provide")
     return nrec, counter, 1 + nblocks
 
@@ -554,7 +580,7 @@ def validate_bytes(buf: bytes, max_findings: int = 200) -> list[str]:
     while cur.remaining():
         where = f"container[{container_no}] @0x{cur.pos:x}"
         at = cur.pos
-        if buf[cur.pos:] == EOF_V3:
+        if cur.remaining() == len(EOF_V3) and buf.endswith(EOF_V3):
             saw_eof = True
             cur.pos = len(buf)
             break
@@ -609,7 +635,7 @@ def validate_bytes(buf: bytes, max_findings: int = 200) -> list[str]:
                 findings.append(
                     f"{where}: first block content type "
                     f"{comp_block.ctype}, not 1 (compression header)")
-            needed_ids: set = set()
+            needed_ids: tuple = (set(), set())
             if comp_block.data is not None:
                 needed_ids = _parse_compression_header(
                     comp_block.data, findings,
@@ -620,7 +646,15 @@ def validate_bytes(buf: bytes, max_findings: int = 200) -> list[str]:
                     f"{where}: first landmark {h['landmarks'][0]} != "
                     f"compression-header block size {comp_block.size}")
             if h["record_counter"] is not None and expected_counter is \
-                    not None and h["record_counter"] != expected_counter:
+                    not None and h["record_counter"] != expected_counter \
+                    and h["record_counter"] != 0:
+                # a reset to 0 is the merged-shard shape: distributed
+                # writers (reference SAMFileMerger.java:92-103 merging
+                # htsjdk task outputs; this engine's sharded sink) each
+                # start their counter at 0, and the merge concatenates
+                # containers verbatim — the chain restarts per shard.
+                # Corrupted counter BYTES are still caught by the
+                # container-header CRC32.
                 findings.append(
                     f"{where}: container record counter "
                     f"{h['record_counter']} breaks the chain (expected "

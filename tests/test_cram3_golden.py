@@ -306,6 +306,16 @@ class TestGoldenFixture:
         assert eof == V.EOF_V3
         assert eof == cram.EOF_CONTAINER_V3
 
+    def test_eof_v2_assembly_matches_published_constant(self):
+        """The v2.1 EOF container is the same assembly minus BOTH
+        CRC32 fields (CRCs arrived in 3.0): an 11-byte raw block of
+        three empty maps behind a CRC-less container header."""
+        blk = bytes([0, 1]) + itf8(0) + itf8(6) + itf8(6) \
+            + itf8(1) + itf8(0) + itf8(1) + itf8(0) + itf8(1) + itf8(0)
+        hdr = struct.pack("<i", len(blk)) + itf8(-1) + itf8(4542278) \
+            + itf8(0) + itf8(0) + ltf8(0) + ltf8(0) + itf8(1) + itf8(0)
+        assert hdr + blk == cram.EOF_CONTAINER_V2
+
     def test_engine_decodes_hand_assembled_container(self, golden_path):
         """The engine's reader, given bytes it never wrote, produces
         exactly the spec-derived records — unmapped verbatim-base
