@@ -127,6 +127,14 @@ def _decode_tags(buf: bytes) -> dict[str, str]:
     column the sam.py parser produces, so BAM and SAM scans are comparable).
     Values that would re-encode under a different type carry a 'TYPE:' prefix
     (see tag_value_repr) so tag types are preserved round-trip."""
+    try:
+        return _decode_tags_unchecked(buf)
+    except (struct.error, IndexError, KeyError) as e:
+        # raise-don't-garbage: corrupt tag bytes are a data error
+        raise ValueError(f"malformed BAM tag block: {e}") from e
+
+
+def _decode_tags_unchecked(buf: bytes) -> dict[str, str]:
     tags: dict[str, str] = {}
     p, n = 0, len(buf)
     while p + 3 <= n:
@@ -187,8 +195,20 @@ def decode_record(
     of the reference's lazy decode (LazyBAMRecordFactory.java:53-111), driven
     here by the source's pruned schema instead of first-touch.
     """
+    if len(buf) < 32:
+        raise ValueError(
+            f"malformed BAM record: body {len(buf)} bytes, need >= 32")
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, 0)
+    # raise-don't-garbage: corrupt length fields must surface as a data
+    # error, not struct.error/IndexError from reads past the buffer
+    if l_seq < 0 or l_read_name < 1 or (
+            32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+            > len(buf)):
+        raise ValueError(
+            "malformed BAM record: variable-length fields "
+            f"(l_read_name={l_read_name}, n_cigar={n_cigar}, "
+            f"l_seq={l_seq}) overrun the {len(buf)}-byte body")
     p = 32
     qname = buf[p : p + l_read_name - 1].decode("latin-1")
     p += l_read_name

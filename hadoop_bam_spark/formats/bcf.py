@@ -279,7 +279,21 @@ def decode_record(buf: bytes, off: int, hdr: BCFHeader):
     treatment the CRAM decoder got. Semantics are identical to
     :func:`decode_record_ref` (property-tested) and to the reference's
     BCFRecordReader.java:126-173.
+
+    Raise-don't-garbage: corrupt bytes surface as ``ValueError``, never
+    struct.error / IndexError / KeyError from reads past declared spans
+    or dictionary indexes outside the header tables.
     """
+    try:
+        return _decode_record_unchecked(buf, off, hdr)
+    except (struct.error, IndexError, KeyError, OverflowError,
+            TypeError) as e:
+        # TypeError: a corrupted type descriptor can deliver e.g. a str
+        # vector where an int dictionary index belongs
+        raise ValueError(f"malformed BCF record at {off}: {e}") from e
+
+
+def _decode_record_unchecked(buf: bytes, off: int, hdr: BCFHeader):
     upk = struct.unpack_from
     strings = hdr.strings
     l_shared, l_indiv = upk("<II", buf, off)

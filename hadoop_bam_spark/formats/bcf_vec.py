@@ -322,7 +322,19 @@ class BCFBatchDecoder:
     def decode(self, buf, starts: np.ndarray, intervals_by_rid=None):
         """``buf``: bytes containing whole records at ``starts`` (absolute
         offsets of each record's l_shared word). Returns column dict or
-        None when the interval residual leaves zero rows."""
+        None when the interval residual leaves zero rows.
+
+        Corrupt bytes surface as :class:`VecUnsupported` (numpy's OOB
+        fancy-indexing IndexError translated), so the caller's scalar
+        fallback — which raises a clean ValueError per record — owns the
+        malformed-stream contract; no crash leaks from the batch path."""
+        try:
+            return self._decode_unchecked(buf, starts, intervals_by_rid)
+        except (IndexError, KeyError, OverflowError) as e:
+            raise VecUnsupported(f"corrupt batch: {e}") from e
+
+    def _decode_unchecked(self, buf, starts: np.ndarray,
+                          intervals_by_rid=None):
         import pyarrow as pa
 
         arr = np.frombuffer(buf, dtype=np.uint8)

@@ -335,6 +335,17 @@ class Block:
     @classmethod
     def parse(cls, buf, p: int, major: int,
               rans_cache: Optional[dict] = None) -> tuple["Block", int]:
+        try:
+            return cls._parse_unchecked(buf, p, major, rans_cache)
+        except IndexError as e:
+            # truncated block frame (varint or method/type byte read
+            # past the buffer) — a data error, not an engine crash
+            raise ValueError(
+                f"truncated CRAM block frame at {p}: {e}") from e
+
+    @classmethod
+    def _parse_unchecked(cls, buf, p, major,
+                         rans_cache) -> tuple["Block", int]:
         start = p
         method = buf[p]
         ctype = buf[p + 1]
@@ -349,15 +360,29 @@ class Block:
         if method == M_RAW:
             data = raw
         elif method == M_GZIP:
-            data = gzip.decompress(raw)
+            try:
+                data = gzip.decompress(raw)
+            except (OSError, zlib.error, EOFError) as e:
+                raise ValueError(
+                    f"corrupt gzip block payload: {e}") from e
         elif method == M_BZIP2:
             import bz2
 
-            data = bz2.decompress(raw)
+            try:
+                data = bz2.decompress(raw)
+            except (OSError, ValueError) as e:
+                raise ValueError(
+                    f"corrupt bzip2 block payload: {e}") from e
         elif method == M_LZMA:
             import lzma
 
-            data = lzma.decompress(raw)
+            try:
+                data = lzma.decompress(raw)
+            except lzma.LZMAError as e:
+                # LZMAError subclasses Exception only — translate so
+                # corrupt bytes surface as a data error
+                raise ValueError(
+                    f"corrupt lzma block payload: {e}") from e
         elif method == M_RANS:
             # scan pre-pass may have batch-decoded this block already
             # (keyed by block start offset; see prescan_rans_blocks)
@@ -506,6 +531,16 @@ class ContainerHeader:
 
     @classmethod
     def parse(cls, buf, p: int, major: int) -> "ContainerHeader":
+        try:
+            return cls._parse_unchecked(buf, p, major)
+        except (IndexError, struct.error) as e:
+            # truncated header bytes: a varint reader walked off the
+            # buffer — a data error, not an engine crash
+            raise ValueError(
+                f"truncated CRAM container header at {p}: {e}") from e
+
+    @classmethod
+    def _parse_unchecked(cls, buf, p: int, major: int) -> "ContainerHeader":
         p0 = p
         (length,) = struct.unpack_from("<i", buf, p)
         p += 4
@@ -1199,9 +1234,22 @@ class ContainerDecoder:
         comp = CompressionHeader.parse(comp_block.data)
         rows: list[tuple] = []
         for lm in hdr.landmarks:
-            rows.extend(
-                self._decode_slice(body, lm, comp, hdr, rans_cache)
-            )
+            try:
+                rows.extend(
+                    self._decode_slice(body, lm, comp, hdr, rans_cache)
+                )
+            except (StopIteration, KeyError, IndexError) as e:
+                # corrupt/truncated slice bytes: a bulk-decoded series
+                # iterator ran dry (StopIteration — which, escaping into
+                # a caller's generator frame, would become an opaque
+                # PEP 479 RuntimeError), an encoding referenced an
+                # external block id the slice doesn't carry (KeyError),
+                # or a position index walked outside a decoded array
+                # (IndexError). All are data errors, not engine crashes.
+                raise ValueError(
+                    "corrupt CRAM slice at landmark "
+                    f"{lm}: {type(e).__name__}: {e}"
+                ) from e
         return rows
 
     # -- slice ---------------------------------------------------------------

@@ -1,0 +1,355 @@
+"""Adversarial malformed-stream fuzz across the binary parsers.
+
+Seeded truncation + bitflip corpora over BGZF / BAM / BCF / rANS / CRAM
+streams, asserting the raise-don't-garbage contract: a decoder handed
+corrupt bytes must either return (possibly partial but well-typed)
+records or raise a CONTROLLED error — ``ValueError`` / ``EOFError`` /
+``OSError`` (and the stdlib's ``zlib.error`` from a compressed-payload
+layer). It must never surface internal-detail exceptions
+(``struct.error``, ``IndexError``, ``KeyError``, ``TypeError``,
+``OverflowError``, ...) that a Spark task would report as an engine
+crash rather than a data problem, and never hang or allocate
+unboundedly off a corrupt length field.
+
+Reference analog: htsjdk's ValidationStringency as applied in
+VCFRecordReader.java:77-92,180-196 — STRICT surfaces a *data* error,
+LENIENT/SILENT skip the record; all three presume the parser fails
+in a controlled way in the first place, which is what this module
+pins. The r12 EOF-constant bug showed malformed-byte handling is where
+the residual risk lives; this corpus walks every parser's reaction to
+systematically broken input rather than waiting for a foreign file to
+do it.
+
+Determinism: every corpus derives from ``random.Random(<fixed seed>)``
+so a failure reproduces byte-for-byte; the failing (offset, bit/cut) is
+in the assertion message.
+"""
+
+import io
+import random
+import struct
+import zlib
+
+import pytest
+
+from hadoop_bam_spark.formats import bam, bcf, bgzf, cram
+from hadoop_bam_spark.formats.bam import SAMHeader
+
+#: what a decoder may raise on corrupt input (zlib.error for payloads
+#: that fail inside a compression codec; it does not subclass OSError)
+CONTROLLED = (ValueError, EOFError, OSError, zlib.error)
+
+
+def _assert_controlled(fn, label):
+    """Run one fuzz trial: result or CONTROLLED raise; anything else is
+    a finding."""
+    try:
+        fn()
+    except CONTROLLED:
+        pass
+    except Exception as e:  # noqa: BLE001 - the point of the fuzz
+        pytest.fail(f"{label}: uncontrolled {type(e).__name__}: {e}")
+
+
+def _mutations(rng, data: bytes, n: int, lo: int = 0):
+    """n seeded single-byte bitflips (offset >= lo) and n truncations."""
+    out = []
+    for _ in range(n):
+        off = rng.randrange(lo, len(data))
+        bit = 1 << rng.randrange(8)
+        m = bytearray(data)
+        m[off] ^= bit
+        out.append((f"flip@{off}/0x{bit:02x}", bytes(m)))
+    for _ in range(n):
+        cut = rng.randrange(len(data))
+        out.append((f"trunc@{cut}", data[:cut]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BGZF
+# ---------------------------------------------------------------------------
+
+class TestFuzzBGZF:
+    def test_single_block(self):
+        payload = bytes(range(256)) * 8
+        block = bgzf.compress_block(payload)
+        rng = random.Random("bgzf-block")
+        for label, m in _mutations(rng, block, 120):
+            _assert_controlled(lambda m=m: bgzf.decompress_block(m),
+                               f"decompress_block {label}")
+
+    def test_reader_stream(self, tmp_path):
+        buf = io.BytesIO()
+        w = bgzf.BGZFWriter(buf)
+        for i in range(6):
+            w.write(bytes([i]) * 5000)
+        w.close()
+        data = buf.getvalue()
+        rng = random.Random("bgzf-stream")
+
+        def read_all(m):
+            p = tmp_path / "f.bgz"
+            p.write_bytes(m)
+            with open(p, "rb") as fh:
+                r = bgzf.BGZFReader(fh)
+                while r.read(4096):
+                    pass
+
+        for label, m in _mutations(rng, data, 80):
+            _assert_controlled(lambda m=m: read_all(m),
+                               f"BGZFReader {label}")
+
+    def test_random_garbage(self):
+        rng = random.Random("bgzf-garbage")
+        for i in range(60):
+            blob = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 200)))
+            _assert_controlled(lambda b=blob: bgzf.decompress_block(b),
+                               f"garbage[{i}]")
+
+
+# ---------------------------------------------------------------------------
+# BAM
+# ---------------------------------------------------------------------------
+
+BAM_REFS = [("chr1", 100000), ("chr2", 50000)]
+BAM_HEADER = SAMHeader(
+    "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:100000\n@SQ\tSN:chr2\tLN:50000\n")
+
+
+def _bam_rows(n=25):
+    return [
+        (f"r{i}", 0 if i % 3 else 16, "chr1" if i % 2 else "chr2",
+         10 + i, 30, "8M", None, 0, 0, "ACGTACGT", "IIIIIIII",
+         {"NM": "1"} if i % 2 else {})
+        for i in range(n)
+    ]
+
+
+class TestFuzzBAM:
+    def _file_bytes(self):
+        buf = io.BytesIO()
+        bam.write_bam(buf, BAM_HEADER, _bam_rows(), refs=BAM_REFS)
+        return buf.getvalue()
+
+    def test_record_bodies(self):
+        """Corrupt the DECOMPRESSED record layer (below the BGZF CRC):
+        decode_record on mutated bodies."""
+        ref_index = {n: i for i, (n, _) in enumerate(BAM_REFS)}
+        rng = random.Random("bam-record")
+        for row in _bam_rows(8):
+            rec = bam.encode_record(tuple(row), ref_index)
+            body = rec[4:]  # decode_record takes the body after length
+            for label, m in _mutations(rng, body, 40):
+                _assert_controlled(
+                    lambda m=m: bam.decode_record(m, BAM_REFS),
+                    f"decode_record({row[0]}) {label}")
+
+    def test_whole_file_scalar_scan(self, tmp_path):
+        data = self._file_bytes()
+        rng = random.Random("bam-file")
+
+        def scan(m):
+            p = tmp_path / "f.bam"
+            p.write_bytes(m)
+            with open(p, "rb") as fh:
+                r = bgzf.BGZFReader(fh)
+                hdr, refs, voff = bam.read_header(r)
+                list(bam.iter_records(r, refs, voff))
+
+        for label, m in _mutations(rng, data, 80):
+            _assert_controlled(lambda m=m: scan(m), f"bam scan {label}")
+
+    def test_whole_file_vectorized_scan(self, tmp_path):
+        """The production columnar path (iter_body_batches +
+        BAMBatchDecoder) under the same corpus."""
+        from hadoop_bam_spark.formats import bam_vec
+
+        data = self._file_bytes()
+        rng = random.Random("bam-vec")
+
+        def scan(m):
+            p = tmp_path / "v.bam"
+            p.write_bytes(m)
+            with open(p, "rb") as fh:
+                r = bgzf.BGZFReader(fh)
+                _hdr, refs, voff = bam.read_header(r)
+            dec = bam_vec.BAMBatchDecoder(refs)
+            end_v = bgzf.make_voffset(len(m), 0)
+            with open(p, "rb") as fh:
+                for span_buf, starts, lens in bam_vec.iter_body_batches(
+                        fh, voff, end_v):
+                    dec.decode_span(span_buf, starts, lens)
+
+        for label, m in _mutations(rng, data, 80):
+            _assert_controlled(lambda m=m: scan(m), f"bam vec {label}")
+
+
+# ---------------------------------------------------------------------------
+# BCF
+# ---------------------------------------------------------------------------
+
+BCF_HEADER_TEXT = (
+    "##fileformat=VCFv4.2\n"
+    "##contig=<ID=1,length=249250621>\n"
+    '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+    '##INFO=<ID=AF,Number=A,Type=Float,Description="a">\n'
+    '##FILTER=<ID=q10,Description="q">\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+    '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tA\tB\n"
+)
+
+
+def _bcf_rows(hdr):
+    from hadoop_bam_spark.formats.vcf import parse_vcf_line
+
+    lines = [
+        "1\t100\trs1\tA\tT\t29.5\tPASS\tDP=14;AF=0.5\tGT:GQ\t0|0:48\t1/1:43",
+        "1\t200\t.\tG\tC,A\t3\tq10\tDP=11\tGT:GQ\t0/1:21\t./.:.",
+        "1\t300\t.\tTTT\tT\t.\t.\tAF=0.017\tGT\t0/0\t0/1",
+    ]
+    return [parse_vcf_line(ln, ["A", "B"], None) for ln in lines]
+
+
+class TestFuzzBCF:
+    @pytest.fixture(scope="class")
+    def hdr(self):
+        return bcf.parse_bcf_header_text(BCF_HEADER_TEXT)
+
+    def test_record_blobs(self, hdr):
+        rng = random.Random("bcf-record")
+        for row in _bcf_rows(hdr):
+            rec = bcf.encode_record(row, hdr)
+
+            def decode(m):
+                off = 0
+                while off < len(m):
+                    _row, off = bcf.decode_record(m, off, hdr)
+
+            for label, m in _mutations(rng, rec, 60):
+                _assert_controlled(lambda m=m: decode(m),
+                                   f"bcf decode {label}")
+
+    def test_header_blob(self, hdr):
+        blob = bcf.encode_header(hdr)
+        rng = random.Random("bcf-header")
+        for label, m in _mutations(rng, blob, 60):
+            _assert_controlled(
+                lambda m=m: bcf.read_bcf_header(io.BytesIO(m)),
+                f"bcf header {label}")
+
+    def test_vectorized_batch(self, hdr):
+        """The columnar BCF decoder under the same corpus: it may also
+        raise VecUnsupported (a ValueError) to bail to the scalar
+        path — that IS the contract. Record starts are re-walked from
+        the MUTATED bytes, as the production feed does."""
+        import numpy as np
+
+        from hadoop_bam_spark.formats import bcf_vec
+
+        rows = _bcf_rows(hdr)
+        blob = b"".join(bcf.encode_record(r, hdr) for r in rows)
+        rng = random.Random("bcf-vec")
+
+        def decode(m):
+            starts, off = [], 0
+            while off + 8 <= len(m) and len(starts) < 1000:
+                l_shared, l_indiv = struct.unpack_from("<II", m, off)
+                end = off + 8 + l_shared + l_indiv
+                if end > len(m):
+                    break
+                starts.append(off)
+                off = end
+            if not starts:
+                return
+            bcf_vec.BCFBatchDecoder(hdr).decode(
+                m, np.asarray(starts, np.int64))
+
+        for label, m in _mutations(rng, blob, 60):
+            _assert_controlled(lambda m=m: decode(m), f"bcf vec {label}")
+
+
+# ---------------------------------------------------------------------------
+# rANS
+# ---------------------------------------------------------------------------
+
+class TestFuzzRans:
+    def test_mutated_valid_streams(self):
+        from hadoop_bam_spark.formats.rans import rans_encode_order0, \
+            rans_encode_order1
+
+        rng = random.Random("rans")
+        data = bytes(rng.choices(b"IIHHGG?5+", k=4000))
+        for enc in (rans_encode_order0, rans_encode_order1):
+            stream = enc(data)
+            for label, m in _mutations(rng, stream, 80):
+                _assert_controlled(
+                    lambda m=m: cram.rans_decode(m, len(data)),
+                    f"{enc.__name__} {label}")
+
+    def test_random_garbage(self):
+        rng = random.Random("rans-garbage")
+        for i in range(80):
+            blob = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 120)))
+            _assert_controlled(
+                lambda b=blob: cram.rans_decode(b, 64),
+                f"garbage[{i}]")
+
+
+# ---------------------------------------------------------------------------
+# CRAM whole files (decoder side; the structural validator has its own
+# corruption corpus in test_cram_validator_wiring.py)
+# ---------------------------------------------------------------------------
+
+class TestFuzzCRAM:
+    @pytest.fixture(scope="class")
+    def clean(self):
+        buf = io.BytesIO()
+        w = cram.CRAMWriter(
+            buf, BAM_REFS,
+            header_text=BAM_HEADER.text, records_per_container=10,
+            records_per_slice=5)
+        for r in _bam_rows(25):
+            w.write(r)
+        w.close()
+        return buf.getvalue()
+
+    def test_mutated_files(self, clean, tmp_path):
+        rng = random.Random("cram-file")
+
+        def decode(m):
+            p = tmp_path / "f.cram"
+            p.write_bytes(m)
+            list(cram.decode_file(str(p)))
+
+        for label, m in _mutations(rng, clean, 120):
+            _assert_controlled(lambda m=m: decode(m), f"cram {label}")
+
+
+# ---------------------------------------------------------------------------
+# VCF text chunk parser (the vectorized fast path's bail contract:
+# dict/None, never an exception — stringency is applied by the scalar
+# fallback, so a raise here would bypass lenient/silent entirely)
+# ---------------------------------------------------------------------------
+
+class TestFuzzVCFChunk:
+    def test_mutated_lines_never_raise(self):
+        from hadoop_bam_spark.formats import vcf_vec
+
+        base = [
+            "1\t100\trs1\tA\tT\t29.5\tPASS\tDP=14\tGT\t0|0\t1/1",
+            "1\t200\t.\tG\tC\t3\tq10\tDP=11\tGT\t0/1\t./1",
+        ]
+        rng = random.Random("vcf-chunk")
+        for i in range(150):
+            lines = list(base)
+            k = rng.randrange(len(lines))
+            s = bytearray(lines[k].encode())
+            off = rng.randrange(len(s))
+            s[off] = rng.randrange(1, 256)
+            lines[k] = s.decode("latin-1")
+            out = vcf_vec.parse_vcf_chunk(lines, ["A", "B"], None)
+            assert out is None or isinstance(out, dict), i
