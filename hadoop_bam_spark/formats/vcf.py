@@ -135,6 +135,13 @@ def parse_vcf_line(
         raise ValueError(f"VCF line has {len(f)} fields, expected >= 8")
     contig, pos_s, vid, ref, alt, qual_s, filt, info_s = f[:8]
     pos = int(pos_s)
+    if " " in info_s:
+        # VCF spec 1.6.1 #8: INFO permits no whitespace. htsjdk raises
+        # TribbleException here (the reference's
+        # TestVCFInputFormatStringency fixture invalid_info_field.vcf:
+        # strict raises, lenient/silent skip the record)
+        raise ValueError(
+            f"VCF line {contig}:{pos_s}: whitespace in INFO field")
     need_info = wanted is None or "info" in wanted or "end" in wanted
     info: Optional[dict[str, str]] = {} if need_info else None
     if need_info and info_s != ".":

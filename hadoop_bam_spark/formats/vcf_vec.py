@@ -242,6 +242,12 @@ def parse_vcf_chunk(
     if table.num_columns != ncols or table.num_rows != len(lines):
         return None
     cols = [table.column(i).combine_chunks() for i in range(ncols)]
+    # INFO permits no whitespace (VCF spec 1.6.1 #8); a violating row is
+    # a per-record stringency decision, so the whole chunk bails to the
+    # scalar parser which raises/skips per ValidationStringency (htsjdk
+    # parity: invalid_info_field.vcf)
+    if pc.any(pc.match_substring(cols[7], " ")).as_py():
+        return None
 
     def want(name: str) -> bool:
         return wanted is None or name in wanted
