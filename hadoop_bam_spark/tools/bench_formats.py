@@ -158,12 +158,21 @@ def _fastq_df(spark, n: int):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    workdir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else tempfile.mkdtemp(prefix="hbs_fmt_bench_")
-    )
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 200_000
+    workdir = pos[1] if len(pos) > 1 else tempfile.mkdtemp(
+        prefix="hbs_fmt_bench_")
+    only, reps = None, 1
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--reps="):
+            # warm-write repetitions, INTERLEAVED across formats (rep 1
+            # of every format, then rep 2, ...) so a drift in host load
+            # mid-run cannot masquerade as a per-format regression —
+            # the r11 cram-rr-vs-rans ordering artifact this flag
+            # exists to rule out. Best-of is reported; all samples kept.
+            reps = int(a.split("=", 1)[1])
     os.makedirs(workdir, exist_ok=True)
 
     from hadoop_bam_spark import sinks
@@ -266,22 +275,41 @@ def main() -> None:
         ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p), {}),
         ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p), {}),
     ]
+    if only is not None:
+        jobs = [j for j in jobs if j[0] in only]
     results = {}
-    for fmt, df, write, scan_opts in jobs:
-        path = os.path.join(workdir, f"bench.{fmt}")
-        # Writes get the same warm/cold split as scans: the first write's
-        # Python workers pay one-time numpy/pyarrow imports and allocator
-        # page-fault warmup; report the steady-state (second) number.
-        t0 = time.time()
-        write(df, path)
-        w_cold_sec = time.time() - t0
-        os.remove(path)
-        for leftover in (path + ".sbi", path + ".tbi", path + ".bai"):
+    # Writes get the same warm/cold split as scans: the first write's
+    # Python workers pay one-time numpy/pyarrow imports and allocator
+    # page-fault warmup; report steady-state warm numbers. With
+    # --reps>1 the warm repetitions run INTERLEAVED across formats.
+    cold: dict = {}
+    warm: dict = {f: [] for f, *_ in jobs}
+
+    def _clean(path):
+        if os.path.exists(path):
+            os.remove(path)
+        for leftover in (path + ".sbi", path + ".tbi", path + ".bai",
+                         path + ".crai"):
             if os.path.exists(leftover):
                 os.remove(leftover)
+
+    for fmt, df, write, _opts in jobs:
+        path = os.path.join(workdir, f"bench.{fmt}")
         t0 = time.time()
         write(df, path)
-        w_sec = time.time() - t0
+        cold[fmt] = time.time() - t0
+    for _rep in range(reps):
+        for fmt, df, write, _opts in jobs:
+            path = os.path.join(workdir, f"bench.{fmt}")
+            _clean(path)
+            t0 = time.time()
+            write(df, path)
+            warm[fmt].append(time.time() - t0)
+
+    for fmt, df, write, scan_opts in jobs:
+        path = os.path.join(workdir, f"bench.{fmt}")
+        w_cold_sec = cold[fmt]
+        w_sec = min(warm[fmt])
         size = os.path.getsize(path)
         reader_fmt = (
             "cram" if fmt.startswith("cram")
@@ -319,6 +347,7 @@ def main() -> None:
             "scan_mb_s": round(mb / s_sec, 1),
             "write_krec_s": round(cnt / w_sec / 1000, 1),
             "scan_krec_s": round(cnt / s_sec / 1000, 1),
+            "write_warm_samples": [round(s, 2) for s in warm[fmt]],
         }
         assert cnt == n, f"{fmt}: wrote {n}, read back {cnt}"
     print(json.dumps({"n_reads": n, "formats": results}))
