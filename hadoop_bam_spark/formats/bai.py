@@ -101,6 +101,15 @@ class BAIIndex:
 
     @classmethod
     def read(cls, fh: BinaryIO) -> "BAIIndex":
+        try:
+            return cls._read_unchecked(fh)
+        except struct.error as e:
+            # raise-don't-garbage: a truncated/corrupt sidecar is a data
+            # error for the planner to surface, not an engine crash
+            raise ValueError(f"truncated or corrupt BAI: {e}") from e
+
+    @classmethod
+    def _read_unchecked(cls, fh: BinaryIO) -> "BAIIndex":
         if fh.read(4) != BAI_MAGIC:
             raise ValueError("not a BAI file (bad magic)")
         (n_ref,) = struct.unpack("<i", fh.read(4))

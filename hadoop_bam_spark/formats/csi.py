@@ -80,6 +80,15 @@ class CSIIndex:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CSIIndex":
+        try:
+            return cls._from_bytes_unchecked(data)
+        except (struct.error, IndexError) as e:
+            # raise-don't-garbage: corrupt payload behind a valid BGZF
+            # wrap (e.g. a foreign tool's layout drift) is a data error
+            raise ValueError(f"truncated or corrupt CSI: {e}") from e
+
+    @classmethod
+    def _from_bytes_unchecked(cls, data: bytes) -> "CSIIndex":
         if data[:4] != CSI_MAGIC:
             raise ValueError("not a CSI index (bad magic)")
         min_shift, depth, l_aux = struct.unpack_from("<3i", data, 4)

@@ -48,8 +48,20 @@ class SplittingIndex:
     def read(cls, f: BinaryIO) -> "SplittingIndex":
         if f.read(4) != MAGIC:
             raise ValueError("bad splitting-index magic")
-        granularity, n = struct.unpack(">qq", f.read(16))
-        vals = struct.unpack(f">{n + 1}q", f.read(8 * (n + 1)))
+        try:
+            granularity, n = struct.unpack(">qq", f.read(16))
+            payload = f.read()
+            # validate the declared count against the actual bytes BEFORE
+            # unpacking: a corrupt count field must be a data error, not a
+            # struct.error (raise-don't-garbage; the declared size also
+            # never drives an allocation)
+            if n < 0 or len(payload) != 8 * (n + 1):
+                raise ValueError(
+                    f"corrupt splitting index: {n} entries declared, "
+                    f"{len(payload)} payload bytes")
+            vals = struct.unpack(f">{n + 1}q", payload)
+        except struct.error as e:
+            raise ValueError(f"truncated splitting index: {e}") from e
         return cls(granularity, list(vals[:-1]), vals[-1] >> 16)
 
     def write_reference_layout(self, f: BinaryIO) -> None:

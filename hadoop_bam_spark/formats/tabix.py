@@ -62,6 +62,15 @@ class TabixIndex:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TabixIndex":
+        try:
+            return cls._from_bytes_unchecked(data)
+        except (struct.error, IndexError) as e:
+            # raise-don't-garbage: corrupt payload behind a valid BGZF
+            # wrap (e.g. a foreign tool's layout drift) is a data error
+            raise ValueError(f"truncated or corrupt tabix index: {e}") from e
+
+    @classmethod
+    def _from_bytes_unchecked(cls, data: bytes) -> "TabixIndex":
         if data[:4] != TBI_MAGIC:
             raise ValueError("not a tabix index (bad magic)")
         (n_ref, fmt, col_seq, col_beg, col_end, meta, skip, l_nm) = struct.unpack_from(

@@ -252,14 +252,18 @@ class TestValidatorRejectsCorruption:
                     len(clean) // 2, 30):
             assert V.validate_bytes(clean[:cut]), cut
 
-    def test_exhaustive_single_bit_sweep(self, clean):
+    @pytest.mark.parametrize("codecs", ["gzip", "auto"])
+    def test_exhaustive_single_bit_sweep(self, codecs):
         """Every byte past the file definition is protected: no
         single-bit flip at offset >= 26 validates clean. (Offsets 6..26
         are the spec's arbitrary 20-byte file id — the one legitimately
-        unprotected span.)"""
+        unprotected span.) The auto variant carries rANS blocks, so the
+        sweep also walks the validator's rANS framing checks."""
+        data = _engine_bytes(codecs=codecs)
+        assert V.validate_bytes(data) == []
         misses = []
-        mutated = bytearray(clean)
-        for off in range(26, len(clean)):
+        mutated = bytearray(data)
+        for off in range(26, len(data)):
             mutated[off] ^= 0x10
             if not V.validate_bytes(bytes(mutated)):
                 misses.append(off)

@@ -26,6 +26,7 @@ in the assertion message.
 """
 
 import io
+import os
 import random
 import struct
 import zlib
@@ -353,3 +354,152 @@ class TestFuzzVCFChunk:
             lines[k] = s.decode("latin-1")
             out = vcf_vec.parse_vcf_chunk(lines, ["A", "B"], None)
             assert out is None or isinstance(out, dict), i
+
+
+# ---------------------------------------------------------------------------
+# Index sidecars (split planning inputs — often foreign-tool-written:
+# reference analog BAMInputFormat/TabixSplittingIndex consumers)
+# ---------------------------------------------------------------------------
+
+class TestFuzzIndexes:
+    """Seeded corpora over every binary index reader: .sbi,
+    .splitting-bai, .bai, .csi, .tbi, .crai, .bgzfi. A corrupt sidecar
+    must never crash split planning with an internal exception."""
+
+    @pytest.fixture(scope="class")
+    def indexed(self, spark, tmp_path_factory):
+        """One indexed BAM + CRAM + VCF via the real sinks; CSI/BGZFI
+        built directly."""
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.sam import SAM_SCHEMA
+        from hadoop_bam_spark.formats.vcf import VCFHeader
+
+        d = tmp_path_factory.mktemp("fuzz_idx")
+        rows = [r for r in _bam_rows(300) if r[2] is not None]
+        rows.sort(key=lambda r: (r[2], r[3]))
+        df = spark.createDataFrame(rows, schema=SAM_SCHEMA)
+        bam_p = str(d / "i.bam")
+        sinks.write_bam(df, bam_p, BAM_HEADER, refs=BAM_REFS,
+                        index_granularity=20, index_bai=True,
+                        index_splitting_bai=True)
+        cram_p = str(d / "i.cram")
+        sinks.write_cram(df, cram_p, BAM_HEADER, refs=BAM_REFS,
+                         records_per_container=100, index_crai=True)
+        vhdr = VCFHeader()
+        vhdr.lines = ["##fileformat=VCFv4.2",
+                      "##contig=<ID=chr1,length=100000>"]
+        vhdr.samples = []
+        vhdr.contigs = {"chr1": 0}
+        from hadoop_bam_spark.formats.vcf import VCF_SCHEMA
+
+        vdf = spark.createDataFrame([
+            ("chr1", i * 50 + 1, i * 50 + 1, None, "A", ["T"], 10.0,
+             ["PASS"], {}, [])
+            for i in range(200)
+        ], schema=VCF_SCHEMA)
+        vcf_p = str(d / "i.vcf.bgz")
+        sinks.write_vcf(vdf, vcf_p, vhdr, index_tbi=True)
+        with open(vcf_p + ".bgzfi", "wb") as fh:
+            bgzf.build_bgzfi(vcf_p, granularity=4).write(fh)
+        return d
+
+    def _fuzz_reader(self, path, reader, seed, n=70):
+        data = open(path, "rb").read()
+        rng = random.Random(seed)
+        for label, m in _mutations(rng, data, n):
+            _assert_controlled(lambda m=m: reader(m), f"{path} {label}")
+
+    def test_sbi(self, indexed, tmp_path):
+        from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+        self._fuzz_reader(
+            str(indexed / "i.bam.sbi"),
+            lambda m: SplittingIndex.read(io.BytesIO(m)), "sbi")
+
+    def test_splitting_bai(self, indexed):
+        from hadoop_bam_spark.formats.splitting_index import SplittingIndex
+
+        self._fuzz_reader(
+            str(indexed / "i.bam.splitting-bai"),
+            lambda m: SplittingIndex.read_reference_layout(io.BytesIO(m)),
+            "splitting-bai")
+
+    def test_bai(self, indexed, tmp_path):
+        from hadoop_bam_spark.formats import bai
+
+        p = tmp_path / "m.bai"
+
+        def rd(m):
+            p.write_bytes(m)
+            bai.read_bai(str(p))
+
+        self._fuzz_reader(str(indexed / "i.bam.bai"), rd, "bai")
+
+    def test_crai(self, indexed, tmp_path):
+        from hadoop_bam_spark.formats import crai
+
+        p = tmp_path / "m.crai"
+
+        def rd(m):
+            p.write_bytes(m)
+            crai.read_crai(str(p))
+
+        self._fuzz_reader(str(indexed / "i.cram.crai"), rd, "crai")
+
+    def test_tbi(self, indexed, tmp_path):
+        from hadoop_bam_spark.formats import tabix
+
+        p = tmp_path / "m.tbi"
+
+        def rd(m):
+            p.write_bytes(m)
+            tabix.read_tabix(str(p))
+
+        self._fuzz_reader(str(indexed / "i.vcf.bgz.tbi"), rd, "tbi")
+
+    def test_foreign_htslib_tbi(self, tmp_path):
+        """Same corpus over the htslib-WRITTEN HiSeq tabix index."""
+        src = "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz.tbi"
+        if not os.path.exists(src):
+            pytest.skip("reference fixtures absent")
+        from hadoop_bam_spark.formats import tabix
+
+        p = tmp_path / "m.tbi"
+
+        def rd(m):
+            p.write_bytes(m)
+            tabix.read_tabix(str(p))
+
+        self._fuzz_reader(src, rd, "tbi-foreign", n=50)
+
+    def test_csi(self, indexed, tmp_path):
+        from hadoop_bam_spark.formats import bcf as bcf_mod
+        from hadoop_bam_spark.formats import csi as csi_mod
+
+        hdr = bcf.parse_bcf_header_text(BCF_HEADER_TEXT)
+        rows = _bcf_rows(hdr)
+        bp = tmp_path / "c.bcf"
+        with open(bp, "wb") as fh:
+            w = bgzf.BGZFWriter(fh)
+            w.write(bcf_mod.encode_header(hdr))
+            for r in rows * 40:
+                w.write(bcf_mod.encode_record(r, hdr))
+            w.close()
+        csi_mod.write_csi(csi_mod.build_csi(str(bp)), str(bp) + ".csi")
+        p = tmp_path / "m.csi"
+
+        def rd(m):
+            p.write_bytes(m)
+            csi_mod.read_csi(str(p))
+
+        self._fuzz_reader(str(bp) + ".csi", rd, "csi")
+
+    def test_bgzfi(self, indexed, tmp_path):
+        p = tmp_path / "m.bgzfi"
+
+        def rd(m):
+            p.write_bytes(m)
+            with open(p, "rb") as fh:
+                bgzf.BGZFBlockIndex.read(fh)
+
+        self._fuzz_reader(str(indexed / "i.vcf.bgz.bgzfi"), rd, "bgzfi")
