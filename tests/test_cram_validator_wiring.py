@@ -134,6 +134,24 @@ class TestValidatorAcceptsEngineOutput:
             str(p), reference=fasta if (rr and not embed) else None))
         assert back == ROWS
 
+    def test_qq_qual_mode_layout(self, tmp_path):
+        """The alternate spec-valid QQ layout (qualities as a 'q'
+        feature stretch instead of a stored QS array, §10.5) must also
+        validate clean and read back."""
+        mapped = [r for r in ROWS if r[2] is not None]
+        buf = io.BytesIO()
+        cram.write_file_definition(buf)
+        buf.write(cram.encode_header_container(HEADER))
+        buf.write(cram.encode_container(
+            mapped, {n: i for i, (n, _) in enumerate(REFS)}, 0,
+            ref_names=[n for n, _ in REFS], qual_mode="qq"))
+        buf.write(cram.EOF_CONTAINER_V3)
+        data = buf.getvalue()
+        assert V.validate_bytes(data) == []
+        p = tmp_path / "qq.cram"
+        p.write_bytes(data)
+        assert list(cram.decode_file(str(p))) == mapped
+
     def test_auto_mode_actually_contains_rans_blocks(self):
         """Guards the matrix against silently degenerating to
         gzip-only: the auto file must carry method-4 blocks, so the

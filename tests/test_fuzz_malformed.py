@@ -503,3 +503,90 @@ class TestFuzzIndexes:
                 bgzf.BGZFBlockIndex.read(fh)
 
         self._fuzz_reader(str(indexed / "i.vcf.bgz.bgzfi"), rd, "bgzfi")
+
+
+# ---------------------------------------------------------------------------
+# Text chunk parsers (SAM / FASTQ / QSEQ): the vectorized fast paths'
+# bail contract — dict or None (scalar fallback owns stringency), never
+# an exception; the scalar parsers raise ValueError only.
+# ---------------------------------------------------------------------------
+
+def _mutate_line(rng, line: str) -> str:
+    s = bytearray(line.encode("utf-8", "surrogateescape"))
+    if not s:
+        return "\x00"
+    op = rng.randrange(3)
+    if op == 0:  # byte substitution
+        s[rng.randrange(len(s))] = rng.randrange(1, 256)
+    elif op == 1:  # truncation
+        del s[rng.randrange(len(s)):]
+    else:  # splice a tab/colon/garbage run
+        at = rng.randrange(len(s))
+        s[at:at] = bytes(rng.choice(b"\t:;|") for _ in range(3))
+    return s.decode("latin-1")
+
+
+class TestFuzzTextChunks:
+    def test_sam_chunk_never_raises(self):
+        from hadoop_bam_spark.formats import sam, sam_vec
+
+        base = [
+            "r1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:1",
+            "r2\t16\tchr2\t99\t60\t2M1I2D3M\tchr1\t5\t-42\tACGTAC\t!!!!~~",
+        ]
+        rng = random.Random("sam-chunk")
+        for i in range(200):
+            lines = list(base)
+            k = rng.randrange(len(lines))
+            lines[k] = _mutate_line(rng, lines[k])
+            out = sam_vec.parse_sam_chunk(lines)
+            assert out is None or isinstance(out, dict), i
+            # scalar twin: controlled errors only (stringency boundary)
+            _assert_controlled(
+                lambda ln=lines[k]: sam.parse_sam_line(ln),
+                f"parse_sam_line[{i}]")
+
+    def test_fastq_chunk_never_raises(self):
+        from hadoop_bam_spark.sources.fastq_source import (
+            fastq_record, parse_fastq_chunk)
+
+        base = [
+            ("@M01234:12:000000000-A1B2C:1:1101:1234:5678 1:N:0:ACGT",
+             "ACGTACGT", "IIIIIIII"),
+            ("@plainname", "GATTACA", "!!!!!!!"),
+        ]
+        rng = random.Random("fastq-chunk")
+        for i in range(200):
+            recs = list(base)
+            k = rng.randrange(len(recs))
+            nm, sq, ql = recs[k]
+            j = rng.randrange(3)
+            mut = [_mutate_line(rng, [nm, sq, ql][j])]
+            recs[k] = tuple(mut[0] if x == j else [nm, sq, ql][x]
+                            for x in range(3))
+            out = parse_fastq_chunk(recs)
+            assert out is None or isinstance(out, dict), i
+            _assert_controlled(
+                lambda r=recs[k]: fastq_record(*r),
+                f"fastq_record[{i}]")
+
+    def test_qseq_chunk_never_raises(self):
+        from hadoop_bam_spark.sources.qseq_source import (
+            parse_qseq_chunk, parse_qseq_line)
+
+        base = [
+            "M01234\t12\t1\t1101\t1234\t5678\tACGT\t1\tACGTACGT"
+            "\tabcdefgh\t1",
+            "INSTR\t3\t2\t1102\t99\t88\t.\t2\tGATT.ACA\taaaaaaaa\t0",
+        ]
+        rng = random.Random("qseq-chunk")
+        for i in range(200):
+            lines = list(base)
+            k = rng.randrange(len(lines))
+            lines[k] = _mutate_line(rng, lines[k])
+            out = parse_qseq_chunk(lines, recode_quality=True)
+            assert out is None or isinstance(out, dict), i
+            _assert_controlled(
+                lambda ln=lines[k]: parse_qseq_line(
+                    ln, recode_quality=True),
+                f"parse_qseq_line[{i}]")
