@@ -270,14 +270,20 @@ class TestValidatorRejectsCorruption:
                     len(clean) // 2, 30):
             assert V.validate_bytes(clean[:cut]), cut
 
-    @pytest.mark.parametrize("codecs", ["gzip", "auto"])
-    def test_exhaustive_single_bit_sweep(self, codecs):
+    @pytest.mark.parametrize("codecs,rr,embed", [
+        ("gzip", False, False),
+        ("auto", False, False),   # rANS framing regions
+        ("gzip", True, True),     # RR + embedded-reference blocks
+    ])
+    def test_exhaustive_single_bit_sweep(self, codecs, rr, embed, fasta):
         """Every byte past the file definition is protected: no
         single-bit flip at offset >= 26 validates clean. (Offsets 6..26
         are the spec's arbitrary 20-byte file id — the one legitimately
-        unprotected span.) The auto variant carries rANS blocks, so the
-        sweep also walks the validator's rANS framing checks."""
-        data = _engine_bytes(codecs=codecs)
+        unprotected span.) The auto variant carries rANS blocks and the
+        embed variant embedded-reference blocks, so the sweep walks
+        those framing checks byte-by-byte too."""
+        data = _engine_bytes(codecs=codecs,
+                             ref_fasta=fasta if rr else None, embed=embed)
         assert V.validate_bytes(data) == []
         misses = []
         mutated = bytearray(data)
