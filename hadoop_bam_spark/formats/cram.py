@@ -946,6 +946,15 @@ class CompressionHeader:
 
     @classmethod
     def parse(cls, data: bytes) -> "CompressionHeader":
+        try:
+            return cls._parse_unchecked(data)
+        except (IndexError, struct.error) as e:
+            # truncated/corrupt map bytes are a data error, not a crash
+            raise ValueError(
+                f"corrupt CRAM compression header: {e}") from e
+
+    @classmethod
+    def _parse_unchecked(cls, data: bytes) -> "CompressionHeader":
         h = cls()
         p = 0
         _size, p = read_itf8(data, p)
@@ -1012,6 +1021,14 @@ class SliceHeader:
 
     @classmethod
     def parse(cls, data: bytes, major: int) -> "SliceHeader":
+        try:
+            return cls._parse_unchecked(data, major)
+        except (IndexError, struct.error) as e:
+            # truncated/corrupt header bytes are a data error, not a crash
+            raise ValueError(f"corrupt CRAM slice header: {e}") from e
+
+    @classmethod
+    def _parse_unchecked(cls, data: bytes, major: int) -> "SliceHeader":
         p = 0
         ref, p = read_itf8_signed(data, p)
         start, p = read_itf8(data, p)
@@ -1238,14 +1255,17 @@ class ContainerDecoder:
                 rows.extend(
                     self._decode_slice(body, lm, comp, hdr, rans_cache)
                 )
-            except (StopIteration, KeyError, IndexError) as e:
+            except (StopIteration, KeyError, IndexError,
+                    struct.error) as e:
                 # corrupt/truncated slice bytes: a bulk-decoded series
                 # iterator ran dry (StopIteration — which, escaping into
                 # a caller's generator frame, would become an opaque
                 # PEP 479 RuntimeError), an encoding referenced an
                 # external block id the slice doesn't carry (KeyError),
-                # or a position index walked outside a decoded array
-                # (IndexError). All are data errors, not engine crashes.
+                # a position index walked outside a decoded array
+                # (IndexError), or a typed tag value came up short
+                # (struct.error). All are data errors, not engine
+                # crashes.
                 raise ValueError(
                     "corrupt CRAM slice at landmark "
                     f"{lm}: {type(e).__name__}: {e}"

@@ -590,3 +590,28 @@ class TestFuzzTextChunks:
                 lambda ln=lines[k]: parse_qseq_line(
                     ln, recode_quality=True),
                 f"parse_qseq_line[{i}]")
+
+
+class TestFuzzForeignCRAM21:
+    """Same corpus over the cramtools-written v2.1 fixture (distinct
+    read path: no block CRCs, EOF detected by ref_seq_id=-1 instead of
+    byte compare) — with its reference FASTA, since v2.1 decode is
+    reference-compressed."""
+
+    REF_CRAM = "/root/reference/src/test/resources/test.cram"
+    REF_FASTA = "/root/reference/src/test/resources/auxf.fa"
+
+    def test_mutated_files(self, tmp_path):
+        if not (os.path.exists(self.REF_CRAM)
+                and os.path.exists(self.REF_FASTA)):
+            pytest.skip("reference fixtures absent")
+        clean = open(self.REF_CRAM, "rb").read()
+        rng = random.Random("cram21")
+
+        def decode(m):
+            p = tmp_path / "f.cram"
+            p.write_bytes(m)
+            list(cram.decode_file(str(p), reference=self.REF_FASTA))
+
+        for label, m in _mutations(rng, clean, 150):
+            _assert_controlled(lambda m=m: decode(m), f"cram21 {label}")
