@@ -93,3 +93,46 @@ def top_n_per_stratum(
         .filter(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis via the exponential race): each row draws a
+    stable pseudo-uniform u in (0,1] from (salt, id) and the key
+    ``-ln(u) / w`` — an Exponential(w) variate — and the n SMALLEST
+    keys are exactly a weight-proportional sample without replacement.
+    Because u is an id hash (not RNG state), the sample is reproducible
+    across runs, retries, repartitioning, and engines (hash60 is the
+    md5 family the DuckDB oracles replicate).
+
+    Scale shape: global mode compiles to Spark's distributed top-n
+    (``TakeOrderedAndProject``: per-partition heads, one tiny driver
+    merge — no full sort, no single-partition window). Stratified mode
+    is one shuffle on the stratum key + a per-stratum rank window; for
+    heavy strata pre-thin with :func:`hash_sample` first, same caveat
+    as :func:`top_n_per_stratum`.
+
+    Rows with NULL or non-positive weight are excluded (weight 0 =
+    never sampled; the ES keys require w > 0).
+    """
+    u = (
+        hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col) > 0)
+    if stratum_col is None:
+        return base.orderBy(key.asc(), F.col(id_col)).limit(n)
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col))
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )

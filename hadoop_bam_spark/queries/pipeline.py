@@ -726,6 +726,69 @@ def sample_topn_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the Efraimidis-Spirakis key the weighted_sample operator computes,
+#: replicated in DuckDB: -ln(u)/w with u = (hash60(salt:id)+1)/2^60
+_ES_KEY = (
+    "-ln((('0x' || substr(md5('wsample' || ':' || doc_id::VARCHAR), 1, 15))"
+    "::BIGINT + 1) / 1152921504606846976.0) / n_chars"
+)
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM (SELECT doc_id, lang, n_chars, {_ES_KEY} AS k
+              FROM documents WHERE n_chars > 0)
+        ORDER BY k, doc_id LIMIT 40
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis exponential race, weight = document length): "
+    "stable hash-derived uniforms make the sample reproducible across "
+    "runs/retries/engines; compiles to distributed top-n "
+    "(TakeOrderedAndProject), no full sort, no RNG state.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 40, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "sample_weighted_stratum",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY {_ES_KEY}, doc_id) AS rk
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT lang, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM ranked WHERE rk <= 15 GROUP BY lang
+    """,
+    doc="Per-stratum weighted sampling without replacement: the same "
+    "exponential-race keys ranked inside each language — rebalancing "
+    "that favors long documents within every stratum. One shuffle on "
+    "the stratum key.",
+)
+def sample_weighted_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        docs, 15, weight_col="n_chars", stratum_col="lang"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics
 # ---------------------------------------------------------------------------

@@ -165,3 +165,70 @@ class TestSemanticDedupScaling:
             emb.filter(F.col("vec_id") < 200), n_centroids=4, threshold=1.01
         ).collect()
         assert len(out) <= 4
+
+
+class TestWeightedSample:
+    def _toy(self, spark):
+        # 10 heavy (w=50) + 10 light (w=1) rows
+        rows = [(i, 50 if i < 10 else 1) for i in range(20)]
+        return spark.createDataFrame(rows, "doc_id long, w long")
+
+    def test_deterministic_and_partition_invariant(self, docs):
+        from hadoop_bam_spark.operators.sampling import weighted_sample
+
+        a = sorted(r.doc_id for r in weighted_sample(
+            docs, 30, weight_col="n_chars").collect())
+        b = sorted(r.doc_id for r in weighted_sample(
+            docs.repartition(13), 30, weight_col="n_chars").collect())
+        assert a == b and len(a) == 30
+        assert len(set(a)) == 30  # without replacement
+
+    def test_weights_respected(self, spark):
+        """Exponential-race correctness, not just determinism: across
+        many salts, w=50 rows must dominate the sample (expected heavy
+        share per draw > 0.97; assert > 0.8 across 30 salts x 5 picks)."""
+        from hadoop_bam_spark.operators.sampling import weighted_sample
+
+        df = self._toy(spark)
+        heavy = 0
+        total = 0
+        for s in range(30):
+            got = weighted_sample(
+                df, 5, weight_col="w", salt=f"s{s}").collect()
+            heavy += sum(1 for r in got if r.doc_id < 10)
+            total += len(got)
+        assert total == 150
+        assert heavy / total > 0.8, heavy / total
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from hadoop_bam_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, -4), (4, None), (5, 2)],
+            "doc_id long, w long",
+        )
+        got = sorted(r.doc_id for r in weighted_sample(
+            df, 10, weight_col="w").collect())
+        assert got == [1, 5]
+
+    def test_stratified_exact_n_per_stratum(self, docs):
+        from hadoop_bam_spark.operators.sampling import weighted_sample
+
+        kept = weighted_sample(
+            docs, 7, weight_col="n_chars", stratum_col="lang")
+        per = {r.lang: r.n for r in kept.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        sizes = {r.lang: r.n for r in docs.filter("n_chars > 0")
+                 .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+        for lang, n in per.items():
+            assert n == min(7, sizes[lang]), lang
+
+    def test_global_plan_is_take_ordered(self, docs):
+        """Scale shape: the global mode must compile to Spark's
+        distributed top-n, not a full sort or single-partition window."""
+        from hadoop_bam_spark.operators.sampling import weighted_sample
+
+        plan = weighted_sample(docs, 10, weight_col="n_chars") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
