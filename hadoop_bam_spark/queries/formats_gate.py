@@ -1040,3 +1040,113 @@ def vcf_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("qual"), 6).alias("sum_qual"),
         F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BED (tabix-indexable interval text — not a reference format, but the
+# tabix/BGZF text machinery is format-agnostic; sources/bed_source.py)
+# ---------------------------------------------------------------------------
+
+_BED_ORACLE_CTE = """
+    WITH b AS (
+        SELECT 'chr' || ((l_orderkey % 4) + 1)::VARCHAR AS contig,
+               ((l_orderkey * 37 + l_linenumber * 101) % 1000000 + 1)::BIGINT
+                   AS start,
+               ((l_orderkey * 37 + l_linenumber * 101) % 1000000
+                   + l_quantity::INT + 1)::BIGINT AS "end",
+               l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR AS name,
+               ((l_linenumber * 137) % 1001)::INT AS score,
+               CASE WHEN l_orderkey % 2 = 0 THEN '+' ELSE '-' END AS strand
+        FROM lineitem
+    )
+"""
+
+_BED_ORACLE = _BED_ORACLE_CTE + """
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end, sum(score)::BIGINT AS sum_score,
+           sum(CASE WHEN strand = '+' THEN 1 ELSE 0 END)::BIGINT AS n_plus
+    FROM b GROUP BY contig
+"""
+
+
+def _bed_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    start = (F.col("l_orderkey") * 37 + F.col("l_linenumber") * 101) % 1000000 + 1
+    return li.select(
+        F.concat(F.lit("chr"), ((F.col("l_orderkey") % 4) + 1).cast("string"))
+        .alias("contig"),
+        start.cast("long").alias("start"),
+        (start + F.col("l_quantity").cast("int")).cast("long").alias("end"),
+        F.concat(
+            F.col("l_orderkey").cast("string"), F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("name"),
+        ((F.col("l_linenumber") * 137) % 1001).cast("int").alias("score"),
+        F.when(F.col("l_orderkey") % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.lit(None).cast("array<string>").alias("rest"),
+    )
+
+
+def _bed_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.sum("end").alias("sum_end"),
+        F.sum("score").alias("sum_score"),
+        F.sum(F.when(F.col("strand") == "+", 1).otherwise(0)).alias("n_plus"),
+    )
+
+
+@query(
+    "bed_file_roundtrip",
+    oracle=_BED_ORACLE,
+    doc="End-to-end BED I/O: derive intervals, write coordinate-sorted "
+    "BGZF .bed.bgz with an executor-accumulated .tbi via the bed sink, "
+    "read back with block-aligned splits through the bed source (0-based "
+    "half-open converts to the engine's 1-based inclusive on the rim), "
+    "aggregate per contig.",
+)
+def bed_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bed", lambda d: sinks.write_bed(
+        _bed_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "b.bed.bgz"), index_tbi=True))
+    back = spark.read.format("bed").option("split_size", "65536").load(
+        os.path.join(d, "b.bed.bgz"))
+    return _bed_agg(back)
+
+
+@query(
+    "bed_interval_pushdown",
+    oracle=_BED_ORACLE_CTE + """
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end, sum(score)::BIGINT AS sum_score,
+           sum(CASE WHEN strand = '+' THEN 1 ELSE 0 END)::BIGINT AS n_plus
+    FROM b
+    WHERE contig = 'chr2' AND start <= 250000 AND 120000 <= "end"
+    GROUP BY contig
+    """,
+    doc="Tabix split pruning on BED: option('intervals', "
+    "'chr2:120000-250000') drops BGZF splits whose block range cannot "
+    "overlap per the .tbi chunk spans, and the per-row residual keeps "
+    "semantics exact (reference tabix filtering, "
+    "VCFInputFormat.java:388-472, applied format-agnostically).",
+)
+def bed_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bed", lambda d: sinks.write_bed(
+        _bed_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "b.bed.bgz"), index_tbi=True))
+    back = (
+        spark.read.format("bed")
+        .option("split_size", "65536")
+        .option("intervals", "chr2:120000-250000")
+        .load(os.path.join(d, "b.bed.bgz"))
+    )
+    return _bed_agg(back)

@@ -31,6 +31,7 @@ def register_all(spark: SparkSession) -> None:
     from hadoop_bam_spark.sources.fastq_source import FastqDataSource
     from hadoop_bam_spark.sources.qseq_source import QseqDataSource
     from hadoop_bam_spark.sources.fasta_source import FastaDataSource
+    from hadoop_bam_spark.sources.bed_source import BEDDataSource
 
     for ds in (
         AnySAMDataSource,
@@ -42,6 +43,7 @@ def register_all(spark: SparkSession) -> None:
         FastqDataSource,
         QseqDataSource,
         FastaDataSource,
+        BEDDataSource,
     ):
         spark.dataSource.register(ds)
 

@@ -175,6 +175,56 @@ def _gzip_line_chunks(path: str, size: int = 8192) -> Iterator[list]:
         yield buf
 
 
+def filter_splits_by_tabix(path: str, splits, intervals):
+    """Drop BGZF splits whose block range cannot contain a record
+    overlapping any interval, per the .tbi chunk spans — the reference's
+    tabix split filtering (VCFInputFormat.java:388-472), shared by every
+    tabix-indexable text source (VCF, BED). The kept splits still
+    row-filter (residual), so over-keeping is only a perf cost; block
+    ranges are widened by one block to cover boundary-line ownership."""
+    from hadoop_bam_spark.formats.tabix import read_tabix
+
+    span = read_tabix(path + ".tbi", open_fn=fs.open_file).span_for_intervals(
+        intervals
+    )
+    if not span:
+        return []
+    # chunk voffsets -> compressed block ranges [cbeg, cend_exclusive)
+    ranges = [
+        (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
+    ]
+    kept = []
+    for s in splits:
+        # right edge inclusive: a line starting exactly at end_coffset
+        # can be owned by this split (bonus-line rule in
+        # iter_bgzf_owned_lines), so keep the split for chunks there too
+        if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges):
+            kept.append(s)
+    return kept
+
+
+def filter_splits_by_csi(path: str, splits, intervals):
+    """Same split pruning via a tabix-flavored .csi (bcftools index -c
+    on .vcf.gz): contig names come from the index's aux block."""
+    from hadoop_bam_spark.formats.csi import names_from_aux, read_csi
+
+    idx = read_csi(path + ".csi", open_fn=fs.open_file)
+    names = names_from_aux(idx.aux)
+    if not names:
+        return splits  # aux not tabix-shaped: cannot resolve contigs
+    span = idx.span_for_intervals(intervals, names)
+    if not span:
+        return []
+    ranges = [
+        (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
+    ]
+    return [
+        s
+        for s in splits
+        if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges)
+    ]
+
+
 def sniff_vcf_compression(path: str) -> str:
     """'plain' | 'bgzf' | 'gzip' (content sniff beats extension)."""
     with fs.open_file(path, "rb") as fh:
@@ -301,52 +351,10 @@ class VCFReader(DataSourceReader):
         return parts
 
     def _filter_splits_by_tabix(self, path, splits):
-        """Drop BGZF splits whose block range cannot contain a record
-        overlapping any interval, per the .tbi chunk spans — the
-        reference's tabix split filtering (VCFInputFormat.java:388-472).
-        The kept splits still row-filter (residual), so over-keeping is
-        only a perf cost; block ranges are widened by one block to cover
-        boundary-line ownership."""
-        from hadoop_bam_spark.formats.tabix import read_tabix
-
-        span = read_tabix(path + ".tbi", open_fn=fs.open_file).span_for_intervals(
-            self._intervals
-        )
-        if not span:
-            return []
-        # chunk voffsets -> compressed block ranges [cbeg, cend_exclusive)
-        ranges = [
-            (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
-        ]
-        kept = []
-        for s in splits:
-            # right edge inclusive: a line starting exactly at end_coffset
-            # can be owned by this split (bonus-line rule in
-            # iter_bgzf_owned_lines), so keep the split for chunks there too
-            if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges):
-                kept.append(s)
-        return kept
+        return filter_splits_by_tabix(path, splits, self._intervals)
 
     def _filter_splits_by_csi(self, path, splits):
-        """Same split pruning via a tabix-flavored .csi (bcftools index -c
-        on .vcf.gz): contig names come from the index's aux block."""
-        from hadoop_bam_spark.formats.csi import names_from_aux, read_csi
-
-        idx = read_csi(path + ".csi", open_fn=fs.open_file)
-        names = names_from_aux(idx.aux)
-        if not names:
-            return splits  # aux not tabix-shaped: cannot resolve contigs
-        span = idx.span_for_intervals(self._intervals, names)
-        if not span:
-            return []
-        ranges = [
-            (vb >> 16, (ve >> 16) + (1 if ve & 0xFFFF else 0)) for vb, ve in span
-        ]
-        return [
-            s
-            for s in splits
-            if any(cb <= s.end_coffset and ce > s.start_coffset for cb, ce in ranges)
-        ]
+        return filter_splits_by_csi(path, splits, self._intervals)
 
     def read(self, partition):
         from hadoop_bam_spark.sources.bam_source import EmptyPartition
