@@ -615,3 +615,25 @@ class TestFuzzForeignCRAM21:
 
         for label, m in _mutations(rng, clean, 150):
             _assert_controlled(lambda m=m: decode(m), f"cram21 {label}")
+
+
+class TestFuzzBED:
+    def test_bed_chunk_and_scalar(self):
+        from hadoop_bam_spark.formats.bed import (
+            parse_bed_chunk, parse_bed_line)
+
+        base = [
+            "chr1\t0\t100\tf1\t500\t+",
+            "chr1\t50\t150\tf2\t.\t-\t12\t3,4,5",
+            "chr2\t9\t20",
+        ]
+        rng = random.Random("bed-chunk")
+        for i in range(200):
+            lines = list(base)
+            k = rng.randrange(len(lines))
+            lines[k] = _mutate_line(rng, lines[k])
+            out = parse_bed_chunk(lines)
+            assert out is None or isinstance(out, dict), i
+            _assert_controlled(
+                lambda ln=lines[k]: parse_bed_line(ln),
+                f"parse_bed_line[{i}]")
