@@ -178,3 +178,45 @@ def parse_bed_chunk(lines) -> Optional[dict]:
         "strand": dotted(slot(5)),
         "rest": rest,
     }
+
+
+def format_bed_chunk(batch) -> bytes:
+    """Arrow RecordBatch (BED_COLS order) -> newline-terminated BED
+    bytes, byte-identical to ``format_bed_line`` per row (property-
+    tested): 1-based back to 0-based, NULLs to '.', and trailing
+    '.'-placeholder groups trimmed exactly like the scalar formatter
+    (which trims only when ``rest`` is absent — a literal '.' inside
+    ``rest`` is never touched)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    col = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+
+    def dot(c) -> pa.Array:
+        return pc.fill_null(pc.cast(c, pa.string()), ".")
+
+    start0 = pc.cast(pc.subtract(col["start"], 1), pa.string())
+    rest = col["rest"]
+    if rest.type != pa.list_(pa.string()):
+        rest = rest.cast(pa.list_(pa.string()))
+    rest_txt = pc.fill_null(pc.binary_join(rest, pa.scalar("\t")), "")
+    has_rest = pc.fill_null(
+        pc.greater(pc.list_value_length(rest), 0), False)
+    six = pc.binary_join_element_wise(
+        pc.cast(col["contig"], pa.string()), start0,
+        pc.cast(col["end"], pa.string()),
+        dot(col["name"]), dot(col["score"]), dot(col["strand"]),
+        pa.scalar("\t"),
+    )
+    with_rest = pc.binary_join_element_wise(six, rest_txt, pa.scalar("\t"))
+    trimmed = pc.replace_substring_regex(six, r"(\t\.)+$", "")
+    lines = pc.if_else(has_rest, with_rest, trimmed)
+    blob = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array([0, n], pa.int32()),
+                                 pc.cast(lines, pa.string())),
+        pa.scalar("\n"),
+    )[0].as_py()
+    return (blob + "\n").encode("utf-8", "surrogateescape")

@@ -1013,8 +1013,13 @@ def write_bed(
     def line(r):
         return format_bed_line(tuple(r))
 
+    def chunk(b):
+        from hadoop_bam_spark.formats.bed import format_bed_chunk
+
+        return format_bed_chunk(b)
+
     _write_text_parts(df, BED_COLS, path, path + ".__parts__", "", line,
-                      compress,
+                      compress, chunk_fn=chunk,
                       shard_ext=(".bed.bgz" if compress else ".bed")
                       if sharded else None)
 
