@@ -1150,3 +1150,61 @@ def bed_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(os.path.join(d, "b.bed.bgz"))
     )
     return _bed_agg(back)
+
+
+@query(
+    "bed_annotate_reads",
+    oracle=_BED_ORACLE_CTE + f""", {READS_CTE}
+    SELECT b.contig, b.strand, count(*) AS n_pairs,
+           sum(reads.mapq)::BIGINT AS sum_mapq,
+           sum(b.score)::BIGINT AS sum_score
+    FROM reads, b
+    WHERE reads.ref_idx >= 0
+      AND b.contig = 'chr' || (reads.ref_idx + 1)::VARCHAR
+      AND reads.pos <= b."end" AND b.start <= reads.stop
+    GROUP BY b.contig, b.strand
+    """,
+    doc="Cross-format integration: BED features read back THROUGH the "
+    "bed source (BGZF scan, 0-based conversion on the rim) drive the "
+    "binned interval-overlap join (16 kb tiles) against the reads view "
+    "— the annotate-reads-by-region shape. Large-by-large, no "
+    "broadcast, exact-once pair emission.",
+)
+def bed_annotate_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.queries.genomics import reads_view
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bed", lambda d: sinks.write_bed(
+        _bed_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "b.bed.bgz"), index_tbi=True))
+    feats = (
+        spark.read.format("bed")
+        .option("columns", "contig,start,end,score,strand")
+        .load(os.path.join(d, "b.bed.bgz"))
+        .withColumnRenamed("start", "f_start")
+        .withColumnRenamed("end", "f_end")
+        .withColumnRenamed("contig", "f_contig")
+    )
+    reads = (
+        reads_view(spark, sf_dir)
+        .filter(F.col("ref_idx") >= 0)
+        .withColumn(
+            "contig",
+            F.concat(F.lit("chr"), (F.col("ref_idx") + 1).cast("string")),
+        )
+    )
+    pairs = interval_join_binned(
+        reads, feats,
+        left_keys=("contig", "pos", "stop"),
+        right_keys=("f_contig", "f_start", "f_end"),
+    )
+    return pairs.groupBy(
+        F.col("f_contig").alias("contig"), "strand"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("mapq").alias("sum_mapq"),
+        F.sum("score").alias("sum_score"),
+    )
