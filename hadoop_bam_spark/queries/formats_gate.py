@@ -1208,3 +1208,125 @@ def bed_annotate_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mapq").alias("sum_mapq"),
         F.sum("score").alias("sum_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GFF3 (second interval-text binding; sources/gff_source.py)
+# ---------------------------------------------------------------------------
+
+_GFF_ORACLE_CTE = """
+    WITH g AS (
+        SELECT 'chr' || ((l_orderkey % 3) + 1)::VARCHAR AS contig,
+               ((l_orderkey * 11 + l_linenumber * 7) % 500000 + 1)::BIGINT
+                   AS start,
+               ((l_orderkey * 11 + l_linenumber * 7) % 500000 + 1
+                   + l_quantity::INT)::BIGINT AS "end",
+               CASE l_linenumber % 3 WHEN 0 THEN 'gene' WHEN 1 THEN 'exon'
+                    ELSE 'cds' END AS type,
+               CASE WHEN l_orderkey % 5 = 0 THEN NULL
+                    ELSE (l_orderkey % 97) * 0.25 END AS score,
+               CASE WHEN l_orderkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+               (l_orderkey % 1000)::BIGINT AS nm
+        FROM lineitem
+    )
+"""
+
+_GFF_AGG = """
+    SELECT contig, type, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end,
+           round(sum(score), 6) AS sum_score,
+           sum(nm)::BIGINT AS sum_nm
+    FROM g GROUP BY contig, type
+"""
+
+
+def _gff_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    start = (F.col("l_orderkey") * 11 + F.col("l_linenumber") * 7) % 500000 + 1
+    return li.select(
+        F.concat(F.lit("chr"), ((F.col("l_orderkey") % 3) + 1).cast("string"))
+        .alias("contig"),
+        F.lit("tpch").alias("source"),
+        F.when(F.col("l_linenumber") % 3 == 0, "gene")
+        .when(F.col("l_linenumber") % 3 == 1, "exon")
+        .otherwise("cds").alias("type"),
+        start.cast("long").alias("start"),
+        (start + F.col("l_quantity").cast("int")).cast("long").alias("end"),
+        F.when(F.col("l_orderkey") % 5 == 0, None)
+        .otherwise((F.col("l_orderkey") % 97) * 0.25)
+        .cast("double").alias("score"),
+        F.when(F.col("l_orderkey") % 2 == 0, "+").otherwise("-")
+        .alias("strand"),
+        (F.col("l_linenumber") % 3).cast("int").alias("phase"),
+        F.create_map(
+            F.lit("id"),
+            F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+                     F.col("l_linenumber").cast("string")),
+            F.lit("nm"), (F.col("l_orderkey") % 1000).cast("string"),
+        ).alias("attributes"),
+    )
+
+
+def _gff_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("contig", "type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.sum("end").alias("sum_end"),
+        F.round(F.sum("score"), 6).alias("sum_score"),
+        F.sum(F.element_at("attributes", "nm").cast("long")).alias("sum_nm"),
+    )
+
+
+@query(
+    "gff_file_roundtrip",
+    oracle=_GFF_ORACLE_CTE + _GFF_AGG,
+    doc="End-to-end GFF3 I/O: derive annotation features (typed score/"
+    "phase, k=v attributes map), write coordinate-sorted BGZF .gff3.bgz "
+    "with a GFF-preset .tbi via the gff sink, read back with block-"
+    "aligned splits, aggregate per (contig, type) incl. a value pulled "
+    "back OUT of the attributes map.",
+)
+def gff_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "gff", lambda d: sinks.write_gff(
+        _gff_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "g.gff3.bgz"), index_tbi=True))
+    back = spark.read.format("gff").option("split_size", "65536").load(
+        os.path.join(d, "g.gff3.bgz"))
+    return _gff_agg(back)
+
+
+@query(
+    "gff_interval_pushdown",
+    oracle=_GFF_ORACLE_CTE + """
+    SELECT contig, type, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end,
+           round(sum(score), 6) AS sum_score,
+           sum(nm)::BIGINT AS sum_nm
+    FROM g
+    WHERE contig = 'chr3' AND start <= 120000 AND 60000 <= "end"
+    GROUP BY contig, type
+    """,
+    doc="Tabix split pruning on GFF3 (1-based preset, columns 1/4/5): "
+    "option('intervals', 'chr3:60000-120000') drops non-overlapping "
+    "BGZF splits per the .tbi; the per-row residual keeps semantics "
+    "exact.",
+)
+def gff_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "gff", lambda d: sinks.write_gff(
+        _gff_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "g.gff3.bgz"), index_tbi=True))
+    back = (
+        spark.read.format("gff")
+        .option("split_size", "65536")
+        .option("intervals", "chr3:60000-120000")
+        .load(os.path.join(d, "g.gff3.bgz"))
+    )
+    return _gff_agg(back)

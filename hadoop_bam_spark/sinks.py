@@ -1109,6 +1109,129 @@ def _write_bed_indexed(df: DataFrame, path: str, sharded: bool) -> None:
     write_tabix(_tbi(names, merged), path + ".tbi")
 
 
+GFF_COLS = ["contig", "source", "type", "start", "end", "score",
+            "strand", "phase", "attributes"]
+
+
+def write_gff(
+    df: DataFrame, path: str, compress: bool | None = None,
+    index_tbi: bool = False, sharded: bool = False,
+) -> None:
+    """Write a GFF_SCHEMA DataFrame as GFF3 text (.gff3 or BGZF
+    .gff3.bgz — default by extension; emits the ``##gff-version 3``
+    directive). ``index_tbi=True`` builds a ``.tbi`` with the GFF
+    preset (generic/1-based, columns 1/4/5) from executor-accumulated
+    stats; ``sharded=True`` writes a directory of standalone shards —
+    same shapes as ``write_bed``."""
+    from hadoop_bam_spark.formats.gff import format_gff_line
+
+    if sharded and compress is None:
+        compress = True
+    if compress is None:
+        compress = path.endswith((".gz", ".bgz"))
+    if index_tbi and not compress:
+        raise ValueError("tabix index requires BGZF-compressed output")
+    header = "##gff-version 3\n"
+
+    def line(r):
+        return format_gff_line(_gff_row(r))
+
+    if index_tbi:
+        _write_gff_indexed(df, path, header, sharded)
+        return
+    _write_text_parts(df, GFF_COLS, path, path + ".__parts__", header, line,
+                      compress,
+                      shard_ext=(".gff3.bgz" if compress else ".gff3")
+                      if sharded else None)
+
+
+def _gff_row(r) -> tuple:
+    """Spark Row -> GFF tuple (map column arrives as a dict already via
+    the Row path; guard None)."""
+    t = tuple(r)
+    return t[:8] + (dict(t[8]) if t[8] else {},)
+
+
+def _write_gff_indexed(df: DataFrame, path: str, header: str,
+                       sharded: bool) -> None:
+    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    from hadoop_bam_spark.formats.gff import format_gff_line
+    from hadoop_bam_spark.formats.tabix import TabixIndex, write_tabix
+
+    parts_dir = path + ".__parts__"
+
+    def _tbi(names, merged):
+        # GFF preset: generic format, 1-based inclusive, cols 1/4/5
+        return TabixIndex(
+            names, [merged[n] for n in names], 0, 1, 4, 5, ord("#"), 0, 0
+        )
+
+    def _add(stats, r, at, end_v):
+        stats.add(r[0], int(r[3]) - 1, int(r[4]), True, at, end_v)
+
+    if sharded:
+        def write_part(idx: int, rows):
+            part_path = fs.join(parts_dir, f"part-{idx:05d}.gff3.bgz")
+            stats = PartIndexStats()
+            nrec = 0
+            with fs.open_file(part_path, "wb") as f:
+                w = bgzf.BGZFWriter(f, write_terminator=True)
+                w.write(header.encode())
+                for r in rows:
+                    at = w.tell_voffset()
+                    w.write((format_gff_line(_gff_row(r)) + "\n").encode())
+                    _add(stats, r, at, w.tell_voffset())
+                    nrec += 1
+                w.close()
+            size = fs.file_size(part_path)
+            names = list(stats.order)
+            merged = merge_part_stats([(stats, size)], 0, names)
+            merged.pop("__n_no_coor__")
+            write_tabix(_tbi(names, merged), part_path + ".tbi")
+            return (idx, part_path, nrec)
+
+        parts = _collect_parts(df, GFF_COLS, parts_dir, write_part)
+        _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
+                       records=[n for _, _, n in parts], fmt="gff")
+        return
+
+    def write_part(idx: int, rows):
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        stats = PartIndexStats()
+        with fs.open_file(part_path, "wb") as f:
+            w = bgzf.BGZFWriter(f, write_terminator=False)
+            for r in rows:
+                at = w.tell_voffset()
+                w.write((format_gff_line(_gff_row(r)) + "\n").encode())
+                _add(stats, r, at, w.tell_voffset())
+            w.close()
+        return (idx, part_path, fs.file_size(part_path), stats)
+
+    parts = _collect_parts(df, GFF_COLS, parts_dir, write_part)
+    with fs.open_file(path, "wb") as out:
+        w = bgzf.BGZFWriter(out, write_terminator=False)
+        w.write(header.encode())
+        w.close()
+        header_len = out.tell()
+        for _, part_path, _, _ in parts:
+            with fs.open_file(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(bgzf.BGZF_EOF)
+    fs.remove_tree(parts_dir)
+    names = []
+    seen = set()
+    for _, _, _, st in parts:
+        for k in st.order:
+            if k not in seen:
+                seen.add(k)
+                names.append(k)
+    merged = merge_part_stats(
+        [(st, size) for _, _, size, st in parts], header_len, names
+    )
+    merged.pop("__n_no_coor__")
+    write_tabix(_tbi(names, merged), path + ".tbi")
+
+
 def write_fastq(df: DataFrame, path: str, sharded: bool = False) -> None:
     def line(r):
         return f"@{_synthesize_name(r)}\n{r.sequence}\n+\n{r.quality}"

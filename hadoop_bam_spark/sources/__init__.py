@@ -32,6 +32,7 @@ def register_all(spark: SparkSession) -> None:
     from hadoop_bam_spark.sources.qseq_source import QseqDataSource
     from hadoop_bam_spark.sources.fasta_source import FastaDataSource
     from hadoop_bam_spark.sources.bed_source import BEDDataSource
+    from hadoop_bam_spark.sources.gff_source import GFFDataSource
 
     for ds in (
         AnySAMDataSource,
@@ -44,6 +45,7 @@ def register_all(spark: SparkSession) -> None:
         QseqDataSource,
         FastaDataSource,
         BEDDataSource,
+        GFFDataSource,
     ):
         spark.dataSource.register(ds)
 

@@ -637,3 +637,25 @@ class TestFuzzBED:
             _assert_controlled(
                 lambda ln=lines[k]: parse_bed_line(ln),
                 f"parse_bed_line[{i}]")
+
+
+class TestFuzzGFF:
+    def test_gff_chunk_and_scalar(self):
+        from hadoop_bam_spark.formats.gff import (
+            parse_gff_chunk, parse_gff_line)
+
+        base = [
+            "chr1\tens\tgene\t100\t500\t.\t+\t.\tID=g1;Name=x",
+            "chr1\t.\texon\t120\t300\t0.5\t-\t2\tParent=g1",
+            "chr2\tsrc\t.\t7\t7\t3\t.\t0\t.",
+        ]
+        rng = random.Random("gff-chunk")
+        for i in range(200):
+            lines = list(base)
+            k = rng.randrange(len(lines))
+            lines[k] = _mutate_line(rng, lines[k])
+            out = parse_gff_chunk(lines)
+            assert out is None or isinstance(out, dict), i
+            _assert_controlled(
+                lambda ln=lines[k]: parse_gff_line(ln),
+                f"parse_gff_line[{i}]")
