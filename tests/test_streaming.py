@@ -1330,3 +1330,45 @@ def test_bcf_stream_plain_uncompressed(spark, tmp_path):
     register_all(spark)
     want = spark.read.format("bcf").load(f"{RES}/test.uncompressed.bcf").count()
     assert len(rows) == want > 0
+
+
+class TestBEDStream:
+    def test_tail_bed_landing_with_interval_pruning(self, spark, tmp_path):
+        """bed_stream tails a landing dir exactly-once per file; the
+        intervals option prunes whole .tbi-indexed deliveries before
+        any byte parses and row-filters the rest."""
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.bed import BED_SCHEMA
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bed_stream import BEDStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(BEDStreamDataSource)
+        land = tmp_path / "bed_landing"
+        land.mkdir()
+        # delivery 1: plain text, two features in/one out of range
+        (land / "a.bed").write_text(
+            "track name=x\n"
+            "chr1\t99\t200\tin1\n"
+            "chr1\t150\t220\tin2\n"
+            "chr2\t100\t200\tother\n")
+        # delivery 2: BGZF + .tbi wholly OUTSIDE the interval (pruned)
+        far = spark.createDataFrame(
+            [("chr1", 900001, 900100, "far", None, None, None)],
+            schema=BED_SCHEMA)
+        sinks.write_bed(far, str(land / "b.bed.bgz"), index_tbi=True)
+
+        ck = tmp_path / "ck_bed"
+        q = (
+            spark.readStream.format("bed_stream")
+            .option("intervals", "chr1:120-400")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_bed_stream")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(r.name for r in spark.table("t_bed_stream").collect())
+        assert got == ["in1", "in2"]
