@@ -85,3 +85,49 @@ def interval_join_binned(
     # Dedup: emit the pair only from the first bin of its intersection.
     first_shared_bin = ((F.greatest(F.col(ls), F.col(rs)) - 1) / bin_size).cast("long")
     return joined.filter(F.col("_bin_l") == first_shared_bin).drop("_bin_l", "_bin_r")
+
+
+def interval_merge(
+    df: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    gap: int = 0,
+) -> DataFrame:
+    """Flatten overlapping (and book-ended) intervals per contig — the
+    bedtools-merge operation. Returns one row per merged region:
+    ``(contig, start, stop, n_merged)``.
+
+    Two 1-based closed intervals merge when the next one starts at or
+    before ``previous max stop + 1 + gap`` (``gap=0`` merges
+    overlapping AND adjacent intervals, the bedtools default; a larger
+    gap closes small holes, e.g. blocklist smoothing).
+
+    Scale shape: ONE shuffle — a window partitioned by contig ordered
+    by (start, stop) computes the running max stop, a new region opens
+    where the gap rule breaks, and a second pass over the same
+    partitioning (no extra shuffle: the groupBy keys are a superset of
+    the window partition key prefix) aggregates each region. Per-contig
+    ordering is the inherent sequential dependency of the operation;
+    at 100 TB the skew unit is one contig's intervals, the same unit
+    every coordinate-sorted genomics tool processes serially — for
+    corpus-scale interval sets pre-aggregate identical intervals first.
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    w = Window.partitionBy(c).orderBy(s, e)
+    prev_max = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max.isNull() | (F.col(s) > prev_max + 1 + gap), 1
+    ).otherwise(0)
+    grp = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.select(c, s, e)
+        .withColumn("_grp", grp)
+        .groupBy(c, "_grp")
+        .agg(
+            F.min(s).alias(s),
+            F.max(e).alias(e),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_grp")
+    )

@@ -1330,3 +1330,66 @@ def gff_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(os.path.join(d, "g.gff3.bgz"))
     )
     return _gff_agg(back)
+
+
+@query(
+    "bed_interval_merge",
+    # DuckDB 1.0 computes a windowed MAX over a VARCHAR-partitioned
+    # ROWS frame incorrectly for one frame in this data (verified
+    # against a sequential reference; Spark agrees with the
+    # reference), so the oracle folds the contigs onto ONE disjoint
+    # numeric axis (contig_idx << 34 + pos; cross-contig gaps can
+    # never merge) and uses a single UNPARTITIONED window, which
+    # DuckDB evaluates correctly.
+    oracle=_BED_ORACLE_CTE + """
+    , axis AS (
+        SELECT contig, name,
+               substr(contig, 4)::BIGINT * 17179869184 + start AS s2,
+               substr(contig, 4)::BIGINT * 17179869184 + "end" AS e2
+        FROM b
+    ), flagged AS (
+        SELECT contig, s2, e2, name,
+               CASE WHEN s2 > max(e2) OVER (
+                        ORDER BY s2, e2, name
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) + 1 OR max(e2) OVER (
+                        ORDER BY s2, e2, name
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL THEN 1 ELSE 0 END AS opens
+        FROM axis
+    ), grouped AS (
+        SELECT contig, s2, e2,
+               sum(opens) OVER (ORDER BY s2, e2, name
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS grp
+        FROM flagged
+    ), merged AS (
+        SELECT min(contig) AS contig, min(s2) AS m_start,
+               max(e2) AS m_end, count(*) AS n_merged
+        FROM grouped GROUP BY grp
+    )
+    SELECT contig, count(*) AS n_regions,
+           sum(m_end - m_start + 1)::BIGINT AS covered_bases,
+           max(n_merged)::BIGINT AS max_cluster,
+           sum(n_merged)::BIGINT AS n_input
+    FROM merged GROUP BY contig
+    """,
+    doc="bedtools-merge as a distributed operator: flatten the BED-"
+    "derived intervals per contig (overlapping or book-ended regions "
+    "coalesce) with ONE shuffle — running-max window opens a region "
+    "where the gap rule breaks, the aggregate reuses the same "
+    "partitioning — then report region count / covered bases per "
+    "contig.",
+)
+def bed_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_merge
+
+    feats = _bed_df(spark, sf_dir).select(
+        "contig", "start", F.col("end").alias("stop"))
+    merged = interval_merge(feats, keys=("contig", "start", "stop"))
+    return merged.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum(F.col("stop") - F.col("start") + 1).alias("covered_bases"),
+        F.max("n_merged").alias("max_cluster"),
+        F.sum("n_merged").alias("n_input"),
+    )

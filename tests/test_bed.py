@@ -243,3 +243,45 @@ class TestVectorizedWrite:
         sinks.write_bed(_df(bed_spark).coalesce(1), p)
         want = "".join(format_bed_line(r) + "\n" for r in ROWS)
         assert open(p).read() == want
+
+
+class TestIntervalMerge:
+    def _merge(self, spark, rows, gap=0):
+        from hadoop_bam_spark.operators.interval_join import interval_merge
+
+        df = spark.createDataFrame(rows, "contig string, start long, stop long")
+        out = interval_merge(df, keys=("contig", "start", "stop"), gap=gap)
+        return sorted((r.contig, r.start, r.stop, r.n_merged)
+                      for r in out.collect())
+
+    def test_overlap_bookend_and_gap(self, bed_spark):
+        rows = [
+            ("c1", 1, 10), ("c1", 5, 20),    # overlap
+            ("c1", 21, 30),                   # book-ended (start == 20+1)
+            ("c1", 40, 50),                   # gap of 9
+            ("c2", 1, 5),
+        ]
+        assert self._merge(bed_spark, rows) == [
+            ("c1", 1, 30, 3), ("c1", 40, 50, 1), ("c2", 1, 5, 1)]
+        # gap=9 closes the hole
+        assert self._merge(bed_spark, rows, gap=9) == [
+            ("c1", 1, 50, 4), ("c2", 1, 5, 1)]
+
+    def test_contained_and_duplicate_intervals(self, bed_spark):
+        rows = [("c1", 1, 100), ("c1", 10, 20), ("c1", 10, 20),
+                ("c1", 100, 100), ("c1", 102, 110)]
+        # base 101 is uncovered: [102,110] opens a new region
+        assert self._merge(bed_spark, rows) == [
+            ("c1", 1, 100, 4), ("c1", 102, 110, 1)]
+        # gap=1 closes the 1-base hole
+        assert self._merge(bed_spark, rows, gap=1) == [("c1", 1, 110, 5)]
+
+    def test_single_shuffle_plan(self, bed_spark):
+        """One Exchange on the contig key: the window and the aggregate
+        reuse the same partitioning."""
+        from hadoop_bam_spark.operators.interval_join import interval_merge
+
+        df = bed_spark.createDataFrame(
+            [("c1", 1, 2)], "contig string, start long, stop long")
+        plan = interval_merge(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
