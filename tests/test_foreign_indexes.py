@@ -245,6 +245,8 @@ class TestAutoFaidxExactness:
     def test_parity_with_htslib_fai(self, fasta):
         from hadoop_bam_spark.sinks import scan_fai_entries
 
+        if not os.path.exists(fasta + ".fai"):
+            pytest.skip("no htslib-written .fai sidecar for this fixture")
         assert scan_fai_entries(fasta) == self._read_fai(fasta + ".fai")
 
     def test_crlf(self, tmp_path):
