@@ -131,3 +131,352 @@ def interval_merge(
         )
         .drop("_grp")
     )
+
+
+def interval_subtract(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    bin_size: int = 16384,
+) -> DataFrame:
+    """Remove every right region from each left interval — the bedtools
+    subtract operation. Returns the left rows with (start, stop) replaced
+    by the surviving sub-segments; an interval wholly covered by the right
+    set disappears, an untouched one passes through whole, and a mid-hit
+    one splits into several rows.
+
+    Left rows must be unique as whole tuples (they are the regroup key).
+
+    Scale shape: merge the right side once (per-contig window), binned
+    overlap join left x merged-right (equi-join on 16 kb tiles — the
+    large-by-large path, no broadcast assumption), clip + collect the
+    disjoint covering regions per left row (bounded by that row's pileup,
+    the same unit every interval tool carries), then pure array
+    expressions emit the gaps. The left table's text/payload columns ride
+    along; only (contig, start, stop) and the clip structs shuffle twice
+    (join + regroup).
+    """
+    c, s, e = keys
+    rk = right_keys or keys
+    mr = interval_merge(right, keys=rk).select(
+        F.col(rk[0]).alias("_mc"),
+        F.col(rk[1]).cast("long").alias("_ms"),
+        F.col(rk[2]).cast("long").alias("_me"),
+    )
+    hits = interval_join_binned(
+        left, mr, left_keys=keys, right_keys=("_mc", "_ms", "_me"),
+        bin_size=bin_size,
+    )
+    clip = F.struct(
+        F.greatest(F.col("_ms"), F.col(s).cast("long")).alias("cs"),
+        F.least(F.col("_me"), F.col(e).cast("long")).alias("ce"),
+    )
+    per = (
+        hits.select(*left.columns, clip.alias("_clip"))
+        .groupBy(*left.columns)
+        .agg(F.sort_array(F.collect_list("_clip")).alias("_cov"))
+    )
+    joined = left.join(per, on=list(left.columns), how="left")
+    # Sentinel walk: a fake covering block just before the interval and one
+    # just after turn "gaps between covering blocks" into exactly the
+    # surviving segments (untouched rows fall out as one whole segment).
+    lo = (F.col(s).cast("long") - 1)
+    hi = (F.col(e).cast("long") + 1)
+    bounds = F.concat(
+        F.array(F.struct(lo.alias("cs"), lo.alias("ce"))),
+        F.coalesce(
+            F.col("_cov"),
+            F.array().cast("array<struct<cs:bigint,ce:bigint>>"),
+        ),
+        F.array(F.struct(hi.alias("cs"), hi.alias("ce"))),
+    )
+    n = F.size(bounds)
+    segs = F.filter(
+        F.zip_with(
+            F.slice(bounds, F.lit(1), n - 1),
+            F.slice(bounds, F.lit(2), n - 1),
+            lambda a, b: F.struct(
+                (a["ce"] + 1).alias("seg_start"), (b["cs"] - 1).alias("seg_stop")
+            ),
+        ),
+        lambda x: x["seg_start"] <= x["seg_stop"],
+    )
+    carry = [col for col in left.columns if col not in (s, e)]
+    return (
+        joined.select(*carry, F.explode(segs).alias("_seg"))
+        .select(*carry, F.col("_seg.seg_start").alias(s), F.col("_seg.seg_stop").alias(e))
+    )
+
+
+def interval_complement(
+    df: DataFrame,
+    sizes: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+) -> DataFrame:
+    """Regions of the genome NOT covered by any interval — bedtools
+    complement. ``sizes`` is a (contig, size) frame (the .fai analog,
+    reference FastaSequenceIndex / faidx sidecar); a contig present in
+    ``sizes`` with no intervals at all yields one full-length gap.
+
+    Scale shape: one interval_merge (per-contig window), then a lag
+    window over the MERGED regions (tiny relative to input) for the
+    between/head gaps and a broadcast join against ``sizes`` for the
+    tail gaps.
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    m = interval_merge(df, keys=keys)
+    w = Window.partitionBy(c).orderBy(s)
+    prev_stop = F.lag(F.col(e).cast("long")).over(w)
+    gaps = (
+        m.select(
+            F.col(c),
+            (F.coalesce(prev_stop, F.lit(0)) + 1).alias("_gs"),
+            (F.col(s).cast("long") - 1).alias("_ge"),
+        )
+        .filter(F.col("_gs") <= F.col("_ge"))
+    )
+    sz = sizes.select(F.col(sizes.columns[0]).alias(c),
+                      F.col(sizes.columns[1]).cast("long").alias("_size"))
+    tails = (
+        sz.join(
+            m.groupBy(c).agg(F.max(F.col(e).cast("long")).alias("_maxstop")),
+            on=c, how="left",
+        )
+        .select(
+            F.col(c),
+            (F.coalesce("_maxstop", F.lit(0)) + 1).alias("_gs"),
+            F.col("_size").alias("_ge"),
+        )
+        .filter(F.col("_gs") <= F.col("_ge"))
+    )
+    return gaps.unionByName(tails).select(
+        F.col(c), F.col("_gs").alias(s), F.col("_ge").alias(e)
+    )
+
+
+def interval_closest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Distance from each left interval to its nearest right interval —
+    the bedtools closest distance (0 when any right interval overlaps,
+    NULL when the contig has no right intervals at all). Returns the left
+    rows plus a ``closest_dist`` column. Left rows must be unique tuples.
+
+    Scale shape: the sort-merge sweep expressed as TWO union-frame window
+    passes per contig (the as-of-join trick, operators/asof.py) instead of
+    an all-pairs or range join:
+
+    - frame A: right events at coord=stop, left events at coord=start;
+      a running max of right stops gives the nearest PRECEDING region.
+    - frame B: right events at coord=start, left events at coord=stop;
+      an ascending running max of right stops among rights with
+      start <= left.stop detects OVERLAP, and a descending running min of
+      right starts gives the nearest FOLLOWING region — two window
+      functions over one exchange (same partitioning, two sorts).
+
+    One hash join on the left key tuple recombines the passes. Nothing is
+    ever all-pairs; the per-contig ordering is the operation's inherent
+    sequential unit.
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    rk = right_keys or keys
+    lrow = F.struct(*[F.col(col) for col in left.columns]).alias("_row")
+    l_ev = left.select(
+        F.col(c).alias("_c"),
+        F.col(s).cast("long").alias("_ls"),
+        F.col(e).cast("long").alias("_le"),
+        lrow,
+        F.lit(1).alias("_t"),
+    )
+    r_ev = right.select(
+        F.col(rk[0]).alias("_c"),
+        F.col(rk[1]).cast("long").alias("_rs"),
+        F.col(rk[2]).cast("long").alias("_re"),
+        F.lit(0).alias("_t"),
+    )
+
+    # Frame A: nearest preceding right (max stop among rights w/ stop <= start).
+    fa = r_ev.select("_c", F.col("_re").alias("_coord"), "_t", "_re",
+                     F.lit(None).cast(l_ev.schema["_row"].dataType).alias("_row"),
+                     F.lit(None).cast("long").alias("_ls")).unionByName(
+        l_ev.select("_c", F.col("_ls").alias("_coord"), "_t",
+                    F.lit(None).cast("long").alias("_re"), "_row", "_ls")
+    )
+    wa = (
+        Window.partitionBy("_c")
+        .orderBy(F.col("_coord").asc(), F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    a = (
+        fa.withColumn("_prev_stop", F.max(F.when(F.col("_t") == 0, F.col("_re"))).over(wa))
+        .filter(F.col("_t") == 1)
+        .select("_row", (F.col("_ls") - F.col("_prev_stop")).alias("_d_prev"))
+    )
+
+    # Frame B: overlap detection + nearest following right.
+    fb = r_ev.select("_c", F.col("_rs").alias("_coord"), "_t", "_rs", "_re",
+                     F.lit(None).cast(l_ev.schema["_row"].dataType).alias("_row"),
+                     F.lit(None).cast("long").alias("_ls"),
+                     F.lit(None).cast("long").alias("_le")).unionByName(
+        l_ev.select("_c", F.col("_le").alias("_coord"), "_t",
+                    F.lit(None).cast("long").alias("_rs"),
+                    F.lit(None).cast("long").alias("_re"), "_row", "_ls", "_le")
+    )
+    wb_asc = (
+        Window.partitionBy("_c")
+        .orderBy(F.col("_coord").asc(), F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wb_desc = (
+        Window.partitionBy("_c")
+        .orderBy(F.col("_coord").desc(), F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = (
+        fb.withColumn("_ov_stop", F.max(F.when(F.col("_t") == 0, F.col("_re"))).over(wb_asc))
+        .withColumn("_next_start", F.min(F.when(F.col("_t") == 0, F.col("_rs"))).over(wb_desc))
+        .filter(F.col("_t") == 1)
+        .select(
+            "_row",
+            (F.col("_ov_stop") >= F.col("_ls")).alias("_overlaps"),
+            (F.col("_next_start") - F.col("_le")).alias("_d_next"),
+        )
+    )
+    dist = F.when(F.coalesce(F.col("_overlaps"), F.lit(False)), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.coalesce(F.col("_d_prev"), F.col("_d_next")),
+            F.coalesce(F.col("_d_next"), F.col("_d_prev")),
+        )
+    )
+    return (
+        a.join(b, on="_row")
+        .select(F.col("_row.*"), dist.alias("closest_dist"))
+    )
+
+
+def interval_coverage(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    bin_size: int = 16384,
+) -> DataFrame:
+    """Per left interval: how many right intervals overlap it, how many of
+    its bases they cover, and the covered fraction — bedtools coverage.
+    Returns the left rows plus (n_overlaps, covered_bases, interval_len,
+    coverage_fraction). Left rows must be unique tuples.
+
+    Scale shape: ONE binned overlap join (large-by-large safe) + one
+    regroup on the left tuple. Covered bases come from merging the
+    CLIPPED right intervals per left row inside an array aggregate — the
+    per-row list is bounded by that row's pileup, so no second shuffle and
+    no pre-merge pass over the (possibly huge) right side.
+    """
+    c, s, e = keys
+    rk = right_keys or keys
+    r = right.select(
+        F.col(rk[0]).alias("_rc"),
+        F.col(rk[1]).cast("long").alias("_rs"),
+        F.col(rk[2]).cast("long").alias("_re"),
+    )
+    hits = interval_join_binned(
+        left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
+        bin_size=bin_size,
+    )
+    clip = F.struct(
+        F.greatest(F.col("_rs"), F.col(s).cast("long")).alias("cs"),
+        F.least(F.col("_re"), F.col(e).cast("long")).alias("ce"),
+    )
+    merged_len = F.aggregate(
+        F.sort_array(F.col("_clips")),
+        F.struct(F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("pe")),
+        lambda acc, x: F.struct(
+            (acc["cov"] + F.greatest(F.lit(0).cast("long"),
+                                     x["ce"] - F.greatest(x["cs"] - 1, acc["pe"]))).alias("cov"),
+            F.greatest(acc["pe"], x["ce"]).alias("pe"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    per = (
+        hits.select(*left.columns, clip.alias("_clip"))
+        .groupBy(*left.columns)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.collect_list("_clip").alias("_clips"),
+        )
+        .select(*left.columns, "n_overlaps", merged_len.alias("covered_bases"))
+    )
+    out = left.join(per, on=list(left.columns), how="left")
+    ilen = (F.col(e).cast("long") - F.col(s).cast("long") + 1)
+    return out.select(
+        *left.columns,
+        F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+        F.coalesce("covered_bases", F.lit(0)).alias("covered_bases"),
+        ilen.alias("interval_len"),
+        (F.coalesce("covered_bases", F.lit(0)) / ilen).alias("coverage_fraction"),
+    )
+
+
+def interval_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    keys_a: Sequence[str] = ("contig", "start", "stop"),
+    keys_b: Sequence[str] | None = None,
+    bin_size: int = 16384,
+) -> DataFrame:
+    """Jaccard similarity of two interval sets — bedtools jaccard:
+    |A ∩ B| / |A ∪ B| in covered bases after flattening each side.
+    Returns ONE row: (intersection_bases, union_bases, jaccard,
+    n_intersections).
+
+    Scale shape: two interval_merges (per-contig windows), one binned
+    overlap join between the two (small) merged sets, then three scalar
+    aggregates cross-joined — every intermediate after the merges is
+    bounded by the merged-region counts, not the input row counts.
+    """
+    kb = keys_b or keys_a
+    ma = interval_merge(a, keys=keys_a).select(
+        F.col(keys_a[0]).alias("_ac"),
+        F.col(keys_a[1]).cast("long").alias("_as"),
+        F.col(keys_a[2]).cast("long").alias("_ae"),
+    )
+    mb = interval_merge(b, keys=kb).select(
+        F.col(kb[0]).alias("_bc"),
+        F.col(kb[1]).cast("long").alias("_bs"),
+        F.col(kb[2]).cast("long").alias("_be"),
+    )
+    inter = interval_join_binned(
+        ma, mb, left_keys=("_ac", "_as", "_ae"),
+        right_keys=("_bc", "_bs", "_be"), bin_size=bin_size,
+    ).agg(
+        F.coalesce(
+            F.sum(F.least("_ae", "_be") - F.greatest("_as", "_bs") + 1), F.lit(0)
+        ).alias("intersection_bases"),
+        F.count(F.lit(1)).alias("n_intersections"),
+    )
+    cov_a = ma.agg(F.coalesce(F.sum(F.col("_ae") - F.col("_as") + 1), F.lit(0)).alias("_cov_a"))
+    cov_b = mb.agg(F.coalesce(F.sum(F.col("_be") - F.col("_bs") + 1), F.lit(0)).alias("_cov_b"))
+    # Combine the three SINGLE-ROW aggregates with explicit broadcasts
+    # (BroadcastNestedLoopJoin over 1x1 rows — the corpus-total-aggregate
+    # pattern, allowlisted in the plan audit; an unhinted crossJoin would
+    # plan a CartesianProduct).
+    return (
+        inter.crossJoin(F.broadcast(cov_a)).crossJoin(F.broadcast(cov_b))
+        .select(
+            "intersection_bases",
+            (F.col("_cov_a") + F.col("_cov_b") - F.col("intersection_bases")).alias("union_bases"),
+            (
+                F.col("intersection_bases")
+                / (F.col("_cov_a") + F.col("_cov_b") - F.col("intersection_bases"))
+            ).alias("jaccard"),
+            "n_intersections",
+        )
+    )

@@ -518,3 +518,359 @@ def mark_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_dup"),
         F.count_distinct("pos").alias("n_sites"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bedtools-family interval operators (subtract / complement / closest /
+# coverage / jaccard) — operators/interval_join.py. The reference exposes
+# interval semantics only as the -L pushdown predicate
+# (BAMInputFormat.java:542-644); these are the full interval-algebra suite a
+# user of that predicate reaches for next, expressed as the documented
+# one/two-shuffle Spark plans. Each oracle derives the same answer by a
+# DIFFERENT construction (closed-form segment counting, all-pairs min,
+# single-axis window merges) so a plan bug cannot cancel out.
+# ---------------------------------------------------------------------------
+
+# 2^34 folds (contig_idx, pos) onto one numeric axis: positions stay below
+# ~1.07e6 (< 2^34), so cross-contig intervals can never touch. Single
+# UNPARTITIONED windows sidestep DuckDB's VARCHAR-partitioned ROWS-frame
+# bug (see bed_interval_merge) and keep the oracle engine-simple.
+_AXIS = 17179869184
+
+_MERGED_REGIONS_CTE = f"""
+raxis AS (
+    SELECT contig_idx,
+           contig_idx * {_AXIS} + r_start AS s2,
+           contig_idx * {_AXIS} + r_stop AS e2,
+           region_id
+    FROM regions
+), rflag AS (
+    SELECT contig_idx, s2, e2,
+           CASE WHEN max(e2) OVER (ORDER BY s2, e2, region_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s2 > max(e2) OVER (ORDER BY s2, e2, region_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                THEN 1 ELSE 0 END AS opens
+    FROM raxis
+), rgrp AS (
+    SELECT contig_idx, s2, e2,
+           sum(opens) OVER (ORDER BY s2, e2
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM rflag
+), mregions AS (
+    SELECT min(contig_idx) AS contig_idx,
+           min(s2) - min(contig_idx) * {_AXIS} AS m_start,
+           max(e2) - min(contig_idx) * {_AXIS} AS m_stop
+    FROM rgrp GROUP BY grp
+)
+"""
+
+_MERGED_READS_CTE = f"""
+caxis AS (
+    SELECT ref_idx,
+           ref_idx * {_AXIS} + pos AS s2,
+           ref_idx * {_AXIS} + stop AS e2,
+           qname
+    FROM reads WHERE flag & 4 = 0
+), cflag AS (
+    SELECT ref_idx, s2, e2,
+           CASE WHEN max(e2) OVER (ORDER BY s2, e2, qname
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR s2 > max(e2) OVER (ORDER BY s2, e2, qname
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                THEN 1 ELSE 0 END AS opens
+    FROM caxis
+), cgrp AS (
+    SELECT ref_idx, s2, e2,
+           sum(opens) OVER (ORDER BY s2, e2
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+    FROM cflag
+), mreads AS (
+    SELECT min(ref_idx) AS ref_idx, min(s2) AS ms2, max(e2) AS me2
+    FROM cgrp GROUP BY grp
+)
+"""
+
+
+# The synthetic lineitem does NOT enforce the (orderkey, linenumber) PK, so
+# derived qnames collide; the interval operators require unique left tuples
+# (they regroup on the whole row). Both engines therefore run on DISTINCT
+# read tuples — (qname, ref_idx) is unique afterwards because pos/stop are
+# functions of qname.
+_DISTINCT_READS_CTE = """
+dreads AS (
+    SELECT DISTINCT qname, ref_idx, pos, stop
+    FROM reads WHERE flag & 4 = 0
+)
+"""
+
+
+def _mapped_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        reads_view(spark, sf_dir)
+        .filter(F.col("flag").bitwiseAND(4) == 0)
+        .select("qname", "ref_idx", "pos", "stop")
+        .distinct()
+    )
+
+
+@query(
+    "interval_subtract_reads",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        {_MERGED_REGIONS_CTE.lstrip()},
+        ov AS (
+            SELECT r.qname, r.ref_idx, r.pos, r.stop,
+                   count(*) AS k,
+                   sum(least(m.m_stop, r.stop) - greatest(m.m_start, r.pos)
+                       + 1) AS covered,
+                   max(CASE WHEN m.m_start <= r.pos THEN 1 ELSE 0 END) AS cs,
+                   max(CASE WHEN m.m_stop >= r.stop THEN 1 ELSE 0 END) AS ce
+            FROM dreads r JOIN mregions m
+              ON r.ref_idx = m.contig_idx
+             AND r.pos <= m.m_stop AND m.m_start <= r.stop
+            GROUP BY r.qname, r.ref_idx, r.pos, r.stop
+        ),
+        per AS (
+            SELECT r.ref_idx,
+                   COALESCE(o.k + 1 - o.cs - o.ce, 1) AS n_segs,
+                   (r.stop - r.pos + 1) - COALESCE(o.covered, 0) AS rem
+            FROM dreads r LEFT JOIN ov o
+              ON r.qname = o.qname AND r.ref_idx = o.ref_idx
+        )
+        SELECT ref_idx,
+               sum(n_segs)::BIGINT AS n_segments,
+               sum(rem)::BIGINT AS remaining_bases,
+               sum(CASE WHEN n_segs > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_surviving_reads
+        FROM per GROUP BY ref_idx
+    """,
+    doc="bedtools subtract at read scale: every region blanked out of every "
+    "overlapping read, reads splitting into surviving sub-segments "
+    "(operators/interval_join.py interval_subtract: merge regions once, "
+    "binned 16 kb-tile join, per-read sentinel walk in pure array "
+    "expressions — two shuffles total, payload columns never explode). The "
+    "oracle never builds segments: it counts them in closed form "
+    "(k+1-covers_start-covers_end over DISJOINT merged regions) and derives "
+    "remaining bases as length minus clipped coverage, so a dedup or "
+    "sentinel bug in the plan cannot reproduce in the oracle.",
+)
+def interval_subtract_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_subtract
+
+    reads = _mapped_reads(spark, sf_dir)
+    regions = regions_view(spark, sf_dir).select("contig_idx", "r_start", "r_stop")
+    segs = interval_subtract(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+    )
+    return segs.groupBy("ref_idx").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("stop") - F.col("pos") + 1).alias("remaining_bases"),
+        F.count_distinct("qname").alias("n_surviving_reads"),
+    )
+
+
+@query(
+    "interval_complement_regions",
+    oracle=f"""
+        WITH {REGIONS_CTE}, {_MERGED_REGIONS_CTE},
+        sizes AS (
+            SELECT * FROM (VALUES (0, 1100000), (1, 1100000),
+                                  (2, 1100000), (3, 1100000))
+                AS t(contig_idx, size)
+        ),
+        gaps AS (
+            SELECT contig_idx,
+                   COALESCE(lag(m_stop) OVER (PARTITION BY contig_idx
+                                              ORDER BY m_start), 0) + 1
+                       AS g_start,
+                   m_start - 1 AS g_stop
+            FROM mregions
+        ),
+        tails AS (
+            SELECT s.contig_idx,
+                   COALESCE(mx.maxstop, 0) + 1 AS g_start,
+                   s.size AS g_stop
+            FROM sizes s LEFT JOIN (
+                SELECT contig_idx, max(m_stop) AS maxstop
+                FROM mregions GROUP BY contig_idx
+            ) mx USING (contig_idx)
+        )
+        SELECT contig_idx::BIGINT AS contig_idx,
+               g_start::BIGINT AS gap_start, g_stop::BIGINT AS gap_stop
+        FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+        WHERE g_start <= g_stop
+    """,
+    doc="bedtools complement: the genome NOT covered by any region, against "
+    "a contig-sizes table (the .fai analog). interval_complement = one "
+    "interval_merge + a lag window over the (tiny) merged set + a broadcast "
+    "sizes join; contigs with no regions yield one full-length gap. The "
+    "oracle rebuilds the gaps from the single-axis merged CTE with an "
+    "independent lag/tail construction.",
+)
+def interval_complement_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_complement
+
+    regions = regions_view(spark, sf_dir).select("contig_idx", "r_start", "r_stop")
+    sizes = spark.createDataFrame(
+        [(i, 1100000) for i in range(4)], "contig_idx long, size long"
+    )
+    return interval_complement(
+        regions, sizes, keys=("contig_idx", "r_start", "r_stop")
+    ).select(
+        "contig_idx",
+        F.col("r_start").alias("gap_start"),
+        F.col("r_stop").alias("gap_stop"),
+    )
+
+
+@query(
+    "interval_closest_reads",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        d AS (
+            SELECT r.qname, r.ref_idx,
+                   min(greatest(g.r_start - r.stop, r.pos - g.r_stop, 0))
+                       AS dist
+            FROM dreads r JOIN regions g ON r.ref_idx = g.contig_idx
+            GROUP BY r.qname, r.ref_idx, r.pos, r.stop
+        )
+        SELECT ref_idx, count(*) AS n_reads,
+               sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_overlapping,
+               sum(dist)::BIGINT AS sum_dist,
+               max(dist)::BIGINT AS max_dist
+        FROM d GROUP BY ref_idx
+    """,
+    doc="bedtools closest: distance from every read to its nearest region "
+    "(0 when overlapping). interval_closest is the sort-merge sweep as TWO "
+    "union-frame window passes per contig (the as-of trick: running max of "
+    "preceding stops, running min of following starts, overlap flag) + one "
+    "recombining join — never all-pairs, never a range join. The oracle IS "
+    "the all-pairs min (cheap at gate scale), so the sweep is checked "
+    "against the brute-force definition.",
+)
+def interval_closest_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    reads = _mapped_reads(spark, sf_dir)
+    regions = regions_view(spark, sf_dir).select("contig_idx", "r_start", "r_stop")
+    d = interval_closest(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+    )
+    return d.groupBy("ref_idx").agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum(F.when(F.col("closest_dist") == 0, 1).otherwise(0)).alias("n_overlapping"),
+        F.sum("closest_dist").alias("sum_dist"),
+        F.max("closest_dist").alias("max_dist"),
+    )
+
+
+@query(
+    "interval_coverage_regions",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        {_MERGED_READS_CTE.lstrip()},
+        cnt AS (
+            SELECT g.region_id, count(*) AS n
+            FROM regions g JOIN dreads r
+              ON r.ref_idx = g.contig_idx
+             AND r.pos <= g.r_stop AND g.r_start <= r.stop
+            GROUP BY g.region_id
+        ),
+        covd AS (
+            SELECT g.region_id,
+                   sum(least(m.me2, g.contig_idx * {_AXIS} + g.r_stop)
+                       - greatest(m.ms2, g.contig_idx * {_AXIS} + g.r_start)
+                       + 1) AS covered
+            FROM regions g JOIN mreads m
+              ON g.contig_idx = m.ref_idx
+             AND g.contig_idx * {_AXIS} + g.r_start <= m.me2
+             AND m.ms2 <= g.contig_idx * {_AXIS} + g.r_stop
+            GROUP BY g.region_id
+        )
+        SELECT g.region_id, g.contig_idx,
+               g.r_start::BIGINT AS r_start, g.r_stop::BIGINT AS r_stop,
+               COALESCE(c.n, 0)::BIGINT AS n_overlaps,
+               COALESCE(v.covered, 0)::BIGINT AS covered_bases,
+               (g.r_stop - g.r_start + 1)::BIGINT AS interval_len,
+               COALESCE(v.covered, 0) / (g.r_stop - g.r_start + 1.0)
+                   AS coverage_fraction
+        FROM regions g
+        LEFT JOIN cnt c USING (region_id)
+        LEFT JOIN covd v USING (region_id)
+    """,
+    doc="bedtools coverage: per region, how many reads overlap it and what "
+    "fraction of its bases they cover. interval_coverage = ONE binned "
+    "overlap join + one regroup; covered bases come from merging the "
+    "CLIPPED reads per region inside an array aggregate (bounded by the "
+    "region's pileup — no pre-merge pass over the read side). The oracle "
+    "instead merges ALL reads globally on the single axis and clips the "
+    "merged runs, a different factorization of the same per-base truth.",
+)
+def interval_coverage_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_coverage
+
+    reads = _mapped_reads(spark, sf_dir).select("ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir)
+    return interval_coverage(
+        regions, reads,
+        keys=("contig_idx", "r_start", "r_stop"),
+        right_keys=("ref_idx", "pos", "stop"),
+    ).select(
+        "region_id", "contig_idx", "r_start", "r_stop",
+        "n_overlaps", "covered_bases", "interval_len", "coverage_fraction",
+    )
+
+
+@query(
+    "interval_jaccard_reads_regions",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_MERGED_READS_CTE},
+        {_MERGED_REGIONS_CTE.lstrip()},
+        inter AS (
+            SELECT COALESCE(sum(least(a.me2, b.contig_idx * {_AXIS} + b.m_stop)
+                       - greatest(a.ms2, b.contig_idx * {_AXIS} + b.m_start)
+                       + 1), 0)::BIGINT AS intersection_bases,
+                   count(*) AS n_intersections
+            FROM mreads a JOIN mregions b
+              ON a.ref_idx = b.contig_idx
+             AND a.ms2 <= b.contig_idx * {_AXIS} + b.m_stop
+             AND b.contig_idx * {_AXIS} + b.m_start <= a.me2
+        ),
+        cov AS (
+            SELECT (SELECT sum(me2 - ms2 + 1) FROM mreads) AS cov_a,
+                   (SELECT sum(m_stop - m_start + 1) FROM mregions) AS cov_b
+        )
+        SELECT i.intersection_bases,
+               (c.cov_a + c.cov_b - i.intersection_bases)::BIGINT
+                   AS union_bases,
+               i.intersection_bases
+                   / (c.cov_a + c.cov_b - i.intersection_bases * 1.0)
+                   AS jaccard,
+               i.n_intersections
+        FROM inter i, cov c
+    """,
+    doc="bedtools jaccard: |reads ∩ regions| / |reads ∪ regions| in covered "
+    "bases after flattening both sides. interval_jaccard = two "
+    "interval_merges + one binned join between the (small) merged sets + "
+    "scalar aggregates; every intermediate is bounded by merged-region "
+    "counts, not input rows. Oracle folds both sides onto the single axis "
+    "and intersects the merged runs directly.",
+)
+def interval_jaccard_reads_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_jaccard
+
+    reads = _mapped_reads(spark, sf_dir).select("ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir).select("contig_idx", "r_start", "r_stop")
+    return interval_jaccard(
+        reads, regions,
+        keys_a=("ref_idx", "pos", "stop"),
+        keys_b=("contig_idx", "r_start", "r_stop"),
+    )

@@ -1,0 +1,185 @@
+"""bedtools-family interval operators vs a brute-force Python reference.
+
+Each operator (subtract / complement / closest / coverage / jaccard) is
+checked on seeded random interval sets against an independent O(n*m)
+per-base / all-pairs model — deliberately the dumbest possible
+implementation, so any clever-plan bug in the Spark composition
+(bin dedup, sentinel walk, union-window sweep) diverges from it.
+
+Interval convention everywhere: 1-based closed, overlap iff
+a.start <= b.stop AND b.start <= a.stop (htsjdk Interval).
+"""
+
+import random
+
+import pytest
+
+from hadoop_bam_spark.operators.interval_join import (
+    interval_closest,
+    interval_complement,
+    interval_coverage,
+    interval_jaccard,
+    interval_merge,
+    interval_subtract,
+)
+
+CONTIGS = ["c1", "c2", "c3"]
+AXIS = 3000  # small axis so overlaps/adjacency/containment all occur
+
+
+def _mk(rng, n, name_prefix):
+    rows = []
+    for i in range(n):
+        c = rng.choice(CONTIGS)
+        s = rng.randint(1, AXIS)
+        e = s + rng.randint(0, 120)
+        rows.append((c, s, e, f"{name_prefix}{i}"))
+    return rows
+
+
+def _covered(rows):
+    """contig -> set of covered positions (the per-base truth)."""
+    cov = {}
+    for c, s, e, *_ in rows:
+        cov.setdefault(c, set()).update(range(s, e + 1))
+    return cov
+
+
+def _runs(positions):
+    """sorted position set -> list of (start, stop) maximal runs."""
+    out = []
+    for p in sorted(positions):
+        if out and p == out[-1][1] + 1:
+            out[-1] = (out[-1][0], p)
+        else:
+            out.append((p, p))
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rng = random.Random(20260816)
+    left = _mk(rng, 120, "L")
+    right = _mk(rng, 80, "R")
+    ldf = spark.createDataFrame(left, "contig string, start long, stop long, name string")
+    rdf = spark.createDataFrame(right, "contig string, start long, stop long, name string")
+    return left, right, ldf, rdf
+
+
+def test_merge_matches_per_base_runs(spark, frames):
+    left, _, ldf, _ = frames
+    got = {
+        (r["contig"], r["start"], r["stop"])
+        for r in interval_merge(ldf, keys=("contig", "start", "stop")).collect()
+    }
+    want = set()
+    for c, pos in _covered(left).items():
+        # gap=0 merges book-ended intervals: adjacent positions join runs.
+        want.update((c, s, e) for s, e in _runs(pos))
+    assert got == want
+
+
+@pytest.mark.parametrize("bin_size", [16384, 256])
+def test_subtract_matches_per_base(spark, frames, bin_size):
+    left, right, ldf, rdf = frames
+    got = {}
+    res = interval_subtract(ldf, rdf, keys=("contig", "start", "stop"),
+                            bin_size=bin_size)
+    assert set(res.columns) == {"contig", "start", "stop", "name"}
+    for r in res.collect():
+        got.setdefault(r["name"], []).append((r["start"], r["stop"]))
+    rcov = _covered(right)
+    for c, s, e, name in left:
+        keep = [p for p in range(s, e + 1) if p not in rcov.get(c, ())]
+        want = _runs(keep)
+        assert sorted(got.get(name, [])) == want, name
+
+
+def test_complement_matches_per_base(spark, frames):
+    left, _, ldf, _ = frames
+    sizes = spark.createDataFrame(
+        [(c, AXIS + 200) for c in CONTIGS] + [("empty_contig", 50)],
+        "contig string, size long",
+    )
+    res = interval_complement(ldf, sizes, keys=("contig", "start", "stop"))
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["contig"], []).append((r["start"], r["stop"]))
+    cov = _covered(left)
+    for c in CONTIGS + ["empty_contig"]:
+        size = 50 if c == "empty_contig" else AXIS + 200
+        free = [p for p in range(1, size + 1) if p not in cov.get(c, ())]
+        assert sorted(got.get(c, [])) == _runs(free), c
+
+
+def test_closest_matches_all_pairs(spark, frames):
+    left, right, ldf, rdf = frames
+    res = interval_closest(ldf, rdf, keys=("contig", "start", "stop"))
+    got = {r["name"]: r["closest_dist"] for r in res.collect()}
+    assert len(got) == len(left)
+    by_contig = {}
+    for c, s, e, _ in right:
+        by_contig.setdefault(c, []).append((s, e))
+    for c, s, e, name in left:
+        cands = by_contig.get(c)
+        if not cands:
+            assert got[name] is None, name
+            continue
+        want = min(max(rs - e, s - re, 0) for rs, re in cands)
+        assert got[name] == want, name
+
+
+@pytest.mark.parametrize("bin_size", [16384, 256])
+def test_coverage_matches_per_base(spark, frames, bin_size):
+    left, right, ldf, rdf = frames
+    res = interval_coverage(ldf, rdf, keys=("contig", "start", "stop"),
+                            bin_size=bin_size)
+    rows = {r["name"]: r for r in res.collect()}
+    assert len(rows) == len(left)
+    rcov = _covered(right)
+    by_contig = {}
+    for c, s, e, _ in right:
+        by_contig.setdefault(c, []).append((s, e))
+    for c, s, e, name in left:
+        r = rows[name]
+        n = sum(1 for rs, re in by_contig.get(c, []) if rs <= e and s <= re)
+        cov = sum(1 for p in range(s, e + 1) if p in rcov.get(c, ()))
+        assert r["n_overlaps"] == n, name
+        assert r["covered_bases"] == cov, name
+        assert r["interval_len"] == e - s + 1
+        assert r["coverage_fraction"] == pytest.approx(cov / (e - s + 1))
+
+
+@pytest.mark.parametrize("bin_size", [16384, 256])
+def test_jaccard_matches_per_base(spark, frames, bin_size):
+    left, right, ldf, rdf = frames
+    row = interval_jaccard(ldf, rdf, bin_size=bin_size).collect()[0]
+    a, b = _covered(left), _covered(right)
+    inter = sum(len(a.get(c, set()) & b.get(c, set())) for c in CONTIGS)
+    union = sum(len(a.get(c, set()) | b.get(c, set())) for c in CONTIGS)
+    assert row["intersection_bases"] == inter
+    assert row["union_bases"] == union
+    assert row["jaccard"] == pytest.approx(inter / union)
+    # n_intersections = disjoint intersection runs (both sides pre-merged)
+    n_runs = sum(len(_runs(a.get(c, set()) & b.get(c, set()))) for c in CONTIGS)
+    assert row["n_intersections"] == n_runs
+
+
+def test_edge_shapes(spark):
+    """Containment, book-ending, identical intervals, full cover."""
+    ldf = spark.createDataFrame(
+        [("c", 10, 20, "a"), ("c", 30, 30, "b"), ("c", 100, 110, "u")],
+        "contig string, start long, stop long, name string",
+    )
+    rdf = spark.createDataFrame(
+        [("c", 1, 50, "x"), ("c", 12, 15, "y")],
+        "contig string, start long, stop long, name string",
+    )
+    # every left base covered except the untouched 100-110
+    segs = interval_subtract(ldf, rdf).collect()
+    assert [(r["name"], r["start"], r["stop"]) for r in segs] == [("u", 100, 110)]
+    cov = {r["name"]: r for r in interval_coverage(ldf, rdf).collect()}
+    assert cov["a"]["coverage_fraction"] == 1.0
+    assert cov["u"]["n_overlaps"] == 0 and cov["u"]["covered_bases"] == 0
+    dist = {r["name"]: r["closest_dist"] for r in interval_closest(ldf, rdf).collect()}
+    assert dist == {"a": 0, "b": 0, "u": 50}  # 100 - 50 = 50

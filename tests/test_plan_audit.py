@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "semantic_dedup",           # single-row broadcast centroid array (knn_ivf pattern)
     "corpus_mixing_weights",    # single-row broadcast corpus-total aggregate
     "ann_recall_ivf",           # composes knn_bruteforce + knn_ivf (both above)
+    "interval_jaccard_reads_regions",  # 1x1-row broadcast scalar-aggregate combine
 }
 
 
