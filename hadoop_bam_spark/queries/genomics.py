@@ -874,3 +874,147 @@ def interval_jaccard_reads_regions(spark: SparkSession, sf_dir: str) -> DataFram
         keys_a=("ref_idx", "pos", "stop"),
         keys_b=("contig_idx", "r_start", "r_stop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variant-analysis layer (the bcftools-stats analog over the engine's VCF
+# data model, VariantContextCodec.java:267-335): classification, ts/tv,
+# allele-frequency spectrum — all single-pass JVM-side conditional
+# aggregation, the same shape as flagstat.
+# ---------------------------------------------------------------------------
+
+# Deterministic derived variants (from orders): numeric ref/alt allele
+# indexes into 'ACGT' (A=0 C=1 G=2 T=3; a transition flips purine<->purine /
+# pyrimidine<->pyrimidine, i.e. |ref - alt| == 2), a variant-class code, and
+# AC/AN allele counts.
+VARIANTS_CTE = """
+variants AS (
+    SELECT o_orderkey,
+           o_custkey % 4 AS contig_idx,
+           (o_orderkey * 13) % 1000000 + 1 AS pos,
+           (o_orderkey * 7) % 4 AS ref_i,
+           ((o_orderkey * 7) % 4 + 1 + (o_orderkey * 11) % 3) % 4 AS alt_i,
+           o_orderkey % 10 AS kind_i,
+           (o_orderkey * 5) % 101 AS ac,
+           100 AS an
+    FROM orders
+)
+"""
+
+
+def variants_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived variant table; mirrors VARIANTS_CTE exactly."""
+    o = _t(spark, sf_dir, "orders")
+    ref_i = (F.col("o_orderkey") * 7) % 4
+    return o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).cast("long").alias("contig_idx"),
+        ((F.col("o_orderkey") * 13) % 1000000 + 1).cast("long").alias("pos"),
+        ref_i.cast("long").alias("ref_i"),
+        ((ref_i + 1 + (F.col("o_orderkey") * 11) % 3) % 4).cast("long").alias("alt_i"),
+        (F.col("o_orderkey") % 10).cast("long").alias("kind_i"),
+        ((F.col("o_orderkey") * 5) % 101).cast("long").alias("ac"),
+        F.lit(100).cast("long").alias("an"),
+    )
+
+
+@query(
+    "variant_stats",
+    oracle=f"""
+        WITH {VARIANTS_CTE}
+        SELECT contig_idx,
+               count(*) AS n_variants,
+               sum(CASE WHEN kind_i <= 6 THEN 1 ELSE 0 END)::BIGINT AS n_snp,
+               sum(CASE WHEN kind_i IN (7, 8) THEN 1 ELSE 0 END)::BIGINT
+                   AS n_ins,
+               sum(CASE WHEN kind_i = 9 THEN 1 ELSE 0 END)::BIGINT AS n_del,
+               sum(CASE WHEN kind_i <= 6 AND abs(ref_i - alt_i) = 2
+                        THEN 1 ELSE 0 END)::BIGINT AS n_ts,
+               sum(CASE WHEN kind_i <= 6 AND abs(ref_i - alt_i) != 2
+                        THEN 1 ELSE 0 END)::BIGINT AS n_tv,
+               sum(CASE WHEN kind_i <= 6 AND abs(ref_i - alt_i) = 2
+                        THEN 1 ELSE 0 END)
+                   / (sum(CASE WHEN kind_i <= 6 AND abs(ref_i - alt_i) != 2
+                               THEN 1 ELSE 0 END) * 1.0) AS tstv
+        FROM variants GROUP BY contig_idx
+    """,
+    doc="bcftools-stats analog: per-contig variant classification "
+    "(SNP/INS/DEL) and the transition/transversion ratio, the standard VCF "
+    "QC summary, as ONE map-side-combinable conditional aggregation pass "
+    "(same scale shape as flagstat — no window, no join; the ts test is "
+    "numeric: allele indexes into ACGT differ by exactly 2).",
+)
+def variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = variants_view(spark, sf_dir)
+    is_snp = F.col("kind_i") <= 6
+    is_ts = is_snp & (F.abs(F.col("ref_i") - F.col("alt_i")) == 2)
+    is_tv = is_snp & (F.abs(F.col("ref_i") - F.col("alt_i")) != 2)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return v.groupBy("contig_idx").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        one(is_snp).alias("n_snp"),
+        one(F.col("kind_i").isin(7, 8)).alias("n_ins"),
+        one(F.col("kind_i") == 9).alias("n_del"),
+        one(is_ts).alias("n_ts"),
+        one(is_tv).alias("n_tv"),
+        (one(is_ts) / (one(is_tv) * 1.0)).alias("tstv"),
+    )
+
+
+@query(
+    "allele_frequency_spectrum",
+    oracle=f"""
+        WITH {VARIANTS_CTE}
+        SELECT least(floor(ac * 10.0 / an), 9)::BIGINT AS af_bucket,
+               count(*) AS n_variants,
+               sum(ac)::BIGINT AS sum_ac,
+               sum(ac) / (100.0 * count(*)) AS mean_af
+        FROM variants GROUP BY 1
+    """,
+    doc="Site-frequency spectrum: allele frequency (AC/AN) histogram in 10 "
+    "fixed buckets — one hash aggregation over the typed INFO-field access "
+    "pattern (VariantContextCodec.java:267-335); fixed bucket keys mean "
+    "bounded cardinality and perfect partial aggregation at any scale.",
+)
+def allele_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = variants_view(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("ac") * 10.0 / F.col("an")), F.lit(9)).cast("long")
+    return v.groupBy(bucket.alias("af_bucket")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum("ac").alias("sum_ac"),
+        (F.sum("ac") / (100.0 * F.count(F.lit(1)))).alias("mean_af"),
+    )
+
+
+@query(
+    "gc_content_histogram",
+    oracle=f"""
+        WITH {READS_CTE},
+        seqs AS (
+            SELECT translate(md5(qname), '0123456789abcdef',
+                             'ACGTACGTACGTACGT') AS seq
+            FROM reads
+        )
+        SELECT floor((32 - length(translate(seq, 'GC', ''))) * 10.0 / 32)::BIGINT
+                   AS gc_bucket,
+               count(*) AS n_reads,
+               sum(32 - length(translate(seq, 'GC', '')))::BIGINT AS sum_gc
+        FROM seqs GROUP BY 1
+    """,
+    doc="Per-read GC-content histogram — the FastQC per-sequence-GC module — "
+    "over deterministic 32-base sequences (md5-derived so both engines "
+    "agree byte-for-byte). The GC count is pure translate()/length() "
+    "arithmetic: JVM-side, codegen, zero UDFs (same technique as "
+    "quality_recode, reference SequencedFragment.java:229-268).",
+)
+def gc_content_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = reads_view(spark, sf_dir)
+    seq = F.translate(F.md5(F.col("qname")), "0123456789abcdef", "ACGTACGTACGTACGT")
+    gc = F.lit(32) - F.length(F.translate(seq, "GC", ""))
+    bucket = F.floor(gc * 10.0 / 32).cast("long")
+    return reads.select(gc.alias("_gc"), bucket.alias("gc_bucket")).groupBy(
+        "gc_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum("_gc").alias("sum_gc"),
+    )
