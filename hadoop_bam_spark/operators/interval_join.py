@@ -480,3 +480,68 @@ def interval_jaccard(
             "n_intersections",
         )
     )
+
+
+def interval_liftover(
+    df: DataFrame,
+    chain: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    chain_keys: Sequence[str] = (
+        "src_contig", "src_start", "src_stop", "dst_contig", "dst_start"
+    ),
+    bin_size: int = 16384,
+    min_match: float = 0.0,
+) -> DataFrame:
+    """Remap intervals to a new coordinate system through chain blocks —
+    the UCSC liftOver operation. Each input interval is clipped to every
+    chain block it overlaps and shifted by that block's source→dest
+    offset; an interval spanning several blocks splits into several
+    output rows, and an interval touching none is dropped (unmapped).
+
+    ``min_match`` is liftOver's -minMatch: inputs whose bases are covered
+    by chain blocks below this fraction are dropped entirely, and a
+    ``mapped_fraction`` column is emitted. Chain blocks must be disjoint
+    per source contig (true of real liftover chains); input rows must be
+    unique tuples.
+
+    Scale shape: ONE binned 16 kb-tile overlap join (the chain is usually
+    broadcastable, but the tile join also handles chain-larger-than-memory)
+    + pure column arithmetic; ``min_match > 0`` adds one window over the
+    input-row key to total the mapped bases (bounded by the row's block
+    pileup — the same unit as every interval op here).
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    sc, ss, se, dc, ds = chain_keys
+    ch = chain.select(
+        F.col(sc).alias("_sc"),
+        F.col(ss).cast("long").alias("_ss"),
+        F.col(se).cast("long").alias("_se"),
+        F.col(dc).alias("_dc"),
+        F.col(ds).cast("long").alias("_ds"),
+    )
+    hits = interval_join_binned(
+        df, ch, left_keys=keys, right_keys=("_sc", "_ss", "_se"),
+        bin_size=bin_size,
+    )
+    seg = hits.select(
+        *df.columns, "_dc", "_ds", "_ss",
+        F.greatest(F.col("_ss"), F.col(s).cast("long")).alias("_cs"),
+        F.least(F.col("_se"), F.col(e).cast("long")).alias("_ce"),
+    )
+    carry = [col for col in df.columns if col not in (c, s, e)]
+    out = [
+        *carry,
+        F.col("_dc").alias(c),
+        (F.col("_ds") + F.col("_cs") - F.col("_ss")).alias(s),
+        (F.col("_ds") + F.col("_ce") - F.col("_ss")).alias(e),
+    ]
+    if min_match > 0:
+        w = Window.partitionBy(*df.columns)
+        frac = F.sum(F.col("_ce") - F.col("_cs") + 1).over(w) / (
+            F.col(e).cast("long") - F.col(s).cast("long") + 1
+        )
+        seg = seg.withColumn("_frac", frac).filter(F.col("_frac") >= min_match)
+        out.append(F.col("_frac").alias("mapped_fraction"))
+    return seg.select(*out)

@@ -1018,3 +1018,226 @@ def gc_content_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_reads"),
         F.sum("_gc").alias("sum_gc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Genotype-matrix layer: callset concordance + trio Mendelian checks —
+# what a multi-sample VCF user (VariantContextCodec's genotype block,
+# VariantContextWithHeader.java) computes right after parsing. Genotype
+# codes: 0=hom-ref, 1=het, 2=hom-alt, 3=missing. The double-mod
+# (k*m % p) % q arithmetic is deliberately NON-linear in k mod q so the
+# derived samples decorrelate (a single linear map would make every
+# sample a function of the others).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "genotype_concordance",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderkey AS site_id,
+                   (o_orderkey * 13 % 101) % 4 AS gt_a
+            FROM orders
+        ), b AS (
+            SELECT o_orderkey AS site_id,
+                   (o_orderkey * 29 % 103) % 4 AS gt_b
+            FROM orders
+        )
+        SELECT gt_a, gt_b, count(*) AS n_sites
+        FROM a JOIN b USING (site_id)
+        GROUP BY gt_a, gt_b
+    """,
+    doc="bcftools gtcheck analog: the 4x4 genotype confusion matrix "
+    "(hom-ref/het/hom-alt/missing) between two callsets over the same "
+    "sites — one shuffle equi-join on the site key + a bounded-cardinality "
+    "aggregation (16 output groups, perfect partial agg). At 100 TB the "
+    "join partitions on site_id with no skew (sites are unique per "
+    "callset).",
+)
+def genotype_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("site_id"),
+        ((F.col("o_orderkey") * 13 % 101) % 4).cast("long").alias("gt_a"),
+    )
+    b = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("site_id"),
+        ((F.col("o_orderkey") * 29 % 103) % 4).cast("long").alias("gt_b"),
+    )
+    return (
+        a.join(b, on="site_id")
+        .groupBy("gt_a", "gt_b")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+    )
+
+
+@query(
+    "mendelian_violations",
+    oracle="""
+        WITH gts AS (
+            SELECT o_orderkey AS site_id, o_custkey % 4 AS contig_idx,
+                   'M' AS sample_id, (o_orderkey * 13 % 101) % 3 AS gt
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey % 4, 'F',
+                   (o_orderkey * 29 % 103) % 3
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey % 4, 'C',
+                   (o_orderkey * 31 % 107) % 3
+            FROM orders
+        ), trio AS (
+            SELECT site_id, min(contig_idx) AS contig_idx,
+                   max(CASE WHEN sample_id = 'M' THEN gt END) AS gt_m,
+                   max(CASE WHEN sample_id = 'F' THEN gt END) AS gt_f,
+                   max(CASE WHEN sample_id = 'C' THEN gt END) AS gt_c
+            FROM gts GROUP BY site_id
+        ), judged AS (
+            SELECT contig_idx,
+                   CASE WHEN gt_c
+                             < (CASE WHEN gt_m = 2 THEN 1 ELSE 0 END
+                                + CASE WHEN gt_f = 2 THEN 1 ELSE 0 END)
+                          OR gt_c
+                             > (CASE WHEN gt_m > 0 THEN 1 ELSE 0 END
+                                + CASE WHEN gt_f > 0 THEN 1 ELSE 0 END)
+                        THEN 1 ELSE 0 END AS viol
+            FROM trio
+        )
+        SELECT contig_idx, count(*) AS n_sites,
+               sum(viol)::BIGINT AS n_violations,
+               sum(viol) / (count(*) * 1.0) AS violation_rate
+        FROM judged GROUP BY contig_idx
+    """,
+    doc="Trio Mendelian-violation scan: the LONG genotype table (one row "
+    "per sample x site — the multi-sample VCF layout) pivots to wide "
+    "(gt_mother, gt_father, gt_child) via ONE groupBy(site) conditional "
+    "aggregation (no joins, no per-sample passes), then the transmission "
+    "rule — the child's alt-allele count must lie in "
+    "[#homalt parents, #carrier parents] — is pure arithmetic. Scale "
+    "shape: one shuffle on the unique site key; sample count widens the "
+    "aggregate, never the shuffle row count.",
+)
+def mendelian_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def sample(tag: str, mult: int, mod: int) -> DataFrame:
+        return o.select(
+            F.col("o_orderkey").alias("site_id"),
+            (F.col("o_custkey") % 4).cast("long").alias("contig_idx"),
+            F.lit(tag).alias("sample_id"),
+            ((F.col("o_orderkey") * mult % mod) % 3).cast("long").alias("gt"),
+        )
+
+    gts = sample("M", 13, 101).unionByName(sample("F", 29, 103)).unionByName(
+        sample("C", 31, 107)
+    )
+    pick = lambda t: F.max(F.when(F.col("sample_id") == t, F.col("gt")))  # noqa: E731
+    trio = gts.groupBy("site_id").agg(
+        F.min("contig_idx").alias("contig_idx"),
+        pick("M").alias("gt_m"),
+        pick("F").alias("gt_f"),
+        pick("C").alias("gt_c"),
+    )
+    homalt_parents = (
+        F.when(F.col("gt_m") == 2, 1).otherwise(0)
+        + F.when(F.col("gt_f") == 2, 1).otherwise(0)
+    )
+    carrier_parents = (
+        F.when(F.col("gt_m") > 0, 1).otherwise(0)
+        + F.when(F.col("gt_f") > 0, 1).otherwise(0)
+    )
+    viol = F.when(
+        (F.col("gt_c") < homalt_parents) | (F.col("gt_c") > carrier_parents), 1
+    ).otherwise(0)
+    return (
+        trio.select("contig_idx", viol.alias("viol"))
+        .groupBy("contig_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum("viol").alias("n_violations"),
+            (F.sum("viol") / (F.count(F.lit(1)) * 1.0)).alias("violation_rate"),
+        )
+    )
+
+
+# Chain blocks for the liftover gate: from nation, DISJOINT per contig by
+# construction (per-contig stride 100000 vs block length 20000), each
+# mapping to a renamed dst contig at a shifted origin.
+_CHAIN_CTE = """
+chain AS (
+    SELECT n_nationkey % 4 AS src_contig,
+           n_nationkey * 25000 + 1 AS src_start,
+           n_nationkey * 25000 + 20000 AS src_stop,
+           n_nationkey % 4 + 10 AS dst_contig,
+           7000000 + n_nationkey * 1000 AS dst_start
+    FROM nation
+)
+"""
+
+
+def _chain_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        (F.col("n_nationkey") % 4).cast("long").alias("src_contig"),
+        (F.col("n_nationkey") * 25000 + 1).cast("long").alias("src_start"),
+        (F.col("n_nationkey") * 25000 + 20000).cast("long").alias("src_stop"),
+        (F.col("n_nationkey") % 4 + 10).cast("long").alias("dst_contig"),
+        (F.lit(7000000) + F.col("n_nationkey") * 1000).cast("long").alias("dst_start"),
+    )
+
+
+@query(
+    "interval_liftover_reads",
+    oracle=f"""
+        WITH {READS_CTE}, {_DISTINCT_READS_CTE}, {_CHAIN_CTE.lstrip()},
+        pairs AS (
+            SELECT r.qname, r.ref_idx, r.pos, r.stop, c.dst_contig,
+                   c.dst_start + greatest(c.src_start, r.pos) - c.src_start
+                       AS lift_start,
+                   c.dst_start + least(c.src_stop, r.stop) - c.src_start
+                       AS lift_stop,
+                   least(c.src_stop, r.stop) - greatest(c.src_start, r.pos)
+                       + 1 AS mapped
+            FROM dreads r JOIN chain c
+              ON r.ref_idx = c.src_contig
+             AND r.pos <= c.src_stop AND c.src_start <= r.stop
+        ),
+        per AS (
+            SELECT qname, ref_idx,
+                   sum(mapped) / (max(stop) - max(pos) + 1.0) AS frac
+            FROM pairs GROUP BY qname, ref_idx
+        )
+        SELECT p.dst_contig, count(*) AS n_segments,
+               sum(p.lift_stop - p.lift_start + 1)::BIGINT AS lifted_bases,
+               count(DISTINCT p.qname) AS n_reads,
+               min(p.lift_start)::BIGINT AS min_pos,
+               max(p.lift_stop)::BIGINT AS max_pos
+        FROM pairs p JOIN per
+          ON p.qname = per.qname AND p.ref_idx = per.ref_idx
+        WHERE per.frac >= 0.5
+        GROUP BY p.dst_contig
+    """,
+    doc="UCSC liftOver as a distributed operator (interval_liftover): reads "
+    "remap through disjoint chain blocks — clip to block, shift by the "
+    "block's source→dest offset, split on block boundaries, drop inputs "
+    "below minMatch=0.5 mapped fraction. Plan: ONE binned tile join + one "
+    "window totalling mapped bases per input row; the oracle recomputes "
+    "the same remap relationally (join + clip arithmetic + a per-read "
+    "fraction subquery) without the tile decomposition.",
+)
+def interval_liftover_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_liftover
+
+    reads = _mapped_reads(spark, sf_dir)
+    lifted = interval_liftover(
+        reads, _chain_view(spark, sf_dir),
+        keys=("ref_idx", "pos", "stop"),
+        min_match=0.5,
+    )
+    return lifted.groupBy(F.col("ref_idx").alias("dst_contig")).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("stop") - F.col("pos") + 1).alias("lifted_bases"),
+        F.count_distinct("qname").alias("n_reads"),
+        F.min("pos").alias("min_pos"),
+        F.max("stop").alias("max_pos"),
+    )

@@ -183,3 +183,60 @@ def test_edge_shapes(spark):
     assert cov["u"]["n_overlaps"] == 0 and cov["u"]["covered_bases"] == 0
     dist = {r["name"]: r["closest_dist"] for r in interval_closest(ldf, rdf).collect()}
     assert dist == {"a": 0, "b": 0, "u": 50}  # 100 - 50 = 50
+
+
+@pytest.mark.parametrize("bin_size", [16384, 256])
+def test_liftover_matches_per_base(spark, frames, bin_size):
+    from hadoop_bam_spark.operators.interval_join import interval_liftover
+
+    left, _, ldf, _ = frames
+    # Disjoint chain blocks per contig: [1+600k, 500+600k] stride 700.
+    chain = [
+        (c, k * 700 + 1, k * 700 + 500, f"{c}_new", 1_000_000 + k * 10_000)
+        for c in CONTIGS
+        for k in range(5)
+    ]
+    cdf = spark.createDataFrame(
+        chain,
+        "src_contig string, src_start long, src_stop long, "
+        "dst_contig string, dst_start long",
+    )
+    by_c = {}
+    for sc, ss, se, dc, ds in chain:
+        by_c.setdefault(sc, []).append((ss, se, dc, ds))
+
+    def brute(min_match):
+        segs, fracs = {}, {}
+        for c, s, e, name in left:
+            mapped = []
+            for ss, se, dc, ds in by_c.get(c, []):
+                cs, ce = max(ss, s), min(se, e)
+                if cs <= ce:
+                    mapped.append((dc, ds + cs - ss, ds + ce - ss, ce - cs + 1))
+            tot = sum(m[3] for m in mapped)
+            fr = tot / (e - s + 1)
+            if fr >= min_match and mapped:
+                segs[name] = sorted((d, a, b) for d, a, b, _ in mapped)
+                fracs[name] = fr
+        return segs, fracs
+
+    for min_match in (0.0, 0.5):
+        res = interval_liftover(
+            ldf, cdf, bin_size=bin_size, min_match=min_match
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r["name"], []).append(
+                (r["contig"], r["start"], r["stop"])
+            )
+            if min_match > 0:
+                assert 0 < r["mapped_fraction"] <= 1.0
+        want, fracs = brute(min_match)
+        assert {k: sorted(v) for k, v in got.items()} == want, f"min_match={min_match}"
+        if min_match > 0:
+            fr_got = {
+                r["name"]: r["mapped_fraction"]
+                for r in res
+            }
+            for k, v in fracs.items():
+                assert fr_got[k] == pytest.approx(v)
