@@ -1241,3 +1241,135 @@ def interval_liftover_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("min_pos"),
         F.max("stop").alias("max_pos"),
     )
+
+
+@query(
+    "pileup_depth_histogram",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        {_MERGED_REGIONS_CTE.lstrip()},
+        pairs AS (
+            SELECT r.ref_idx,
+                   greatest(m.m_start, r.pos) AS cs,
+                   least(m.m_stop, r.stop) AS ce
+            FROM dreads r JOIN mregions m
+              ON r.ref_idx = m.contig_idx
+             AND r.pos <= m.m_stop AND m.m_start <= r.stop
+        ),
+        bases AS (
+            SELECT ref_idx, unnest(generate_series(cs, ce)) AS p
+            FROM pairs
+        ),
+        depths AS (
+            SELECT ref_idx, p, count(*) AS depth
+            FROM bases GROUP BY ref_idx, p
+        )
+        SELECT ref_idx, depth, count(*) AS n_positions
+        FROM depths GROUP BY ref_idx, depth
+    """,
+    doc="samtools depth over target regions: per-base pileup depth inside "
+    "the (merged) region set, reported as a per-contig depth histogram. "
+    "Plan: binned tile join reads×merged-regions, explode each clipped "
+    "read to its covered positions (output bounded by region "
+    "bases × depth — the operator's inherent output, restricted to "
+    "targets exactly so 100 TB of reads never explodes genome-wide), "
+    "count per position, histogram per contig. Both aggregations "
+    "partition on high-cardinality (contig, pos) — AQE-splittable, "
+    "pileup-bounded skew only.",
+)
+def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import (
+        interval_join_binned as _ijb,
+        interval_merge,
+    )
+
+    reads = _mapped_reads(spark, sf_dir)
+    mr = interval_merge(
+        regions_view(spark, sf_dir),
+        keys=("contig_idx", "r_start", "r_stop"),
+    ).select("contig_idx", "r_start", "r_stop")
+    hits = _ijb(
+        reads, mr,
+        left_keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+    )
+    depths = (
+        hits.select(
+            "ref_idx",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("r_start"), F.col("pos")),
+                    F.least(F.col("r_stop"), F.col("stop")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("ref_idx", "p")
+        .agg(F.count(F.lit(1)).alias("depth"))
+    )
+    return depths.groupBy("ref_idx", "depth").agg(
+        F.count(F.lit(1)).alias("n_positions")
+    )
+
+
+@query(
+    "coverage_outlier_bins",
+    oracle=f"""
+        WITH {READS_CTE}, {_DISTINCT_READS_CTE},
+        binned AS (
+            SELECT r.ref_idx,
+                   unnest(generate_series((r.pos - 1) // 1000,
+                                          (r.stop - 1) // 1000)) AS bin
+            FROM dreads r
+        ),
+        depths AS (
+            SELECT ref_idx, bin, count(*) AS depth
+            FROM binned GROUP BY ref_idx, bin
+        ),
+        med AS (
+            SELECT ref_idx, quantile_cont(depth, 0.5) AS median_depth
+            FROM depths GROUP BY ref_idx
+        )
+        SELECT d.ref_idx, count(*) AS n_bins,
+               min(m.median_depth) AS median_depth,
+               sum(CASE WHEN d.depth > 2 * m.median_depth
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outlier_bins,
+               max(d.depth)::BIGINT AS max_depth
+        FROM depths d JOIN med m USING (ref_idx)
+        GROUP BY d.ref_idx
+    """,
+    doc="Median-normalized coverage outlier screen (the first pass of any "
+    "CNV/amplification caller): reads explode to 1 kb bins (the "
+    "coverage_histogram shape), per-contig exact median bin depth, flag "
+    "bins above 2× median. The per-contig medians are a 4-row aggregate "
+    "broadcast back onto the bin table — no window over all bins, no "
+    "second shuffle of the depth table. At 100 TB swap the exact "
+    "percentile for percentile_approx (mergeable sketch); the exact form "
+    "stays oracle-checkable (Spark percentile == DuckDB quantile_cont).",
+)
+def coverage_outlier_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = _mapped_reads(spark, sf_dir)
+    depths = (
+        reads.select(
+            "ref_idx",
+            F.explode(
+                F.sequence(
+                    ((F.col("pos") - 1) / 1000).cast("long"),
+                    ((F.col("stop") - 1) / 1000).cast("long"),
+                )
+            ).alias("bin"),
+        )
+        .groupBy("ref_idx", "bin")
+        .agg(F.count(F.lit(1)).alias("depth"))
+    )
+    med = depths.groupBy("ref_idx").agg(
+        F.percentile("depth", F.lit(0.5)).alias("median_depth")
+    )
+    joined = depths.join(F.broadcast(med), on="ref_idx")
+    return joined.groupBy("ref_idx").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.min("median_depth").alias("median_depth"),
+        F.sum(
+            F.when(F.col("depth") > 2 * F.col("median_depth"), 1).otherwise(0)
+        ).alias("n_outlier_bins"),
+        F.max("depth").alias("max_depth"),
+    )
