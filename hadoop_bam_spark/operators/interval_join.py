@@ -491,6 +491,7 @@ def interval_liftover(
     ),
     bin_size: int = 16384,
     min_match: float = 0.0,
+    strand_col: str | None = None,
 ) -> DataFrame:
     """Remap intervals to a new coordinate system through chain blocks —
     the UCSC liftOver operation. Each input interval is clipped to every
@@ -504,6 +505,12 @@ def interval_liftover(
     per source contig (true of real liftover chains); input rows must be
     unique tuples.
 
+    ``strand_col`` names an optional chain column holding '+'/'-' (the
+    UCSC qStrand, formats/chain.py): positions inside a '-' block MIRROR
+    around the block (``dst_start`` is always the plus-strand low
+    coordinate), and the column is carried into the output as
+    ``dst_strand``.
+
     Scale shape: ONE binned 16 kb-tile overlap join (the chain is usually
     broadcastable, but the tile join also handles chain-larger-than-memory)
     + pure column arithmetic; ``min_match > 0`` adds one window over the
@@ -514,29 +521,46 @@ def interval_liftover(
 
     c, s, e = keys
     sc, ss, se, dc, ds = chain_keys
-    ch = chain.select(
+    ch_cols = [
         F.col(sc).alias("_sc"),
         F.col(ss).cast("long").alias("_ss"),
         F.col(se).cast("long").alias("_se"),
         F.col(dc).alias("_dc"),
         F.col(ds).cast("long").alias("_ds"),
-    )
+    ]
+    if strand_col is not None:
+        ch_cols.append(F.col(strand_col).alias("_strand"))
+    ch = chain.select(*ch_cols)
     hits = interval_join_binned(
         df, ch, left_keys=keys, right_keys=("_sc", "_ss", "_se"),
         bin_size=bin_size,
     )
+    seg_extra = ["_se", "_strand"] if strand_col is not None else []
     seg = hits.select(
-        *df.columns, "_dc", "_ds", "_ss",
+        *df.columns, "_dc", "_ds", "_ss", *seg_extra,
         F.greatest(F.col("_ss"), F.col(s).cast("long")).alias("_cs"),
         F.least(F.col("_se"), F.col(e).cast("long")).alias("_ce"),
     )
+    if strand_col is None:
+        lift_s = F.col("_ds") + F.col("_cs") - F.col("_ss")
+        lift_e = F.col("_ds") + F.col("_ce") - F.col("_ss")
+    else:
+        p_hi = F.col("_ds") + (F.col("_se") - F.col("_ss"))
+        lift_s = F.when(
+            F.col("_strand") == "+", F.col("_ds") + F.col("_cs") - F.col("_ss")
+        ).otherwise(p_hi - (F.col("_ce") - F.col("_ss")))
+        lift_e = F.when(
+            F.col("_strand") == "+", F.col("_ds") + F.col("_ce") - F.col("_ss")
+        ).otherwise(p_hi - (F.col("_cs") - F.col("_ss")))
     carry = [col for col in df.columns if col not in (c, s, e)]
     out = [
         *carry,
         F.col("_dc").alias(c),
-        (F.col("_ds") + F.col("_cs") - F.col("_ss")).alias(s),
-        (F.col("_ds") + F.col("_ce") - F.col("_ss")).alias(e),
+        lift_s.alias(s),
+        lift_e.alias(e),
     ]
+    if strand_col is not None:
+        out.append(F.col("_strand").alias("dst_strand"))
     if min_match > 0:
         w = Window.partitionBy(*df.columns)
         frac = F.sum(F.col("_ce") - F.col("_cs") + 1).over(w) / (

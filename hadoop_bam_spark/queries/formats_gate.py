@@ -1393,3 +1393,108 @@ def bed_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_merged").alias("max_cluster"),
         F.sum("n_merged").alias("n_input"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UCSC chain file roundtrip + strand-aware liftover (formats/chain.py,
+# operators/interval_join.py interval_liftover). The oracle derives the
+# block geometry straight from nation arithmetic — never from the file —
+# so a parse/format bug anywhere in the chain codec fails the hash.
+# ---------------------------------------------------------------------------
+
+@query(
+    "chain_liftover_roundtrip",
+    oracle=f"""
+        WITH {READS_CTE},
+        dreads AS (
+            SELECT DISTINCT qname, ref_idx, pos, stop
+            FROM reads WHERE flag & 4 = 0
+        ),
+        blocks AS (
+            SELECT 'chr' || (n_nationkey % 4)::VARCHAR AS src_contig,
+                   n_nationkey * 25000 + 1 AS ss,
+                   n_nationkey * 25000 + 20000 AS se,
+                   'chr' || (n_nationkey % 4)::VARCHAR || '_new'
+                       AS dst_contig,
+                   7000000 + n_nationkey * 1000 + 1 AS ds,
+                   CASE WHEN n_nationkey % 2 = 0 THEN '+' ELSE '-' END
+                       AS strand
+            FROM nation
+        ),
+        pairs AS (
+            SELECT b.dst_contig, b.strand, r.qname,
+                   CASE WHEN b.strand = '+'
+                        THEN b.ds + greatest(b.ss, r.pos) - b.ss
+                        ELSE b.ds + (b.se - b.ss)
+                             - (least(b.se, r.stop) - b.ss) END AS lo,
+                   CASE WHEN b.strand = '+'
+                        THEN b.ds + least(b.se, r.stop) - b.ss
+                        ELSE b.ds + (b.se - b.ss)
+                             - (greatest(b.ss, r.pos) - b.ss) END AS hi
+            FROM dreads r JOIN blocks b
+              ON 'chr' || r.ref_idx::VARCHAR = b.src_contig
+             AND r.pos <= b.se AND b.ss <= r.stop
+        )
+        SELECT dst_contig, strand AS dst_strand,
+               count(*) AS n_segments,
+               sum(hi - lo + 1)::BIGINT AS lifted_bases,
+               count(DISTINCT qname) AS n_reads,
+               min(lo)::BIGINT AS min_pos,
+               max(hi)::BIGINT AS max_pos
+        FROM pairs GROUP BY dst_contig, strand
+    """,
+    doc="UCSC chain-file roundtrip feeding liftOver: derive mixed-strand "
+    "chain blocks, WRITE a real .chain file (format_chain), parse it back "
+    "(read_chain — 0-based half-open strand-relative header coords → the "
+    "engine's 1-based closed plus-strand blocks), then remap every read "
+    "through interval_liftover with minus-strand positions MIRRORING "
+    "inside their block. The oracle rebuilds the geometry from nation "
+    "arithmetic without touching the file, so the whole "
+    "format→parse→join→mirror pipeline is hash-checked.",
+)
+def chain_liftover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.formats.chain import format_chain, read_chain
+    from hadoop_bam_spark.operators.interval_join import interval_liftover
+
+    def build(d: str) -> None:
+        keys = sorted(
+            r[0]
+            for r in spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+            .select("n_nationkey")
+            .collect()
+        )
+        blocks = [
+            (
+                f"chr{k % 4}", k * 25000 + 1, k * 25000 + 20000,
+                f"chr{k % 4}_new", 7000000 + k * 1000 + 1,
+                "+" if k % 2 == 0 else "-", k, 100 + k,
+            )
+            for k in keys
+        ]
+        with open(os.path.join(d, "gate.chain"), "w") as fh:
+            fh.write(format_chain(blocks, t_size=2_000_000, q_size=9_000_000))
+
+    d = _artifact(sf_dir, "chain", build)
+    chain = read_chain(spark, os.path.join(d, "gate.chain"))
+    reads = (
+        reads_view(spark, sf_dir)
+        .filter(F.col("flag").bitwiseAND(4) == 0)
+        .select("qname", "ref_idx", "pos", "stop")
+        .distinct()
+        .select(
+            F.concat(F.lit("chr"), F.col("ref_idx").cast("string")).alias("contig"),
+            "pos", "stop", "qname",
+        )
+    )
+    lifted = interval_liftover(
+        reads, chain, keys=("contig", "pos", "stop"), strand_col="dst_strand"
+    )
+    return lifted.groupBy(
+        F.col("contig").alias("dst_contig"), "dst_strand"
+    ).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("stop") - F.col("pos") + 1).alias("lifted_bases"),
+        F.count_distinct("qname").alias("n_reads"),
+        F.min("pos").alias("min_pos"),
+        F.max("stop").alias("max_pos"),
+    )
