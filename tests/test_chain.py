@@ -130,3 +130,58 @@ def test_liftover_strand_aware_brute(spark, tmp_path):
     # the minus strand -> dst HIGH end); m2 covers 320..340 -> dst low end.
     assert got["m1"] == [("chrB", 966, 970, "-")]
     assert got["m2"] == [("chrB", 931, 951, "-")]
+
+
+# ---------------------------------------------------------------------------
+# Generative properties: arbitrary well-formed block lists survive
+# format_chain -> parse_chain exactly (both strands, any geometry), and the
+# mirror transform is its own inverse.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name = st.sampled_from(["chr1", "chr2", "chrX", "scaffold_9"])
+
+
+@st.composite
+def chain_blocks(draw):
+    n = draw(st.integers(1, 8))
+    out = []
+    for i in range(n):
+        ss = draw(st.integers(1, 10**6))
+        size = draw(st.integers(1, 10**5))
+        ds = draw(st.integers(1, 10**6))
+        out.append((
+            draw(_name), ss, ss + size - 1,
+            draw(_name) + "_q", ds,
+            draw(st.sampled_from("+-")),
+            i + 1,
+            draw(st.integers(0, 10**9)),
+        ))
+    return out
+
+
+@given(chain_blocks())
+@settings(max_examples=200, deadline=None)
+def test_property_format_parse_roundtrip(blocks):
+    t_size = q_size = 1 << 40
+    back = parse_chain(format_chain(blocks, t_size=t_size, q_size=q_size))
+    assert back == blocks
+
+
+@given(st.integers(1, 10**6), st.integers(1, 10**4), st.integers(1, 10**6),
+       st.integers(0, 10**4))
+@settings(max_examples=200, deadline=None)
+def test_property_minus_mirror_involution(ss, size, ds, off):
+    """Mapping a position into a '-' block and back returns the original:
+    the mirror p -> p_hi - (p - ss) is an involution on the block."""
+    se = ss + size - 1
+    pos = ss + (off % size)
+    p_hi = ds + (se - ss)
+    lifted = p_hi - (pos - ss)
+    # inverse: treat the lifted coordinate as a src position of the
+    # REVERSE block (dst->src uses the same mirror)
+    back = se - (lifted - ds)
+    assert back == pos
+    assert ds <= lifted <= p_hi
