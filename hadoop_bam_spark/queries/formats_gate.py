@@ -1498,3 +1498,182 @@ def chain_liftover_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("min_pos"),
         F.max("stop").alias("max_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bedGraph — the numeric coverage-track binding of the tabix text stack
+# (formats/bedgraph.py). Values are quarter-steps (k/4): exact binary
+# fractions, so double sums are order-independent and hash-stable across
+# engines.
+# ---------------------------------------------------------------------------
+
+_BEDGRAPH_ORACLE_CTE = """
+    WITH g AS (
+        SELECT 'chr' || ((l_orderkey % 4) + 1)::VARCHAR AS contig,
+               ((l_orderkey * 37 + l_linenumber * 101) % 1000000 + 1)::BIGINT
+                   AS start,
+               ((l_orderkey * 37 + l_linenumber * 101) % 1000000
+                   + l_quantity::INT + 1)::BIGINT AS "end",
+               ((l_linenumber * 137) % 1001) / 4.0 AS value
+        FROM lineitem
+    )
+"""
+
+_BEDGRAPH_ORACLE = _BEDGRAPH_ORACLE_CTE + """
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end, sum(value) AS sum_value,
+           max(value) AS max_value
+    FROM g GROUP BY contig
+"""
+
+
+def _bedgraph_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    start = (F.col("l_orderkey") * 37 + F.col("l_linenumber") * 101) % 1000000 + 1
+    return li.select(
+        F.concat(F.lit("chr"), ((F.col("l_orderkey") % 4) + 1).cast("string"))
+        .alias("contig"),
+        start.cast("long").alias("start"),
+        (start + F.col("l_quantity").cast("int")).cast("long").alias("end"),
+        (((F.col("l_linenumber") * 137) % 1001) / 4.0).alias("value"),
+    )
+
+
+def _bedgraph_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.sum("end").alias("sum_end"),
+        F.sum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "bedgraph_file_roundtrip",
+    oracle=_BEDGRAPH_ORACLE,
+    doc="End-to-end bedGraph I/O: derive a coverage track, write "
+    "coordinate-sorted BGZF .bedgraph.bgz with an executor-accumulated "
+    ".tbi via the bedgraph sink, read back with block-aligned splits "
+    "(0-based half-open converts on the rim; whole values render "
+    "without a decimal point and reparse exactly), aggregate per "
+    "contig including the float value sums.",
+)
+def bedgraph_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bedgraph", lambda d: sinks.write_bedgraph(
+        _bedgraph_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "g.bedgraph.bgz"), index_tbi=True))
+    back = spark.read.format("bedgraph").option("split_size", "65536").load(
+        os.path.join(d, "g.bedgraph.bgz"))
+    return _bedgraph_agg(back)
+
+
+@query(
+    "bedgraph_interval_pushdown",
+    oracle=_BEDGRAPH_ORACLE_CTE + """
+    SELECT contig, count(*) AS n, sum(start)::BIGINT AS sum_start,
+           sum("end")::BIGINT AS sum_end, sum(value) AS sum_value,
+           max(value) AS max_value
+    FROM g
+    WHERE contig = 'chr3' AND start <= 300000 AND 150000 <= "end"
+    GROUP BY contig
+    """,
+    doc="Tabix split pruning on bedGraph: option('intervals', "
+    "'chr3:150000-300000') drops BGZF splits whose block range cannot "
+    "overlap per the .tbi chunk spans; the per-row residual keeps "
+    "semantics exact (reference tabix filtering, "
+    "VCFInputFormat.java:388-472, format-agnostic).",
+)
+def bedgraph_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    d = _artifact(sf_dir, "bedgraph", lambda d: sinks.write_bedgraph(
+        _bedgraph_df(spark, sf_dir).orderBy("contig", "start"),
+        os.path.join(d, "g.bedgraph.bgz"), index_tbi=True))
+    back = (
+        spark.read.format("bedgraph")
+        .option("split_size", "65536")
+        .option("intervals", "chr3:150000-300000")
+        .load(os.path.join(d, "g.bedgraph.bgz"))
+    )
+    return _bedgraph_agg(back)
+
+
+@query(
+    "coverage_track_roundtrip",
+    oracle=f"""
+        WITH {READS_CTE},
+        bins AS (
+            SELECT 'chr' || (ref_idx + 1)::VARCHAR AS contig,
+                   unnest(generate_series((pos - 1) // 1000,
+                                          (stop - 1) // 1000)) AS bin
+            FROM reads WHERE flag & 4 = 0
+        ),
+        depths AS (
+            SELECT contig, bin, count(*) AS depth
+            FROM bins GROUP BY contig, bin
+        )
+        SELECT contig, count(*) AS n_bins,
+               sum(depth)::DOUBLE AS sum_depth,
+               max(depth)::DOUBLE AS max_depth,
+               min(bin * 1000 + 1)::BIGINT AS first_start,
+               max(bin * 1000 + 1000)::BIGINT AS last_end
+        FROM depths GROUP BY contig
+    """,
+    doc="The engine consumes its own analysis output: per-1kb read depth "
+    "(the coverage_histogram shape) becomes a bedGraph coverage track — "
+    "written through the bedgraph sink as BGZF + .tbi, read back through "
+    "the bedgraph source — and the aggregate is checked against depths "
+    "derived directly from the reads. Exercises analysis → track sink → "
+    "splittable re-scan as one pipeline, the genome-browser handoff "
+    "every coverage tool supports.",
+)
+def coverage_track_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d: str) -> None:
+        reads = reads_view(spark, sf_dir).filter(
+            F.col("flag").bitwiseAND(4) == 0)
+        depths = (
+            reads.select(
+                F.concat(F.lit("chr"), (F.col("ref_idx") + 1).cast("string"))
+                .alias("contig"),
+                F.explode(
+                    F.sequence(
+                        ((F.col("pos") - 1) / 1000).cast("long"),
+                        ((F.col("stop") - 1) / 1000).cast("long"),
+                    )
+                ).alias("bin"),
+            )
+            .groupBy("contig", "bin")
+            .agg(F.count(F.lit(1)).alias("depth"))
+            .select(
+                "contig",
+                (F.col("bin") * 1000 + 1).alias("start"),
+                (F.col("bin") * 1000 + 1000).alias("end"),
+                F.col("depth").cast("double").alias("value"),
+            )
+        )
+        sinks.write_bedgraph(
+            depths.orderBy("contig", "start"),
+            os.path.join(d, "cov.bedgraph.bgz"), index_tbi=True)
+
+    d = _artifact(sf_dir, "covtrack", build)
+    back = spark.read.format("bedgraph").option("split_size", "65536").load(
+        os.path.join(d, "cov.bedgraph.bgz"))
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("value").alias("sum_depth"),
+        F.max("value").alias("max_depth"),
+        F.min("start").alias("first_start"),
+        F.max("end").alias("last_end"),
+    )

@@ -1373,3 +1373,43 @@ def coverage_outlier_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_outlier_bins"),
         F.max("depth").alias("max_depth"),
     )
+
+
+@query(
+    "kmer_topk",
+    oracle=f"""
+        WITH {READS_CTE},
+        seqs AS (
+            SELECT translate(md5(qname), '0123456789abcdef',
+                             'ACGTACGTACGTACGT') AS seq
+            FROM reads
+        ),
+        kmers AS (
+            SELECT substr(seq, i, 6) AS kmer
+            FROM seqs, generate_series(1, 27) AS t(i)
+        )
+        SELECT kmer, count(*) AS n
+        FROM kmers GROUP BY kmer
+        ORDER BY n DESC, kmer ASC LIMIT 25
+    """,
+    doc="FastQC-style overrepresented k-mer scan: slide a 6-mer window "
+    "over every read sequence (explode via sequence()+substring — JVM "
+    "expressions, no UDF), count, global top-25 by TakeOrderedAndProject "
+    "(no full sort). Scale shape: the k-mer space is bounded (4^6), so "
+    "the count aggregation is map-side-combinable into at most 4096 "
+    "groups per partition regardless of corpus size — the "
+    "token_heavy_hitters shape with a hard cardinality cap.",
+)
+def kmer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = reads_view(spark, sf_dir)
+    seq = F.translate(F.md5(F.col("qname")), "0123456789abcdef", "ACGTACGTACGTACGT")
+    # explode over a fixed 1..27 index array keeps it one generator node
+    return (
+        reads.select(seq.alias("_seq"))
+        .select(F.explode(F.sequence(F.lit(1), F.lit(27))).alias("_i"), "_seq")
+        .select(F.expr("substring(_seq, _i, 6)").alias("kmer"))
+        .groupBy("kmer")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("kmer"))
+        .limit(25)
+    )

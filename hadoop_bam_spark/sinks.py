@@ -1466,3 +1466,120 @@ def write_parquet_reads(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+BEDGRAPH_COLS = ["contig", "start", "end", "value"]
+
+
+def write_bedgraph(
+    df: DataFrame, path: str, compress: bool | None = None,
+    index_tbi: bool = False, sharded: bool = False,
+) -> None:
+    """Write a BEDGRAPH_SCHEMA DataFrame as bedGraph text (.bedgraph or
+    BGZF .bedgraph.bgz — default by extension), converting the engine's
+    1-based inclusive intervals back to 0-based half-open on the rim
+    (formats/bedgraph.py). ``index_tbi=True`` (BGZF only) builds a
+    ``.tbi`` with the BED tabix preset (0-based flag, columns 1/2/3)
+    from executor-accumulated stats; ``sharded=True`` writes a directory
+    of standalone shards — same shapes as ``write_bed``."""
+    from hadoop_bam_spark.formats.bedgraph import format_bedgraph_line
+
+    if sharded and compress is None:
+        compress = True
+    if compress is None:
+        compress = path.endswith((".gz", ".bgz"))
+    if index_tbi and not compress:
+        raise ValueError("tabix index requires BGZF-compressed output")
+    if index_tbi:
+        _write_bedgraph_indexed(df, path, sharded)
+        return
+
+    def line(r):
+        return format_bedgraph_line(tuple(r))
+
+    _write_text_parts(df, BEDGRAPH_COLS, path, path + ".__parts__", "", line,
+                      compress,
+                      shard_ext=(".bedgraph.bgz" if compress else ".bedgraph")
+                      if sharded else None)
+
+
+def _write_bedgraph_indexed(df: DataFrame, path: str, sharded: bool) -> None:
+    """BGZF bedGraph write with executor-accumulated tabix stats (the
+    BED preset: generic format, 0-based half-open, cols 1/2/3)."""
+    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    from hadoop_bam_spark.formats.bedgraph import format_bedgraph_line
+    from hadoop_bam_spark.formats.tabix import (
+        FMT_ZERO_BASED,
+        TabixIndex,
+        write_tabix,
+    )
+
+    parts_dir = path + ".__parts__"
+
+    def _tbi(names, merged):
+        return TabixIndex(
+            names, [merged[n] for n in names], FMT_ZERO_BASED,
+            1, 2, 3, ord("#"), 0, 0,
+        )
+
+    def _add(stats, r, at, end_v):
+        beg0 = int(r[1]) - 1
+        end0 = max(int(r[2]), beg0 + 1)
+        stats.add(r[0], beg0, end0, True, at, end_v)
+
+    if sharded:
+        def write_part(idx: int, rows):
+            part_path = fs.join(parts_dir, f"part-{idx:05d}.bedgraph.bgz")
+            stats = PartIndexStats()
+            nrec = 0
+            with fs.open_file(part_path, "wb") as f:
+                w = bgzf.BGZFWriter(f, write_terminator=True)
+                for r in rows:
+                    at = w.tell_voffset()
+                    w.write((format_bedgraph_line(tuple(r)) + "\n").encode())
+                    _add(stats, r, at, w.tell_voffset())
+                    nrec += 1
+                w.close()
+            size = fs.file_size(part_path)
+            names = list(stats.order)
+            merged = merge_part_stats([(stats, size)], 0, names)
+            merged.pop("__n_no_coor__")
+            write_tabix(_tbi(names, merged), part_path + ".tbi")
+            return (idx, part_path, nrec)
+
+        parts = _collect_parts(df, BEDGRAPH_COLS, parts_dir, write_part)
+        _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
+                       records=[n for _, _, n in parts], fmt="bedgraph")
+        return
+
+    def write_part(idx: int, rows):
+        part_path = fs.join(parts_dir, f"part-{idx:05d}")
+        stats = PartIndexStats()
+        with fs.open_file(part_path, "wb") as f:
+            w = bgzf.BGZFWriter(f, write_terminator=False)
+            for r in rows:
+                at = w.tell_voffset()
+                w.write((format_bedgraph_line(tuple(r)) + "\n").encode())
+                _add(stats, r, at, w.tell_voffset())
+            w.close()
+        return (idx, part_path, fs.file_size(part_path), stats)
+
+    parts = _collect_parts(df, BEDGRAPH_COLS, parts_dir, write_part)
+    with fs.open_file(path, "wb") as out:
+        for _, part_path, _, _ in parts:
+            with fs.open_file(part_path, "rb") as f:
+                shutil.copyfileobj(f, out)
+        out.write(bgzf.BGZF_EOF)
+    fs.remove_tree(parts_dir)
+    names: list[str] = []
+    seen = set()
+    for _, _, _, st in parts:
+        for k in st.order:
+            if k not in seen:
+                seen.add(k)
+                names.append(k)
+    merged = merge_part_stats(
+        [(st, size) for _, _, size, st in parts], 0, names
+    )
+    merged.pop("__n_no_coor__")
+    write_tabix(_tbi(names, merged), path + ".tbi")

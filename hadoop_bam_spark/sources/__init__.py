@@ -32,6 +32,7 @@ def register_all(spark: SparkSession) -> None:
     from hadoop_bam_spark.sources.qseq_source import QseqDataSource
     from hadoop_bam_spark.sources.fasta_source import FastaDataSource
     from hadoop_bam_spark.sources.bed_source import BEDDataSource
+    from hadoop_bam_spark.sources.bedgraph_source import BedGraphDataSource
     from hadoop_bam_spark.sources.gff_source import GFFDataSource
 
     for ds in (
@@ -45,6 +46,7 @@ def register_all(spark: SparkSession) -> None:
         QseqDataSource,
         FastaDataSource,
         BEDDataSource,
+        BedGraphDataSource,
         GFFDataSource,
     ):
         spark.dataSource.register(ds)
