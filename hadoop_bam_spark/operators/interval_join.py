@@ -569,3 +569,129 @@ def interval_liftover(
         seg = seg.withColumn("_frac", frac).filter(F.col("_frac") >= min_match)
         out.append(F.col("_frac").alias("mapped_fraction"))
     return seg.select(*out)
+
+
+def interval_multiinter(
+    sets: "dict[str, DataFrame]",
+    keys: Sequence[str] = ("contig", "start", "stop"),
+) -> DataFrame:
+    """Partition the genome by WHICH input sets cover it — bedtools
+    multiinter. Given named interval sets, returns one row per maximal
+    segment with a constant covering combination:
+    ``(contig, start, stop, n_sets, set_list)`` where ``set_list`` is the
+    sorted comma-joined names of the sets covering that segment
+    (segments covered by none are not emitted).
+
+    Scale shape: the classic event-point sweep as ONE union + ONE
+    per-contig window pass — every interval becomes a +1 event at
+    ``start`` and a -1 event at ``stop + 1`` PER SET; a running sum per
+    set (conditional sums over one ordered window, no per-set passes)
+    gives the coverage state at each boundary, and each segment spans
+    boundary-to-next-boundary. Input sets are first flattened per contig
+    with :func:`interval_merge` so within-set overlaps cannot
+    double-count (per-set windows, same partitioning). Never all-pairs;
+    the per-contig ordering is the operation's inherent sequential unit,
+    and output size is bounded by 2x the total merged-interval count.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not sets:
+        raise ValueError("interval_multiinter needs at least one set")
+    c, s, e = keys
+    names = sorted(sets)
+    events = []
+    for name in names:
+        m = interval_merge(sets[name], keys=keys)
+        events.append(
+            m.select(
+                F.col(c).alias("_c"),
+                F.col(s).cast("long").alias("_pos"),
+                F.lit(name).alias("_set"),
+                F.lit(1).alias("_delta"),
+            ).unionByName(
+                m.select(
+                    F.col(c).alias("_c"),
+                    (F.col(e).cast("long") + 1).alias("_pos"),
+                    F.lit(name).alias("_set"),
+                    F.lit(-1).alias("_delta"),
+                )
+            )
+        )
+    ev = reduce(lambda a, b: a.unionByName(b), events)
+    # RANGE frame: every row at a boundary position carries the state AFTER
+    # all events at that position (ties need no ordering), so the
+    # per-position dedup below is a plain aggregate of identical values.
+    w = (
+        Window.partitionBy("_c")
+        .orderBy("_pos")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    state = ev.select(
+        "_c", "_pos",
+        *[
+            F.sum(
+                F.when(F.col("_set") == n, F.col("_delta")).otherwise(0)
+            ).over(w).alias(f"_n_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+    wb = Window.partitionBy("_c").orderBy("_pos")
+    dedup = state.groupBy("_c", "_pos").agg(
+        *[F.max(f"_n_{i}").alias(f"_n_{i}") for i in range(len(names))]
+    )
+    nxt = F.lead("_pos").over(wb)
+    covered = [F.col(f"_n_{i}") > 0 for i in range(len(names))]
+    n_sets = reduce(lambda a, b: a + b, [F.when(cv, 1).otherwise(0) for cv in covered])
+    set_list = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(cv, F.lit(n)).otherwise(F.lit(None)) for cv, n in zip(covered, names)
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return (
+        dedup.withColumn("_next", nxt)
+        .filter(F.col("_next").isNotNull() & (n_sets > 0))
+        .select(
+            F.col("_c").alias(c),
+            F.col("_pos").alias(s),
+            (F.col("_next") - 1).alias(e),
+            n_sets.alias("n_sets"),
+            set_list.alias("set_list"),
+        )
+    )
+
+
+def interval_cluster(
+    df: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    gap: int = 0,
+) -> DataFrame:
+    """Assign a cluster id to every interval — bedtools cluster: two
+    intervals share an id iff they are connected through a chain of
+    overlapping (or ``gap``-close, book-ended at ``gap=0``) intervals,
+    i.e. they fall inside the same :func:`interval_merge` region. Returns
+    the input rows plus ``cluster_id`` (a per-contig ordinal; the pair
+    (contig, cluster_id) is globally unique).
+
+    Scale shape: the interval_merge running-max window WITHOUT the
+    collapsing aggregate — ONE shuffle, rows in = rows out. Tie rows
+    (identical start/stop) land in the same cluster under any tie order,
+    so the plan is deterministic without a unique row key.
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    w = Window.partitionBy(c).orderBy(s, e)
+    prev_max = F.max(F.col(e).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max.isNull() | (F.col(s).cast("long") > prev_max + 1 + gap), 1
+    ).otherwise(0)
+    cid = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn("cluster_id", cid)

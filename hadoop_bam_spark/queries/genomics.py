@@ -1413,3 +1413,129 @@ def kmer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("kmer"))
         .limit(25)
     )
+
+
+@query(
+    "interval_multiinter_sets",
+    oracle=f"""
+        WITH sa AS (
+            SELECT n_nationkey % 4 AS contig,
+                   (n_nationkey * 37561) % 900000 + 1 AS s,
+                   (n_nationkey * 37561) % 900000 + 1
+                       + 25000 + (n_nationkey % 5) * 10000 AS e
+            FROM nation
+        ), sb AS (
+            SELECT p_partkey % 4 AS contig,
+                   (p_partkey * 9173) % 950000 + 1 AS s,
+                   (p_partkey * 9173) % 950000 + 2000 AS e
+            FROM part
+        ), sc AS (
+            SELECT s_suppkey % 4 AS contig,
+                   (s_suppkey * 52711) % 900000 + 1 AS s,
+                   (s_suppkey * 52711) % 900000 + 40000 AS e
+            FROM supplier
+        ),
+        bases AS (
+            SELECT DISTINCT contig * {_AXIS}
+                       + unnest(generate_series(s, e)) AS p,
+                   'alpha' AS nm FROM sa
+            UNION
+            SELECT DISTINCT contig * {_AXIS}
+                       + unnest(generate_series(s, e)), 'beta' FROM sb
+            UNION
+            SELECT DISTINCT contig * {_AXIS}
+                       + unnest(generate_series(s, e)), 'gamma' FROM sc
+        ),
+        combos AS (
+            SELECT p, string_agg(nm, ',' ORDER BY nm) AS set_list
+            FROM bases GROUP BY p
+        ),
+        islands AS (
+            SELECT set_list, p,
+                   p - row_number() OVER (PARTITION BY set_list ORDER BY p)
+                       AS isl
+            FROM combos
+        ),
+        segs AS (
+            SELECT set_list, count(*) AS seg_len
+            FROM islands GROUP BY set_list, isl
+        )
+        SELECT set_list,
+               (length(set_list) - length(replace(set_list, ',', '')) + 1)
+                   ::BIGINT AS n_sets,
+               count(*) AS n_segments,
+               sum(seg_len)::BIGINT AS covered_bases
+        FROM segs GROUP BY set_list
+    """,
+    doc="bedtools multiinter: partition the genome by WHICH of three "
+    "interval sets cover it (operators/interval_join.py "
+    "interval_multiinter — the event-point sweep as one union + one "
+    "per-contig RANGE window carrying every set's running coverage "
+    "count; output bounded by 2x the merged-interval count, never "
+    "per-base). The oracle IS per-base: explode every covered position, "
+    "group into combination islands, and count maximal runs — a "
+    "completely different construction that any sweep/tie bug diverges "
+    "from.",
+)
+def interval_multiinter_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_multiinter
+
+    def mk(table: str, key: str, mult: int, mod: int, length: int) -> DataFrame:
+        t = _t(spark, sf_dir, table)
+        start = (F.col(key) * mult) % mod + 1
+        return t.select(
+            (F.col(key) % 4).cast("long").alias("contig"),
+            start.cast("long").alias("start"),
+            (start + length).cast("long").alias("stop"),
+        )
+
+    a = regions_view(spark, sf_dir).select(
+        F.col("contig_idx").alias("contig"),
+        F.col("r_start").alias("start"),
+        F.col("r_stop").alias("stop"),
+    )
+    b = mk("part", "p_partkey", 9173, 950000, 1999)
+    c = mk("supplier", "s_suppkey", 52711, 900000, 39999)
+    segs = interval_multiinter({"alpha": a, "beta": b, "gamma": c})
+    return segs.groupBy("set_list").agg(
+        F.max("n_sets").alias("n_sets"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("stop") - F.col("start") + 1).alias("covered_bases"),
+    )
+
+
+@query(
+    "interval_cluster_regions",
+    oracle=f"""
+        WITH {REGIONS_CTE}, {_MERGED_REGIONS_CTE.lstrip()},
+        member AS (
+            SELECT m.contig_idx, m.m_start, count(*) AS sz
+            FROM regions g JOIN mregions m
+              ON g.contig_idx = m.contig_idx
+             AND g.r_start BETWEEN m.m_start AND m.m_stop
+            GROUP BY m.contig_idx, m.m_start
+        )
+        SELECT contig_idx, sum(sz)::BIGINT AS n_intervals,
+               count(*) AS n_clusters, max(sz)::BIGINT AS max_cluster_size
+        FROM member GROUP BY contig_idx
+    """,
+    doc="bedtools cluster: every region gets a cluster id (connected "
+    "through overlap chains = same interval_merge run) WITHOUT "
+    "collapsing rows — the interval_merge window minus the aggregate, "
+    "one shuffle, rows in = rows out. The oracle derives cluster "
+    "membership by containment in the single-axis merged regions "
+    "instead of running any id assignment.",
+)
+def interval_cluster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_cluster
+
+    regions = regions_view(spark, sf_dir)
+    clustered = interval_cluster(
+        regions, keys=("contig_idx", "r_start", "r_stop"))
+    per = clustered.groupBy("contig_idx", "cluster_id").agg(
+        F.count(F.lit(1)).alias("sz"))
+    return per.groupBy("contig_idx").agg(
+        F.sum("sz").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("sz").alias("max_cluster_size"),
+    )

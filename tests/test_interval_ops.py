@@ -240,3 +240,66 @@ def test_liftover_matches_per_base(spark, frames, bin_size):
             }
             for k, v in fracs.items():
                 assert fr_got[k] == pytest.approx(v)
+
+
+def test_multiinter_matches_per_base(spark, frames):
+    from hadoop_bam_spark.operators.interval_join import interval_multiinter
+
+    left, right, ldf, rdf = frames
+    rng = random.Random(99)
+    third = _mk(rng, 60, "T")
+    tdf = spark.createDataFrame(
+        third, "contig string, start long, stop long, name string")
+    sets = {"alpha": left, "beta": right, "gamma": third}
+    res = interval_multiinter(
+        {"alpha": ldf, "beta": rdf, "gamma": tdf}).collect()
+
+    # per-base truth: combo at each covered position, then maximal runs
+    covs = {n: _covered(rows) for n, rows in sets.items()}
+    want = []
+    for c in CONTIGS:
+        combo = {}
+        for p in range(1, AXIS + 300):
+            names = sorted(n for n in sets if p in covs[n].get(c, ()))
+            if names:
+                combo[p] = ",".join(names)
+        # runs of constant combo
+        run_start = None
+        prev = None
+        for p in sorted(combo) + [10**9]:
+            if run_start is None or p != prev + 1 or combo.get(p) != combo[prev]:
+                if run_start is not None:
+                    want.append(
+                        (c, run_start, prev, len(combo[prev].split(",")),
+                         combo[prev]))
+                run_start = p if p != 10**9 else None
+            prev = p
+    got = sorted(
+        (r["contig"], r["start"], r["stop"], r["n_sets"], r["set_list"])
+        for r in res
+    )
+    assert got == sorted(want)
+
+
+def test_cluster_matches_merge_membership(spark, frames):
+    from hadoop_bam_spark.operators.interval_join import interval_cluster
+
+    left, _, ldf, _ = frames
+    res = interval_cluster(ldf).collect()
+    assert len(res) == len(left)
+    # truth: intervals in the same per-base merged run share a cluster
+    runs = {c: _runs(pos) for c, pos in _covered(left).items()}
+
+    def run_of(c, s):
+        for i, (rs, re) in enumerate(runs[c]):
+            if rs <= s <= re:
+                return i
+        raise AssertionError
+
+    by_run, by_cid = {}, {}
+    for r in res:
+        k_run = (r["contig"], run_of(r["contig"], r["start"]))
+        k_cid = (r["contig"], r["cluster_id"])
+        # bijection between merge-run membership and cluster ids
+        assert by_run.setdefault(k_run, k_cid) == k_cid
+        assert by_cid.setdefault(k_cid, k_run) == k_run
