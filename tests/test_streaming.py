@@ -1372,3 +1372,47 @@ class TestBEDStream:
         q.awaitTermination()
         got = sorted(r.name for r in spark.table("t_bed_stream").collect())
         assert got == ["in1", "in2"]
+
+
+class TestBedGraphStream:
+    def test_tail_bedgraph_landing_with_interval_pruning(self, spark, tmp_path):
+        """bedgraph_stream (the shared text-tail machinery's second
+        binding) tails a landing dir exactly-once per file with .tbi
+        whole-delivery pruning and per-row residual filtering."""
+        from hadoop_bam_spark import sinks
+        from hadoop_bam_spark.formats.bedgraph import BEDGRAPH_SCHEMA
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bedgraph_stream import (
+            BedGraphStreamDataSource,
+        )
+
+        register_all(spark)
+        spark.dataSource.register(BedGraphStreamDataSource)
+        land = tmp_path / "bg_landing"
+        land.mkdir()
+        (land / "a.bedgraph").write_text(
+            "track type=bedGraph\n"
+            "chr1\t99\t200\t1.5\n"
+            "chr1\t150\t220\t2\n"
+            "chr2\t100\t200\t9\n")
+        far = spark.createDataFrame(
+            [("chr1", 900001, 900100, 7.0)], schema=BEDGRAPH_SCHEMA)
+        sinks.write_bedgraph(far, str(land / "b.bedgraph.bgz"), index_tbi=True)
+
+        ck = tmp_path / "ck_bg"
+        q = (
+            spark.readStream.format("bedgraph_stream")
+            .option("intervals", "chr1:120-400")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_bg_stream")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.contig, r.start, r.end, r.value)
+            for r in spark.table("t_bg_stream").collect()
+        )
+        assert got == [("chr1", 100, 200, 1.5), ("chr1", 151, 220, 2.0)]
