@@ -50,6 +50,7 @@ def interval_join_binned(
     left_keys: Sequence[str] = ("contig", "start", "stop"),
     right_keys: Sequence[str] = ("contig", "start", "stop"),
     bin_size: int = 16384,
+    how: str = "inner",
 ) -> DataFrame:
     """Large-by-large overlap join via genome binning.
 
@@ -58,7 +59,18 @@ def interval_join_binned(
     shares every bin their intersection touches — to emit it exactly once we
     keep only the bin containing max(left.start, right.start), which both
     sides are guaranteed to have exploded.
+
+    ``how="left_outer"`` keeps left rows with no overlapping right row as
+    ONE null-extended row each (the row from the left interval's first
+    bin) — every overlapping pair still appears exactly once, and a left
+    row with matches elsewhere may ALSO carry one null row when its first
+    bin had no match, so aggregating consumers must ignore null right
+    fields (collect_list and count(right-col) both do). This is what lets
+    subtract/coverage keep untouched intervals without a second join
+    against the left table.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported how={how!r}")
     lc, ls, le = left_keys
     rc, rs, re_ = right_keys
 
@@ -81,10 +93,17 @@ def interval_join_binned(
         & (lb["_bin_l"] == rb["_bin_r"])
         & (lb[ls] <= rb[re_])
         & (rb[rs] <= lb[le]),
+        how,
     )
     # Dedup: emit the pair only from the first bin of its intersection.
     first_shared_bin = ((F.greatest(F.col(ls), F.col(rs)) - 1) / bin_size).cast("long")
-    return joined.filter(F.col("_bin_l") == first_shared_bin).drop("_bin_l", "_bin_r")
+    if how == "inner":
+        return joined.filter(F.col("_bin_l") == first_shared_bin).drop("_bin_l", "_bin_r")
+    left_first_bin = ((F.col(ls) - 1) / bin_size).cast("long")
+    keep = F.when(
+        F.col(rc).isNotNull(), F.col("_bin_l") == first_shared_bin
+    ).otherwise(F.col("_bin_l") == left_first_bin)
+    return joined.filter(keep).drop("_bin_l", "_bin_r")
 
 
 def interval_merge(
@@ -148,14 +167,15 @@ def interval_subtract(
 
     Left rows must be unique as whole tuples (they are the regroup key).
 
-    Scale shape: merge the right side once (per-contig window), binned
-    overlap join left x merged-right (equi-join on 16 kb tiles — the
-    large-by-large path, no broadcast assumption), clip + collect the
-    disjoint covering regions per left row (bounded by that row's pileup,
-    the same unit every interval tool carries), then pure array
-    expressions emit the gaps. The left table's text/payload columns ride
-    along; only (contig, start, stop) and the clip structs shuffle twice
-    (join + regroup).
+    Scale shape: merge the right side once (per-contig window), LEFT-OUTER
+    binned overlap join left x merged-right (equi-join on 16 kb tiles —
+    the large-by-large path, no broadcast assumption; untouched left rows
+    survive as one null-extended row, so no second join against the left
+    table is ever needed), clip + collect the disjoint covering regions
+    per left row (bounded by that row's pileup, the same unit every
+    interval tool carries), then pure array expressions emit the gaps.
+    The left table's text/payload columns ride along; only (contig,
+    start, stop) and the clip structs shuffle twice (join + regroup).
     """
     c, s, e = keys
     rk = right_keys or keys
@@ -166,18 +186,20 @@ def interval_subtract(
     )
     hits = interval_join_binned(
         left, mr, left_keys=keys, right_keys=("_mc", "_ms", "_me"),
-        bin_size=bin_size,
+        bin_size=bin_size, how="left_outer",
     )
-    clip = F.struct(
-        F.greatest(F.col("_ms"), F.col(s).cast("long")).alias("cs"),
-        F.least(F.col("_me"), F.col(e).cast("long")).alias("ce"),
+    clip = F.when(
+        F.col("_mc").isNotNull(),
+        F.struct(
+            F.greatest(F.col("_ms"), F.col(s).cast("long")).alias("cs"),
+            F.least(F.col("_me"), F.col(e).cast("long")).alias("ce"),
+        ),
     )
-    per = (
+    joined = (
         hits.select(*left.columns, clip.alias("_clip"))
         .groupBy(*left.columns)
         .agg(F.sort_array(F.collect_list("_clip")).alias("_cov"))
     )
-    joined = left.join(per, on=list(left.columns), how="left")
     # Sentinel walk: a fake covering block just before the interval and one
     # just after turn "gaps between covering blocks" into exactly the
     # surviving segments (untouched rows fall out as one whole segment).
@@ -374,11 +396,13 @@ def interval_coverage(
     Returns the left rows plus (n_overlaps, covered_bases, interval_len,
     coverage_fraction). Left rows must be unique tuples.
 
-    Scale shape: ONE binned overlap join (large-by-large safe) + one
-    regroup on the left tuple. Covered bases come from merging the
-    CLIPPED right intervals per left row inside an array aggregate — the
-    per-row list is bounded by that row's pileup, so no second shuffle and
-    no pre-merge pass over the (possibly huge) right side.
+    Scale shape: ONE LEFT-OUTER binned overlap join (large-by-large safe;
+    zero-coverage left rows survive as one null-extended row, so no
+    second join against the left table) + one regroup on the left tuple.
+    Covered bases come from merging the CLIPPED right intervals per left
+    row inside an array aggregate — the per-row list is bounded by that
+    row's pileup, so no second shuffle and no pre-merge pass over the
+    (possibly huge) right side.
     """
     c, s, e = keys
     rk = right_keys or keys
@@ -389,11 +413,14 @@ def interval_coverage(
     )
     hits = interval_join_binned(
         left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
-        bin_size=bin_size,
+        bin_size=bin_size, how="left_outer",
     )
-    clip = F.struct(
-        F.greatest(F.col("_rs"), F.col(s).cast("long")).alias("cs"),
-        F.least(F.col("_re"), F.col(e).cast("long")).alias("ce"),
+    clip = F.when(
+        F.col("_rc").isNotNull(),
+        F.struct(
+            F.greatest(F.col("_rs"), F.col(s).cast("long")).alias("cs"),
+            F.least(F.col("_re"), F.col(e).cast("long")).alias("ce"),
+        ),
     )
     merged_len = F.aggregate(
         F.sort_array(F.col("_clips")),
@@ -405,23 +432,22 @@ def interval_coverage(
         ),
         lambda acc: acc["cov"],
     )
-    per = (
+    out = (
         hits.select(*left.columns, clip.alias("_clip"))
         .groupBy(*left.columns)
         .agg(
-            F.count(F.lit(1)).alias("n_overlaps"),
+            F.count("_clip").alias("n_overlaps"),
             F.collect_list("_clip").alias("_clips"),
         )
         .select(*left.columns, "n_overlaps", merged_len.alias("covered_bases"))
     )
-    out = left.join(per, on=list(left.columns), how="left")
     ilen = (F.col(e).cast("long") - F.col(s).cast("long") + 1)
     return out.select(
         *left.columns,
-        F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
-        F.coalesce("covered_bases", F.lit(0)).alias("covered_bases"),
+        "n_overlaps",
+        "covered_bases",
         ilen.alias("interval_len"),
-        (F.coalesce("covered_bases", F.lit(0)) / ilen).alias("coverage_fraction"),
+        (F.col("covered_bases") / ilen).alias("coverage_fraction"),
     )
 
 
