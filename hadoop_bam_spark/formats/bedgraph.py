@@ -17,6 +17,7 @@ is exact for every float.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql.types import (
@@ -65,7 +66,12 @@ def parse_bedgraph_line(line: str) -> Optional[tuple]:
 
 
 def _value_text(v: float) -> str:
-    return str(int(v)) if float(v) == int(v) else repr(float(v))
+    f = float(v)
+    if not math.isfinite(f):
+        # non-finite values are outside the bedGraph spec but must not
+        # kill an executor mid-write; 'nan'/'inf'/'-inf' re-parse exactly
+        return repr(f)
+    return str(int(f)) if f == int(f) else repr(f)
 
 
 def format_bedgraph_line(row: tuple) -> str:

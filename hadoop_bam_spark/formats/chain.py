@@ -61,8 +61,26 @@ def parse_chain(text: str) -> List[Tuple]:
     out: List[Tuple] = []
     header = None
     t = q = 0
-    n_auto = 0
     saw_last = False
+    # Auto-assigned ids must never collide with EXPLICIT ids elsewhere in
+    # the file (a sequential counter would: "chain ... 2" + an id-less
+    # chain both becoming id 2), so pre-scan the explicit ids and allocate
+    # around them.
+    explicit = set()
+    for raw in text.splitlines():
+        f = raw.split()
+        if f and f[0] == "chain" and len(f) == 13:
+            try:
+                explicit.add(int(f[12]))
+            except ValueError:
+                pass
+    _next = [0]
+
+    def next_auto() -> int:
+        _next[0] += 1
+        while _next[0] in explicit:
+            _next[0] += 1
+        return _next[0]
 
     def flush_check():
         if header is not None and not saw_last:
@@ -93,8 +111,7 @@ def parse_chain(text: str) -> List[Tuple]:
                 raise ValueError(f"line {ln}: target span outside tSize")
             if not (0 <= q_start <= q_end <= q_size):
                 raise ValueError(f"line {ln}: query span outside qSize")
-            n_auto += 1
-            cid = int(f[12]) if len(f) == 13 else n_auto
+            cid = int(f[12]) if len(f) == 13 else next_auto()
             header = (score, f[2], t_size, t_start, t_end,
                       f[7], q_size, f[9], q_start, q_end, ln, cid)
             t, q = t_start, q_start
@@ -140,27 +157,37 @@ def parse_chain(text: str) -> List[Tuple]:
 
 
 def format_chain(blocks: Iterable[Tuple], t_size: int = 1 << 40,
-                 q_size: int = 1 << 40) -> str:
+                 q_size: int | None = None) -> str:
     """CHAIN_COLS tuples -> chain-file text, one single-block chain per
     tuple (a valid, liftOver-readable encoding that needs no gap
     reconstruction). ``t_size``/``q_size`` fill the declared chromosome
     sizes; minus-strand blocks convert the plus-strand low coordinate
-    back to reverse-strand qStart/qEnd.
+    back to reverse-strand qStart/qEnd AGAINST ``q_size``, so writing a
+    '-' block REQUIRES the real destination chromosome size — a filler
+    size would round-trip through this module's own parser (the mirror
+    cancels) but make external liftOver land every minus-strand position
+    on the wrong coordinate. Plus-strand-only block lists may omit it.
     """
     lines: List[str] = []
     for (sc, ss, se, dc, ds, strand, cid, score) in blocks:
+        if strand == "-" and q_size is None:
+            raise ValueError(
+                "format_chain: minus-strand blocks need the real q_size "
+                "(reverse-strand qStart/qEnd are computed against it)"
+            )
+        qs = q_size if q_size is not None else 1 << 40
         size = se - ss + 1
         t_start, t_end = ss - 1, se
         p_lo0 = ds - 1
         if strand == "+":
             q_start, q_end = p_lo0, p_lo0 + size
         elif strand == "-":
-            q_start, q_end = q_size - (p_lo0 + size), q_size - p_lo0
+            q_start, q_end = qs - (p_lo0 + size), qs - p_lo0
         else:
             raise ValueError(f"bad dst_strand {strand!r}")
         lines.append(
             f"chain {score} {sc} {t_size} + {t_start} {t_end} "
-            f"{dc} {q_size} {strand} {q_start} {q_end} {cid}"
+            f"{dc} {qs} {strand} {q_start} {q_end} {cid}"
         )
         lines.append(str(size))
         lines.append("")

@@ -240,28 +240,42 @@ def interval_complement(
     complement. ``sizes`` is a (contig, size) frame (the .fai analog,
     reference FastaSequenceIndex / faidx sidecar); a contig present in
     ``sizes`` with no intervals at all yields one full-length gap.
+    ``sizes`` is the universe declaration: intervals on contigs it does
+    NOT list are ignored, and intervals extending past a declared size
+    are clamped to it — so no emitted gap can name a position that does
+    not exist (bedtools complement errors on both shapes; clamping keeps
+    the operator total on dirty inputs while never inventing positions).
 
     Scale shape: one interval_merge (per-contig window), then a lag
     window over the MERGED regions (tiny relative to input) for the
     between/head gaps and a broadcast join against ``sizes`` for the
-    tail gaps.
+    clamp and the tail gaps.
     """
     from pyspark.sql import Window
 
     c, s, e = keys
-    m = interval_merge(df, keys=keys)
+    sz = sizes.select(F.col(sizes.columns[0]).alias(c),
+                      F.col(sizes.columns[1]).cast("long").alias("_size"))
+    m = (
+        interval_merge(df, keys=keys)
+        .join(F.broadcast(sz), on=c)
+        .filter(F.col(s).cast("long") <= F.col("_size"))
+        .select(
+            F.col(c),
+            F.col(s).cast("long").alias(s),
+            F.least(F.col(e).cast("long"), F.col("_size")).alias(e),
+        )
+    )
     w = Window.partitionBy(c).orderBy(s)
-    prev_stop = F.lag(F.col(e).cast("long")).over(w)
+    prev_stop = F.lag(F.col(e)).over(w)
     gaps = (
         m.select(
             F.col(c),
             (F.coalesce(prev_stop, F.lit(0)) + 1).alias("_gs"),
-            (F.col(s).cast("long") - 1).alias("_ge"),
+            (F.col(s) - 1).alias("_ge"),
         )
         .filter(F.col("_gs") <= F.col("_ge"))
     )
-    sz = sizes.select(F.col(sizes.columns[0]).alias(c),
-                      F.col(sizes.columns[1]).cast("long").alias("_size"))
     tails = (
         sz.join(
             m.groupBy(c).agg(F.max(F.col(e).cast("long")).alias("_maxstop")),

@@ -1024,56 +1024,47 @@ def write_bed(
                       if sharded else None)
 
 
-def _write_bed_indexed(df: DataFrame, path: str, sharded: bool) -> None:
-    """BGZF BED write with executor-accumulated tabix stats (the
-    _write_vcf_parts_indexed machinery with the BED preset)."""
+def _write_tabix_text_indexed(
+    df: DataFrame, cols, path: str, sharded: bool, line_fn, shard_ext: str,
+    tbi_factory, add_fn, header: str = "", fmt: str = "",
+) -> None:
+    """Shared BGZF + ``.tbi`` text write (BED / bedGraph / GFF bindings):
+    executor part files accumulate PartIndexStats while writing; sharded
+    mode commits standalone shards each with its own ``.tbi``, merged
+    mode concatenates the part bytes and offset-shifts the merged stats
+    — never a post-merge re-read. ``tbi_factory(names, merged)`` builds
+    the preset-specific TabixIndex; ``add_fn(stats, row, at, end)``
+    records one row's span."""
     from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
-    from hadoop_bam_spark.formats.bed import format_bed_line
-    from hadoop_bam_spark.formats.tabix import (
-        FMT_ZERO_BASED,
-        TabixIndex,
-        write_tabix,
-    )
+    from hadoop_bam_spark.formats.tabix import write_tabix
 
     parts_dir = path + ".__parts__"
 
-    def _tbi(names, merged):
-        # BED preset: generic format, 0-based half-open, cols 1/2/3
-        return TabixIndex(
-            names, [merged[n] for n in names], FMT_ZERO_BASED,
-            1, 2, 3, ord("#"), 0, 0,
-        )
-
-    def _add(stats, r, at, end_v):
-        beg0 = int(r[1]) - 1
-        # zero-length features (end == start-1, insertion points) bin as
-        # length 1, the tabix convention
-        end0 = max(int(r[2]), beg0 + 1)
-        stats.add(r[0], beg0, end0, True, at, end_v)
-
     if sharded:
         def write_part(idx: int, rows):
-            part_path = fs.join(parts_dir, f"part-{idx:05d}.bed.bgz")
+            part_path = fs.join(parts_dir, f"part-{idx:05d}{shard_ext}")
             stats = PartIndexStats()
             nrec = 0
             with fs.open_file(part_path, "wb") as f:
                 w = bgzf.BGZFWriter(f, write_terminator=True)
+                if header:
+                    w.write(header.encode())
                 for r in rows:
                     at = w.tell_voffset()
-                    w.write((format_bed_line(tuple(r)) + "\n").encode())
-                    _add(stats, r, at, w.tell_voffset())
+                    w.write((line_fn(r) + "\n").encode())
+                    add_fn(stats, r, at, w.tell_voffset())
                     nrec += 1
                 w.close()
             size = fs.file_size(part_path)
             names = list(stats.order)
             merged = merge_part_stats([(stats, size)], 0, names)
             merged.pop("__n_no_coor__")
-            write_tabix(_tbi(names, merged), part_path + ".tbi")
+            write_tabix(tbi_factory(names, merged), part_path + ".tbi")
             return (idx, part_path, nrec)
 
-        parts = _collect_parts(df, BED_COLS, parts_dir, write_part)
+        parts = _collect_parts(df, cols, parts_dir, write_part)
         _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
-                       records=[n for _, _, n in parts], fmt="bed")
+                       records=[n for _, _, n in parts], fmt=fmt)
         return
 
     def write_part(idx: int, rows):
@@ -1083,13 +1074,19 @@ def _write_bed_indexed(df: DataFrame, path: str, sharded: bool) -> None:
             w = bgzf.BGZFWriter(f, write_terminator=False)
             for r in rows:
                 at = w.tell_voffset()
-                w.write((format_bed_line(tuple(r)) + "\n").encode())
-                _add(stats, r, at, w.tell_voffset())
+                w.write((line_fn(r) + "\n").encode())
+                add_fn(stats, r, at, w.tell_voffset())
             w.close()
         return (idx, part_path, fs.file_size(part_path), stats)
 
-    parts = _collect_parts(df, BED_COLS, parts_dir, write_part)
+    parts = _collect_parts(df, cols, parts_dir, write_part)
     with fs.open_file(path, "wb") as out:
+        header_len = 0
+        if header:
+            w = bgzf.BGZFWriter(out, write_terminator=False)
+            w.write(header.encode())
+            w.close()
+            header_len = out.tell()
         for _, part_path, _, _ in parts:
             with fs.open_file(part_path, "rb") as f:
                 shutil.copyfileobj(f, out)
@@ -1103,10 +1100,41 @@ def _write_bed_indexed(df: DataFrame, path: str, sharded: bool) -> None:
                 seen.add(k)
                 names.append(k)
     merged = merge_part_stats(
-        [(st, size) for _, _, size, st in parts], 0, names
+        [(st, size) for _, _, size, st in parts], header_len, names
     )
     merged.pop("__n_no_coor__")
-    write_tabix(_tbi(names, merged), path + ".tbi")
+    write_tabix(tbi_factory(names, merged), path + ".tbi")
+
+
+def _zero_based_tbi_factory(names, merged):
+    """BED/bedGraph tabix preset: generic format, 0-based half-open,
+    columns 1/2/3."""
+    from hadoop_bam_spark.formats.tabix import FMT_ZERO_BASED, TabixIndex
+
+    return TabixIndex(
+        names, [merged[n] for n in names], FMT_ZERO_BASED,
+        1, 2, 3, ord("#"), 0, 0,
+    )
+
+
+def _zero_based_add(stats, r, at, end_v):
+    beg0 = int(r[1]) - 1
+    # zero-length features (end == start-1, insertion points) bin as
+    # length 1, the tabix convention
+    end0 = max(int(r[2]), beg0 + 1)
+    stats.add(r[0], beg0, end0, True, at, end_v)
+
+
+def _write_bed_indexed(df: DataFrame, path: str, sharded: bool) -> None:
+    """BGZF BED write with executor-accumulated tabix stats (the shared
+    _write_tabix_text_indexed machinery with the 0-based preset)."""
+    from hadoop_bam_spark.formats.bed import format_bed_line
+
+    _write_tabix_text_indexed(
+        df, BED_COLS, path, sharded,
+        lambda r: format_bed_line(tuple(r)), ".bed.bgz",
+        _zero_based_tbi_factory, _zero_based_add, fmt="bed",
+    )
 
 
 GFF_COLS = ["contig", "source", "type", "start", "end", "score",
@@ -1154,14 +1182,13 @@ def _gff_row(r) -> tuple:
 
 def _write_gff_indexed(df: DataFrame, path: str, header: str,
                        sharded: bool) -> None:
-    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    """BGZF GFF3 write with executor-accumulated tabix stats (the shared
+    _write_tabix_text_indexed machinery with the GFF preset: generic
+    format, 1-based inclusive, cols 1/4/5)."""
     from hadoop_bam_spark.formats.gff import format_gff_line
-    from hadoop_bam_spark.formats.tabix import TabixIndex, write_tabix
-
-    parts_dir = path + ".__parts__"
+    from hadoop_bam_spark.formats.tabix import TabixIndex
 
     def _tbi(names, merged):
-        # GFF preset: generic format, 1-based inclusive, cols 1/4/5
         return TabixIndex(
             names, [merged[n] for n in names], 0, 1, 4, 5, ord("#"), 0, 0
         )
@@ -1169,67 +1196,11 @@ def _write_gff_indexed(df: DataFrame, path: str, header: str,
     def _add(stats, r, at, end_v):
         stats.add(r[0], int(r[3]) - 1, int(r[4]), True, at, end_v)
 
-    if sharded:
-        def write_part(idx: int, rows):
-            part_path = fs.join(parts_dir, f"part-{idx:05d}.gff3.bgz")
-            stats = PartIndexStats()
-            nrec = 0
-            with fs.open_file(part_path, "wb") as f:
-                w = bgzf.BGZFWriter(f, write_terminator=True)
-                w.write(header.encode())
-                for r in rows:
-                    at = w.tell_voffset()
-                    w.write((format_gff_line(_gff_row(r)) + "\n").encode())
-                    _add(stats, r, at, w.tell_voffset())
-                    nrec += 1
-                w.close()
-            size = fs.file_size(part_path)
-            names = list(stats.order)
-            merged = merge_part_stats([(stats, size)], 0, names)
-            merged.pop("__n_no_coor__")
-            write_tabix(_tbi(names, merged), part_path + ".tbi")
-            return (idx, part_path, nrec)
-
-        parts = _collect_parts(df, GFF_COLS, parts_dir, write_part)
-        _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
-                       records=[n for _, _, n in parts], fmt="gff")
-        return
-
-    def write_part(idx: int, rows):
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
-        stats = PartIndexStats()
-        with fs.open_file(part_path, "wb") as f:
-            w = bgzf.BGZFWriter(f, write_terminator=False)
-            for r in rows:
-                at = w.tell_voffset()
-                w.write((format_gff_line(_gff_row(r)) + "\n").encode())
-                _add(stats, r, at, w.tell_voffset())
-            w.close()
-        return (idx, part_path, fs.file_size(part_path), stats)
-
-    parts = _collect_parts(df, GFF_COLS, parts_dir, write_part)
-    with fs.open_file(path, "wb") as out:
-        w = bgzf.BGZFWriter(out, write_terminator=False)
-        w.write(header.encode())
-        w.close()
-        header_len = out.tell()
-        for _, part_path, _, _ in parts:
-            with fs.open_file(part_path, "rb") as f:
-                shutil.copyfileobj(f, out)
-        out.write(bgzf.BGZF_EOF)
-    fs.remove_tree(parts_dir)
-    names = []
-    seen = set()
-    for _, _, _, st in parts:
-        for k in st.order:
-            if k not in seen:
-                seen.add(k)
-                names.append(k)
-    merged = merge_part_stats(
-        [(st, size) for _, _, size, st in parts], header_len, names
+    _write_tabix_text_indexed(
+        df, GFF_COLS, path, sharded,
+        lambda r: format_gff_line(_gff_row(r)), ".gff3.bgz",
+        _tbi, _add, header=header, fmt="gff",
     )
-    merged.pop("__n_no_coor__")
-    write_tabix(_tbi(names, merged), path + ".tbi")
 
 
 def write_fastq(df: DataFrame, path: str, sharded: bool = False) -> None:
@@ -1505,81 +1476,11 @@ def write_bedgraph(
 
 def _write_bedgraph_indexed(df: DataFrame, path: str, sharded: bool) -> None:
     """BGZF bedGraph write with executor-accumulated tabix stats (the
-    BED preset: generic format, 0-based half-open, cols 1/2/3)."""
-    from hadoop_bam_spark.formats.bai import PartIndexStats, merge_part_stats
+    shared _write_tabix_text_indexed machinery, 0-based preset)."""
     from hadoop_bam_spark.formats.bedgraph import format_bedgraph_line
-    from hadoop_bam_spark.formats.tabix import (
-        FMT_ZERO_BASED,
-        TabixIndex,
-        write_tabix,
+
+    _write_tabix_text_indexed(
+        df, BEDGRAPH_COLS, path, sharded,
+        lambda r: format_bedgraph_line(tuple(r)), ".bedgraph.bgz",
+        _zero_based_tbi_factory, _zero_based_add, fmt="bedgraph",
     )
-
-    parts_dir = path + ".__parts__"
-
-    def _tbi(names, merged):
-        return TabixIndex(
-            names, [merged[n] for n in names], FMT_ZERO_BASED,
-            1, 2, 3, ord("#"), 0, 0,
-        )
-
-    def _add(stats, r, at, end_v):
-        beg0 = int(r[1]) - 1
-        end0 = max(int(r[2]), beg0 + 1)
-        stats.add(r[0], beg0, end0, True, at, end_v)
-
-    if sharded:
-        def write_part(idx: int, rows):
-            part_path = fs.join(parts_dir, f"part-{idx:05d}.bedgraph.bgz")
-            stats = PartIndexStats()
-            nrec = 0
-            with fs.open_file(part_path, "wb") as f:
-                w = bgzf.BGZFWriter(f, write_terminator=True)
-                for r in rows:
-                    at = w.tell_voffset()
-                    w.write((format_bedgraph_line(tuple(r)) + "\n").encode())
-                    _add(stats, r, at, w.tell_voffset())
-                    nrec += 1
-                w.close()
-            size = fs.file_size(part_path)
-            names = list(stats.order)
-            merged = merge_part_stats([(stats, size)], 0, names)
-            merged.pop("__n_no_coor__")
-            write_tabix(_tbi(names, merged), part_path + ".tbi")
-            return (idx, part_path, nrec)
-
-        parts = _collect_parts(df, BEDGRAPH_COLS, parts_dir, write_part)
-        _commit_shards(path, parts_dir, [p for _, p, _ in parts], [".tbi"],
-                       records=[n for _, _, n in parts], fmt="bedgraph")
-        return
-
-    def write_part(idx: int, rows):
-        part_path = fs.join(parts_dir, f"part-{idx:05d}")
-        stats = PartIndexStats()
-        with fs.open_file(part_path, "wb") as f:
-            w = bgzf.BGZFWriter(f, write_terminator=False)
-            for r in rows:
-                at = w.tell_voffset()
-                w.write((format_bedgraph_line(tuple(r)) + "\n").encode())
-                _add(stats, r, at, w.tell_voffset())
-            w.close()
-        return (idx, part_path, fs.file_size(part_path), stats)
-
-    parts = _collect_parts(df, BEDGRAPH_COLS, parts_dir, write_part)
-    with fs.open_file(path, "wb") as out:
-        for _, part_path, _, _ in parts:
-            with fs.open_file(part_path, "rb") as f:
-                shutil.copyfileobj(f, out)
-        out.write(bgzf.BGZF_EOF)
-    fs.remove_tree(parts_dir)
-    names: list[str] = []
-    seen = set()
-    for _, _, _, st in parts:
-        for k in st.order:
-            if k not in seen:
-                seen.add(k)
-                names.append(k)
-    merged = merge_part_stats(
-        [(st, size) for _, _, size, st in parts], 0, names
-    )
-    merged.pop("__n_no_coor__")
-    write_tabix(_tbi(names, merged), path + ".tbi")

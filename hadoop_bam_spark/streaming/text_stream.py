@@ -10,6 +10,11 @@ streams. Contract shared with ``vcf_stream``:
 - offsets are the sorted processed-file list → exactly-once per file;
 - ``option("intervals", ...)`` prunes WHOLE deliveries through a
   ``.tbi`` sidecar before any byte parses, with a per-row residual;
+- ``option("stringency", ...)`` governs malformed rows exactly like the
+  batch sources (STRICT raises — and keeps raising on restart, since
+  the file is already in the offsets; LENIENT warns and skips; SILENT
+  skips), so one bad row in a delivery cannot permanently wedge a
+  lenient pipeline;
 - a shard-sink output directory is tailed through its commit
   manifests, so half-committed batches are never consumed.
 
@@ -31,8 +36,10 @@ from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
 from hadoop_bam_spark.streaming.vcf_stream import _tbi_says_empty
 
 
-def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]]):
-    def it(path: str, intervals=None) -> Iterator[tuple]:
+def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]], fmt: str):
+    def it(path: str, intervals=None, stringency: str = "strict") -> Iterator[tuple]:
+        from hadoop_bam_spark.sources import apply_stringency
+
         if _tbi_says_empty(path, intervals):
             return
         with open(path, "rb") as probe:
@@ -41,7 +48,16 @@ def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]]):
               else open(path, "rt", encoding="utf-8"))
         with fh:
             for line in fh:
-                row = parse_line(line.rstrip("\r\n"))
+                try:
+                    row = parse_line(line.rstrip("\r\n"))
+                except ValueError as e:
+                    # One malformed row must not permanently kill the
+                    # query (the file is already in the offsets, so a
+                    # strict failure would re-raise on every restart —
+                    # that is strict's documented contract; lenient/
+                    # silent skip and keep the stream alive).
+                    apply_stringency(stringency, e, fmt)
+                    continue
                 if row is None:
                     continue
                 if intervals is None or any(
@@ -63,6 +79,9 @@ class TextTailReader(SimpleDataSourceStreamReader):
         self._exts = tuple(exts)
         self._iter_rows = iter_rows
         self._fmt = fmt
+        from hadoop_bam_spark.sources import stringency_option
+
+        self._stringency = stringency_option(options)
         self._intervals = None
         if options.get("intervals"):
             from hadoop_bam_spark.sources.bam_source import parse_intervals
@@ -94,7 +113,7 @@ class TextTailReader(SimpleDataSourceStreamReader):
         rows = LazyFileRows(
             [os.path.join(self._dir, n) for n in new],
             self._iter_rows,
-            (self._intervals,),
+            (self._intervals, self._stringency),
         )
         return rows, {"processed": sorted(seen | set(new))}
 
@@ -110,7 +129,7 @@ class TextTailReader(SimpleDataSourceStreamReader):
                     "missing on disk; restore the file (or reset the "
                     "checkpoint) to keep exactly-once semantics"
                 )
-            yield from self._iter_rows(full, self._intervals)
+            yield from self._iter_rows(full, self._intervals, self._stringency)
 
     def commit(self, end: dict) -> None:
         pass
@@ -119,7 +138,7 @@ class TextTailReader(SimpleDataSourceStreamReader):
 def make_text_stream_source(name: str, schema, exts: Sequence[str],
                             parse_line) -> type:
     """Build a DataSource class tailing ``exts`` files with ``parse_line``."""
-    iter_rows = _iter_text_rows(parse_line)
+    iter_rows = _iter_text_rows(parse_line, name)
 
     class _TextStreamDataSource(DataSource):
         @classmethod

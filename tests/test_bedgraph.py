@@ -209,3 +209,15 @@ class TestSourceSink:
         strict = bg_spark.read.format("bedgraph").load(str(p))
         with pytest.raises(Exception):
             strict.collect()
+
+
+def test_nonfinite_values_write_and_reparse():
+    """NaN/inf must not kill an executor mid-write; they render as
+    'nan'/'inf'/'-inf' and re-parse."""
+    for v, txt in [(float("nan"), "nan"), (float("inf"), "inf"),
+                   (float("-inf"), "-inf")]:
+        line = format_bedgraph_line(("c", 1, 5, v))
+        assert line == f"c\t0\t5\t{txt}"
+        back = parse_bedgraph_line(line)
+        assert back[:3] == ("c", 1, 5)
+        assert repr(back[3]) == repr(v)

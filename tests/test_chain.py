@@ -185,3 +185,22 @@ def test_property_minus_mirror_involution(ss, size, ds, off):
     back = se - (lifted - ds)
     assert back == pos
     assert ds <= lifted <= p_hi
+
+
+def test_auto_ids_skip_explicit_ids():
+    """An id-less chain must not collide with another chain's explicit id."""
+    txt = ("chain 1 c 10 + 0 5 d 10 + 0 5 2\n5\n\n"
+           "chain 1 c 10 + 5 8 d 10 + 5 8\n3\n")
+    rows = parse_chain(txt)
+    assert [r[6] for r in rows] == [2, 1]
+    txt2 = ("chain 1 c 10 + 0 5 d 10 + 0 5 1\n5\n\n"
+            "chain 1 c 10 + 5 8 d 10 + 5 8\n3\n")
+    assert [r[6] for r in parse_chain(txt2)] == [1, 2]
+
+
+def test_format_minus_requires_real_q_size():
+    blocks = [("c", 1, 10, "d", 100, "-", 1, 0)]
+    with pytest.raises(ValueError, match="q_size"):
+        format_chain(blocks)
+    # plus-strand-only lists may omit it
+    assert "chain" in format_chain([("c", 1, 10, "d", 100, "+", 1, 0)])

@@ -303,3 +303,24 @@ def test_cluster_matches_merge_membership(spark, frames):
         # bijection between merge-run membership and cluster ids
         assert by_run.setdefault(k_run, k_cid) == k_cid
         assert by_cid.setdefault(k_cid, k_run) == k_run
+
+
+def test_complement_clamps_to_declared_sizes(spark):
+    """sizes is the universe: undeclared contigs are ignored, intervals
+    past the declared size clamp to it, and no gap can name a position
+    beyond the contig."""
+    from hadoop_bam_spark.operators.interval_join import interval_complement
+
+    ldf = spark.createDataFrame(
+        [("c1", 1200, 1300, "past_end"),      # fully beyond size -> ignored
+         ("c1", 100, 200, "in"),
+         ("c1", 950, 1100, "straddles"),      # clamps to 1000
+         ("cX", 10, 20, "undeclared")],       # contig not in sizes
+        "contig string, start long, stop long, name string",
+    )
+    sizes = spark.createDataFrame([("c1", 1000)], "contig string, size long")
+    got = sorted(
+        (r["contig"], r["start"], r["stop"])
+        for r in interval_complement(ldf, sizes).collect()
+    )
+    assert got == [("c1", 1, 99), ("c1", 201, 949)]

@@ -1416,3 +1416,59 @@ class TestBedGraphStream:
             for r in spark.table("t_bg_stream").collect()
         )
         assert got == [("chr1", 100, 200, 1.5), ("chr1", 151, 220, 2.0)]
+
+    def test_tail_stringency_skips_bad_rows(self, spark, tmp_path):
+        """A malformed row in a tailed delivery must not wedge a lenient
+        stream; silent skips it and the rest of the file lands."""
+        from hadoop_bam_spark.streaming.bedgraph_stream import (
+            BedGraphStreamDataSource,
+        )
+
+        spark.dataSource.register(BedGraphStreamDataSource)
+        land = tmp_path / "bg_bad"
+        land.mkdir()
+        (land / "a.bedgraph").write_text(
+            "chr1\t0\t10\t1.5\nchr1\tBAD\t20\t2\nchr1\t30\t40\t3\n")
+        ck = tmp_path / "ck_bad"
+        q = (
+            spark.readStream.format("bedgraph_stream")
+            .option("stringency", "silent")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_bg_bad")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.contig, r.start, r.end) for r in spark.table("t_bg_bad").collect()
+        )
+        assert got == [("chr1", 1, 10), ("chr1", 31, 40)]
+
+    def test_tail_bg_extension_spellings(self, spark, tmp_path):
+        """.bg and .bedGraph deliveries (the batch source's spellings)
+        must be picked up too."""
+        from hadoop_bam_spark.streaming.bedgraph_stream import (
+            BedGraphStreamDataSource,
+        )
+
+        spark.dataSource.register(BedGraphStreamDataSource)
+        land = tmp_path / "bg_ext"
+        land.mkdir()
+        (land / "a.bg").write_text("chr1\t0\t10\t1\n")
+        (land / "b.bedGraph").write_text("chr2\t0\t10\t2\n")
+        ck = tmp_path / "ck_ext"
+        q = (
+            spark.readStream.format("bedgraph_stream")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_bg_ext")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(
+            r.contig for r in spark.table("t_bg_ext").collect()
+        ) == ["chr1", "chr2"]
