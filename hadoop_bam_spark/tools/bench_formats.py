@@ -157,6 +157,56 @@ def _fastq_df(spark, n: int):
     )
 
 
+def _features_df(spark, n: int):
+    """BED_SCHEMA features, coordinate-sorted (tabix precondition)."""
+    df = spark.range(n)
+    start = (F.col("id") * 37) % 1_000_000 + 1
+    return df.select(
+        F.concat(F.lit("chr"), ((F.col("id") % 4) + 1).cast("string"))
+        .alias("contig"),
+        start.cast("long").alias("start"),
+        (start + (F.col("id") % 180) + 20).cast("long").alias("end"),
+        F.concat(F.lit("f"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") % 1001).cast("int").alias("score"),
+        F.when(F.col("id") % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.lit(None).cast("array<string>").alias("rest"),
+    ).orderBy("contig", "start")
+
+
+def _track_df(spark, n: int):
+    """BEDGRAPH_SCHEMA coverage track, coordinate-sorted."""
+    df = spark.range(n)
+    start = (F.col("id") * 41) % 1_000_000 + 1
+    return df.select(
+        F.concat(F.lit("chr"), ((F.col("id") % 4) + 1).cast("string"))
+        .alias("contig"),
+        start.cast("long").alias("start"),
+        (start + 99).cast("long").alias("end"),
+        ((F.col("id") % 500) / 4.0).alias("value"),
+    ).orderBy("contig", "start")
+
+
+def _gff_df(spark, n: int):
+    """GFF_SCHEMA features, coordinate-sorted."""
+    df = spark.range(n)
+    start = (F.col("id") * 43) % 1_000_000 + 1
+    return df.select(
+        F.concat(F.lit("chr"), ((F.col("id") % 4) + 1).cast("string"))
+        .alias("contig"),
+        F.lit("bench").alias("source"),
+        F.when(F.col("id") % 3 == 0, "gene").otherwise("exon").alias("type"),
+        start.cast("long").alias("start"),
+        (start + (F.col("id") % 900) + 100).cast("long").alias("end"),
+        ((F.col("id") % 400) / 8.0).alias("score"),
+        F.when(F.col("id") % 2 == 0, "+").otherwise("-").alias("strand"),
+        (F.col("id") % 3).cast("int").alias("phase"),
+        F.create_map(
+            F.lit("ID"), F.concat(F.lit("g"), F.col("id").cast("string")),
+            F.lit("biotype"), F.lit("protein_coding"),
+        ).alias("attributes"),
+    ).orderBy("contig", "start")
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 200_000
@@ -252,6 +302,12 @@ def main() -> None:
     variants_rich.count()
     fastq = _fastq_df(spark, n).repartition(16).cache()
     fastq.count()
+    features = _features_df(spark, n).cache()
+    features.count()
+    track = _track_df(spark, n).cache()
+    track.count()
+    gff_feats = _gff_df(spark, n).cache()
+    gff_feats.count()
 
     jobs = [
         ("bam", reads,
@@ -274,6 +330,12 @@ def main() -> None:
          lambda df, p: sinks.write_bcf(df, p, vhdr_rich), {}),
         ("fastq", fastq, lambda df, p: sinks.write_fastq(df, p), {}),
         ("qseq", fastq, lambda df, p: sinks.write_qseq(df, p), {}),
+        ("bed.bgz", features,
+         lambda df, p: sinks.write_bed(df, p, index_tbi=True), {}),
+        ("bedgraph.bgz", track,
+         lambda df, p: sinks.write_bedgraph(df, p, index_tbi=True), {}),
+        ("gff.bgz", gff_feats,
+         lambda df, p: sinks.write_gff(df, p, index_tbi=True), {}),
     ]
     if only is not None:
         jobs = [j for j in jobs if j[0] in only]
