@@ -2129,3 +2129,100 @@ def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "cross_source_ngram_overlap",
+    oracle=r"""
+        WITH docs AS (
+            SELECT source,
+                   list_filter(
+                       string_split_regex(
+                           lower(regexp_replace(text, '[^a-z0-9\s]', ' ',
+                                                'g')),
+                           '\s+'),
+                       x -> x <> '') AS ws
+            FROM documents
+        ),
+        idx AS (
+            SELECT source, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+            FROM docs
+        ),
+        grams AS (
+            SELECT DISTINCT source,
+                   array_to_string(ws[i:i+4], ' ') AS g
+            FROM idx
+        ),
+        totals AS (
+            SELECT source, count(*) AS n_grams FROM grams GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, s.n_shared,
+               ta.n_grams AS grams_a, tb.n_grams AS grams_b,
+               s.n_shared / least(ta.n_grams, tb.n_grams * 1.0)
+                   AS containment
+        FROM shared s
+        JOIN totals ta ON ta.source = s.source_a
+        JOIN totals tb ON tb.source = s.source_b
+    """,
+    doc="Cross-source contamination matrix: for every pair of corpus "
+    "sources, how many distinct word 5-grams they share and the "
+    "containment fraction (shared / smaller source's gram count) — the "
+    "'how much of source A leaks into source B' audit run before mixing "
+    "corpora. Plan: one explode to DISTINCT (source, gram), one "
+    "self-equi-join on the gram, two broadcast joins against the 20-row "
+    "per-source totals. Scale: per-gram join fan-out is bounded by "
+    "C(n_sources, 2) regardless of corpus size (a gram in k sources "
+    "contributes k-choose-2 pairs), and the output is the fixed "
+    "source-pair matrix — corpus growth only widens the gram explode, "
+    "which is the same map-side shape as token_heavy_hitters.",
+)
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = F.filter(
+        F.split(
+            F.lower(F.regexp_replace("text", r"[^a-z0-9\s]", " ")), r"\s+"
+        ),
+        lambda x: x != "",
+    )
+    d = docs.select("source", words.alias("ws"))
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, on="g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b"))
+    return (
+        shared.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "grams_a", "grams_b",
+            (F.col("n_shared") / F.least("grams_a", F.col("grams_b") * 1.0)).alias("containment"),
+        )
+    )
