@@ -1539,3 +1539,105 @@ def interval_cluster_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.max("sz").alias("max_cluster_size"),
     )
+
+
+@query(
+    "per_cycle_quality",
+    oracle=f"""
+        WITH quals AS (
+            SELECT translate(md5(qname), '{_HEX}', '{_SANGER16}') AS q
+            FROM (
+                SELECT 'r' || l_orderkey::VARCHAR || '-'
+                           || l_linenumber::VARCHAR AS qname
+                FROM lineitem
+            )
+        ),
+        cells AS (
+            SELECT unnest(generate_series(1, 32)) AS cycle, q FROM quals
+        )
+        SELECT cycle::BIGINT AS cycle, count(*) AS n_reads,
+               sum(ascii(substr(q, cycle, 1)) - 33)::BIGINT AS sum_phred,
+               sum(ascii(substr(q, cycle, 1)) - 33)
+                   / (count(*) * 1.0) AS mean_phred,
+               min(ascii(substr(q, cycle, 1)) - 33)::BIGINT AS min_phred,
+               max(ascii(substr(q, cycle, 1)) - 33)::BIGINT AS max_phred
+        FROM cells GROUP BY cycle
+    """,
+    doc="FastQC per-base (per-cycle) quality profile: mean/min/max Phred "
+    "score at each read cycle over deterministic 32-cycle Sanger-encoded "
+    "quality strings. Pure explode + substring + ascii arithmetic "
+    "(JVM-side, codegen) into a 32-group aggregation — fixed output "
+    "cardinality, perfect map-side partial aggregation at any corpus "
+    "size.",
+)
+def per_cycle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = reads_view(spark, sf_dir)
+    q = F.translate(F.md5(F.col("qname")), _HEX, _SANGER16)
+    cells = reads.select(q.alias("q")).select(
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("cycle"), "q"
+    )
+    phred = F.ascii(F.substring(F.col("q"), F.col("cycle").cast("int"), 1)) - 33
+    per = cells.select("cycle", phred.alias("p"))
+    return per.groupBy("cycle").agg(
+        F.count(F.lit(1)).alias("n_reads"),
+        F.sum("p").alias("sum_phred"),
+        (F.sum("p") / (F.count(F.lit(1)) * 1.0)).alias("mean_phred"),
+        F.min("p").alias("min_phred"),
+        F.max("p").alias("max_phred"),
+    )
+
+
+@query(
+    "template_pair_stats",
+    oracle=f"""
+        WITH {READS_CTE},
+        mates AS (
+            SELECT 'r' || l_orderkey::VARCHAR AS template, ref_idx,
+                   min(CASE WHEN flag & 64 > 0 THEN pos END) AS pos1,
+                   min(CASE WHEN flag & 128 > 0 THEN pos END) AS pos2,
+                   max(CASE WHEN flag & 64 > 0 THEN stop END) AS stop1,
+                   max(CASE WHEN flag & 128 > 0 THEN stop END) AS stop2,
+                   count(*) AS n_reads
+            FROM reads
+            WHERE flag & 4 = 0
+            GROUP BY 'r' || l_orderkey::VARCHAR, ref_idx
+        )
+        SELECT ref_idx,
+               count(*) AS n_templates,
+               sum(CASE WHEN pos1 IS NOT NULL AND pos2 IS NOT NULL
+                        THEN 1 ELSE 0 END)::BIGINT AS n_paired,
+               sum(CASE WHEN pos1 IS NOT NULL AND pos2 IS NOT NULL
+                        THEN greatest(stop1, stop2)
+                             - least(pos1, pos2) + 1 END)::BIGINT
+                   AS sum_template_span,
+               max(n_reads)::BIGINT AS max_reads_per_template
+        FROM mates GROUP BY ref_idx
+    """,
+    doc="Read-pair (template) resolution + insert-size-style span stats: "
+    "group mapped reads by template name and contig, pull first/"
+    "second-in-pair positions out of the SAM flag bits (64/128) with "
+    "conditional aggregates — ONE groupBy on the natural high-cardinality "
+    "template key, no self-join (the samtools-fixmate shape; flag "
+    "semantics per SURVEY.md §1.3). Span = outermost mate extent, the "
+    "TLEN definition.",
+)
+def template_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = reads_view(spark, sf_dir).filter(F.col("flag").bitwiseAND(4) == 0)
+    tpl = F.concat(F.lit("r"), F.col("l_orderkey").cast("string"))
+    first = F.col("flag").bitwiseAND(64) > 0
+    second = F.col("flag").bitwiseAND(128) > 0
+    mates = reads.groupBy(tpl.alias("template"), F.col("ref_idx")).agg(
+        F.min(F.when(first, F.col("pos"))).alias("pos1"),
+        F.min(F.when(second, F.col("pos"))).alias("pos2"),
+        F.max(F.when(first, F.col("stop"))).alias("stop1"),
+        F.max(F.when(second, F.col("stop"))).alias("stop2"),
+        F.count(F.lit(1)).alias("n_reads"),
+    )
+    paired = F.col("pos1").isNotNull() & F.col("pos2").isNotNull()
+    span = F.greatest("stop1", "stop2") - F.least("pos1", "pos2") + 1
+    return mates.groupBy("ref_idx").agg(
+        F.count(F.lit(1)).alias("n_templates"),
+        F.sum(F.when(paired, 1).otherwise(0)).alias("n_paired"),
+        F.sum(F.when(paired, span)).alias("sum_template_span"),
+        F.max("n_reads").alias("max_reads_per_template"),
+    )
