@@ -659,3 +659,81 @@ class TestFuzzGFF:
             _assert_controlled(
                 lambda ln=lines[k]: parse_gff_line(ln),
                 f"parse_gff_line[{i}]")
+
+
+class TestChainFuzz:
+    """Chain-file text parser: mutated valid files and random garbage
+    must raise ValueError or parse to well-typed blocks — never an
+    internal exception, never a hang."""
+
+    VALID = (
+        "chain 4900 chr1 1000 + 100 200 chrA 2000 + 500 605 1\n"
+        "50 10 15\n40\n\n"
+        "chain 800 chr2 1000 + 300 340 chrB 1000 - 30 70 7\n40\n"
+    )
+
+    def test_mutated_valid_text(self):
+        from hadoop_bam_spark.formats.chain import parse_chain
+
+        rng = random.Random(0x43484e)
+        data = self.VALID.encode()
+        for i in range(400):
+            b = bytearray(data)
+            if i % 2 == 0:
+                off = rng.randrange(len(b))
+                b[off] ^= 1 << rng.randrange(7)  # keep it mostly ASCII
+            else:
+                b = b[: rng.randrange(len(b))]
+            txt = b.decode("utf-8", "replace")
+            _assert_controlled(
+                lambda t=txt: parse_chain(t), f"chain mutation #{i}"
+            )
+
+    def test_token_garbage(self):
+        from hadoop_bam_spark.formats.chain import parse_chain
+
+        rng = random.Random(0x43484f)
+        toks = ["chain", "100", "-5", "+", "-", "chr1", "x", "\n", " ",
+                "999999999999999999999999", "0", "nan"]
+        for i in range(300):
+            txt = "".join(
+                rng.choice(toks) + rng.choice([" ", "\n"])
+                for _ in range(rng.randrange(1, 40))
+            )
+            _assert_controlled(
+                lambda t=txt: parse_chain(t), f"chain garbage #{i}"
+            )
+
+
+class TestBedGraphFuzz:
+    """bedGraph line + chunk parsers under mutation: ValueError (scalar)
+    or bail-to-None (chunk) — and scalar/vectorized agreement on which
+    chunks are clean."""
+
+    def test_mutated_lines(self):
+        from hadoop_bam_spark.formats.bedgraph import (
+            parse_bedgraph_chunk,
+            parse_bedgraph_line,
+        )
+
+        rng = random.Random(0xb6b6)
+        base = "chr1\t100\t200\t1.5"
+        for i in range(400):
+            b = bytearray(base.encode())
+            off = rng.randrange(len(b))
+            b[off] ^= 1 << rng.randrange(7)
+            line = b.decode("utf-8", "replace")
+            _assert_controlled(
+                lambda l=line: parse_bedgraph_line(l), f"bedgraph line #{i}"
+            )
+            # chunk parser: clean batch OR None; if it returns arrays,
+            # the scalar parser must accept the same line
+            arrays = parse_bedgraph_chunk([line])
+            if arrays:
+                try:
+                    parse_bedgraph_line(line)
+                except ValueError:
+                    pytest.fail(
+                        f"bedgraph #{i}: vectorized accepted a line the "
+                        f"scalar parser rejects: {line!r}"
+                    )
