@@ -735,3 +735,31 @@ def interval_cluster(
     ).otherwise(0)
     cid = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return df.withColumn("cluster_id", cid)
+
+
+def genome_sizes(spark, path: str) -> DataFrame:
+    """Load a contig-sizes table — the ``sizes`` input of
+    :func:`interval_complement` — from either a UCSC ``.chrom.sizes`` /
+    bedtools ``.genome`` file (``contig<TAB>size`` lines) or a faidx
+    ``.fai`` sidecar (first two of its five columns). Driver-side parse
+    (dimension-sized, broadcastable), like ``formats.chain.read_chain``.
+    """
+    rows = []
+    with open(path, "rt", encoding="utf-8") as fh:
+        for ln, raw in enumerate(fh, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if len(f) < 2:
+                raise ValueError(
+                    f"{path}:{ln}: expected 'contig<TAB>size', got {line!r}"
+                )
+            try:
+                size = int(f[1])
+            except ValueError:
+                raise ValueError(f"{path}:{ln}: non-integer size {f[1]!r}")
+            if size < 0:
+                raise ValueError(f"{path}:{ln}: negative size {size}")
+            rows.append((f[0], size))
+    return spark.createDataFrame(rows, "contig string, size long")

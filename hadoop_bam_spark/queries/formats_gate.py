@@ -1677,3 +1677,90 @@ def coverage_track_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("start").alias("first_start"),
         F.max("end").alias("last_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-format conversion: BAM -> FASTQ (the samtools-fastq workflow) —
+# two sinks and two sources chained in one gate query.
+# ---------------------------------------------------------------------------
+
+_HEX16 = "0123456789abcdef"
+_BASE16 = "ACGTACGTACGTACGT"
+_SANGER16_G = "()*+,-./01234567"
+
+
+@query(
+    "bam_to_fastq_conversion",
+    oracle=f"""
+        WITH {READS_CTE},
+        conv AS (
+            SELECT qname,
+                   translate(md5(qname), '{_HEX16}', '{_BASE16}') AS seq,
+                   translate(md5(qname), '{_HEX16}', '{_SANGER16_G}') AS q
+            FROM reads
+        )
+        SELECT count(*) AS n_records,
+               count(DISTINCT qname) AS n_distinct_names,
+               sum(length(seq))::BIGINT AS sum_seq_len,
+               sum(length(seq) - length(replace(seq, 'A', '')))::BIGINT
+                   AS n_a_bases,
+               sum(ascii(substr(q, 1, 1)) - 33)::BIGINT AS sum_q1
+        FROM conv
+    """,
+    doc="samtools-fastq as a distributed pipeline: the shared BAM artifact "
+    "is read back THROUGH the bam source (BGZF splits, vectorized "
+    "decode), every record converts to a FASTQ read (deterministic "
+    "md5-derived bases/qualities keyed on the round-tripped qname), the "
+    "fastq sink writes it, and the fastq source re-reads it at small "
+    "splits. The aggregate is content-sensitive on the name, base, and "
+    "quality channels, so corruption at ANY of the four format hops "
+    "(BAM write, BAM read, FASTQ write, FASTQ read) fails the hash. "
+    "Reference analog: the BAM->FASTQ conversion path users run via "
+    "htsjdk SamToFastq on top of the reference's record I/O.",
+)
+def bam_to_fastq_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    bam_dir = _artifact(sf_dir, "bam", lambda d: sinks.write_bam(
+        _sam_df(spark, sf_dir), os.path.join(d, "reads.bam"), _sam_header(),
+        index_granularity=1024))
+
+    def build(d: str) -> None:
+        reads_back = (
+            spark.read.format("bam")
+            .option("split_size", str(_SPLIT))
+            .load(os.path.join(bam_dir, "reads.bam"))
+        )
+        fq = reads_back.select(
+            F.col("qname").alias("name"),
+            F.translate(F.md5("qname"), _HEX16, _BASE16).alias("sequence"),
+            F.translate(F.md5("qname"), _HEX16, _SANGER16_G).alias("quality"),
+            F.lit(None).cast("string").alias("instrument"),
+            F.lit(None).cast("int").alias("run_number"),
+            F.lit(None).cast("string").alias("flowcell_id"),
+            F.lit(None).cast("int").alias("lane"),
+            F.lit(None).cast("int").alias("tile"),
+            F.lit(None).cast("int").alias("xpos"),
+            F.lit(None).cast("int").alias("ypos"),
+            F.lit(None).cast("int").alias("read"),
+            F.lit(None).cast("boolean").alias("filter_passed"),
+            F.lit(None).cast("int").alias("control_number"),
+            F.lit(None).cast("string").alias("index_sequence"),
+        )
+        sinks.write_fastq(fq, os.path.join(d, "conv.fastq"))
+
+    d = _artifact(sf_dir, "bam2fastq", build)
+    back = spark.read.format("fastq").option(
+        "split_size", str(_SPLIT)).load(os.path.join(d, "conv.fastq"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("name").alias("n_distinct_names"),
+        F.sum(F.length("sequence")).alias("sum_seq_len"),
+        F.sum(
+            F.length("sequence")
+            - F.length(F.regexp_replace("sequence", "A", ""))
+        ).alias("n_a_bases"),
+        F.sum(F.ascii(F.substring("quality", 1, 1)) - 33).alias("sum_q1"),
+    )

@@ -324,3 +324,34 @@ def test_complement_clamps_to_declared_sizes(spark):
         for r in interval_complement(ldf, sizes).collect()
     )
     assert got == [("c1", 1, 99), ("c1", 201, 949)]
+
+
+def test_genome_sizes_reads_chrom_sizes_and_fai(spark, tmp_path):
+    from hadoop_bam_spark.operators.interval_join import (
+        genome_sizes,
+        interval_complement,
+    )
+
+    cs = tmp_path / "hg.chrom.sizes"
+    cs.write_text("# comment\nchr1\t1000\nchr2\t500\n")
+    fai = tmp_path / "ref.fa.fai"
+    fai.write_text("chr1\t1000\t6\t70\t71\nchr2\t500\t1025\t70\t71\n")
+    want = [("chr1", 1000), ("chr2", 500)]
+    for p in (cs, fai):
+        got = sorted(tuple(r) for r in genome_sizes(spark, str(p)).collect())
+        assert got == want
+
+    bad = tmp_path / "bad.genome"
+    bad.write_text("chr1\tlots\n")
+    with pytest.raises(ValueError, match="non-integer"):
+        genome_sizes(spark, str(bad))
+
+    # end-to-end with complement
+    ldf = spark.createDataFrame(
+        [("chr1", 100, 900, "a")],
+        "contig string, start long, stop long, name string")
+    gaps = sorted(
+        (r["contig"], r["start"], r["stop"])
+        for r in interval_complement(ldf, genome_sizes(spark, str(cs))).collect()
+    )
+    assert gaps == [("chr1", 1, 99), ("chr1", 901, 1000), ("chr2", 1, 500)]
