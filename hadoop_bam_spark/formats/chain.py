@@ -64,19 +64,22 @@ def parse_chain(text: str) -> List[Tuple]:
     saw_last = False
     # Auto-assigned ids must never collide with EXPLICIT ids elsewhere in
     # the file (a sequential counter would: "chain ... 2" + an id-less
-    # chain both becoming id 2), so pre-scan the explicit ids and allocate
-    # around them.
-    explicit = set()
-    for raw in text.splitlines():
-        f = raw.split()
-        if f and f[0] == "chain" and len(f) == 13:
-            try:
-                explicit.add(int(f[12]))
-            except ValueError:
-                pass
+    # chain both becoming id 2). The explicit-id scan is LAZY: fully-id'd
+    # files (the common liftOver case) never pay a second pass.
+    explicit: set = set()
+    scanned = [False]
     _next = [0]
 
     def next_auto() -> int:
+        if not scanned[0]:
+            scanned[0] = True
+            for raw2 in text.splitlines():
+                f2 = raw2.split()
+                if f2 and f2[0] == "chain" and len(f2) == 13:
+                    try:
+                        explicit.add(int(f2[12]))
+                    except ValueError:
+                        pass
         _next[0] += 1
         while _next[0] in explicit:
             _next[0] += 1

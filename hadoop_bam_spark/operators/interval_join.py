@@ -74,18 +74,20 @@ def interval_join_binned(
     lc, ls, le = left_keys
     rc, rs, re_ = right_keys
 
-    def binned(df: DataFrame, contig: str, start: str, stop: str, side: str) -> DataFrame:
-        return df.withColumn(
-            f"_bin_{side}",
-            F.explode(
-                F.sequence(
-                    ((F.col(start) - 1) / bin_size).cast("long"),
-                    ((F.col(stop) - 1) / bin_size).cast("long"),
-                )
-            ),
+    def binned(df: DataFrame, contig: str, start: str, stop: str, side: str,
+               keep_null: bool = False) -> DataFrame:
+        bins = F.sequence(
+            ((F.col(start) - 1) / bin_size).cast("long"),
+            ((F.col(stop) - 1) / bin_size).cast("long"),
         )
+        if keep_null:
+            # NULL-coordinate rows must survive a left_outer join as
+            # unmatched (sentinel bin -1; every real bin is >= 0 and the
+            # overlap predicates are NULL for them anyway).
+            bins = F.coalesce(bins, F.array(F.lit(-1).cast("long")))
+        return df.withColumn(f"_bin_{side}", F.explode(bins))
 
-    lb = binned(left, lc, ls, le, "l")
+    lb = binned(left, lc, ls, le, "l", keep_null=(how == "left_outer"))
     rb = binned(right, rc, rs, re_, "r")
     joined = lb.join(
         rb,
@@ -99,7 +101,9 @@ def interval_join_binned(
     first_shared_bin = ((F.greatest(F.col(ls), F.col(rs)) - 1) / bin_size).cast("long")
     if how == "inner":
         return joined.filter(F.col("_bin_l") == first_shared_bin).drop("_bin_l", "_bin_r")
-    left_first_bin = ((F.col(ls) - 1) / bin_size).cast("long")
+    left_first_bin = F.coalesce(
+        ((F.col(ls) - 1) / bin_size).cast("long"), F.lit(-1).cast("long")
+    )
     keep = F.when(
         F.col(rc).isNotNull(), F.col("_bin_l") == first_shared_bin
     ).otherwise(F.col("_bin_l") == left_first_bin)
@@ -762,4 +766,13 @@ def genome_sizes(spark, path: str) -> DataFrame:
             if size < 0:
                 raise ValueError(f"{path}:{ln}: negative size {size}")
             rows.append((f[0], size))
+    seen = set()
+    for contig, _ in rows:
+        if contig in seen:
+            raise ValueError(
+                f"{path}: duplicate contig {contig!r} (faidx rejects "
+                "duplicates too; a doubled line would duplicate "
+                "complement tail gaps)"
+            )
+        seen.add(contig)
     return spark.createDataFrame(rows, "contig string, size long")

@@ -2138,8 +2138,8 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT source,
                    list_filter(
                        string_split_regex(
-                           lower(regexp_replace(text, '[^a-z0-9\s]', ' ',
-                                                'g')),
+                           regexp_replace(lower(text), '[^a-z0-9\s]', ' ',
+                                          'g'),
                            '\s+'),
                        x -> x <> '') AS ws
             FROM documents
@@ -2147,7 +2147,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx AS (
             SELECT source, ws,
                    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
-            FROM docs
+            FROM docs WHERE len(ws) >= 5
         ),
         grams AS (
             SELECT DISTINCT source,
@@ -2188,7 +2188,7 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     words = F.filter(
         F.split(
-            F.lower(F.regexp_replace("text", r"[^a-z0-9\s]", " ")), r"\s+"
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "), r"\s+"
         ),
         lambda x: x != "",
     )
@@ -2197,12 +2197,16 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "source",
             F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))
+                # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (the
+                # pipeline.py:1463 trap), so sub-5-word docs must emit an
+                # EMPTY gram array, not hit slice(ws, 0, 5).
+                F.when(
+                    F.size("ws") >= 5,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 4),
+                        lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
                     ),
-                    lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
-                )
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("g"),
         )
         .distinct()

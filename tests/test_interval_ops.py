@@ -355,3 +355,30 @@ def test_genome_sizes_reads_chrom_sizes_and_fai(spark, tmp_path):
         for r in interval_complement(ldf, genome_sizes(spark, str(cs))).collect()
     )
     assert gaps == [("chr1", 1, 99), ("chr1", 901, 1000), ("chr2", 1, 500)]
+
+
+def test_coverage_keeps_null_coordinate_rows(spark):
+    """A left row with a NULL coordinate must still appear (zero
+    coverage), per the documented 'returns the left rows' contract."""
+    from hadoop_bam_spark.operators.interval_join import interval_coverage
+
+    ldf = spark.createDataFrame(
+        [("c", 10, 20, "ok"), ("c", None, 500, "null_start")],
+        "contig string, start long, stop long, name string",
+    )
+    rdf = spark.createDataFrame(
+        [("c", 5, 15, "r")], "contig string, start long, stop long, name string")
+    rows = {r["name"]: r for r in interval_coverage(ldf, rdf).collect()}
+    assert set(rows) == {"ok", "null_start"}
+    assert rows["ok"]["covered_bases"] == 6
+    assert rows["null_start"]["n_overlaps"] == 0
+    assert rows["null_start"]["covered_bases"] == 0
+
+
+def test_genome_sizes_rejects_duplicate_contig(spark, tmp_path):
+    from hadoop_bam_spark.operators.interval_join import genome_sizes
+
+    p = tmp_path / "dup.genome"
+    p.write_text("chr1\t1000\nchr1\t1000\n")
+    with pytest.raises(ValueError, match="duplicate contig"):
+        genome_sizes(spark, str(p))
