@@ -1472,3 +1472,57 @@ class TestBedGraphStream:
         assert sorted(
             r.contig for r in spark.table("t_bg_ext").collect()
         ) == ["chr1", "chr2"]
+
+
+class TestStreamStaticIntervalJoin:
+    def test_bed_tail_annotated_by_static_regions(self, spark, tmp_path):
+        """Stream-static interval join: tailed BED deliveries annotate
+        against a STATIC region table through the binned tile join
+        (explode + equi-join — fully streamable; no stream-stream state).
+        Each micro-batch's features get their overlapping region ids."""
+        from pyspark.sql import functions as F
+
+        from hadoop_bam_spark.operators.interval_join import (
+            interval_join_binned,
+        )
+        from hadoop_bam_spark.streaming.bed_stream import BEDStreamDataSource
+
+        spark.dataSource.register(BEDStreamDataSource)
+        land = tmp_path / "bed_land_join"
+        land.mkdir()
+        (land / "d1.bed").write_text(
+            "chr1\t99\t200\tf1\n"      # overlaps rA
+            "chr1\t5000\t5100\tf2\n"   # overlaps nothing
+            "chr2\t150\t250\tf3\n")    # overlaps rB and rC
+        regions = spark.createDataFrame(
+            [("chr1", 150, 300, "rA"), ("chr2", 100, 180, "rB"),
+             ("chr2", 200, 220, "rC")],
+            "contig string, r_start long, r_stop long, region_id string",
+        )
+        feats = (
+            spark.readStream.format("bed_stream")
+            .load(str(land))
+            .select("contig", "start", F.col("end").alias("stop"), "name")
+        )
+        annotated = interval_join_binned(
+            feats, regions,
+            left_keys=("contig", "start", "stop"),
+            right_keys=("contig", "r_start", "r_stop"),
+            bin_size=256,  # small bins so the tile explode really fans out
+        ).select("name", "region_id")
+        ck = tmp_path / "ck_join"
+        q = (
+            annotated.writeStream.format("memory")
+            .queryName("t_bed_join")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.name, r.region_id) for r in spark.table("t_bed_join").collect()
+        )
+        # exactly-once incremental pickup across deliveries is pinned by
+        # the tail-source tests; the memory sink cannot recover from a
+        # checkpoint, so this test pins the JOIN semantics on one batch
+        assert got == [("f1", "rA"), ("f3", "rB"), ("f3", "rC")]
