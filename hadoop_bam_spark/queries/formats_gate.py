@@ -1764,3 +1764,47 @@ def bam_to_fastq_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_a_bases"),
         F.sum(F.ascii(F.substring("quality", 1, 1)) - 33).alias("sum_q1"),
     )
+
+
+@query(
+    "bam_idxstats",
+    oracle=f"""
+        WITH {READS_CTE}
+        SELECT rname, sum(n_mapped)::BIGINT AS n_mapped,
+               sum(n_unmapped)::BIGINT AS n_unmapped
+        FROM (
+            SELECT 'chr' || (ref_idx + 1)::VARCHAR AS rname,
+                   1 AS n_mapped, 0 AS n_unmapped
+            FROM reads WHERE ref_idx >= 0
+            UNION ALL
+            SELECT '*', 0, 1 FROM reads WHERE ref_idx < 0
+            UNION ALL
+            SELECT 'chr' || i::VARCHAR, 0, 0
+            FROM (SELECT unnest(generate_series(1, 4)) AS i)
+            UNION ALL
+            SELECT '*', 0, 0
+        )
+        GROUP BY rname
+    """,
+    doc="samtools idxstats WITHOUT scanning a single record: per-contig "
+    "mapped/unmapped read counts pulled from the .bai's metadata "
+    "pseudo-bins (bin 37450) plus the trailing n_no_coor counter — the "
+    "index the engine's own BAM writer emitted. The oracle recounts from "
+    "the derivation, so the pseudo-bin accounting in the distributed "
+    "write + index merge is what is actually being checked. At 100 TB "
+    "this query reads a few KB of index per file, never the data "
+    "(reference analog: htsjdk BAMIndexMetaData over the reference's "
+    "BAI split machinery, BAMInputFormat.java:357-373).",
+)
+def bam_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.formats.bai import read_bai
+
+    d = _artifact(sf_dir, "bam_sorted", lambda d: _write_sorted_bam(spark, sf_dir, d))
+    idx = read_bai(os.path.join(d, "sorted.bam.bai"))
+    rows = []
+    for i, ref in enumerate(idx.refs):
+        rows.append((f"chr{i + 1}", max(ref.n_mapped, 0), max(ref.n_unmapped, 0)))
+    rows.append(("*", 0, int(idx.n_no_coor or 0)))
+    return spark.createDataFrame(
+        rows, "rname string, n_mapped long, n_unmapped long"
+    )
