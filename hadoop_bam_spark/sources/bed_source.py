@@ -66,6 +66,11 @@ class BEDDataSource(DataSource):
     def reader(self, schema) -> "BEDReader":
         return BEDReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.text_sink import bed_stream_writer
+
+        return bed_stream_writer(self.options)
+
 
 class BEDReader(DataSourceReader):
     def __init__(self, options):

@@ -64,6 +64,13 @@ class BedGraphDataSource(DataSource):
     def reader(self, schema) -> "BedGraphReader":
         return BedGraphReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.text_sink import (
+            bedgraph_stream_writer,
+        )
+
+        return bedgraph_stream_writer(self.options)
+
 
 class BedGraphReader(DataSourceReader):
     def __init__(self, options):

@@ -58,6 +58,11 @@ class GFFDataSource(DataSource):
     def reader(self, schema) -> "GFFReader":
         return GFFReader(self.options)
 
+    def streamWriter(self, schema, overwrite):
+        from hadoop_bam_spark.streaming.text_sink import gff_stream_writer
+
+        return gff_stream_writer(self.options)
+
 
 class GFFReader(DataSourceReader):
     def __init__(self, options):

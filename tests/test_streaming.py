@@ -1526,3 +1526,122 @@ class TestStreamStaticIntervalJoin:
         # the tail-source tests; the memory sink cannot recover from a
         # checkpoint, so this test pins the JOIN semantics on one batch
         assert got == [("f1", "rA"), ("f3", "rB"), ("f3", "rC")]
+
+
+class TestTextStreamSinks:
+    def test_bedgraph_tail_transform_land(self, spark, tmp_path):
+        """Full interval-text streaming loop: tail a bedGraph landing dir,
+        transform (scale the values), land as rename-committed BGZF
+        shards via writeStream.format('bedgraph'), read the output back
+        through the batch source."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bedgraph_stream import (
+            BedGraphStreamDataSource,
+        )
+
+        register_all(spark)
+        spark.dataSource.register(BedGraphStreamDataSource)
+        land = tmp_path / "bg_in"
+        land.mkdir()
+        (land / "a.bedgraph").write_text(
+            "chr1\t0\t100\t1.5\nchr1\t100\t200\t2\nchr2\t0\t50\t-0.25\n")
+        out = tmp_path / "bg_out"
+        ck = tmp_path / "ck_sink"
+        q = (
+            spark.readStream.format("bedgraph_stream")
+            .load(str(land))
+            .withColumn("value", F.col("value") * 2)
+            .writeStream.format("bedgraph")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shards = [f for f in os.listdir(out) if f.endswith(".bedgraph.bgz")]
+        assert shards and all(f.startswith("batch-") for f in shards)
+        from hadoop_bam_spark.streaming.shard_commit import read_manifest
+
+        assert sum(e["records"] for e in read_manifest(str(out))) == 3
+        back = spark.read.format("bedgraph").load(str(out))
+        got = sorted((r.contig, r.start, r.end, r.value) for r in back.collect())
+        assert got == [("chr1", 1, 100, 3.0), ("chr1", 101, 200, 4.0),
+                       ("chr2", 1, 50, -0.5)]
+        staging = out / ".staging"
+        assert not staging.exists() or not any(staging.iterdir())
+
+    def test_bed_and_gff_stream_sinks(self, spark, tmp_path):
+        """BED and GFF shard sinks land standalone readable shards
+        (GFF shards carry the ##gff-version header)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from hadoop_bam_spark.formats.bed import BED_SCHEMA
+        from hadoop_bam_spark.formats.gff import GFF_SCHEMA
+        from hadoop_bam_spark.sources import register_all
+        from hadoop_bam_spark.streaming.bed_stream import BEDStreamDataSource
+
+        register_all(spark)
+        spark.dataSource.register(BEDStreamDataSource)
+        land = tmp_path / "bed_in"
+        land.mkdir()
+        (land / "a.bed").write_text("chr1\t0\t100\tf1\t7\t+\nchr2\t5\t50\tf2\t0\t-\n")
+
+        out_bed = tmp_path / "bed_out"
+        q = (
+            spark.readStream.format("bed_stream")
+            .load(str(land))
+            .writeStream.format("bed")
+            .option("path", str(out_bed))
+            .option("checkpointLocation", str(tmp_path / "ck_bed_sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        back = spark.read.format("bed").load(str(out_bed))
+        assert sorted((r.contig, r.start, r.end, r.name) for r in back.collect()) == [
+            ("chr1", 1, 100, "f1"), ("chr2", 6, 50, "f2")]
+
+        # GFF: static-frame writeStream via a tailed bed feed transformed
+        # to the GFF schema
+        out_gff = tmp_path / "gff_out"
+        gff = (
+            spark.readStream.format("bed_stream")
+            .load(str(land))
+            .select(
+                "contig",
+                F.lit("test").alias("source"),
+                F.lit("region").alias("type"),
+                "start",
+                "end",
+                F.col("score").cast("double").alias("score"),
+                "strand",
+                F.lit(None).cast("int").alias("phase"),
+                F.create_map(F.lit("ID"), F.col("name")).alias("attributes"),
+            )
+        )
+        q2 = (
+            gff.writeStream.format("gff")
+            .option("path", str(out_gff))
+            .option("checkpointLocation", str(tmp_path / "ck_gff_sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        back2 = spark.read.format("gff").load(str(out_gff))
+        rows = sorted(
+            (r.contig, r.start, r.end, dict(r.attributes)["ID"])
+            for r in back2.collect()
+        )
+        assert rows == [("chr1", 1, 100, "f1"), ("chr2", 6, 50, "f2")]
+        # shards carry the version directive
+        import gzip as _gz
+
+        shard = next(f for f in os.listdir(out_gff) if f.endswith(".gff3.bgz"))
+        with _gz.open(os.path.join(out_gff, shard), "rt") as fh:
+            assert fh.readline().startswith("##gff-version 3")
