@@ -18,9 +18,11 @@ streams. Contract shared with ``vcf_stream``:
 - a shard-sink output directory is tailed through its commit
   manifests, so half-committed batches are never consumed.
 
-BED (``bed_stream``) and bedGraph (``bedgraph_stream``) bind this with
-their line parsers; the parser must return None for header lines and a
-tuple whose first three fields are (contig, start_1based, end_1based).
+BED (``bed_stream``), bedGraph (``bedgraph_stream``) and GFF3/GTF
+(``gff_stream``) bind this with their line parsers; the parser must
+return None for header lines, and ``coords`` names the tuple indexes of
+(contig, start_1based, end_1based) for the interval residual (default
+(0, 1, 2); GFF passes (0, 3, 4)).
 """
 
 from __future__ import annotations
@@ -36,7 +38,10 @@ from hadoop_bam_spark.streaming.lazyrows import LazyFileRows
 from hadoop_bam_spark.streaming.vcf_stream import _tbi_says_empty
 
 
-def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]], fmt: str):
+def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]], fmt: str,
+                    coords=(0, 1, 2)):
+    ci, si, ei = coords
+
     def it(path: str, intervals=None, stringency: str = "strict") -> Iterator[tuple]:
         from hadoop_bam_spark.sources import apply_stringency
 
@@ -61,7 +66,7 @@ def _iter_text_rows(parse_line: Callable[[str], Optional[tuple]], fmt: str):
                 if row is None:
                     continue
                 if intervals is None or any(
-                    c == row[0] and row[1] <= stop and lo <= row[2]
+                    c == row[ci] and row[si] <= stop and lo <= row[ei]
                     for c, lo, stop in intervals
                 ):
                     yield row
@@ -136,9 +141,9 @@ class TextTailReader(SimpleDataSourceStreamReader):
 
 
 def make_text_stream_source(name: str, schema, exts: Sequence[str],
-                            parse_line) -> type:
+                            parse_line, coords=(0, 1, 2)) -> type:
     """Build a DataSource class tailing ``exts`` files with ``parse_line``."""
-    iter_rows = _iter_text_rows(parse_line, name)
+    iter_rows = _iter_text_rows(parse_line, name, coords)
 
     class _TextStreamDataSource(DataSource):
         @classmethod

@@ -1645,3 +1645,35 @@ class TestTextStreamSinks:
         shard = next(f for f in os.listdir(out_gff) if f.endswith(".gff3.bgz"))
         with _gz.open(os.path.join(out_gff, shard), "rt") as fh:
             assert fh.readline().startswith("##gff-version 3")
+
+
+class TestGFFStream:
+    def test_tail_gff_landing_with_intervals(self, spark, tmp_path):
+        """gff_stream (third text-tail binding; interval coords live at
+        tuple indexes 3/4) tails deliveries with per-row residual
+        filtering and can tail the gff shard sink's output."""
+        from hadoop_bam_spark.streaming.gff_stream import GFFStreamDataSource
+
+        spark.dataSource.register(GFFStreamDataSource)
+        land = tmp_path / "gff_land"
+        land.mkdir()
+        (land / "a.gff3").write_text(
+            "##gff-version 3\n"
+            "chr1\tsrc\tgene\t100\t200\t1.5\t+\t.\tID=g1\n"
+            "chr1\tsrc\tgene\t5000\t5100\t.\t-\t.\tID=g2\n"
+            "chr2\tsrc\texon\t150\t250\t.\t+\t1\tID=g3\n")
+        ck = tmp_path / "ck_gff_tail"
+        q = (
+            spark.readStream.format("gff_stream")
+            .option("intervals", "chr1:150-400")
+            .load(str(land))
+            .writeStream.format("memory")
+            .queryName("t_gff_tail")
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("t_gff_tail").collect()
+        assert [(r.contig, r.start, r.end, dict(r.attributes)["ID"])
+                for r in rows] == [("chr1", 100, 200, "g1")]
