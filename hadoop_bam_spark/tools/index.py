@@ -15,6 +15,8 @@
                     (SplittingBAMIndex.main, SplittingBAMIndex.java:116-154)
 - ``sorted-header`` stamp SO:coordinate into a header-only BGZF BAM
                     (GetSortedBAMHeader.main, util/GetSortedBAMHeader.java:36-57)
+- ``idxstats``      per-contig mapped/unmapped counts from BAI pseudo-bins
+                    (samtools idxstats analog — index-only, no record scan)
 - ``guess``         debug the split guesser at an arbitrary file offset
                     (BAMSplitGuesser.main, BAMSplitGuesser.java:341-400)
 
@@ -236,6 +238,32 @@ def _cmd_guess(args) -> int:
     return 0
 
 
+def _cmd_idxstats(args) -> int:
+    """samtools idxstats without scanning a record: contig, length,
+    n_mapped, n_unmapped per reference from the BAI metadata pseudo-bins
+    (bin 37450), then the '*' line with n_no_coor. Reads the BAM header
+    only for names/lengths; given a bare .bai, prints ref indexes."""
+    path = args.file
+    if path.endswith(".bai"):
+        bai_path, bam_path = path, None
+    else:
+        bai_path, bam_path = path + ".bai", path
+    idx = read_bai(bai_path, open_fn=fs.open_file)
+    names = lengths = None
+    if bam_path is not None and fs.exists(bam_path):
+        with fs.open_file(bam_path, "rb") as f:
+            _hdr, refs, _end = bam_codec.read_header(bgzf.BGZFReader(f))
+        names = [r[0] for r in refs]
+        lengths = [r[1] for r in refs]
+    for i, ref in enumerate(idx.refs):
+        name = names[i] if names else str(i)
+        length = lengths[i] if lengths else 0
+        print(f"{name}\t{length}\t{max(ref.n_mapped, 0)}"
+              f"\t{max(ref.n_unmapped, 0)}")
+    print(f"*\t0\t0\t{int(idx.n_no_coor or 0)}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hadoop_bam_spark.tools.index")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +309,14 @@ def main(argv=None) -> int:
     s.add_argument("file")
     s.add_argument("output")
     s.set_defaults(fn=_cmd_sorted_header)
+
+    s = sub.add_parser(
+        "idxstats",
+        help="per-contig mapped/unmapped counts from the .bai metadata "
+        "pseudo-bins (samtools idxstats analog; no record scan)",
+    )
+    s.add_argument("file", help="a BAM with a .bai sidecar (or a .bai)")
+    s.set_defaults(fn=_cmd_idxstats)
 
     s = sub.add_parser("guess", help="debug: guess next record from an offset")
     s.add_argument("file")

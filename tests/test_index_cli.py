@@ -187,3 +187,50 @@ class TestCheckOracleArgs:
         )
         assert r.returncode != 0
         assert "unknown query name" in (r.stderr + r.stdout)
+
+
+def test_idxstats_matches_record_scan(spark, tmp_path, capsys):
+    """CLI idxstats (index-only) agrees with a full record scan of the
+    same BAM, including the '*' no-coordinate line."""
+    from pyspark.sql import functions as F
+
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.formats.sam import SAMHeader
+    from hadoop_bam_spark.sources import register_all
+    from hadoop_bam_spark.tools.index import main
+
+    register_all(spark)
+    hdr = SAMHeader()
+    hdr.lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for i in range(2):
+        hdr.lines.append(f"@SQ\tSN:chr{i + 1}\tLN:100000")
+        hdr.sequences[f"chr{i + 1}"] = (i, 100000)
+    rows = []
+    for i in range(300):
+        if i % 7 == 0:
+            rows.append((f"u{i}", 4, None, 0, 0, None, None, 0, 0,
+                         None, None, {}))
+        else:
+            rows.append((f"r{i}", 0, f"chr{i % 2 + 1}", i * 10 + 1, 30,
+                         "10M", None, 0, 0, None, None, {}))
+    df = spark.createDataFrame(
+        rows,
+        "qname string, flag int, rname string, pos int, mapq int, "
+        "cigar string, rnext string, pnext int, tlen int, seq string, "
+        "qual string, tags map<string,string>",
+    ).orderBy(F.col("rname").asc_nulls_last(), "pos")
+    p = str(tmp_path / "x.bam")
+    sinks.write_bam(df, p, hdr, index_bai=True)
+
+    assert main(["idxstats", p]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    got = {f[0]: (int(f[1]), int(f[2]), int(f[3]))
+           for f in (l.split("\t") for l in out)}
+    back = spark.read.format("bam").load(p)
+    per = {
+        r["rname"]: r["n"]
+        for r in back.groupBy("rname").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["chr1"] == (100000, per["chr1"], 0)
+    assert got["chr2"] == (100000, per["chr2"], 0)
+    assert got["*"] == (0, 0, per[None])
