@@ -776,3 +776,91 @@ def genome_sizes(spark, path: str) -> DataFrame:
             )
         seen.add(contig)
     return spark.createDataFrame(rows, "contig string, size long")
+
+
+def interval_slop(
+    df: DataFrame,
+    sizes: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    left: int = 0,
+    right: int = 0,
+    strand_col: str | None = None,
+) -> DataFrame:
+    """Grow each interval by ``left`` bases upstream and ``right`` bases
+    downstream — bedtools slop — clamped to [1, contig size]. With
+    ``strand_col`` (bedtools -s), upstream/downstream follow the
+    feature's strand: a '-' row grows ``left`` at its high end. Rows on
+    contigs absent from ``sizes`` are dropped (same universe rule as
+    interval_complement).
+
+    Scale shape: map-only arithmetic + one broadcast join against the
+    (dimension-sized) sizes table. All non-key columns ride along.
+    """
+    c, s, e = keys
+    sz = sizes.select(F.col(sizes.columns[0]).alias(c),
+                      F.col(sizes.columns[1]).cast("long").alias("_size"))
+    out = df.join(F.broadcast(sz), on=c)
+    if strand_col is None:
+        lo, hi = F.lit(left), F.lit(right)
+    else:
+        minus = F.col(strand_col) == "-"
+        lo = F.when(minus, right).otherwise(left)
+        hi = F.when(minus, left).otherwise(right)
+    ns = F.greatest(F.col(s).cast("long") - lo, F.lit(1))
+    ne = F.least(F.col(e).cast("long") + hi, F.col("_size"))
+    carry = [col for col in df.columns if col not in (s, e)]
+    return out.select(*carry, ns.alias(s), ne.alias(e))
+
+
+def interval_flank(
+    df: DataFrame,
+    sizes: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    left: int = 0,
+    right: int = 0,
+    strand_col: str | None = None,
+) -> DataFrame:
+    """The flanking regions NEXT TO each interval (not including it) —
+    bedtools flank: up to one ``left``-length interval upstream and one
+    ``right``-length downstream, clamped to [1, contig size]; empty
+    flanks (length 0 or fully off-contig) are not emitted. Strand-aware
+    like :func:`interval_slop`. Adds a ``flank_side``
+    ('upstream'/'downstream') column.
+
+    Scale shape: map-only — one broadcast sizes join, a 2-element array
+    explode per row, no shuffle.
+    """
+    c, s, e = keys
+    sz = sizes.select(F.col(sizes.columns[0]).alias(c),
+                      F.col(sizes.columns[1]).cast("long").alias("_size"))
+    out = df.join(F.broadcast(sz), on=c)
+    if strand_col is None:
+        lo, hi = F.lit(left), F.lit(right)
+    else:
+        minus = F.col(strand_col) == "-"
+        lo = F.when(minus, right).otherwise(left)
+        hi = F.when(minus, left).otherwise(right)
+    s_l = F.col(s).cast("long")
+    e_l = F.col(e).cast("long")
+    up = F.struct(
+        F.lit("upstream").alias("side"),
+        F.greatest(s_l - lo, F.lit(1)).alias("fs"),
+        (s_l - 1).alias("fe"),
+    )
+    down = F.struct(
+        F.lit("downstream").alias("side"),
+        (e_l + 1).alias("fs"),
+        F.least(e_l + hi, F.col("_size")).alias("fe"),
+    )
+    flanks = F.filter(
+        F.array(up, down),
+        lambda x: (x["fs"] <= x["fe"]) & (x["fe"] >= 1)
+        & (x["fs"] <= F.col("_size")),
+    )
+    carry = [col for col in df.columns if col not in (s, e)]
+    return out.select(*carry, F.explode(flanks).alias("_f")).select(
+        *carry,
+        F.col("_f.fs").alias(s),
+        F.col("_f.fe").alias(e),
+        F.col("_f.side").alias("flank_side"),
+    )

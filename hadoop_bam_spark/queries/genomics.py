@@ -1641,3 +1641,74 @@ def template_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(paired, span)).alias("sum_template_span"),
         F.max("n_reads").alias("max_reads_per_template"),
     )
+
+
+@query(
+    "interval_slop_merge",
+    oracle=f"""
+        WITH {REGIONS_CTE},
+        sl AS (
+            SELECT contig_idx,
+                   contig_idx * {_AXIS} + greatest(r_start - 5000, 1) AS s2,
+                   contig_idx * {_AXIS} + least(r_stop + 12000, 1100000)
+                       AS e2,
+                   region_id
+            FROM regions
+        ), sflag AS (
+            SELECT contig_idx, s2, e2,
+                   CASE WHEN max(e2) OVER (ORDER BY s2, e2, region_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                         OR s2 > max(e2) OVER (ORDER BY s2, e2, region_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) + 1
+                        THEN 1 ELSE 0 END AS opens
+            FROM sl
+        ), sgrp AS (
+            SELECT contig_idx, s2, e2,
+                   sum(opens) OVER (ORDER BY s2, e2
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS grp
+            FROM sflag
+        ), smerged AS (
+            SELECT min(contig_idx) AS contig_idx,
+                   min(s2) - min(contig_idx) * {_AXIS} AS m_start,
+                   max(e2) - min(contig_idx) * {_AXIS} AS m_stop
+            FROM sgrp GROUP BY grp
+        )
+        SELECT contig_idx, count(*) AS n_regions,
+               sum(m_stop - m_start + 1)::BIGINT AS covered_bases,
+               min(m_start)::BIGINT AS min_start,
+               max(m_stop)::BIGINT AS max_stop
+        FROM smerged GROUP BY contig_idx
+    """,
+    doc="bedtools slop + merge: grow every region 5 kb upstream / 12 kb "
+    "downstream clamped to [1, contig size] (interval_slop — map-only "
+    "arithmetic + a broadcast sizes join), then flatten the grown set "
+    "(interval_merge) and report per-contig region counts and covered "
+    "bases — the promoter/padding workflow every annotation pipeline "
+    "runs. The oracle slops arithmetically and re-merges on the single "
+    "axis.",
+)
+def interval_slop_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import (
+        interval_merge,
+        interval_slop,
+    )
+
+    regions = regions_view(spark, sf_dir).select(
+        F.col("contig_idx").alias("contig"),
+        F.col("r_start").alias("start"),
+        F.col("r_stop").alias("stop"),
+    )
+    sizes = spark.createDataFrame(
+        [(i, 1100000) for i in range(4)], "contig long, size long"
+    )
+    grown = interval_slop(regions, sizes, left=5000, right=12000)
+    merged = interval_merge(grown)
+    return merged.groupBy(F.col("contig").alias("contig_idx")).agg(
+        F.count(F.lit(1)).alias("n_regions"),
+        F.sum(F.col("stop") - F.col("start") + 1).alias("covered_bases"),
+        F.min("start").alias("min_start"),
+        F.max("stop").alias("max_stop"),
+    )

@@ -382,3 +382,48 @@ def test_genome_sizes_rejects_duplicate_contig(spark, tmp_path):
     p.write_text("chr1\t1000\nchr1\t1000\n")
     with pytest.raises(ValueError, match="duplicate contig"):
         genome_sizes(spark, str(p))
+
+
+@pytest.mark.parametrize("stranded", [False, True])
+def test_slop_and_flank_brute(spark, frames, stranded):
+    from hadoop_bam_spark.operators.interval_join import (
+        interval_flank,
+        interval_slop,
+    )
+
+    from pyspark.sql import functions as F
+
+    left, _, ldf, _ = frames
+    rng = random.Random(5)
+    strands = {name: rng.choice("+-") for _, _, _, name in left}
+    ldf2 = ldf.withColumn(
+        "strand",
+        F.when(F.col("name").isin([n for n, st in strands.items() if st == "-"]), "-")
+        .otherwise("+"),
+    ) if stranded else ldf
+    SIZE = AXIS + 50
+    sizes = spark.createDataFrame([(c, SIZE) for c in CONTIGS],
+                                  "contig string, size long")
+    L, R = 30, 70
+    kw = {"strand_col": "strand"} if stranded else {}
+    slop = {
+        r["name"]: (r["start"], r["stop"])
+        for r in interval_slop(ldf2, sizes, left=L, right=R, **kw).collect()
+    }
+    flank = {}
+    for r in interval_flank(ldf2, sizes, left=L, right=R, **kw).collect():
+        flank.setdefault(r["name"], []).append(
+            (r["flank_side"], r["start"], r["stop"]))
+    for c, s, e, name in left:
+        lo, hi = (L, R)
+        if stranded and strands[name] == "-":
+            lo, hi = R, L
+        assert slop[name] == (max(s - lo, 1), min(e + hi, SIZE)), name
+        want = []
+        if s > 1:
+            want.append(("upstream", max(s - lo, 1), s - 1))
+        if e < SIZE and hi > 0:
+            want.append(("downstream", e + 1, min(e + hi, SIZE)))
+        # zero-length upstream flank when lo == 0
+        want = [(w, a, b) for (w, a, b) in want if a <= b]
+        assert sorted(flank.get(name, [])) == sorted(want), name
