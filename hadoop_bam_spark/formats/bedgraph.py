@@ -50,18 +50,23 @@ def parse_bedgraph_line(line: str) -> Optional[tuple]:
     """One data line -> BEDGRAPH_SCHEMA tuple (None for header/blank).
 
     Raises ``ValueError`` on malformed rows (not exactly 4 columns,
-    non-numeric fields, end < start) for ValidationStringency to
-    raise/skip per policy. The UCSC spec allows space OR tab
-    separation; both parse, tabs are written."""
+    non-numeric fields, end <= start) for ValidationStringency to
+    raise/skip per policy. Zero-length records (chromStart == chromEnd)
+    are rejected too: BED's insertion-point convention has no meaning
+    for a value track, and the inverted engine row (start = end + 1)
+    would silently flow into interval/coverage arithmetic. The UCSC
+    spec allows space OR tab separation; both parse, tabs are
+    written."""
     if is_header_line(line):
         return None
     f = line.rstrip("\r\n").split()
     if len(f) != 4:
         raise ValueError(f"bedGraph line has {len(f)} fields, expected 4")
     chrom_start, chrom_end = int(f[1]), int(f[2])
-    if chrom_end < chrom_start or chrom_start < 0:
+    if chrom_end <= chrom_start or chrom_start < 0:
         raise ValueError(
-            f"bedGraph interval [{chrom_start}, {chrom_end}) is invalid")
+            f"bedGraph interval [{chrom_start}, {chrom_end}) is invalid "
+            "(value tracks have no zero-length records)")
     return (f[0], chrom_start + 1, chrom_end, float(f[3]))
 
 
@@ -120,8 +125,8 @@ def parse_bedgraph_chunk(lines) -> Optional[dict]:
         return None
     s0 = start0.to_numpy(zero_copy_only=False)
     e0 = end0.to_numpy(zero_copy_only=False)
-    if (s0 < 0).any() or (e0 < s0).any():
-        return None  # scalar path raises per-row
+    if (s0 < 0).any() or (e0 <= s0).any():
+        return None  # scalar path raises per-row (incl. zero-length rows)
     if value.null_count:
         return None
     return {

@@ -159,28 +159,64 @@ def parse_chain(text: str) -> List[Tuple]:
     return out
 
 
-def format_chain(blocks: Iterable[Tuple], t_size: int = 1 << 40,
-                 q_size: int | None = None) -> str:
+def format_chain(blocks: Iterable[Tuple], t_size=1 << 40,
+                 q_size=None) -> str:
     """CHAIN_COLS tuples -> chain-file text, one single-block chain per
     tuple (a valid, liftOver-readable encoding that needs no gap
     reconstruction). ``t_size``/``q_size`` fill the declared chromosome
-    sizes; minus-strand blocks convert the plus-strand low coordinate
-    back to reverse-strand qStart/qEnd AGAINST ``q_size``, so writing a
-    '-' block REQUIRES the real destination chromosome size — a filler
-    size would round-trip through this module's own parser (the mirror
-    cancels) but make external liftOver land every minus-strand position
-    on the wrong coordinate. Plus-strand-only block lists may omit it.
+    sizes — each either a single int for every block or a
+    ``{contig: size}`` mapping (required for multi-chromosome block
+    lists, whose contigs need different declared sizes). Minus-strand
+    blocks convert the plus-strand low coordinate back to reverse-strand
+    qStart/qEnd AGAINST ``q_size``, so writing a '-' block REQUIRES the
+    real destination chromosome size — a filler size would round-trip
+    through this module's own parser (the mirror cancels) but make
+    external liftOver land every minus-strand position on the wrong
+    coordinate. Plus-strand-only block lists may omit it.
+
+    Every block is validated against its declared sizes (``t_end <=
+    t_size``, ``0 <= q_start`` and ``q_end <= q_size``): a q_size
+    smaller than a minus block's plus-strand high coordinate would
+    otherwise silently write a negative qStart — an invalid chain that
+    external liftOver rejects or mis-lifts.
     """
+
+    def _sz(val, contig: str, which: str):
+        if val is None:
+            return None
+        if isinstance(val, int):
+            return val
+        try:
+            return val[contig]
+        except KeyError:
+            raise ValueError(
+                f"format_chain: {which} mapping has no size for contig "
+                f"{contig!r}"
+            )
+
     lines: List[str] = []
     for (sc, ss, se, dc, ds, strand, cid, score) in blocks:
-        if strand == "-" and q_size is None:
+        qs = _sz(q_size, dc, "q_size")
+        if strand == "-" and qs is None:
             raise ValueError(
                 "format_chain: minus-strand blocks need the real q_size "
                 "(reverse-strand qStart/qEnd are computed against it)"
             )
-        qs = q_size if q_size is not None else 1 << 40
+        ts = _sz(t_size, sc, "t_size")
+        if qs is None:
+            qs = 1 << 40
         size = se - ss + 1
+        if size <= 0:
+            raise ValueError(
+                f"format_chain: block {sc}:{ss}-{se} has non-positive size"
+            )
         t_start, t_end = ss - 1, se
+        if t_start < 0 or t_end > ts:
+            raise ValueError(
+                f"format_chain: block {sc}:{ss}-{se} outside declared "
+                f"t_size {ts} (target span must satisfy 0 <= tStart and "
+                f"tEnd <= tSize)"
+            )
         p_lo0 = ds - 1
         if strand == "+":
             q_start, q_end = p_lo0, p_lo0 + size
@@ -188,8 +224,14 @@ def format_chain(blocks: Iterable[Tuple], t_size: int = 1 << 40,
             q_start, q_end = qs - (p_lo0 + size), qs - p_lo0
         else:
             raise ValueError(f"bad dst_strand {strand!r}")
+        if q_start < 0 or q_end > qs:
+            raise ValueError(
+                f"format_chain: block {dc} (plus-strand low {ds}, strand "
+                f"{strand}) outside declared q_size {qs} — a negative "
+                "qStart/overrun qEnd writes an invalid chain"
+            )
         lines.append(
-            f"chain {score} {sc} {t_size} + {t_start} {t_end} "
+            f"chain {score} {sc} {ts} + {t_start} {t_end} "
             f"{dc} {qs} {strand} {q_start} {q_end} {cid}"
         )
         lines.append(str(size))

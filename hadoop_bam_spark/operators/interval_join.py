@@ -60,17 +60,30 @@ def interval_join_binned(
     keep only the bin containing max(left.start, right.start), which both
     sides are guaranteed to have exploded.
 
-    ``how="left_outer"`` keeps left rows with no overlapping right row as
-    ONE null-extended row each (the row from the left interval's first
-    bin) — every overlapping pair still appears exactly once, and a left
-    row with matches elsewhere may ALSO carry one null row when its first
-    bin had no match, so aggregating consumers must ignore null right
-    fields (collect_list and count(right-col) both do). This is what lets
+    ``how="left_outer_loose"`` keeps left rows with no overlapping right
+    row as ONE null-extended row each (the row from the left interval's
+    first bin) — every overlapping pair still appears exactly once, BUT
+    a left row with matches elsewhere may ALSO carry one null row when
+    its first bin had no match. That deliberately deviates from SQL
+    left-outer semantics (hence the explicit name; plain
+    ``how="left_outer"`` is rejected so no external caller mistakes the
+    contract): aggregating consumers must ignore null right fields
+    (collect_list and count(right-col) both do). This is what lets
     subtract/coverage keep untouched intervals without a second join
-    against the left table.
+    against the left table; a strict left-outer would need a per-left-row
+    match count, i.e. exactly the regroup those consumers already do.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer_loose"):
+        if how == "left_outer":
+            raise ValueError(
+                "interval_join_binned: use how='left_outer_loose' — this "
+                "mode can emit BOTH matched rows and one null-extended row "
+                "for the same left interval (see docstring); it is not SQL "
+                "left-outer."
+            )
         raise ValueError(f"unsupported how={how!r}")
+    loose = how == "left_outer_loose"
+    spark_how = "left_outer" if loose else "inner"
     lc, ls, le = left_keys
     rc, rs, re_ = right_keys
 
@@ -87,7 +100,7 @@ def interval_join_binned(
             bins = F.coalesce(bins, F.array(F.lit(-1).cast("long")))
         return df.withColumn(f"_bin_{side}", F.explode(bins))
 
-    lb = binned(left, lc, ls, le, "l", keep_null=(how == "left_outer"))
+    lb = binned(left, lc, ls, le, "l", keep_null=loose)
     rb = binned(right, rc, rs, re_, "r")
     joined = lb.join(
         rb,
@@ -95,11 +108,11 @@ def interval_join_binned(
         & (lb["_bin_l"] == rb["_bin_r"])
         & (lb[ls] <= rb[re_])
         & (rb[rs] <= lb[le]),
-        how,
+        spark_how,
     )
     # Dedup: emit the pair only from the first bin of its intersection.
     first_shared_bin = ((F.greatest(F.col(ls), F.col(rs)) - 1) / bin_size).cast("long")
-    if how == "inner":
+    if not loose:
         return joined.filter(F.col("_bin_l") == first_shared_bin).drop("_bin_l", "_bin_r")
     left_first_bin = F.coalesce(
         ((F.col(ls) - 1) / bin_size).cast("long"), F.lit(-1).cast("long")
@@ -110,10 +123,120 @@ def interval_join_binned(
     return joined.filter(keep).drop("_bin_l", "_bin_r")
 
 
+#: default sub-contig range-chunk width for the two-phase merge sweep.
+#: 8 Mb → ~30 chunks per human chromosome, so the local-merge stage runs
+#: at (contigs × chunks)-way parallelism instead of capping at #contigs.
+MERGE_CHUNK_SIZE = 8 << 20
+
+
+def _chunked_local_merge(
+    df: DataFrame,
+    keys: Sequence[str],
+    gap: int,
+    chunk_size: int,
+    carry_rows: bool,
+):
+    """Shared phase-1 + stitch-map machinery of :func:`interval_merge` and
+    :func:`interval_cluster`.
+
+    Phase 1 — local merge: every interval lands in the range chunk of its
+    START (``floor((start-1)/chunk_size)``); a window partitioned by
+    (contig, chunk) runs the classic running-max-stop sweep, producing
+    local runs. Parallelism = #(contig, chunk) — scales with data volume,
+    not with #contigs.
+
+    Phase 2 — stitch map, entirely at CHUNK granularity (one row per
+    non-empty chunk, i.e. ≤ genome_size/chunk_size rows — tiny): per
+    chunk, aggregate ``max stop`` and ``max run start``; a per-contig
+    window over these summaries yields ``reach`` (exclusive prefix max of
+    chunk max-stops = how far earlier chunks extend into this one).
+
+    Correctness hinges on three provable facts (closed intervals, merge
+    rule ``next.start <= prev_max_stop + 1 + gap``):
+
+    - at most ONE merged region crosses any chunk boundary (two regions
+      both reaching past a boundary would overlap each other);
+    - within a chunk, the runs absorbed into that crossing region are
+      exactly those with ``run_start <= reach + 1 + gap`` — a PREFIX of
+      the chunk's runs (run starts increase; local merge already
+      guarantees consecutive local runs are further than gap apart, so
+      absorbing one run never extends the frontier enough to absorb the
+      next);
+    - the crossing region's ORIGIN is the most recent non-absorbed run in
+      any earlier chunk (each non-absorbed run opens a region, closing the
+      previous one), and "the last non-absorbed run of chunk j" is its
+      last run unless the whole chunk was absorbed — so the origin
+      propagates with one ignore-nulls ``last`` window over the chunk
+      summaries.
+
+    Returns ``(runs, base)`` where ``runs`` has one row per local run with
+    ``(c, _chunk, _grp, s, e, _rs, _re, n_merged, _origin)`` — ``_origin``
+    is the long start coordinate of the run's final merged region, unique
+    per region within a contig — and ``base`` is the chunk-annotated input
+    (only when ``carry_rows``, for :func:`interval_cluster`).
+    """
+    from pyspark.sql import Window
+
+    c, s, e = keys
+    sl = F.col(s).cast("long")
+    el = F.col(e).cast("long")
+    cols = list(df.columns) if carry_rows else [c, s, e]
+    base = df.select(
+        *cols,
+        sl.alias("_sl"),
+        el.alias("_el"),
+        F.floor((sl - 1) / F.lit(chunk_size)).cast("long").alias("_chunk"),
+    )
+    w = Window.partitionBy(c, "_chunk").orderBy("_sl", "_el")
+    prev_max = F.max("_el").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max.isNull() | (F.col("_sl") > prev_max + 1 + gap), 1
+    ).otherwise(0)
+    grp = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    base = base.withColumn("_grp", grp)
+    # groupBy keys ⊇ the window partition keys → no extra exchange.
+    runs = base.groupBy(c, "_chunk", "_grp").agg(
+        F.min(s).alias(s),
+        F.max(e).alias(e),
+        F.min("_sl").alias("_rs"),
+        F.max("_el").alias("_re"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )
+    # Chunk summaries: ≤ one row per (contig, chunk). The per-contig
+    # windows below run over THIS table, not the data — the only
+    # contig-serial stage left, and it is O(#chunks).
+    cs = runs.groupBy(c, "_chunk").agg(
+        F.max("_re").alias("_cms"), F.max("_rs").alias("_cls")
+    )
+    wc = Window.partitionBy(c).orderBy("_chunk")
+    reach = F.max("_cms").over(wc.rowsBetween(Window.unboundedPreceding, -1))
+    cs = cs.select(c, "_chunk", "_cls", reach.alias("_reach"))
+    # Last non-absorbed run IN each chunk: its last run, unless even that
+    # was absorbed (then the whole chunk was — absorbed runs are a prefix).
+    lna_local = F.when(
+        F.col("_reach").isNull() | (F.col("_cls") > F.col("_reach") + 1 + gap),
+        F.col("_cls"),
+    )
+    cs = cs.withColumn("_lnal", lna_local)
+    lna = F.last("_lnal", ignorenulls=True).over(
+        wc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stitch = cs.select(c, "_chunk", "_reach", lna.alias("_lna"))
+    runs = runs.join(F.broadcast(stitch), on=[c, "_chunk"], how="left")
+    absorbed = F.col("_reach").isNotNull() & (
+        F.col("_rs") <= F.col("_reach") + 1 + gap
+    )
+    runs = runs.withColumn(
+        "_origin", F.when(absorbed, F.col("_lna")).otherwise(F.col("_rs"))
+    ).drop("_reach", "_lna")
+    return runs, (base if carry_rows else None)
+
+
 def interval_merge(
     df: DataFrame,
     keys: Sequence[str] = ("contig", "start", "stop"),
     gap: int = 0,
+    chunk_size: int = MERGE_CHUNK_SIZE,
 ) -> DataFrame:
     """Flatten overlapping (and book-ended) intervals per contig — the
     bedtools-merge operation. Returns one row per merged region:
@@ -124,35 +247,28 @@ def interval_merge(
     overlapping AND adjacent intervals, the bedtools default; a larger
     gap closes small holes, e.g. blocklist smoothing).
 
-    Scale shape: ONE shuffle — a window partitioned by contig ordered
-    by (start, stop) computes the running max stop, a new region opens
-    where the gap rule breaks, and a second pass over the same
-    partitioning (no extra shuffle: the groupBy keys are a superset of
-    the window partition key prefix) aggregates each region. Per-contig
-    ordering is the inherent sequential dependency of the operation;
-    at 100 TB the skew unit is one contig's intervals, the same unit
-    every coordinate-sorted genomics tool processes serially — for
-    corpus-scale interval sets pre-aggregate identical intervals first.
+    Scale shape: TWO-PHASE range-partitioned sweep (see
+    :func:`_chunked_local_merge`) — a local running-max merge per
+    (contig, ``chunk_size``-wide range chunk), then a chunk-granularity
+    stitch map (per-contig windows over ONE ROW PER CHUNK) that assigns
+    every local run its final region origin, and one regroup on
+    (contig, origin). Two shuffles total (local window + final regroup,
+    the broadcast stitch join is free), and no stage is limited to
+    #contigs-way parallelism: at 100 TB of intervals on 1000 cores the
+    sweep runs at #(contig, chunk) ≈ genome/8 Mb ≫ #cores partitions,
+    where the old single-window form idled 97% of the cluster through a
+    ~24-way per-contig stage.
     """
-    from pyspark.sql import Window
-
     c, s, e = keys
-    w = Window.partitionBy(c).orderBy(s, e)
-    prev_max = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    opens = F.when(
-        prev_max.isNull() | (F.col(s) > prev_max + 1 + gap), 1
-    ).otherwise(0)
-    grp = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs, _ = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=False)
     return (
-        df.select(c, s, e)
-        .withColumn("_grp", grp)
-        .groupBy(c, "_grp")
+        runs.groupBy(c, "_origin")
         .agg(
             F.min(s).alias(s),
             F.max(e).alias(e),
-            F.count(F.lit(1)).alias("n_merged"),
+            F.sum("n_merged").alias("n_merged"),
         )
-        .drop("_grp")
+        .drop("_origin")
     )
 
 
@@ -190,7 +306,7 @@ def interval_subtract(
     )
     hits = interval_join_binned(
         left, mr, left_keys=keys, right_keys=("_mc", "_ms", "_me"),
-        bin_size=bin_size, how="left_outer",
+        bin_size=bin_size, how="left_outer_loose",
     )
     clip = F.when(
         F.col("_mc").isNotNull(),
@@ -431,7 +547,7 @@ def interval_coverage(
     )
     hits = interval_join_binned(
         left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
-        bin_size=bin_size, how="left_outer",
+        bin_size=bin_size, how="left_outer_loose",
     )
     clip = F.when(
         F.col("_rc").isNotNull(),
@@ -553,7 +669,13 @@ def interval_liftover(
     UCSC qStrand, formats/chain.py): positions inside a '-' block MIRROR
     around the block (``dst_start`` is always the plus-strand low
     coordinate), and the column is carried into the output as
-    ``dst_strand``.
+    ``dst_strand``. A chain frame that CARRIES a ``dst_strand`` column
+    (everything ``formats.chain.read_chain`` returns — real liftOver
+    chains routinely contain '-' blocks) is rejected when ``strand_col``
+    is left unset: silently lifting minus blocks with plus-strand
+    arithmetic would produce wrong coordinates with no error. Pass
+    ``strand_col="dst_strand"`` (correct for any strand mix), or drop
+    the column to assert a plus-only chain.
 
     Scale shape: ONE binned 16 kb-tile overlap join (the chain is usually
     broadcastable, but the tile join also handles chain-larger-than-memory)
@@ -565,6 +687,14 @@ def interval_liftover(
 
     c, s, e = keys
     sc, ss, se, dc, ds = chain_keys
+    if strand_col is None and "dst_strand" in chain.columns:
+        raise ValueError(
+            "interval_liftover: the chain carries a dst_strand column but "
+            "strand_col was not set — minus-strand blocks would be lifted "
+            "with plus-strand arithmetic, silently mis-mapping. Pass "
+            "strand_col='dst_strand', or drop the column to assert a "
+            "plus-only chain."
+        )
     ch_cols = [
         F.col(sc).alias("_sc"),
         F.col(ss).cast("long").alias("_ss"),
@@ -714,31 +844,46 @@ def interval_cluster(
     df: DataFrame,
     keys: Sequence[str] = ("contig", "start", "stop"),
     gap: int = 0,
+    chunk_size: int = MERGE_CHUNK_SIZE,
 ) -> DataFrame:
     """Assign a cluster id to every interval — bedtools cluster: two
     intervals share an id iff they are connected through a chain of
     overlapping (or ``gap``-close, book-ended at ``gap=0``) intervals,
     i.e. they fall inside the same :func:`interval_merge` region. Returns
-    the input rows plus ``cluster_id`` (a per-contig ordinal; the pair
-    (contig, cluster_id) is globally unique).
+    the input rows plus ``cluster_id`` (a per-contig ordinal in region
+    start order, starting at 1; the pair (contig, cluster_id) is
+    globally unique).
 
-    Scale shape: the interval_merge running-max window WITHOUT the
-    collapsing aggregate — ONE shuffle, rows in = rows out. Tie rows
-    (identical start/stop) land in the same cluster under any tie order,
-    so the plan is deterministic without a unique row key.
+    Scale shape: the same two-phase range-partitioned sweep as
+    :func:`interval_merge` (see :func:`_chunked_local_merge`) with the
+    rows carried through instead of collapsed: local cluster ids per
+    (contig, chunk) window, a chunk-granularity stitch map to final
+    region origins, then ids join back to the rows on (contig, chunk,
+    local id). The ordinal assignment itself (row_number over region
+    origins per contig) runs over ONE ROW PER FINAL CLUSTER — the
+    sequential numbering is inherent to the id contract, but it is paid
+    on the region table, never on the data. Tie rows (identical
+    start/stop) land in the same cluster under any tie order, so the
+    plan is deterministic without a unique row key.
     """
     from pyspark.sql import Window
 
     c, s, e = keys
-    w = Window.partitionBy(c).orderBy(s, e)
-    prev_max = F.max(F.col(e).cast("long")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    runs, base = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=True)
+    wr = Window.partitionBy(c).orderBy("_origin")
+    regions = (
+        runs.select(c, "_origin")
+        .distinct()
+        .withColumn("cluster_id", F.row_number().over(wr).cast("long"))
     )
-    opens = F.when(
-        prev_max.isNull() | (F.col(s).cast("long") > prev_max + 1 + gap), 1
-    ).otherwise(0)
-    cid = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return df.withColumn("cluster_id", cid)
+    run_map = (
+        runs.select(c, "_chunk", "_grp", "_origin")
+        .join(regions, on=[c, "_origin"])
+        .select(c, "_chunk", "_grp", "cluster_id")
+    )
+    return base.join(run_map, on=[c, "_chunk", "_grp"]).select(
+        *df.columns, "cluster_id"
+    )
 
 
 def genome_sizes(spark, path: str) -> DataFrame:

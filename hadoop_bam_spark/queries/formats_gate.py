@@ -915,6 +915,47 @@ def bcf_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bcf_sharded_roundtrip",
+    oracle=_VCF_ORACLE,
+    doc="Sharded BCF I/O (the 100 TB write path): a directory of complete "
+    "standalone .bcf shards — own header block, BGZF EOF, per-shard .csi "
+    "sidecar — no driver byte merge, read back as a directory. Same "
+    "oracle as the single-file round trip: shard layout must never "
+    "change content. Completes the sharded-batch gate matrix "
+    "(BAM/CRAM/VCF had rows; BCF only had a streaming sink).",
+)
+def bcf_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark import sinks
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d: str) -> None:
+        out = os.path.join(d, "v_bcf")
+        sinks.write_bcf(
+            _variants_df(spark, sf_dir).repartition(4), out, _vcf_header(),
+            index_csi=True, sharded=True,
+        )
+        shards = [f for f in os.listdir(out) if f.endswith(".bcf")]
+        missing = [f for f in shards if not os.path.exists(
+            os.path.join(out, f + ".csi"))]
+        if not shards or missing:
+            raise AssertionError(
+                f"sharded BCF write: shards={shards} missing_csi={missing}"
+            )
+
+    d = _artifact(sf_dir, "bcf_sharded", build)
+    path = os.path.join(d, "v_bcf")
+    back = spark.read.format("bcf").option("split_size", "4096").load(path)
+    return back.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("start").alias("sum_start"),
+        F.round(F.sum("qual"), 6).alias("sum_qual"),
+        F.sum(F.element_at("info", "DP").cast("long")).alias("sum_dp"),
+    )
+
+
 _VCF_INTERVAL_ORACLE = """
     WITH v AS (
         SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,
@@ -1404,6 +1445,7 @@ def bed_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "chain_liftover_roundtrip",
+    bench=True,
     oracle=f"""
         WITH {READS_CTE},
         dreads AS (

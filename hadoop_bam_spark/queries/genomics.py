@@ -1245,6 +1245,7 @@ def interval_liftover_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pileup_depth_histogram",
+    bench=True,
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
         {_MERGED_REGIONS_CTE.lstrip()},
@@ -1269,15 +1270,19 @@ def interval_liftover_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="samtools depth over target regions: per-base pileup depth inside "
     "the (merged) region set, reported as a per-contig depth histogram. "
-    "Plan: binned tile join reads×merged-regions, explode each clipped "
-    "read to its covered positions (output bounded by region "
-    "bases × depth — the operator's inherent output, restricted to "
-    "targets exactly so 100 TB of reads never explodes genome-wide), "
-    "count per position, histogram per contig. Both aggregations "
-    "partition on high-cardinality (contig, pos) — AQE-splittable, "
-    "pileup-bounded skew only.",
+    "Plan: binned tile join reads×merged-regions, then the BOUNDARY-EVENT "
+    "sweep (the interval_multiinter form): each clipped read becomes a "
+    "+1 event at its clipped start and a -1 at clipped stop + 1, a "
+    "per-contig running sum over the deduped event positions gives the "
+    "depth of every constant-depth segment, and the histogram weights "
+    "each (contig, depth) by segment length — O(read boundaries) rows "
+    "instead of O(covered bases) (at 30x whole-genome coverage a ~100x "
+    "row reduction vs the per-base explode this replaced). The oracle "
+    "stays per-base in DuckDB — exact divergence detection.",
 )
 def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from hadoop_bam_spark.operators.interval_join import (
         interval_join_binned as _ijb,
         interval_merge,
@@ -1293,21 +1298,32 @@ def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_keys=("ref_idx", "pos", "stop"),
         right_keys=("contig_idx", "r_start", "r_stop"),
     )
-    depths = (
-        hits.select(
-            "ref_idx",
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("r_start"), F.col("pos")),
-                    F.least(F.col("r_stop"), F.col("stop")),
-                )
-            ).alias("p"),
-        )
-        .groupBy("ref_idx", "p")
-        .agg(F.count(F.lit(1)).alias("depth"))
+    pairs = hits.select(
+        "ref_idx",
+        F.greatest(F.col("r_start"), F.col("pos")).alias("cs"),
+        F.least(F.col("r_stop"), F.col("stop")).alias("ce"),
     )
-    return depths.groupBy("ref_idx", "depth").agg(
-        F.count(F.lit(1)).alias("n_positions")
+    ev = pairs.select(
+        "ref_idx", F.col("cs").alias("p"), F.lit(1).alias("d")
+    ).unionByName(
+        pairs.select("ref_idx", (F.col("ce") + 1).alias("p"), F.lit(-1).alias("d"))
+    )
+    # Merged regions are disjoint, so depth returns to 0 between regions —
+    # no segment ever spans a region boundary.
+    agg = ev.groupBy("ref_idx", "p").agg(F.sum("d").alias("delta"))
+    w = Window.partitionBy("ref_idx").orderBy("p")
+    state = agg.select(
+        "ref_idx",
+        "p",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("depth"),
+        F.lead("p").over(w).alias("_nxt"),
+    )
+    # The final event of a contig always carries depth 0 (deltas sum to 0),
+    # so depth > 0 never coincides with a null lead.
+    return (
+        state.filter(F.col("depth") > 0)
+        .groupBy("ref_idx", "depth")
+        .agg(F.sum(F.col("_nxt") - F.col("p")).alias("n_positions"))
     )
 
 
@@ -1417,6 +1433,7 @@ def kmer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interval_multiinter_sets",
+    bench=True,
     oracle=f"""
         WITH sa AS (
             SELECT n_nationkey % 4 AS contig,

@@ -2133,6 +2133,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cross_source_ngram_overlap",
+    bench=True,
     oracle=r"""
         WITH docs AS (
             SELECT source,

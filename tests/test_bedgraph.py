@@ -221,3 +221,21 @@ def test_nonfinite_values_write_and_reparse():
         back = parse_bedgraph_line(line)
         assert back[:3] == ("c", 1, 5)
         assert repr(back[3]) == repr(v)
+
+
+def test_zero_length_record_rejected():
+    """ADVICE r13: chromStart == chromEnd has no meaning in a value track
+    (no insertion-point semantics) and the inverted engine row
+    (start = end + 1) silently corrupted coverage arithmetic."""
+    import pyarrow  # noqa: F401  (vectorized path dependency)
+
+    from hadoop_bam_spark.formats.bedgraph import (
+        parse_bedgraph_chunk,
+        parse_bedgraph_line,
+    )
+
+    with pytest.raises(ValueError, match="zero-length"):
+        parse_bedgraph_line("chr1\t5\t5\t1.0")
+    # vectorized chunk bails (None) so the scalar path owns stringency
+    assert parse_bedgraph_chunk(["chr1\t5\t5\t1.0"]) is None
+    assert parse_bedgraph_chunk(["chr1\t5\t6\t1.0"]) is not None

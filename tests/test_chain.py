@@ -204,3 +204,36 @@ def test_format_minus_requires_real_q_size():
         format_chain(blocks)
     # plus-strand-only lists may omit it
     assert "chain" in format_chain([("c", 1, 10, "d", 100, "+", 1, 0)])
+
+
+def test_format_validates_declared_sizes():
+    """ADVICE r13: a q_size smaller than a minus block's plus-strand high
+    silently wrote a negative qStart — an invalid chain. Now: ValueError."""
+    minus = [("c", 1, 10, "d", 95, "-", 1, 0)]  # needs q_size >= 104
+    with pytest.raises(ValueError, match="q_size"):
+        format_chain(minus, q_size=100)
+    assert "chain" in format_chain(minus, q_size=104)
+    plus_over = [("c", 1, 10, "d", 95, "+", 1, 0)]  # q_end 104 > 100
+    with pytest.raises(ValueError, match="q_size"):
+        format_chain(plus_over, q_size=100)
+    t_over = [("c", 995, 1005, "d", 1, "+", 1, 0)]
+    with pytest.raises(ValueError, match="t_size"):
+        format_chain(t_over, t_size=1000)
+
+
+def test_format_per_contig_size_mapping():
+    """Multi-chromosome block lists need per-contig declared sizes."""
+    blocks = [
+        ("c1", 1, 10, "d1", 5, "+", 1, 0),
+        ("c2", 1, 10, "d2", 95, "-", 2, 0),
+    ]
+    txt = format_chain(
+        blocks,
+        t_size={"c1": 100, "c2": 2000},
+        q_size={"d1": 50, "d2": 104},
+    )
+    assert " c1 100 + " in txt and " c2 2000 + " in txt
+    assert " d1 50 + " in txt and " d2 104 - " in txt
+    assert parse_chain(txt) == blocks
+    with pytest.raises(ValueError, match="no size for contig"):
+        format_chain(blocks, t_size={"c1": 100}, q_size=104)

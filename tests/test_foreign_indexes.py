@@ -245,8 +245,13 @@ class TestAutoFaidxExactness:
     def test_parity_with_htslib_fai(self, fasta):
         from hadoop_bam_spark.sinks import scan_fai_entries
 
-        if not os.path.exists(fasta + ".fai"):
-            pytest.skip("no htslib-written .fai sidecar for this fixture")
+        # Both reference fixtures SHIP an htslib-written .fai — its absence
+        # means the fixture path regressed, so fail loudly rather than
+        # skip (a silent skip masked exactly that once; ADVICE r13).
+        assert os.path.exists(fasta + ".fai"), (
+            f"{fasta}.fai sidecar missing — the reference fixture ships "
+            "one; check the fixture path"
+        )
         assert scan_fai_entries(fasta) == self._read_fai(fasta + ".fai")
 
     def test_crlf(self, tmp_path):

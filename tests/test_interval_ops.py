@@ -427,3 +427,141 @@ def test_slop_and_flank_brute(spark, frames, stranded):
         # zero-length upstream flank when lo == 0
         want = [(w, a, b) for (w, a, b) in want if a <= b]
         assert sorted(flank.get(name, [])) == sorted(want), name
+
+
+# ---------------------------------------------------------------------------
+# r14: two-phase range-partitioned merge/cluster (the per-contig window
+# ceiling removal). Small chunk_size forces many chunks per contig so the
+# stitch map (chunk-boundary-crossing regions, whole-chunk absorption,
+# origin propagation across several chunks) is exercised hard.
+# ---------------------------------------------------------------------------
+
+
+def _brute_merge(rows, gap=0):
+    """contig -> {(start, stop): n_merged} by direct sequential sweep."""
+    per_c = {}
+    for c, s, e, *_ in rows:
+        per_c.setdefault(c, []).append((s, e))
+    out = {}
+    for c, iv in per_c.items():
+        iv.sort()
+        cur_s, cur_e, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s <= cur_e + 1 + gap:
+                cur_e = max(cur_e, e)
+                n += 1
+            else:
+                out[(c, cur_s, cur_e)] = n
+                cur_s, cur_e, n = s, e, 1
+        out[(c, cur_s, cur_e)] = n
+    return out
+
+
+def _adversarial_rows(rng, n):
+    rows = []
+    for i in range(n):
+        c = rng.choice(CONTIGS)
+        s = rng.randint(1, AXIS)
+        # long tails: some intervals span many 64-wide chunks
+        e = s + (rng.randint(0, 30) if i % 3 else rng.randint(0, 900))
+        rows.append((c, s, e, f"x{i}"))
+    rows += [
+        ("c1", 1, AXIS, "whole_axis"),      # one region swallowing everything
+        ("c2", 63, 64, "bk_lo"),            # book-ended across a 64-chunk edge
+        ("c2", 65, 66, "bk_hi"),
+        ("c3", 128, 128, "pt"),             # single-base at a boundary
+        ("c3", 129, 129, "pt2"),
+        ("c1", 10, 20, "dup"),
+        ("c1", 10, 20, "dup2"),             # exact duplicates
+    ]
+    return rows
+
+
+@pytest.mark.parametrize("chunk_size,gap", [(64, 0), (64, 5), (256, 0), (257, 3)])
+def test_merge_two_phase_chunked_matches_brute(spark, chunk_size, gap):
+    rows = _adversarial_rows(random.Random(77), 300)
+    df = spark.createDataFrame(
+        rows, "contig string, start long, stop long, name string"
+    )
+    got = {
+        (r["contig"], r["start"], r["stop"]): r["n_merged"]
+        for r in interval_merge(df, gap=gap, chunk_size=chunk_size).collect()
+    }
+    assert got == _brute_merge(rows, gap=gap)
+
+
+@pytest.mark.parametrize("chunk_size", [64, 4096])
+def test_cluster_two_phase_exact_ordinals(spark, chunk_size):
+    """cluster_id must be the EXACT per-contig region ordinal (1-based, in
+    region start order) — stronger than the membership-only gate oracle."""
+    from hadoop_bam_spark.operators.interval_join import interval_cluster
+
+    rows = _adversarial_rows(random.Random(88), 200)
+    df = spark.createDataFrame(
+        rows, "contig string, start long, stop long, name string"
+    )
+    regions = {}  # contig -> sorted [(start, stop)]
+    for (c, s, e) in _brute_merge(rows):
+        regions.setdefault(c, []).append((s, e))
+    want = {}
+    for c, rs in regions.items():
+        for i, (s, e) in enumerate(sorted(rs), 1):
+            want[(c, s, e)] = i
+    got = interval_cluster(df, chunk_size=chunk_size).collect()
+    assert len(got) == len(rows)
+    assert set(got[0].asDict()) == {"contig", "start", "stop", "name", "cluster_id"}
+    for r in got:
+        region_id = next(
+            i for (c, s, e), i in want.items()
+            if c == r["contig"] and s <= r["start"] and r["stop"] <= e
+        )
+        assert r["cluster_id"] == region_id, r
+
+
+def test_merge_chunk_absorbs_entire_chunks(spark):
+    """A region spanning whole chunks absorbs every run inside them, and the
+    origin propagates across chunks whose runs were ALL absorbed."""
+    rows = [
+        ("c1", 5, 10, "origin"),
+        ("c1", 20, 2000, "long_reach"),   # spans chunks 0..31 at size 64
+        ("c1", 100, 110, "inner1"),       # chunk 1, fully absorbed
+        ("c1", 700, 710, "inner2"),       # chunk 10, fully absorbed
+        ("c1", 2001, 2005, "bookend"),    # book-ends the long reach
+        ("c1", 2100, 2110, "separate"),
+    ]
+    df = spark.createDataFrame(
+        rows, "contig string, start long, stop long, name string"
+    )
+    got = sorted(
+        (r["start"], r["stop"], r["n_merged"])
+        for r in interval_merge(df, chunk_size=64).collect()
+    )
+    assert got == [(5, 10, 1), (20, 2005, 4), (2100, 2110, 1)]
+
+
+def test_binned_left_outer_requires_loose_name(spark, frames):
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="left_outer_loose"):
+        interval_join_binned(ldf, rdf, how="left_outer")
+    with pytest.raises(ValueError, match="unsupported"):
+        interval_join_binned(ldf, rdf, how="full")
+
+
+def test_liftover_rejects_unset_strand_on_stranded_chain(spark):
+    """A chain frame carrying dst_strand (what read_chain returns) must not
+    be silently lifted with plus-strand arithmetic (ADVICE r13)."""
+    from hadoop_bam_spark.operators.interval_join import interval_liftover
+
+    chain = spark.createDataFrame(
+        [("c1", 1, 100, "d1", 500, "-", 1, 0)],
+        "src_contig string, src_start long, src_stop long, dst_contig string,"
+        " dst_start long, dst_strand string, chain_id long, score long",
+    )
+    ivs = spark.createDataFrame([("c1", 10, 20)], "contig string, start long, stop long")
+    with pytest.raises(ValueError, match="dst_strand"):
+        interval_liftover(ivs, chain)
+    # explicit opt-in works; dropping the column asserts plus-only
+    assert interval_liftover(ivs, chain, strand_col="dst_strand").count() == 1
+    assert interval_liftover(ivs, chain.drop("dst_strand")).count() == 1
