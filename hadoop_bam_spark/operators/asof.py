@@ -16,6 +16,14 @@ multiplication, no range predicate. Equal timestamps match (right sorts
 before left at the same instant). This is the plan shape that survives
 100 TB: state per key is a sort run, skew is bounded by the hottest key
 exactly as any keyed window, and AQE handles stragglers.
+
+For a HOT key (one symbol dominating a feed — the case where "bounded
+by the hottest key" is the whole job), ``time_chunk`` switches the
+carry-forward to the chunked prefix scan (operators/sweep.py): the
+``last(ignorenulls)`` becomes a running MAX of ``struct(t, right_row)``
+(lexicographic struct order = latest candidate) computed per
+(key, time-chunk) with chunk-summary offsets, so one key's events
+spread over ``#distinct-chunks`` partitions instead of one.
 """
 
 from __future__ import annotations
@@ -35,12 +43,22 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
     direction: str = "backward",
+    time_chunk: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Unmatched left rows keep nulls (LEFT semantics).
 
     Output = all left columns + ``right_time + suffix`` (the matched
     timestamp, in its original type) + each of ``right_cols`` renamed with
     ``suffix`` — all taken from the single matched right row.
+
+    ``time_chunk`` (in the resolved integer time unit: microseconds for
+    timestamps, days for dates, raw units otherwise) opts into the
+    chunked hot-key scan — see the module docstring. Requires ORDERABLE
+    right columns (the candidate travels inside a struct max; map-typed
+    columns cannot). Results are identical to the default path except
+    when several right rows share one (key, timestamp): the default
+    keeps an arbitrary sort-stability winner, the chunked form the
+    struct-wise largest — both within the operation's tie contract.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -93,13 +111,34 @@ def asof_join(
         ).alias("_r"),
     )
     u = l_u.unionByName(r_u)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = F.last("_r", ignorenulls=True).over(w)
-    matched = u.select(
+    if time_chunk is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last("_r", ignorenulls=True).over(w)
+        src = u
+    else:
+        from hadoop_bam_spark.operators.sweep import chunked_running_agg
+
+        # Latest candidate == lexicographic max of struct(t, right row)
+        # among right-side rows; only rights are candidates so the side
+        # never participates in the comparison.
+        cand = F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_t").alias("t"), F.col("_r").alias("r")),
+        )
+        src = chunked_running_agg(
+            u,
+            keys,
+            "_t",
+            [(cand, "max", "_best")],
+            order_cols=[F.col("_side").asc()],
+            chunk_size=time_chunk,
+        )
+        m = F.col("_best").getField("r")
+    matched = src.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
         m.getField("_rt").alias(right_time + suffix),

@@ -65,24 +65,22 @@ def interval_join_binned(
     first bin) — every overlapping pair still appears exactly once, BUT
     a left row with matches elsewhere may ALSO carry one null row when
     its first bin had no match. That deliberately deviates from SQL
-    left-outer semantics (hence the explicit name; plain
-    ``how="left_outer"`` is rejected so no external caller mistakes the
-    contract): aggregating consumers must ignore null right fields
-    (collect_list and count(right-col) both do). This is what lets
-    subtract/coverage keep untouched intervals without a second join
-    against the left table; a strict left-outer would need a per-left-row
-    match count, i.e. exactly the regroup those consumers already do.
+    left-outer semantics (hence the explicit name): aggregating
+    consumers must ignore null right fields (collect_list and
+    count(right-col) both do). This is what lets subtract/coverage keep
+    untouched intervals without a second join against the left table.
+
+    ``how="left_outer"`` is TRUE SQL left-outer: a left row appears
+    null-extended iff it overlaps nothing anywhere (duplicated left
+    rows each keep their copies, like SQL). Costs one extra window
+    shuffle over the loose form (the per-left-row match count the loose
+    consumers get for free in their own regroup) — use loose when the
+    next operation aggregates per left row anyway.
     """
-    if how not in ("inner", "left_outer_loose"):
-        if how == "left_outer":
-            raise ValueError(
-                "interval_join_binned: use how='left_outer_loose' — this "
-                "mode can emit BOTH matched rows and one null-extended row "
-                "for the same left interval (see docstring); it is not SQL "
-                "left-outer."
-            )
+    if how not in ("inner", "left_outer", "left_outer_loose"):
         raise ValueError(f"unsupported how={how!r}")
-    loose = how == "left_outer_loose"
+    loose = how != "inner"
+    strict = how == "left_outer"
     spark_how = "left_outer" if loose else "inner"
     lc, ls, le = left_keys
     rc, rs, re_ = right_keys
@@ -120,7 +118,21 @@ def interval_join_binned(
     keep = F.when(
         F.col(rc).isNotNull(), F.col("_bin_l") == first_shared_bin
     ).otherwise(F.col("_bin_l") == left_first_bin)
-    return joined.filter(keep).drop("_bin_l", "_bin_r")
+    out = joined.filter(keep)
+    if strict:
+        from pyspark.sql import Window
+
+        # Drop a null-extended row when ITS left tuple matched anywhere.
+        # Duplicate left rows share the predicate (their match sets are
+        # identical), so partitioning by the left tuple is sound and each
+        # duplicate keeps its own output rows, like SQL.
+        n_match = F.count(rb[rc]).over(
+            Window.partitionBy(*[lb[col] for col in left.columns])
+        )
+        out = out.withColumn("_nm", n_match).filter(
+            rb[rc].isNotNull() | (F.col("_nm") == 0)
+        ).drop("_nm")
+    return out.drop("_bin_l", "_bin_r")
 
 
 #: default sub-contig range-chunk width for the two-phase merge sweep.
@@ -226,9 +238,14 @@ def _chunked_local_merge(
     absorbed = F.col("_reach").isNotNull() & (
         F.col("_rs") <= F.col("_reach") + 1 + gap
     )
-    runs = runs.withColumn(
-        "_origin", F.when(absorbed, F.col("_lna")).otherwise(F.col("_rs"))
-    ).drop("_reach", "_lna")
+    runs = (
+        runs.withColumn("_absorbed", absorbed)
+        .withColumn(
+            "_origin",
+            F.when(F.col("_absorbed"), F.col("_lna")).otherwise(F.col("_rs")),
+        )
+        .drop("_reach", "_lna")
+    )
     return runs, (base if carry_rows else None)
 
 
@@ -251,24 +268,47 @@ def interval_merge(
     :func:`_chunked_local_merge`) — a local running-max merge per
     (contig, ``chunk_size``-wide range chunk), then a chunk-granularity
     stitch map (per-contig windows over ONE ROW PER CHUNK) that assigns
-    every local run its final region origin, and one regroup on
-    (contig, origin). Two shuffles total (local window + final regroup,
-    the broadcast stitch join is free), and no stage is limited to
-    #contigs-way parallelism: at 100 TB of intervals on 1000 cores the
-    sweep runs at #(contig, chunk) ≈ genome/8 Mb ≫ #cores partitions,
-    where the old single-window form idled 97% of the cluster through a
-    ~24-way per-contig stage.
+    every local run its final region origin. ONE data shuffle total: a
+    non-absorbed run IS a final region (its origin is itself), so the
+    recombination is a broadcast join against the aggregated ABSORBED
+    runs — and the absorbed aggregate is provably chunk-bounded (each
+    chunk boundary is crossed by at most one region, so there are at
+    most #chunks crossing regions per contig), i.e. always
+    broadcastable. No stage is limited to #contigs-way parallelism: at
+    100 TB of intervals on 1000 cores the sweep runs at
+    #(contig, chunk) ≈ genome/8 Mb ≫ #cores partitions, where the old
+    single-window form idled 97% of the cluster through a ~24-way
+    per-contig stage.
     """
     c, s, e = keys
     runs, _ = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=False)
+    ab = (
+        runs.filter(F.col("_absorbed"))
+        .groupBy(c, "_origin")
+        .agg(F.max("_re").alias("_ab_re"), F.sum("n_merged").alias("_ab_n"))
+    )
+    stop_t = df.schema[e].dataType
+    combined_stop = F.when(
+        F.col("_ab_re").isNull(), F.col(e)
+    ).otherwise(
+        F.greatest(F.col(e).cast("long"), F.col("_ab_re")).cast(stop_t)
+    )
     return (
-        runs.groupBy(c, "_origin")
-        .agg(
-            F.min(s).alias(s),
-            F.max(e).alias(e),
-            F.sum("n_merged").alias("n_merged"),
+        runs.filter(~F.col("_absorbed"))
+        .withColumnRenamed("_origin", "_o")
+        .join(
+            F.broadcast(ab.withColumnRenamed("_origin", "_o")),
+            on=[c, "_o"],
+            how="left",
         )
-        .drop("_origin")
+        .select(
+            F.col(c),
+            F.col(s),
+            combined_stop.alias(e),
+            (
+                F.col("n_merged") + F.coalesce(F.col("_ab_n"), F.lit(0))
+            ).alias("n_merged"),
+        )
     )
 
 
@@ -418,30 +458,36 @@ def interval_closest(
     right: DataFrame,
     keys: Sequence[str] = ("contig", "start", "stop"),
     right_keys: Sequence[str] | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Distance from each left interval to its nearest right interval —
     the bedtools closest distance (0 when any right interval overlaps,
     NULL when the contig has no right intervals at all). Returns the left
     rows plus a ``closest_dist`` column. Left rows must be unique tuples.
 
-    Scale shape: the sort-merge sweep expressed as TWO union-frame window
-    passes per contig (the as-of-join trick, operators/asof.py) instead of
-    an all-pairs or range join:
+    Scale shape: the sort-merge sweep expressed as TWO union-frame scan
+    passes (the as-of-join trick, operators/asof.py) instead of an
+    all-pairs or range join:
 
     - frame A: right events at coord=stop, left events at coord=start;
       a running max of right stops gives the nearest PRECEDING region.
     - frame B: right events at coord=start, left events at coord=stop;
       an ascending running max of right stops among rights with
       start <= left.stop detects OVERLAP, and a descending running min of
-      right starts gives the nearest FOLLOWING region — two window
-      functions over one exchange (same partitioning, two sorts).
+      right starts gives the nearest FOLLOWING region.
 
-    One hash join on the left key tuple recombines the passes. Nothing is
-    ever all-pairs; the per-contig ordering is the operation's inherent
-    sequential unit.
+    Every running aggregate uses the chunked prefix scan
+    (operators/sweep.py) — local scans per (contig, 8 Mb range chunk)
+    plus chunk-granularity prefix offsets — so no stage is limited to
+    #contigs-way parallelism. One hash join on the left key tuple
+    recombines the passes. Nothing is ever all-pairs.
     """
-    from pyspark.sql import Window
+    from hadoop_bam_spark.operators.sweep import (
+        SWEEP_CHUNK_SIZE,
+        chunked_running_agg,
+    )
 
+    cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
     c, s, e = keys
     rk = right_keys or keys
     lrow = F.struct(*[F.col(col) for col in left.columns]).alias("_row")
@@ -466,13 +512,15 @@ def interval_closest(
         l_ev.select("_c", F.col("_ls").alias("_coord"), "_t",
                     F.lit(None).cast("long").alias("_re"), "_row", "_ls")
     )
-    wa = (
-        Window.partitionBy("_c")
-        .orderBy(F.col("_coord").asc(), F.col("_t").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     a = (
-        fa.withColumn("_prev_stop", F.max(F.when(F.col("_t") == 0, F.col("_re"))).over(wa))
+        chunked_running_agg(
+            fa,
+            ["_c"],
+            "_coord",
+            [(F.when(F.col("_t") == 0, F.col("_re")), "max", "_prev_stop")],
+            order_cols=[F.col("_t").asc()],
+            **cs_kw,
+        )
         .filter(F.col("_t") == 1)
         .select("_row", (F.col("_ls") - F.col("_prev_stop")).alias("_d_prev"))
     )
@@ -486,19 +534,24 @@ def interval_closest(
                     F.lit(None).cast("long").alias("_rs"),
                     F.lit(None).cast("long").alias("_re"), "_row", "_ls", "_le")
     )
-    wb_asc = (
-        Window.partitionBy("_c")
-        .orderBy(F.col("_coord").asc(), F.col("_t").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wb_desc = (
-        Window.partitionBy("_c")
-        .orderBy(F.col("_coord").desc(), F.col("_t").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    b_asc = chunked_running_agg(
+        fb,
+        ["_c"],
+        "_coord",
+        [(F.when(F.col("_t") == 0, F.col("_re")), "max", "_ov_stop")],
+        order_cols=[F.col("_t").asc()],
+        **cs_kw,
     )
     b = (
-        fb.withColumn("_ov_stop", F.max(F.when(F.col("_t") == 0, F.col("_re"))).over(wb_asc))
-        .withColumn("_next_start", F.min(F.when(F.col("_t") == 0, F.col("_rs"))).over(wb_desc))
+        chunked_running_agg(
+            b_asc,
+            ["_c"],
+            "_coord",
+            [(F.when(F.col("_t") == 0, F.col("_rs")), "min", "_next_start")],
+            order_cols=[F.col("_t").asc()],
+            descending=True,
+            **cs_kw,
+        )
         .filter(F.col("_t") == 1)
         .select(
             "_row",
@@ -748,6 +801,7 @@ def interval_liftover(
 def interval_multiinter(
     sets: "dict[str, DataFrame]",
     keys: Sequence[str] = ("contig", "start", "stop"),
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Partition the genome by WHICH input sets cover it — bedtools
     multiinter. Given named interval sets, returns one row per maximal
@@ -756,21 +810,28 @@ def interval_multiinter(
     sorted comma-joined names of the sets covering that segment
     (segments covered by none are not emitted).
 
-    Scale shape: the classic event-point sweep as ONE union + ONE
-    per-contig window pass — every interval becomes a +1 event at
-    ``start`` and a -1 event at ``stop + 1`` PER SET; a running sum per
-    set (conditional sums over one ordered window, no per-set passes)
-    gives the coverage state at each boundary, and each segment spans
-    boundary-to-next-boundary. Input sets are first flattened per contig
-    with :func:`interval_merge` so within-set overlaps cannot
-    double-count (per-set windows, same partitioning). Never all-pairs;
-    the per-contig ordering is the operation's inherent sequential unit,
-    and output size is bounded by 2x the total merged-interval count.
+    Scale shape: the classic event-point sweep with NO per-contig window
+    anywhere — every merged interval becomes a +1 event at ``start`` and
+    a -1 at ``stop + 1`` PER SET; events pre-aggregate to one row per
+    boundary position (per-set delta columns), and the per-set coverage
+    state plus the next-boundary lookahead come from the chunked
+    prefix-scan machinery (operators/sweep.py): local running sums per
+    (contig, 8 Mb chunk) combined with chunk-granularity prefix offsets,
+    so the sweep parallelism scales with data volume instead of capping
+    at #contigs. Input sets are first flattened with
+    :func:`interval_merge` (itself two-phase) so within-set overlaps
+    cannot double-count. Never all-pairs; output size is bounded by 2x
+    the total merged-interval count.
     """
     from functools import reduce
 
-    from pyspark.sql import Window
+    from hadoop_bam_spark.operators.sweep import (
+        SWEEP_CHUNK_SIZE,
+        chunked_lead_pos,
+        chunked_running_agg,
+    )
 
+    cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
     if not sets:
         raise ValueError("interval_multiinter needs at least one set")
     c, s, e = keys
@@ -794,28 +855,25 @@ def interval_multiinter(
             )
         )
     ev = reduce(lambda a, b: a.unionByName(b), events)
-    # RANGE frame: every row at a boundary position carries the state AFTER
-    # all events at that position (ties need no ordering), so the
-    # per-position dedup below is a plain aggregate of identical values.
-    w = (
-        Window.partitionBy("_c")
-        .orderBy("_pos")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    state = ev.select(
-        "_c", "_pos",
+    # One row per boundary position (the state AFTER all events there);
+    # positions are then unique per contig — the precondition of the
+    # chunked scan and lookahead.
+    pv = ev.groupBy("_c", "_pos").agg(
         *[
             F.sum(
                 F.when(F.col("_set") == n, F.col("_delta")).otherwise(0)
-            ).over(w).alias(f"_n_{i}")
+            ).alias(f"_d_{i}")
             for i, n in enumerate(names)
-        ],
+        ]
     )
-    wb = Window.partitionBy("_c").orderBy("_pos")
-    dedup = state.groupBy("_c", "_pos").agg(
-        *[F.max(f"_n_{i}").alias(f"_n_{i}") for i in range(len(names))]
+    state = chunked_running_agg(
+        pv,
+        ["_c"],
+        "_pos",
+        [(f"_d_{i}", "sum", f"_n_{i}") for i in range(len(names))],
+        **cs_kw,
     )
-    nxt = F.lead("_pos").over(wb)
+    state = chunked_lead_pos(state, ["_c"], "_pos", out="_next", **cs_kw)
     covered = [F.col(f"_n_{i}") > 0 for i in range(len(names))]
     n_sets = reduce(lambda a, b: a + b, [F.when(cv, 1).otherwise(0) for cv in covered])
     set_list = F.concat_ws(
@@ -828,7 +886,7 @@ def interval_multiinter(
         ),
     )
     return (
-        dedup.withColumn("_next", nxt)
+        state
         .filter(F.col("_next").isNotNull() & (n_sets > 0))
         .select(
             F.col("_c").alias(c),

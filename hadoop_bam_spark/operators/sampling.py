@@ -69,30 +69,60 @@ def stratified_sample(
     return df.filter(_bucket(F.col(id_col), salt) < threshold)
 
 
+#: sub-partition fan-out of the two-phase per-stratum top-n: phase-1
+#: ranks within (stratum, hash % FANOUT) — a heavy stratum sorts as
+#: FANOUT independent partitions — and phase 2 ranks only the surviving
+#: ≤ n×FANOUT candidates per stratum.
+TOPN_FANOUT = 32
+
+
+def _two_phase_top_n(
+    df: DataFrame, n: int, stratum_col: str, order, id_col: str,
+    fanout: int,
+) -> DataFrame:
+    """Exact distributed top-n per stratum: every global top-n row is by
+    definition within the top n OF ITS SUB-PARTITION, so ranking the
+    (stratum, sub) heads and re-ranking the ≤ n×fanout survivors per
+    stratum returns exactly the single-window answer — without ever
+    sorting a whole stratum in one task."""
+    sub = hash60(
+        F.concat(F.lit("sub:"), F.col(id_col).cast("string"))
+    ) % fanout
+    w1 = Window.partitionBy(stratum_col, "_sub").orderBy(*order)
+    w2 = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("_sub", sub)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= n)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= n)
+        .drop("_sub", "_rk1", "_rk")
+    )
+
+
 def top_n_per_stratum(
     df: DataFrame,
     n: int,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "sample",
+    fanout: int = TOPN_FANOUT,
 ) -> DataFrame:
     """Exactly-n uniform-without-replacement sample per stratum.
 
     Deterministic reservoir equivalent: rank rows inside each stratum by
     their id-hash (a random-but-stable permutation) and keep the first n.
-    One shuffle on the stratum key; with heavy strata the rank window is
-    the standard skew point — at 100 TB pre-filter with ``hash_sample`` at
-    a few×(n/stratum_size) first so the window sees a bounded candidate
-    set rather than the full stratum."""
-    w = Window.partitionBy(stratum_col).orderBy(
+
+    Scale shape: two-phase exact top-n (:func:`_two_phase_top_n`) — a
+    heavy stratum is ranked as ``fanout`` independent sub-partitions
+    and only ≤ n×fanout candidates reach the per-stratum window, so no
+    single task ever sorts a whole stratum (the pre-r14 form's
+    documented skew point)."""
+    order = [
         hash60(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
         F.col(id_col),
-    )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .drop("_rk")
-    )
+    ]
+    return _two_phase_top_n(df, n, stratum_col, order, id_col, fanout)
 
 
 def weighted_sample(
@@ -115,9 +145,8 @@ def weighted_sample(
     Scale shape: global mode compiles to Spark's distributed top-n
     (``TakeOrderedAndProject``: per-partition heads, one tiny driver
     merge — no full sort, no single-partition window). Stratified mode
-    is one shuffle on the stratum key + a per-stratum rank window; for
-    heavy strata pre-thin with :func:`hash_sample` first, same caveat
-    as :func:`top_n_per_stratum`.
+    uses the two-phase exact top-n (:func:`_two_phase_top_n`), so a
+    heavy stratum never sorts in one task.
 
     Rows with NULL or non-positive weight are excluded (weight 0 =
     never sampled; the ES keys require w > 0).
@@ -130,9 +159,7 @@ def weighted_sample(
     base = df.filter(F.col(weight_col) > 0)
     if stratum_col is None:
         return base.orderBy(key.asc(), F.col(id_col)).limit(n)
-    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col))
-    return (
-        base.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .drop("_rk")
+    return _two_phase_top_n(
+        base, n, stratum_col, [key.asc(), F.col(id_col)], id_col,
+        TOPN_FANOUT,
     )

@@ -1416,11 +1416,11 @@ def gff_interval_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM merged GROUP BY contig
     """,
     doc="bedtools-merge as a distributed operator: flatten the BED-"
-    "derived intervals per contig (overlapping or book-ended regions "
-    "coalesce) with ONE shuffle — running-max window opens a region "
-    "where the gap rule breaks, the aggregate reuses the same "
-    "partitioning — then report region count / covered bases per "
-    "contig.",
+    "derived intervals (overlapping or book-ended regions coalesce) "
+    "with the two-phase range-partitioned sweep — local running-max "
+    "merge per (contig, 8 Mb chunk), chunk-granularity stitch, ONE "
+    "data shuffle, no per-contig parallelism ceiling — then report "
+    "region count / covered bases per contig.",
 )
 def bed_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_merge

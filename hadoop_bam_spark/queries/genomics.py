@@ -748,7 +748,7 @@ def interval_complement_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="bedtools closest: distance from every read to its nearest region "
     "(0 when overlapping). interval_closest is the sort-merge sweep as TWO "
-    "union-frame window passes per contig (the as-of trick: running max of "
+    "union-frame passes on the chunked prefix scan (the as-of trick: running max of "
     "preceding stops, running min of following starts, overlap flag) + one "
     "recombining join — never all-pairs, never a range join. The oracle IS "
     "the all-pairs min (cheap at gate scale), so the sweep is checked "
@@ -1272,20 +1272,24 @@ def interval_liftover_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the (merged) region set, reported as a per-contig depth histogram. "
     "Plan: binned tile join reads×merged-regions, then the BOUNDARY-EVENT "
     "sweep (the interval_multiinter form): each clipped read becomes a "
-    "+1 event at its clipped start and a -1 at clipped stop + 1, a "
-    "per-contig running sum over the deduped event positions gives the "
-    "depth of every constant-depth segment, and the histogram weights "
-    "each (contig, depth) by segment length — O(read boundaries) rows "
-    "instead of O(covered bases) (at 30x whole-genome coverage a ~100x "
-    "row reduction vs the per-base explode this replaced). The oracle "
-    "stays per-base in DuckDB — exact divergence detection.",
+    "+1 event at its clipped start and a -1 at clipped stop + 1, the "
+    "CHUNKED prefix scan (operators/sweep.py — local running sums per "
+    "(contig, 8 Mb chunk) + chunk-granularity offsets, no per-contig "
+    "window) gives the depth of every constant-depth segment, and the "
+    "histogram weights each (contig, depth) by segment length — "
+    "O(read boundaries) rows instead of O(covered bases) (at 30x "
+    "whole-genome coverage a ~100x row reduction vs the per-base "
+    "explode this replaced). The oracle stays per-base in DuckDB — "
+    "exact divergence detection.",
 )
 def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from hadoop_bam_spark.operators.interval_join import (
         interval_join_binned as _ijb,
         interval_merge,
+    )
+    from hadoop_bam_spark.operators.sweep import (
+        chunked_lead_pos,
+        chunked_running_agg,
     )
 
     reads = _mapped_reads(spark, sf_dir)
@@ -1311,13 +1315,10 @@ def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Merged regions are disjoint, so depth returns to 0 between regions —
     # no segment ever spans a region boundary.
     agg = ev.groupBy("ref_idx", "p").agg(F.sum("d").alias("delta"))
-    w = Window.partitionBy("ref_idx").orderBy("p")
-    state = agg.select(
-        "ref_idx",
-        "p",
-        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("depth"),
-        F.lead("p").over(w).alias("_nxt"),
+    state = chunked_running_agg(
+        agg, ["ref_idx"], "p", [("delta", "sum", "depth")]
     )
+    state = chunked_lead_pos(state, ["ref_idx"], "p", out="_nxt")
     # The final event of a contig always carries depth 0 (deltas sum to 0),
     # so depth > 0 never coincides with a null lead.
     return (
@@ -1486,10 +1487,12 @@ def kmer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="bedtools multiinter: partition the genome by WHICH of three "
     "interval sets cover it (operators/interval_join.py "
-    "interval_multiinter — the event-point sweep as one union + one "
-    "per-contig RANGE window carrying every set's running coverage "
-    "count; output bounded by 2x the merged-interval count, never "
-    "per-base). The oracle IS per-base: explode every covered position, "
+    "interval_multiinter — the event-point sweep on the CHUNKED prefix "
+    "scan of operators/sweep.py: per-set running coverage counts as "
+    "local scans per (contig, 8 Mb chunk) + chunk-summary offsets, no "
+    "per-contig window; output bounded by 2x the merged-interval "
+    "count, never per-base). The oracle IS per-base: explode every "
+    "covered position, "
     "group into combination islands, and count maximal runs — a "
     "completely different construction that any sweep/tie bug diverges "
     "from.",
@@ -1538,8 +1541,10 @@ def interval_multiinter_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="bedtools cluster: every region gets a cluster id (connected "
     "through overlap chains = same interval_merge run) WITHOUT "
-    "collapsing rows — the interval_merge window minus the aggregate, "
-    "one shuffle, rows in = rows out. The oracle derives cluster "
+    "collapsing rows — the same two-phase range-partitioned sweep as "
+    "interval_merge, with ids joined back through the run map and the "
+    "per-contig ordinal assigned over ONE row per final cluster. The "
+    "oracle derives cluster "
     "membership by containment in the single-axis merged regions "
     "instead of running any id assignment.",
 )

@@ -95,3 +95,37 @@ def test_timestamp_subsecond_precision_and_type(spark):
     # whole-second truncation would see all three at :00 and pick "late"
     assert row.v_right == "early"
     assert row.rt_right == t0          # original timestamp value, not a long
+
+
+def test_time_chunk_matches_default_hot_key(spark):
+    """time_chunk (the chunked hot-key scan) must reproduce the default
+    single-window path exactly — exercised on ONE key whose events span
+    many small time chunks, backward and forward."""
+    import random
+
+    rng = random.Random(11)
+    left = spark.createDataFrame(
+        [("hot", rng.randint(1, 2000), i) for i in range(300)]
+        + [("cold", rng.randint(1, 2000), 1000 + i) for i in range(10)],
+        ["k", "t", "uid"],
+    )
+    right = spark.createDataFrame(
+        [("hot", t, float(t)) for t in rng.sample(range(1, 2000), 150)]
+        + [("cold", 50, -1.0)],
+        ["k", "rt", "v"],
+    )
+    for direction in ("backward", "forward"):
+        base = {
+            r["uid"]: (r["rt_right"], r["v_right"])
+            for r in asof_join(
+                left, right, "k", "t", "rt", direction=direction
+            ).collect()
+        }
+        chunked = {
+            r["uid"]: (r["rt_right"], r["v_right"])
+            for r in asof_join(
+                left, right, "k", "t", "rt", direction=direction,
+                time_chunk=64,
+            ).collect()
+        }
+        assert chunked == base, direction

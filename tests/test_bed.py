@@ -276,12 +276,27 @@ class TestIntervalMerge:
         # gap=1 closes the 1-base hole
         assert self._merge(bed_spark, rows, gap=1) == [("c1", 1, 110, 5)]
 
-    def test_single_shuffle_plan(self, bed_spark):
-        """One Exchange on the contig key: the window and the aggregate
-        reuse the same partitioning."""
+    def test_single_data_shuffle_plan(self, bed_spark):
+        """The two-phase merge's physical contract: at most THREE shuffle
+        stages after AQE — the (contig, chunk) DATA exchange (reused
+        across its consumer branches), the per-contig chunk-SUMMARY
+        exchange (one row per non-empty chunk) and the absorbed-side
+        partial-aggregate exchange (chunk-bounded) — i.e. the data
+        itself still moves exactly once, like the old single-window
+        form this replaced."""
+        import re
+
         from hadoop_bam_spark.operators.interval_join import interval_merge
 
         df = bed_spark.createDataFrame(
-            [("c1", 1, 2)], "contig string, start long, stop long")
-        plan = interval_merge(df)._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Exchange") == 1, plan
+            [("c1", i * 10, i * 10 + 4) for i in range(200)],
+            "contig string, start long, stop long",
+        )
+        m = interval_merge(df, chunk_size=64)
+        m.collect()
+        plan = m._jdf.queryExecution().executedPlan().toString()
+        stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+        assert stages, plan  # AQE final plan materialized shuffle stages
+        assert len(stages) <= 3, (sorted(stages), plan)
+        # and the data exchange is keyed sub-contig, not per-contig
+        assert re.search(r"hashpartitioning\(contig#\d+, _chunk", plan), plan

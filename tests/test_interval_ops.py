@@ -539,14 +539,68 @@ def test_merge_chunk_absorbs_entire_chunks(spark):
     assert got == [(5, 10, 1), (20, 2005, 4), (2100, 2110, 1)]
 
 
-def test_binned_left_outer_requires_loose_name(spark, frames):
+def test_binned_rejects_unknown_mode(spark, frames):
     from hadoop_bam_spark.operators.interval_join import interval_join_binned
 
     _, _, ldf, rdf = frames
-    with pytest.raises(ValueError, match="left_outer_loose"):
-        interval_join_binned(ldf, rdf, how="left_outer")
     with pytest.raises(ValueError, match="unsupported"):
         interval_join_binned(ldf, rdf, how="full")
+
+
+@pytest.mark.parametrize("bin_size", [16384, 64])
+def test_binned_left_outer_is_sql_strict(spark, bin_size):
+    """how='left_outer' must match SQL left-outer exactly: one
+    null-extended row per unmatched LEFT COPY (duplicates included),
+    zero null rows for lefts that match anywhere — the contract the
+    loose mode deliberately relaxes (ADVICE r13)."""
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    rng = random.Random(42)
+    left = [
+        (rng.choice(CONTIGS), s := rng.randint(1, 800), s + rng.randint(0, 200))
+        for _ in range(60)
+    ]
+    left += left[:5]  # duplicate left rows keep their copies, like SQL
+    right = [
+        (rng.choice(CONTIGS), s := rng.randint(1, 800), s + rng.randint(0, 80))
+        for _ in range(40)
+    ]
+    ldf = spark.createDataFrame(left, "contig string, start long, stop long")
+    rdf = spark.createDataFrame(
+        right, "rc string, rs long, re long"
+    )
+    got = sorted(
+        (r["contig"], r["start"], r["stop"], r["rc"], r["rs"], r["re"])
+        for r in interval_join_binned(
+            ldf, rdf, right_keys=("rc", "rs", "re"),
+            bin_size=bin_size, how="left_outer",
+        ).collect()
+    )
+    want = []
+    for c, s, e in left:
+        matches = [
+            (rc, rs, re) for rc, rs, re in right
+            if rc == c and s <= re and rs <= e
+        ]
+        if matches:
+            want.extend((c, s, e, *m) for m in matches)
+        else:
+            want.append((c, s, e, None, None, None))
+    assert got == sorted(want)
+    # loose mode on the same data: same matched pairs, possibly extra
+    # null rows — but never a MISSING left tuple
+    loose = interval_join_binned(
+        ldf, rdf, right_keys=("rc", "rs", "re"),
+        bin_size=bin_size, how="left_outer_loose",
+    ).collect()
+    matched_loose = sorted(
+        (r["contig"], r["start"], r["stop"], r["rc"], r["rs"], r["re"])
+        for r in loose if r["rc"] is not None
+    )
+    assert matched_loose == sorted(w for w in want if w[3] is not None)
+    assert {(r["contig"], r["start"], r["stop"]) for r in loose} == {
+        (c, s, e) for c, s, e in left
+    }
 
 
 def test_liftover_rejects_unset_strand_on_stranded_chain(spark):
@@ -565,3 +619,52 @@ def test_liftover_rejects_unset_strand_on_stranded_chain(spark):
     # explicit opt-in works; dropping the column asserts plus-only
     assert interval_liftover(ivs, chain, strand_col="dst_strand").count() == 1
     assert interval_liftover(ivs, chain.drop("dst_strand")).count() == 1
+
+
+@pytest.mark.parametrize("chunk_size", [64, 256])
+def test_closest_chunked_matches_all_pairs(spark, frames, chunk_size):
+    """interval_closest with forced multi-chunk scans (the chunked prefix
+    machinery of operators/sweep.py) must match the all-pairs truth."""
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    left, right, ldf, rdf = frames
+    by_c = {}
+    for c, s, e, *_ in right:
+        by_c.setdefault(c, []).append((s, e))
+    want = {}
+    for c, s, e, name in left:
+        ds = [
+            0 if (s <= re and rs <= e) else (rs - e if rs > e else s - re)
+            for rs, re in by_c.get(c, [])
+        ]
+        want[name] = min(ds) if ds else None
+    got = {
+        r["name"]: r["closest_dist"]
+        for r in interval_closest(ldf, rdf, chunk_size=chunk_size).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("chunk_size", [64, 256])
+def test_multiinter_chunked_matches_per_base(spark, frames, chunk_size):
+    """interval_multiinter with forced multi-chunk scans: reconstruct the
+    per-base covering-combination truth from the segments."""
+    from hadoop_bam_spark.operators.interval_join import interval_multiinter
+
+    left, right, ldf, rdf = frames
+    segs = interval_multiinter(
+        {"L": ldf, "R": rdf}, chunk_size=chunk_size
+    ).collect()
+    got = {}
+    for r in segs:
+        for p in range(r["start"], r["stop"] + 1):
+            key = (r["contig"], p)
+            assert key not in got, f"overlapping segments at {key}"
+            got[key] = r["set_list"]
+    cov_l, cov_r = _covered(left), _covered(right)
+    want = {}
+    for c in set(cov_l) | set(cov_r):
+        for p in cov_l.get(c, set()) | cov_r.get(c, set()):
+            names = [n for n, cv in (("L", cov_l), ("R", cov_r)) if p in cv.get(c, set())]
+            want[(c, p)] = ",".join(names)
+    assert got == want
