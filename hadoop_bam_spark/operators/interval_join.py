@@ -406,12 +406,15 @@ def interval_complement(
     not exist (bedtools complement errors on both shapes; clamping keeps
     the operator total on dirty inputs while never inventing positions).
 
-    Scale shape: one interval_merge (per-contig window), then a lag
-    window over the MERGED regions (tiny relative to input) for the
-    between/head gaps and a broadcast join against ``sizes`` for the
-    clamp and the tail gaps.
+    Scale shape: one interval_merge (itself the two-phase chunked
+    sweep), then the chunked next-region lookahead (operators/sweep.py)
+    over the MERGED regions for the between-gaps — merged output is
+    usually tiny, but when nothing merges it is data-sized, so it gets
+    no per-contig window either — plus two tiny per-contig aggregates
+    (first region start → head gaps, max stop ⋈ ``sizes`` → tail gaps,
+    which also covers contigs with no intervals at all).
     """
-    from pyspark.sql import Window
+    from hadoop_bam_spark.operators.sweep import chunked_lead_pos
 
     c, s, e = keys
     sz = sizes.select(F.col(sizes.columns[0]).alias(c),
@@ -426,13 +429,23 @@ def interval_complement(
             F.least(F.col(e).cast("long"), F.col("_size")).alias(e),
         )
     )
-    w = Window.partitionBy(c).orderBy(s)
-    prev_stop = F.lag(F.col(e)).over(w)
-    gaps = (
-        m.select(
+    between = (
+        chunked_lead_pos(m, [c], s, out="_next_start")
+        .filter(F.col("_next_start").isNotNull())
+        .select(
             F.col(c),
-            (F.coalesce(prev_stop, F.lit(0)) + 1).alias("_gs"),
-            (F.col(s) - 1).alias("_ge"),
+            (F.col(e) + 1).alias("_gs"),
+            (F.col("_next_start") - 1).alias("_ge"),
+        )
+        .filter(F.col("_gs") <= F.col("_ge"))
+    )
+    heads = (
+        m.groupBy(c)
+        .agg(F.min(s).alias("_first"))
+        .select(
+            F.col(c),
+            F.lit(1).cast("long").alias("_gs"),
+            (F.col("_first") - 1).alias("_ge"),
         )
         .filter(F.col("_gs") <= F.col("_ge"))
     )
@@ -448,7 +461,7 @@ def interval_complement(
         )
         .filter(F.col("_gs") <= F.col("_ge"))
     )
-    return gaps.unionByName(tails).select(
+    return between.unionByName(heads).unionByName(tails).select(
         F.col(c), F.col("_gs").alias(s), F.col("_ge").alias(e)
     )
 

@@ -477,7 +477,9 @@ def _adversarial_rows(rng, n):
     return rows
 
 
-@pytest.mark.parametrize("chunk_size,gap", [(64, 0), (64, 5), (256, 0), (257, 3)])
+@pytest.mark.parametrize(
+    "chunk_size,gap", [(64, 0), (64, 5), (256, 0), (257, 3), (1, 0), (1, 4)]
+)
 def test_merge_two_phase_chunked_matches_brute(spark, chunk_size, gap):
     rows = _adversarial_rows(random.Random(77), 300)
     df = spark.createDataFrame(
