@@ -849,25 +849,37 @@ def interval_multiinter(
         raise ValueError("interval_multiinter needs at least one set")
     c, s, e = keys
     names = sorted(sets)
-    events = []
-    for name in names:
-        m = interval_merge(sets[name], keys=keys)
-        events.append(
-            m.select(
-                F.col(c).alias("_c"),
-                F.col(s).cast("long").alias("_pos"),
-                F.lit(name).alias("_set"),
-                F.lit(1).alias("_delta"),
-            ).unionByName(
-                m.select(
-                    F.col(c).alias("_c"),
-                    (F.col(e).cast("long") + 1).alias("_pos"),
-                    F.lit(name).alias("_set"),
-                    F.lit(-1).alias("_delta"),
-                )
+    # ONE two-phase merge over all sets at once: the merge key is the
+    # composite struct (set, contig), so per-set flattening costs one
+    # pass of stages instead of one per set (same result — merge never
+    # mixes distinct key values).
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            sets[name].select(
+                F.struct(
+                    F.lit(name).alias("s"), F.col(c).alias("c")
+                ).alias("_sc"),
+                F.col(s).alias(s),
+                F.col(e).alias(e),
             )
+            for name in names
+        ],
+    )
+    m = interval_merge(tagged, keys=("_sc", s, e), chunk_size=cs_kw["chunk_size"])
+    ev = m.select(
+        F.col("_sc.c").alias("_c"),
+        F.col(s).cast("long").alias("_pos"),
+        F.col("_sc.s").alias("_set"),
+        F.lit(1).alias("_delta"),
+    ).unionByName(
+        m.select(
+            F.col("_sc.c").alias("_c"),
+            (F.col(e).cast("long") + 1).alias("_pos"),
+            F.col("_sc.s").alias("_set"),
+            F.lit(-1).alias("_delta"),
         )
-    ev = reduce(lambda a, b: a.unionByName(b), events)
+    )
     # One row per boundary position (the state AFTER all events there);
     # positions are then unique per contig — the precondition of the
     # chunked scan and lookahead.
