@@ -651,6 +651,68 @@ def interval_coverage(
     )
 
 
+#: aggregate ops interval_map accepts: op -> aggregate builder
+_MAP_OPS = {
+    "sum": F.sum,
+    "mean": F.mean,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "count_distinct": F.count_distinct,
+    "collect": lambda col: F.sort_array(F.collect_list(col)),
+}
+
+
+def interval_map(
+    left: DataFrame,
+    right: DataFrame,
+    specs: Sequence[tuple],
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    bin_size: int = 16384,
+) -> DataFrame:
+    """Aggregate right-side values over each left interval — bedtools map:
+    for every left row, apply the requested aggregates to the chosen
+    columns of the right rows that overlap it. ``specs`` is a sequence of
+    ``(right_value_column, op, output_name)`` with op in
+    sum/mean/min/max/count/count_distinct/collect (``collect`` returns the
+    sorted value list, bedtools' ``collapse`` with a deterministic
+    order). Left rows with no overlap survive with NULL aggregates
+    (count ops yield 0) — bedtools' '.'. Left rows must be unique as
+    whole tuples (the regroup key, same contract as
+    :func:`interval_coverage`).
+
+    Scale shape: ONE loose-left-outer binned overlap join (large-by-large
+    safe; zero-match left rows survive as a null-extended row, so no
+    second join against the left table) + one regroup on the left tuple.
+    Per-left-row cost is bounded by that row's pileup — the operator's
+    inherent unit. Loose extra null rows contribute nothing: every
+    aggregate here ignores NULL inputs.
+    """
+    for _, op, _ in specs:
+        if op not in _MAP_OPS:
+            raise ValueError(
+                f"unsupported interval_map op {op!r} "
+                f"(have {sorted(_MAP_OPS)})"
+            )
+    rk = right_keys or keys
+    vcols = sorted({v for v, _, _ in specs})
+    r = right.select(
+        F.col(rk[0]).alias("_rc"),
+        F.col(rk[1]).cast("long").alias("_rs"),
+        F.col(rk[2]).cast("long").alias("_re"),
+        *[F.col(v).alias(f"_v_{v}") for v in vcols],
+    )
+    hits = interval_join_binned(
+        left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
+        bin_size=bin_size, how="left_outer_loose",
+    )
+    aggs = [
+        _MAP_OPS[op](F.col(f"_v_{v}")).alias(out) for v, op, out in specs
+    ]
+    return hits.groupBy(*left.columns).agg(*aggs)
+
+
 def interval_jaccard(
     a: DataFrame,
     b: DataFrame,
@@ -663,21 +725,35 @@ def interval_jaccard(
     Returns ONE row: (intersection_bases, union_bases, jaccard,
     n_intersections).
 
-    Scale shape: two interval_merges (per-contig windows), one binned
+    Scale shape: ONE composite-key two-phase merge flattens both sides
+    in a single pass (the multiinter fusion: the merge key is the
+    struct (side, contig), so distinct sides never mix), one binned
     overlap join between the two (small) merged sets, then three scalar
-    aggregates cross-joined — every intermediate after the merges is
+    aggregates cross-joined — every intermediate after the merge is
     bounded by the merged-region counts, not the input row counts.
     """
     kb = keys_b or keys_a
-    ma = interval_merge(a, keys=keys_a).select(
-        F.col(keys_a[0]).alias("_ac"),
-        F.col(keys_a[1]).cast("long").alias("_as"),
-        F.col(keys_a[2]).cast("long").alias("_ae"),
+    tagged = a.select(
+        F.struct(F.lit("a").alias("s"), F.col(keys_a[0]).alias("c")).alias("_sc"),
+        F.col(keys_a[1]).cast("long").alias("_s"),
+        F.col(keys_a[2]).cast("long").alias("_e"),
+    ).unionByName(
+        b.select(
+            F.struct(F.lit("b").alias("s"), F.col(kb[0]).alias("c")).alias("_sc"),
+            F.col(kb[1]).cast("long").alias("_s"),
+            F.col(kb[2]).cast("long").alias("_e"),
+        )
     )
-    mb = interval_merge(b, keys=kb).select(
-        F.col(kb[0]).alias("_bc"),
-        F.col(kb[1]).cast("long").alias("_bs"),
-        F.col(kb[2]).cast("long").alias("_be"),
+    m = interval_merge(tagged, keys=("_sc", "_s", "_e"))
+    ma = m.filter(F.col("_sc.s") == "a").select(
+        F.col("_sc.c").alias("_ac"),
+        F.col("_s").alias("_as"),
+        F.col("_e").alias("_ae"),
+    )
+    mb = m.filter(F.col("_sc.s") == "b").select(
+        F.col("_sc.c").alias("_bc"),
+        F.col("_s").alias("_bs"),
+        F.col("_e").alias("_be"),
     )
     inter = interval_join_binned(
         ma, mb, left_keys=("_ac", "_as", "_ae"),

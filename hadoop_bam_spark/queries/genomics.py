@@ -830,6 +830,70 @@ def interval_coverage_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_map_mapq",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE},
+        dmr AS (
+            SELECT DISTINCT qname, ref_idx, pos, stop, mapq
+            FROM reads WHERE flag & 4 = 0
+        ),
+        agg AS (
+            SELECT g.region_id,
+                   count(r.mapq) AS n_reads,
+                   sum(r.mapq) AS sum_mapq,
+                   max(r.mapq) AS max_mapq,
+                   round(avg(r.mapq), 6) AS mean_mapq
+            FROM regions g LEFT JOIN dmr r
+              ON r.ref_idx = g.contig_idx
+             AND r.pos <= g.r_stop AND g.r_start <= r.stop
+            GROUP BY g.region_id
+        )
+        SELECT g.region_id, g.contig_idx,
+               g.r_start::BIGINT AS r_start, g.r_stop::BIGINT AS r_stop,
+               a.n_reads::BIGINT AS n_reads, a.sum_mapq::BIGINT AS sum_mapq,
+               a.max_mapq::BIGINT AS max_mapq, a.mean_mapq
+        FROM regions g JOIN agg a USING (region_id)
+    """,
+    doc="bedtools map: per target region, aggregate a value column (mapq) "
+    "over every overlapping read — count/sum/max/mean in one pass "
+    "(operators/interval_join.py interval_map: ONE loose-left-outer "
+    "binned tile join + one regroup on the region tuple; zero-match "
+    "regions survive with NULL aggregates / count 0, bedtools' '.'). "
+    "The oracle is a plain SQL left join + group-by — any bin-dedup or "
+    "loose-null-row bug diverges from it.",
+)
+def interval_map_mapq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_map
+
+    reads = (
+        reads_view(spark, sf_dir)
+        .filter(F.col("flag").bitwiseAND(4) == 0)
+        .select("qname", "ref_idx", "pos", "stop", "mapq")
+        .distinct()
+        .select("ref_idx", "pos", "stop", "mapq")
+    )
+    regions = regions_view(spark, sf_dir)
+    mapped = interval_map(
+        regions, reads,
+        specs=[
+            ("mapq", "count", "n_reads"),
+            ("mapq", "sum", "sum_mapq"),
+            ("mapq", "max", "max_mapq"),
+            ("mapq", "mean", "mean_mapq"),
+        ],
+        keys=("contig_idx", "r_start", "r_stop"),
+        right_keys=("ref_idx", "pos", "stop"),
+    )
+    return mapped.select(
+        "region_id", "contig_idx", "r_start", "r_stop",
+        F.col("n_reads").cast("long").alias("n_reads"),
+        F.col("sum_mapq").cast("long").alias("sum_mapq"),
+        F.col("max_mapq").cast("long").alias("max_mapq"),
+        F.round("mean_mapq", 6).alias("mean_mapq"),
+    )
+
+
+@query(
     "interval_jaccard_reads_regions",
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE}, {_MERGED_READS_CTE},

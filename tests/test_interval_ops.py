@@ -670,3 +670,37 @@ def test_multiinter_chunked_matches_per_base(spark, frames, chunk_size):
             names = [n for n, cv in (("L", cov_l), ("R", cov_r)) if p in cv.get(c, set())]
             want[(c, p)] = ",".join(names)
     assert got == want
+
+
+@pytest.mark.parametrize("bin_size", [16384, 64])
+def test_map_matches_all_pairs(spark, frames, bin_size):
+    """interval_map (bedtools map) vs direct all-pairs aggregation,
+    including zero-match lefts (NULL aggregates, count 0) and the
+    loose-join null rows the aggregates must ignore."""
+    from hadoop_bam_spark.operators.interval_join import interval_map
+
+    left, right, ldf, _ = frames
+    vals = [(c, s, e, (s * 7 + e) % 101) for c, s, e, _ in right]
+    rdf = spark.createDataFrame(vals, "rc string, rs long, re long, v long")
+    got = {
+        r["name"]: (r["n"], r["sv"], r["mx"], r["vs"])
+        for r in interval_map(
+            ldf, rdf,
+            specs=[("v", "count", "n"), ("v", "sum", "sv"),
+                   ("v", "max", "mx"), ("v", "collect", "vs")],
+            right_keys=("rc", "rs", "re"), bin_size=bin_size,
+        ).collect()
+    }
+    assert len(got) == len(left)
+    for c, s, e, name in left:
+        ov = sorted(v for rc, rs, re, v in vals if rc == c and s <= re and rs <= e)
+        want = (len(ov), sum(ov) if ov else None, max(ov) if ov else None, ov)
+        assert got[name] == want, (name, got[name], want)
+
+
+def test_map_rejects_unknown_op(spark, frames):
+    from hadoop_bam_spark.operators.interval_join import interval_map
+
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="unsupported interval_map op"):
+        interval_map(ldf, rdf, specs=[("start", "median", "x")])
