@@ -1168,3 +1168,274 @@ def interval_flank(
         F.col("_f.fe").alias(e),
         F.col("_f.side").alias("flank_side"),
     )
+
+
+def genome_makewindows(
+    sizes: DataFrame,
+    window_size: int,
+    step: int | None = None,
+) -> DataFrame:
+    """Tile the genome into fixed-size windows — bedtools makewindows
+    (-w window_size [-s step]): per contig of the ``sizes`` table, emit
+    ``(contig, start, stop, window_id)`` rows covering [1, size] with
+    ``step`` stride (default = window_size, i.e. non-overlapping tiles;
+    the last window clips at the contig end). The canonical binning
+    primitive for per-window coverage/aggregation pipelines.
+
+    Scale shape: generator, not a scan — the sizes table is
+    dimension-sized, each contig row EXPLODES to its window count, and a
+    round-robin repartition spreads the generated rows so downstream
+    stages aren't capped at #contigs tasks.
+    """
+    if window_size <= 0:
+        raise ValueError("window_size must be positive")
+    st = step or window_size
+    if st <= 0:
+        raise ValueError("step must be positive")
+    c = sizes.columns[0]
+    sz = sizes.select(
+        F.col(c).alias("contig"),
+        F.col(sizes.columns[1]).cast("long").alias("_size"),
+    ).filter(F.col("_size") > 0)
+    n_win = F.floor((F.col("_size") - 1) / st) + 1
+    out = sz.select(
+        "contig",
+        "_size",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_win - 1)),
+    ).select(
+        "contig",
+        (F.col("col") * st + 1).alias("start"),
+        F.least(F.col("col") * st + window_size, F.col("_size")).alias("stop"),
+        F.col("col").alias("window_id"),
+    )
+    spark = sizes.sparkSession
+    return out.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
+def interval_window(
+    left: DataFrame,
+    right: DataFrame,
+    before: int = 0,
+    after: int = 0,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    bin_size: int = 16384,
+    how: str = "inner",
+) -> DataFrame:
+    """Overlap join with a proximity margin — bedtools window (-l/-r):
+    a right interval matches when it overlaps the left interval GROWN by
+    ``before`` bases upstream and ``after`` downstream (no genome-bounds
+    clamp, like bedtools window; compose with :func:`interval_slop` when
+    clamping matters). Output carries the ORIGINAL left coordinates.
+
+    Scale shape: exactly :func:`interval_join_binned` on the widened
+    span — the tile explode uses the widened coordinates so no match can
+    fall outside the joined bins, then the temporary columns drop.
+    """
+    c, s, e = keys
+    widened = left.select(
+        "*",
+        (F.col(s).cast("long") - before).alias("_ws"),
+        (F.col(e).cast("long") + after).alias("_we"),
+    )
+    out = interval_join_binned(
+        widened, right, left_keys=(c, "_ws", "_we"),
+        right_keys=right_keys or keys, bin_size=bin_size, how=how,
+    )
+    return out.drop("_ws", "_we")
+
+
+def interval_reldist(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    chunk_size: int | None = None,
+) -> DataFrame:
+    """Relative-distance distribution — bedtools reldist: for each left
+    interval midpoint, find the two FLANKING right midpoints and report
+    ``min(d_prev, d_next) / (next - prev)`` — uniformly distributed on
+    [0, 0.5] when the sets are spatially independent, skewed toward 0
+    when they co-locate (the colocalization QC statistic). Returns the
+    histogram ``(reldist, count, fraction)`` with reldist rounded down
+    to 1/100ths, like bedtools. Left midpoints without BOTH flanks (or
+    landing on a zero-width flank pair) are dropped, per bedtools.
+
+    Scale shape: two chunked prefix scans over the unioned midpoints
+    (operators/sweep.py — running max of preceding right midpoints
+    ascending, running min of following ones descending; ties keep
+    rights before lefts so an exactly-coincident midpoint yields
+    reldist 0), then a tiny histogram aggregate. No per-contig data
+    window, nothing all-pairs.
+    """
+    from hadoop_bam_spark.operators.sweep import (
+        SWEEP_CHUNK_SIZE,
+        chunked_running_agg,
+    )
+
+    cs = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
+    c, s, e = keys
+    rk = right_keys or keys
+    # bedtools uses integer midpoints: (start + stop) / 2 floor in
+    # 0-based half-open; with 1-based closed ends the same point is
+    # floor((start - 1 + stop) / 2) on the 0-based axis.
+    l_mid = left.select(
+        F.col(c).alias("_c"),
+        F.floor((F.col(s).cast("long") - 1 + F.col(e).cast("long")) / 2).alias("_m"),
+        F.lit(1).alias("_t"),
+    )
+    r_mid = right.select(
+        F.col(rk[0]).alias("_c"),
+        F.floor(
+            (F.col(rk[1]).cast("long") - 1 + F.col(rk[2]).cast("long")) / 2
+        ).alias("_m"),
+        F.lit(0).alias("_t"),
+    )
+    u = l_mid.unionByName(r_mid)
+    cand = F.when(F.col("_t") == 0, F.col("_m"))
+    u = chunked_running_agg(
+        u, ["_c"], "_m", [(cand, "max", "_prev")],
+        order_cols=[F.col("_t").asc()], **cs,
+    )
+    u = chunked_running_agg(
+        u, ["_c"], "_m", [(cand, "min", "_next")],
+        order_cols=[F.col("_t").asc()], descending=True, **cs,
+    )
+    rel = (
+        u.filter(
+            (F.col("_t") == 1)
+            & F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull()
+            & (F.col("_next") > F.col("_prev"))
+        )
+        .select(
+            (
+                F.least(
+                    F.col("_m") - F.col("_prev"), F.col("_next") - F.col("_m")
+                )
+                / (F.col("_next") - F.col("_prev"))
+            ).alias("_rd")
+        )
+        .select((F.floor(F.col("_rd") * 100) / 100).alias("reldist"))
+    )
+    counts = rel.groupBy("reldist").agg(F.count(F.lit(1)).alias("count"))
+    total = counts.agg(F.sum("count").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "reldist",
+            "count",
+            (F.col("count") / F.col("_tot")).alias("fraction"),
+        )
+    )
+
+
+def interval_getfasta(
+    intervals: DataFrame,
+    fasta: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    bin_size: int = 16384,
+    out_col: str = "seq",
+) -> DataFrame:
+    """Extract the reference sequence of each interval — bedtools
+    getfasta: join intervals against the FASTA scan's chunk rows
+    (``spark.read.format("fasta")`` yields ``(contig, pos, seq)``
+    chunks, sources/fasta_source.py), slice the overlapping part of
+    every chunk, and stitch the pieces in coordinate order. Intervals
+    with no overlapping sequence are dropped (off-contig coordinates,
+    like bedtools' warning-and-skip); a partially-covered interval
+    returns the covered prefix/suffix. Interval rows must be unique
+    tuples (the regroup key).
+
+    Scale shape: ONE binned tile join intervals x chunk rows + one
+    regroup per interval — per-interval cost is bounded by
+    interval_length / chunk_size pieces; the stitch is an array
+    sort + join, no Python, no driver round-trip. FASTA chunks stream
+    from the splittable faidx scan, so a whole-genome extraction never
+    materializes a contig in one task.
+    """
+    c, s, e = keys
+    f = fasta.select(
+        F.col("contig").alias("_fc"),
+        F.col("pos").cast("long").alias("_fs"),
+        (F.col("pos").cast("long") + F.length("seq") - 1).alias("_fe"),
+        F.col("seq").alias("_fseq"),
+    )
+    hits = interval_join_binned(
+        intervals, f, left_keys=keys, right_keys=("_fc", "_fs", "_fe"),
+        bin_size=bin_size,
+    )
+    lo = F.greatest(F.col(s).cast("long"), F.col("_fs"))
+    hi = F.least(F.col(e).cast("long"), F.col("_fe"))
+    piece = F.substring(
+        F.col("_fseq"),
+        (lo - F.col("_fs") + 1).cast("int"),
+        (hi - lo + 1).cast("int"),
+    )
+    stitched = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("_fs"), piece.alias("p")))),
+            lambda x: x["p"],
+        ),
+        "",
+    )
+    return hits.groupBy(*intervals.columns).agg(stitched.alias(out_col))
+
+
+def interval_shuffle(
+    df: DataFrame,
+    sizes: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    id_col: str | None = None,
+    salt: str = "ivshuffle",
+    keep_contig: bool = True,
+) -> DataFrame:
+    """Place each interval at a deterministic pseudo-random position —
+    bedtools shuffle (-chrom form when ``keep_contig``): lengths are
+    preserved, new starts are drawn uniformly from [1, size - len + 1]
+    of the (same, by default) contig. The draw hashes a stable row id
+    (``id_col``, default the interval tuple) with ``salt``, so the
+    shuffle is reproducible across runs/retries/engines — the null-model
+    primitive for :func:`interval_reldist` / :func:`interval_jaccard`
+    colocalization tests (compare the observed statistic against the
+    shuffled one). Rows longer than their contig, or on contigs absent
+    from ``sizes``, are dropped.
+
+    Scale shape: map-only hash arithmetic + one broadcast join against
+    the dimension-sized ``sizes`` table. All non-key columns ride along.
+    """
+    from hadoop_bam_spark.operators.dedup import hash60
+
+    c, s, e = keys
+    sz = sizes.select(
+        F.col(sizes.columns[0]).alias(c),
+        F.col(sizes.columns[1]).cast("long").alias("_size"),
+    )
+    ident = (
+        F.col(id_col).cast("string")
+        if id_col is not None
+        else F.concat_ws(
+            ":", F.col(c), F.col(s).cast("string"), F.col(e).cast("string")
+        )
+    )
+    ln = F.col(e).cast("long") - F.col(s).cast("long") + 1
+    room = F.col("_size") - ln + 1
+    new_start = hash60(F.concat(F.lit(salt), F.lit(":"), ident)) % room + 1
+    carry = [col for col in df.columns if col not in (s, e)]
+    if not keep_contig:
+        raise NotImplementedError(
+            "cross-contig placement needs a genome-wide coordinate draw; "
+            "the -chrom (same-contig) form is what the colocalization "
+            "null model uses"
+        )
+    return (
+        df.join(F.broadcast(sz), on=c)
+        .filter(room > 0)
+        .select(
+            *carry,
+            new_start.alias(s),
+            (new_start + ln - 1).alias(e),
+        )
+    )

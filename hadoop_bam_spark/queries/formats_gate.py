@@ -836,6 +836,82 @@ def fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_getfasta_regions",
+    oracle="""
+        WITH r AS (
+            SELECT n_nationkey AS region_id,
+                   n_nationkey % 4 AS c,
+                   (n_nationkey * 137) % 4500 + 1 AS s,
+                   (n_nationkey * 137) % 4500 + 26 + (n_nationkey % 50) AS e
+            FROM nation
+        ),
+        bases AS (
+            SELECT region_id, c, s, e, unnest(generate_series(s, e)) AS p
+            FROM r
+        )
+        SELECT region_id, 'chr' || c::VARCHAR AS contig,
+               s::BIGINT AS start, e::BIGINT AS stop,
+               count(*)::BIGINT AS seq_len,
+               sum(CASE WHEN (7*p + 3*c) % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN (7*p + 3*c) % 4 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+               sum(CASE WHEN (7*p + 3*c) % 4 = 2 THEN 1 ELSE 0 END)::BIGINT AS n_g,
+               sum(CASE WHEN (7*p + 3*c) % 4 = 3 THEN 1 ELSE 0 END)::BIGINT AS n_t
+        FROM bases GROUP BY region_id, c, s, e
+    """,
+    doc="bedtools getfasta: extract each region's reference sequence by "
+    "joining intervals against the splittable FASTA scan's chunk rows "
+    "and stitching the sliced pieces in coordinate order "
+    "(operators/interval_join.py interval_getfasta — one binned tile "
+    "join + one regroup; a whole-genome extraction never materializes "
+    "a contig in one task). The fixture FASTA is written position-"
+    "deterministic (base(p) = 'ACGT'[(7p + 3*contig) mod 4], 60-char "
+    "lines, auto-faidx on read), so the oracle re-derives per-region "
+    "base counts arithmetically without ever touching the file.",
+)
+def interval_getfasta_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_getfasta
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d: str) -> None:
+        with open(os.path.join(d, "ref.fa"), "w") as fh:
+            for c in range(4):
+                fh.write(f">chr{c}\n")
+                seq = "".join(
+                    "ACGT"[(7 * p + 3 * c) % 4] for p in range(1, 5001)
+                )
+                for i in range(0, len(seq), 60):
+                    fh.write(seq[i:i + 60] + "\n")
+
+    d = _artifact(sf_dir, "getfasta", build)
+    fasta = spark.read.format("fasta").load(os.path.join(d, "ref.fa"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    start = (F.col("n_nationkey") * 137) % 4500 + 1
+    regions = nation.select(
+        F.col("n_nationkey").cast("long").alias("region_id"),
+        F.concat(F.lit("chr"), (F.col("n_nationkey") % 4).cast("string")).alias("contig"),
+        start.cast("long").alias("start"),
+        (start + 25 + F.col("n_nationkey") % 50).cast("long").alias("stop"),
+    )
+    seqs = interval_getfasta(regions, fasta)
+
+    def n_base(b: str):
+        return (
+            F.length("seq") - F.length(F.translate(F.col("seq"), b, ""))
+        ).cast("long")
+
+    return seqs.select(
+        "region_id", "contig", "start", "stop",
+        F.length("seq").cast("long").alias("seq_len"),
+        n_base("A").alias("n_a"),
+        n_base("C").alias("n_c"),
+        n_base("G").alias("n_g"),
+        n_base("T").alias("n_t"),
+    )
+
+
 _VCF_ORACLE = """
     WITH v AS (
         SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,

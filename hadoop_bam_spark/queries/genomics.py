@@ -830,6 +830,177 @@ def interval_coverage_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "genome_windows_tiling",
+    oracle="""
+        WITH sz AS (
+            SELECT * FROM (VALUES (0, 997000), (1, 1010001),
+                                  (2, 1023002), (3, 1036003)) AS t(c, size)
+        ),
+        idx AS (
+            SELECT c, size,
+                   unnest(generate_series(0, (size - 1) // 7000)) AS i
+            FROM sz
+        ),
+        wins AS (
+            SELECT c, i * 7000 + 1 AS start,
+                   least(i * 7000 + 10000, size) AS stop
+            FROM idx
+        )
+        SELECT c::BIGINT AS contig_idx, count(*) AS n_windows,
+               min(start)::BIGINT AS min_start, max(stop)::BIGINT AS max_stop,
+               sum(stop - start + 1)::BIGINT AS covered_bases
+        FROM wins GROUP BY c
+    """,
+    doc="bedtools makewindows: tile each contig of a sizes table into "
+    "overlapping 10 kb windows at 7 kb stride, last window clipped at "
+    "the contig end (operators/interval_join.py genome_makewindows — a "
+    "generator explode from the dimension-sized table, round-robin "
+    "repartitioned so downstream stages aren't capped at #contigs "
+    "tasks). The oracle re-derives the tiling with generate_series.",
+)
+def genome_windows_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import genome_makewindows
+
+    sizes = spark.createDataFrame(
+        [(i, 997000 + i * 13001) for i in range(4)],
+        "contig_idx long, size long",
+    )
+    wins = genome_makewindows(sizes, 10000, step=7000)
+    return wins.groupBy(F.col("contig").alias("contig_idx")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("start").alias("min_start"),
+        F.max("stop").alias("max_stop"),
+        F.sum(F.col("stop") - F.col("start") + 1).alias("covered_bases"),
+    )
+
+
+@query(
+    "interval_window_proximity",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE}
+        SELECT g.region_id, g.contig_idx,
+               g.r_start::BIGINT AS r_start, g.r_stop::BIGINT AS r_stop,
+               count(r.pos)::BIGINT AS n_near
+        FROM regions g LEFT JOIN dreads r
+          ON r.ref_idx = g.contig_idx
+         AND r.pos <= g.r_stop + 5000 AND g.r_start - 5000 <= r.stop
+        GROUP BY g.region_id, g.contig_idx, g.r_start, g.r_stop
+    """,
+    doc="bedtools window: count reads within 5 kb of each region — an "
+    "overlap join with a proximity margin (operators/interval_join.py "
+    "interval_window: the binned tile join runs on the widened span so "
+    "no match can fall outside the joined bins, output keeps original "
+    "coordinates; loose-left-outer mode keeps zero-match regions at "
+    "count 0). The oracle is a plain widened-bounds SQL left join.",
+)
+def interval_window_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_window
+
+    reads = _mapped_reads(spark, sf_dir).select("ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir)
+    near = interval_window(
+        regions, reads, before=5000, after=5000,
+        keys=("contig_idx", "r_start", "r_stop"),
+        right_keys=("ref_idx", "pos", "stop"),
+        how="left_outer_loose",
+    )
+    return near.groupBy("region_id", "contig_idx", "r_start", "r_stop").agg(
+        F.count("pos").alias("n_near")
+    )
+
+
+@query(
+    "interval_reldist_reads",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        lm AS (
+            SELECT ref_idx AS c, (pos - 1 + stop) // 2 AS m FROM dreads
+        ),
+        rm AS (
+            SELECT contig_idx AS c, (r_start - 1 + r_stop) // 2 AS m
+            FROM regions
+        ),
+        fl AS (
+            SELECT l.c, l.m,
+                (SELECT max(r.m) FROM rm r
+                  WHERE r.c = l.c AND r.m <= l.m) AS prev,
+                (SELECT min(r.m) FROM rm r
+                  WHERE r.c = l.c AND r.m >= l.m) AS next
+            FROM lm l
+        ),
+        rel AS (
+            SELECT floor((least(m - prev, next - m)::DOUBLE
+                          / (next - prev)) * 100) / 100 AS reldist
+            FROM fl
+            WHERE prev IS NOT NULL AND next IS NOT NULL AND next > prev
+        )
+        SELECT reldist, count(*) AS count,
+               count(*) / (SELECT count(*) FROM rel) AS fraction
+        FROM rel GROUP BY reldist
+    """,
+    doc="bedtools reldist: the relative-distance distribution of read "
+    "midpoints to their flanking region midpoints — uniform on [0, 0.5] "
+    "under spatial independence, skewed to 0 under colocalization "
+    "(operators/interval_join.py interval_reldist: two chunked prefix "
+    "scans over the unioned midpoints, no per-contig window, nothing "
+    "all-pairs). The oracle derives each read's flanking region "
+    "midpoints with correlated subqueries — per-row brute force.",
+)
+def interval_reldist_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_reldist
+
+    reads = _mapped_reads(spark, sf_dir).select("ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir)
+    return interval_reldist(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+    )
+
+
+@query(
+    "interval_shuffle_null_model",
+    oracle=f"""
+        WITH {REGIONS_CTE},
+        sh AS (
+            SELECT region_id, contig_idx,
+                   ('0x' || substr(md5('ivshuffle:'
+                        || contig_idx::VARCHAR || ':'
+                        || r_start::VARCHAR || ':'
+                        || r_stop::VARCHAR), 1, 15))::BIGINT
+                     % (1000000 - (r_stop - r_start + 1) + 1) + 1 AS ns,
+                   r_stop - r_start + 1 AS ln
+            FROM regions
+        )
+        SELECT region_id, contig_idx, ns::BIGINT AS r_start,
+               (ns + ln - 1)::BIGINT AS r_stop, ln::BIGINT AS ilen
+        FROM sh
+    """,
+    doc="bedtools shuffle (-chrom): place every region at a deterministic "
+    "pseudo-random same-contig position, lengths preserved — the null "
+    "model for reldist/jaccard colocalization tests "
+    "(operators/interval_join.py interval_shuffle: map-only md5-hash "
+    "draw + broadcast sizes join; reproducible across runs, retries and "
+    "engines). The oracle replays the identical md5 arithmetic in "
+    "DuckDB, so placement must match bit-for-bit.",
+)
+def interval_shuffle_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_shuffle
+
+    regions = regions_view(spark, sf_dir)
+    sizes = spark.createDataFrame(
+        [(i, 1000000) for i in range(4)], "contig_idx long, size long"
+    )
+    sh = interval_shuffle(
+        regions, sizes, keys=("contig_idx", "r_start", "r_stop")
+    )
+    return sh.select(
+        "region_id", "contig_idx", "r_start", "r_stop",
+        (F.col("r_stop") - F.col("r_start") + 1).alias("ilen"),
+    )
+
+
+@query(
     "interval_map_mapq",
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE},

@@ -704,3 +704,196 @@ def test_map_rejects_unknown_op(spark, frames):
     _, _, ldf, rdf = frames
     with pytest.raises(ValueError, match="unsupported interval_map op"):
         interval_map(ldf, rdf, specs=[("start", "median", "x")])
+
+
+def test_merge_hypothesis_randomized(spark):
+    """Property sweep of the two-phase merge: random interval sets, gaps
+    and chunk sizes (including the 1-base degenerate where the stitch
+    map does all the merging) must equal the sequential sweep. Batched:
+    every scenario gets its own contig namespace so ONE Spark job per
+    (gap, chunk_size) checks many scenarios at once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    scenario = st.lists(
+        st.tuples(st.integers(1, 400), st.integers(0, 120)),
+        min_size=1, max_size=25,
+    )
+    batches = st.lists(scenario, min_size=1, max_size=12)
+
+    @given(
+        batches,
+        st.integers(0, 6),
+        st.sampled_from([1, 2, 7, 64, 4096]),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def run(batch, gap, chunk_size):
+        rows = [
+            (f"s{i}", s, s + ln, f"s{i}_{j}")
+            for i, sc in enumerate(batch)
+            for j, (s, ln) in enumerate(sc)
+        ]
+        df = spark.createDataFrame(
+            rows, "contig string, start long, stop long, name string"
+        )
+        got = {
+            (r["contig"], r["start"], r["stop"]): r["n_merged"]
+            for r in interval_merge(df, gap=gap, chunk_size=chunk_size).collect()
+        }
+        assert got == _brute_merge(rows, gap=gap)
+
+    run()
+
+
+def test_makewindows_tiling_brute(spark):
+    from hadoop_bam_spark.operators.interval_join import genome_makewindows
+
+    sizes = spark.createDataFrame(
+        [("c1", 100), ("c2", 7), ("c3", 30), ("empty", 0)],
+        "contig string, size long",
+    )
+    for w, st in ((10, None), (10, 7), (7, 10), (1, 1)):
+        got = sorted(
+            (r["contig"], r["start"], r["stop"], r["window_id"])
+            for r in genome_makewindows(sizes, w, step=st).collect()
+        )
+        want = []
+        step = st or w
+        for c, size in (("c1", 100), ("c2", 7), ("c3", 30)):
+            i = 0
+            while i * step < size:
+                want.append((c, i * step + 1, min(i * step + w, size), i))
+                i += 1
+        assert got == sorted(want), (w, st)
+    with pytest.raises(ValueError):
+        genome_makewindows(sizes, 0)
+    with pytest.raises(ValueError):
+        genome_makewindows(sizes, 5, step=-1)
+
+
+@pytest.mark.parametrize("bin_size", [16384, 64])
+def test_window_proximity_brute(spark, frames, bin_size):
+    from hadoop_bam_spark.operators.interval_join import interval_window
+
+    left, right, ldf, rdf = frames
+    got = {}
+    res = interval_window(
+        ldf, rdf.selectExpr("contig AS rc", "start AS rs", "stop AS re"),
+        before=30, after=70, right_keys=("rc", "rs", "re"),
+        bin_size=bin_size,
+    ).collect()
+    for r in res:
+        got.setdefault(r["name"], []).append((r["rs"], r["re"]))
+    for c, s, e, name in left:
+        want = sorted(
+            (rs, re) for rc, rs, re, _ in right
+            if rc == c and s - 30 <= re and rs <= e + 70
+        )
+        assert sorted(got.get(name, [])) == want, name
+
+
+@pytest.mark.parametrize("chunk_size", [None, 64])
+def test_reldist_matches_brute(spark, frames, chunk_size):
+    from hadoop_bam_spark.operators.interval_join import interval_reldist
+
+    import math
+
+    left, right, ldf, rdf = frames
+    got = {
+        r["reldist"]: (r["count"], r["fraction"])
+        for r in interval_reldist(ldf, rdf, chunk_size=chunk_size).collect()
+    }
+    r_mid = {}
+    for c, s, e, _ in right:
+        r_mid.setdefault(c, []).append((s - 1 + e) // 2)
+    rels = []
+    for c, s, e, _ in left:
+        m = (s - 1 + e) // 2
+        prevs = [x for x in r_mid.get(c, []) if x <= m]
+        nexts = [x for x in r_mid.get(c, []) if x >= m]
+        if not prevs or not nexts:
+            continue
+        p, n = max(prevs), min(nexts)
+        if n <= p:
+            continue
+        rels.append(math.floor(min(m - p, n - m) / (n - p) * 100) / 100)
+    want = {}
+    for v in rels:
+        want[v] = want.get(v, 0) + 1
+    assert {k: c for k, (c, _) in got.items()} == want
+    for k, (cnt, frac) in got.items():
+        assert frac == pytest.approx(cnt / len(rels))
+
+
+@pytest.mark.parametrize("bin_size", [16384, 16])
+def test_getfasta_stitches_chunks(spark, tmp_path, bin_size):
+    """interval_getfasta vs direct string slicing — small bin_size forces
+    intervals to span many FASTA chunk rows, exercising the stitch; a
+    40-char line width makes chunk boundaries land mid-interval."""
+    from hadoop_bam_spark.operators.interval_join import interval_getfasta
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    rng = random.Random(7)
+    seqs = {
+        f"c{i}": "".join(rng.choice("ACGTN") for _ in range(500))
+        for i in range(3)
+    }
+    p = tmp_path / "t.fa"
+    with open(p, "w") as fh:
+        for name, seq in seqs.items():
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), 40):
+                fh.write(seq[i:i + 40] + "\n")
+    fasta = spark.read.format("fasta").load(str(p))
+    ivs = [
+        (f"c{rng.randrange(3)}", s := rng.randint(1, 480),
+         min(s + rng.randint(0, 200), 500), i)
+        for i in range(40)
+    ] + [("c0", 1, 500, 100), ("c1", 490, 520, 101), ("off_contig", 5, 9, 102)]
+    idf = spark.createDataFrame(
+        ivs, "contig string, start long, stop long, uid long"
+    )
+    got = {
+        r["uid"]: r["seq"]
+        for r in interval_getfasta(idf, fasta, bin_size=bin_size).collect()
+    }
+    for c, s, e, uid in ivs:
+        if c not in seqs:
+            assert uid not in got  # off-contig rows drop, like bedtools
+            continue
+        assert got[uid] == seqs[c][s - 1:e], uid  # clipped at contig end
+
+
+def test_shuffle_deterministic_and_bounded(spark):
+    from hadoop_bam_spark.operators.interval_join import interval_shuffle
+
+    rows = [("c1", 10, 59, "a"), ("c1", 10, 59, "a2"), ("c2", 1, 100, "b"),
+            ("c2", 50, 320, "too_long"), ("gone", 1, 5, "no_contig")]
+    df = spark.createDataFrame(
+        rows, "contig string, start long, stop long, name string")
+    sizes = spark.createDataFrame(
+        [("c1", 200), ("c2", 250)], "contig string, size long")
+    got = {r["name"]: (r["contig"], r["start"], r["stop"])
+           for r in interval_shuffle(df, sizes, id_col="name").collect()}
+    # dropped: longer than contig, absent contig
+    assert set(got) == {"a", "a2", "b"}
+    for c, s, e, name in rows:
+        if name not in got:
+            continue
+        nc, ns, ne = got[name]
+        assert nc == c                     # -chrom: same contig
+        assert ne - ns == e - s            # length preserved
+        size = 200 if c == "c1" else 250
+        assert 1 <= ns and ne <= size      # inside the contig
+    # distinct ids land at distinct draws (with these salts/inputs)
+    assert got["a"] != got["a2"]
+    # reproducible: second run identical
+    again = {r["name"]: (r["contig"], r["start"], r["stop"])
+             for r in interval_shuffle(df, sizes, id_col="name").collect()}
+    assert again == got
+    with pytest.raises(NotImplementedError):
+        interval_shuffle(df, sizes, keep_contig=False)

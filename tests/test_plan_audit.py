@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "corpus_mixing_weights",    # single-row broadcast corpus-total aggregate
     "ann_recall_ivf",           # composes knn_bruteforce + knn_ivf (both above)
     "interval_jaccard_reads_regions",  # 1x1-row broadcast scalar-aggregate combine
+    "interval_reldist_reads",  # single-row broadcast histogram-total combine
 }
 
 
