@@ -327,8 +327,9 @@ def interval_subtract(
 
     Left rows must be unique as whole tuples (they are the regroup key).
 
-    Scale shape: merge the right side once (per-contig window), LEFT-OUTER
-    binned overlap join left x merged-right (equi-join on 16 kb tiles —
+    Scale shape: merge the right side once (the two-phase chunked
+    sweep), LOOSE-LEFT-OUTER binned overlap join left x merged-right
+    (equi-join on 16 kb tiles —
     the large-by-large path, no broadcast assumption; untouched left rows
     survive as one null-extended row, so no second join against the left
     table is ever needed), clip + collect the disjoint covering regions
