@@ -912,6 +912,86 @@ def interval_getfasta_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fasta_consensus_snps",
+    oracle="""
+        WITH ctg AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(c)),
+        pos AS (
+            SELECT c, unnest(generate_series(1, 5000)) AS p FROM ctg
+        ),
+        vr AS (
+            SELECT n_nationkey % 4 AS c,
+                   (n_nationkey * 97) % 4990 + 1 AS p
+            FROM nation
+        ),
+        cons AS (
+            SELECT pos.c, pos.p,
+                   CASE WHEN vr.p IS NOT NULL
+                        THEN (7 * pos.p + 3 * pos.c + 1) % 4
+                        ELSE (7 * pos.p + 3 * pos.c) % 4 END AS k
+            FROM pos LEFT JOIN vr ON vr.c = pos.c AND vr.p = pos.p
+        )
+        SELECT 'chr' || c::VARCHAR AS contig, count(*) AS n_bases,
+               sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+               sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS n_g,
+               sum(CASE WHEN k = 3 THEN 1 ELSE 0 END)::BIGINT AS n_t
+        FROM cons GROUP BY c
+    """,
+    doc="bcftools consensus (SNP scope): apply one substitution per "
+    "variant site to the reference through the splittable FASTA chunk "
+    "scan (operators/consensus.py fasta_consensus — binned join + one "
+    "JVM-side aggregate string splice per chunk; untouched chunks pass "
+    "through, no contig in one task). Every variant's alt is the "
+    "position formula rotated by one base, so a silent no-op diverges "
+    "on every site; the oracle re-derives post-consensus base counts "
+    "arithmetically.",
+)
+def fasta_consensus_snps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.consensus import fasta_consensus
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d: str) -> None:
+        with open(os.path.join(d, "ref.fa"), "w") as fh:
+            for c in range(4):
+                fh.write(f">chr{c}\n")
+                seq = "".join(
+                    "ACGT"[(7 * p + 3 * c) % 4] for p in range(1, 5001)
+                )
+                for i in range(0, len(seq), 60):
+                    fh.write(seq[i:i + 60] + "\n")
+
+    d = _artifact(sf_dir, "getfasta", build)
+    fasta = spark.read.format("fasta").load(os.path.join(d, "ref.fa"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cidx = F.col("n_nationkey") % 4
+    vpos = (F.col("n_nationkey") * 97) % 4990 + 1
+    variants = nation.select(
+        F.concat(F.lit("chr"), cidx.cast("string")).alias("contig"),
+        vpos.cast("long").alias("start"),
+        F.lit(None).cast("string").alias("ref"),
+        F.substring(
+            F.lit("ACGT"), ((7 * vpos + 3 * cidx + 1) % 4 + 1).cast("int"), 1
+        ).alias("alt"),
+    )
+    cons = fasta_consensus(fasta, variants)
+
+    def n_base(b: str):
+        return F.sum(
+            F.length("seq") - F.length(F.translate(F.col("seq"), b, ""))
+        ).cast("long")
+
+    return cons.groupBy("contig").agg(
+        F.sum(F.length("seq")).alias("n_bases"),
+        n_base("A").alias("n_a"),
+        n_base("C").alias("n_c"),
+        n_base("G").alias("n_g"),
+        n_base("T").alias("n_t"),
+    )
+
+
 _VCF_ORACLE = """
     WITH v AS (
         SELECT (n_nationkey % 4 + 1)::VARCHAR AS contig,
