@@ -44,6 +44,7 @@ def asof_join(
     suffix: str = "_right",
     direction: str = "backward",
     time_chunk: int | None = None,
+    broadcast_chunk_summary: bool = True,
 ) -> DataFrame:
     """Left as-of join. Unmatched left rows keep nulls (LEFT semantics).
 
@@ -59,6 +60,15 @@ def asof_join(
     when several right rows share one (key, timestamp): the default
     keeps an arbitrary sort-stability winner, the chunked form the
     struct-wise largest — both within the operation's tie contract.
+
+    SIZE WARNING: the chunked scan broadcasts its chunk-summary table,
+    which has one row per (key value, time chunk). That is exactly what
+    the hot-key scenario wants (few keys, many chunks), but with a
+    HIGH-CARDINALITY key universe #keys x #chunks can exceed broadcast
+    memory — pass ``broadcast_chunk_summary=False`` there to let the
+    planner pick the summary join strategy (or just use the default
+    ``time_chunk=None`` path, whose per-key window is the right shape
+    when no single key dominates).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -129,13 +139,16 @@ def asof_join(
             F.col("_side") == 0,
             F.struct(F.col("_t").alias("t"), F.col("_r").alias("r")),
         )
+        # RANGE-frame tie semantics: a left row's running max includes
+        # rights at the SAME instant (equal timestamps match, like the
+        # default path's rights-before-lefts sort).
         src = chunked_running_agg(
             u,
             keys,
             "_t",
             [(cand, "max", "_best")],
-            order_cols=[F.col("_side").asc()],
             chunk_size=time_chunk,
+            broadcast_summary=broadcast_chunk_summary,
         )
         m = F.col("_best").getField("r")
     matched = src.select(

@@ -1,20 +1,32 @@
-"""Consensus sequence: apply variants to a reference — the SNP scope of
-``bcftools consensus``.
+"""Consensus sequence: apply variants to a reference — the
+``bcftools consensus`` operation over the splittable FASTA chunk scan.
 
 The reference scan (``spark.read.format("fasta")``, splittable faidx
 chunks of ``(contig, pos, seq)``) joins against a variant table; each
-chunk splices its overlapping substitutions in one JVM-side aggregate
+chunk splices its overlapping edits in one JVM-side aggregate
 expression and unmodified chunks pass through untouched, so a
 whole-genome consensus is a map-side transform over the chunk stream —
 no contig ever materializes in one task, no Python ever runs on
 executors.
 
-Scope: single-base substitutions (``len(ref) == len(alt) == 1``).
-Indels change downstream coordinates — a sequential dependency that
-needs a length-delta prefix scan to re-anchor chunk offsets; the SNP
-form covers the consensus-for-alignment and masking workflows without
-it. Non-SNP rows are dropped (``on_indel="drop"``) or raise
-(``"error"``).
+Scopes (``on_indel``):
+
+- ``"drop"`` (default) / ``"error"``: single-base substitutions only
+  (``len(ref) == len(alt) == 1``); non-SNP rows — including null-alt
+  rows — are dropped or raise. Chunk positions and lengths are
+  unchanged, so the output chunk grid equals the input grid.
+- ``"apply"`` (r15): full indel support. A variant replaces the
+  reference span ``[pos, pos + len(ref) - 1]`` (the VCF convention:
+  ``ref`` spells the replaced bases, so deletions/insertions carry
+  their anchor base) with ``alt``. Downstream coordinates shift — the
+  sequential dependency the SNP scope deferred — re-anchored with a
+  length-delta prefix scan: each output chunk's new ``pos`` is 1 + the
+  exclusive running sum of prior chunks' OUTPUT lengths per contig
+  (operators/sweep.py ``chunked_scan``, so the re-anchoring has no
+  per-contig window either). A deletion spanning a chunk boundary is
+  clipped per chunk and its ``alt`` inserted only in the chunk owning
+  the variant start. Output ``pos`` is therefore a CONSENSUS
+  coordinate, and chunks spliced down to zero length are dropped.
 
 The reference (Hadoop-BAM) has no variant application machinery at all;
 this composes its FASTA record model (FastaInputFormat.java:334-372,
@@ -36,54 +48,112 @@ def fasta_consensus(
     on_indel: str = "drop",
     bin_size: int = 16384,
 ) -> DataFrame:
-    """Return the FASTA chunk rows with SNP substitutions applied.
+    """Return the FASTA chunk rows with the variants applied.
 
     ``variants`` columns (via ``keys``): contig, 1-based position, ref
     allele, alt allele. The ref allele, when present (non-null), is NOT
     verified against the sequence here (bcftools warns; a verifying
     caller can join the output back). Several variants at one site
-    collapse to the lexicographically largest alt (deterministic; real
-    call sets have one row per site).
+    collapse to the (alt, ref-length)-lexicographically largest edit
+    (deterministic; real call sets have one row per site). Null-alt
+    rows are malformed: dropped under ``on_indel="drop"``, raised under
+    ``"error"``/``"apply"`` (a null alt must never splice — it would
+    NULL the whole chunk sequence through the concat).
 
-    Scale shape: one binned tile join variants x chunk spans (each SNP
-    hits exactly ONE chunk) via the loose outer form FROM the chunk
-    side, so untouched chunks survive as-is; per-chunk substitutions
-    collect into a sorted offset list (bounded by the chunk's variant
-    density) and apply in a single ``aggregate`` string splice —
-    O(pieces) concat, JVM-side, no UDF.
+    ``on_indel="apply"`` additionally requires a spelled (non-null,
+    non-empty) ref for any variant whose alt is not a single base, and
+    REJECTS overlapping variant spans with a runtime error (bcftools
+    refuses overlapping edits too; applying both would be ambiguous).
+    See the module docstring for the coordinate contract.
+
+    Scale shape: one binned tile join variant spans x chunk spans via
+    the loose outer form FROM the chunk side, so untouched chunks
+    survive as-is; per-chunk edits collect into a sorted offset list
+    (bounded by the chunk's variant density) and apply in a single
+    ``aggregate`` string splice — O(pieces) concat, JVM-side, no UDF.
+    ``"apply"`` adds the chunked prefix scan over one row per chunk.
     """
     from hadoop_bam_spark.operators.interval_join import interval_join_binned
 
-    if on_indel not in ("drop", "error"):
-        raise ValueError(f"on_indel must be drop|error, got {on_indel!r}")
+    if on_indel not in ("drop", "error", "apply"):
+        raise ValueError(f"on_indel must be drop|error|apply, got {on_indel!r}")
     c, p, ref, alt = keys
-    snp = (F.length(F.coalesce(F.col(ref), F.lit("N"))) == 1) & (
-        F.length(F.col(alt)) == 1
+    # Null-safe SNP predicate: `False AND NULL` is False, so a null alt
+    # lands in the non-SNP branch instead of slipping through as NULL
+    # (which would silently NULL the spliced sequence).
+    snp = (
+        F.col(alt).isNotNull()
+        & (F.length(F.coalesce(F.col(ref), F.lit("N"))) == 1)
+        & (F.length(F.col(alt)) == 1)
     )
-    v = variants.select(
-        F.col(c).alias("_vc"),
-        F.col(p).cast("long").alias("_vp"),
-        F.col(alt).alias("_alt"),
-        snp.alias("_is_snp"),
-    )
-    if on_indel == "error":
-        # Poison the alt column instead of filtering: a filtered row's
-        # raise branch is dead code Catalyst prunes, but every row's
-        # _alt IS evaluated by the site-dedup aggregate below.
-        v = v.withColumn(
-            "_alt",
+    if on_indel == "apply":
+        ref_len = (
             F.when(
-                ~F.col("_is_snp"),
-                F.raise_error(F.lit("fasta_consensus: non-SNP variant row")),
-            ).otherwise(F.col("_alt")),
+                F.col(ref).isNotNull() & (F.length(ref) >= 1), F.length(ref)
+            )
+            .when(snp, F.lit(1))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "fasta_consensus(apply): variant needs a spelled ref "
+                        "unless it is a single-base substitution (null alt "
+                        "rows are malformed)"
+                    )
+                )
+            )
+            .cast("long")
+        )
+        v = variants.select(
+            F.col(c).alias("_vc"),
+            F.col(p).cast("long").alias("_vp"),
+            F.when(
+                F.col(alt).isNull(),
+                F.raise_error(
+                    F.lit("fasta_consensus(apply): null alt variant row")
+                ),
+            )
+            .otherwise(F.col(alt))
+            .alias("_alt"),
+            ref_len.alias("_rlen"),
         )
     else:
-        v = v.filter(F.col("_is_snp"))
+        v = variants.select(
+            F.col(c).alias("_vc"),
+            F.col(p).cast("long").alias("_vp"),
+            F.col(alt).alias("_alt"),
+            snp.alias("_is_snp"),
+        )
+        if on_indel == "error":
+            # Poison the alt column instead of filtering: a filtered
+            # row's raise branch is dead code Catalyst prunes, but every
+            # row's _alt IS evaluated by the site-dedup aggregate below.
+            v = v.withColumn(
+                "_alt",
+                F.when(
+                    ~F.col("_is_snp"),
+                    F.raise_error(
+                        F.lit(
+                            "fasta_consensus: non-SNP (or null-alt) "
+                            "variant row"
+                        )
+                    ),
+                ).otherwise(F.col("_alt")),
+            )
+        else:
+            v = v.filter(F.col("_is_snp"))
+        v = v.withColumn("_rlen", F.lit(1).cast("long"))
     v = (
-        # one substitution per site, deterministically
+        # one edit per site, deterministically; the struct max evaluates
+        # _alt on every row, firing the error/apply poisons
         v.groupBy("_vc", "_vp")
-        .agg(F.max("_alt").alias("_alt"))
-        .withColumn("_vp2", F.col("_vp"))
+        .agg(F.max(F.struct("_alt", "_rlen")).alias("_e"))
+        .select(
+            "_vc",
+            "_vp",
+            F.col("_e._alt").alias("_alt"),
+            F.col("_e._rlen").alias("_rlen"),
+            (F.col("_vp") + F.col("_e._rlen") - 1).alias("_ve"),
+        )
     )
     chunks = fasta.select(
         "contig",
@@ -93,33 +163,55 @@ def fasta_consensus(
     )
     hits = interval_join_binned(
         chunks, v, left_keys=("contig", "pos", "_end"),
-        right_keys=("_vc", "_vp", "_vp2"), bin_size=bin_size,
+        right_keys=("_vc", "_vp", "_ve"), bin_size=bin_size,
         how="left_outer_loose",
     )
+    # Per-chunk edit: [off, end_off] (0-based, inclusive, clipped to the
+    # chunk) replaced by `ins` — the alt only in the chunk owning the
+    # variant START (a boundary-spanning deletion's continuation chunks
+    # just lose bases).
     sub = F.when(
         F.col("_vc").isNotNull(),
         F.struct(
-            (F.col("_vp") - F.col("pos")).cast("int").alias("off"),
-            F.col("_alt").alias("alt"),
+            (F.greatest(F.col("_vp"), F.col("pos")) - F.col("pos"))
+            .cast("int")
+            .alias("off"),
+            (F.least(F.col("_ve"), F.col("_end")) - F.col("pos"))
+            .cast("int")
+            .alias("end_off"),
+            F.when(F.col("_vp") >= F.col("pos"), F.col("_alt"))
+            .otherwise(F.lit(""))
+            .alias("ins"),
         ),
     )
     grouped = hits.groupBy("contig", "pos", "_end", "seq").agg(
         F.sort_array(F.collect_list(sub)).alias("_subs")
     )
     # Splice: walk the sorted offsets once, carrying (cursor, acc).
+    # A next edit starting before the cursor means overlapping variant
+    # spans — ambiguous, rejected (SNP modes cannot reach it: sites are
+    # deduped and every span is one base).
     spliced = F.aggregate(
         F.col("_subs"),
         F.struct(
             F.lit(0).alias("cur"), F.lit("").cast("string").alias("acc")
         ),
         lambda a, x: F.struct(
-            (x["off"] + 1).alias("cur"),
+            (x["end_off"] + 1).alias("cur"),
             F.concat(
                 a["acc"],
-                F.substring(
-                    F.col("seq"), a["cur"] + 1, x["off"] - a["cur"]
+                F.when(
+                    x["off"] < a["cur"],
+                    F.raise_error(
+                        F.lit(
+                            "fasta_consensus(apply): overlapping variant "
+                            "spans"
+                        )
+                    ),
+                ).otherwise(
+                    F.substring(F.col("seq"), a["cur"] + 1, x["off"] - a["cur"])
                 ),
-                x["alt"],
+                x["ins"],
             ).alias("acc"),
         ),
         lambda a: F.concat(
@@ -129,8 +221,26 @@ def fasta_consensus(
             ),
         ),
     )
-    return grouped.select(
+    out = grouped.select(
         "contig",
         "pos",
         F.when(F.size("_subs") > 0, spliced).otherwise(F.col("seq")).alias("seq"),
     )
+    if on_indel != "apply":
+        return out
+    # Re-anchor: new pos = 1 + exclusive prefix sum of output chunk
+    # lengths per contig (ordered by the ORIGINAL pos — one row per
+    # chunk, strict ascending scan, no per-contig window).
+    from hadoop_bam_spark.operators.sweep import chunked_scan
+
+    out = chunked_scan(
+        out,
+        ["contig"],
+        "pos",
+        [(F.length("seq").cast("long"), "sum", "_cum", "asc", True)],
+    )
+    return out.select(
+        "contig",
+        (F.coalesce(F.col("_cum"), F.lit(0)) + 1).alias("pos"),
+        "seq",
+    ).filter(F.length("seq") > 0)

@@ -411,9 +411,11 @@ def interval_complement(
     sweep), then the chunked next-region lookahead (operators/sweep.py)
     over the MERGED regions for the between-gaps — merged output is
     usually tiny, but when nothing merges it is data-sized, so it gets
-    no per-contig window either — plus two tiny per-contig aggregates
-    (first region start → head gaps, max stop ⋈ ``sizes`` → tail gaps,
-    which also covers contigs with no intervals at all).
+    no per-contig window either — plus ONE tiny per-contig aggregate
+    (min start + max stop in the same pass, r15; was two) joined to
+    ``sizes``: the head gap and the tail gap explode out of one array,
+    and a contig with no intervals at all falls out as a full-length
+    tail gap.
     """
     from hadoop_bam_spark.operators.sweep import chunked_lead_pos
 
@@ -440,29 +442,35 @@ def interval_complement(
         )
         .filter(F.col("_gs") <= F.col("_ge"))
     )
-    heads = (
-        m.groupBy(c)
-        .agg(F.min(s).alias("_first"))
-        .select(
-            F.col(c),
-            F.lit(1).cast("long").alias("_gs"),
-            (F.col("_first") - 1).alias("_ge"),
-        )
-        .filter(F.col("_gs") <= F.col("_ge"))
+    ext = sz.join(
+        m.groupBy(c).agg(
+            F.min(s).alias("_first"),
+            F.max(F.col(e).cast("long")).alias("_maxstop"),
+        ),
+        on=c, how="left",
     )
-    tails = (
-        sz.join(
-            m.groupBy(c).agg(F.max(F.col(e).cast("long")).alias("_maxstop")),
-            on=c, how="left",
-        )
-        .select(
-            F.col(c),
-            (F.coalesce("_maxstop", F.lit(0)) + 1).alias("_gs"),
-            F.col("_size").alias("_ge"),
-        )
-        .filter(F.col("_gs") <= F.col("_ge"))
+    # Head + tail gaps from the one aggregate: a contig with no intervals
+    # has _first null (head drops via the null bound) and its tail gap is
+    # the whole contig.
+    gaps = F.filter(
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("gs"),
+                (F.col("_first") - 1).alias("ge"),
+            ),
+            F.struct(
+                (F.coalesce("_maxstop", F.lit(0)) + 1).alias("gs"),
+                F.col("_size").alias("ge"),
+            ),
+        ),
+        lambda x: x["gs"].isNotNull()
+        & x["ge"].isNotNull()
+        & (x["gs"] <= x["ge"]),
     )
-    return between.unionByName(heads).unionByName(tails).select(
+    headtail = ext.select(F.col(c), F.explode(gaps).alias("_g")).select(
+        F.col(c), F.col("_g.gs").alias("_gs"), F.col("_g.ge").alias("_ge")
+    )
+    return between.unionByName(headtail).select(
         F.col(c), F.col("_gs").alias(s), F.col("_ge").alias(e)
     )
 
@@ -477,100 +485,122 @@ def interval_closest(
     """Distance from each left interval to its nearest right interval —
     the bedtools closest distance (0 when any right interval overlaps,
     NULL when the contig has no right intervals at all). Returns the left
-    rows plus a ``closest_dist`` column. Left rows must be unique tuples.
+    rows plus a ``closest_dist`` column. Left rows must be unique tuples
+    (duplicates collapse in the recombining regroup).
 
-    Scale shape: the sort-merge sweep expressed as TWO union-frame scan
-    passes (the as-of-join trick, operators/asof.py) instead of an
-    all-pairs or range join:
+    Scale shape: the sort-merge sweep expressed as ONE fused chunked
+    scan (operators/sweep.py chunked_scan) over a single event frame —
+    each side explodes map-side into two event rows, so each input is
+    scanned once:
 
-    - frame A: right events at coord=stop, left events at coord=start;
-      a running max of right stops gives the nearest PRECEDING region.
-    - frame B: right events at coord=start, left events at coord=stop;
-      an ascending running max of right stops among rights with
-      start <= left.stop detects OVERLAP, and a descending running min of
-      right starts gives the nearest FOLLOWING region.
+    - right events at coord=stop carry the stop (running asc max =
+      nearest PRECEDING region), right events at coord=start carry the
+      stop (running asc max = OVERLAP detection: max stop among rights
+      with start <= left.stop) and the start (running desc min =
+      nearest FOLLOWING region);
+    - left events at coord=start read the preceding scan, left events
+      at coord=stop read the overlap + following scans.
 
-    Every running aggregate uses the chunked prefix scan
-    (operators/sweep.py) — local scans per (contig, 8 Mb range chunk)
-    plus chunk-granularity prefix offsets — so no stage is limited to
-    #contigs-way parallelism. One hash join on the left key tuple
-    recombines the passes. Nothing is ever all-pairs.
+    All three running aggregates share one RANGE-frame window pass —
+    one exchange + one sort for the whole sweep, local per (contig,
+    8 Mb range chunk) with chunk-granularity offsets, so no stage is
+    limited to #contigs-way parallelism. One regroup on the left tuple
+    recombines the two left event rows. Nothing is ever all-pairs.
     """
-    from hadoop_bam_spark.operators.sweep import (
-        SWEEP_CHUNK_SIZE,
-        chunked_running_agg,
-    )
+    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
 
     cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
     c, s, e = keys
     rk = right_keys or keys
     lrow = F.struct(*[F.col(col) for col in left.columns]).alias("_row")
+    row_t = left.select(lrow).schema["_row"].dataType
+    nl = F.lit(None).cast("long")
+    # Each side explodes to its two event kinds in one scan: _cp feeds
+    # the preceding-stop prefix max, _co the overlap max, _cn the
+    # following-start suffix min. Left rows contribute NULL to every
+    # candidate, so tie rows at one coordinate are transparent (the
+    # range frames include rights at the same coordinate — stop==start
+    # boundary cases count as adjacent/overlapping exactly as before).
+    r_ev = right.select(
+        F.col(rk[0]).alias("_c"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(rk[2]).cast("long").alias("coord"),
+                    F.col(rk[2]).cast("long").alias("cp"),
+                    nl.alias("co"),
+                    nl.alias("cn"),
+                ),
+                F.struct(
+                    F.col(rk[1]).cast("long").alias("coord"),
+                    nl.alias("cp"),
+                    F.col(rk[2]).cast("long").alias("co"),
+                    F.col(rk[1]).cast("long").alias("cn"),
+                ),
+            )
+        ).alias("_ev"),
+    ).select(
+        "_c",
+        F.col("_ev.coord").alias("_coord"),
+        F.col("_ev.cp").alias("_cp"),
+        F.col("_ev.co").alias("_co"),
+        F.col("_ev.cn").alias("_cn"),
+        F.lit(0).alias("_t"),
+        F.lit(None).cast(row_t).alias("_row"),
+        nl.alias("_ls"),
+        nl.alias("_le"),
+    )
     l_ev = left.select(
         F.col(c).alias("_c"),
         F.col(s).cast("long").alias("_ls"),
         F.col(e).cast("long").alias("_le"),
         lrow,
-        F.lit(1).alias("_t"),
+    ).select(
+        "_c",
+        F.explode(
+            F.array(
+                F.struct(F.col("_ls").alias("coord"), F.lit(1).alias("t")),
+                F.struct(F.col("_le").alias("coord"), F.lit(2).alias("t")),
+            )
+        ).alias("_ev"),
+        "_row",
+        "_ls",
+        "_le",
+    ).select(
+        "_c",
+        F.col("_ev.coord").alias("_coord"),
+        nl.alias("_cp"),
+        nl.alias("_co"),
+        nl.alias("_cn"),
+        F.col("_ev.t").alias("_t"),
+        "_row",
+        "_ls",
+        "_le",
     )
-    r_ev = right.select(
-        F.col(rk[0]).alias("_c"),
-        F.col(rk[1]).cast("long").alias("_rs"),
-        F.col(rk[2]).cast("long").alias("_re"),
-        F.lit(0).alias("_t"),
-    )
-
-    # Frame A: nearest preceding right (max stop among rights w/ stop <= start).
-    fa = r_ev.select("_c", F.col("_re").alias("_coord"), "_t", "_re",
-                     F.lit(None).cast(l_ev.schema["_row"].dataType).alias("_row"),
-                     F.lit(None).cast("long").alias("_ls")).unionByName(
-        l_ev.select("_c", F.col("_ls").alias("_coord"), "_t",
-                    F.lit(None).cast("long").alias("_re"), "_row", "_ls")
-    )
-    a = (
-        chunked_running_agg(
-            fa,
-            ["_c"],
-            "_coord",
-            [(F.when(F.col("_t") == 0, F.col("_re")), "max", "_prev_stop")],
-            order_cols=[F.col("_t").asc()],
-            **cs_kw,
-        )
-        .filter(F.col("_t") == 1)
-        .select("_row", (F.col("_ls") - F.col("_prev_stop")).alias("_d_prev"))
-    )
-
-    # Frame B: overlap detection + nearest following right.
-    fb = r_ev.select("_c", F.col("_rs").alias("_coord"), "_t", "_rs", "_re",
-                     F.lit(None).cast(l_ev.schema["_row"].dataType).alias("_row"),
-                     F.lit(None).cast("long").alias("_ls"),
-                     F.lit(None).cast("long").alias("_le")).unionByName(
-        l_ev.select("_c", F.col("_le").alias("_coord"), "_t",
-                    F.lit(None).cast("long").alias("_rs"),
-                    F.lit(None).cast("long").alias("_re"), "_row", "_ls", "_le")
-    )
-    b_asc = chunked_running_agg(
-        fb,
+    scanned = chunked_scan(
+        r_ev.unionByName(l_ev),
         ["_c"],
         "_coord",
-        [(F.when(F.col("_t") == 0, F.col("_re")), "max", "_ov_stop")],
-        order_cols=[F.col("_t").asc()],
+        [
+            ("_cp", "max", "_prev_stop", "asc"),
+            ("_co", "max", "_ov_stop", "asc"),
+            ("_cn", "min", "_next_start", "desc"),
+        ],
         **cs_kw,
     )
-    b = (
-        chunked_running_agg(
-            b_asc,
-            ["_c"],
-            "_coord",
-            [(F.when(F.col("_t") == 0, F.col("_rs")), "min", "_next_start")],
-            order_cols=[F.col("_t").asc()],
-            descending=True,
-            **cs_kw,
-        )
-        .filter(F.col("_t") == 1)
-        .select(
-            "_row",
-            (F.col("_ov_stop") >= F.col("_ls")).alias("_overlaps"),
-            (F.col("_next_start") - F.col("_le")).alias("_d_next"),
+    per_row = (
+        scanned.filter(F.col("_t") >= 1)
+        .groupBy("_row")
+        .agg(
+            F.max(
+                F.when(F.col("_t") == 1, F.col("_ls") - F.col("_prev_stop"))
+            ).alias("_d_prev"),
+            F.max(
+                F.when(F.col("_t") == 2, F.col("_ov_stop") >= F.col("_ls"))
+            ).alias("_overlaps"),
+            F.max(
+                F.when(F.col("_t") == 2, F.col("_next_start") - F.col("_le"))
+            ).alias("_d_next"),
         )
     )
     dist = F.when(F.coalesce(F.col("_overlaps"), F.lit(False)), F.lit(0).cast("long")).otherwise(
@@ -579,10 +609,7 @@ def interval_closest(
             F.coalesce(F.col("_d_next"), F.col("_d_prev")),
         )
     )
-    return (
-        a.join(b, on="_row")
-        .select(F.col("_row.*"), dist.alias("closest_dist"))
-    )
+    return per_row.select(F.col("_row.*"), dist.alias("closest_dist"))
 
 
 def interval_coverage(
@@ -720,68 +747,57 @@ def interval_jaccard(
     keys_a: Sequence[str] = ("contig", "start", "stop"),
     keys_b: Sequence[str] | None = None,
     bin_size: int = 16384,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Jaccard similarity of two interval sets — bedtools jaccard:
     |A ∩ B| / |A ∪ B| in covered bases after flattening each side.
     Returns ONE row: (intersection_bases, union_bases, jaccard,
     n_intersections).
 
-    Scale shape: ONE composite-key two-phase merge flattens both sides
-    in a single pass (the multiinter fusion: the merge key is the
-    struct (side, contig), so distinct sides never mix), one binned
-    overlap join between the two (small) merged sets, then three scalar
-    aggregates cross-joined — every intermediate after the merge is
-    bounded by the merged-region counts, not the input row counts.
+    Scale shape (r15): exactly ONE pass over the data — the operator is
+    :func:`interval_multiinter` on the two sets (itself one composite-key
+    two-phase merge + one fused boundary sweep) followed by a single
+    scalar aggregate over the constant-coverage segments: segments
+    covered by both sets sum to the intersection, every covered segment
+    sums to the union, and each maximal both-covered segment corresponds
+     1:1 to one merged-A x merged-B overlapping pair (within a flattened
+    side coverage is 0/1 and merged intervals are >= 1 apart, so a
+    both-covered run can cross neither side's gap), so counting them IS
+    bedtools' n_intersections. This replaced a merged-A x merged-B
+    binned self-join whose branches recomputed the merge three times
+    (90 Exchanges at r14). ``bin_size`` is retained for signature
+    compatibility; the segment form has no tile join to size.
     """
+    del bin_size  # no tile join in the segment formulation
     kb = keys_b or keys_a
-    tagged = a.select(
-        F.struct(F.lit("a").alias("s"), F.col(keys_a[0]).alias("c")).alias("_sc"),
-        F.col(keys_a[1]).cast("long").alias("_s"),
-        F.col(keys_a[2]).cast("long").alias("_e"),
-    ).unionByName(
-        b.select(
-            F.struct(F.lit("b").alias("s"), F.col(kb[0]).alias("c")).alias("_sc"),
-            F.col(kb[1]).cast("long").alias("_s"),
-            F.col(kb[2]).cast("long").alias("_e"),
-        )
+    mi = interval_multiinter(
+        {
+            "a": a.select(
+                F.col(keys_a[0]).alias("_c"),
+                F.col(keys_a[1]).cast("long").alias("_s"),
+                F.col(keys_a[2]).cast("long").alias("_e"),
+            ),
+            "b": b.select(
+                F.col(kb[0]).alias("_c"),
+                F.col(kb[1]).cast("long").alias("_s"),
+                F.col(kb[2]).cast("long").alias("_e"),
+            ),
+        },
+        keys=("_c", "_s", "_e"),
+        chunk_size=chunk_size,
     )
-    m = interval_merge(tagged, keys=("_sc", "_s", "_e"))
-    ma = m.filter(F.col("_sc.s") == "a").select(
-        F.col("_sc.c").alias("_ac"),
-        F.col("_s").alias("_as"),
-        F.col("_e").alias("_ae"),
-    )
-    mb = m.filter(F.col("_sc.s") == "b").select(
-        F.col("_sc.c").alias("_bc"),
-        F.col("_s").alias("_bs"),
-        F.col("_e").alias("_be"),
-    )
-    inter = interval_join_binned(
-        ma, mb, left_keys=("_ac", "_as", "_ae"),
-        right_keys=("_bc", "_bs", "_be"), bin_size=bin_size,
-    ).agg(
-        F.coalesce(
-            F.sum(F.least("_ae", "_be") - F.greatest("_as", "_bs") + 1), F.lit(0)
-        ).alias("intersection_bases"),
-        F.count(F.lit(1)).alias("n_intersections"),
-    )
-    cov_a = ma.agg(F.coalesce(F.sum(F.col("_ae") - F.col("_as") + 1), F.lit(0)).alias("_cov_a"))
-    cov_b = mb.agg(F.coalesce(F.sum(F.col("_be") - F.col("_bs") + 1), F.lit(0)).alias("_cov_b"))
-    # Combine the three SINGLE-ROW aggregates with explicit broadcasts
-    # (BroadcastNestedLoopJoin over 1x1 rows — the corpus-total-aggregate
-    # pattern, allowlisted in the plan audit; an unhinted crossJoin would
-    # plan a CartesianProduct).
-    return (
-        inter.crossJoin(F.broadcast(cov_a)).crossJoin(F.broadcast(cov_b))
-        .select(
-            "intersection_bases",
-            (F.col("_cov_a") + F.col("_cov_b") - F.col("intersection_bases")).alias("union_bases"),
-            (
-                F.col("intersection_bases")
-                / (F.col("_cov_a") + F.col("_cov_b") - F.col("intersection_bases"))
-            ).alias("jaccard"),
-            "n_intersections",
-        )
+    seg_len = F.col("_e") - F.col("_s") + 1
+    both = F.col("n_sets") == 2
+    zero = F.lit(0).cast("long")
+    union_bases = F.coalesce(F.sum(seg_len), zero)
+    inter_bases = F.coalesce(F.sum(F.when(both, seg_len)), zero)
+    return mi.agg(
+        inter_bases.alias("intersection_bases"),
+        union_bases.alias("union_bases"),
+        (inter_bases / union_bases).alias("jaccard"),
+        F.coalesce(F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))), zero).alias(
+            "n_intersections"
+        ),
     )
 
 
@@ -915,11 +931,7 @@ def interval_multiinter(
     """
     from functools import reduce
 
-    from hadoop_bam_spark.operators.sweep import (
-        SWEEP_CHUNK_SIZE,
-        chunked_lead_pos,
-        chunked_running_agg,
-    )
+    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
 
     cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
     if not sets:
@@ -944,18 +956,28 @@ def interval_multiinter(
         ],
     )
     m = interval_merge(tagged, keys=("_sc", s, e), chunk_size=cs_kw["chunk_size"])
+    # map-side explode, not a union of two selects: a union re-plans the
+    # whole merge subtree twice statically (and the fused scan's summary
+    # branch would double that again)
     ev = m.select(
         F.col("_sc.c").alias("_c"),
-        F.col(s).cast("long").alias("_pos"),
         F.col("_sc.s").alias("_set"),
-        F.lit(1).alias("_delta"),
-    ).unionByName(
-        m.select(
-            F.col("_sc.c").alias("_c"),
-            (F.col(e).cast("long") + 1).alias("_pos"),
-            F.col("_sc.s").alias("_set"),
-            F.lit(-1).alias("_delta"),
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(s).cast("long").alias("pos"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    (F.col(e).cast("long") + 1).alias("pos"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_ev"),
+    ).select(
+        "_c",
+        F.col("_ev.pos").alias("_pos"),
+        "_set",
+        F.col("_ev.delta").alias("_delta"),
     )
     # One row per boundary position (the state AFTER all events there);
     # positions are then unique per contig — the precondition of the
@@ -968,14 +990,17 @@ def interval_multiinter(
             for i, n in enumerate(names)
         ]
     )
-    state = chunked_running_agg(
+    # ONE fused scan: every per-set running counter AND the next-boundary
+    # lookahead share a single exchange+sort+summary round (r15 — the
+    # separate lead pass cost a second full scan of the boundary table).
+    state = chunked_scan(
         pv,
         ["_c"],
         "_pos",
-        [(f"_d_{i}", "sum", f"_n_{i}") for i in range(len(names))],
+        [(f"_d_{i}", "sum", f"_n_{i}") for i in range(len(names))]
+        + [(F.col("_pos"), "min", "_next", "desc", True)],
         **cs_kw,
     )
-    state = chunked_lead_pos(state, ["_c"], "_pos", out="_next", **cs_kw)
     covered = [F.col(f"_n_{i}") > 0 for i in range(len(names))]
     n_sets = reduce(lambda a, b: a + b, [F.when(cv, 1).otherwise(0) for cv in covered])
     set_list = F.concat_ws(
@@ -1261,20 +1286,23 @@ def interval_reldist(
     [0, 0.5] when the sets are spatially independent, skewed toward 0
     when they co-locate (the colocalization QC statistic). Returns the
     histogram ``(reldist, count, fraction)`` with reldist rounded down
-    to 1/100ths, like bedtools. Left midpoints without BOTH flanks (or
-    landing on a zero-width flank pair) are dropped, per bedtools.
+    to 1/100ths, like bedtools. A left midpoint exactly coinciding with
+    a right midpoint yields reldist 0 (bedtools reports 0.00 — the
+    colocalization extreme the statistic exists to detect): the
+    preceding scan INCLUDES the coincident right (prev = the midpoint
+    itself) while the following scan is STRICT (next = the true
+    following flank), so the ratio is 0/(next - prev). Left midpoints
+    without both flanks under that rule are dropped, per bedtools —
+    including a coincident midpoint with no STRICTLY following right
+    (nothing to normalize by).
 
-    Scale shape: two chunked prefix scans over the unioned midpoints
-    (operators/sweep.py — running max of preceding right midpoints
-    ascending, running min of following ones descending; ties keep
-    rights before lefts so an exactly-coincident midpoint yields
-    reldist 0), then a tiny histogram aggregate. No per-contig data
-    window, nothing all-pairs.
+    Scale shape: ONE fused chunked scan over the unioned midpoints
+    (operators/sweep.py chunked_scan — the preceding prefix max and the
+    strict following suffix min share a single RANGE-frame window pass:
+    one exchange + one sort), then a tiny histogram aggregate. No
+    per-contig data window, nothing all-pairs.
     """
-    from hadoop_bam_spark.operators.sweep import (
-        SWEEP_CHUNK_SIZE,
-        chunked_running_agg,
-    )
+    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
 
     cs = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
     c, s, e = keys
@@ -1296,20 +1324,25 @@ def interval_reldist(
     )
     u = l_mid.unionByName(r_mid)
     cand = F.when(F.col("_t") == 0, F.col("_m"))
-    u = chunked_running_agg(
-        u, ["_c"], "_m", [(cand, "max", "_prev")],
-        order_cols=[F.col("_t").asc()], **cs,
+    u = chunked_scan(
+        u,
+        ["_c"],
+        "_m",
+        [
+            # inclusive: a coincident right IS the preceding flank
+            (cand, "max", "_prev", "asc"),
+            # strict: the following flank is the first right BEYOND the
+            # midpoint, so coincidence yields 0/(next-prev) = 0
+            (cand, "min", "_next", "desc", True),
+        ],
+        **cs,
     )
-    u = chunked_running_agg(
-        u, ["_c"], "_m", [(cand, "min", "_next")],
-        order_cols=[F.col("_t").asc()], descending=True, **cs,
-    )
+    # _next > _prev holds by construction (prev <= m < next).
     rel = (
         u.filter(
             (F.col("_t") == 1)
             & F.col("_prev").isNotNull()
             & F.col("_next").isNotNull()
-            & (F.col("_next") > F.col("_prev"))
         )
         .select(
             (

@@ -19,9 +19,25 @@ associative running aggregate:
   value (sum/max/min are associative, so local ⊕ prefix-of-chunk-totals
   ≡ the single-window result).
 
-Tie handling: extra ``order_cols`` refine the within-chunk order; rows
-with equal positions always share a chunk (the chunk is a function of
-the position), so cross-chunk combination never sees ties.
+FUSION (r15): every scan a consumer needs — ascending prefixes,
+descending suffixes, strict (exclude-current-position) variants, and
+the next-position lookahead — runs in ONE :func:`chunked_scan` call.
+All local frames share one ``orderBy(pos)`` RANGE-frame window (Spark
+plans them as a single Window node: one exchange + one sort for the
+whole batch), the chunk summary is ONE groupBy, and its prefix/suffix
+offsets again share one window over the tiny summary table. The
+previous one-call-per-scan form cost a full exchange+sort+summary round
+per helper call — pileup's plan carried 114 Exchanges, jaccard 90.
+
+Tie semantics: RANGE frames, i.e. the running value at a row is the
+state of the scan AT ITS POSITION — rows sharing a position share the
+value (inclusive frames see all of them, strict frames none). Every
+consumer either pre-aggregates to unique positions or marks candidate
+rows with a ``when()`` so non-candidates contribute NULL, which the
+aggregates ignore; positions must be numeric and non-null. Rows with
+equal positions always share a chunk (the chunk is a function of the
+position), so cross-chunk combination never sees ties and strictness is
+purely a local-frame matter.
 
 The reference has no streaming/sweep machinery at all (Hadoop-BAM stops
 at record I/O, BAMInputFormat.java); this generalizes the textbook
@@ -39,6 +55,7 @@ from pyspark.sql import functions as F
 SWEEP_CHUNK_SIZE = 8 << 20
 
 _OPS = {"sum", "max", "min"}
+_DIRS = {"asc", "desc"}
 
 
 def _combine(op: str, loc, off):
@@ -52,73 +69,127 @@ def _combine(op: str, loc, off):
     return (F.greatest if op == "max" else F.least)(loc, off)
 
 
-def chunked_running_agg(
+def _norm_specs(specs: Sequence[tuple]) -> list[tuple]:
+    out = []
+    for spec in specs:
+        val, op, name, *rest = spec
+        direction = rest[0] if len(rest) >= 1 else "asc"
+        strict = rest[1] if len(rest) >= 2 else False
+        if op not in _OPS:
+            raise ValueError(f"unsupported running op {op!r}")
+        if direction not in _DIRS:
+            raise ValueError(f"direction must be asc|desc, got {direction!r}")
+        out.append((val, op, name, direction, bool(strict)))
+    return out
+
+
+def chunked_scan(
     df: DataFrame,
     part_cols: Sequence[str],
     pos_col: str,
     specs: Sequence[tuple],
-    order_cols: Sequence[str] = (),
-    descending: bool = False,
     chunk_size: int = SWEEP_CHUNK_SIZE,
+    broadcast_summary: bool = True,
 ) -> DataFrame:
     """Add exact running aggregates over (``part_cols`` partitions ordered
-    by ``pos_col`` [+ ``order_cols``]) without a per-partition-key window.
+    by ``pos_col``) without a per-partition-key window — ALL specs fused
+    into one data pass (one exchange + one sort + one chunk-summary
+    round, however many scans are requested).
 
-    ``specs``: (value_column_or_expr, op, output_name) triples with op in
-    sum/max/min; the running value INCLUDES the current row (frame
-    unboundedPreceding..0). ``descending=True`` runs the scan from the
-    high end (suffix scan) — it flips ONLY the position order;
-    ``order_cols`` (names or Column expressions, e.g. ``F.col("t").asc()``)
-    refine ties verbatim in either direction. Null values are transparent
-    (ignored by the aggregate, like the window form).
+    ``specs``: ``(value_column_or_expr, op, output_name[, direction[,
+    strict]])`` tuples with op in sum/max/min; ``direction`` ``"asc"``
+    (prefix scan over positions <= this row's, the default) or
+    ``"desc"`` (suffix scan over positions >= it); ``strict=True``
+    excludes rows AT this row's position. RANGE-frame semantics: rows
+    sharing a position share the running value (see module docstring).
+    Null values are transparent (ignored by the aggregate).
+
+    The next DISTINCT position (the ``lead`` lookahead every boundary
+    sweep needs) is just ``(F.col(pos_col), "min", out, "desc", True)``
+    — it fuses with the rest for free.
+
+    ``broadcast_summary``: the chunk-summary join is broadcast by
+    default — the summary has ONE row per (part_cols value, chunk), tiny
+    for per-contig genome sweeps. Pass ``False`` when ``part_cols`` is
+    high-cardinality (e.g. an as-of join keyed by millions of ids, where
+    #keys x #chunks rows would not fit an executor) to let the planner
+    pick the join strategy instead.
     """
-    for _, op, _ in specs:
-        if op not in _OPS:
-            raise ValueError(f"unsupported running op {op!r}")
+    sp = _norm_specs(specs)
     part = list(part_cols)
     chunk = F.floor((F.col(pos_col) - 1) / F.lit(chunk_size)).cast("long")
     base = df.withColumn("_swchunk", chunk)
-    pos_order = F.col(pos_col).desc() if descending else F.col(pos_col).asc()
-    order = [
-        pos_order,
-        *[F.col(c) if isinstance(c, str) else c for c in order_cols],
-    ]
-    wl = (
-        Window.partitionBy(*part, "_swchunk")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # One window family: same partition + same ascending position order →
+    # Spark plans every frame below as a SINGLE Window node.
+    wbase = Window.partitionBy(*part, "_swchunk").orderBy(pos_col)
+    frames = {
+        ("asc", False): wbase.rangeBetween(Window.unboundedPreceding, 0),
+        ("asc", True): wbase.rangeBetween(Window.unboundedPreceding, -1),
+        ("desc", False): wbase.rangeBetween(0, Window.unboundedFollowing),
+        ("desc", True): wbase.rangeBetween(1, Window.unboundedFollowing),
+    }
+    base = base.select(
+        "*",
+        *[
+            getattr(F, op)(val).over(frames[(d, st)]).alias(f"_loc_{out}")
+            for val, op, out, d, st in sp
+        ],
     )
-    for val, op, out in specs:
-        base = base.withColumn(f"_loc_{out}", getattr(F, op)(val).over(wl))
-    # chunk totals -> exclusive per-partition prefix over the summary
-    # (ONE row per non-empty chunk — the only partition-serial stage,
-    # and it is O(#chunks), not O(rows))
+    # Chunk totals -> exclusive per-partition prefix/suffix over the
+    # summary (ONE row per non-empty chunk — the only partition-serial
+    # stage, and it is O(#chunks), not O(rows)). Strictness never
+    # reaches here: equal positions share a chunk.
     cs = base.groupBy(*part, "_swchunk").agg(
-        *[getattr(F, op)(val).alias(f"_tot_{out}") for val, op, out in specs]
+        *[getattr(F, op)(val).alias(f"_tot_{out}") for val, op, out, _, _ in sp]
     )
-    co = F.col("_swchunk").desc() if descending else F.col("_swchunk")
-    wc = (
-        Window.partitionBy(*part)
-        .orderBy(co)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    wc = Window.partitionBy(*part).orderBy("_swchunk")
+    off_frames = {
+        "asc": wc.rowsBetween(Window.unboundedPreceding, -1),
+        "desc": wc.rowsBetween(1, Window.unboundedFollowing),
+    }
     cs = cs.select(
         *part,
         "_swchunk",
         *[
-            getattr(F, op)(f"_tot_{out}").over(wc).alias(f"_off_{out}")
-            for _, op, out in specs
+            getattr(F, op)(f"_tot_{out}").over(off_frames[d]).alias(f"_off_{out}")
+            for _, op, out, d, _ in sp
         ],
     )
-    out_df = base.join(F.broadcast(cs), on=[*part, "_swchunk"], how="left")
-    for _, op, out in specs:
+    if broadcast_summary:
+        cs = F.broadcast(cs)
+    out_df = base.join(cs, on=[*part, "_swchunk"], how="left")
+    for _, op, out, _, _ in sp:
         out_df = out_df.withColumn(
             out, _combine(op, F.col(f"_loc_{out}"), F.col(f"_off_{out}"))
         )
     return out_df.drop(
         "_swchunk",
-        *[f"_loc_{o}" for _, _, o in specs],
-        *[f"_off_{o}" for _, _, o in specs],
+        *[f"_loc_{o}" for _, _, o, _, _ in sp],
+        *[f"_off_{o}" for _, _, o, _, _ in sp],
+    )
+
+
+def chunked_running_agg(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    pos_col: str,
+    specs: Sequence[tuple],
+    descending: bool = False,
+    chunk_size: int = SWEEP_CHUNK_SIZE,
+    broadcast_summary: bool = True,
+) -> DataFrame:
+    """Running aggregates in one direction — a thin wrapper over
+    :func:`chunked_scan` kept for call-site brevity. ``specs`` are
+    ``(value, op, output_name)`` triples; ``descending=True`` makes every
+    spec a suffix scan. Inclusive range-frame tie semantics (rows at one
+    position share the value — see the module docstring)."""
+    return chunked_scan(
+        df,
+        part_cols,
+        pos_col,
+        [(val, op, out, "desc" if descending else "asc") for val, op, out in specs],
+        chunk_size=chunk_size,
+        broadcast_summary=broadcast_summary,
     )
 
 
@@ -130,24 +201,14 @@ def chunked_lead_pos(
     chunk_size: int = SWEEP_CHUNK_SIZE,
 ) -> DataFrame:
     """Add ``out`` = the next DISTINCT ``pos_col`` per partition (null on
-    the last row) without a per-partition-key window. Positions must be
-    unique within a partition (every sweep consumer pre-aggregates by
-    position first). Within a chunk it is a plain lead; the last row of
-    each chunk takes the NEXT non-empty chunk's min position from the
-    chunk-summary table (lead over one row per chunk).
-    """
-    part = list(part_cols)
-    chunk = F.floor((F.col(pos_col) - 1) / F.lit(chunk_size)).cast("long")
-    base = df.withColumn("_swchunk", chunk)
-    wl = Window.partitionBy(*part, "_swchunk").orderBy(pos_col)
-    base = base.withColumn("_lead_in", F.lead(pos_col).over(wl))
-    cs = base.groupBy(*part, "_swchunk").agg(F.min(pos_col).alias("_cmin"))
-    wc = Window.partitionBy(*part).orderBy("_swchunk")
-    cs = cs.select(
-        *part, "_swchunk", F.lead("_cmin").over(wc).alias("_next_chunk_min")
-    )
-    return (
-        base.join(F.broadcast(cs), on=[*part, "_swchunk"], how="left")
-        .withColumn(out, F.coalesce("_lead_in", "_next_chunk_min"))
-        .drop("_swchunk", "_lead_in", "_next_chunk_min")
+    the last position) — the strict-suffix min of the position itself,
+    via :func:`chunked_scan`. When a consumer also needs running
+    aggregates, fuse this spec into ITS ``chunked_scan`` call instead of
+    calling both."""
+    return chunked_scan(
+        df,
+        part_cols,
+        pos_col,
+        [(F.col(pos_col), "min", out, "desc", True)],
+        chunk_size=chunk_size,
     )

@@ -925,14 +925,14 @@ def interval_window_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (SELECT max(r.m) FROM rm r
                   WHERE r.c = l.c AND r.m <= l.m) AS prev,
                 (SELECT min(r.m) FROM rm r
-                  WHERE r.c = l.c AND r.m >= l.m) AS next
+                  WHERE r.c = l.c AND r.m > l.m) AS next
             FROM lm l
         ),
         rel AS (
             SELECT floor((least(m - prev, next - m)::DOUBLE
                           / (next - prev)) * 100) / 100 AS reldist
             FROM fl
-            WHERE prev IS NOT NULL AND next IS NOT NULL AND next > prev
+            WHERE prev IS NOT NULL AND next IS NOT NULL
         )
         SELECT reldist, count(*) AS count,
                count(*) / (SELECT count(*) FROM rel) AS fraction
@@ -940,11 +940,14 @@ def interval_window_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="bedtools reldist: the relative-distance distribution of read "
     "midpoints to their flanking region midpoints — uniform on [0, 0.5] "
-    "under spatial independence, skewed to 0 under colocalization "
-    "(operators/interval_join.py interval_reldist: two chunked prefix "
-    "scans over the unioned midpoints, no per-contig window, nothing "
-    "all-pairs). The oracle derives each read's flanking region "
-    "midpoints with correlated subqueries — per-row brute force.",
+    "under spatial independence, skewed to 0 under colocalization; an "
+    "exactly-coincident midpoint reports 0.00, like bedtools "
+    "(operators/interval_join.py interval_reldist: ONE fused chunked "
+    "scan over the unioned midpoints — inclusive preceding max + strict "
+    "following min share a single range-frame window pass — no "
+    "per-contig window, nothing all-pairs). The oracle derives each "
+    "read's flanking region midpoints with correlated subqueries — "
+    "per-row brute force.",
 )
 def interval_reldist_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_reldist
@@ -1522,10 +1525,7 @@ def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_binned as _ijb,
         interval_merge,
     )
-    from hadoop_bam_spark.operators.sweep import (
-        chunked_lead_pos,
-        chunked_running_agg,
-    )
+    from hadoop_bam_spark.operators.sweep import chunked_scan
 
     reads = _mapped_reads(spark, sf_dir)
     mr = interval_merge(
@@ -1542,18 +1542,29 @@ def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("r_start"), F.col("pos")).alias("cs"),
         F.least(F.col("r_stop"), F.col("stop")).alias("ce"),
     )
+    # map-side explode, not a union of two selects: a union prints (and
+    # statically re-plans) the whole reads-join-merge subtree twice, and
+    # the scan's summary branch would double THAT again
     ev = pairs.select(
-        "ref_idx", F.col("cs").alias("p"), F.lit(1).alias("d")
-    ).unionByName(
-        pairs.select("ref_idx", (F.col("ce") + 1).alias("p"), F.lit(-1).alias("d"))
-    )
+        "ref_idx",
+        F.explode(
+            F.array(
+                F.struct(F.col("cs").alias("p"), F.lit(1).alias("d")),
+                F.struct((F.col("ce") + 1).alias("p"), F.lit(-1).alias("d")),
+            )
+        ).alias("_ev"),
+    ).select("ref_idx", F.col("_ev.p").alias("p"), F.col("_ev.d").alias("d"))
     # Merged regions are disjoint, so depth returns to 0 between regions —
     # no segment ever spans a region boundary.
     agg = ev.groupBy("ref_idx", "p").agg(F.sum("d").alias("delta"))
-    state = chunked_running_agg(
-        agg, ["ref_idx"], "p", [("delta", "sum", "depth")]
+    # Running depth AND the next-boundary lookahead in ONE fused scan
+    # (r15 — two separate passes before).
+    state = chunked_scan(
+        agg,
+        ["ref_idx"],
+        "p",
+        [("delta", "sum", "depth"), (F.col("p"), "min", "_nxt", "desc", True)],
     )
-    state = chunked_lead_pos(state, ["ref_idx"], "p", out="_nxt")
     # The final event of a contig always carries depth 0 (deltas sum to 0),
     # so depth > 0 never coincides with a null lead.
     return (

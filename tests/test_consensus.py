@@ -72,3 +72,122 @@ def test_consensus_error_mode_and_validation(spark, tmp_path):
     # drop mode: indel ignored, sequence unchanged
     rows = fasta_consensus(fasta, indel).collect()
     assert "".join(r["seq"] for r in sorted(rows, key=lambda r: r["pos"])) == "ACGTACGT"
+
+
+def test_consensus_null_alt_is_not_silent(spark, tmp_path):
+    """ADVICE r14: a null alt must never NULL-poison the spliced chunk —
+    error/apply raise, drop filters it like any other malformed row."""
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    p = tmp_path / "n.fa"
+    _write_fasta(p, {"c1": "ACGTACGT"})
+    fasta = spark.read.format("fasta").load(str(p))
+    bad = spark.createDataFrame(
+        [("c1", 3, "G", None), ("c1", 5, "A", "T")],
+        "contig string, start long, ref string, alt string",
+    )
+    with pytest.raises(Exception, match="non-SNP|null"):
+        fasta_consensus(fasta, bad, on_indel="error").collect()
+    with pytest.raises(Exception, match="null alt"):
+        fasta_consensus(fasta, bad, on_indel="apply").collect()
+    rows = sorted(fasta_consensus(fasta, bad).collect(), key=lambda r: r["pos"])
+    got = "".join(r["seq"] for r in rows)
+    assert got == "ACGTTCGT"  # the good SNP applied, no NULL chunk
+    assert all(r["seq"] is not None for r in rows)
+
+
+def _chunk_df(spark, seqs, chunk_len):
+    rows = []
+    for name, seq in seqs.items():
+        for i in range(0, len(seq), chunk_len):
+            rows.append((name, i + 1, seq[i:i + chunk_len]))
+    return spark.createDataFrame(rows, "contig string, pos long, seq string")
+
+
+def _brute_apply(seq, edits):
+    """edits: sorted disjoint (pos, ref_len, alt) on 1-based coords."""
+    out, cur = [], 0
+    for pos, rlen, alt in sorted(edits):
+        out.append(seq[cur:pos - 1])
+        out.append(alt)
+        cur = pos - 1 + rlen
+    out.append(seq[cur:])
+    return "".join(out)
+
+
+@pytest.mark.parametrize("chunk_len", [7, 64])
+def test_consensus_apply_indels_matches_string_edit(spark, chunk_len):
+    """SNPs + insertions + deletions (incl. deletions spanning several
+    chunk boundaries) against a direct string edit, plus the re-anchored
+    position contract: output chunks tile [1, len] contiguously."""
+    rng = random.Random(11)
+    seqs = {f"c{i}": "".join(rng.choice("ACGT") for _ in range(200))
+            for i in range(3)}
+    edits = {}
+    for c, seq in seqs.items():
+        es, cur = [], 1
+        while cur < len(seq) - 20:
+            pos = cur + rng.randint(1, 8)
+            kind = rng.randrange(3)
+            if kind == 0:  # SNP
+                es.append((pos, 1, rng.choice("ACGT")))
+            elif kind == 1:  # deletion, often spanning chunk boundaries
+                rlen = rng.randint(2, 18)
+                es.append((pos, rlen, seq[pos - 1]))
+            else:  # insertion (VCF-anchored)
+                es.append((pos, 1, seq[pos - 1] + "".join(
+                    rng.choice("ACGT") for _ in range(rng.randint(1, 5)))))
+            cur = es[-1][0] + es[-1][1]
+        edits[c] = es
+    vrows = [
+        (c, pos, seqs[c][pos - 1:pos - 1 + rlen], alt)
+        for c, es in edits.items()
+        for pos, rlen, alt in es
+    ]
+    vdf = spark.createDataFrame(
+        vrows, "contig string, start long, ref string, alt string"
+    )
+    fasta = _chunk_df(spark, seqs, chunk_len)
+    rows = sorted(
+        fasta_consensus(fasta, vdf, on_indel="apply", bin_size=16).collect()
+    )
+    got = {}
+    for r in rows:
+        assert len(r["seq"]) > 0  # zero-length chunks are dropped
+        # contiguous tiling in CONSENSUS coordinates
+        assert r["pos"] == len(got.get(r["contig"], "")) + 1
+        got[r["contig"]] = got.get(r["contig"], "") + r["seq"]
+    want = {c: _brute_apply(seqs[c], edits[c]) for c in seqs}
+    assert got == want
+
+
+def test_consensus_apply_rejects_overlap_and_unspelled_ref(spark):
+    fasta = _chunk_df(spark, {"c1": "ACGTACGTACGT"}, 6)
+    overlap = spark.createDataFrame(
+        [("c1", 2, "CGTA", "C"), ("c1", 4, "TA", "T")],
+        "contig string, start long, ref string, alt string",
+    )
+    with pytest.raises(Exception, match="overlapping variant spans"):
+        fasta_consensus(fasta, overlap, on_indel="apply").collect()
+    unspelled = spark.createDataFrame(
+        [("c1", 2, None, "CAA")],
+        "contig string, start long, ref string, alt string",
+    )
+    with pytest.raises(Exception, match="spelled ref"):
+        fasta_consensus(fasta, unspelled, on_indel="apply").collect()
+
+
+def test_consensus_apply_snps_equals_snp_mode(spark):
+    """With SNP-only variants, apply mode reproduces the drop-mode output
+    exactly (lengths unchanged -> identical chunk grid)."""
+    fasta = _chunk_df(spark, {"c1": "ACGTACGTACGT", "c2": "TTTTGGGG"}, 5)
+    vdf = spark.createDataFrame(
+        [("c1", 3, "G", "T"), ("c2", 8, None, "A")],
+        "contig string, start long, ref string, alt string",
+    )
+    base = sorted(map(tuple, fasta_consensus(fasta, vdf).collect()))
+    applied = sorted(
+        map(tuple, fasta_consensus(fasta, vdf, on_indel="apply").collect())
+    )
+    assert base == applied

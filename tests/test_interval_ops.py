@@ -812,13 +812,14 @@ def test_reldist_matches_brute(spark, frames, chunk_size):
     rels = []
     for c, s, e, _ in left:
         m = (s - 1 + e) // 2
+        # bedtools semantics: the preceding flank may BE the midpoint
+        # (coincidence -> reldist 0), the following flank is strictly
+        # beyond it
         prevs = [x for x in r_mid.get(c, []) if x <= m]
-        nexts = [x for x in r_mid.get(c, []) if x >= m]
+        nexts = [x for x in r_mid.get(c, []) if x > m]
         if not prevs or not nexts:
             continue
         p, n = max(prevs), min(nexts)
-        if n <= p:
-            continue
         rels.append(math.floor(min(m - p, n - m) / (n - p) * 100) / 100)
     want = {}
     for v in rels:
@@ -826,6 +827,31 @@ def test_reldist_matches_brute(spark, frames, chunk_size):
     assert {k: c for k, (c, _) in got.items()} == want
     for k, (cnt, frac) in got.items():
         assert frac == pytest.approx(cnt / len(rels))
+
+
+def test_reldist_coincident_midpoint_is_zero(spark):
+    """A left midpoint exactly on a right midpoint reports reldist 0.00
+    (bedtools parity — the colocalization extreme), instead of being
+    dropped; one with no STRICTLY following right flank is dropped."""
+    from hadoop_bam_spark.operators.interval_join import interval_reldist
+
+    # right midpoints at 100 and 500; left midpoints at 100 (coincident,
+    # kept as 0.0), 300 (plain interior), 500 (coincident with the LAST
+    # right -> no strict following flank -> dropped)
+    rdf = spark.createDataFrame(
+        [("c1", 91, 110), ("c1", 491, 510)],
+        "contig string, start long, stop long",
+    )
+    ldf = spark.createDataFrame(
+        [("c1", 95, 106), ("c1", 295, 306), ("c1", 495, 506)],
+        "contig string, start long, stop long",
+    )
+    got = {
+        r["reldist"]: r["count"]
+        for r in interval_reldist(ldf, rdf).collect()
+    }
+    # mid 300: min(200, 200) / 400 = 0.5
+    assert got == {0.0: 1, 0.5: 1}
 
 
 @pytest.mark.parametrize("bin_size", [16384, 16])

@@ -1,13 +1,15 @@
 """Chunked prefix scans (operators/sweep.py) vs single-window truth.
 
-The helper must be EXACTLY the classic per-partition window on any
-input — including null values, tie rows refined by order columns, and
-descending scans — while never building a per-partition-key window.
-Tiny chunk sizes force many chunks so the cross-chunk offset
-combination is exercised hard.
+The fused ``chunked_scan`` must be EXACTLY the classic per-partition
+RANGE-frame window on any input — including null values, duplicate
+positions (which share the running value under range semantics),
+descending (suffix) scans, and strict frames — while never building a
+per-partition-key window. Tiny chunk sizes force many chunks so the
+cross-chunk offset combination is exercised hard.
 """
 
 import random
+import re
 
 import pytest
 from pyspark.sql import Window
@@ -16,6 +18,7 @@ from pyspark.sql import functions as F
 from hadoop_bam_spark.operators.sweep import (
     chunked_lead_pos,
     chunked_running_agg,
+    chunked_scan,
 )
 
 
@@ -33,12 +36,18 @@ def _data(spark, seed, n=400, with_nulls=True):
     )
 
 
+def _truth_frame(direction, strict):
+    if direction == "asc":
+        return (Window.unboundedPreceding, -1 if strict else 0)
+    return (1 if strict else 0, Window.unboundedFollowing)
+
+
 @pytest.mark.parametrize("op", ["sum", "max", "min"])
 @pytest.mark.parametrize("chunk_size", [7, 64])
 def test_running_agg_matches_window(spark, op, chunk_size):
     df, _ = _data(spark, seed=hash((op, chunk_size)) % 1000)
-    # unique positions per partition (the documented precondition for the
-    # bare-pos ordering): pre-aggregate like every real consumer does
+    # unique positions per partition: pre-aggregate like every real
+    # boundary-sweep consumer does
     agg = df.groupBy("part", "pos").agg(getattr(F, op)("val").alias("v"))
     w = (
         Window.partitionBy("part")
@@ -58,59 +67,94 @@ def test_running_agg_matches_window(spark, op, chunk_size):
     assert got == want
 
 
-def test_running_agg_descending_and_ties(spark):
-    """Ties refined by an order column; descending position scan."""
-    df, _ = _data(spark, seed=5)
-    for descending in (False, True):
-        pos_o = F.col("pos").desc() if descending else F.col("pos").asc()
-        w = (
-            Window.partitionBy("part")
-            .orderBy(pos_o, F.col("uid").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        want = {
-            r["uid"]: r["run"]
-            for r in df.withColumn("run", F.max("val").over(w)).collect()
-        }
-        got = {
-            r["uid"]: r["run"]
-            for r in chunked_running_agg(
-                df,
-                ["part"],
-                "pos",
-                [(F.col("val"), "max", "run")],
-                order_cols=[F.col("uid").asc()],
-                descending=descending,
-                chunk_size=13,
-            ).collect()
-        }
-        assert got == want, f"descending={descending}"
-
-
-def test_running_agg_multi_spec_and_expressions(spark):
-    """Several simultaneous scans incl. conditional expressions (the
-    closest-operator shape)."""
-    df, _ = _data(spark, seed=9)
-    w = (
-        Window.partitionBy("part")
-        .orderBy(F.col("pos").asc(), F.col("uid").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cond = F.when(F.col("uid") % 2 == 0, F.col("val"))
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_scan_matches_range_window_with_ties(spark, direction, strict):
+    """Duplicate positions: range-frame semantics — rows at one position
+    share the running value (inclusive sees all of them, strict none)."""
+    df, _ = _data(spark, seed=hash((direction, strict)) % 997)
+    lo, hi = _truth_frame(direction, strict)
+    w = Window.partitionBy("part").orderBy("pos").rangeBetween(lo, hi)
     want = {
         r["uid"]: (r["a"], r["b"])
-        for r in df.withColumn("a", F.sum("val").over(w))
-        .withColumn("b", F.max(cond).over(w))
+        for r in df.withColumn("a", F.max("val").over(w))
+        .withColumn("b", F.sum("val").over(w))
         .collect()
     }
     got = {
         r["uid"]: (r["a"], r["b"])
+        for r in chunked_scan(
+            df,
+            ["part"],
+            "pos",
+            [
+                ("val", "max", "a", direction, strict),
+                ("val", "sum", "b", direction, strict),
+            ],
+            chunk_size=13,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_running_agg_descending_wrapper(spark):
+    df, _ = _data(spark, seed=5)
+    w = (
+        Window.partitionBy("part")
+        .orderBy("pos")
+        .rangeBetween(0, Window.unboundedFollowing)
+    )
+    want = {
+        r["uid"]: r["run"]
+        for r in df.withColumn("run", F.max("val").over(w)).collect()
+    }
+    got = {
+        r["uid"]: r["run"]
         for r in chunked_running_agg(
             df,
             ["part"],
             "pos",
-            [("val", "sum", "a"), (cond, "max", "b")],
-            order_cols=[F.col("uid").asc()],
+            [(F.col("val"), "max", "run")],
+            descending=True,
+            chunk_size=13,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_scan_mixed_directions_and_expressions(spark):
+    """Several simultaneous scans in BOTH directions incl. conditional
+    expressions (the closest-operator shape) — all in one call."""
+    df, _ = _data(spark, seed=9)
+    wA = (
+        Window.partitionBy("part")
+        .orderBy("pos")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wD = (
+        Window.partitionBy("part")
+        .orderBy("pos")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    cond = F.when(F.col("uid") % 2 == 0, F.col("val"))
+    want = {
+        r["uid"]: (r["a"], r["b"], r["c"])
+        for r in df.withColumn("a", F.sum("val").over(wA))
+        .withColumn("b", F.max(cond).over(wA))
+        .withColumn("c", F.min(cond).over(wD))
+        .collect()
+    }
+    got = {
+        r["uid"]: (r["a"], r["b"], r["c"])
+        for r in chunked_scan(
+            df,
+            ["part"],
+            "pos",
+            [
+                ("val", "sum", "a"),
+                (cond, "max", "b"),
+                (cond, "min", "c", "desc", True),
+            ],
             chunk_size=11,
         ).collect()
     }
@@ -135,7 +179,47 @@ def test_lead_pos_matches_window(spark, chunk_size):
     assert got == want
 
 
-def test_rejects_unknown_op(spark):
+def test_fused_scan_is_one_window_pass(spark):
+    """The whole point of the fusion: however many specs (both
+    directions, strict and not, plus the lead), the DATA side of the
+    plan carries exactly ONE Window node over (part, chunk) and one
+    over the chunk summary — not one exchange+sort per spec."""
+    df, _ = _data(spark, seed=21)
+    agg = df.groupBy("part", "pos").agg(F.sum("val").alias("v"))
+    out = chunked_scan(
+        agg,
+        ["part"],
+        "pos",
+        [
+            ("v", "sum", "run"),
+            ("v", "max", "hi"),
+            ("v", "min", "ahead", "desc"),
+            (F.col("pos"), "min", "nxt", "desc", True),
+        ],
+        chunk_size=13,
+    )
+    def shape(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        return (
+            len(re.findall(r"^\(\d+\) Window", plan, re.M)),
+            len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        )
+
+    # one data-side Window + one summary-side Window, however many specs
+    assert shape(out)[0] == 2
+    # the stage count is CONSTANT in the number of specs (the pre-fusion
+    # form paid a full exchange+sort+summary round per scan)
+    one_spec = chunked_scan(
+        agg, ["part"], "pos", [("v", "sum", "run")], chunk_size=13
+    )
+    assert shape(out) == shape(one_spec)
+
+
+def test_rejects_unknown_op_and_direction(spark):
     df, _ = _data(spark, seed=1, n=5)
     with pytest.raises(ValueError, match="unsupported running op"):
         chunked_running_agg(df, ["part"], "pos", [("val", "avg", "x")])
+    with pytest.raises(ValueError, match="direction must be"):
+        chunked_scan(df, ["part"], "pos", [("val", "sum", "x", "up")])
