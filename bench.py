@@ -39,6 +39,15 @@ regression on a box with documented 5-10x hypervisor swings):
   reason — both when either run's within-run spread exceeds 1.5x and
   when the prior artifact predates the subprocess sentinel (its lone
   in-JVM cpu_min is the number r8's verdict proved non-calibrating).
+- RE-BASELINE NOTE (r14 adjudication): the interleaved cross-round A/B
+  (``AB_CROSSROUND_r14.json``, now ``tools/ab_bench.py``) proved the
+  r11->r13 calibrated-CPU creep was HOST accounting drift (head/r11
+  median 1.014 on identical trees; the sha256 sentinel itself rose 12%
+  over the same rounds). Round-over-round ``vs_prev`` tripwires are
+  therefore baselined on r13-and-later levels; when the tripwire fires
+  again, run ``python -m hadoop_bam_spark.tools.ab_bench <old-ref>``
+  before believing it — that interleaved A/B on the actual trees IS
+  the adjudication, not the cross-session ratio.
 """
 
 from __future__ import annotations

@@ -72,10 +72,19 @@ def interval_join_binned(
 
     ``how="left_outer"`` is TRUE SQL left-outer: a left row appears
     null-extended iff it overlaps nothing anywhere (duplicated left
-    rows each keep their copies, like SQL). Costs one extra window
-    shuffle over the loose form (the per-left-row match count the loose
-    consumers get for free in their own regroup) — use loose when the
-    next operation aggregates per left row anyway.
+    rows each keep their copies, like SQL). Costs an extra per-row-id
+    match-count aggregate + join-back over the loose form (narrow: the
+    count side shuffles a long id and a flag, never the left payload —
+    the match count the loose consumers get for free in their own
+    regroup) — use loose when the next operation aggregates per left
+    row anyway.
+
+    NOTE (r14→r15 API history): ``"left_outer"`` meant the LOOSE
+    semantics through r13; r14 split the modes and pointed the bare
+    string at the strict form. External callers migrating across that
+    boundary should pick ``left_outer`` (SQL rows) vs
+    ``left_outer_loose`` (aggregation-ready, one possible extra null
+    row per matched left row) explicitly — see CHANGELOG.md.
     """
     if how not in ("inner", "left_outer", "left_outer_loose"):
         raise ValueError(f"unsupported how={how!r}")
@@ -84,6 +93,18 @@ def interval_join_binned(
     spark_how = "left_outer" if loose else "inner"
     lc, ls, le = left_keys
     rc, rs, re_ = right_keys
+    if strict:
+        # Row id for the match-count join-back (r14 VERDICT #7): the
+        # dedup pass shuffles one long key instead of windowing over
+        # every left column. Duplicate left tuples share the id AND the
+        # match set, so per-id counting is per-tuple counting. xxhash64
+        # collisions between DISTINCT tuples could merge two match
+        # counts (suppressing a null row that SQL would keep) with
+        # probability ~n^2/2^64 — negligible against any data-dependent
+        # failure mode at feasible row counts.
+        left = left.withColumn(
+            "_lid", F.xxhash64(*[F.col(col) for col in left.columns])
+        )
 
     def binned(df: DataFrame, contig: str, start: str, stop: str, side: str,
                keep_null: bool = False) -> DataFrame:
@@ -120,19 +141,18 @@ def interval_join_binned(
     ).otherwise(F.col("_bin_l") == left_first_bin)
     out = joined.filter(keep)
     if strict:
-        from pyspark.sql import Window
-
-        # Drop a null-extended row when ITS left tuple matched anywhere.
-        # Duplicate left rows share the predicate (their match sets are
-        # identical), so partitioning by the left tuple is sound and each
-        # duplicate keeps its own output rows, like SQL.
-        n_match = F.count(rb[rc]).over(
-            Window.partitionBy(*[lb[col] for col in left.columns])
+        # Drop a null-extended row when ITS left tuple matched anywhere:
+        # per-id match counts over a (id, match-flag) projection — the
+        # count side shuffles two narrow columns, the join-back hashes
+        # one long key (the pre-r15 form windowed the full joined
+        # payload over every left column as the partition key).
+        counts = out.groupBy("_lid").agg(F.count(rb[rc]).alias("_nm"))
+        out = (
+            out.join(counts, on="_lid")
+            .filter(rb[rc].isNotNull() | (F.col("_nm") == 0))
+            .drop("_nm")
         )
-        out = out.withColumn("_nm", n_match).filter(
-            rb[rc].isNotNull() | (F.col("_nm") == 0)
-        ).drop("_nm")
-    return out.drop("_bin_l", "_bin_r")
+    return out.drop("_bin_l", "_bin_r", "_lid")
 
 
 #: default sub-contig range-chunk width for the two-phase merge sweep.
@@ -1381,7 +1401,11 @@ def interval_getfasta(
     with no overlapping sequence are dropped (off-contig coordinates,
     like bedtools' warning-and-skip); a partially-covered interval
     returns the covered prefix/suffix. Interval rows must be unique
-    tuples (the regroup key).
+    tuples (the regroup key) — duplicated rows RAISE at runtime (the
+    stitch walk checks that chunk starts strictly increase within each
+    group; a duplicate tuple doubles every chunk piece, which would
+    otherwise collapse to fewer output rows with no error). Dedupe
+    inputs, or carry a distinguishing id column.
 
     Scale shape: ONE binned tile join intervals x chunk rows + one
     regroup per interval — per-interval cost is bounded by
@@ -1408,12 +1432,37 @@ def interval_getfasta(
         (lo - F.col("_fs") + 1).cast("int"),
         (hi - lo + 1).cast("int"),
     )
-    stitched = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct(F.col("_fs"), piece.alias("p")))),
-            lambda x: x["p"],
+    pieces = F.sort_array(
+        F.collect_list(F.struct(F.col("_fs").alias("fs"), piece.alias("p")))
+    )
+    # Stitch + guardrail in one walk: chunk starts must strictly
+    # increase within a group — a repeated fs means the interval tuple
+    # was duplicated (every chunk piece doubled), which the regroup
+    # would otherwise collapse silently.
+    stitched = F.aggregate(
+        pieces,
+        F.struct(
+            F.lit(None).cast("long").alias("prev"),
+            F.lit("").cast("string").alias("acc"),
         ),
-        "",
+        lambda a, x: F.struct(
+            x["fs"].alias("prev"),
+            F.concat(
+                a["acc"],
+                F.when(
+                    a["prev"].isNotNull() & (x["fs"] <= a["prev"]),
+                    F.raise_error(
+                        F.lit(
+                            "interval_getfasta: duplicate interval tuples "
+                            "(the stitch regroups on the whole interval "
+                            "row, so duplicates would silently collapse) "
+                            "— dedupe inputs or add a distinct id column"
+                        )
+                    ),
+                ).otherwise(x["p"]),
+            ).alias("acc"),
+        ),
+        lambda a: a["acc"],
     )
     return hits.groupBy(*intervals.columns).agg(stitched.alias(out_col))
 
@@ -1427,26 +1476,37 @@ def interval_shuffle(
     keep_contig: bool = True,
 ) -> DataFrame:
     """Place each interval at a deterministic pseudo-random position —
-    bedtools shuffle (-chrom form when ``keep_contig``): lengths are
-    preserved, new starts are drawn uniformly from [1, size - len + 1]
-    of the (same, by default) contig. The draw hashes a stable row id
-    (``id_col``, default the interval tuple) with ``salt``, so the
-    shuffle is reproducible across runs/retries/engines — the null-model
-    primitive for :func:`interval_reldist` / :func:`interval_jaccard`
-    colocalization tests (compare the observed statistic against the
-    shuffled one). Rows longer than their contig, or on contigs absent
-    from ``sizes``, are dropped.
+    bedtools shuffle: lengths are preserved and the draw hashes a stable
+    row id (``id_col``, default the ORIGINAL interval tuple) with
+    ``salt``, so the shuffle is reproducible across runs/retries/engines
+    — the null-model primitive for :func:`interval_reldist` /
+    :func:`interval_jaccard` colocalization tests (compare the observed
+    statistic against the shuffled one).
 
-    Scale shape: map-only hash arithmetic + one broadcast join against
-    the dimension-sized ``sizes`` table. All non-key columns ride along.
+    ``keep_contig=True`` (bedtools -chrom): new starts are drawn
+    uniformly from [1, size - len + 1] of the SAME contig; rows longer
+    than their contig, or on contigs absent from ``sizes``, are dropped.
+
+    ``keep_contig=False`` (r15 — bedtools' default mode): the draw is
+    genome-wide and uniform over every VALID placement: per row, each
+    contig contributes ``max(0, size - len + 1)`` slots, the 60-bit hash
+    draws one slot in [0, total_slots), and a single fold over the
+    (lexicographically ordered) contig list maps it to (contig, start).
+    Weighting by per-contig room — rather than drawing a raw genome
+    offset and clamping at contig ends — keeps the placement exactly
+    uniform with no end-of-contig pile-up, stays deterministic, and
+    replays in plain SQL (the gate oracle walks the same cumulative
+    rooms). Rows longer than EVERY contig are dropped.
+
+    Scale shape: map-only hash arithmetic; the same-contig form adds one
+    broadcast join against the dimension-sized ``sizes`` table, the
+    genome-wide form folds over a collected-to-literal contig array
+    (bounded by #contigs — the .fai is a dimension table) so there is no
+    join at all. All non-key columns ride along.
     """
     from hadoop_bam_spark.operators.dedup import hash60
 
     c, s, e = keys
-    sz = sizes.select(
-        F.col(sizes.columns[0]).alias(c),
-        F.col(sizes.columns[1]).cast("long").alias("_size"),
-    )
     ident = (
         F.col(id_col).cast("string")
         if id_col is not None
@@ -1454,22 +1514,84 @@ def interval_shuffle(
             ":", F.col(c), F.col(s).cast("string"), F.col(e).cast("string")
         )
     )
+    draw = hash60(F.concat(F.lit(salt), F.lit(":"), ident))
     ln = F.col(e).cast("long") - F.col(s).cast("long") + 1
-    room = F.col("_size") - ln + 1
-    new_start = hash60(F.concat(F.lit(salt), F.lit(":"), ident)) % room + 1
     carry = [col for col in df.columns if col not in (s, e)]
-    if not keep_contig:
-        raise NotImplementedError(
-            "cross-contig placement needs a genome-wide coordinate draw; "
-            "the -chrom (same-contig) form is what the colocalization "
-            "null model uses"
+    if keep_contig:
+        sz = sizes.select(
+            F.col(sizes.columns[0]).alias(c),
+            F.col(sizes.columns[1]).cast("long").alias("_size"),
         )
+        room = F.col("_size") - ln + 1
+        new_start = draw % room + 1
+        return (
+            df.join(F.broadcast(sz), on=c)
+            .filter(room > 0)
+            .select(
+                *carry,
+                new_start.alias(s),
+                (new_start + ln - 1).alias(e),
+            )
+        )
+    # Genome-wide: fold once over the literal contig list. sizes is
+    # dimension-sized by nature (one row per contig), so collecting it
+    # to the driver is the bounded-aggregate pattern, not a data
+    # collect; lexicographic contig order pins the walk (and the
+    # oracle's) deterministically.
+    contig_t = sizes.schema[sizes.columns[0]].dataType
+    rows = sorted(
+        (r[0], r[1])
+        for r in sizes.select(
+            F.col(sizes.columns[0]),
+            F.col(sizes.columns[1]).cast("long"),
+        ).collect()
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).cast(contig_t).alias("c"),
+                F.lit(size).alias("sz"),
+            )
+            for name, size in rows
+        ]
+    )
+    zero = F.lit(0).cast("long")
+
+    def room_of(x):
+        return F.greatest(zero, x["sz"] - ln + 1)
+
+    total_room = F.aggregate(arr, zero, lambda a, x: a + room_of(x))
+    # try_mod: null when total_room = 0 (row fits nowhere) instead of an
+    # ANSI remainder-by-zero error
+    r = F.try_mod(draw, total_room)
+    pick = F.aggregate(
+        arr,
+        F.struct(
+            r.alias("rem"),
+            F.lit(None).cast(contig_t).alias("c"),
+            F.lit(None).cast("long").alias("s"),
+        ),
+        lambda a, x: F.when(a["c"].isNotNull(), a)
+        .when(
+            a["rem"] < room_of(x),
+            F.struct(a["rem"].alias("rem"), x["c"].alias("c"), (a["rem"] + 1).alias("s")),
+        )
+        .otherwise(
+            F.struct(
+                (a["rem"] - room_of(x)).alias("rem"),
+                F.lit(None).cast(contig_t).alias("c"),
+                F.lit(None).cast("long").alias("s"),
+            )
+        ),
+    )
+    carry_nc = [col for col in carry if col != c]
     return (
-        df.join(F.broadcast(sz), on=c)
-        .filter(room > 0)
+        df.withColumn("_pick", pick)
+        .filter(F.col("_pick.c").isNotNull())
         .select(
-            *carry,
-            new_start.alias(s),
-            (new_start + ln - 1).alias(e),
+            *carry_nc,
+            F.col("_pick.c").alias(c),
+            F.col("_pick.s").alias(s),
+            (F.col("_pick.s") + ln - 1).alias(e),
         )
     )

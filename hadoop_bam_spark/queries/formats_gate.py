@@ -838,6 +838,7 @@ def fasta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interval_getfasta_regions",
+    bench=True,
     oracle="""
         WITH r AS (
             SELECT n_nationkey AS region_id,
@@ -914,6 +915,7 @@ def interval_getfasta_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fasta_consensus_snps",
+    bench=True,
     oracle="""
         WITH ctg AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(c)),
         pos AS (
@@ -989,6 +991,126 @@ def fasta_consensus_snps(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_base("C").alias("n_c"),
         n_base("G").alias("n_g"),
         n_base("T").alias("n_t"),
+    )
+
+
+@query(
+    "fasta_consensus_indels",
+    oracle="""
+        WITH ctg AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(c)),
+        pos AS (
+            SELECT c, unnest(generate_series(1, 5000)) AS p FROM ctg
+        ),
+        v AS (
+            SELECT n_nationkey % 4 AS c,
+                   n_nationkey * 190 + 7 AS vp,
+                   n_nationkey % 3 AS t
+            FROM nation
+        ),
+        kept AS (
+            SELECT pos.c, pos.p,
+                   CASE WHEN s.vp IS NOT NULL
+                        THEN (7 * pos.p + 3 * pos.c + 1) % 4
+                        ELSE (7 * pos.p + 3 * pos.c) % 4 END AS k
+            FROM pos
+            LEFT JOIN (SELECT c, vp FROM v WHERE t = 0) s
+                   ON s.c = pos.c AND s.vp = pos.p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM v d
+                 WHERE d.t = 1 AND d.c = pos.c
+                   AND pos.p IN (d.vp + 1, d.vp + 2)
+            )
+        ),
+        insadd AS (
+            SELECT c, count(*) AS n_ins FROM v WHERE t = 2 GROUP BY c
+        )
+        SELECT 'chr' || kept.c::VARCHAR AS contig,
+               (count(*) + 2 * coalesce(min(i.n_ins), 0))::BIGINT AS n_bases,
+               (sum(CASE WHEN k = 0 THEN 1 ELSE 0 END)
+                + coalesce(min(i.n_ins), 0))::BIGINT AS n_a,
+               (sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                + coalesce(min(i.n_ins), 0))::BIGINT AS n_c,
+               sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS n_g,
+               sum(CASE WHEN k = 3 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+               TRUE AS tiling_ok
+        FROM kept LEFT JOIN insadd i ON i.c = kept.c
+        GROUP BY kept.c
+    """,
+    doc="bcftools consensus, INDEL scope (r15): SNPs, 2-base deletions "
+    "and 2-base insertions derived from the nation table applied to the "
+    "formula reference through fasta_consensus(on_indel='apply') — the "
+    "length-delta prefix scan (operators/sweep.py chunked_scan) "
+    "re-anchors every chunk to consensus coordinates. The oracle "
+    "re-derives the post-edit base counts arithmetically (deleted "
+    "positions excluded, inserted 'AC' pairs added, SNP sites rotated), "
+    "and tiling_ok asserts the re-anchored chunks tile [1, len] "
+    "contiguously — a wrong offset anywhere breaks it.",
+)
+def fasta_consensus_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.consensus import fasta_consensus
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+
+    def build(d: str) -> None:
+        with open(os.path.join(d, "ref.fa"), "w") as fh:
+            for c in range(4):
+                fh.write(f">chr{c}\n")
+                seq = "".join(
+                    "ACGT"[(7 * p + 3 * c) % 4] for p in range(1, 5001)
+                )
+                for i in range(0, len(seq), 60):
+                    fh.write(seq[i:i + 60] + "\n")
+
+    d = _artifact(sf_dir, "getfasta", build)
+    fasta = spark.read.format("fasta").load(os.path.join(d, "ref.fa"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    cidx = F.col("n_nationkey") % 4
+    vp = F.col("n_nationkey") * 190 + 7
+    vt = F.col("n_nationkey") % 3
+
+    def base(p):
+        return F.substring(
+            F.lit("ACGT"), ((7 * p + 3 * cidx) % 4 + 1).cast("int"), 1
+        )
+
+    rot = F.substring(
+        F.lit("ACGT"), ((7 * vp + 3 * cidx + 1) % 4 + 1).cast("int"), 1
+    )
+    # t=0: SNP (rotate); t=1: delete the 2 bases after the anchor;
+    # t=2: insert 'AC' after the anchor. Spans are 190 apart per contig
+    # step, so always disjoint.
+    variants = nation.select(
+        F.concat(F.lit("chr"), cidx.cast("string")).alias("contig"),
+        vp.cast("long").alias("start"),
+        F.when(vt == 1, F.concat(base(vp), base(vp + 1), base(vp + 2)))
+        .otherwise(base(vp))
+        .alias("ref"),
+        F.when(vt == 0, rot)
+        .when(vt == 1, base(vp))
+        .otherwise(F.concat(base(vp), F.lit("AC")))
+        .alias("alt"),
+    )
+    cons = fasta_consensus(fasta, variants, on_indel="apply")
+
+    def n_base(b: str):
+        return F.sum(
+            F.length("seq") - F.length(F.translate(F.col("seq"), b, ""))
+        ).cast("long")
+
+    return cons.groupBy("contig").agg(
+        F.sum(F.length("seq")).alias("n_bases"),
+        n_base("A").alias("n_a"),
+        n_base("C").alias("n_c"),
+        n_base("G").alias("n_g"),
+        n_base("T").alias("n_t"),
+        (
+            (F.min("pos") == 1)
+            & (
+                F.max(F.col("pos") + F.length("seq") - 1)
+                == F.sum(F.length("seq"))
+            )
+        ).alias("tiling_ok"),
     )
 
 

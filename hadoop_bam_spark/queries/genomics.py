@@ -1004,6 +1004,69 @@ def interval_shuffle_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_shuffle_genome",
+    oracle=f"""
+        WITH {REGIONS_CTE},
+        sz AS (
+            SELECT * FROM (VALUES (0, 1000000), (1, 400000),
+                                  (2, 200000), (3, 100000)) t(c, size)
+        ),
+        rr AS (
+            SELECT region_id, r_stop - r_start + 1 AS ln,
+                   ('0x' || substr(md5('ivshuffle:'
+                        || region_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM regions
+        ),
+        walk AS (
+            SELECT rr.region_id, rr.ln, rr.h, sz.c,
+                   greatest(0, sz.size - rr.ln + 1) AS room,
+                   coalesce(sum(greatest(0, sz.size - rr.ln + 1)) OVER (
+                       PARTITION BY rr.region_id ORDER BY sz.c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum,
+                   sum(greatest(0, sz.size - rr.ln + 1)) OVER (
+                       PARTITION BY rr.region_id) AS total
+            FROM rr CROSS JOIN sz
+        )
+        SELECT region_id, c AS contig_idx,
+               (h % total - cum + 1)::BIGINT AS r_start,
+               (h % total - cum + ln)::BIGINT AS r_stop,
+               ln::BIGINT AS ilen
+        FROM walk
+        WHERE total > 0 AND h % total >= cum AND h % total < cum + room
+    """,
+    doc="bedtools shuffle, genome-wide (default, non -chrom) mode: every "
+    "region is re-placed uniformly over all VALID placements across an "
+    "uneven 4-contig genome — each contig weighs in with "
+    "max(0, size - len + 1) slots and the md5 draw walks the cumulative "
+    "rooms (operators/interval_join.py interval_shuffle "
+    "keep_contig=False: map-only fold over the literal contig list, no "
+    "join, no end-of-contig pile-up). The oracle replays the identical "
+    "walk relationally (cross join x cumulative window), so contig "
+    "choice AND offset must match bit-for-bit.",
+)
+def interval_shuffle_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_shuffle
+
+    regions = regions_view(spark, sf_dir)
+    sizes = spark.createDataFrame(
+        [(0, 1000000), (1, 400000), (2, 200000), (3, 100000)],
+        "contig_idx long, size long",
+    )
+    sh = interval_shuffle(
+        regions.select("region_id", "contig_idx", "r_start", "r_stop"),
+        sizes,
+        keys=("contig_idx", "r_start", "r_stop"),
+        id_col="region_id",
+        keep_contig=False,
+    )
+    return sh.select(
+        "region_id", "contig_idx", "r_start", "r_stop",
+        (F.col("r_stop") - F.col("r_start") + 1).alias("ilen"),
+    )
+
+
+@query(
     "interval_map_mapq",
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE},

@@ -894,6 +894,33 @@ def test_getfasta_stitches_chunks(spark, tmp_path, bin_size):
         assert got[uid] == seqs[c][s - 1:e], uid  # clipped at contig end
 
 
+def test_getfasta_rejects_duplicate_interval_tuples(spark, tmp_path):
+    """r14 VERDICT #5: duplicated interval tuples used to silently
+    collapse through the regroup (fewer output rows than inputs, no
+    error) — now the stitch walk raises on them."""
+    from hadoop_bam_spark.operators.interval_join import interval_getfasta
+    from hadoop_bam_spark.sources import register_all
+
+    register_all(spark)
+    p = tmp_path / "d.fa"
+    with open(p, "w") as fh:
+        fh.write(">c1\n" + "ACGTACGTAC\nGTACGTACGT\n")
+    fasta = spark.read.format("fasta").load(str(p))
+    dup = spark.createDataFrame(
+        [("c1", 2, 9), ("c1", 2, 9), ("c1", 11, 15)],
+        "contig string, start long, stop long",
+    )
+    with pytest.raises(Exception, match="duplicate interval tuples"):
+        interval_getfasta(dup, fasta).collect()
+    # distinguishing id column: same coordinates, no longer duplicates
+    tagged = spark.createDataFrame(
+        [("c1", 2, 9, "a"), ("c1", 2, 9, "b"), ("c1", 11, 15, "c")],
+        "contig string, start long, stop long, uid string",
+    )
+    got = {r["uid"]: r["seq"] for r in interval_getfasta(tagged, fasta).collect()}
+    assert got == {"a": "CGTACGTA", "b": "CGTACGTA", "c": "GTACG"}
+
+
 def test_shuffle_deterministic_and_bounded(spark):
     from hadoop_bam_spark.operators.interval_join import interval_shuffle
 
@@ -921,5 +948,49 @@ def test_shuffle_deterministic_and_bounded(spark):
     again = {r["name"]: (r["contig"], r["start"], r["stop"])
              for r in interval_shuffle(df, sizes, id_col="name").collect()}
     assert again == got
-    with pytest.raises(NotImplementedError):
-        interval_shuffle(df, sizes, keep_contig=False)
+
+
+def test_shuffle_genome_wide_matches_brute(spark):
+    """keep_contig=False: the genome-wide draw is uniform over valid
+    placements — replay the identical md5 walk in Python."""
+    import hashlib
+
+    from hadoop_bam_spark.operators.interval_join import interval_shuffle
+
+    rows = [
+        ("c1", 10, 59, "a"),
+        ("c2", 1, 100, "b"),
+        ("c3", 2, 221, "fits_only_c2"),   # len 220 > c1(200), > c3(50)
+        ("c1", 1, 300, "fits_nowhere"),   # len 300 > every contig
+        ("gone", 5, 14, "src_contig_gone"),  # source contig irrelevant
+    ]
+    df = spark.createDataFrame(
+        rows, "contig string, start long, stop long, name string")
+    contigs = [("c1", 200), ("c2", 250), ("c3", 50)]
+    sizes = spark.createDataFrame(contigs, "contig string, size long")
+    got = {r["name"]: (r["contig"], r["start"], r["stop"])
+           for r in interval_shuffle(
+               df, sizes, id_col="name", keep_contig=False).collect()}
+
+    def brute(name, ln):
+        rooms = [(c, max(0, sz - ln + 1)) for c, sz in sorted(contigs)]
+        total = sum(r for _, r in rooms)
+        if total == 0:
+            return None
+        r = int(hashlib.md5(f"ivshuffle:{name}".encode()).hexdigest()[:15],
+                16) % total
+        for c, room in rooms:
+            if r < room:
+                return (c, r + 1, r + ln)
+            r -= room
+        raise AssertionError
+
+    want = {}
+    for c, s, e, name in rows:
+        placed = brute(name, e - s + 1)
+        if placed is not None:
+            want[name] = placed
+    assert got == want
+    assert "fits_nowhere" not in got
+    # the 220-base row can only land on c2 (the one contig with room)
+    assert got["fits_only_c2"][0] == "c2"
