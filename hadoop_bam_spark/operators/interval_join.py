@@ -234,6 +234,15 @@ def _chunked_local_merge(
         F.max("_el").alias("_re"),
         F.count(F.lit(1)).alias("n_merged"),
     )
+    # Explicit reuse boundary (r15): `runs` feeds both the chunk-summary
+    # branch and the stitch-join probe (and the absorbed/non-absorbed
+    # branches in interval_merge above it). Without an Exchange here
+    # every branch re-executes the data-sized sort+window+agg sweep;
+    # with it they all read ONE shuffle (ReusedExchange) and the heavy
+    # sweep runs once. Costs one shuffle of the (already locally merged)
+    # runs — measured net win from 2M rows up even when nothing merges
+    # (STRESS_INTERVAL r15), and the win grows with the fan-out.
+    runs = runs.repartition(F.col(c), F.col("_chunk"))
     # Chunk summaries: ≤ one row per (contig, chunk). The per-contig
     # windows below run over THIS table, not the data — the only
     # contig-serial stage left, and it is O(#chunks).
@@ -302,6 +311,10 @@ def interval_merge(
     """
     c, s, e = keys
     runs, _ = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=False)
+    # Second reuse boundary: the post-stitch runs feed the absorbed
+    # aggregate AND the non-absorbed output — one more narrow shuffle so
+    # the stitch join executes once instead of per branch.
+    runs = runs.repartition(F.col(c), F.col("_chunk"))
     ab = (
         runs.filter(F.col("_absorbed"))
         .groupBy(c, "_origin")
@@ -938,16 +951,18 @@ def interval_multiinter(
 
     Scale shape: the classic event-point sweep with NO per-contig window
     anywhere — every merged interval becomes a +1 event at ``start`` and
-    a -1 at ``stop + 1`` PER SET; events pre-aggregate to one row per
-    boundary position (per-set delta columns), and the per-set coverage
-    state plus the next-boundary lookahead come from the chunked
-    prefix-scan machinery (operators/sweep.py): local running sums per
-    (contig, 8 Mb chunk) combined with chunk-granularity prefix offsets,
-    so the sweep parallelism scales with data volume instead of capping
-    at #contigs. Input sets are first flattened with
-    :func:`interval_merge` (itself two-phase) so within-set overlaps
-    cannot double-count. Never all-pairs; output size is bounded by 2x
-    the total merged-interval count.
+    a -1 at ``stop + 1`` PER SET (a map-side explode); events
+    pre-aggregate to one row per boundary position (per-set delta
+    columns), and the per-set coverage state plus the next-boundary
+    lookahead come from ONE fused chunked scan (operators/sweep.py
+    chunked_scan — all running sums and the lookahead share a single
+    exchange): local running sums per (contig, 8 Mb chunk) combined
+    with chunk-granularity prefix offsets, so the sweep parallelism
+    scales with data volume instead of capping at #contigs. Input sets
+    are first flattened with :func:`interval_merge` (itself two-phase,
+    one composite-key pass for all sets) so within-set overlaps cannot
+    double-count. Never all-pairs; output size is bounded by 2x the
+    total merged-interval count.
     """
     from functools import reduce
 

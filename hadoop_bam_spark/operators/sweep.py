@@ -21,13 +21,18 @@ associative running aggregate:
 
 FUSION (r15): every scan a consumer needs — ascending prefixes,
 descending suffixes, strict (exclude-current-position) variants, and
-the next-position lookahead — runs in ONE :func:`chunked_scan` call.
-All local frames share one ``orderBy(pos)`` RANGE-frame window (Spark
-plans them as a single Window node: one exchange + one sort for the
-whole batch), the chunk summary is ONE groupBy, and its prefix/suffix
-offsets again share one window over the tiny summary table. The
-previous one-call-per-scan form cost a full exchange+sort+summary round
-per helper call — pileup's plan carried 114 Exchanges, jaccard 90.
+the next-position lookahead — runs in ONE :func:`chunked_scan` call:
+ONE exchange for the whole batch, an ascending RANGE-frame Window for
+the asc specs and (only when desc specs exist) a second Window over the
+descending sort of the same partitioning (a Sort, not an Exchange);
+the chunk summary is ONE groupBy whose prefix offsets share the same
+two-direction shape over the tiny summary table. The previous
+one-call-per-scan form cost a full exchange+sort+summary round per
+helper call — pileup's plan carried 114 Exchanges, jaccard 90. Every
+frame is an unbounded-PRECEDING (growing) frame, which Spark maintains
+incrementally; suffix scans reverse the sort rather than use
+unbounded-FOLLOWING frames, which Spark recomputes from scratch per
+row (quadratic per partition).
 
 Tie semantics: RANGE frames, i.e. the running value at a row is the
 state of the scan AT ITS POSITION — rows sharing a position share the
@@ -119,14 +124,23 @@ def chunked_scan(
     part = list(part_cols)
     chunk = F.floor((F.col(pos_col) - 1) / F.lit(chunk_size)).cast("long")
     base = df.withColumn("_swchunk", chunk)
-    # One window family: same partition + same ascending position order →
-    # Spark plans every frame below as a SINGLE Window node.
-    wbase = Window.partitionBy(*part, "_swchunk").orderBy(pos_col)
+    # Two window families sharing ONE exchange: ascending specs run as
+    # growing prefix frames over the ascending sort, descending specs as
+    # growing prefix frames over the DESCENDING sort of the same
+    # partitioning (the second Window node adds a Sort, never an
+    # Exchange). NEVER use (current → UNBOUNDED FOLLOWING) frames for
+    # the suffix scans: Spark's unbounded-FOLLOWING frame is recomputed
+    # from scratch per row — O(rows²) per partition (an 82 s multiinter
+    # at 2 M rows vs ~2 s with the reversed-sort prefix form), while the
+    # unbounded-PRECEDING frame grows incrementally in O(rows).
+    wasc = Window.partitionBy(*part, "_swchunk").orderBy(F.col(pos_col).asc())
+    wdesc = Window.partitionBy(*part, "_swchunk").orderBy(F.col(pos_col).desc())
     frames = {
-        ("asc", False): wbase.rangeBetween(Window.unboundedPreceding, 0),
-        ("asc", True): wbase.rangeBetween(Window.unboundedPreceding, -1),
-        ("desc", False): wbase.rangeBetween(0, Window.unboundedFollowing),
-        ("desc", True): wbase.rangeBetween(1, Window.unboundedFollowing),
+        ("asc", False): wasc.rangeBetween(Window.unboundedPreceding, 0),
+        ("asc", True): wasc.rangeBetween(Window.unboundedPreceding, -1),
+        # descending order flips the meaning: "preceding" = larger pos
+        ("desc", False): wdesc.rangeBetween(Window.unboundedPreceding, 0),
+        ("desc", True): wdesc.rangeBetween(Window.unboundedPreceding, -1),
     }
     base = base.select(
         "*",
@@ -142,10 +156,14 @@ def chunked_scan(
     cs = base.groupBy(*part, "_swchunk").agg(
         *[getattr(F, op)(val).alias(f"_tot_{out}") for val, op, out, _, _ in sp]
     )
-    wc = Window.partitionBy(*part).orderBy("_swchunk")
+    wc_asc = Window.partitionBy(*part).orderBy(F.col("_swchunk").asc())
+    wc_desc = Window.partitionBy(*part).orderBy(F.col("_swchunk").desc())
     off_frames = {
-        "asc": wc.rowsBetween(Window.unboundedPreceding, -1),
-        "desc": wc.rowsBetween(1, Window.unboundedFollowing),
+        # prefix frames in both directions (same O(rows) rationale as the
+        # data pass — the summary is tiny, but asof's time_chunk can make
+        # it #keys x #chunks rows)
+        "asc": wc_asc.rowsBetween(Window.unboundedPreceding, -1),
+        "desc": wc_desc.rowsBetween(Window.unboundedPreceding, -1),
     }
     cs = cs.select(
         *part,

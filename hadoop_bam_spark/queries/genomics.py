@@ -747,12 +747,13 @@ def interval_complement_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d GROUP BY ref_idx
     """,
     doc="bedtools closest: distance from every read to its nearest region "
-    "(0 when overlapping). interval_closest is the sort-merge sweep as TWO "
-    "union-frame passes on the chunked prefix scan (the as-of trick: running max of "
-    "preceding stops, running min of following starts, overlap flag) + one "
-    "recombining join — never all-pairs, never a range join. The oracle IS "
-    "the all-pairs min (cheap at gate scale), so the sweep is checked "
-    "against the brute-force definition.",
+    "(0 when overlapping). interval_closest (r15) is the sort-merge sweep "
+    "as ONE fused chunked scan over a single exploded event frame (running "
+    "max of preceding stops, running min of following starts, overlap flag "
+    "— all sharing one exchange) + one recombining regroup — never "
+    "all-pairs, never a range join. The oracle IS the all-pairs min (cheap "
+    "at gate scale), so the sweep is checked against the brute-force "
+    "definition.",
 )
 def interval_closest_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_closest
@@ -1159,11 +1160,14 @@ def interval_map_mapq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter i, cov c
     """,
     doc="bedtools jaccard: |reads ∩ regions| / |reads ∪ regions| in covered "
-    "bases after flattening both sides. interval_jaccard = two "
-    "interval_merges + one binned join between the (small) merged sets + "
-    "scalar aggregates; every intermediate is bounded by merged-region "
-    "counts, not input rows. Oracle folds both sides onto the single axis "
-    "and intersects the merged runs directly.",
+    "bases after flattening both sides. interval_jaccard (r15) = ONE "
+    "interval_multiinter pass (composite-key two-phase merge + fused "
+    "boundary sweep) + one scalar aggregate over the constant-coverage "
+    "segments — both-covered segments are the intersection, all covered "
+    "segments the union, and each maximal both-covered segment is one "
+    "merged-pair intersection. No merged-sets self-join, no recomputed "
+    "merge branches. Oracle folds both sides onto the single axis and "
+    "intersects the merged runs directly.",
 )
 def interval_jaccard_reads_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_jaccard

@@ -207,14 +207,17 @@ def test_fused_scan_is_one_window_pass(spark):
             len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
         )
 
-    # one data-side Window + one summary-side Window, however many specs
-    assert shape(out)[0] == 2
-    # the stage count is CONSTANT in the number of specs (the pre-fusion
-    # form paid a full exchange+sort+summary round per scan)
+    # at most one Window per (side, direction): asc+desc on the data
+    # pass + asc+desc on the summary — NOT one per spec
+    assert shape(out)[0] == 4
+    # the exchange count is CONSTANT in the number of specs (the
+    # pre-fusion form paid a full exchange+sort+summary round per scan);
+    # the desc family costs one extra Sort, never an Exchange
     one_spec = chunked_scan(
         agg, ["part"], "pos", [("v", "sum", "run")], chunk_size=13
     )
-    assert shape(out) == shape(one_spec)
+    assert shape(one_spec)[0] == 2
+    assert shape(out)[1] == shape(one_spec)[1]
 
 
 def test_rejects_unknown_op_and_direction(spark):
