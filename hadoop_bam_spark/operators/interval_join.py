@@ -928,11 +928,23 @@ def interval_liftover(
     if strand_col is not None:
         out.append(F.col("_strand").alias("dst_strand"))
     if min_match > 0:
-        w = Window.partitionBy(*df.columns)
+        # Window key = one hashed row id, not the wide input tuple (the
+        # same narrow-shuffle treatment as interval_join_binned's strict
+        # left_outer; duplicate input rows share the id AND identical
+        # segment sets, so the fraction is unchanged — collisions merge
+        # only at ~n^2/2^64).
+        seg = seg.withColumn(
+            "_lid", F.xxhash64(*[F.col(col) for col in df.columns])
+        )
+        w = Window.partitionBy("_lid")
         frac = F.sum(F.col("_ce") - F.col("_cs") + 1).over(w) / (
             F.col(e).cast("long") - F.col(s).cast("long") + 1
         )
-        seg = seg.withColumn("_frac", frac).filter(F.col("_frac") >= min_match)
+        seg = (
+            seg.withColumn("_frac", frac)
+            .filter(F.col("_frac") >= min_match)
+            .drop("_lid")
+        )
         out.append(F.col("_frac").alias("mapped_fraction"))
     return seg.select(*out)
 
@@ -1079,23 +1091,27 @@ def interval_cluster(
     rows carried through instead of collapsed: local cluster ids per
     (contig, chunk) window, a chunk-granularity stitch map to final
     region origins, then ids join back to the rows on (contig, chunk,
-    local id). The ordinal assignment itself (row_number over region
-    origins per contig) runs over ONE ROW PER FINAL CLUSTER — the
-    sequential numbering is inherent to the id contract, but it is paid
-    on the region table, never on the data. Tie rows (identical
-    start/stop) land in the same cluster under any tie order, so the
-    plan is deterministic without a unique row key.
+    local id). The ordinal assignment itself runs over ONE ROW PER
+    FINAL CLUSTER, and (r15) even that is the chunked prefix scan — a
+    running count of origins per (contig, 8 Mb chunk) with
+    chunk-granularity offsets equals the per-contig row_number because
+    origins are unique per contig — so a degenerate corpus where
+    nothing merges (regions ≈ data-sized) hits no per-contig window
+    either. Tie rows (identical start/stop) land in the same cluster
+    under any tie order, so the plan is deterministic without a unique
+    row key.
     """
-    from pyspark.sql import Window
+    from hadoop_bam_spark.operators.sweep import chunked_scan
 
     c, s, e = keys
     runs, base = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=True)
-    wr = Window.partitionBy(c).orderBy("_origin")
-    regions = (
-        runs.select(c, "_origin")
-        .distinct()
-        .withColumn("cluster_id", F.row_number().over(wr).cast("long"))
-    )
+    regions = chunked_scan(
+        runs.select(c, "_origin").distinct(),
+        [c],
+        "_origin",
+        [(F.lit(1), "sum", "cluster_id")],
+        chunk_size=chunk_size,
+    ).withColumn("cluster_id", F.col("cluster_id").cast("long"))
     run_map = (
         runs.select(c, "_chunk", "_grp", "_origin")
         .join(regions, on=[c, "_origin"])
