@@ -51,6 +51,9 @@ def interval_join_binned(
     right_keys: Sequence[str] = ("contig", "start", "stop"),
     bin_size: int = 16384,
     how: str = "inner",
+    min_frac_left: float | None = None,
+    min_frac_right: float | None = None,
+    frac_either: bool = False,
 ) -> DataFrame:
     """Large-by-large overlap join via genome binning.
 
@@ -85,6 +88,16 @@ def interval_join_binned(
     boundary should pick ``left_outer`` (SQL rows) vs
     ``left_outer_loose`` (aggregation-ready, one possible extra null
     row per matched left row) explicitly — see CHANGELOG.md.
+
+    Overlap-fraction filters (bedtools intersect -f/-F/-e/-r, r15):
+    ``min_frac_left`` requires ``overlap_len >= frac * left_len``
+    (bedtools -f), ``min_frac_right`` the mirror on the right length
+    (-F); with both set they must BOTH hold (like bedtools -f -F)
+    unless ``frac_either`` (-e) relaxes to either-suffices; -r is just
+    ``min_frac_left == min_frac_right``. The fraction predicate is part
+    of the MATCH definition, so outer modes null-extend a left row
+    whose every overlap fails the fraction test — exactly bedtools
+    ``intersect -f ... -v`` complementarity.
     """
     if how not in ("inner", "left_outer", "left_outer_loose"):
         raise ValueError(f"unsupported how={how!r}")
@@ -121,14 +134,34 @@ def interval_join_binned(
 
     lb = binned(left, lc, ls, le, "l", keep_null=loose)
     rb = binned(right, rc, rs, re_, "r")
-    joined = lb.join(
-        rb,
+    cond = (
         (lb[lc] == rb[rc])
         & (lb["_bin_l"] == rb["_bin_r"])
         & (lb[ls] <= rb[re_])
-        & (rb[rs] <= lb[le]),
-        spark_how,
+        & (rb[rs] <= lb[le])
     )
+    if min_frac_left is not None or min_frac_right is not None:
+        for frac, name in ((min_frac_left, "min_frac_left"),
+                           (min_frac_right, "min_frac_right")):
+            if frac is not None and not (0 < frac <= 1):
+                raise ValueError(f"{name} must be in (0, 1], got {frac!r}")
+        ov = (
+            F.least(lb[le].cast("long"), rb[re_].cast("long"))
+            - F.greatest(lb[ls].cast("long"), rb[rs].cast("long"))
+            + 1
+        )
+        checks = []
+        if min_frac_left is not None:
+            llen = lb[le].cast("long") - lb[ls].cast("long") + 1
+            checks.append(ov >= min_frac_left * llen)
+        if min_frac_right is not None:
+            rlen = rb[re_].cast("long") - rb[rs].cast("long") + 1
+            checks.append(ov >= min_frac_right * rlen)
+        from functools import reduce as _reduce
+        import operator as _op
+
+        cond = cond & _reduce(_op.or_ if frac_either else _op.and_, checks)
+    joined = lb.join(rb, cond, spark_how)
     # Dedup: emit the pair only from the first bin of its intersection.
     first_shared_bin = ((F.greatest(F.col(ls), F.col(rs)) - 1) / bin_size).cast("long")
     if not loose:

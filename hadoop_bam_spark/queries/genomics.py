@@ -876,6 +876,62 @@ def genome_windows_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_intersect_fraction",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        q AS (
+            SELECT r.ref_idx, r.qname,
+                   least(r.stop, g.r_stop) - greatest(r.pos, g.r_start) + 1
+                       AS ov
+            FROM dreads r JOIN regions g
+              ON r.ref_idx = g.contig_idx
+             AND r.pos <= g.r_stop AND g.r_start <= r.stop
+            WHERE least(r.stop, g.r_stop) - greatest(r.pos, g.r_start) + 1
+                  >= 0.5 * (r.stop - r.pos + 1)
+        )
+        SELECT ref_idx, count(*) AS n_pairs,
+               count(DISTINCT qname) AS n_reads,
+               sum(ov)::BIGINT AS overlap_bases,
+               min(ov)::BIGINT AS min_overlap
+        FROM q GROUP BY ref_idx
+    """,
+    doc="bedtools intersect -f 0.5: reads counted against a region only "
+    "when at least HALF the read is inside it (operators/interval_join.py "
+    "interval_join_binned min_frac_left — the fraction predicate is part "
+    "of the binned join's match definition, so the tile dedup and outer "
+    "modes all see the filtered matches; -F/-e/-r are the mirror/either/"
+    "reciprocal forms). The oracle applies the identical fraction "
+    "predicate on an all-pairs SQL join.",
+)
+def interval_intersect_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    reads = _mapped_reads(spark, sf_dir).select("qname", "ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop"
+    )
+    hits = interval_join_binned(
+        reads, regions,
+        left_keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+        min_frac_left=0.5,
+    )
+    ov = (
+        F.least(F.col("stop"), F.col("r_stop"))
+        - F.greatest(F.col("pos"), F.col("r_start"))
+        + 1
+    )
+    return hits.select("ref_idx", "qname", ov.alias("_ov")).groupBy(
+        "ref_idx"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("qname").alias("n_reads"),
+        F.sum("_ov").alias("overlap_bases"),
+        F.min("_ov").alias("min_overlap"),
+    )
+
+
+@query(
     "interval_window_proximity",
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE}

@@ -606,6 +606,57 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_join_hotkey",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+        ),
+        c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts_us AS view_ts FROM ev WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us, v.view_ts,
+               c.ts_us - v.view_ts AS lag_us
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.ts_us >= v.view_ts
+    """,
+    doc="The SAME as-of join through the chunked hot-key path "
+    "(operators/asof.py time_chunk: the last-carry-forward becomes a "
+    "running struct max per (key, time chunk) on the fused prefix scan, "
+    "so one dominating key spreads over #chunks partitions instead of "
+    "one) — oracle-gated against DuckDB's native ASOF, same answer as "
+    "the default windowed form. The event timestamps span days, so a "
+    "1-hour time_chunk forces real multi-chunk recombination at gate "
+    "scale.",
+)
+def events_asof_join_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("view_ts")
+    )
+    j = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts_us",
+        right_time="view_ts",
+        right_cols=[],
+        time_chunk=3_600_000_000,  # 1 h in µs
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("view_ts_right").alias("view_ts"),
+        (F.col("ts_us") - F.col("view_ts_right")).alias("lag_us"),
+    )
+
+
+@query(
     "events_value_percentiles",
     oracle="""
         SELECT event_type,

@@ -894,6 +894,67 @@ def test_getfasta_stitches_chunks(spark, tmp_path, bin_size):
         assert got[uid] == seqs[c][s - 1:e], uid  # clipped at contig end
 
 
+@pytest.mark.parametrize("fl,fr,either", [
+    (0.5, None, False),   # bedtools -f 0.5
+    (None, 0.9, False),   # bedtools -F 0.9
+    (0.5, 0.5, False),    # bedtools -r -f 0.5
+    (0.6, 0.6, True),     # bedtools -e -f 0.6 -F 0.6
+])
+def test_binned_join_overlap_fraction_brute(spark, frames, fl, fr, either):
+    """bedtools intersect -f/-F/-e/-r: the fraction predicate is part of
+    the match definition, checked against all-pairs brute force in both
+    inner and strict-left-outer modes."""
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    left, right, ldf, rdf = frames
+    r2 = rdf.selectExpr("contig AS rc", "start AS rs", "stop AS re",
+                        "name AS rname")
+
+    def qualifies(ls, le, rs, re):
+        if ls > re or rs > le:
+            return False
+        ov = min(le, re) - max(ls, rs) + 1
+        checks = []
+        if fl is not None:
+            checks.append(ov >= fl * (le - ls + 1))
+        if fr is not None:
+            checks.append(ov >= fr * (re - rs + 1))
+        return any(checks) if either else all(checks)
+
+    want_pairs = {
+        (ln, rn)
+        for lc, ls, le, ln in left
+        for rc, rs, re, rn in right
+        if lc == rc and qualifies(ls, le, rs, re)
+    }
+    got_inner = interval_join_binned(
+        ldf, r2, right_keys=("rc", "rs", "re"), bin_size=256,
+        min_frac_left=fl, min_frac_right=fr, frac_either=either,
+    ).select("name", "rname").collect()
+    assert {(r["name"], r["rname"]) for r in got_inner} == want_pairs
+    # strict left_outer: null-extended iff no QUALIFYING match anywhere
+    got_outer = interval_join_binned(
+        ldf, r2, right_keys=("rc", "rs", "re"), bin_size=256,
+        how="left_outer",
+        min_frac_left=fl, min_frac_right=fr, frac_either=either,
+    ).select("name", "rname").collect()
+    matched = {ln for ln, _ in want_pairs}
+    want_outer = want_pairs | {
+        (ln, None) for _, _, _, ln in left if ln not in matched
+    }
+    assert {(r["name"], r["rname"]) for r in got_outer} == want_outer
+
+
+def test_binned_join_rejects_bad_fraction(spark, frames):
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="min_frac_left"):
+        interval_join_binned(ldf, rdf, min_frac_left=0.0)
+    with pytest.raises(ValueError, match="min_frac_right"):
+        interval_join_binned(ldf, rdf, min_frac_right=1.5)
+
+
 def test_getfasta_rejects_duplicate_interval_tuples(spark, tmp_path):
     """r14 VERDICT #5: duplicated interval tuples used to silently
     collapse through the regroup (fewer output rows than inputs, no
