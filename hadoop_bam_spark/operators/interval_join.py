@@ -547,12 +547,26 @@ def interval_closest(
     keys: Sequence[str] = ("contig", "start", "stop"),
     right_keys: Sequence[str] | None = None,
     chunk_size: int | None = None,
+    report_right: bool = False,
 ) -> DataFrame:
     """Distance from each left interval to its nearest right interval —
     the bedtools closest distance (0 when any right interval overlaps,
     NULL when the contig has no right intervals at all). Returns the left
     rows plus a ``closest_dist`` column. Left rows must be unique tuples
     (duplicates collapse in the recombining regroup).
+
+    ``report_right=True`` additionally emits the nearest right
+    interval's coordinates (``closest_start``/``closest_stop``, null
+    when the contig has no rights) — what bedtools closest actually
+    prints. ONE deterministic winner per left row (bedtools -t first
+    rather than -t all): on an overlap, the overlapping right with the
+    largest stop (ties: largest start); otherwise the nearer flank,
+    preferring the upstream one on an exact distance tie — the flank
+    candidates themselves resolve ties by (max stop, max start)
+    upstream and (min start, min stop) downstream. The candidates ride
+    the SAME fused scan as the distances (the running max/min carries a
+    (key, other-coordinate) struct instead of a bare long), so the
+    reporting form costs no extra pass.
 
     Scale shape: the sort-merge sweep expressed as ONE fused chunked
     scan (operators/sweep.py chunked_scan) over a single event frame —
@@ -580,7 +594,25 @@ def interval_closest(
     rk = right_keys or keys
     lrow = F.struct(*[F.col(col) for col in left.columns]).alias("_row")
     row_t = left.select(lrow).schema["_row"].dataType
+    rs_l = F.col(rk[1]).cast("long")
+    re_l = F.col(rk[2]).cast("long")
+    if report_right:
+        # candidates carry (scan key, the other coordinate): the running
+        # max/min then ALSO selects the winning right interval, with the
+        # struct's lexicographic order as the documented tie rule
+        cand_t = "struct<k:bigint,o:bigint>"
+        cp_cand = F.struct(re_l.alias("k"), rs_l.alias("o"))
+        co_cand = F.struct(re_l.alias("k"), rs_l.alias("o"))
+        cn_cand = F.struct(rs_l.alias("k"), re_l.alias("o"))
+    else:
+        cand_t = "bigint"
+        cp_cand, co_cand, cn_cand = re_l, re_l, rs_l
     nl = F.lit(None).cast("long")
+    nlc = F.lit(None).cast(cand_t)
+
+    def _key(col):
+        return col.getField("k") if report_right else col
+
     # Each side explodes to its two event kinds in one scan: _cp feeds
     # the preceding-stop prefix max, _co the overlap max, _cn the
     # following-start suffix min. Left rows contribute NULL to every
@@ -592,16 +624,16 @@ def interval_closest(
         F.explode(
             F.array(
                 F.struct(
-                    F.col(rk[2]).cast("long").alias("coord"),
-                    F.col(rk[2]).cast("long").alias("cp"),
-                    nl.alias("co"),
-                    nl.alias("cn"),
+                    re_l.alias("coord"),
+                    cp_cand.alias("cp"),
+                    nlc.alias("co"),
+                    nlc.alias("cn"),
                 ),
                 F.struct(
-                    F.col(rk[1]).cast("long").alias("coord"),
-                    nl.alias("cp"),
-                    F.col(rk[2]).cast("long").alias("co"),
-                    F.col(rk[1]).cast("long").alias("cn"),
+                    rs_l.alias("coord"),
+                    nlc.alias("cp"),
+                    co_cand.alias("co"),
+                    cn_cand.alias("cn"),
                 ),
             )
         ).alias("_ev"),
@@ -635,9 +667,9 @@ def interval_closest(
     ).select(
         "_c",
         F.col("_ev.coord").alias("_coord"),
-        nl.alias("_cp"),
-        nl.alias("_co"),
-        nl.alias("_cn"),
+        nlc.alias("_cp"),
+        nlc.alias("_co"),
+        nlc.alias("_cn"),
         F.col("_ev.t").alias("_t"),
         "_row",
         "_ls",
@@ -654,28 +686,54 @@ def interval_closest(
         ],
         **cs_kw,
     )
-    per_row = (
-        scanned.filter(F.col("_t") >= 1)
-        .groupBy("_row")
-        .agg(
-            F.max(
-                F.when(F.col("_t") == 1, F.col("_ls") - F.col("_prev_stop"))
-            ).alias("_d_prev"),
-            F.max(
-                F.when(F.col("_t") == 2, F.col("_ov_stop") >= F.col("_ls"))
-            ).alias("_overlaps"),
-            F.max(
-                F.when(F.col("_t") == 2, F.col("_next_start") - F.col("_le"))
-            ).alias("_d_next"),
-        )
-    )
+    aggs = [
+        F.max(
+            F.when(F.col("_t") == 1, F.col("_ls") - _key(F.col("_prev_stop")))
+        ).alias("_d_prev"),
+        F.max(
+            F.when(F.col("_t") == 2, _key(F.col("_ov_stop")) >= F.col("_ls"))
+        ).alias("_overlaps"),
+        F.max(
+            F.when(F.col("_t") == 2, _key(F.col("_next_start")) - F.col("_le"))
+        ).alias("_d_next"),
+    ]
+    if report_right:
+        aggs += [
+            F.max(F.when(F.col("_t") == 1, F.col("_prev_stop"))).alias("_pc"),
+            F.max(F.when(F.col("_t") == 2, F.col("_ov_stop"))).alias("_oc"),
+            F.max(F.when(F.col("_t") == 2, F.col("_next_start"))).alias("_nc"),
+        ]
+    per_row = scanned.filter(F.col("_t") >= 1).groupBy("_row").agg(*aggs)
     dist = F.when(F.coalesce(F.col("_overlaps"), F.lit(False)), F.lit(0).cast("long")).otherwise(
         F.least(
             F.coalesce(F.col("_d_prev"), F.col("_d_next")),
             F.coalesce(F.col("_d_next"), F.col("_d_prev")),
         )
     )
-    return per_row.select(F.col("_row.*"), dist.alias("closest_dist"))
+    out = [F.col("_row.*"), dist.alias("closest_dist")]
+    if report_right:
+        # winner: the overlap candidate when overlapping; else the nearer
+        # flank, preferring upstream on an exact tie. Candidate structs:
+        # _pc/_oc = (stop, start), _nc = (start, stop).
+        prev_w = F.struct(
+            F.col("_pc.o").alias("cs"), F.col("_pc.k").alias("ce")
+        )
+        next_w = F.struct(
+            F.col("_nc.k").alias("cs"), F.col("_nc.o").alias("ce")
+        )
+        winner = F.when(
+            F.coalesce(F.col("_overlaps"), F.lit(False)),
+            F.struct(F.col("_oc.o").alias("cs"), F.col("_oc.k").alias("ce")),
+        ).when(
+            F.col("_d_prev").isNotNull()
+            & (F.col("_d_next").isNull() | (F.col("_d_prev") <= F.col("_d_next"))),
+            prev_w,
+        ).when(F.col("_d_next").isNotNull(), next_w)
+        out += [
+            winner.getField("cs").alias("closest_start"),
+            winner.getField("ce").alias("closest_stop"),
+        ]
+    return per_row.select(*out)
 
 
 def interval_coverage(

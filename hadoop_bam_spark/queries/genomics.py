@@ -774,6 +774,75 @@ def interval_closest_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_closest_report",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        w AS (
+            SELECT r.qname, r.ref_idx, r.pos, r.stop,
+                (SELECT max(g.r_stop::BIGINT * 10000000 + g.r_start) FROM regions g
+                  WHERE g.contig_idx = r.ref_idx
+                    AND g.r_start <= r.stop AND g.r_stop >= r.pos) AS ov_k,
+                (SELECT max(g.r_stop::BIGINT * 10000000 + g.r_start) FROM regions g
+                  WHERE g.contig_idx = r.ref_idx
+                    AND g.r_stop <= r.pos) AS prev_k,
+                (SELECT min(g.r_start::BIGINT * 10000000 + g.r_stop) FROM regions g
+                  WHERE g.contig_idx = r.ref_idx
+                    AND g.r_start >= r.stop) AS next_k
+            FROM dreads r
+        )
+        SELECT qname, ref_idx, pos, stop,
+            (CASE WHEN ov_k IS NOT NULL THEN 0
+                  ELSE least(
+                      coalesce(pos - prev_k // 10000000,
+                               next_k // 10000000 - stop),
+                      coalesce(next_k // 10000000 - stop,
+                               pos - prev_k // 10000000)) END
+            )::BIGINT AS closest_dist,
+            (CASE WHEN ov_k IS NOT NULL THEN ov_k % 10000000
+                  WHEN prev_k IS NOT NULL AND (next_k IS NULL
+                       OR pos - prev_k // 10000000
+                          <= next_k // 10000000 - stop)
+                      THEN prev_k % 10000000
+                  WHEN next_k IS NOT NULL THEN next_k // 10000000 END
+            )::BIGINT AS closest_start,
+            (CASE WHEN ov_k IS NOT NULL THEN ov_k // 10000000
+                  WHEN prev_k IS NOT NULL AND (next_k IS NULL
+                       OR pos - prev_k // 10000000
+                          <= next_k // 10000000 - stop)
+                      THEN prev_k // 10000000
+                  WHEN next_k IS NOT NULL THEN next_k % 10000000 END
+            )::BIGINT AS closest_stop
+        FROM w
+    """,
+    doc="bedtools closest with the B feature REPORTED (what bedtools "
+    "actually prints), per read: the winning region's coordinates under "
+    "deterministic tie rules — overlap -> (max stop, max start); else "
+    "the nearer flank, upstream on a distance tie "
+    "(operators/interval_join.py interval_closest report_right=True: "
+    "the winner rides the SAME fused scan as the distance, the running "
+    "max/min carrying a (key, other-coordinate) struct). The oracle "
+    "replays the identical argmax/argmin with packed-key correlated "
+    "subqueries — per-row brute force.",
+)
+def interval_closest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    reads = _mapped_reads(spark, sf_dir)
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop"
+    )
+    return interval_closest(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+        report_right=True,
+    ).select(
+        "qname", "ref_idx", "pos", "stop",
+        "closest_dist", "closest_start", "closest_stop",
+    )
+
+
+@query(
     "interval_coverage_regions",
     oracle=f"""
         WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},

@@ -894,6 +894,53 @@ def test_getfasta_stitches_chunks(spark, tmp_path, bin_size):
         assert got[uid] == seqs[c][s - 1:e], uid  # clipped at contig end
 
 
+@pytest.mark.parametrize("chunk_size", [None, 64])
+def test_closest_report_right_matches_brute(spark, frames, chunk_size):
+    """report_right=True returns the winning B interval under the
+    documented tie rules: overlap -> (max stop, max start); flanks ->
+    nearer one, upstream on a distance tie, with (max stop, max start)
+    upstream / (min start, min stop) downstream candidate ties."""
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    left, right, ldf, rdf = frames
+    got = {
+        r["name"]: (r["closest_dist"], r["closest_start"], r["closest_stop"])
+        for r in interval_closest(
+            ldf, rdf.select("contig", "start", "stop"),
+            chunk_size=chunk_size, report_right=True,
+        ).collect()
+    }
+    by_c = {}
+    for rc, rs, re, _ in right:
+        by_c.setdefault(rc, []).append((rs, re))
+    for lc, ls, le, name in left:
+        rights = by_c.get(lc, [])
+        dist, cs, ce = got[name]
+        if not rights:
+            assert (dist, cs, ce) == (None, None, None), name
+            continue
+        ov = [(re, rs) for rs, re in rights if rs <= le and re >= ls]
+        if ov:
+            k, o = max(ov)
+            assert (dist, cs, ce) == (0, o, k), name
+            continue
+        prevs = [(re, rs) for rs, re in rights if re <= ls]
+        nexts = [(rs, re) for rs, re in rights if rs >= le]
+        d_prev = ls - max(prevs)[0] if prevs else None
+        d_next = min(nexts)[0] - le if nexts else None
+        want_d = min(x for x in (d_prev, d_next) if x is not None)
+        assert dist == want_d, name
+        if d_prev is not None and (d_next is None or d_prev <= d_next):
+            k, o = max(prevs)
+            assert (cs, ce) == (o, k), name
+        else:
+            k, o = min(nexts)
+            assert (cs, ce) == (k, o), name
+    # default form unchanged: no report columns
+    cols = interval_closest(ldf, rdf.select("contig", "start", "stop")).columns
+    assert "closest_start" not in cols
+
+
 @pytest.mark.parametrize("fl,fr,either", [
     (0.5, None, False),   # bedtools -f 0.5
     (None, 0.9, False),   # bedtools -F 0.9
