@@ -44,7 +44,7 @@ def asof_join(
     suffix: str = "_right",
     direction: str = "backward",
     time_chunk: int | None = None,
-    broadcast_chunk_summary: bool = True,
+    broadcast_chunk_summary: bool | None = None,
 ) -> DataFrame:
     """Left as-of join. Unmatched left rows keep nulls (LEFT semantics).
 
@@ -61,14 +61,13 @@ def asof_join(
     keeps an arbitrary sort-stability winner, the chunked form the
     struct-wise largest — both within the operation's tie contract.
 
-    SIZE WARNING: the chunked scan broadcasts its chunk-summary table,
-    which has one row per (key value, time chunk). That is exactly what
-    the hot-key scenario wants (few keys, many chunks), but with a
-    HIGH-CARDINALITY key universe #keys x #chunks can exceed broadcast
-    memory — pass ``broadcast_chunk_summary=False`` there to let the
-    planner pick the summary join strategy (or just use the default
-    ``time_chunk=None`` path, whose per-key window is the right shape
-    when no single key dominates).
+    The chunked scan's summary table has one row per (key value, time
+    chunk). ``broadcast_chunk_summary=None`` (default, r16) does not
+    force a broadcast — AQE sizes the summary join at runtime, so a
+    HIGH-cardinality key universe (#keys x #chunks rows) can no longer
+    OOM an executor through a forced hint; pass ``True`` only when the
+    key universe is known dimension-bounded (the classic hot-key
+    scenario: few keys, many chunks).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

@@ -47,18 +47,28 @@ def fasta_consensus(
     keys: Sequence[str] = ("contig", "start", "ref", "alt"),
     on_indel: str = "drop",
     bin_size: int = 16384,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Return the FASTA chunk rows with the variants applied.
 
     ``variants`` columns (via ``keys``): contig, 1-based position, ref
     allele, alt allele. The ref allele, when present (non-null), is NOT
     verified against the sequence here (bcftools warns; a verifying
-    caller can join the output back). Several variants at one site
-    collapse to the (alt, ref-length)-lexicographically largest edit
-    (deterministic; real call sets have one row per site). Null-alt
-    rows are malformed: dropped under ``on_indel="drop"``, raised under
-    ``"error"``/``"apply"`` (a null alt must never splice — it would
-    NULL the whole chunk sequence through the concat).
+    caller can join the output back).
+
+    Several variants at ONE site: bcftools applies the FIRST record in
+    file order and warns on the rest. Pass ``order_col`` — a column
+    giving each variant row its input rank (a row index / file offset;
+    should be unique per site) — to reproduce that first-wins rule
+    (r16, the site dedup becomes a struct MIN keyed on the rank).
+    Without ``order_col`` a DataFrame has no row order to be "first"
+    in, so the dedup falls back to the documented deterministic
+    DEVIATION from bcftools: the (alt, ref-length)-lexicographically
+    LARGEST edit wins (real call sets have one row per site, where the
+    two rules agree trivially). Null-alt rows are malformed: dropped
+    under ``on_indel="drop"``, raised under ``"error"``/``"apply"`` (a
+    null alt must never splice — it would NULL the whole chunk sequence
+    through the concat).
 
     ``on_indel="apply"`` additionally requires a spelled (non-null,
     non-empty) ref for any variant whose alt is not a single base, and
@@ -115,6 +125,7 @@ def fasta_consensus(
             .otherwise(F.col(alt))
             .alias("_alt"),
             ref_len.alias("_rlen"),
+            *([F.col(order_col).alias("_ord")] if order_col else []),
         )
     else:
         v = variants.select(
@@ -122,6 +133,7 @@ def fasta_consensus(
             F.col(p).cast("long").alias("_vp"),
             F.col(alt).alias("_alt"),
             snp.alias("_is_snp"),
+            *([F.col(order_col).alias("_ord")] if order_col else []),
         )
         if on_indel == "error":
             # Poison the alt column instead of filtering: a filtered
@@ -142,11 +154,20 @@ def fasta_consensus(
         else:
             v = v.filter(F.col("_is_snp"))
         v = v.withColumn("_rlen", F.lit(1).cast("long"))
+    if order_col:
+        # bcftools first-wins: struct MIN keyed on the caller's input
+        # rank (still evaluates _alt on every row — the error/apply
+        # poisons keep firing)
+        site_pick = F.min(
+            F.struct(F.col("_ord"), F.col("_alt"), F.col("_rlen"))
+        )
+    else:
+        site_pick = F.max(F.struct("_alt", "_rlen"))
     v = (
-        # one edit per site, deterministically; the struct max evaluates
+        # one edit per site, deterministically; the struct agg evaluates
         # _alt on every row, firing the error/apply poisons
         v.groupBy("_vc", "_vp")
-        .agg(F.max(F.struct("_alt", "_rlen")).alias("_e"))
+        .agg(site_pick.alias("_e"))
         .select(
             "_vc",
             "_vp",

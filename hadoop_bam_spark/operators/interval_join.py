@@ -108,15 +108,15 @@ def interval_join_binned(
     rc, rs, re_ = right_keys
     if strict:
         # Row id for the match-count join-back (r14 VERDICT #7): the
-        # dedup pass shuffles one long key instead of windowing over
+        # dedup pass shuffles one narrow key instead of windowing over
         # every left column. Duplicate left tuples share the id AND the
-        # match set, so per-id counting is per-tuple counting. xxhash64
-        # collisions between DISTINCT tuples could merge two match
-        # counts (suppressing a null row that SQL would keep) with
-        # probability ~n^2/2^64 — negligible against any data-dependent
-        # failure mode at feasible row counts.
+        # match set, so per-id counting is per-tuple counting. 128-bit
+        # identity (r16, ADVICE r15): a lone xxhash64 collision between
+        # DISTINCT tuples would silently suppress a null-extended row at
+        # ~n^2/2^64 — two differently-salted hashes push that to
+        # ~n^2/2^128, unreachable at any row count.
         left = left.withColumn(
-            "_lid", F.xxhash64(*[F.col(col) for col in left.columns])
+            "_lid", _row_id128([F.col(col) for col in left.columns])
         )
 
     def binned(df: DataFrame, contig: str, start: str, stop: str, side: str,
@@ -188,6 +188,46 @@ def interval_join_binned(
     return out.drop("_bin_l", "_bin_r", "_lid")
 
 
+def _row_id128(cols) -> F.Column:
+    """128-bit row identity: two differently-salted xxhash64 passes in a
+    struct (usable as a join/window/groupBy key). Distinct tuples
+    colliding would be a SILENT wrong answer in the strict-outer dedup
+    and the liftover fraction window; 2^64 leaves ~n^2/2^64 odds on
+    billion-row inputs, 2^128 leaves none (ADVICE r15)."""
+    return F.struct(
+        F.xxhash64(*cols).alias("h1"),
+        F.xxhash64(F.lit("hbs_lid2"), *cols).alias("h2"),
+    )
+
+
+def _with_dup_count(left: DataFrame) -> DataFrame:
+    """Collapse exact duplicate left rows to one row + a ``_dupn`` count.
+
+    The regroup operators (subtract/coverage/map) key their recombining
+    groupBy on the whole left tuple, so duplicate input rows are
+    indistinguishable inside the join — computing per DISTINCT tuple and
+    re-emitting ``_dupn`` copies (:func:`_reemit_dups`) is what makes
+    duplicated inputs legal: bedtools prints one output line per INPUT
+    line, duplicates included, and per-tuple aggregates (counts, sums)
+    must not double when the tuple appears twice. Costs one exchange of
+    the left table keyed on its own columns; the join then sees fewer
+    rows, so for duplicate-heavy inputs it is a net win.
+    """
+    if "_dupn" in left.columns or "_dup_i" in left.columns:
+        raise ValueError(
+            "left table may not carry reserved columns _dupn/_dup_i"
+        )
+    return left.groupBy(*left.columns).agg(F.count(F.lit(1)).alias("_dupn"))
+
+
+def _reemit_dups(df: DataFrame) -> DataFrame:
+    """Re-emit every row ``_dupn`` times (inverse of :func:`_with_dup_count`)
+    and drop the count — map-side explode, no shuffle."""
+    return df.withColumn(
+        "_dup_i", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_dupn")))
+    ).drop("_dupn", "_dup_i")
+
+
 #: default sub-contig range-chunk width for the two-phase merge sweep.
 #: 8 Mb → ~30 chunks per human chromosome, so the local-merge stage runs
 #: at (contigs × chunks)-way parallelism instead of capping at #contigs.
@@ -198,7 +238,7 @@ def _chunked_local_merge(
     df: DataFrame,
     keys: Sequence[str],
     gap: int,
-    chunk_size: int,
+    chunk_size: int | None,
     carry_rows: bool,
 ):
     """Shared phase-1 + stitch-map machinery of :func:`interval_merge` and
@@ -239,9 +279,25 @@ def _chunked_local_merge(
     is the long start coordinate of the run's final merged region, unique
     per region within a contig — and ``base`` is the chunk-annotated input
     (only when ``carry_rows``, for :func:`interval_cluster`).
+
+    ``chunk_size=None`` (r16) is ADAPTIVE, same policy as
+    ``sweep.resolve_chunk_size``: a small input by Catalyst plan stats
+    runs as ONE chunk per contig — the local window IS the whole merge,
+    every run is non-absorbed with its own origin, and the
+    chunk-summary/stitch stages leave the plan entirely (the classic
+    single-window form, which beats the decomposition until the data
+    out-scales #contigs-way parallelism). Explicit ints force a chunk
+    width; ``sweep.SINGLE_WINDOW`` forces the single-chunk form.
     """
     from pyspark.sql import Window
 
+    from hadoop_bam_spark.operators.sweep import (
+        SINGLE_WINDOW,
+        resolve_chunk_size,
+    )
+
+    chunk_size = resolve_chunk_size(df, chunk_size, MERGE_CHUNK_SIZE, [keys[0]])
+    single = chunk_size == SINGLE_WINDOW
     c, s, e = keys
     sl = F.col(s).cast("long")
     el = F.col(e).cast("long")
@@ -250,7 +306,11 @@ def _chunked_local_merge(
         *cols,
         sl.alias("_sl"),
         el.alias("_el"),
-        F.floor((sl - 1) / F.lit(chunk_size)).cast("long").alias("_chunk"),
+        (
+            F.lit(0).cast("long")
+            if single
+            else F.floor((sl - 1) / F.lit(chunk_size)).cast("long")
+        ).alias("_chunk"),
     )
     w = Window.partitionBy(c, "_chunk").orderBy("_sl", "_el")
     prev_max = F.max("_el").over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -267,6 +327,14 @@ def _chunked_local_merge(
         F.max("_el").alias("_re"),
         F.count(F.lit(1)).alias("n_merged"),
     )
+    if single:
+        # one chunk per contig: the local merge IS the whole merge — no
+        # run can be absorbed by an earlier chunk, every run is a final
+        # region, so the summary/stitch machinery leaves the plan
+        runs = runs.withColumn("_absorbed", F.lit(False)).withColumn(
+            "_origin", F.col("_rs")
+        )
+        return runs, (base if carry_rows else None)
     # Explicit reuse boundary (r15): `runs` feeds both the chunk-summary
     # branch and the stitch-join probe (and the absorbed/non-absorbed
     # branches in interval_merge above it). Without an Exchange here
@@ -315,7 +383,7 @@ def interval_merge(
     df: DataFrame,
     keys: Sequence[str] = ("contig", "start", "stop"),
     gap: int = 0,
-    chunk_size: int = MERGE_CHUNK_SIZE,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Flatten overlapping (and book-ended) intervals per contig — the
     bedtools-merge operation. Returns one row per merged region:
@@ -342,7 +410,42 @@ def interval_merge(
     single-window form idled 97% of the cluster through a ~24-way
     per-contig stage.
     """
+    from hadoop_bam_spark.operators.sweep import (
+        SINGLE_WINDOW,
+        resolve_chunk_size,
+    )
+
     c, s, e = keys
+    # resolve here too (not just inside _chunked_local_merge): the
+    # single-window form also drops THIS function's recombination stages
+    chunk_size = resolve_chunk_size(df, chunk_size, MERGE_CHUNK_SIZE, [c])
+    if chunk_size == SINGLE_WINDOW:
+        # dedicated small-input plan: the classic one-window merge with
+        # ordering/arithmetic on inline cast EXPRESSIONS — materializing
+        # _sl/_el/_chunk columns like the shared machinery does would
+        # push two extra longs through the exchange+sort for nothing
+        # (measured +40% on a 2M-row merge vs this form)
+        from pyspark.sql import Window
+
+        sl = F.col(s).cast("long")
+        el = F.col(e).cast("long")
+        w = Window.partitionBy(c).orderBy(sl, el)
+        prev_max = F.max(el).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        opens = F.when(
+            prev_max.isNull() | (sl > prev_max + 1 + gap), 1
+        ).otherwise(0)
+        grp = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            df.select(c, s, e)
+            .withColumn("_grp", grp)
+            .groupBy(c, "_grp")
+            .agg(
+                F.min(s).alias(s),
+                F.max(e).alias(e),
+                F.count(F.lit(1)).alias("n_merged"),
+            )
+            .drop("_grp")
+        )
     runs, _ = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=False)
     # Second reuse boundary: the post-stitch runs feed the absorbed
     # aggregate AND the non-absorbed output — one more narrow shuffle so
@@ -391,7 +494,10 @@ def interval_subtract(
     set disappears, an untouched one passes through whole, and a mid-hit
     one splits into several rows.
 
-    Left rows must be unique as whole tuples (they are the regroup key).
+    Duplicate left tuples are supported (r16): exact duplicates collapse
+    to one row + a count before the join and re-emit per input row after
+    the regroup, so the output has one line-set per INPUT line like
+    bedtools subtract.
 
     Scale shape: merge the right side once (the two-phase chunked
     sweep), LOOSE-LEFT-OUTER binned overlap join left x merged-right
@@ -406,6 +512,7 @@ def interval_subtract(
     """
     c, s, e = keys
     rk = right_keys or keys
+    left = _with_dup_count(left)
     mr = interval_merge(right, keys=rk).select(
         F.col(rk[0]).alias("_mc"),
         F.col(rk[1]).cast("long").alias("_ms"),
@@ -452,7 +559,7 @@ def interval_subtract(
         lambda x: x["seg_start"] <= x["seg_stop"],
     )
     carry = [col for col in left.columns if col not in (s, e)]
-    return (
+    return _reemit_dups(
         joined.select(*carry, F.explode(segs).alias("_seg"))
         .select(*carry, F.col("_seg.seg_start").alias(s), F.col("_seg.seg_stop").alias(e))
     )
@@ -548,12 +655,19 @@ def interval_closest(
     right_keys: Sequence[str] | None = None,
     chunk_size: int | None = None,
     report_right: bool = False,
+    ignore_overlaps: bool = False,
+    ignore_upstream: bool = False,
+    ignore_downstream: bool = False,
+    signed: bool = False,
 ) -> DataFrame:
     """Distance from each left interval to its nearest right interval —
     the bedtools closest distance (0 when any right interval overlaps,
     NULL when the contig has no right intervals at all). Returns the left
-    rows plus a ``closest_dist`` column. Left rows must be unique tuples
-    (duplicates collapse in the recombining regroup).
+    rows plus a ``closest_dist`` column. Duplicate left tuples are
+    supported (r16): each copy contributes one start event to the fused
+    scan, so the recombining regroup counts copies for free
+    (``sum(_t = 1)``) and re-emits one output row per INPUT row, like
+    bedtools — no extra pass, no extra shuffle.
 
     ``report_right=True`` additionally emits the nearest right
     interval's coordinates (``closest_start``/``closest_stop``, null
@@ -567,6 +681,33 @@ def interval_closest(
     the SAME fused scan as the distances (the running max/min carries a
     (key, other-coordinate) struct instead of a bare long), so the
     reporting form costs no extra pass.
+
+    TIE-RULE PARITY CAVEAT: bedtools ``-t first`` picks the first tied B
+    feature in SORTED order, i.e. min (start, stop). The scan's overlap
+    detection is the running max of stops among rights with
+    start <= left.stop — an argmax that CANNOT simultaneously select the
+    min-(start, stop) overlapping right (that is a 2-D dominance query,
+    not a running aggregate), so on ties THIS operator's winner can
+    differ from bedtools' while the distance is identical. The rules
+    above are deterministic and oracle-gated; see OPERATORS.md.
+
+    bedtools closest option mapping (r16):
+
+    - ``ignore_overlaps`` (bedtools -io): overlapping rights are ignored
+      entirely — the flank scans switch to STRICT frames (preceding:
+      stop < left.start, following: start > left.stop; the inclusive
+      frames would admit a touching right, which overlaps under closed
+      intervals) and the overlap branch is dropped from the plan.
+    - ``ignore_upstream`` / ``ignore_downstream`` (bedtools -iu / -id
+      with -D ref): drop the lower-coordinate / higher-coordinate flank
+      candidate (its scan leaves the plan); overlapping rights still
+      match unless ``ignore_overlaps``. Both at once is rejected.
+    - ``signed`` (bedtools -D ref): ``closest_dist`` is reported
+      negative when the winner is upstream (lower coordinates), 0 on
+      overlap, positive downstream.
+
+    A left row whose every candidate is ignored gets NULL distance (and
+    NULL report columns), same as an empty contig.
 
     Scale shape: the sort-merge sweep expressed as ONE fused chunked
     scan (operators/sweep.py chunked_scan) over a single event frame —
@@ -587,11 +728,23 @@ def interval_closest(
     limited to #contigs-way parallelism. One regroup on the left tuple
     recombines the two left event rows. Nothing is ever all-pairs.
     """
-    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
+    from hadoop_bam_spark.operators.sweep import chunked_scan
 
-    cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
+    if ignore_upstream and ignore_downstream:
+        raise ValueError(
+            "ignore_upstream and ignore_downstream cannot both be set "
+            "(no candidate could ever match, like bedtools -iu -id)"
+        )
+    need_prev = not ignore_upstream
+    need_next = not ignore_downstream
+    need_ov = not ignore_overlaps
+    cs_kw = {"chunk_size": chunk_size}
     c, s, e = keys
     rk = right_keys or keys
+    if "_dupn" in left.columns or "_dup_i" in left.columns:
+        raise ValueError(
+            "left table may not carry reserved columns _dupn/_dup_i"
+        )
     lrow = F.struct(*[F.col(col) for col in left.columns]).alias("_row")
     row_t = left.select(lrow).schema["_row"].dataType
     rs_l = F.col(rk[1]).cast("long")
@@ -675,41 +828,85 @@ def interval_closest(
         "_ls",
         "_le",
     )
+    # ignored directions/overlaps drop their scan spec from the plan
+    # entirely; -io flips the flank frames to STRICT (the inclusive
+    # frames would admit a touching right, which overlaps under closed
+    # intervals).
+    specs = []
+    if need_prev:
+        specs.append(("_cp", "max", "_prev_stop", "asc", ignore_overlaps))
+    if need_ov:
+        specs.append(("_co", "max", "_ov_stop", "asc"))
+    if need_next:
+        specs.append(("_cn", "min", "_next_start", "desc", ignore_overlaps))
     scanned = chunked_scan(
-        r_ev.unionByName(l_ev),
-        ["_c"],
-        "_coord",
-        [
-            ("_cp", "max", "_prev_stop", "asc"),
-            ("_co", "max", "_ov_stop", "asc"),
-            ("_cn", "min", "_next_start", "desc"),
-        ],
-        **cs_kw,
+        r_ev.unionByName(l_ev), ["_c"], "_coord", specs, **cs_kw
     )
+    no_long = F.max(F.lit(None).cast("long"))
     aggs = [
-        F.max(
-            F.when(F.col("_t") == 1, F.col("_ls") - _key(F.col("_prev_stop")))
+        (
+            F.max(
+                F.when(
+                    F.col("_t") == 1, F.col("_ls") - _key(F.col("_prev_stop"))
+                )
+            )
+            if need_prev
+            else no_long
         ).alias("_d_prev"),
-        F.max(
-            F.when(F.col("_t") == 2, _key(F.col("_ov_stop")) >= F.col("_ls"))
+        (
+            F.max(
+                F.when(F.col("_t") == 2, _key(F.col("_ov_stop")) >= F.col("_ls"))
+            )
+            if need_ov
+            else F.max(F.lit(None).cast("boolean"))
         ).alias("_overlaps"),
-        F.max(
-            F.when(F.col("_t") == 2, _key(F.col("_next_start")) - F.col("_le"))
+        (
+            F.max(
+                F.when(
+                    F.col("_t") == 2, _key(F.col("_next_start")) - F.col("_le")
+                )
+            )
+            if need_next
+            else no_long
         ).alias("_d_next"),
+        # one start event per input COPY -> the duplicate count rides the
+        # regroup for free (supports duplicated left rows, bedtools-style
+        # one output line per input line)
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("_dupn"),
     ]
     if report_right:
+        no_cand = F.max(F.lit(None).cast(cand_t))
         aggs += [
-            F.max(F.when(F.col("_t") == 1, F.col("_prev_stop"))).alias("_pc"),
-            F.max(F.when(F.col("_t") == 2, F.col("_ov_stop"))).alias("_oc"),
-            F.max(F.when(F.col("_t") == 2, F.col("_next_start"))).alias("_nc"),
+            (
+                F.max(F.when(F.col("_t") == 1, F.col("_prev_stop")))
+                if need_prev
+                else no_cand
+            ).alias("_pc"),
+            (
+                F.max(F.when(F.col("_t") == 2, F.col("_ov_stop")))
+                if need_ov
+                else no_cand
+            ).alias("_oc"),
+            (
+                F.max(F.when(F.col("_t") == 2, F.col("_next_start")))
+                if need_next
+                else no_cand
+            ).alias("_nc"),
         ]
     per_row = scanned.filter(F.col("_t") >= 1).groupBy("_row").agg(*aggs)
-    dist = F.when(F.coalesce(F.col("_overlaps"), F.lit(False)), F.lit(0).cast("long")).otherwise(
-        F.least(
-            F.coalesce(F.col("_d_prev"), F.col("_d_next")),
-            F.coalesce(F.col("_d_next"), F.col("_d_prev")),
-        )
+    prev_wins = F.col("_d_prev").isNotNull() & (
+        F.col("_d_next").isNull() | (F.col("_d_prev") <= F.col("_d_next"))
     )
+    unsigned = F.least(
+        F.coalesce(F.col("_d_prev"), F.col("_d_next")),
+        F.coalesce(F.col("_d_next"), F.col("_d_prev")),
+    )
+    flank = (
+        F.when(prev_wins, -unsigned).otherwise(unsigned) if signed else unsigned
+    )
+    dist = F.when(
+        F.coalesce(F.col("_overlaps"), F.lit(False)), F.lit(0).cast("long")
+    ).otherwise(flank)
     out = [F.col("_row.*"), dist.alias("closest_dist")]
     if report_right:
         # winner: the overlap candidate when overlapping; else the nearer
@@ -733,7 +930,7 @@ def interval_closest(
             winner.getField("cs").alias("closest_start"),
             winner.getField("ce").alias("closest_stop"),
         ]
-    return per_row.select(*out)
+    return _reemit_dups(per_row.select(*out, F.col("_dupn")))
 
 
 def interval_coverage(
@@ -746,7 +943,10 @@ def interval_coverage(
     """Per left interval: how many right intervals overlap it, how many of
     its bases they cover, and the covered fraction — bedtools coverage.
     Returns the left rows plus (n_overlaps, covered_bases, interval_len,
-    coverage_fraction). Left rows must be unique tuples.
+    coverage_fraction). Duplicate left tuples are supported (r16): exact
+    duplicates collapse to one row + a count before the join (so
+    n_overlaps cannot double-count through the regroup) and re-emit per
+    input row after it — one output line per input line, like bedtools.
 
     Scale shape: ONE LEFT-OUTER binned overlap join (large-by-large safe;
     zero-coverage left rows survive as one null-extended row, so no
@@ -758,6 +958,8 @@ def interval_coverage(
     """
     c, s, e = keys
     rk = right_keys or keys
+    out_cols = list(left.columns)
+    left = _with_dup_count(left)
     r = right.select(
         F.col(rk[0]).alias("_rc"),
         F.col(rk[1]).cast("long").alias("_rs"),
@@ -794,12 +996,15 @@ def interval_coverage(
         .select(*left.columns, "n_overlaps", merged_len.alias("covered_bases"))
     )
     ilen = (F.col(e).cast("long") - F.col(s).cast("long") + 1)
-    return out.select(
-        *left.columns,
-        "n_overlaps",
-        "covered_bases",
-        ilen.alias("interval_len"),
-        (F.col("covered_bases") / ilen).alias("coverage_fraction"),
+    return _reemit_dups(
+        out.select(
+            *out_cols,
+            "n_overlaps",
+            "covered_bases",
+            ilen.alias("interval_len"),
+            (F.col("covered_bases") / ilen).alias("coverage_fraction"),
+            "_dupn",
+        )
     )
 
 
@@ -830,9 +1035,11 @@ def interval_map(
     sum/mean/min/max/count/count_distinct/collect (``collect`` returns the
     sorted value list, bedtools' ``collapse`` with a deterministic
     order). Left rows with no overlap survive with NULL aggregates
-    (count ops yield 0) — bedtools' '.'. Left rows must be unique as
-    whole tuples (the regroup key, same contract as
-    :func:`interval_coverage`).
+    (count ops yield 0) — bedtools' '.'. Duplicate left tuples are
+    supported (r16, same mechanism as :func:`interval_coverage`):
+    duplicates collapse to one row + a count before the join — so sums
+    and counts cannot double through the regroup — and re-emit per input
+    row after it.
 
     Scale shape: ONE loose-left-outer binned overlap join (large-by-large
     safe; zero-match left rows survive as a null-extended row, so no
@@ -848,6 +1055,7 @@ def interval_map(
                 f"(have {sorted(_MAP_OPS)})"
             )
     rk = right_keys or keys
+    left = _with_dup_count(left)
     vcols = sorted({v for v, _, _ in specs})
     r = right.select(
         F.col(rk[0]).alias("_rc"),
@@ -862,7 +1070,7 @@ def interval_map(
     aggs = [
         _MAP_OPS[op](F.col(f"_v_{v}")).alias(out) for v, op, out in specs
     ]
-    return hits.groupBy(*left.columns).agg(*aggs)
+    return _reemit_dups(hits.groupBy(*left.columns).agg(*aggs))
 
 
 def interval_jaccard(
@@ -1022,10 +1230,11 @@ def interval_liftover(
         # Window key = one hashed row id, not the wide input tuple (the
         # same narrow-shuffle treatment as interval_join_binned's strict
         # left_outer; duplicate input rows share the id AND identical
-        # segment sets, so the fraction is unchanged — collisions merge
-        # only at ~n^2/2^64).
+        # segment sets, so the fraction is unchanged). 128-bit identity
+        # (r16): a collision between distinct rows would silently merge
+        # two mapped fractions — see _row_id128.
         seg = seg.withColumn(
-            "_lid", F.xxhash64(*[F.col(col) for col in df.columns])
+            "_lid", _row_id128([F.col(col) for col in df.columns])
         )
         w = Window.partitionBy("_lid")
         frac = F.sum(F.col("_ce") - F.col("_cs") + 1).over(w) / (
@@ -1069,9 +1278,9 @@ def interval_multiinter(
     """
     from functools import reduce
 
-    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
+    from hadoop_bam_spark.operators.sweep import chunked_scan
 
-    cs_kw = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
+    cs_kw = {"chunk_size": chunk_size}
     if not sets:
         raise ValueError("interval_multiinter needs at least one set")
     c, s, e = keys
@@ -1167,7 +1376,7 @@ def interval_cluster(
     df: DataFrame,
     keys: Sequence[str] = ("contig", "start", "stop"),
     gap: int = 0,
-    chunk_size: int = MERGE_CHUNK_SIZE,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Assign a cluster id to every interval — bedtools cluster: two
     intervals share an id iff they are connected through a chain of
@@ -1192,9 +1401,15 @@ def interval_cluster(
     under any tie order, so the plan is deterministic without a unique
     row key.
     """
-    from hadoop_bam_spark.operators.sweep import chunked_scan
+    from hadoop_bam_spark.operators.sweep import (
+        chunked_scan,
+        resolve_chunk_size,
+    )
 
     c, s, e = keys
+    # one resolution for both passes (the ordinal scan then inherits the
+    # same forced/adaptive decision as the merge sweep)
+    chunk_size = resolve_chunk_size(df, chunk_size, MERGE_CHUNK_SIZE, [c])
     runs, base = _chunked_local_merge(df, keys, gap, chunk_size, carry_rows=True)
     regions = chunked_scan(
         runs.select(c, "_origin").distinct(),
@@ -1444,9 +1659,9 @@ def interval_reldist(
     one exchange + one sort), then a tiny histogram aggregate. No
     per-contig data window, nothing all-pairs.
     """
-    from hadoop_bam_spark.operators.sweep import SWEEP_CHUNK_SIZE, chunked_scan
+    from hadoop_bam_spark.operators.sweep import chunked_scan
 
-    cs = {"chunk_size": chunk_size or SWEEP_CHUNK_SIZE}
+    cs = {"chunk_size": chunk_size}
     c, s, e = keys
     rk = right_keys or keys
     # bedtools uses integer midpoints: (start + stop) / 2 floor in

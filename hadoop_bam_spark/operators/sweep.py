@@ -59,8 +59,102 @@ from pyspark.sql import functions as F
 #: default chunk width — same rationale as interval_join.MERGE_CHUNK_SIZE
 SWEEP_CHUNK_SIZE = 8 << 20
 
+#: ``chunk_size`` sentinel forcing the plain one-window-per-partition-key
+#: form (no chunk decomposition, no summary round).
+SINGLE_WINDOW = 0
+
+#: adaptive stage 1 (Catalyst plan-stats estimate, free): only inputs at or
+#: below this are even CONSIDERED for the single-window form; anything
+#: larger — or with no usable estimate (unknown-size sources report
+#: Long.MAX) — takes the chunked form unconditionally and without running
+#: any job, so the 100 TB path never pays a probe. 256 MB ≈ 8M interval
+#: rows, where measured chunking overhead has amortized to ~1.4x and keeps
+#: falling (STRESS_INTERVAL_r15).
+ADAPTIVE_SINGLE_MAX_BYTES = 256 << 20
+
+#: adaptive stage 2 (one cheap probe job over the — small, stage-1-bounded
+#: — input): the single-window form is chosen only when the HOTTEST
+#: partition key holds at most this many rows, because the per-key window
+#: runs that key in ONE task — bytes alone cannot see skew (a 2M-row
+#: corpus on 24 contigs wants the plain window, the same 2M on ONE contig
+#: wants the decomposition; STRESS_INTERVAL_r15 measured 2-3.3x either
+#: way). 256k rows is well under a second of single-task sweep.
+ADAPTIVE_SINGLE_MAX_KEY_ROWS = 1 << 18
+
 _OPS = {"sum", "max", "min"}
 _DIRS = {"asc", "desc"}
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a plan — free (no job runs). Returns
+    None when the JVM call fails; absurdly-large defaults (unknown-size
+    sources) simply fail the small test, which is the safe direction."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+
+
+#: memo of adaptive decisions keyed by (semantic plan hash, part_cols):
+#: re-planning the same input (bench reps, a pipeline reusing one frame
+#: across several sweep ops) must not re-run the probe job. Decisions are
+#: perf-only (both forms are exact), so a semantic-hash collision cannot
+#: produce a wrong ANSWER. Bounded; cleared wholesale when full.
+_DECISION_CACHE: dict = {}
+_DECISION_CACHE_MAX = 1024
+
+
+def resolve_chunk_size(
+    df: DataFrame,
+    chunk_size: int | None,
+    default: int,
+    part_cols: Sequence[str] | None = None,
+) -> int:
+    """Adaptive chunk-size policy shared by every sweep consumer.
+
+    ``None`` = adaptive: inputs small by Catalyst plan stats
+    (:data:`ADAPTIVE_SINGLE_MAX_BYTES`, free) AND balanced by a max
+    rows-per-key probe (:data:`ADAPTIVE_SINGLE_MAX_KEY_ROWS`, one cheap
+    aggregate job over a part_cols projection of the already-small
+    input — the only eager action in the module, batch frames only,
+    memoized per semantic plan) take the single-window form; everything
+    else takes ``default``. An explicit int forces that chunk width;
+    :data:`SINGLE_WINDOW` forces the plain per-key window. Without
+    ``part_cols`` the skew probe cannot run, so the decision is
+    conservatively ``default``.
+    """
+    if chunk_size is not None:
+        return chunk_size
+    if part_cols is None:
+        return default
+    try:
+        key = (df.semanticHash(), tuple(part_cols), default)
+    except Exception:
+        key = None
+    if key is not None and key in _DECISION_CACHE:
+        return _DECISION_CACHE[key]
+    decision = default
+    size = _plan_size_bytes(df)
+    if size is not None and size <= ADAPTIVE_SINGLE_MAX_BYTES:
+        try:
+            mx = (
+                df.select(*part_cols)
+                .groupBy(*part_cols)
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            if mx is None or mx <= ADAPTIVE_SINGLE_MAX_KEY_ROWS:
+                decision = SINGLE_WINDOW
+        except Exception:
+            pass
+    if key is not None:
+        if len(_DECISION_CACHE) >= _DECISION_CACHE_MAX:
+            _DECISION_CACHE.clear()
+        _DECISION_CACHE[key] = decision
+    return decision
 
 
 def _combine(op: str, loc, off):
@@ -93,8 +187,8 @@ def chunked_scan(
     part_cols: Sequence[str],
     pos_col: str,
     specs: Sequence[tuple],
-    chunk_size: int = SWEEP_CHUNK_SIZE,
-    broadcast_summary: bool = True,
+    chunk_size: int | None = None,
+    broadcast_summary: bool | None = None,
 ) -> DataFrame:
     """Add exact running aggregates over (``part_cols`` partitions ordered
     by ``pos_col``) without a per-partition-key window — ALL specs fused
@@ -113,15 +207,48 @@ def chunked_scan(
     sweep needs) is just ``(F.col(pos_col), "min", out, "desc", True)``
     — it fuses with the rest for free.
 
-    ``broadcast_summary``: the chunk-summary join is broadcast by
-    default — the summary has ONE row per (part_cols value, chunk), tiny
-    for per-contig genome sweeps. Pass ``False`` when ``part_cols`` is
-    high-cardinality (e.g. an as-of join keyed by millions of ids, where
-    #keys x #chunks rows would not fit an executor) to let the planner
-    pick the join strategy instead.
+    ``chunk_size=None`` (the default, r16) is ADAPTIVE: small inputs by
+    Catalyst plan stats (:func:`resolve_chunk_size`) take the plain
+    one-window-per-partition-key form — no summary round, no join, the
+    same frames over ``Window.partitionBy(part_cols)`` — because the
+    chunk decomposition cannot pay for its overhead when the whole input
+    fits a handful of tasks; everything else (including unknown-size
+    inputs) takes the chunked form, whose parallelism scales with data
+    volume. Pass an explicit int to force a chunk width (correctness
+    tests force tiny chunks) or :data:`SINGLE_WINDOW` to force the plain
+    window.
+
+    ``broadcast_summary``: ``None`` (default, r16) does NOT force a
+    broadcast — the summary join's keys are exactly the data pass's
+    window partitioning (part_cols, chunk), so the static sort-merge
+    join REUSES that exchange and sort, and AQE upgrades it to a
+    broadcast at runtime when the summary turns out small (per-contig
+    genome sweeps: always). The r15 form forced the hint, which with a
+    HIGH-cardinality ``part_cols`` (an as-of join keyed by millions of
+    ids: #keys x #chunks summary rows) was a silent executor-OOM risk —
+    the docstring told callers to opt out, nothing enforced it. ``True``
+    still forces the hint (callers that KNOW the summary is
+    dimension-bounded); ``False`` is the explicit no-hint spelling.
     """
     sp = _norm_specs(specs)
     part = list(part_cols)
+    chunk_size = resolve_chunk_size(df, chunk_size, SWEEP_CHUNK_SIZE, part)
+    if chunk_size == SINGLE_WINDOW:
+        wasc = Window.partitionBy(*part).orderBy(F.col(pos_col).asc())
+        wdesc = Window.partitionBy(*part).orderBy(F.col(pos_col).desc())
+        frames = {
+            ("asc", False): wasc.rangeBetween(Window.unboundedPreceding, 0),
+            ("asc", True): wasc.rangeBetween(Window.unboundedPreceding, -1),
+            ("desc", False): wdesc.rangeBetween(Window.unboundedPreceding, 0),
+            ("desc", True): wdesc.rangeBetween(Window.unboundedPreceding, -1),
+        }
+        return df.select(
+            "*",
+            *[
+                getattr(F, op)(val).over(frames[(d, st)]).alias(out)
+                for val, op, out, d, st in sp
+            ],
+        )
     chunk = F.floor((F.col(pos_col) - 1) / F.lit(chunk_size)).cast("long")
     base = df.withColumn("_swchunk", chunk)
     # Two window families sharing ONE exchange: ascending specs run as
@@ -173,7 +300,7 @@ def chunked_scan(
             for _, op, out, d, _ in sp
         ],
     )
-    if broadcast_summary:
+    if broadcast_summary is True:
         cs = F.broadcast(cs)
     out_df = base.join(cs, on=[*part, "_swchunk"], how="left")
     for _, op, out, _, _ in sp:
@@ -193,8 +320,8 @@ def chunked_running_agg(
     pos_col: str,
     specs: Sequence[tuple],
     descending: bool = False,
-    chunk_size: int = SWEEP_CHUNK_SIZE,
-    broadcast_summary: bool = True,
+    chunk_size: int | None = None,
+    broadcast_summary: bool | None = None,
 ) -> DataFrame:
     """Running aggregates in one direction — a thin wrapper over
     :func:`chunked_scan` kept for call-site brevity. ``specs`` are
@@ -216,7 +343,7 @@ def chunked_lead_pos(
     part_cols: Sequence[str],
     pos_col: str,
     out: str = "_next",
-    chunk_size: int = SWEEP_CHUNK_SIZE,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Add ``out`` = the next DISTINCT ``pos_col`` per partition (null on
     the last position) — the strict-suffix min of the position itself,

@@ -843,8 +843,57 @@ def interval_closest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "interval_coverage_regions",
+    "interval_closest_io_signed",
     oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        d AS (
+            SELECT r.qname, r.ref_idx, r.pos, r.stop,
+                (SELECT min(r.pos - g.r_stop) FROM regions g
+                  WHERE g.contig_idx = r.ref_idx AND g.r_stop < r.pos)
+                    AS d_prev,
+                (SELECT min(g.r_start - r.stop) FROM regions g
+                  WHERE g.contig_idx = r.ref_idx AND g.r_start > r.stop)
+                    AS d_next
+            FROM dreads r
+        )
+        SELECT qname, ref_idx, pos, stop,
+            (CASE WHEN d_prev IS NOT NULL
+                       AND (d_next IS NULL OR d_prev <= d_next)
+                      THEN -d_prev
+                  WHEN d_next IS NOT NULL THEN d_next END
+            )::BIGINT AS closest_dist
+        FROM d
+    """,
+    doc="bedtools closest -io -D ref: nearest NON-overlapping region per "
+    "read, distance signed (negative when the winner is upstream, i.e. "
+    "lower coordinates; upstream preferred on an exact tie). "
+    "interval_closest(ignore_overlaps=True, signed=True): the flank "
+    "scans flip to STRICT range frames (stop < read.start / "
+    "start > read.stop — inclusive frames would admit a touching, i.e. "
+    "overlapping, right) and the overlap branch leaves the plan "
+    "entirely. The oracle is the brute-force all-pairs min over the "
+    "strict candidate sets with the same sign rule.",
+)
+def interval_closest_io_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    reads = _mapped_reads(spark, sf_dir)
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop"
+    )
+    return interval_closest(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+        ignore_overlaps=True,
+        signed=True,
+    ).select("qname", "ref_idx", "pos", "stop", "closest_dist")
+
+
+# Shared oracle body for the two coverage gates: per-region overlap count
+# + covered bases from globally merged reads (see interval_coverage_regions
+# doc). Used once plain and once with duplicated input rows.
+_COVERAGE_ORACLE_CTES = f"""
         WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
         {_MERGED_READS_CTE.lstrip()},
         cnt AS (
@@ -864,17 +913,26 @@ def interval_closest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND g.contig_idx * {_AXIS} + g.r_start <= m.me2
              AND m.ms2 <= g.contig_idx * {_AXIS} + g.r_stop
             GROUP BY g.region_id
+        ),
+        base AS (
+            SELECT g.region_id, g.contig_idx,
+                   g.r_start::BIGINT AS r_start, g.r_stop::BIGINT AS r_stop,
+                   COALESCE(c.n, 0)::BIGINT AS n_overlaps,
+                   COALESCE(v.covered, 0)::BIGINT AS covered_bases,
+                   (g.r_stop - g.r_start + 1)::BIGINT AS interval_len,
+                   COALESCE(v.covered, 0) / (g.r_stop - g.r_start + 1.0)
+                       AS coverage_fraction
+            FROM regions g
+            LEFT JOIN cnt c USING (region_id)
+            LEFT JOIN covd v USING (region_id)
         )
-        SELECT g.region_id, g.contig_idx,
-               g.r_start::BIGINT AS r_start, g.r_stop::BIGINT AS r_stop,
-               COALESCE(c.n, 0)::BIGINT AS n_overlaps,
-               COALESCE(v.covered, 0)::BIGINT AS covered_bases,
-               (g.r_stop - g.r_start + 1)::BIGINT AS interval_len,
-               COALESCE(v.covered, 0) / (g.r_stop - g.r_start + 1.0)
-                   AS coverage_fraction
-        FROM regions g
-        LEFT JOIN cnt c USING (region_id)
-        LEFT JOIN covd v USING (region_id)
+"""
+
+
+@query(
+    "interval_coverage_regions",
+    oracle=_COVERAGE_ORACLE_CTES + """
+        SELECT * FROM base
     """,
     doc="bedtools coverage: per region, how many reads overlap it and what "
     "fraction of its bases they cover. interval_coverage = ONE binned "
@@ -891,6 +949,35 @@ def interval_coverage_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = regions_view(spark, sf_dir)
     return interval_coverage(
         regions, reads,
+        keys=("contig_idx", "r_start", "r_stop"),
+        right_keys=("ref_idx", "pos", "stop"),
+    ).select(
+        "region_id", "contig_idx", "r_start", "r_stop",
+        "n_overlaps", "covered_bases", "interval_len", "coverage_fraction",
+    )
+
+
+@query(
+    "interval_coverage_dup_rows",
+    oracle=_COVERAGE_ORACLE_CTES + """
+        SELECT * FROM base UNION ALL SELECT * FROM base
+    """,
+    doc="bedtools emits one output line per INPUT line, duplicates "
+    "included — r16's duplicate-input contract for the regroup operators "
+    "(operators/interval_join.py _with_dup_count/_reemit_dups: exact "
+    "duplicate left tuples collapse to one row + a count before the "
+    "join, so per-tuple aggregates cannot double through the joined "
+    "copies, and re-emit per input row after the regroup). The input is "
+    "the regions table unioned with itself; the oracle is the "
+    "unique-input coverage truth emitted twice.",
+)
+def interval_coverage_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_coverage
+
+    reads = _mapped_reads(spark, sf_dir).select("ref_idx", "pos", "stop")
+    regions = regions_view(spark, sf_dir)
+    return interval_coverage(
+        regions.unionByName(regions), reads,
         keys=("contig_idx", "r_start", "r_stop"),
         right_keys=("ref_idx", "pos", "stop"),
     ).select(

@@ -119,12 +119,38 @@ def _sh(args: list[str], cwd: str | None = None) -> str:
 def _materialize(ref: str) -> tuple[str, str]:
     """Resolve ref -> (label, tree directory). The live-repo sentinel
     refs ('.', 'LIVE') use the working tree as-is; anything else gets a
-    detached git worktree under /tmp (reused when already present)."""
+    detached git worktree under a USER-PRIVATE (0700) directory — a
+    predictable name in world-writable /tmp could hand the runner
+    subprocess someone else's code — and a reused worktree is verified
+    to be the expected checkout (``git rev-parse HEAD`` must match;
+    stale/foreign trees are recreated, not silently benchmarked)."""
     if ref in (".", "LIVE"):
         return "live", _REPO
     sha = _sh(["git", "rev-parse", "--short", ref])
-    path = os.path.join(tempfile.gettempdir(), f"ab_bench_{sha}")
-    if not os.path.isdir(path):
+    full = _sh(["git", "rev-parse", ref])
+    parent = os.path.join(
+        tempfile.gettempdir(), f"ab_bench_u{os.getuid()}"
+    )
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    os.chmod(parent, 0o700)
+    path = os.path.join(parent, f"ab_bench_{sha}")
+    if os.path.isdir(path):
+        try:
+            head = _sh(["git", "rev-parse", "HEAD"], cwd=path)
+        except subprocess.CalledProcessError:
+            head = None
+        if head != full:
+            try:
+                _sh(["git", "worktree", "remove", "--force", path])
+            except subprocess.CalledProcessError:
+                # not a valid worktree of this repo (foreign/corrupt):
+                # clear it by hand and let git forget any stale entry
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                _sh(["git", "worktree", "prune"])
+            _sh(["git", "worktree", "add", "--detach", path, sha])
+    else:
         _sh(["git", "worktree", "add", "--detach", path, sha])
     return sha, path
 
@@ -175,22 +201,34 @@ def summarize(
     med_a, med_b = statistics.median(tot_a), statistics.median(tot_b)
     ratio = round(med_b / med_a, 3) if med_a else None
     spread_a = round(max(tot_a) / min(tot_a), 3) if min(tot_a) > 0 else None
-    per_query = {
-        n: {
-            f"{label_a}_median": statistics.median(r[n] for r in reps_a),
-            f"{label_b}_median": statistics.median(r[n] for r in reps_b),
-            "ratio": (
-                round(
-                    statistics.median(r[n] for r in reps_b)
-                    / statistics.median(r[n] for r in reps_a),
-                    3,
-                )
-                if statistics.median(r[n] for r in reps_a)
-                else None
-            ),
+    per_query = {}
+    outliers = []
+    for n in names:
+        qa = [r[n] for r in reps_a]
+        qb = [r[n] for r in reps_b]
+        qma, qmb = statistics.median(qa), statistics.median(qb)
+        qratio = round(qmb / qma, 3) if qma else None
+        # the query's OWN within-session spread (the total's spread is
+        # far tighter — per-query noise would read as fake regressions
+        # against it, and real per-query deltas hid inside prose before
+        # r16: the verdict is now computed, not narrated)
+        q_spread = round(max(qa) / min(qa), 3) if min(qa) > 0 else None
+        if qratio is None or q_spread is None:
+            q_verdict = "n/a"
+        elif qratio <= max(spread_bound, q_spread) and 1 / qratio <= max(
+            spread_bound, q_spread
+        ):
+            q_verdict = "flat"
+        else:
+            q_verdict = "outlier"
+            outliers.append(n)
+        per_query[n] = {
+            f"{label_a}_median": qma,
+            f"{label_b}_median": qmb,
+            "ratio": qratio,
+            "within_session_spread": q_spread,
+            "verdict": q_verdict,
         }
-        for n in names
-    }
     flat = ratio is not None and spread_a is not None and ratio <= max(
         spread_bound, spread_a
     ) and 1 / ratio <= max(spread_bound, spread_a)
@@ -212,8 +250,16 @@ def summarize(
         f"{label_b}_vs_{label_a}_median_ratio": ratio,
         f"within_session_spread_{label_a}": spread_a,
         "per_query": per_query,
+        "per_query_outliers": sorted(outliers),
         "flat": flat,
-        "verdict": verdict,
+        "verdict": verdict
+        + (
+            f"; {len(outliers)} per-query outlier(s) beyond their own "
+            f"within-session spread: {sorted(outliers)}"
+            if outliers
+            else "; every per-query ratio inside its own within-session "
+            "spread"
+        ),
     }
     if sentinels:
         out["host_sentinel_session_range"] = [

@@ -191,3 +191,27 @@ def test_consensus_apply_snps_equals_snp_mode(spark):
         map(tuple, fasta_consensus(fasta, vdf, on_indel="apply").collect())
     )
     assert base == applied
+
+
+@pytest.mark.parametrize("on_indel", ["drop", "apply"])
+def test_consensus_order_col_first_wins(spark, on_indel):
+    """r16: with order_col the same-site dedup is bcftools' FIRST-record
+    rule (min input rank), not the lexicographic fallback."""
+    fasta = _chunk_df(spark, {"c1": "ACGTACGTACGT"}, 5)
+    # two records at site 3: lexicographic-largest picks T, first-wins
+    # picks A (rank 0); a third site is untied either way
+    vdf = spark.createDataFrame(
+        [("c1", 3, "G", "A", 0), ("c1", 3, "G", "T", 1),
+         ("c1", 7, "G", "C", 2)],
+        "contig string, start long, ref string, alt string, rank long",
+    )
+
+    def seq_of(**kw):
+        rows = sorted(
+            fasta_consensus(fasta, vdf, on_indel=on_indel, **kw).collect(),
+            key=lambda r: r["pos"],
+        )
+        return "".join(r["seq"] for r in rows)
+
+    assert seq_of() == "ACTTACCTACGT"                  # fallback: max alt
+    assert seq_of(order_col="rank") == "ACATACCTACGT"  # first record wins

@@ -129,6 +129,51 @@ def test_closest_matches_all_pairs(spark, frames):
         assert got[name] == want, name
 
 
+@pytest.mark.parametrize("chunk_size", [None, 97])
+@pytest.mark.parametrize(
+    "io,iu,idn", [(True, False, False), (False, True, False),
+                  (False, False, True), (True, True, False)]
+)
+def test_closest_options_brute(spark, frames, io, iu, idn, chunk_size):
+    """bedtools closest -io / -iu / -id / -D ref vs the all-pairs model."""
+    left, right, ldf, rdf = frames
+    res = interval_closest(
+        ldf, rdf, keys=("contig", "start", "stop"), chunk_size=chunk_size,
+        ignore_overlaps=io, ignore_upstream=iu, ignore_downstream=idn,
+        signed=True,
+    )
+    got = {r["name"]: r["closest_dist"] for r in res.collect()}
+    assert len(got) == len(left)
+    by_contig = {}
+    for c, s, e, _ in right:
+        by_contig.setdefault(c, []).append((s, e))
+    for c, s, e, name in left:
+        cands = by_contig.get(c, [])
+        overlaps = any(rs <= e and s <= re for rs, re in cands)
+        if overlaps and not io:
+            assert got[name] == 0, name
+            continue
+        prev = [s - re for rs, re in cands
+                if (re < s if io else re <= s)] if not iu else []
+        nxt = [rs - e for rs, re in cands
+               if (rs > e if io else rs >= e)] if not idn else []
+        d_prev = min(prev) if prev else None
+        d_next = min(nxt) if nxt else None
+        if d_prev is None and d_next is None:
+            assert got[name] is None, name
+        elif d_next is None or (d_prev is not None and d_prev <= d_next):
+            assert got[name] == -d_prev, name
+        else:
+            assert got[name] == d_next, name
+
+
+def test_closest_rejects_iu_and_id(spark, frames):
+    _, _, ldf, rdf = frames
+    with pytest.raises(ValueError, match="ignore_upstream"):
+        interval_closest(ldf, rdf, keys=("contig", "start", "stop"),
+                         ignore_upstream=True, ignore_downstream=True)
+
+
 @pytest.mark.parametrize("bin_size", [16384, 256])
 def test_coverage_matches_per_base(spark, frames, bin_size):
     left, right, ldf, rdf = frames

@@ -226,3 +226,107 @@ def test_rejects_unknown_op_and_direction(spark):
         chunked_running_agg(df, ["part"], "pos", [("val", "avg", "x")])
     with pytest.raises(ValueError, match="direction must be"):
         chunked_scan(df, ["part"], "pos", [("val", "sum", "x", "up")])
+
+
+def test_single_window_form_matches_chunked(spark):
+    """chunk_size=SINGLE_WINDOW (the adaptive small-input form) must be
+    value-identical to the chunked decomposition on every spec shape."""
+    from hadoop_bam_spark.operators.sweep import SINGLE_WINDOW
+
+    df, _ = _data(spark, seed=21)
+    specs = [
+        ("val", "max", "a", "asc", False),
+        ("val", "sum", "b", "asc", True),
+        ("val", "min", "c", "desc", False),
+        (F.col("pos"), "min", "nxt", "desc", True),
+    ]
+    want = {
+        r["uid"]: (r["a"], r["b"], r["c"], r["nxt"])
+        for r in chunked_scan(df, ["part"], "pos", specs, chunk_size=13).collect()
+    }
+    got = {
+        r["uid"]: (r["a"], r["b"], r["c"], r["nxt"])
+        for r in chunked_scan(
+            df, ["part"], "pos", specs, chunk_size=SINGLE_WINDOW
+        ).collect()
+    }
+    assert got == want
+    # the single-window plan must carry NO join (no summary round)
+    plan = chunked_scan(
+        df, ["part"], "pos", specs, chunk_size=SINGLE_WINDOW
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_adaptive_policy_decisions(spark, monkeypatch):
+    """resolve_chunk_size: explicit forces; small+balanced -> single
+    window; small+skewed -> chunked; big/unknown -> chunked; no
+    part_cols -> chunked."""
+    import hadoop_bam_spark.operators.sweep as sweep_mod
+    from hadoop_bam_spark.operators.sweep import (
+        SINGLE_WINDOW,
+        resolve_chunk_size,
+    )
+
+    # spark.range has exact Catalyst stats (unlike createDataFrame's
+    # RDD-backed Long.MAX default)
+    balanced = spark.range(0, 1000).select(
+        (F.col("id") % 8).alias("part"), (F.col("id") + 1).alias("pos")
+    )
+    skewed = spark.range(0, 1000).select(
+        F.lit(0).alias("part"), (F.col("id") + 1).alias("pos")
+    )
+    assert resolve_chunk_size(balanced, 42, 99) == 42          # explicit
+    assert resolve_chunk_size(balanced, SINGLE_WINDOW, 99) == SINGLE_WINDOW
+    assert resolve_chunk_size(balanced, None, 99) is not None
+    assert (
+        resolve_chunk_size(balanced, None, 99, ["part"]) == SINGLE_WINDOW
+    )
+    assert resolve_chunk_size(balanced, None, 99) == 99        # no part_cols
+    # decisions are memoized per semantic plan — repeat costs no probe
+    assert (
+        resolve_chunk_size(balanced, None, 99, ["part"]) == SINGLE_WINDOW
+    )
+    monkeypatch.setattr(sweep_mod, "ADAPTIVE_SINGLE_MAX_KEY_ROWS", 200)
+    sweep_mod._DECISION_CACHE.clear()
+    assert resolve_chunk_size(skewed, None, 99, ["part"]) == 99  # hot key
+    assert (
+        resolve_chunk_size(balanced, None, 99, ["part"]) == SINGLE_WINDOW
+    )
+    monkeypatch.setattr(sweep_mod, "ADAPTIVE_SINGLE_MAX_BYTES", 16)
+    sweep_mod._DECISION_CACHE.clear()
+    assert resolve_chunk_size(balanced, None, 99, ["part"]) == 99  # too big
+    sweep_mod._DECISION_CACHE.clear()
+
+
+def test_summary_join_not_force_broadcast_on_high_cardinality(spark):
+    """r16 broadcast guard: with the default (auto) setting the chunk
+    summary join carries NO static broadcast hint — a high-cardinality
+    partition key (one per row: #keys x #chunks summary rows) must not
+    be forced into executor memory; AQE sizes the join at runtime.
+    broadcast_summary=True still forces the hint."""
+    # RDD-backed frame: Catalyst cannot prove the summary small (stats =
+    # Long.MAX) — exactly the shape where only a forced hint would
+    # broadcast, i.e. the r15 OOM risk
+    n = 5000
+    df = spark.createDataFrame(
+        [(str(i), i % 97 + 1, 1) for i in range(n)],
+        "part string, pos long, val long",
+    )
+    specs = [("val", "sum", "run")]
+
+    def spark_plan(bs):
+        return (
+            chunked_scan(df, ["part"], "pos", specs, chunk_size=7,
+                         broadcast_summary=bs)
+            ._jdf.queryExecution().sparkPlan().toString()
+        )
+
+    assert "BroadcastHashJoin" not in spark_plan(None)
+    assert "BroadcastHashJoin" not in spark_plan(False)
+    assert "BroadcastHashJoin" in spark_plan(True)
+    # and the auto form is still exact
+    got = chunked_scan(
+        df, ["part"], "pos", specs, chunk_size=7
+    ).agg(F.sum("run")).collect()[0][0]
+    assert got == n
