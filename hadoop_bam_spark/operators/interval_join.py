@@ -933,6 +933,121 @@ def interval_closest(
     return _reemit_dups(per_row.select(*out, F.col("_dupn")))
 
 
+def interval_closest_all(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("contig", "start", "stop"),
+    right_keys: Sequence[str] | None = None,
+    chunk_size: int | None = None,
+    ignore_overlaps: bool = False,
+    ignore_upstream: bool = False,
+    ignore_downstream: bool = False,
+    signed: bool = False,
+    bin_size: int = 16384,
+) -> DataFrame:
+    """bedtools closest ``-t all`` — its DEFAULT tie mode: one output row
+    per left row PER tied-closest right feature (every overlapping right
+    when anything overlaps, otherwise every flank right at exactly the
+    winning distance, both sides on an exact distance tie). Returns the
+    left rows plus ``closest_dist`` / ``closest_start`` / ``closest_stop``;
+    a left row with no candidate at all survives as one null-extended
+    row. The ``-io``/``-iu``/``-id``/``-D`` options compose exactly as in
+    :func:`interval_closest`.
+
+    Scale shape: :func:`interval_closest`'s fused scan computes the
+    winning distance per left row (one pass, never all-pairs), then the
+    tie EXPANSION is cheap because distance-0 and distance-d ties have
+    closed forms: dist 0 <=> overlap (the binned tile join), and a flank
+    tie at dist d > 0 means the right's stop is EXACTLY ``start - d``
+    (upstream) or its start is ``stop + d`` (downstream) — two hash
+    EQUI-joins on (contig, boundary coordinate), no range predicate, no
+    fan-out beyond the true tie multiplicity. A dist-0 flank is
+    impossible (a right touching the left overlaps it under closed
+    intervals), so the three parts partition cleanly.
+    """
+    c, s, e = keys
+    rk = right_keys or keys
+    base = interval_closest(
+        left,
+        right,
+        keys=keys,
+        right_keys=rk,
+        chunk_size=chunk_size,
+        ignore_overlaps=ignore_overlaps,
+        ignore_upstream=ignore_upstream,
+        ignore_downstream=ignore_downstream,
+        signed=False,
+    )
+    lcols = [col for col in base.columns if col != "closest_dist"]
+    r = right.select(
+        F.col(rk[0]).alias("_rc"),
+        F.col(rk[1]).cast("long").alias("_rs"),
+        F.col(rk[2]).cast("long").alias("_re"),
+    )
+    zero = F.lit(0).cast("long")
+    d = F.col("closest_dist")
+    parts = []
+    if not ignore_overlaps:
+        ov = interval_join_binned(
+            base.filter(d == 0),
+            r,
+            left_keys=keys,
+            right_keys=("_rc", "_rs", "_re"),
+            bin_size=bin_size,
+        )
+        parts.append(
+            ov.select(
+                *lcols,
+                zero.alias("closest_dist"),
+                F.col("_rs").alias("closest_start"),
+                F.col("_re").alias("closest_stop"),
+            )
+        )
+    flank = base.filter(d > 0)
+    if not ignore_upstream:
+        up = flank.join(
+            r,
+            (F.col(c) == F.col("_rc"))
+            & (F.col("_re") == F.col(s).cast("long") - d),
+            "inner",
+        )
+        parts.append(
+            up.select(
+                *lcols,
+                ((-d) if signed else d).alias("closest_dist"),
+                F.col("_rs").alias("closest_start"),
+                F.col("_re").alias("closest_stop"),
+            )
+        )
+    if not ignore_downstream:
+        down = flank.join(
+            r,
+            (F.col(c) == F.col("_rc"))
+            & (F.col("_rs") == F.col(e).cast("long") + d),
+            "inner",
+        )
+        parts.append(
+            down.select(
+                *lcols,
+                d.alias("closest_dist"),
+                F.col("_rs").alias("closest_start"),
+                F.col("_re").alias("closest_stop"),
+            )
+        )
+    nl = F.lit(None).cast("long")
+    parts.append(
+        base.filter(d.isNull()).select(
+            *lcols,
+            nl.alias("closest_dist"),
+            nl.alias("closest_start"),
+            nl.alias("closest_stop"),
+        )
+    )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def interval_coverage(
     left: DataFrame,
     right: DataFrame,
@@ -1932,3 +2047,47 @@ def interval_shuffle(
             (F.col("_pick.s") + ln - 1).alias(e),
         )
     )
+
+
+def interval_random(
+    sizes: DataFrame,
+    n: int,
+    length: int,
+    salt: str = "ivrandom",
+    keys: Sequence[str] = ("contig", "start", "stop"),
+) -> DataFrame:
+    """Generate ``n`` deterministic pseudo-random intervals of ``length``
+    bases, uniform over every valid genome placement — bedtools random
+    (-n/-l, with the salt playing -seed). Returns
+    ``(interval_id, contig, start, stop)``; intervals longer than every
+    contig yield an empty result (bedtools errors; staying total keeps
+    the generator composable).
+
+    Scale shape: a ``spark.range`` generator piped through
+    :func:`interval_shuffle`'s genome-wide placement (``keep_contig=
+    False``) — map-only hash arithmetic folding over the literal contig
+    list, no join, no shuffle; parallelism is range-partitioned, so
+    generating billions of null-model intervals distributes trivially.
+    The null-model companion of :func:`interval_shuffle` for
+    reldist/jaccard colocalization tests when no observed set is being
+    permuted.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if length <= 0:
+        raise ValueError("length must be positive")
+    c, s, e = keys
+    spark = sizes.sparkSession
+    base = spark.range(n).select(
+        F.col("id").alias("interval_id"),
+        F.lit(1).cast("long").alias(s),
+        F.lit(length).cast("long").alias(e),
+    )
+    return interval_shuffle(
+        base,
+        sizes,
+        keys=keys,
+        id_col="interval_id",
+        salt=salt,
+        keep_contig=False,
+    ).select("interval_id", c, s, e)

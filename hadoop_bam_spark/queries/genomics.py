@@ -820,9 +820,13 @@ def interval_closest_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the nearer flank, upstream on a distance tie "
     "(operators/interval_join.py interval_closest report_right=True: "
     "the winner rides the SAME fused scan as the distance, the running "
-    "max/min carrying a (key, other-coordinate) struct). The oracle "
-    "replays the identical argmax/argmin with packed-key correlated "
-    "subqueries — per-row brute force.",
+    "max/min carrying a (key, other-coordinate) struct). PARITY CAVEAT "
+    "(r16): on overlap TIES this deviates from bedtools -t first (sort-"
+    "order min (start, stop)) — selecting that winner inside a running "
+    "scan is a 2-D dominance query no single aggregate expresses; use "
+    "interval_closest_all (-t all, bedtools' default) for exact tie "
+    "parity. The oracle replays the identical argmax/argmin with "
+    "packed-key correlated subqueries — per-row brute force.",
 )
 def interval_closest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_closest
@@ -888,6 +892,54 @@ def interval_closest_io_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ignore_overlaps=True,
         signed=True,
     ).select("qname", "ref_idx", "pos", "stop", "closest_dist")
+
+
+@query(
+    "interval_closest_allties",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE}, {_DISTINCT_READS_CTE},
+        d AS (
+            SELECT r.qname, r.ref_idx, r.pos, r.stop,
+                (SELECT min(greatest(g.r_start - r.stop,
+                                     r.pos - g.r_stop, 0))
+                   FROM regions g WHERE g.contig_idx = r.ref_idx)
+                    AS dist
+            FROM dreads r
+        )
+        SELECT d.qname, d.ref_idx, d.pos, d.stop,
+               d.dist::BIGINT AS closest_dist,
+               g.r_start::BIGINT AS closest_start,
+               g.r_stop::BIGINT AS closest_stop
+        FROM d LEFT JOIN regions g
+          ON g.contig_idx = d.ref_idx
+         AND greatest(g.r_start - d.stop, d.pos - g.r_stop, 0) = d.dist
+    """,
+    doc="bedtools closest -t all — its DEFAULT tie mode: one row per "
+    "read PER tied-closest region (all overlapping regions when any "
+    "overlaps; otherwise every flank region at exactly the winning "
+    "distance, both sides on a tie). interval_closest_all: the fused "
+    "scan computes the winning distance, then ties expand through "
+    "closed forms — dist 0 <=> the binned overlap join, dist d > 0 "
+    "<=> two hash EQUI-joins on (contig, start - d) / (contig, "
+    "stop + d) — never a range join, fan-out = the true tie "
+    "multiplicity. The oracle is the brute-force all-pairs min joined "
+    "back on gap = dist.",
+)
+def interval_closest_allties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_closest_all
+
+    reads = _mapped_reads(spark, sf_dir)
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop"
+    )
+    return interval_closest_all(
+        reads, regions,
+        keys=("ref_idx", "pos", "stop"),
+        right_keys=("contig_idx", "r_start", "r_stop"),
+    ).select(
+        "qname", "ref_idx", "pos", "stop",
+        "closest_dist", "closest_start", "closest_stop",
+    )
 
 
 # Shared oracle body for the two coverage gates: per-region overlap count
@@ -1276,6 +1328,62 @@ def interval_shuffle_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.select(
         "region_id", "contig_idx", "r_start", "r_stop",
         (F.col("r_stop") - F.col("r_start") + 1).alias("ilen"),
+    )
+
+
+@query(
+    "interval_random_genome",
+    oracle="""
+        WITH sz AS (
+            SELECT * FROM (VALUES (0, 1000000), (1, 400000),
+                                  (2, 200000), (3, 100000)) t(c, size)
+        ),
+        ids AS (
+            SELECT unnest(generate_series(0, 1999))::BIGINT AS interval_id
+        ),
+        rr AS (
+            SELECT interval_id,
+                   ('0x' || substr(md5('ivrandom:'
+                        || interval_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM ids
+        ),
+        walk AS (
+            SELECT rr.interval_id, rr.h, sz.c,
+                   greatest(0, sz.size - 1500 + 1) AS room,
+                   coalesce(sum(greatest(0, sz.size - 1500 + 1)) OVER (
+                       PARTITION BY rr.interval_id ORDER BY sz.c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum,
+                   sum(greatest(0, sz.size - 1500 + 1)) OVER (
+                       PARTITION BY rr.interval_id) AS total
+            FROM rr CROSS JOIN sz
+        )
+        SELECT interval_id, c AS contig_idx,
+               (h % total - cum + 1)::BIGINT AS r_start,
+               (h % total - cum + 1500)::BIGINT AS r_stop
+        FROM walk
+        WHERE total > 0 AND h % total >= cum AND h % total < cum + room
+    """,
+    doc="bedtools random (-n 2000 -l 1500, salt as -seed): generate "
+    "deterministic pseudo-random fixed-length intervals uniform over "
+    "every valid placement on an uneven 4-contig genome "
+    "(operators/interval_join.py interval_random: a spark.range "
+    "generator through interval_shuffle's genome-wide weighted-room "
+    "fold — map-only, no join, no shuffle; the null-model generator "
+    "for reldist/jaccard colocalization tests). The oracle replays the "
+    "identical md5 draw + cumulative-room walk relationally, so contig "
+    "choice AND offset must match bit-for-bit.",
+)
+def interval_random_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_random
+
+    sizes = spark.createDataFrame(
+        [(0, 1000000), (1, 400000), (2, 200000), (3, 100000)],
+        "contig_idx long, size long",
+    )
+    return interval_random(
+        sizes, n=2000, length=1500,
+        keys=("contig_idx", "r_start", "r_stop"),
     )
 
 

@@ -167,6 +167,48 @@ def test_closest_options_brute(spark, frames, io, iu, idn, chunk_size):
             assert got[name] == d_next, name
 
 
+@pytest.mark.parametrize("io,signed", [(False, False), (True, True)])
+def test_closest_all_ties_matches_all_pairs(spark, frames, io, signed):
+    """bedtools -t all (the default tie mode): one row per tied-closest
+    right feature, vs brute-force tie enumeration."""
+    from hadoop_bam_spark.operators.interval_join import interval_closest_all
+
+    left, right, ldf, rdf = frames
+    res = interval_closest_all(
+        ldf, rdf.drop("name"), keys=("contig", "start", "stop"),
+        ignore_overlaps=io, signed=signed,
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["name"], set()).add(
+            (r["closest_dist"], r["closest_start"], r["closest_stop"])
+        )
+    assert len(set(len(v) for v in got.values())) >= 1
+    by_contig = {}
+    for rc, rs, re_, _ in right:
+        by_contig.setdefault(rc, []).append((rs, re_))
+    for lc, ls, le, name in left:
+        cands = by_contig.get(lc, [])
+        want = set()
+        overl = [(rs, re_) for rs, re_ in cands if rs <= le and ls <= re_]
+        if overl and not io:
+            want = {(0, rs, re_) for rs, re_ in overl}
+        else:
+            prev = [(ls - re_, rs, re_) for rs, re_ in cands
+                    if (re_ < ls if io else re_ <= ls)]
+            nxt = [(rs - le, rs, re_) for rs, re_ in cands
+                   if (rs > le if io else rs >= le)]
+            dists = [p[0] for p in prev] + [p[0] for p in nxt]
+            if not dists:
+                want = {(None, None, None)}
+            else:
+                dmin = min(dists)
+                want = {(-dmin if signed else dmin, rs, re_)
+                        for dd, rs, re_ in prev if dd == dmin}
+                want |= {(dmin, rs, re_) for dd, rs, re_ in nxt if dd == dmin}
+        assert got[name] == want, (name, got[name], want)
+
+
 def test_closest_rejects_iu_and_id(spark, frames):
     _, _, ldf, rdf = frames
     with pytest.raises(ValueError, match="ignore_upstream"):
@@ -1147,3 +1189,35 @@ def test_shuffle_genome_wide_matches_brute(spark):
     assert "fits_nowhere" not in got
     # the 220-base row can only land on c2 (the one contig with room)
     assert got["fits_only_c2"][0] == "c2"
+
+
+def test_random_generator_deterministic_and_uniform(spark):
+    """bedtools random analog: deterministic per salt, length-exact,
+    in-bounds, spread across contigs weighted by room."""
+    from hadoop_bam_spark.operators.interval_join import interval_random
+
+    sizes = spark.createDataFrame(
+        [("c1", 1000), ("c2", 500)], "contig string, size long"
+    )
+    a = sorted(map(tuple, interval_random(sizes, 300, 50).collect()))
+    b = sorted(map(tuple, interval_random(sizes, 300, 50).collect()))
+    assert a == b and len(a) == 300
+    by_size = dict(sizes.collect())
+    from collections import Counter
+    per_contig = Counter()
+    for _id, c, s, e in a:
+        assert e - s + 1 == 50
+        assert 1 <= s and e <= by_size[c]
+        per_contig[c] += 1
+    # rooms 951 vs 451 -> roughly 2:1 split
+    assert per_contig["c1"] > per_contig["c2"] > 30
+    # a different salt moves placements
+    c2 = sorted(map(tuple, interval_random(sizes, 300, 50, salt="x").collect()))
+    assert c2 != a
+    # longer than every contig -> empty, not an error
+    assert interval_random(sizes, 10, 2000).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interval_random(sizes, -1, 50)
+    with _pytest.raises(ValueError):
+        interval_random(sizes, 10, 0)
