@@ -659,6 +659,8 @@ def interval_closest(
     ignore_upstream: bool = False,
     ignore_downstream: bool = False,
     signed: bool = False,
+    strand: str | None = None,
+    strand_cols: Sequence[str] = ("strand", "strand"),
 ) -> DataFrame:
     """Distance from each left interval to its nearest right interval —
     the bedtools closest distance (0 when any right interval overlaps,
@@ -668,6 +670,20 @@ def interval_closest(
     scan, so the recombining regroup counts copies for free
     (``sum(_t = 1)``) and re-emits one output row per INPUT row, like
     bedtools — no extra pass, no extra shuffle.
+
+    ``strand`` (r16): ``"same"`` (bedtools -s) restricts candidates to
+    rights whose strand EQUALS the left row's strand; ``"opposite"``
+    (-S) to rights on the flipped strand ('+' <-> '-').
+    ``strand_cols=(left_col, right_col)`` names the two strand columns.
+    Scale shape: strand-awareness is purely a PARTITIONING refinement —
+    the fused scan's partition key widens from (contig) to
+    (contig, strand group), where left events carry their own strand
+    and right events carry theirs (same) or its flip (opposite). Same
+    single pass, same event frame, no extra shuffle; a left row whose
+    strand group holds no rights gets NULL distance exactly like an
+    empty contig. Null/'.' strands: literal null-safe equality under
+    ``"same"`` (null matches null); under ``"opposite"`` a right with a
+    strand outside {{'+','-'}} can never match and is dropped map-side.
 
     ``report_right=True`` additionally emits the nearest right
     interval's coordinates (``closest_start``/``closest_stop``, null
@@ -735,12 +751,35 @@ def interval_closest(
             "ignore_upstream and ignore_downstream cannot both be set "
             "(no candidate could ever match, like bedtools -iu -id)"
         )
+    if strand not in (None, "same", "opposite"):
+        raise ValueError(
+            "strand must be None, 'same' (bedtools -s) or 'opposite' (-S)"
+        )
     need_prev = not ignore_upstream
     need_next = not ignore_downstream
     need_ov = not ignore_overlaps
     cs_kw = {"chunk_size": chunk_size}
     c, s, e = keys
     rk = right_keys or keys
+    part_cols = ["_c"]
+    g_r: list = []
+    g_l: list = []
+    g_c: list = []
+    if strand is not None:
+        ls_col, rs_col = strand_cols
+        r_strand = F.col(rs_col)
+        if strand == "opposite":
+            r_grp = F.when(r_strand == "+", F.lit("-")).when(
+                r_strand == "-", F.lit("+")
+            )
+            # a right outside {+,-} can never match any left: drop map-side
+            right = right.filter(r_grp.isNotNull())
+        else:
+            r_grp = r_strand
+        g_r = [r_grp.alias("_g")]
+        g_l = [F.col(ls_col).alias("_g")]
+        g_c = ["_g"]
+        part_cols = ["_c", "_g"]
     if "_dupn" in left.columns or "_dup_i" in left.columns:
         raise ValueError(
             "left table may not carry reserved columns _dupn/_dup_i"
@@ -774,6 +813,7 @@ def interval_closest(
     # boundary cases count as adjacent/overlapping exactly as before).
     r_ev = right.select(
         F.col(rk[0]).alias("_c"),
+        *g_r,
         F.explode(
             F.array(
                 F.struct(
@@ -792,6 +832,7 @@ def interval_closest(
         ).alias("_ev"),
     ).select(
         "_c",
+        *g_c,
         F.col("_ev.coord").alias("_coord"),
         F.col("_ev.cp").alias("_cp"),
         F.col("_ev.co").alias("_co"),
@@ -803,11 +844,13 @@ def interval_closest(
     )
     l_ev = left.select(
         F.col(c).alias("_c"),
+        *g_l,
         F.col(s).cast("long").alias("_ls"),
         F.col(e).cast("long").alias("_le"),
         lrow,
     ).select(
         "_c",
+        *g_c,
         F.explode(
             F.array(
                 F.struct(F.col("_ls").alias("coord"), F.lit(1).alias("t")),
@@ -819,6 +862,7 @@ def interval_closest(
         "_le",
     ).select(
         "_c",
+        *g_c,
         F.col("_ev.coord").alias("_coord"),
         nlc.alias("_cp"),
         nlc.alias("_co"),
@@ -840,7 +884,7 @@ def interval_closest(
     if need_next:
         specs.append(("_cn", "min", "_next_start", "desc", ignore_overlaps))
     scanned = chunked_scan(
-        r_ev.unionByName(l_ev), ["_c"], "_coord", specs, **cs_kw
+        r_ev.unionByName(l_ev), part_cols, "_coord", specs, **cs_kw
     )
     no_long = F.max(F.lit(None).cast("long"))
     aggs = [
@@ -943,6 +987,8 @@ def interval_closest_all(
     ignore_upstream: bool = False,
     ignore_downstream: bool = False,
     signed: bool = False,
+    strand: str | None = None,
+    strand_cols: Sequence[str] = ("strand", "strand"),
     bin_size: int = 16384,
 ) -> DataFrame:
     """bedtools closest ``-t all`` — its DEFAULT tie mode: one output row
@@ -952,7 +998,11 @@ def interval_closest_all(
     left rows plus ``closest_dist`` / ``closest_start`` / ``closest_stop``;
     a left row with no candidate at all survives as one null-extended
     row. The ``-io``/``-iu``/``-id``/``-D`` options compose exactly as in
-    :func:`interval_closest`.
+    :func:`interval_closest`, and so do ``strand``/``strand_cols``
+    (bedtools -s / -S): the base scan partitions by (contig, strand
+    group), the dist-0 expansion keys its tile join on a composite
+    (contig, group) string, and the flank equi-joins add a null-safe
+    group equality — no extra pass anywhere.
 
     Scale shape: :func:`interval_closest`'s fused scan computes the
     winning distance per left row (one pass, never all-pairs), then the
@@ -977,24 +1027,62 @@ def interval_closest_all(
         ignore_upstream=ignore_upstream,
         ignore_downstream=ignore_downstream,
         signed=False,
+        strand=strand,
+        strand_cols=strand_cols,
     )
     lcols = [col for col in base.columns if col != "closest_dist"]
+    r_grp_cols: list = []
+    if strand is not None:
+        ls_col, rs_col = strand_cols
+        r_strand = F.col(rs_col)
+        if strand == "opposite":
+            r_grp = F.when(r_strand == "+", F.lit("-")).when(
+                r_strand == "-", F.lit("+")
+            )
+            right = right.filter(r_grp.isNotNull())
+        else:
+            r_grp = r_strand
+        r_grp_cols = [r_grp.alias("_rg")]
     r = right.select(
         F.col(rk[0]).alias("_rc"),
         F.col(rk[1]).cast("long").alias("_rs"),
         F.col(rk[2]).cast("long").alias("_re"),
+        *r_grp_cols,
+    )
+    grp_match = (
+        F.col(ls_col).eqNullSafe(F.col("_rg"))
+        if strand is not None
+        else F.lit(True)
     )
     zero = F.lit(0).cast("long")
     d = F.col("closest_dist")
     parts = []
     if not ignore_overlaps:
-        ov = interval_join_binned(
-            base.filter(d == 0),
-            r,
-            left_keys=keys,
-            right_keys=("_rc", "_rs", "_re"),
-            bin_size=bin_size,
-        )
+        # strand-aware tile join: fold the strand group into a composite
+        # contig key on BOTH sides (concat_ws skips nulls — null==null
+        # composite equality matches the scan's null partition grouping)
+        if strand is not None:
+            bl = base.filter(d == 0).withColumn(
+                "_ck", F.concat_ws("\x1f", F.col(c).cast("string"), F.col(ls_col))
+            )
+            br = r.withColumn(
+                "_ck", F.concat_ws("\x1f", F.col("_rc").cast("string"), F.col("_rg"))
+            )
+            ov = interval_join_binned(
+                bl,
+                br,
+                left_keys=("_ck", s, e),
+                right_keys=("_ck", "_rs", "_re"),
+                bin_size=bin_size,
+            )
+        else:
+            ov = interval_join_binned(
+                base.filter(d == 0),
+                r,
+                left_keys=keys,
+                right_keys=("_rc", "_rs", "_re"),
+                bin_size=bin_size,
+            )
         parts.append(
             ov.select(
                 *lcols,
@@ -1008,7 +1096,8 @@ def interval_closest_all(
         up = flank.join(
             r,
             (F.col(c) == F.col("_rc"))
-            & (F.col("_re") == F.col(s).cast("long") - d),
+            & (F.col("_re") == F.col(s).cast("long") - d)
+            & grp_match,
             "inner",
         )
         parts.append(
@@ -1023,7 +1112,8 @@ def interval_closest_all(
         down = flank.join(
             r,
             (F.col(c) == F.col("_rc"))
-            & (F.col("_rs") == F.col(e).cast("long") + d),
+            & (F.col("_rs") == F.col(e).cast("long") + d)
+            & grp_match,
             "inner",
         )
         parts.append(

@@ -942,6 +942,102 @@ def interval_closest_allties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_closest_stranded",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE},
+        sreads AS (
+            SELECT DISTINCT qname, ref_idx, pos, stop,
+                   CASE WHEN flag & 16 = 16 THEN '-' ELSE '+' END AS strand
+            FROM reads WHERE flag & 4 = 0
+        ),
+        sregions AS (
+            SELECT contig_idx, r_start, r_stop,
+                   CASE WHEN region_id % 2 = 0 THEN '+' ELSE '-' END
+                       AS strand
+            FROM regions
+        ),
+        both_modes AS (
+            SELECT 's' AS strand_mode, r.qname, r.ref_idx, r.pos, r.stop,
+                   r.strand AS g_want
+            FROM sreads r
+            UNION ALL
+            SELECT 'S' AS strand_mode, r.qname, r.ref_idx, r.pos, r.stop,
+                   CASE r.strand WHEN '+' THEN '-' WHEN '-' THEN '+' END
+                       AS g_want
+            FROM sreads r
+        ),
+        d AS (
+            SELECT m.strand_mode, m.qname, m.ref_idx, m.pos, m.stop,
+                (SELECT max(g.r_start <= m.stop AND m.pos <= g.r_stop)
+                   FROM sregions g
+                  WHERE g.contig_idx = m.ref_idx AND g.strand = m.g_want)
+                    AS has_ov,
+                (SELECT min(m.pos - g.r_stop) FROM sregions g
+                  WHERE g.contig_idx = m.ref_idx AND g.strand = m.g_want
+                    AND g.r_stop <= m.pos) AS d_prev,
+                (SELECT min(g.r_start - m.stop) FROM sregions g
+                  WHERE g.contig_idx = m.ref_idx AND g.strand = m.g_want
+                    AND g.r_start >= m.stop) AS d_next
+            FROM both_modes m
+        )
+        SELECT strand_mode, qname, ref_idx, pos, stop,
+            (CASE WHEN coalesce(has_ov, FALSE) THEN 0
+                  WHEN d_prev IS NOT NULL
+                       AND (d_next IS NULL OR d_prev <= d_next)
+                      THEN -d_prev
+                  WHEN d_next IS NOT NULL THEN d_next END
+            )::BIGINT AS closest_dist
+        FROM d
+    """,
+    doc="bedtools closest -s / -S with -D ref: nearest SAME-strand "
+    "(mode 's') and OPPOSITE-strand (mode 'S') region per read, signed. "
+    "Read strand = FLAG bit 16, region strand = region_id parity. "
+    "interval_closest(strand=...) widens the fused scan's partition key "
+    "from (contig) to (contig, strand group) — left events carry their "
+    "own strand, right events theirs ('same') or its flip ('opposite') "
+    "— same single pass, no extra shuffle; a read whose strand group "
+    "holds no regions gets NULL like an empty contig. The oracle is the "
+    "brute-force all-pairs min under the same strand predicate, both "
+    "modes UNION ALLed.",
+)
+def interval_closest_stranded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_closest
+
+    reads = (
+        reads_view(spark, sf_dir)
+        .filter(F.col("flag").bitwiseAND(4) == 0)
+        .select(
+            "qname", "ref_idx", "pos", "stop",
+            F.when(F.col("flag").bitwiseAND(16) == 16, F.lit("-"))
+            .otherwise(F.lit("+"))
+            .alias("strand"),
+        )
+        .distinct()
+    )
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop",
+        F.when(F.col("region_id") % 2 == 0, F.lit("+"))
+        .otherwise(F.lit("-"))
+        .alias("strand"),
+    )
+    parts = []
+    for mode, how in (("s", "same"), ("S", "opposite")):
+        parts.append(
+            interval_closest(
+                reads, regions,
+                keys=("ref_idx", "pos", "stop"),
+                right_keys=("contig_idx", "r_start", "r_stop"),
+                strand=how,
+                signed=True,
+            ).select(
+                F.lit(mode).alias("strand_mode"),
+                "qname", "ref_idx", "pos", "stop", "closest_dist",
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 # Shared oracle body for the two coverage gates: per-region overlap count
 # + covered bases from globally merged reads (see interval_coverage_regions
 # doc). Used once plain and once with duplicated input rows.

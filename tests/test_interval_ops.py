@@ -1221,3 +1221,103 @@ def test_random_generator_deterministic_and_uniform(spark):
         interval_random(sizes, -1, 50)
     with _pytest.raises(ValueError):
         interval_random(sizes, 10, 0)
+
+
+@pytest.fixture(scope="module")
+def stranded_frames(spark):
+    rng = random.Random(20260817)
+    strands = ["+", "-", "+", "-", "."]  # '.' exercises the unstranded rules
+    left = [(c, s, e, rng.choice(strands), n)
+            for c, s, e, n in _mk(rng, 100, "L")]
+    right = [(c, s, e, rng.choice(strands), n)
+             for c, s, e, n in _mk(rng, 70, "R")]
+    sch = "contig string, start long, stop long, strand string, name string"
+    return left, right, spark.createDataFrame(left, sch), spark.createDataFrame(right, sch)
+
+
+def _strand_cands(right, mode, lstrand):
+    """Brute candidate set under the documented strand rules: literal
+    equality for 'same' (incl. '.'=='.'), flipped +/- for 'opposite'
+    (rights outside {+,-} never match)."""
+    flip = {"+": "-", "-": "+"}
+    out = []
+    for c, s, e, rstrand, _ in right:
+        if mode == "same":
+            if rstrand != lstrand:
+                continue
+        else:
+            if flip.get(rstrand) != lstrand:
+                continue
+        out.append((c, s, e))
+    return out
+
+
+@pytest.mark.parametrize("mode", ["same", "opposite"])
+@pytest.mark.parametrize("chunk_size", [None, 97])
+def test_closest_stranded_matches_all_pairs(spark, stranded_frames, mode,
+                                            chunk_size):
+    """bedtools closest -s / -S (with -D ref signing) vs all-pairs."""
+    left, right, ldf, rdf = stranded_frames
+    res = interval_closest(
+        ldf, rdf.drop("name"), keys=("contig", "start", "stop"),
+        strand=mode, signed=True, chunk_size=chunk_size,
+    )
+    got = {r["name"]: r["closest_dist"] for r in res.collect()}
+    assert len(got) == len(left)
+    for lc, ls, le, lstrand, name in left:
+        cands = [(s, e) for c, s, e in _strand_cands(right, mode, lstrand)
+                 if c == lc]
+        if not cands:
+            assert got[name] is None, name
+            continue
+        if any(rs <= le and ls <= re_ for rs, re_ in cands):
+            assert got[name] == 0, name
+            continue
+        prev = [ls - re_ for rs, re_ in cands if re_ <= ls]
+        nxt = [rs - le for rs, re_ in cands if rs >= le]
+        d_prev = min(prev) if prev else None
+        d_next = min(nxt) if nxt else None
+        if d_next is None or (d_prev is not None and d_prev <= d_next):
+            assert got[name] == -d_prev, name
+        else:
+            assert got[name] == d_next, name
+
+
+@pytest.mark.parametrize("mode", ["same", "opposite"])
+def test_closest_all_stranded_matches_all_pairs(spark, stranded_frames, mode):
+    """-t all composed with -s / -S: tie expansion respects the strand
+    restriction in all three parts (overlap tile join, both flanks)."""
+    from hadoop_bam_spark.operators.interval_join import interval_closest_all
+
+    left, right, ldf, rdf = stranded_frames
+    res = interval_closest_all(
+        ldf, rdf.drop("name"), keys=("contig", "start", "stop"), strand=mode,
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["name"], set()).add(
+            (r["closest_dist"], r["closest_start"], r["closest_stop"])
+        )
+    for lc, ls, le, lstrand, name in left:
+        cands = [(s, e) for c, s, e in _strand_cands(right, mode, lstrand)
+                 if c == lc]
+        overl = [(rs, re_) for rs, re_ in cands if rs <= le and ls <= re_]
+        if overl:
+            want = {(0, rs, re_) for rs, re_ in overl}
+        else:
+            prev = [(ls - re_, rs, re_) for rs, re_ in cands if re_ <= ls]
+            nxt = [(rs - le, rs, re_) for rs, re_ in cands if rs >= le]
+            dists = [p[0] for p in prev] + [p[0] for p in nxt]
+            if not dists:
+                want = {(None, None, None)}
+            else:
+                dmin = min(dists)
+                want = {(dmin, rs, re_) for dd, rs, re_ in prev if dd == dmin}
+                want |= {(dmin, rs, re_) for dd, rs, re_ in nxt if dd == dmin}
+        assert got[name] == want, (name, got[name], want)
+
+
+def test_closest_strand_rejects_bad_mode(spark, stranded_frames):
+    _, _, ldf, rdf = stranded_frames
+    with pytest.raises(ValueError):
+        interval_closest(ldf, rdf.drop("name"), strand="both")
