@@ -54,6 +54,8 @@ def interval_join_binned(
     min_frac_left: float | None = None,
     min_frac_right: float | None = None,
     frac_either: bool = False,
+    strand: str | None = None,
+    strand_cols: Sequence[str] = ("strand", "strand"),
 ) -> DataFrame:
     """Large-by-large overlap join via genome binning.
 
@@ -98,9 +100,24 @@ def interval_join_binned(
     of the MATCH definition, so outer modes null-extend a left row
     whose every overlap fails the fraction test — exactly bedtools
     ``intersect -f ... -v`` complementarity.
+
+    Strand restriction (bedtools intersect -s / -S, r16):
+    ``strand="same"`` requires the two rows' strands to match
+    (null-safe equality, so null/'.' matches null/itself literally);
+    ``"opposite"`` requires one '+' facing one '-' (a row with any
+    other strand value can never match). ``strand_cols=(left_col,
+    right_col)`` names the two strand columns. Like the fraction
+    filters the restriction is part of the MATCH definition — outer
+    modes null-extend a left row whose every overlap is on the wrong
+    strand. An equi-conjunct, so Catalyst folds it into the shuffle
+    join keys; no extra pass, no plan shape change.
     """
     if how not in ("inner", "left_outer", "left_outer_loose"):
         raise ValueError(f"unsupported how={how!r}")
+    if strand not in (None, "same", "opposite"):
+        raise ValueError(
+            "strand must be None, 'same' (bedtools -s) or 'opposite' (-S)"
+        )
     loose = how != "inner"
     strict = how == "left_outer"
     spark_how = "left_outer" if loose else "inner"
@@ -140,6 +157,15 @@ def interval_join_binned(
         & (lb[ls] <= rb[re_])
         & (rb[rs] <= lb[le])
     )
+    if strand is not None:
+        lsc, rsc = strand_cols
+        if strand == "same":
+            cond = cond & lb[lsc].eqNullSafe(rb[rsc])
+        else:
+            flipped = F.when(rb[rsc] == "+", F.lit("-")).when(
+                rb[rsc] == "-", F.lit("+")
+            )
+            cond = cond & (lb[lsc] == flipped)
     if min_frac_left is not None or min_frac_right is not None:
         for frac, name in ((min_frac_left, "min_frac_left"),
                            (min_frac_right, "min_frac_right")):

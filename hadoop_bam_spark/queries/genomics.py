@@ -1021,21 +1021,35 @@ def interval_closest_stranded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("-"))
         .alias("strand"),
     )
-    parts = []
-    for mode, how in (("s", "same"), ("S", "opposite")):
-        parts.append(
-            interval_closest(
-                reads, regions,
-                keys=("ref_idx", "pos", "stop"),
-                right_keys=("contig_idx", "r_start", "r_stop"),
-                strand=how,
-                signed=True,
-            ).select(
-                F.lit(mode).alias("strand_mode"),
-                "qname", "ref_idx", "pos", "stop", "closest_dist",
-            )
+    # BOTH modes in ONE fused sweep: explode each side across the two
+    # modes with a (mode, contig) composite partition key; 'S' rows
+    # pre-flip the REGION strand so strand="same" computes both -s and
+    # -S in a single pass (2x events beats 2x full scans — one
+    # exchange+sort instead of two).
+    modes = F.explode(F.array(F.lit("s"), F.lit("S"))).alias("strand_mode")
+    l2 = reads.select(modes, "*").withColumn(
+        "_mc", F.concat_ws("|", F.col("strand_mode"), F.col("ref_idx"))
+    )
+    flip = F.when(F.col("strand") == "+", F.lit("-")).otherwise(F.lit("+"))
+    r2 = (
+        regions.select(modes, "*")
+        .withColumn(
+            "strand", F.when(F.col("strand_mode") == "S", flip)
+            .otherwise(F.col("strand")),
         )
-    return parts[0].unionByName(parts[1])
+        .withColumn(
+            "_mc", F.concat_ws("|", F.col("strand_mode"), F.col("contig_idx"))
+        )
+    )
+    return interval_closest(
+        l2, r2,
+        keys=("_mc", "pos", "stop"),
+        right_keys=("_mc", "r_start", "r_stop"),
+        strand="same",
+        signed=True,
+    ).select(
+        "strand_mode", "qname", "ref_idx", "pos", "stop", "closest_dist"
+    )
 
 
 # Shared oracle body for the two coverage gates: per-region overlap count
@@ -1232,6 +1246,89 @@ def interval_intersect_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("qname").alias("n_reads"),
         F.sum("_ov").alias("overlap_bases"),
         F.min("_ov").alias("min_overlap"),
+    )
+
+
+@query(
+    "interval_intersect_stranded",
+    oracle=f"""
+        WITH {READS_CTE}, {REGIONS_CTE},
+        sreads AS (
+            SELECT DISTINCT qname, ref_idx, pos, stop,
+                   CASE WHEN flag & 16 = 16 THEN '-' ELSE '+' END AS strand
+            FROM reads WHERE flag & 4 = 0
+        ),
+        sregions AS (
+            SELECT contig_idx, r_start, r_stop,
+                   CASE WHEN region_id % 2 = 0 THEN '+' ELSE '-' END
+                       AS strand
+            FROM regions
+        ),
+        q AS (
+            SELECT 's' AS strand_mode, r.ref_idx, r.qname
+            FROM sreads r JOIN sregions g
+              ON r.ref_idx = g.contig_idx
+             AND r.pos <= g.r_stop AND g.r_start <= r.stop
+             AND r.strand = g.strand
+            UNION ALL
+            SELECT 'S' AS strand_mode, r.ref_idx, r.qname
+            FROM sreads r JOIN sregions g
+              ON r.ref_idx = g.contig_idx
+             AND r.pos <= g.r_stop AND g.r_start <= r.stop
+             AND r.strand = CASE g.strand WHEN '+' THEN '-'
+                                          WHEN '-' THEN '+' END
+        )
+        SELECT strand_mode, ref_idx, count(*) AS n_pairs,
+               count(DISTINCT qname) AS n_reads
+        FROM q GROUP BY strand_mode, ref_idx
+    """,
+    doc="bedtools intersect -s / -S: overlapping (read, region) pairs "
+    "restricted to the same (mode 's') / opposite (mode 'S') strand — "
+    "read strand = FLAG bit 16, region strand = region_id parity. "
+    "interval_join_binned(strand=...): the restriction is an "
+    "equi-conjunct in the binned join's MATCH definition, so Catalyst "
+    "folds it into the shuffle join keys and the tile dedup and outer "
+    "modes all see the filtered matches — no extra pass. The oracle "
+    "applies the identical strand predicate on an all-pairs SQL join, "
+    "both modes UNION ALLed.",
+)
+def interval_intersect_stranded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    reads = (
+        reads_view(spark, sf_dir)
+        .filter(F.col("flag").bitwiseAND(4) == 0)
+        .select(
+            "qname", "ref_idx", "pos", "stop",
+            F.when(F.col("flag").bitwiseAND(16) == 16, F.lit("-"))
+            .otherwise(F.lit("+"))
+            .alias("strand"),
+        )
+        .distinct()
+    )
+    regions = regions_view(spark, sf_dir).select(
+        "contig_idx", "r_start", "r_stop",
+        F.when(F.col("region_id") % 2 == 0, F.lit("+"))
+        .otherwise(F.lit("-"))
+        .alias("g_strand"),
+    )
+    parts = []
+    for mode, how in (("s", "same"), ("S", "opposite")):
+        hits = interval_join_binned(
+            reads, regions,
+            left_keys=("ref_idx", "pos", "stop"),
+            right_keys=("contig_idx", "r_start", "r_stop"),
+            strand=how,
+            strand_cols=("strand", "g_strand"),
+        )
+        parts.append(
+            hits.select(F.lit(mode).alias("strand_mode"), "ref_idx", "qname")
+        )
+    return parts[0].unionByName(parts[1]).groupBy(
+        "strand_mode", "ref_idx"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("qname").alias("n_reads"),
     )
 
 

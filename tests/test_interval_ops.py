@@ -1321,3 +1321,44 @@ def test_closest_strand_rejects_bad_mode(spark, stranded_frames):
     _, _, ldf, rdf = stranded_frames
     with pytest.raises(ValueError):
         interval_closest(ldf, rdf.drop("name"), strand="both")
+
+
+@pytest.mark.parametrize("mode", ["same", "opposite"])
+@pytest.mark.parametrize("how,bin_size", [("inner", 16384), ("inner", 256),
+                                          ("left_outer", 16384)])
+def test_binned_join_stranded_matches_all_pairs(spark, stranded_frames,
+                                                mode, how, bin_size):
+    """bedtools intersect -s / -S: the strand restriction is part of the
+    binned join's match definition (outer modes null-extend a left row
+    whose every overlap is on the wrong strand)."""
+    from hadoop_bam_spark.operators.interval_join import interval_join_binned
+
+    left, right, ldf, rdf = stranded_frames
+    rr = (rdf.drop("name")
+          .withColumnRenamed("contig", "rc")
+          .withColumnRenamed("start", "rs")
+          .withColumnRenamed("stop", "re")
+          .withColumnRenamed("strand", "rstrand"))
+    res = interval_join_binned(
+        ldf, rr, left_keys=("contig", "start", "stop"),
+        right_keys=("rc", "rs", "re"), bin_size=bin_size, how=how,
+        strand=mode, strand_cols=("strand", "rstrand"),
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["name"], set()).add((r["rs"], r["re"]))
+    flip = {"+": "-", "-": "+"}
+    for lc, ls, le, lstrand, name in left:
+        want = set()
+        for rc_, rs_, re_, rstrand, _ in right:
+            if rc_ != lc or rs_ > le or ls > re_:
+                continue
+            if mode == "same":
+                if rstrand != lstrand:
+                    continue
+            elif flip.get(rstrand) != lstrand:
+                continue
+            want.add((rs_, re_))
+        if how == "left_outer" and not want:
+            want = {(None, None)}
+        assert got.get(name, set()) == want, (name, mode, how)
