@@ -1170,9 +1170,15 @@ def interval_coverage(
     keys: Sequence[str] = ("contig", "start", "stop"),
     right_keys: Sequence[str] | None = None,
     bin_size: int = 16384,
+    strand: str | None = None,
+    strand_cols: Sequence[str] = ("strand", "strand"),
 ) -> DataFrame:
     """Per left interval: how many right intervals overlap it, how many of
     its bases they cover, and the covered fraction — bedtools coverage.
+    ``strand="same"``/``"opposite"`` (bedtools coverage -s / -S) counts
+    only rights on the matching strand — passed straight through to the
+    binned join's match definition, so zero-coverage rows (including
+    wrong-strand-only ones) still survive the loose outer join.
     Returns the left rows plus (n_overlaps, covered_bases, interval_len,
     coverage_fraction). Duplicate left tuples are supported (r16): exact
     duplicates collapse to one row + a count before the join (so
@@ -1191,14 +1197,20 @@ def interval_coverage(
     rk = right_keys or keys
     out_cols = list(left.columns)
     left = _with_dup_count(left)
+    str_kw = {}
+    r_strand_cols = []
+    if strand is not None:
+        r_strand_cols = [F.col(strand_cols[1]).alias("_rg")]
+        str_kw = {"strand": strand, "strand_cols": (strand_cols[0], "_rg")}
     r = right.select(
         F.col(rk[0]).alias("_rc"),
         F.col(rk[1]).cast("long").alias("_rs"),
         F.col(rk[2]).cast("long").alias("_re"),
+        *r_strand_cols,
     )
     hits = interval_join_binned(
         left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
-        bin_size=bin_size, how="left_outer_loose",
+        bin_size=bin_size, how="left_outer_loose", **str_kw,
     )
     clip = F.when(
         F.col("_rc").isNotNull(),
@@ -1258,8 +1270,14 @@ def interval_map(
     keys: Sequence[str] = ("contig", "start", "stop"),
     right_keys: Sequence[str] | None = None,
     bin_size: int = 16384,
+    strand: str | None = None,
+    strand_cols: Sequence[str] = ("strand", "strand"),
 ) -> DataFrame:
     """Aggregate right-side values over each left interval — bedtools map:
+    ``strand="same"``/``"opposite"`` (bedtools map -s / -S) aggregates
+    only rights on the matching strand (passed through to the binned
+    join's match definition; wrong-strand-only left rows keep their
+    NULL aggregates / 0 counts like zero-match rows).
     for every left row, apply the requested aggregates to the chosen
     columns of the right rows that overlap it. ``specs`` is a sequence of
     ``(right_value_column, op, output_name)`` with op in
@@ -1288,15 +1306,21 @@ def interval_map(
     rk = right_keys or keys
     left = _with_dup_count(left)
     vcols = sorted({v for v, _, _ in specs})
+    str_kw = {}
+    r_strand_cols = []
+    if strand is not None:
+        r_strand_cols = [F.col(strand_cols[1]).alias("_rg")]
+        str_kw = {"strand": strand, "strand_cols": (strand_cols[0], "_rg")}
     r = right.select(
         F.col(rk[0]).alias("_rc"),
         F.col(rk[1]).cast("long").alias("_rs"),
         F.col(rk[2]).cast("long").alias("_re"),
         *[F.col(v).alias(f"_v_{v}") for v in vcols],
+        *r_strand_cols,
     )
     hits = interval_join_binned(
         left, r, left_keys=keys, right_keys=("_rc", "_rs", "_re"),
-        bin_size=bin_size, how="left_outer_loose",
+        bin_size=bin_size, how="left_outer_loose", **str_kw,
     )
     aggs = [
         _MAP_OPS[op](F.col(f"_v_{v}")).alias(out) for v, op, out in specs

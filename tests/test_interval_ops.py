@@ -1362,3 +1362,52 @@ def test_binned_join_stranded_matches_all_pairs(spark, stranded_frames,
         if how == "left_outer" and not want:
             want = {(None, None)}
         assert got.get(name, set()) == want, (name, mode, how)
+
+
+@pytest.mark.parametrize("mode", ["same", "opposite"])
+def test_coverage_stranded_matches_per_base(spark, stranded_frames, mode):
+    """bedtools coverage -s / -S: only matching-strand rights count and
+    cover; wrong-strand-only left rows survive with zero coverage."""
+    left, right, ldf, rdf = stranded_frames
+    res = interval_coverage(
+        ldf, rdf.drop("name").withColumnRenamed("strand", "rstrand"),
+        keys=("contig", "start", "stop"),
+        right_keys=("contig", "start", "stop"),
+        strand=mode, strand_cols=("strand", "rstrand"),
+    )
+    got = {r["name"]: (r["n_overlaps"], r["covered_bases"]) for r in res.collect()}
+    assert len(got) == len(left)
+    for lc, ls, le, lstrand, name in left:
+        cands = [(s, e) for c, s, e in _strand_cands(right, mode, lstrand)
+                 if c == lc]
+        hits = [(rs, re_) for rs, re_ in cands if rs <= le and ls <= re_]
+        covered = set()
+        for rs, re_ in hits:
+            covered.update(range(max(rs, ls), min(re_, le) + 1))
+        assert got[name] == (len(hits), len(covered)), (name, mode)
+
+
+@pytest.mark.parametrize("mode", ["same", "opposite"])
+def test_map_stranded_matches_brute(spark, stranded_frames, mode):
+    """bedtools map -s / -S: aggregates see only matching-strand rights."""
+    from pyspark.sql import functions as _F
+
+    from hadoop_bam_spark.operators.interval_join import interval_map
+
+    left, right, ldf, rdf = stranded_frames
+    rv = (rdf.drop("name")
+          .withColumnRenamed("strand", "rstrand")
+          .withColumn("val", (_F.col("start") % 7).cast("long")))
+    res = interval_map(
+        ldf, rv, [("val", "sum", "v_sum"), ("val", "count", "v_n")],
+        keys=("contig", "start", "stop"),
+        right_keys=("contig", "start", "stop"),
+        strand=mode, strand_cols=("strand", "rstrand"),
+    )
+    got = {r["name"]: (r["v_sum"], r["v_n"]) for r in res.collect()}
+    assert len(got) == len(left)
+    for lc, ls, le, lstrand, name in left:
+        vals = [s % 7 for c, s, e in _strand_cands(right, mode, lstrand)
+                if c == lc and s <= le and ls <= e]
+        want = (sum(vals) if vals else None, len(vals))
+        assert got[name] == want, (name, mode)
