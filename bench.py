@@ -65,10 +65,21 @@ _CLK = os.sysconf("SC_CLK_TCK")
 
 
 def _tree_cpu_seconds() -> float:
-    """Total CPU seconds (utime+stime) of this process and every live
-    descendant — in local mode that is the driver, the single JVM, and the
-    reused pyspark worker processes. Reading /proc avoids any dependency
-    and sees through hypervisor steal (stolen time never shows up here)."""
+    """Total CPU seconds of this process and every live descendant — in
+    local mode that is the driver, the single JVM, and the reused pyspark
+    worker processes. Reading /proc avoids any dependency and sees through
+    hypervisor steal (stolen time never shows up here).
+
+    Counts utime+stime of each LIVE process PLUS its cutime+cstime (CPU of
+    its reaped dead children). Measurement-bug fix (r17): the pre-r17 form
+    summed only live utime+stime, so when a high-CPU descendant (an idle
+    pyspark worker reaped by the daemon, a Python-datasource worker) died
+    between the two samples of a query, its accumulated CPU VANISHED from
+    the tree and the per-query delta went hugely negative (BENCH r17
+    baseline recorded -55 cpu-s on pileup). A dead child's time moves into
+    its parent's cutime exactly when it is reaped, and a live child's time
+    is never in the parent's cutime, so live(utime+stime)+live(cutime+
+    cstime) is monotone under deaths and never double-counts."""
     procs: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu)
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
@@ -81,10 +92,14 @@ def _tree_cpu_seconds() -> float:
         # comm may contain spaces/parens: fields start after the last ')'
         rest = stat.rsplit(")", 1)[-1].split()
         # rest[0]=state rest[1]=ppid ... rest[11]=utime rest[12]=stime
+        # rest[13]=cutime rest[14]=cstime (reaped-children CPU)
         try:
             procs[int(entry)] = (
                 int(rest[1]),
-                (int(rest[11]) + int(rest[12])) / _CLK,
+                (
+                    int(rest[11]) + int(rest[12])
+                    + int(rest[13]) + int(rest[14])
+                ) / _CLK,
             )
         except (IndexError, ValueError):
             continue

@@ -250,7 +250,29 @@ def chunked_scan(
             ],
         )
     chunk = F.floor((F.col(pos_col) - 1) / F.lit(chunk_size)).cast("long")
-    base = df.withColumn("_swchunk", chunk)
+    # ``_swkey`` packs the partition columns into ONE struct (r17): struct
+    # equality is null-safe per field, so the chunk-summary join below can
+    # no longer silently drop the offsets of NULL-keyed rows (a stranded
+    # interval_closest groups NULL strands — the r16 ADVICE high: NULL
+    # part-col rows lost every cross-chunk candidate on the chunked path
+    # while the single-window path answered correctly). Window partitioning,
+    # the summary groupBy, and the join all key on the same struct, so they
+    # also share one distribution.
+    base = df.withColumn("_swchunk", chunk).withColumn(
+        "_swkey", F.struct(*[F.col(p) for p in part])
+    )
+    # Explicit reuse boundary (r17, the _chunked_local_merge r15 fix
+    # applied here): ``base`` feeds BOTH the windowed data pass and the
+    # chunk-summary aggregate. Left implicit, Catalyst plans the two
+    # branches from independently-pruned copies of the whole upstream
+    # subtree — for pileup that re-executed the reads distinct, the
+    # binned region join, the event explode and the boundary aggregate
+    # TWICE (plans/r17/pileup_depth_histogram_before.txt: operators
+    # (37)-(69) mirror (1)-(36) with zero ReusedExchange). The explicit
+    # repartition replaces the ENSURE_REQUIREMENTS exchange the window
+    # needed anyway, and both branches now read it via ReusedExchange —
+    # upstream runs once.
+    base = base.repartition(F.col("_swkey"), F.col("_swchunk"))
     # Two window families sharing ONE exchange: ascending specs run as
     # growing prefix frames over the ascending sort, descending specs as
     # growing prefix frames over the DESCENDING sort of the same
@@ -260,8 +282,8 @@ def chunked_scan(
     # from scratch per row — O(rows²) per partition (an 82 s multiinter
     # at 2 M rows vs ~2 s with the reversed-sort prefix form), while the
     # unbounded-PRECEDING frame grows incrementally in O(rows).
-    wasc = Window.partitionBy(*part, "_swchunk").orderBy(F.col(pos_col).asc())
-    wdesc = Window.partitionBy(*part, "_swchunk").orderBy(F.col(pos_col).desc())
+    wasc = Window.partitionBy("_swkey", "_swchunk").orderBy(F.col(pos_col).asc())
+    wdesc = Window.partitionBy("_swkey", "_swchunk").orderBy(F.col(pos_col).desc())
     frames = {
         ("asc", False): wasc.rangeBetween(Window.unboundedPreceding, 0),
         ("asc", True): wasc.rangeBetween(Window.unboundedPreceding, -1),
@@ -269,7 +291,7 @@ def chunked_scan(
         ("desc", False): wdesc.rangeBetween(Window.unboundedPreceding, 0),
         ("desc", True): wdesc.rangeBetween(Window.unboundedPreceding, -1),
     }
-    base = base.select(
+    basew = base.select(
         "*",
         *[
             getattr(F, op)(val).over(frames[(d, st)]).alias(f"_loc_{out}")
@@ -279,12 +301,16 @@ def chunked_scan(
     # Chunk totals -> exclusive per-partition prefix/suffix over the
     # summary (ONE row per non-empty chunk — the only partition-serial
     # stage, and it is O(#chunks), not O(rows)). Strictness never
-    # reaches here: equal positions share a chunk.
-    cs = base.groupBy(*part, "_swchunk").agg(
+    # reaches here: equal positions share a chunk. Derived from the
+    # PRE-window frame so the branch shares the repartition exchange
+    # above (the window columns would be pruned out of this branch
+    # anyway, but deriving from ``base`` keeps the two subtrees
+    # byte-identical below the exchange).
+    cs = base.groupBy("_swkey", "_swchunk").agg(
         *[getattr(F, op)(val).alias(f"_tot_{out}") for val, op, out, _, _ in sp]
     )
-    wc_asc = Window.partitionBy(*part).orderBy(F.col("_swchunk").asc())
-    wc_desc = Window.partitionBy(*part).orderBy(F.col("_swchunk").desc())
+    wc_asc = Window.partitionBy("_swkey").orderBy(F.col("_swchunk").asc())
+    wc_desc = Window.partitionBy("_swkey").orderBy(F.col("_swchunk").desc())
     off_frames = {
         # prefix frames in both directions (same O(rows) rationale as the
         # data pass — the summary is tiny, but asof's time_chunk can make
@@ -293,7 +319,7 @@ def chunked_scan(
         "desc": wc_desc.rowsBetween(Window.unboundedPreceding, -1),
     }
     cs = cs.select(
-        *part,
+        "_swkey",
         "_swchunk",
         *[
             getattr(F, op)(f"_tot_{out}").over(off_frames[d]).alias(f"_off_{out}")
@@ -302,13 +328,17 @@ def chunked_scan(
     )
     if broadcast_summary is True:
         cs = F.broadcast(cs)
-    out_df = base.join(cs, on=[*part, "_swchunk"], how="left")
+    # Equi-join on the struct key: null-safe (struct equality compares
+    # fields null-first, so NULL partition values match themselves) AND
+    # co-partitioned with the window pass — no extra exchange of the data.
+    out_df = basew.join(cs, on=["_swkey", "_swchunk"], how="left")
     for _, op, out, _, _ in sp:
         out_df = out_df.withColumn(
             out, _combine(op, F.col(f"_loc_{out}"), F.col(f"_off_{out}"))
         )
     return out_df.drop(
         "_swchunk",
+        "_swkey",
         *[f"_loc_{o}" for _, _, o, _, _ in sp],
         *[f"_off_{o}" for _, _, o, _, _ in sp],
     )

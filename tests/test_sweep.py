@@ -330,3 +330,60 @@ def test_summary_join_not_force_broadcast_on_high_cardinality(spark):
         df, ["part"], "pos", specs, chunk_size=7
     ).agg(F.sum("run")).collect()[0][0]
     assert got == n
+
+
+def test_chunked_scan_null_partition_keys(spark):
+    """NULL partition-column values must get the same cross-chunk offsets
+    as real values (r16 ADVICE high: the summary join was a plain
+    column-list equi-join, so NULL-keyed rows lost every ``_off_*`` offset
+    on the chunked path while the single-window path answered correctly —
+    a silent divergence between the two adaptive forms)."""
+    rows = []
+    rng = random.Random(41)
+    for i in range(300):
+        part = rng.choice(["p1", None, "p2", None])
+        rows.append((part, rng.randint(1, 500), rng.randint(-50, 50), i))
+    df = spark.createDataFrame(rows, "part string, pos long, val long, uid long")
+    specs = [
+        ("val", "sum", "run", "asc", False),
+        ("val", "max", "peak", "desc", True),
+    ]
+    want = {
+        r["uid"]: (r["run"], r["peak"])
+        for r in chunked_scan(df, ["part"], "pos", specs, chunk_size=0).collect()
+    }
+    got = {
+        r["uid"]: (r["run"], r["peak"])
+        for r in chunked_scan(df, ["part"], "pos", specs, chunk_size=17).collect()
+    }
+    assert got == want
+    # and at least one NULL-part row must actually carry a non-null offset
+    # combination (i.e. the run at a late position reflects earlier chunks)
+    null_runs = [
+        r["run"]
+        for r in chunked_scan(df, ["part"], "pos", specs, chunk_size=17)
+        .filter(F.col("part").isNull() & (F.col("pos") > 400))
+        .collect()
+    ]
+    assert null_runs, "fixture must cover NULL-part rows in late chunks"
+
+
+def test_chunked_scan_reuses_one_exchange(spark):
+    """The chunk-summary branch must read the SAME shuffle as the data
+    pass (ReusedExchange), never re-execute the upstream subtree (r17:
+    pileup's whole reads-join-explode pipeline was planned twice)."""
+    df, _ = _data(spark, seed=9)
+    # a non-trivial upstream: an aggregate the planner would otherwise
+    # happily duplicate into both branches
+    agg = df.groupBy("part", "pos").agg(F.sum("val").alias("v"))
+    out = chunked_scan(agg, ["part"], "pos", [("v", "sum", "run")], chunk_size=13)
+    # AQE applies stage reuse at RUNTIME: the static plan shows two
+    # independent subtrees, the final (post-execution) adaptive plan must
+    # show the summary branch reading the data pass's shuffle. collect()
+    # (not count(): that builds a SEPARATE query execution) finalizes
+    # THIS DataFrame's AdaptiveSparkPlan.
+    out.collect()
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan, plan
