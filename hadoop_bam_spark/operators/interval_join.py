@@ -1398,6 +1398,7 @@ def interval_liftover(
     bin_size: int = 16384,
     min_match: float = 0.0,
     strand_col: str | None = None,
+    broadcast_chain: bool = True,
 ) -> DataFrame:
     """Remap intervals to a new coordinate system through chain blocks —
     the UCSC liftOver operation. Each input interval is clipped to every
@@ -1428,6 +1429,16 @@ def interval_liftover(
     + pure column arithmetic; ``min_match > 0`` adds one window over the
     input-row key to total the mapped bases (bounded by the row's block
     pileup — the same unit as every interval op here).
+
+    ``broadcast_chain`` (default True) pins the broadcast side of the tile
+    join to the CHAIN. Left to its own size estimates Catalyst can pick
+    the other side: the r17 before-plan broadcast the 1.1M-row exploded
+    READS (BuildLeft, its post-distinct estimate looked small) and
+    streamed the 25-block chain — the join plus the downstream partial
+    aggregate then ran at the chain side's parallelism. Real liftover
+    chains are a few MB (tens of thousands of blocks); pass False for a
+    chain that genuinely cannot fit in memory and the same plan degrades
+    to the shuffled tile join.
     """
     from pyspark.sql import Window
 
@@ -1451,6 +1462,8 @@ def interval_liftover(
     if strand_col is not None:
         ch_cols.append(F.col(strand_col).alias("_strand"))
     ch = chain.select(*ch_cols)
+    if broadcast_chain:
+        ch = F.broadcast(ch)
     hits = interval_join_binned(
         df, ch, left_keys=keys, right_keys=("_sc", "_ss", "_se"),
         bin_size=bin_size,

@@ -252,12 +252,25 @@ def token_shingles(text: Column, n: int = 3) -> Column:
     Pure array expressions — one pass, no explode until the caller wants
     rows. Documents shorter than ``n`` tokens yield their full token string
     as the single shingle.
-    """
-    toks = tokens(F.lower(text))
+
+    The token array is BOUND ONCE per row via an outer single-element
+    ``transform`` whose lambda variable the inner lambdas reference (r17,
+    guide §4.3-adjacent: Catalyst does not common-subexpression-eliminate
+    into lambda bodies, so the pre-r17 form re-ran ``split(trim(lower(
+    text)))`` for every gram position — O(tokens²) work per document; at
+    bench scale decontaminate spent most of its CPU re-splitting the same
+    documents)."""
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.flatten(
+            F.transform(
+                F.array(tokens(F.lower(text))),
+                lambda toks: F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                ),
+            )
         )
     )
 

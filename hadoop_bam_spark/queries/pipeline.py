@@ -2194,35 +2194,80 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x != "",
     )
     d = docs.select("source", words.alias("ws"))
-    grams = (
-        d.select(
-            "source",
-            F.explode(
-                # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (the
-                # pipeline.py:1463 trap), so sub-5-word docs must emit an
-                # EMPTY gram array, not hit slice(ws, 0, 5).
-                F.when(
-                    F.size("ws") >= 5,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ws") - 4),
-                        lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
+    grams = d.select(
+        "source",
+        F.explode(
+            # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (the
+            # pipeline.py:1463 trap), so sub-5-word docs must emit an
+            # EMPTY gram array, not hit slice(ws, 0, 5).
+            F.when(
+                F.size("ws") >= 5,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, 5)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    # ONE pass (r17, guide §2.2/§3.4): the pre-r17 form ran
+    # distinct → self-equi-join on the gram → totals — Catalyst planned
+    # the scan+explode+distinct subtree FOUR times (self-join sides + two
+    # totals references; plans/r17/cross_source_ngram_overlap_before.txt
+    # shows 4 parquet scans). collect_set per gram replaces BOTH the
+    # distinct and the self-join: sources-per-gram is bounded by the
+    # number of corpus sources (~20), so pair expansion is a closed-form
+    # array op, k·(k-1)/2 ≤ C(n_sources,2) structs per gram — the same
+    # bounded fan-out the old join had, without re-reading the corpus.
+    per_gram = grams.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    # Pair entries (a<b holds by construction on the sorted set) and
+    # singleton entries (a, NULL) in one explode; one count gives both
+    # the shared matrix and the per-source totals.
+    ss = F.col("ss")
+    pair_structs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .distinct()
     )
-    totals = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("source").alias("source_a"), "g")
-    b = grams.select(F.col("source").alias("source_b"), "g")
-    shared = (
-        a.join(b, on="g")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    single_structs = F.transform(
+        ss, lambda x: F.struct(x.alias("a"), F.lit(None).cast("string").alias("b"))
     )
-    ta = totals.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))
-    tb = totals.select(F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b"))
+    counts = (
+        per_gram.select(
+            F.explode(F.concat(pair_structs, single_structs)).alias("e")
+        )
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Single-row collect_list barrier: shared/ta/tb below are THREE
+    # consumers of `counts` (≤ n_sources + C(n_sources,2) rows). Filters
+    # on a grouping-struct field push THROUGH an aggregate, which would
+    # make the three subtrees differ below the exchange and defeat AQE
+    # stage reuse (the whole corpus pass would run three times). A
+    # predicate cannot push through this explode-of-collect_list, so all
+    # three branches share one canonical subtree → ReusedExchange → the
+    # corpus is read and aggregated ONCE.
+    rows = (
+        counts.agg(F.collect_list(F.struct("e.a", "e.b", "n")).alias("rows"))
+        .select(F.explode("rows").alias("r"))
+        .select("r.a", "r.b", "r.n")
+    )
+    shared = rows.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("n").alias("n_shared"),
+    )
+    ta = rows.filter(F.col("b").isNull()).select(
+        F.col("a").alias("source_a"), F.col("n").alias("grams_a")
+    )
+    tb = rows.filter(F.col("b").isNull()).select(
+        F.col("a").alias("source_b"), F.col("n").alias("grams_b")
+    )
     return (
         shared.join(F.broadcast(ta), on="source_a")
         .join(F.broadcast(tb), on="source_b")
