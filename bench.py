@@ -119,6 +119,100 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _tree_cpu_own() -> dict[int, float]:
+    """pid -> OWN (utime+stime) CPU seconds for this process and every live
+    descendant. Unlike :func:`_tree_cpu_seconds`, children's reaped CPU
+    (cutime/cstime) is deliberately excluded — the caller accounts for
+    deaths itself."""
+    procs: dict[int, tuple[int, float]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat", "rb") as fh:
+                stat = fh.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        rest = stat.rsplit(")", 1)[-1].split()
+        try:
+            procs[int(entry)] = (
+                int(rest[1]), (int(rest[11]) + int(rest[12])) / _CLK
+            )
+        except (IndexError, ValueError):
+            continue
+    me = os.getpid()
+    out: dict[int, float] = {}
+    for pid, (ppid, cpu) in procs.items():
+        cur = pid
+        for _ in range(64):
+            if cur == me:
+                out[pid] = cpu
+                break
+            nxt = procs.get(cur)
+            if nxt is None or nxt[0] in (0, cur):
+                break
+            cur = nxt[0]
+    return out
+
+
+class MonotoneTreeCpu:
+    """Monotone process-tree CPU counter (measurement-bug fix #2, declared
+    in OPTIMIZATION_r17.md).
+
+    The cutime-based :func:`_tree_cpu_seconds` is monotone only when every
+    dead descendant is *reaped by a live ancestor in the tree*: a pyspark
+    daemon/worker whose parent never wait()s on it takes its accumulated
+    CPU with it when it exits (the r17 runs recorded -12/-19.8 cpu-s on
+    single queries). This counter instead samples every descendant's OWN
+    utime+stime (never cutime, so nothing is ever counted twice) and BANKS
+    a pid's last-seen value the moment it disappears — or when its counter
+    goes backwards, which means pid reuse. A daemon thread samples every
+    0.25 s so at most ~0.25 s of a dying process's tail is lost; read()
+    also samples synchronously so query boundaries are exact."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self._last: dict[int, float] = {}
+        self._banked = 0.0
+        self._sample()
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def _loop(self) -> None:
+        while True:
+            time.sleep(0.25)
+            self._sample()
+
+    def _sample(self) -> None:
+        cur = _tree_cpu_own()
+        with self._lock:
+            for pid, c in self._last.items():
+                nc = cur.get(pid)
+                if nc is None:
+                    self._banked += c          # died: bank last-seen CPU
+                elif nc < c:
+                    self._banked += c          # pid reused: bank old owner
+            self._last = cur
+
+    def read(self) -> float:
+        self._sample()
+        with self._lock:
+            return self._banked + sum(self._last.values())
+
+
+_MONITOR: MonotoneTreeCpu | None = None
+
+
+def tree_cpu_monotone() -> float:
+    """Module-level monotone tree-CPU reading (lazy singleton monitor)."""
+    global _MONITOR
+    if _MONITOR is None:
+        _MONITOR = MonotoneTreeCpu()
+    return _MONITOR.read()
+
+
 #: fixed pure-CPU workload run in a DEDICATED subprocess: ~1.5 s of sha256
 #: over 400 MiB. Its CPU-seconds (RUSAGE_SELF, measured by the child
 #: itself) are identical instructions every run, so round-over-round drift
@@ -365,11 +459,11 @@ def main() -> None:
     sentinel_cpus: list[float] = []
 
     def sentinel() -> float:
-        c0 = _tree_cpu_seconds()
+        c0 = tree_cpu_monotone()
         t0 = time.time()
         spark.range(2_000_000).selectExpr("sum(id)").collect()
         dt = time.time() - t0
-        sentinel_cpus.append(_tree_cpu_seconds() - c0)
+        sentinel_cpus.append(tree_cpu_monotone() - c0)
         return dt
 
     # Warm-up: run every benchmarked query once (JVM JIT, parquet footers).
@@ -391,11 +485,11 @@ def main() -> None:
         if (h := _host_sentinel_cpu()) is not None:
             host_cpus.append(h)
         for name in names:
-            c0 = _tree_cpu_seconds()
+            c0 = tree_cpu_monotone()
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.time() - t0)
-            best_cpu[name] = min(best_cpu[name], _tree_cpu_seconds() - c0)
+            best_cpu[name] = min(best_cpu[name], tree_cpu_monotone() - c0)
     sentinels.append(sentinel())
     if (h := _host_sentinel_cpu()) is not None:
         host_cpus.append(h)

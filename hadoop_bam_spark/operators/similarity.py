@@ -21,26 +21,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dot_expr(a: Column, b: Column) -> Column:
+    """Deterministic (sequential fold) double-precision dot product."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(v: Column) -> Column:
+    """Euclidean norm with the exact fold cosine_expr uses for its sides.
+
+    Evaluate it ONCE per row/side and pass the result to
+    :func:`cosine_pre`: the division ``dot / (na * nb)`` is then
+    bit-identical to :func:`cosine_expr` (same ops, same order) while the
+    O(d) norm fold stops being recomputed per candidate pair / per
+    centroid-lambda element (Catalyst does no CSE into lambda bodies)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_expr` with both norms precomputed (``na`` for ``a``,
+    ``nb`` for ``b`` — keep the argument order, the multiply is ordered)."""
+    return _dot_expr(a, b) / (na * nb)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays, computed in double precision
     with a deterministic (sequential) fold."""
-    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return dot / (na * nb)
+    return cosine_pre(a, b, norm_expr(a), norm_expr(b))
 
 
 def knn_bruteforce(
@@ -62,12 +75,26 @@ def knn_bruteforce(
 
     corpus = ensure_parallelism(corpus)
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col("_qid").alias("query_id"),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+    # Corpus norm computed once per row, reused across every query; query
+    # norms ride the broadcast — each pair pays one dot fold, not three.
+    scored = (
+        corpus.withColumn("_cnorm", norm_expr(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_pre(
+                    F.col("_qvec"), F.col(vec_col),
+                    F.col("_qnorm"), F.col("_cnorm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -109,16 +136,24 @@ def knn_lsh(
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    cb = corpus.withColumn("_bucket", signbit_bucket(F.col(vec_col), dims))
+    cb = corpus.withColumn("_bucket", signbit_bucket(F.col(vec_col), dims)).withColumn(
+        "_cnorm", norm_expr(F.col(vec_col))
+    )
     qb = queries.select(
         F.col(query_id_col).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnorm"),
         signbit_bucket(F.col(vec_col), dims).alias("_bucket"),
     )
     scored = cb.join(F.broadcast(qb), "_bucket").select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            cosine_pre(
+                F.col("_qvec"), F.col(vec_col), F.col("_qnorm"), F.col("_cnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -171,56 +206,78 @@ def knn_ivf(
         if centroids is not None
         else corpus.orderBy(F.col(id_col)).limit(n_centroids)
     )
+    # Centroid norms are packed into the broadcast struct (cid unique, so
+    # the sort_array order is unchanged); each row's own norm is a hoisted
+    # column — the per-centroid lambda then pays ONE dot fold instead of
+    # three (Catalyst does no CSE into lambda bodies).
     cent_arr_df = (
         cent_src.select(
             F.struct(
                 F.col(id_col).cast("long").alias("cid"),
                 F.col(vec_col).alias("cvec"),
+                norm_expr(F.col(vec_col)).alias("cnorm"),
             ).alias("_c")
         )
         .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
     )
 
-    def _centroid_scores(vec):
+    def _centroid_scores(vec, vnorm):
         # (cosine, -cid) structs: lexicographic struct ordering gives
         # highest cosine with deterministic low-id tie-break
         return F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                F.round(cosine_expr(vec, c["cvec"]), 6).alias("cos"),
+                F.round(cosine_pre(vec, c["cvec"], vnorm, c["cnorm"]), 6).alias("cos"),
                 (-c["cid"]).alias("neg_id"),
             ),
         )
 
     assigned = (
-        corpus.crossJoin(F.broadcast(cent_arr_df))
+        corpus.withColumn("_vnorm", norm_expr(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent_arr_df))
         .withColumn(
-            "centroid_id", -F.array_max(_centroid_scores(F.col(vec_col)))["neg_id"]
+            "centroid_id",
+            -F.array_max(
+                _centroid_scores(F.col(vec_col), F.col("_vnorm"))
+            )["neg_id"],
         )
         .drop("_cents")
     )
     q = queries.select(
-        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qnorm"),
     )
     probes = (
         q.crossJoin(F.broadcast(cent_arr_df))
         .select(
             "_qid",
             "_qvec",
+            "_qnorm",
             F.explode(
                 F.slice(
-                    F.sort_array(_centroid_scores(F.col("_qvec")), asc=False),
+                    F.sort_array(
+                        _centroid_scores(F.col("_qvec"), F.col("_qnorm")),
+                        asc=False,
+                    ),
                     1,
                     n_probe,
                 )
             ).alias("_p"),
         )
-        .select("_qid", "_qvec", (-F.col("_p.neg_id")).alias("centroid_id"))
+        .select(
+            "_qid", "_qvec", "_qnorm", (-F.col("_p.neg_id")).alias("centroid_id")
+        )
     )
     scored = assigned.join(F.broadcast(probes), "centroid_id").select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine_expr(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            cosine_pre(
+                F.col("_qvec"), F.col(vec_col), F.col("_qnorm"), F.col("_vnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -258,10 +315,12 @@ def kmeans_refine(
             F.struct(
                 F.col("centroid_id").cast("long").alias("cid"),
                 F.col(vec_col).alias("cvec"),
+                norm_expr(F.col(vec_col)).alias("cnorm"),
             ).alias("_c")
         ).agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
         assigned = (
-            corpus.crossJoin(F.broadcast(c_arr))
+            corpus.withColumn("_vnorm", norm_expr(F.col(vec_col)))
+            .crossJoin(F.broadcast(c_arr))
             .select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -271,7 +330,11 @@ def kmeans_refine(
                             F.col("_cents"),
                             lambda c: F.struct(
                                 F.round(
-                                    cosine_expr(F.col(vec_col), c["cvec"]), 6
+                                    cosine_pre(
+                                        F.col(vec_col), c["cvec"],
+                                        F.col("_vnorm"), c["cnorm"],
+                                    ),
+                                    6,
                                 ).alias("cos"),
                                 (-c["cid"]).alias("neg_id"),
                             ),
@@ -323,7 +386,11 @@ def cosine_neardup_pairs(
     from hadoop_bam_spark.operators.dedup import ensure_parallelism
 
     df = ensure_parallelism(df)
-    sel = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    sel = [
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm_expr(F.col(vec_col)).alias("_n"),
+    ]
     if block_col:
         sel.append(F.col(block_col).alias("_blk"))
     s = df.select(*sel)
@@ -333,7 +400,15 @@ def cosine_neardup_pairs(
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
     return (
         a.join(b, cond)
-        .withColumn("cosine", F.round(cosine_expr(F.col("a._v"), F.col("b._v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_pre(
+                    F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") > threshold)
         .select(
             F.col("a._id").alias("id_a"),
@@ -428,6 +503,7 @@ def semantic_dedup(
             F.struct(
                 F.col(id_col).cast("long").alias("cid"),
                 F.col(vec_col).alias("cvec"),
+                norm_expr(F.col(vec_col)).alias("cnorm"),
             ).alias("_c")
         )
         .agg(F.sort_array(F.collect_list("_c")).alias("_cents"))
@@ -435,26 +511,39 @@ def semantic_dedup(
     scores = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
-            F.round(cosine_expr(F.col(vec_col), c["cvec"]), 6).alias("cos"),
+            F.round(
+                cosine_pre(F.col(vec_col), c["cvec"], F.col("_vnorm"), c["cnorm"]),
+                6,
+            ).alias("cos"),
             (-c["cid"]).alias("neg_id"),
         ),
     )
     assigned = (
-        corpus.crossJoin(F.broadcast(cent_arr_df))
+        corpus.withColumn("_vnorm", norm_expr(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent_arr_df))
         .withColumn("centroid_id", -F.array_max(scores)["neg_id"])
         .drop("_cents")
     )
     a = assigned.select(
-        "centroid_id", F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+        "centroid_id",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_vnorm").alias("_na"),
     )
     b = assigned.select(
-        "centroid_id", F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+        "centroid_id",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_vnorm").alias("_nb"),
     )
     dropped = (
         a.join(b, "centroid_id")
         .filter(F.col("_idb") < F.col("_ida"))
         .filter(
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+            F.round(
+                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select("centroid_id", F.col("_ida").alias(id_col))

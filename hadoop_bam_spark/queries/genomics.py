@@ -667,10 +667,21 @@ def interval_subtract_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("ref_idx", "pos", "stop"),
         right_keys=("contig_idx", "r_start", "r_stop"),
     )
-    return segs.groupBy("ref_idx").agg(
+    agg = segs.groupBy("ref_idx").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("stop") - F.col("pos") + 1).alias("remaining_bases"),
         F.count_distinct("qname").alias("n_surviving_reads"),
+    )
+    # The oracle groups over READS (left join), so a contig whose mapped
+    # reads are all fully covered still yields a zero row; the segment
+    # aggregate alone would drop that group (surfaced at sf0.001 where
+    # contig 0's merged regions cover every read).
+    contigs = reads.select("ref_idx").distinct()
+    return contigs.join(agg, "ref_idx", "left").select(
+        "ref_idx",
+        F.coalesce("n_segments", F.lit(0).cast("long")).alias("n_segments"),
+        F.coalesce("remaining_bases", F.lit(0).cast("long")).alias("remaining_bases"),
+        F.coalesce("n_surviving_reads", F.lit(0).cast("long")).alias("n_surviving_reads"),
     )
 
 

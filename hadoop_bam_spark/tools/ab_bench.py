@@ -47,11 +47,11 @@ _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 #: argv: <sf_dir> <mode> [query,query,...]; mode "names" prints the
 #: tree's bench-flagged query names, mode "run" times the given set.
 _RUNNER = r"""
-import json, os, sys
+import json, os, sys, threading, time as _time
 sys.path.insert(0, os.getcwd())
 _CLK = os.sysconf("SC_CLK_TCK")
 
-def tree_cpu():
+def _tree_own():
     procs = {}
     for entry in os.listdir("/proc"):
         if not entry.isdigit():
@@ -67,18 +67,43 @@ def tree_cpu():
                                  (int(rest[11]) + int(rest[12])) / _CLK)
         except (IndexError, ValueError):
             continue
-    me, total = os.getpid(), 0.0
+    me, out = os.getpid(), {}
     for pid, (ppid, cpu) in procs.items():
         cur = pid
         for _ in range(64):
             if cur == me:
-                total += cpu
+                out[pid] = cpu
                 break
             nxt = procs.get(cur)
             if nxt is None or nxt[0] in (0, cur):
                 break
             cur = nxt[0]
-    return total
+    return out
+
+# Monotone tree-CPU: bank a pid's last-seen own-CPU when it disappears (or
+# its counter rewinds = pid reuse); never read cutime, so nothing is
+# double-counted and a dying unreaped worker cannot make a delta negative.
+_lock, _last, _banked = threading.Lock(), {}, [0.0]
+
+def _sample():
+    cur = _tree_own()
+    with _lock:
+        for pid, c in _last.items():
+            nc = cur.get(pid)
+            if nc is None or nc < c:
+                _banked[0] += c
+        _last.clear(); _last.update(cur)
+
+def _loop():
+    while True:
+        _time.sleep(0.25); _sample()
+
+threading.Thread(target=_loop, daemon=True).start()
+
+def tree_cpu():
+    _sample()
+    with _lock:
+        return _banked[0] + sum(_last.values())
 
 sf_dir, mode = sys.argv[1], sys.argv[2]
 from hadoop_bam_spark.queries import REGISTRY

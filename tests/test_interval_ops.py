@@ -1411,3 +1411,19 @@ def test_map_stranded_matches_brute(spark, stranded_frames, mode):
                 if c == lc and s <= le and ls <= e]
         want = (sum(vals) if vals else None, len(vals))
         assert got[name] == want, (name, mode)
+
+
+def test_subtract_reads_keeps_fully_covered_contig_group(spark):
+    """A contig whose mapped reads are ALL fully covered by the merged
+    regions must still appear as a zero row (the oracle groups over reads,
+    not over surviving segments). Regression: at sf0.001 contig 0 is fully
+    covered and its group silently vanished."""
+    from pyspark.sql import functions as _F
+
+    from hadoop_bam_spark.queries import REGISTRY
+
+    df = REGISTRY["interval_subtract_reads"].fn(spark, "/root/testdata/sf0.001")
+    rows = {r["ref_idx"]: r for r in df.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    z = rows[0]
+    assert (z["n_segments"], z["remaining_bases"], z["n_surviving_reads"]) == (0, 0, 0)

@@ -26,7 +26,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from bench import _tree_cpu_seconds  # noqa: E402
+from bench import tree_cpu_monotone  # noqa: E402
 
 
 def main() -> None:
@@ -57,10 +57,10 @@ def main() -> None:
         for i in range(reps):
             spark.sparkContext.setJobDescription(f"profile:{name}:rep{i}")
             df = fn(spark, sf_dir)
-            c0, t0 = _tree_cpu_seconds(), time.time()
+            c0, t0 = tree_cpu_monotone(), time.time()
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.time() - t0)
-            cpus.append(_tree_cpu_seconds() - c0)
+            cpus.append(tree_cpu_monotone() - c0)
         out[name] = {
             "wall_min": round(min(walls), 3),
             "cpu_min": round(min(cpus), 3),
