@@ -241,18 +241,51 @@ class TestAutoFaidxExactness:
                 for f in (l.rstrip("\n").split("\t") for l in fh if l.strip())
             ]
 
+    def _brute_fai(self, path):
+        """Independent (byte-walk, not line-split) faidx layout: name,
+        length, offset of first base byte, bases per full line, bytes per
+        full line. Kept deliberately different in shape from
+        scan_fai_entries so the two cannot share a bug."""
+        out, raw = [], open(path, "rb").read()
+        pos = 0
+        while pos < len(raw):
+            assert raw[pos : pos + 1] == b">"
+            nl = raw.index(b"\n", pos)
+            name = raw[pos + 1 : nl].split()[0].decode()
+            off = nl + 1
+            # walk sequence lines until next '>' or EOF
+            p, length, linebases, linewidth = off, 0, None, None
+            while p < len(raw) and raw[p : p + 1] != b">":
+                e = raw.find(b"\n", p)
+                e = len(raw) if e < 0 else e
+                bases = e - p - (1 if raw[e - 1 : e] == b"\r" else 0)
+                if bases and linebases is None:
+                    linebases, linewidth = bases, e + 1 - p
+                length += bases
+                p = e + 1
+            out.append((name, length, off, linebases or 0, linewidth or 0))
+            pos = p
+        return out
+
     @pytest.mark.parametrize("fasta", [AUXF_FA, MINI_FA])
     def test_parity_with_htslib_fai(self, fasta):
         from hadoop_bam_spark.sinks import scan_fai_entries
 
-        # Both reference fixtures SHIP an htslib-written .fai — its absence
-        # means the fixture path regressed, so fail loudly rather than
-        # skip (a silent skip masked exactly that once; ADVICE r13).
-        assert os.path.exists(fasta + ".fai"), (
-            f"{fasta}.fai sidecar missing — the reference fixture ships "
-            "one; check the fixture path"
-        )
-        assert scan_fai_entries(fasta) == self._read_fai(fasta + ".fai")
+        # AUXF_FA ships an htslib-written .fai — its absence means the
+        # fixture path regressed, so fail loudly rather than skip (a
+        # silent skip masked exactly that once; ADVICE r13). The
+        # reference checkout stopped shipping MINI_FA's sidecar (r17), so
+        # for fixtures without one the htslib file is replaced by an
+        # independent brute-force layout walk.
+        if os.path.exists(fasta + ".fai"):
+            want = self._read_fai(fasta + ".fai")
+        else:
+            assert fasta != AUXF_FA, (
+                f"{fasta}.fai sidecar missing — this fixture ships one; "
+                "check the fixture path"
+            )
+            want = self._brute_fai(fasta)
+        assert scan_fai_entries(fasta) == want
 
     def test_crlf(self, tmp_path):
         """CRLF line endings: bases exclude the \\r (htslib parity),
