@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"cpu_sec": {...}, "noise_sentinel": {...}, "sf": ...}.
+MINIMAL JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}. The full payload (cpu_sec, noise_sentinel,
+vs_prev, regression_detail) is file-only — BENCH_FULL_r{N}.json for the
+env-less round run, BENCH_FULL_LAST.json otherwise — because the driver's
+stdout capture tail-truncated the old oversized line two rounds running
+(r16/r17 VERDICTs; BENCH_r16.json parsed: null).
 
 Each query is run once to warm the JVM/parse paths, then timed (best of 5 —
 the min is robust to the 1.1-1.3x uniform GC/scheduler noise this box shows;
@@ -186,8 +190,15 @@ class MonotoneTreeCpu:
             self._sample()
 
     def _sample(self) -> None:
-        cur = _tree_cpu_own()
+        # The whole sample — /proc walk INCLUDED — runs under the lock
+        # (ADVICE r17 medium): with the walk outside it, the 0.25 s daemon
+        # sample and a synchronous read() sample could interleave so that
+        # an OLDER snapshot overwrote a newer ``_last`` after a pid death
+        # was banked — the dying pid's CPU banked twice and read() could
+        # go backwards (the inverted form of the exact error this class
+        # exists to fix). The walk is ~1 ms; serializing it is free.
         with self._lock:
+            cur = _tree_cpu_own()
             for pid, c in self._last.items():
                 nc = cur.get(pid)
                 if nc is None:
@@ -448,6 +459,16 @@ def _regression_flag(vs_prev: dict | None,
     }
 
 
+#: the driver-contract stdout keys — nothing else may print (oversized
+#: lines were tail-truncated by the driver's capture; see main()).
+_CONTRACT_KEYS = ("metric", "value", "unit", "queries", "sf")
+
+
+def _contract_line(payload: dict) -> str:
+    """The ONE stdout line: contract keys only, in contract order."""
+    return json.dumps({k: payload[k] for k in _CONTRACT_KEYS})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from hadoop_bam_spark.queries import REGISTRY
@@ -540,15 +561,29 @@ def main() -> None:
     if (reg := _regression_flag(payload["vs_prev"], cpu)) is not None:
         payload["regression"] = reg["regression"]
         payload["regression_detail"] = reg
-    print(json.dumps(payload))
-    # The stdout line is the driver contract; the FILE is the durable
-    # artifact (the driver's stdout capture truncated two rounds running).
-    # Only the default-SF run is round-comparable — don't clobber the
-    # round artifact from sf0.01 iteration runs.
+    # Driver contract line — MINIMAL on purpose (r18, VERDICT r17 next #2):
+    # the oversized single line was tail-truncated by the driver's stdout
+    # capture two rounds running (BENCH_r16.json parsed: null, which
+    # emptied the r17 PERF round-over-round table). Only the contract keys
+    # (metric/value/unit/queries/sf) print; the full payload (cpu_sec,
+    # noise_sentinel, vs_prev, regression_detail) is FILE-ONLY below.
+    # The timed .count() action, the wall methodology and the query set
+    # are unchanged — this is an output-framing fix, not a re-measure.
+    print(_contract_line(payload))
+    # The FILE is the durable full artifact. The env-less default-SF run is
+    # the round-comparable one (BENCH_FULL_r{N}); a run pointed anywhere
+    # via $SPARK_GRAFT_SF_DIR (sf0.01 iteration, the driver's own capture)
+    # writes a scratch side file instead so the full payload is never lost
+    # and the round artifact is never clobbered.
     if "SPARK_GRAFT_SF_DIR" not in os.environ:
         out = os.path.join(_REPO, f"BENCH_FULL_r{_round_n():02d}.json")
+    else:
+        out = os.path.join(_REPO, "BENCH_FULL_LAST.json")
+    try:
         with open(out, "w") as fh:
             json.dump(payload, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout — the contract line already printed
     spark.stop()
 
 

@@ -1085,14 +1085,26 @@ def interval_closest_all(
     parts = []
     if not ignore_overlaps:
         # strand-aware tile join: fold the strand group into a composite
-        # contig key on BOTH sides (concat_ws skips nulls — null==null
-        # composite equality matches the scan's null partition grouping)
+        # contig key on BOTH sides. Struct key, not concat_ws (r18, ADVICE
+        # r16 low / VERDICT r17 #9): struct equality compares fields
+        # null-first, so NULL strands match themselves AND a contig whose
+        # name happens to contain the old "\x1f" separator can no longer
+        # collide with a (contig, strand) pair — the same null-safe
+        # pattern sweep's _swkey proved in r17.
         if strand is not None:
             bl = base.filter(d == 0).withColumn(
-                "_ck", F.concat_ws("\x1f", F.col(c).cast("string"), F.col(ls_col))
+                "_ck",
+                F.struct(
+                    F.col(c).cast("string").alias("c"),
+                    F.col(ls_col).cast("string").alias("g"),
+                ),
             )
             br = r.withColumn(
-                "_ck", F.concat_ws("\x1f", F.col("_rc").cast("string"), F.col("_rg"))
+                "_ck",
+                F.struct(
+                    F.col("_rc").cast("string").alias("c"),
+                    F.col("_rg").cast("string").alias("g"),
+                ),
             )
             ov = interval_join_binned(
                 bl,
@@ -1594,26 +1606,26 @@ def interval_multiinter(
         "_set",
         F.col("_ev.delta").alias("_delta"),
     )
-    # One row per boundary position (the state AFTER all events there);
-    # positions are then unique per contig — the precondition of the
-    # chunked scan and lookahead.
-    pv = ev.groupBy("_c", "_pos").agg(
-        *[
-            F.sum(
-                F.when(F.col("_set") == n, F.col("_delta")).otherwise(0)
-            ).alias(f"_d_{i}")
-            for i, n in enumerate(names)
-        ]
-    )
     # ONE fused scan: every per-set running counter AND the next-boundary
     # lookahead share a single exchange+sort+summary round (r15 — the
-    # separate lead pass cost a second full scan of the boundary table).
+    # separate lead pass cost a second full scan of the boundary table),
+    # and the one-row-per-boundary-position aggregate (the scan's
+    # uniqueness precondition) is FUSED into the scan's own exchange via
+    # ``pre_agg`` (r18, guide §2.4): the standalone groupBy(_c, _pos)
+    # shuffled the event table a second time right before the scan's
+    # (key, chunk) repartition.
     state = chunked_scan(
-        pv,
+        ev,
         ["_c"],
         "_pos",
         [(f"_d_{i}", "sum", f"_n_{i}") for i in range(len(names))]
         + [(F.col("_pos"), "min", "_next", "desc", True)],
+        pre_agg=[
+            F.sum(
+                F.when(F.col("_set") == n, F.col("_delta")).otherwise(0)
+            ).alias(f"_d_{i}")
+            for i, n in enumerate(names)
+        ],
         **cs_kw,
     )
     covered = [F.col(f"_n_{i}") > 0 for i in range(len(names))]

@@ -81,6 +81,20 @@ ADAPTIVE_SINGLE_MAX_BYTES = 256 << 20
 #: way). 256k rows is well under a second of single-task sweep.
 ADAPTIVE_SINGLE_MAX_KEY_ROWS = 1 << 18
 
+#: adaptive stage 0 (r18, VERDICT r17 next #7 — the probe used to execute
+#: the full upstream a second time at DataFrame-construction time even
+#: when the input was trivially small): when the Catalyst size estimate
+#: bounds the TOTAL row count below ADAPTIVE_SINGLE_MAX_KEY_ROWS, even a
+#: 100%-skewed input cannot exceed the per-key bound, so the
+#: single-window form is chosen WITHOUT running the skew probe at all.
+#: Plan-stats row-width estimates are >= 8 bytes/row for any row carrying
+#: a key and a position (each estimated column contributes its type
+#: width), so rows <= size / 8. Decisions are unchanged (a probe on such
+#: an input always answered "single"); the extra upstream execution is
+#: gone. At the default bound this shortcut covers inputs up to
+#: 256k * 8 = 2 MB — e.g. every per-contig region merge at bench SFs.
+_MIN_EST_ROW_BYTES = 8
+
 _OPS = {"sum", "max", "min"}
 _DIRS = {"asc", "desc"}
 
@@ -101,7 +115,11 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 #: re-planning the same input (bench reps, a pipeline reusing one frame
 #: across several sweep ops) must not re-run the probe job. Decisions are
 #: perf-only (both forms are exact), so a semantic-hash collision cannot
-#: produce a wrong ANSWER. Bounded; cleared wholesale when full.
+#: produce a wrong ANSWER — and the memo ASSUMES the underlying files are
+#: immutable for the session (the testdata contract): if data changes
+#: under an identical plan mid-session, a stale entry can only pick the
+#: slower-but-exact form, never a wrong result. Bounded; cleared
+#: wholesale when full.
 _DECISION_CACHE: dict = {}
 _DECISION_CACHE_MAX = 1024
 
@@ -137,7 +155,15 @@ def resolve_chunk_size(
         return _DECISION_CACHE[key]
     decision = default
     size = _plan_size_bytes(df)
-    if size is not None and size <= ADAPTIVE_SINGLE_MAX_BYTES:
+    if (
+        size is not None
+        and size <= ADAPTIVE_SINGLE_MAX_KEY_ROWS * _MIN_EST_ROW_BYTES
+        and size <= ADAPTIVE_SINGLE_MAX_BYTES
+    ):
+        # so small that even total skew stays under the probe's row bound
+        # — decide without executing the upstream at all (r18).
+        decision = SINGLE_WINDOW
+    elif size is not None and size <= ADAPTIVE_SINGLE_MAX_BYTES:
         try:
             mx = (
                 df.select(*part_cols)
@@ -189,6 +215,7 @@ def chunked_scan(
     specs: Sequence[tuple],
     chunk_size: int | None = None,
     broadcast_summary: bool | None = None,
+    pre_agg: Sequence | None = None,
 ) -> DataFrame:
     """Add exact running aggregates over (``part_cols`` partitions ordered
     by ``pos_col``) without a per-partition-key window — ALL specs fused
@@ -229,11 +256,33 @@ def chunked_scan(
     the docstring told callers to opt out, nothing enforced it. ``True``
     still forces the hint (callers that KNOW the summary is
     dimension-bounded); ``False`` is the explicit no-hint spelling.
+
+    ``pre_agg`` (r18, guide §2.4 — share one exchange): optional list of
+    aggregate Columns. The boundary-event consumers (pileup,
+    multiinter) reduce their event table to ONE row per (part_cols,
+    position) before scanning; done as a plain ``groupBy`` upstream that
+    costs a SECOND full exchange of the event table (hash on (part,
+    pos)) immediately before this function's own exchange (hash on
+    (part, chunk)). Passing the aggregates here fuses them: the group
+    keys extend with the chunk column — the chunk is a pure function of
+    the position, so groups are identical — and the aggregate runs
+    AFTER (and co-partitioned with) the one exchange the window needs
+    anyway. The scan's output frame then carries ONLY part_cols,
+    pos_col and the aggregate outputs (plus the spec outputs); spec
+    value expressions must reference the aggregated columns.
     """
     sp = _norm_specs(specs)
     part = list(part_cols)
     chunk_size = resolve_chunk_size(df, chunk_size, SWEEP_CHUNK_SIZE, part)
     if chunk_size == SINGLE_WINDOW:
+        if pre_agg is not None:
+            # one exchange here too: repartition by the window's keys,
+            # then group on (part, pos) — a superset, so the aggregate
+            # reuses the distribution instead of adding its own hash
+            # (part, pos) exchange, and the window below adds none.
+            if part:
+                df = df.repartition(*[F.col(p) for p in part])
+            df = df.groupBy(*part, pos_col).agg(*pre_agg)
         wasc = Window.partitionBy(*part).orderBy(F.col(pos_col).asc())
         wdesc = Window.partitionBy(*part).orderBy(F.col(pos_col).desc())
         frames = {
@@ -258,9 +307,14 @@ def chunked_scan(
     # while the single-window path answered correctly). Window partitioning,
     # the summary groupBy, and the join all key on the same struct, so they
     # also share one distribution.
-    base = df.withColumn("_swchunk", chunk).withColumn(
-        "_swkey", F.struct(*[F.col(p) for p in part])
-    )
+    base = df.withColumn("_swchunk", chunk)
+    # Degenerate-signature guard (ADVICE r17 low): with an empty
+    # part_cols list a zero-field struct would become the repartition/
+    # window/join key — skip _swkey entirely and key on the chunk alone.
+    key_cols = ["_swchunk"]
+    if part:
+        base = base.withColumn("_swkey", F.struct(*[F.col(p) for p in part]))
+        key_cols = ["_swkey", "_swchunk"]
     # Explicit reuse boundary (r17, the _chunked_local_merge r15 fix
     # applied here): ``base`` feeds BOTH the windowed data pass and the
     # chunk-summary aggregate. Left implicit, Catalyst plans the two
@@ -272,7 +326,21 @@ def chunked_scan(
     # repartition replaces the ENSURE_REQUIREMENTS exchange the window
     # needed anyway, and both branches now read it via ReusedExchange —
     # upstream runs once.
-    base = base.repartition(F.col("_swkey"), F.col("_swchunk"))
+    base = base.repartition(*[F.col(k) for k in key_cols])
+    if pre_agg is not None:
+        # Fused position aggregate (r18): group keys = (key, chunk, pos)
+        # — a SUPERSET of the repartition keys, so the aggregate reuses
+        # the exchange above instead of shuffling the event table a
+        # second time on (part, pos). The chunk is a function of the
+        # position, so the groups are exactly the (part, pos) groups the
+        # callers previously built upstream. The part columns are then
+        # re-projected out of the struct key (the struct itself is
+        # dropped on return).
+        base = base.groupBy(*key_cols, pos_col).agg(*pre_agg)
+        if part:
+            base = base.select(
+                "*", *[F.col(f"_swkey.{p}").alias(p) for p in part]
+            )
     # Two window families sharing ONE exchange: ascending specs run as
     # growing prefix frames over the ascending sort, descending specs as
     # growing prefix frames over the DESCENDING sort of the same
@@ -282,8 +350,8 @@ def chunked_scan(
     # from scratch per row — O(rows²) per partition (an 82 s multiinter
     # at 2 M rows vs ~2 s with the reversed-sort prefix form), while the
     # unbounded-PRECEDING frame grows incrementally in O(rows).
-    wasc = Window.partitionBy("_swkey", "_swchunk").orderBy(F.col(pos_col).asc())
-    wdesc = Window.partitionBy("_swkey", "_swchunk").orderBy(F.col(pos_col).desc())
+    wasc = Window.partitionBy(*key_cols).orderBy(F.col(pos_col).asc())
+    wdesc = Window.partitionBy(*key_cols).orderBy(F.col(pos_col).desc())
     frames = {
         ("asc", False): wasc.rangeBetween(Window.unboundedPreceding, 0),
         ("asc", True): wasc.rangeBetween(Window.unboundedPreceding, -1),
@@ -306,11 +374,12 @@ def chunked_scan(
     # above (the window columns would be pruned out of this branch
     # anyway, but deriving from ``base`` keeps the two subtrees
     # byte-identical below the exchange).
-    cs = base.groupBy("_swkey", "_swchunk").agg(
+    cs = base.groupBy(*key_cols).agg(
         *[getattr(F, op)(val).alias(f"_tot_{out}") for val, op, out, _, _ in sp]
     )
-    wc_asc = Window.partitionBy("_swkey").orderBy(F.col("_swchunk").asc())
-    wc_desc = Window.partitionBy("_swkey").orderBy(F.col("_swchunk").desc())
+    sum_part = ["_swkey"] if part else []
+    wc_asc = Window.partitionBy(*sum_part).orderBy(F.col("_swchunk").asc())
+    wc_desc = Window.partitionBy(*sum_part).orderBy(F.col("_swchunk").desc())
     off_frames = {
         # prefix frames in both directions (same O(rows) rationale as the
         # data pass — the summary is tiny, but asof's time_chunk can make
@@ -319,8 +388,7 @@ def chunked_scan(
         "desc": wc_desc.rowsBetween(Window.unboundedPreceding, -1),
     }
     cs = cs.select(
-        "_swkey",
-        "_swchunk",
+        *key_cols,
         *[
             getattr(F, op)(f"_tot_{out}").over(off_frames[d]).alias(f"_off_{out}")
             for _, op, out, d, _ in sp
@@ -331,14 +399,13 @@ def chunked_scan(
     # Equi-join on the struct key: null-safe (struct equality compares
     # fields null-first, so NULL partition values match themselves) AND
     # co-partitioned with the window pass — no extra exchange of the data.
-    out_df = basew.join(cs, on=["_swkey", "_swchunk"], how="left")
+    out_df = basew.join(cs, on=key_cols, how="left")
     for _, op, out, _, _ in sp:
         out_df = out_df.withColumn(
             out, _combine(op, F.col(f"_loc_{out}"), F.col(f"_off_{out}"))
         )
     return out_df.drop(
-        "_swchunk",
-        "_swkey",
+        *key_cols,
         *[f"_loc_{o}" for _, _, o, _, _ in sp],
         *[f"_off_{o}" for _, _, o, _, _ in sp],
     )

@@ -2147,14 +2147,19 @@ def pileup_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("ref_idx", F.col("_ev.p").alias("p"), F.col("_ev.d").alias("d"))
     # Merged regions are disjoint, so depth returns to 0 between regions —
     # no segment ever spans a region boundary.
-    agg = ev.groupBy("ref_idx", "p").agg(F.sum("d").alias("delta"))
     # Running depth AND the next-boundary lookahead in ONE fused scan
-    # (r15 — two separate passes before).
+    # (r15 — two separate passes before), with the one-row-per-boundary
+    # position aggregate FUSED into the scan's own exchange (r18, guide
+    # §2.4): the standalone groupBy(ref_idx, p) cost a second full
+    # exchange of the event table immediately before the scan's
+    # repartition — the fused form groups on (key, chunk, p) after that
+    # one exchange instead (plans/r18: Exchange(29)+Exchange(31) → one).
     state = chunked_scan(
-        agg,
+        ev,
         ["ref_idx"],
         "p",
         [("delta", "sum", "depth"), (F.col("p"), "min", "_nxt", "desc", True)],
+        pre_agg=[F.sum("d").alias("delta")],
     )
     # The final event of a contig always carries depth 0 (deltas sum to 0),
     # so depth > 0 never coincides with a null lead.

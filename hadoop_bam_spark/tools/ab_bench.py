@@ -86,8 +86,10 @@ def _tree_own():
 _lock, _last, _banked = threading.Lock(), {}, [0.0]
 
 def _sample():
-    cur = _tree_own()
+    # /proc walk under the lock too: an interleaved older snapshot would
+    # overwrite a newer _last after a death was banked (double-count).
     with _lock:
+        cur = _tree_own()
         for pid, c in _last.items():
             nc = cur.get(pid)
             if nc is None or nc < c:

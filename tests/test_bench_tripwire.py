@@ -96,6 +96,35 @@ class TestRegressionFlag:
         got = b._regression_flag(vs, {"q_tiny": 0.1})
         assert got["regression"] is False and got["query_hits"] == []
 
+    def test_contract_line_is_minimal_and_short(self):
+        # r18 (VERDICT r17 next #2): the stdout line carries ONLY the
+        # driver-contract keys — the old full payload was tail-truncated
+        # by the driver's capture (BENCH_r16 parsed: null), which emptied
+        # the PERF round-over-round table for a whole round.
+        import json
+
+        b = _bench()
+        payload = {
+            "metric": "headline_queries_total",
+            "value": 30.5,
+            "unit": "sec",
+            "queries": {f"q{i}": 1.234 for i in range(26)},
+            "sf": 0.1,
+            # file-only blocks that must NOT reach stdout
+            "cpu_sec": {f"q{i}": 9.9 for i in range(26)},
+            "noise_sentinel": {"min": 0.1},
+            "vs_prev": {"per_query_cpu_ratio": {}},
+            "regression_detail": {"x": 1},
+        }
+        line = b._contract_line(payload)
+        parsed = json.loads(line)
+        assert set(parsed) == set(b._CONTRACT_KEYS)
+        assert parsed["queries"] == payload["queries"]
+        assert "\n" not in line
+        # headroom vs any sane line-capture limit (the r16 payload that
+        # truncated was ~4x this)
+        assert len(line) < 2048
+
     def test_query_ratio_divides_out_calibration(self):
         # raw per-query ratio 2.4 on a box running 1.3x hot -> 1.85
         # calibrated: under the bound, no false alarm

@@ -387,3 +387,112 @@ def test_chunked_scan_reuses_one_exchange(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "ReusedExchange" in plan, plan
+
+
+def test_chunked_scan_pre_agg_matches_plain_groupby(spark):
+    """``pre_agg`` (r18) fuses the one-row-per-position aggregate into the
+    scan's own exchange; the result must be EXACTLY groupBy + chunked_scan
+    on both the chunked and the single-window paths (including NULL
+    partition keys and NULL aggregate inputs)."""
+    df, _ = _data(spark, seed=18)
+    df = df.withColumn(
+        "part", F.when(F.col("uid") % 7 == 0, F.lit(None)).otherwise("part")
+    )
+    specs = [
+        ("v", "sum", "run"),
+        (F.col("pos"), "min", "nxt", "desc", True),
+    ]
+    pre = [F.sum("val").alias("v")]
+    for cs in (13, 0):
+        want = {
+            (r["part"], r["pos"]): (r["v"], r["run"], r["nxt"])
+            for r in chunked_scan(
+                df.groupBy("part", "pos").agg(*pre),
+                ["part"], "pos", specs, chunk_size=cs,
+            ).collect()
+        }
+        got = {
+            (r["part"], r["pos"]): (r["v"], r["run"], r["nxt"])
+            for r in chunked_scan(
+                df, ["part"], "pos", specs, chunk_size=cs, pre_agg=pre
+            ).collect()
+        }
+        assert got == want, f"chunk_size={cs}"
+
+
+def test_chunked_scan_pre_agg_single_exchange(spark):
+    """The fused pre-aggregate must NOT add its own exchange: the executed
+    plan carries exactly ONE shuffle of the event table (the scan's
+    (key, chunk) repartition), where the standalone groupBy form paid a
+    second hash(part, pos) exchange immediately before it."""
+    df, _ = _data(spark, seed=19)
+    pre = [F.sum("val").alias("v")]
+    specs = [("v", "sum", "run")]
+
+    def n_exchanges(out):
+        out.collect()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # executed (final) adaptive plan only; count real shuffles
+        # (Exchange), not Broadcast/ReusedExchange
+        final = plan.split("== Initial Plan ==")[0]
+        return len(re.findall(r"\bExchange \(\d+\)", final))
+
+    fused = n_exchanges(
+        chunked_scan(df, ["part"], "pos", specs, chunk_size=13, pre_agg=pre)
+    )
+    plain = n_exchanges(
+        chunked_scan(
+            df.groupBy("part", "pos").agg(*pre),
+            ["part"], "pos", specs, chunk_size=13,
+        )
+    )
+    # both forms keep the O(#chunks) summary-offset exchange; the fused
+    # form drops the event table's second full shuffle (the baseline's
+    # exact count varies with AQE's join choice, but is always larger)
+    assert fused == 2, f"fused form shuffles {fused}x (want data + summary)"
+    assert plain > fused, f"baseline {plain} vs fused {fused}"
+
+
+def test_chunked_scan_empty_part_cols(spark):
+    """part_cols=[] (ADVICE r17 low): the chunked path must key on the
+    chunk alone — no zero-field struct key — and still equal the
+    single-window form."""
+    df, _ = _data(spark, seed=20)
+    specs = [("val", "sum", "run"), ("val", "max", "peak", "desc", True)]
+    want = {
+        r["uid"]: (r["run"], r["peak"])
+        for r in chunked_scan(df, [], "pos", specs, chunk_size=0).collect()
+    }
+    got = {
+        r["uid"]: (r["run"], r["peak"])
+        for r in chunked_scan(df, [], "pos", specs, chunk_size=17).collect()
+    }
+    assert got == want
+
+
+def test_resolve_trivial_size_skips_probe(spark, monkeypatch):
+    """A trivially small input (size bound alone caps rows under the
+    per-key bound) must decide single-window WITHOUT running the skew
+    probe job (VERDICT r17 next #7: the probe executed the full upstream
+    a second time at DataFrame-construction time)."""
+    import hadoop_bam_spark.operators.sweep as sweep_mod
+    from pyspark.sql import DataFrame
+
+    # fully skewed AND tiny: the old policy probed (and still chose
+    # single); the new policy must choose single with NO job at all
+    df = spark.range(0, 100).select(
+        F.lit(0).alias("part"), (F.col("id") + 1).alias("pos")
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("probe job ran on a trivially small input")
+
+    sweep_mod._DECISION_CACHE.clear()
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    try:
+        got = sweep_mod.resolve_chunk_size(df, None, 99, ["part"])
+    finally:
+        sweep_mod._DECISION_CACHE.clear()
+    assert got == sweep_mod.SINGLE_WINDOW
