@@ -98,3 +98,28 @@ def test_no_cartesian_product(spark, name):
             "in the allowlist — express it with built-in functions, or "
             "allowlist it with a written justification"
         )
+
+
+def test_cross_source_overlap_single_corpus_pass(spark):
+    """cross_source_ngram_overlap's single-pass claim, enforced by CI
+    (r18, VERDICT r17 next #6): the STATIC plan prints three consumer
+    subtrees over the documents scan (the collect_list barrier keeps
+    them byte-identical below the exchange), and at runtime AQE must
+    collapse them — the FINAL adaptive plan carries ReusedExchange and
+    exactly ONE documents.parquet scan, i.e. the corpus is read and
+    gram-aggregated once, not three times."""
+    import re
+
+    df = _registry()["cross_source_ngram_overlap"].fn(spark, SF_SMOKE)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the tree before "== Initial Plan ==" is the FINAL executed plan;
+    # the only parquet input of this query is documents.parquet
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    n_scans = len(re.findall(r"Scan parquet", final))
+    assert n_scans == 1, (
+        f"{n_scans} parquet scans survive in the executed plan:\n" + final
+    )
