@@ -37,8 +37,10 @@ def test_sbi_build_and_stats(tmp_path, capsys):
         reader = bgzf.BGZFReader(fh)
         _, refs, _ = bam_codec.read_header(reader)
         for v in idx.voffsets:
-            recs = list(bam_codec.iter_records(reader, refs, v))
-            assert recs  # a record starts exactly here
+            # ONE record per voffset ("a record starts exactly here") —
+            # list() decoded the whole remaining file per voffset, making
+            # the spot-check quadratic in index size (r18 suite budget).
+            assert next(bam_codec.iter_records(reader, refs, v), None) is not None
 
 
 def test_sbi_reference_layout(tmp_path):
