@@ -248,5 +248,14 @@ def read_chain_file(path: str) -> List[Tuple]:
 
 
 def read_chain(spark, path: str):
-    """Chain file -> broadcastable DataFrame in CHAIN_SCHEMA."""
-    return spark.createDataFrame(read_chain_file(path), CHAIN_SCHEMA)
+    """Chain file -> broadcastable DataFrame in CHAIN_SCHEMA.
+
+    Built through :func:`hadoop_bam_spark.session.local_df` (Arrow, one
+    driver-side conversion): the plain list path re-ran one Python-RDD
+    task per core on every broadcast build — ~12 CPU-s/run at local[32]
+    for a 25-block chain, 75% of chain_liftover_roundtrip's bench CPU
+    (r18 dissection).
+    """
+    from hadoop_bam_spark.session import local_df
+
+    return local_df(spark, read_chain_file(path), CHAIN_SCHEMA)

@@ -1742,7 +1742,9 @@ def genome_sizes(spark, path: str) -> DataFrame:
                 "complement tail gaps)"
             )
         seen.add(contig)
-    return spark.createDataFrame(rows, "contig string, size long")
+    from hadoop_bam_spark.session import local_df
+
+    return local_df(spark, rows, "contig string, size long")
 
 
 def interval_slop(

@@ -2125,6 +2125,6 @@ def bam_idxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, ref in enumerate(idx.refs):
         rows.append((f"chr{i + 1}", max(ref.n_mapped, 0), max(ref.n_unmapped, 0)))
     rows.append(("*", 0, int(idx.n_no_coor or 0)))
-    return spark.createDataFrame(
-        rows, "rname string, n_mapped long, n_unmapped long"
-    )
+    from hadoop_bam_spark.session import local_df
+
+    return local_df(spark, rows, "rname string, n_mapped long, n_unmapped long")

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_bam_spark.queries.registry import query
+from hadoop_bam_spark.session import local_df
 from hadoop_bam_spark.operators.interval_join import interval_join_binned as _binned_join
 
 # ---------------------------------------------------------------------------
@@ -727,7 +728,7 @@ def interval_complement_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_complement
 
     regions = regions_view(spark, sf_dir).select("contig_idx", "r_start", "r_stop")
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(i, 1100000) for i in range(4)], "contig_idx long, size long"
     )
     return interval_complement(
@@ -1191,7 +1192,7 @@ def interval_coverage_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def genome_windows_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import genome_makewindows
 
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(i, 997000 + i * 13001) for i in range(4)],
         "contig_idx long, size long",
     )
@@ -1460,7 +1461,7 @@ def interval_shuffle_null_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_shuffle
 
     regions = regions_view(spark, sf_dir)
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(i, 1000000) for i in range(4)], "contig_idx long, size long"
     )
     sh = interval_shuffle(
@@ -1518,7 +1519,7 @@ def interval_shuffle_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_shuffle
 
     regions = regions_view(spark, sf_dir)
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(0, 1000000), (1, 400000), (2, 200000), (3, 100000)],
         "contig_idx long, size long",
     )
@@ -1581,7 +1582,7 @@ def interval_shuffle_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
 def interval_random_genome(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_bam_spark.operators.interval_join import interval_random
 
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(0, 1000000), (1, 400000), (2, 200000), (3, 100000)],
         "contig_idx long, size long",
     )
@@ -2565,7 +2566,7 @@ def interval_slop_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_start").alias("start"),
         F.col("r_stop").alias("stop"),
     )
-    sizes = spark.createDataFrame(
+    sizes = local_df(spark, 
         [(i, 1100000) for i in range(4)], "contig long, size long"
     )
     grown = interval_slop(regions, sizes, left=5000, right=12000)

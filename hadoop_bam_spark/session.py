@@ -45,6 +45,34 @@ def get_spark(
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Small driver-side row list -> DataFrame through the Arrow path.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` Python-RDD slices; EVERY downstream execution
+    of the plan then launches one Python worker per slice just to
+    re-emit a handful of pickled rows — ~12 process-tree CPU-s per run
+    at ``local[32]`` for a 25-row frame (measured r18; the broadcast
+    build re-runs the scan on each action). A pandas frame instead
+    takes the Arrow `createDataFrame` path: rows are converted ONCE on
+    the driver and the runtime scan is pure JVM (guide §4 — eliminate
+    the Python boundary).
+
+    For dimension-sized, null-free rows only (chain blocks, contig
+    sizes): pandas' NaN coercion is not handled here. ``schema`` must
+    be a DDL string; column order follows it.
+    """
+    import pandas as pd
+
+    names = [c.strip().rsplit(" ", 1)[0].strip() for c in schema.split(",")]
+    rows = list(rows)
+    if not rows:  # empty pandas frames lose dtypes; the plain path is fine
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(
+        pd.DataFrame.from_records(rows, columns=names), schema
+    )
+
+
 TABLES = (
     "region",
     "nation",

@@ -237,3 +237,24 @@ def test_format_per_contig_size_mapping():
     assert parse_chain(txt) == blocks
     with pytest.raises(ValueError, match="no size for contig"):
         format_chain(blocks, t_size={"c1": 100}, q_size=104)
+
+
+def test_read_chain_plans_as_local_table_scan(spark, tmp_path):
+    """read_chain must NOT plan a Python-RDD scan (r18, guide §4).
+
+    createDataFrame(list) parallelizes into defaultParallelism
+    Python-RDD slices; every broadcast build of the chain then launches
+    one Python worker per core to re-emit 25 pickled rows (~12 CPU-s a
+    run at local[32] — 75% of chain_liftover_roundtrip's bench CPU).
+    The Arrow/pandas path plans a pure-JVM LocalTableScan.
+    """
+    p = tmp_path / "t.chain"
+    p.write_text(CHAIN_TEXT)
+    df = read_chain(spark, str(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, plan
+    assert "LocalTableScan" in plan, plan
+    # identical content to the driver-side parse
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        read_chain_file(str(p))
+    )
