@@ -2244,33 +2244,38 @@ def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("e")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # Single-row collect_list barrier: shared/ta/tb below are THREE
-    # consumers of `counts` (≤ n_sources + C(n_sources,2) rows). Filters
-    # on a grouping-struct field push THROUGH an aggregate, which would
-    # make the three subtrees differ below the exchange and defeat AQE
-    # stage reuse (the whole corpus pass would run three times). A
-    # predicate cannot push through this explode-of-collect_list, so all
-    # three branches share one canonical subtree → ReusedExchange → the
-    # corpus is read and aggregated ONCE.
-    rows = (
-        counts.agg(F.collect_list(F.struct("e.a", "e.b", "n")).alias("rows"))
-        .select(F.explode("rows").alias("r"))
-        .select("r.a", "r.b", "r.n")
+    # Single-row collect_list barrier, then PURE ARRAY expressions (r18,
+    # guide §2.4 — remove exchanges outright): the collected row is
+    # bounded by n_sources + C(n_sources, 2) (~210 structs at ~20
+    # sources), so the shared matrix AND the per-source totals lookup
+    # both come straight out of that one row — the pair rows from a
+    # filter of the array, the totals as a map built from the singleton
+    # entries. The r17 form re-derived three DataFrame consumers
+    # (shared/ta/tb) from an exploded view of the same row and stitched
+    # them back with two broadcast joins; that cost two broadcast
+    # exchanges, two join stages, and the AQE ReusedExchange machinery
+    # to keep the corpus pass single (each broadcast build re-executed
+    # the plan up to the reused exchange). Single consumer → nothing to
+    # reuse, 3 fewer exchanges (22 → 9 static), same rows bit-for-bit.
+    one = counts.agg(F.collect_list(F.struct("e.a", "e.b", "n")).alias("rows"))
+    rows_c = F.col("rows")
+    is_single = lambda r: r["b"].isNull()  # noqa: E731
+    tot_map = F.map_from_arrays(
+        F.transform(F.filter(rows_c, is_single), lambda r: r["a"]),
+        F.transform(F.filter(rows_c, is_single), lambda r: r["n"]),
     )
-    shared = rows.filter(F.col("b").isNotNull()).select(
-        F.col("a").alias("source_a"),
-        F.col("b").alias("source_b"),
-        F.col("n").alias("n_shared"),
-    )
-    ta = rows.filter(F.col("b").isNull()).select(
-        F.col("a").alias("source_a"), F.col("n").alias("grams_a")
-    )
-    tb = rows.filter(F.col("b").isNull()).select(
-        F.col("a").alias("source_b"), F.col("n").alias("grams_b")
-    )
+    pair_rows = F.filter(rows_c, lambda r: r["b"].isNotNull())
     return (
-        shared.join(F.broadcast(ta), on="source_a")
-        .join(F.broadcast(tb), on="source_b")
+        one.select(
+            F.explode(pair_rows).alias("p"), tot_map.alias("_tm")
+        )
+        .select(
+            F.col("p.a").alias("source_a"),
+            F.col("p.b").alias("source_b"),
+            F.col("p.n").alias("n_shared"),
+            F.element_at(F.col("_tm"), F.col("p.a")).alias("grams_a"),
+            F.element_at(F.col("_tm"), F.col("p.b")).alias("grams_b"),
+        )
         .select(
             "source_a", "source_b", "n_shared", "grams_a", "grams_b",
             (F.col("n_shared") / F.least("grams_a", F.col("grams_b") * 1.0)).alias("containment"),

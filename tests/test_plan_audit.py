@@ -102,12 +102,14 @@ def test_no_cartesian_product(spark, name):
 
 def test_cross_source_overlap_single_corpus_pass(spark):
     """cross_source_ngram_overlap's single-pass claim, enforced by CI
-    (r18, VERDICT r17 next #6): the STATIC plan prints three consumer
-    subtrees over the documents scan (the collect_list barrier keeps
-    them byte-identical below the exchange), and at runtime AQE must
-    collapse them — the FINAL adaptive plan carries ReusedExchange and
-    exactly ONE documents.parquet scan, i.e. the corpus is read and
-    gram-aggregated once, not three times."""
+    (r18, VERDICT r17 next #6): exactly ONE documents.parquet scan in the
+    FINAL adaptive plan — the corpus is read and gram-aggregated once.
+    The r17 shape needed AQE ReusedExchange to collapse three consumer
+    subtrees (shared/ta/tb rebuilt from the collect_list barrier and
+    re-joined); since r18 the shared matrix and totals are pure array
+    expressions over the single collected row, so the plan has ONE
+    consumer by construction — no duplicate subtree to reuse, and no
+    broadcast joins after the barrier either."""
     import re
 
     df = _registry()["cross_source_ngram_overlap"].fn(spark, SF_SMOKE)
@@ -118,8 +120,10 @@ def test_cross_source_overlap_single_corpus_pass(spark):
     # the tree before "== Initial Plan ==" is the FINAL executed plan;
     # the only parquet input of this query is documents.parquet
     final = plan.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final, final
     n_scans = len(re.findall(r"Scan parquet", final))
     assert n_scans == 1, (
         f"{n_scans} parquet scans survive in the executed plan:\n" + final
+    )
+    assert "BroadcastHashJoin" not in final, (
+        "the totals lookup regressed to join form:\n" + final
     )
