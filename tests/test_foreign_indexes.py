@@ -287,6 +287,13 @@ class TestAutoFaidxExactness:
             want = self._brute_fai(fasta)
         assert scan_fai_entries(fasta) == want
 
+    def test_brute_fai_parity_with_htslib(self):
+        """The brute-force fallback itself is parity-checked against the
+        htslib-written sidecar that DOES ship (ADVICE r17: a fallback that
+        replaces htslib parity must not be a home-grown walk nobody ever
+        compared to htslib)."""
+        assert self._brute_fai(AUXF_FA) == self._read_fai(AUXF_FA + ".fai")
+
     def test_crlf(self, tmp_path):
         """CRLF line endings: bases exclude the \\r (htslib parity),
         linewidth includes it, offsets count every byte."""
