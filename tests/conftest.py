@@ -15,7 +15,20 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from hadoop_bam_spark.session import get_spark
 
-    spark = get_spark("pytest", master="local[8]", shuffle_partitions=8)
+    # Whole-stage codegen OFF for the unit suite (r18, verify budget):
+    # every test plan runs ONCE, so Janino-compiling a generated class
+    # per stage is pure overhead — measured 192 s -> 152 s on
+    # test_interval_ops alone, ~3 min across the suite. Assertions are
+    # unchanged (no test asserts codegen spans); the PRODUCTION session
+    # config (codegen on) keeps its own gates: tools.check_oracle runs
+    # all 152 queries against DuckDB and bench.py times them, both on
+    # get_spark() defaults.
+    spark = get_spark(
+        "pytest",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
     yield spark
 
 

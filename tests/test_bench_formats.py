@@ -7,6 +7,9 @@ import sys
 
 
 def test_bench_formats_smoke(tmp_path):
+    # --only the asserted formats: the smoke validates the CLI contract
+    # and payload shape, not throughput; the default run benches 13
+    # formats and cost 71 s of the verify budget for 5 assertions.
     out = subprocess.run(
         [
             sys.executable,
@@ -14,6 +17,7 @@ def test_bench_formats_smoke(tmp_path):
             "hadoop_bam_spark.tools.bench_formats",
             "3000",
             str(tmp_path / "w"),
+            "--only=bam,cram,sam,vcf.bgz,fastq",
         ],
         capture_output=True,
         text=True,

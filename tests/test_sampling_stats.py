@@ -190,13 +190,20 @@ class TestWeightedSample:
         from hadoop_bam_spark.operators.sampling import weighted_sample
 
         df = self._toy(spark)
-        heavy = 0
-        total = 0
-        for s in range(30):
-            got = weighted_sample(
-                df, 5, weight_col="w", salt=f"s{s}").collect()
-            heavy += sum(1 for r in got if r.doc_id < 10)
-            total += len(got)
+        # same 30 operator invocations and the same statistic, collected
+        # through ONE action (a union of the 30 sampled frames) instead
+        # of 30 sequential jobs — 8 s of the verify budget was job
+        # scheduling latency, not sampling work (r18).
+        from functools import reduce
+
+        frames = [
+            weighted_sample(df, 5, weight_col="w", salt=f"s{s}")
+            .select("doc_id")
+            for s in range(30)
+        ]
+        got = reduce(lambda a, b: a.unionAll(b), frames).collect()
+        heavy = sum(1 for r in got if r.doc_id < 10)
+        total = len(got)
         assert total == 150
         assert heavy / total > 0.8, heavy / total
 
