@@ -18,6 +18,14 @@ Interpretation: ideal is cores_high/cores_low (4.0 for 8→32); anything
 ≥2.5 demonstrates the operator scales out; ratios near 1 on sub-second
 queries remain scheduling floor, and are reported with the absolute
 times so the floor is visible rather than inferred.
+
+``--isolate`` runs each query in its OWN subprocess per core count
+(32 JVM startups for the default 16-query list) instead of one shared
+session per core count. The shared session is cheaper but allocation-
+heavy queries poison their successors' timings with GC pressure — the
+first r18 shared-session run measured paragraph_dedup at 15.1 s on 32
+cores right after cross_source's gram aggregate, vs 2.2 s isolated.
+Receipts that feed scaling claims must use --isolate.
 """
 
 from __future__ import annotations
@@ -105,6 +113,7 @@ def main(argv: list[str]) -> None:
     reps = 2
     names = list(_DEFAULT)
     out_path = None
+    isolate = False
     for a in argv:
         if a.startswith("--cores="):
             cores = tuple(int(x) for x in a.split("=", 1)[1].split(","))
@@ -114,13 +123,23 @@ def main(argv: list[str]) -> None:
             reps = int(a.split("=", 1)[1])
         elif a.startswith("--json="):
             out_path = a.split("=", 1)[1]
+        elif a == "--isolate":
+            isolate = True
         elif not a.startswith("--"):
             sf_dir = a
     if sf_dir is None:
         raise SystemExit(__doc__)
     lo, hi = sorted(cores)
-    t_hi = _run(sf_dir, hi, reps, names)
-    t_lo = _run(sf_dir, lo, reps, names)
+    if isolate:
+        t_hi, t_lo = {}, {}
+        # interleave core counts per query so host drift degrades both
+        # sides of each ratio equally, not whichever ran second
+        for n in names:
+            t_hi.update(_run(sf_dir, hi, reps, [n]))
+            t_lo.update(_run(sf_dir, lo, reps, [n]))
+    else:
+        t_hi = _run(sf_dir, hi, reps, names)
+        t_lo = _run(sf_dir, lo, reps, names)
     per_query = {}
     for n in names:
         a, b = t_lo.get(n), t_hi.get(n)
@@ -134,6 +153,7 @@ def main(argv: list[str]) -> None:
         "cores": [lo, hi],
         "ideal_ratio": round(hi / lo, 2),
         "reps": reps,
+        "isolated_sessions": isolate,
         "per_query": per_query,
     }
     text = json.dumps(result, indent=1, sort_keys=True)
